@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines (driver north-star;
+  * SURVEY.md §7.1 step 7). All variants are shuffle-bounded: candidate
+  * generation is hash-bucketed (never all-pairs), so the plans scale
+  * linearly with corpus size — the only quadratic work happens inside
+  * buckets.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeps the lowest-id row per distinct
+    * content. One hash-aggregate shuffle; at 100 TB the md5 prefilter means
+    * we never shuffle full documents, only (hash, id). */
+  def exactByContent(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(md5(content).as("content_hash"), id.as("keep_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("keep_id")).as("keep_id"))
+
+  /** Exact dedup retaining full rows: hash-partitioned top-1 per content
+    * hash (no full-row shuffle beyond the one exchange). */
+  def exactRows(df: DataFrame, content: Column, id: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(content)).orderBy(id)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash+LSH near-dup candidates: (doc, band_key) pairs. Docs sharing
+    * any band key are candidates. k = bands * rowsPerBand hashes.
+    * Scale shape: explode to bands× rows, ONE shuffle on band_key —
+    * classic shingle→minhash→band→bucket-join. */
+  def minhashBands(df: DataFrame, id: Column, text: Column,
+                   shingleWidth: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = minhashSignature(shingles(text, shingleWidth), bands * rowsPerBand)
+    df.select(id.as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+  }
+
+  /** MinHash-LSH dedup: drop every doc that shares ≥1 LSH band with a
+    * lower-id doc. Returns the kept ids. Bucketed self-join (band_key is
+    * the join key) — no all-pairs work. */
+  def minhashDedupKeptIds(df: DataFrame, id: Column, text: Column,
+                          shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand)
+    val dominated = b.as("a").join(b.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id")).distinct()
+    df.select(id.as("doc_id")).distinct()
+      .join(dominated, Seq("doc_id"), "left_anti")
+  }
+
+  /** Jaccard-verified near-dup pairs: LSH candidates filtered by exact
+    * n-gram Jaccard ≥ threshold. The verify step only touches candidate
+    * pairs (bucket-bounded). Emits (doc_a, doc_b, jaccard_sim). */
+  def nearDupPairs(df: DataFrame, id: Column, text: Column, threshold: Double,
+                   shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val withSh = df.select(id.as("doc_id"), array_distinct(shingles(text, shingleWidth)).as("sh"))
+    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    cand
+      .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("sa.sh"), col("sb.sh")).as("jaccard_sim"))
+      .filter(col("jaccard_sim") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 32-bit simhash, candidates = equal hash
+    * (hamming 0) via hash-bucket join, or hamming ≤ maxDist within
+    * 16-bit-prefix buckets (two-probe). Emits (doc_a, doc_b, dist). */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
+    val h = df.select(id.as("doc_id"), simhash32(text).as("sh"))
+    // bucket by upper/lower 16 bits: any pair with hamming<=maxDist (small)
+    // agrees on at least one half when maxDist < 16 buckets miss some; for
+    // the verified contract we probe both halves.
+    val probes = h.select(col("doc_id"), col("sh"),
+      explode(array(shiftrightunsigned(col("sh"), 16), col("sh").bitwiseAND(lit(0xFFFFL)))).as("bucket"))
+    probes.as("a").join(probes.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.sh"), col("b.sh")).as("dist")).distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Embedding-cosine near-dup pairs above `threshold`, brute-force
+    * within-corpus — the small-corpus baseline. For the 100 TB path use
+    * [[Similarity.lshBucketedPairs]]. */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.CosineSimilarity(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

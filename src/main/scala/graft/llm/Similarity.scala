@@ -1,0 +1,99 @@
+package graft.llm
+
+import graft.functions.CosineSimilarity
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (driver north-star; SURVEY.md §7.1 step 7).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact top-k by cosine — a single codegen'd scan
+  *    (no shuffle until the final top-k), the correctness baseline;
+  *  - [[lshTopK]] / random-hyperplane LSH: hash every vector once into
+  *    sign-pattern buckets, probe only the query's bucket(s) — the scale
+  *    path: candidate set is corpus/2^H per probe, independent of corpus
+  *    growth in the scan.
+  *
+  * Hyperplanes are pseudo-random but DETERMINISTIC: component j of plane h
+  * is derived from md5("h,j") mapped to [-0.5, 0.5) — reproducible in the
+  * SQL oracle and across runs with no RNG state.
+  */
+object Similarity {
+
+  /** Exact brute-force cosine top-k against a literal query vector.
+    * The scan is one whole-stage-codegen pass; `limit` after `orderBy`
+    * runs as TakeOrderedAndProject (per-partition heap + driver merge),
+    * never a full sort at scale. */
+  def bruteForceTopK(df: DataFrame, id: Column, vec: Column,
+                     query: Seq[Float], k: Int): DataFrame = {
+    val q = lit(query.toArray)
+    df.select(id.as("vec_id"), CosineSimilarity(vec, q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplane component: md5("h|j") → [-0.5, 0.5). */
+  private def planeComponent(h: Int, j: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$h|"), j.cast("string"))), 1, 8), 16, 10).cast("double")
+      / lit(4294967296.0)) - 0.5
+
+  /** Sign-bit bucket id from `nPlanes` random hyperplanes (one BIGINT). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { h =>
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeComponent(h, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(d >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+
+  /** Corpus-side bucketing pass: (vec_id, bucket). Computed once, reusable
+    * across queries (write out / cache as the "index"). */
+  def buildLshIndex(df: DataFrame, id: Column, vec: Column, nPlanes: Int): DataFrame =
+    df.select(id.as("vec_id"), vec.as("v"), hyperplaneBucket(vec, nPlanes).as("bucket"))
+
+  /** ANN top-k: probe the query vector's bucket and rank candidates by
+    * exact cosine. Recall < 1 by construction; nProbes>1 also scans the
+    * buckets at hamming distance 1 from the query bucket. */
+  def lshTopK(index: DataFrame, query: Seq[Float], nPlanes: Int, k: Int,
+              nProbes: Int = 1): DataFrame = {
+    val qCol = lit(query.toArray)
+    val qBucketDf = index.sparkSession.range(1)
+      .select(hyperplaneBucket(qCol, nPlanes).as("qb"))
+    val probeBuckets: Column =
+      if (nProbes <= 1) array(col("qb"))
+      else array((col("qb") +: (0 until nPlanes).map(h => col("qb").bitwiseXOR(shiftleft(lit(1L), h)))): _*)
+    val probes = qBucketDf.select(explode(probeBuckets).as("bucket")).distinct()
+    index.join(broadcast(probes), Seq("bucket"))
+      .select(col("vec_id"), CosineSimilarity(col("v"), qCol).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All-pairs-above-threshold via LSH buckets (the scale path for
+    * embedding near-dup): pairs are only formed WITHIN a bucket. */
+  def lshBucketedPairs(df: DataFrame, id: Column, vec: Column,
+                       nPlanes: Int, threshold: Double): DataFrame = {
+    val idx = buildLshIndex(df, id, vec, nPlanes)
+    idx.as("a").join(idx.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        CosineSimilarity(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Exact k-NN join for a small query set: broadcast the queries, rank
+    * per query — one scan of the corpus regardless of |queries|. */
+  def knnJoin(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+              queries: DataFrame, queryId: Column, queryVec: Column, k: Int): DataFrame = {
+    val c = corpus.select(corpusId.as("vec_id"), corpusVec.as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"), CosineSimilarity(col("cv"), col("qv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+}

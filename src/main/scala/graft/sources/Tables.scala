@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch sources over the driver-provided parquet tables (TESTDATA.md).
+  *
+  * The reference's only source is Kafka topics
+  * (reference: src/kafka_streams_clojure/api.clj:57-60); the engine adds
+  * file sources as first-class batch twins. Streaming sources live in
+  * [[graft.streaming]].
+  *
+  * Scale posture: `spark.read.parquet` gives vectorized scans, predicate
+  * pushdown and partition pruning for free; callers select/filter early so
+  * Catalyst prunes columns at the scan.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Multi-source union — the analogue of the reference's varargs topic
+    * source merged into one stream (reference: api.clj:57-60). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+}
