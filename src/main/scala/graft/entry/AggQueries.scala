@@ -1,0 +1,171 @@
+package graft.entry
+
+import graft.agg.Aggregates
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation-family driver queries. Double sums go through
+  * DECIMAL(18,2) accumulation and a final cast to DOUBLE on BOTH engines:
+  * decimal addition is exact/associative, so the result is independent of
+  * partial-aggregation order — the only way a distributed sum can
+  * hash-match a single-threaded oracle bit-for-bit.
+  */
+object AggQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: String): org.apache.spark.sql.Column =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape — the flagship aggregation
+    "q1_agg" -> ((s, d) => Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum("l_quantity").as("sum_qty"),
+        dsum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    "q_grouped_agg" -> ((s, d) => Aggregates.grouped(Tables.events(s, d),
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        countDistinct(col("user_id")).as("n_users")))),
+
+    "q_windowed_tumbling" -> ((s, d) => Aggregates.tumbling(
+      Tables.events(s, d), col("ts"), "1 hour", Seq(col("event_type")),
+      Seq(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))),
+
+    "q_windowed_hopping" -> ((s, d) => Aggregates.hopping(
+      Tables.events(s, d), col("ts"), "1 hour", "30 minutes", Nil,
+      Seq(count(lit(1)).as("n")))
+      .select(col("window_start"), col("n"))),
+
+    "q_session_window" -> ((s, d) => Aggregates.session(
+      Tables.events(s, d), col("ts"), "30 minutes", Seq(col("user_id")),
+      Seq(count(lit(1)).as("n")))
+      .select(col("user_id"), col("session_start"), col("n"))),
+
+    "q_latest_by_key" -> ((s, d) => Aggregates.latestByKey(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts"),
+      Seq(col("user_id")), col("ts"), Seq(col("event_id")))
+      .select("user_id", "event_id", "event_type", "value")),
+
+    "q_rollup" -> ((s, d) => Aggregates.rollupAgg(Tables.lineitem(s, d),
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      Seq(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty")))),
+
+    "q_cube" -> ((s, d) => Aggregates.cubeAgg(Tables.lineitem(s, d),
+      Seq(col("l_returnflag"), col("l_linestatus")),
+      Seq(count(lit(1)).as("n")))),
+
+    "q_topk_per_group" -> ((s, d) => Aggregates.topKPerGroup(
+      Tables.events(s, d).select("event_id", "event_type", "value"),
+      Seq(col("event_type")), Seq(col("value").desc, col("event_id")), 3)),
+
+    "q_approx_distinct" -> ((s, d) => // HLL sketch — approximate by design, rows-only check
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // state-store verbs over the materialized per-user aggregate
+    "q_store_get" -> ((s, d) => stateTable(s, d).filter(col("user_id") === 7)),
+    "q_store_all" -> ((s, d) => stateTable(s, d)),
+    "q_store_range" -> ((s, d) => stateTable(s, d)
+      .filter(col("user_id").between(3, 9)).orderBy(col("user_id")))
+  )
+
+  /** The materialized store: per-user running aggregate (the topology
+    * state behind the reference's interactive queries, api.clj:102-152). */
+  private def stateTable(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        max(col("ts")).as("last_seen"))
+
+  private val stateSql =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       max(ts) AS last_seen
+      |FROM events GROUP BY user_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       count(*) AS count_order,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_grouped_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_windowed_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_windowed_hopping" ->
+      """SELECT time_bucket(INTERVAL '30 minutes', ts) - k.k * INTERVAL '30 minutes' AS window_start,
+        |       count(*) AS n
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+        |GROUP BY 1""".stripMargin,
+
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n
+        |FROM islands GROUP BY user_id, sid""".stripMargin,
+
+    "q_latest_by_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT event_id, event_type, value FROM (
+        |  SELECT event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
+
+    "q_store_get" -> (stateSql.replace("GROUP BY user_id", "WHERE user_id = 7 GROUP BY user_id")),
+    "q_store_all" -> stateSql,
+    "q_store_range" -> (stateSql.replace("GROUP BY user_id",
+      "WHERE user_id BETWEEN 3 AND 9 GROUP BY user_id ORDER BY user_id"))
+  )
+}

@@ -1,0 +1,298 @@
+package graft.entry
+
+import graft.core.{Branch, OrderedOps, Xform}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the reference's implemented surface:
+  * the flagship transducer pipeline, the stateless §2.2 vocabulary,
+  * first-match branching, the order-sensitive family, set ops and scalar
+  * functions. Each entry has a DuckDB oracle twin (column names aligned;
+  * computed integers cast to BIGINT on both sides).
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The reference's golden pipeline (api_test.clj:49-67):
+    * filter(string? v) → map(swap [k v]→[v k]) → filter(v = const),
+    * re-expressed over the events table as KV(key=event_id, value=event_type). */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val kv = Tables.events(s, dir)
+      .select(col("event_id").cast("string").as("key"), col("event_type").as("value"))
+    val pipe = Xform.xfilter(col("value").isNotNull) andThen
+      Xform.xmap(col("value").as("key"), col("key").as("value")) andThen
+      Xform.xfilter(col("value") === "7")
+    pipe(kv)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "flagship_pipeline" -> ((s, d) => flagship(s, d)),
+
+    "q_map" -> ((s, d) => Xform.xmap(col("l_orderkey"), col("l_linenumber"),
+      (lit(1.0) - col("l_discount")) * col("l_extendedprice") as "net")(Tables.lineitem(s, d))),
+
+    "q_filter" -> ((s, d) => (Xform.xfilter(
+      col("l_shipdate") < to_timestamp(lit("1995-06-01 00:00:00")) && col("l_quantity") > 45) andThen
+      Xform.xmap(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))(Tables.lineitem(s, d))),
+
+    "q_remove" -> ((s, d) => (Xform.xremove(col("value") < 50) andThen
+      Xform.xmap(col("event_id"), col("value")))(Tables.events(s, d))),
+
+    "q_keep" -> ((s, d) => Xform.xkeep(
+      when(col("event_type") =!= "click", col("event_type")), "kept", col("event_id"))(Tables.events(s, d))),
+
+    "q_mapcat" -> ((s, d) => Xform.xmapcat(
+      graft.functions.GraftFunctions.tokens(col("text")), "token", col("doc_id"))(Tables.documents(s, d))),
+
+    "q_distinct" -> ((s, d) => (Xform.xmap(col("l_returnflag"), col("l_linestatus")) andThen
+      Xform.xdistinct())(Tables.lineitem(s, d))),
+
+    "q_sample" -> ((s, d) => // seeded Bernoulli sample — no SQL oracle (rows-only check)
+      Xform.xsample(0.1, 42L)(Tables.events(s, d))),
+
+    "q_branch_first" -> ((s, d) => branchOut(s, d)(0)),
+    "q_branch_second" -> ((s, d) => branchOut(s, d)(1)),
+    "q_branch_third" -> ((s, d) => branchOut(s, d)(2)),
+
+    "q_safe_flatmap" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d).select("event_id", "event_type", "props")
+        .as[(Long, String, String)]
+      val parsed = Xform.safeFlatMap[(Long, String, String), (Long, Long)](s, "q_safe_flatmap") {
+        case (id, et, props) =>
+          if (et == "error") throw new IllegalStateException("poison record")
+          val k = "[0-9]+".r.findFirstIn(props).get.toLong
+          Iterator.single((id, k))
+      }(ev)
+      parsed.toDF("event_id", "k")
+    }),
+
+    // ---- order-sensitive family (explicit (user_id | ts, event_id) order) ----
+
+    "q_dedupe" -> ((s, d) => OrderedOps.dedupe(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "ts"),
+      col("event_type"), Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("event_id", "user_id", "event_type")),
+
+    "q_take_ordered" -> ((s, d) => OrderedOps.takeOrdered(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      3, Seq(col("user_id")), Seq(col("ts"), col("event_id"))).select("event_id", "user_id")),
+
+    "q_drop_ordered" -> ((s, d) => OrderedOps.dropOrdered(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      3, Seq(col("user_id")), Seq(col("ts"), col("event_id"))).select("event_id", "user_id")),
+
+    "q_take_while" -> ((s, d) => OrderedOps.takeWhile(
+      Tables.events(s, d).select("event_id", "user_id", "value", "ts"),
+      col("value") < 150, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("event_id", "user_id", "value")),
+
+    "q_drop_while" -> ((s, d) => OrderedOps.dropWhile(
+      Tables.events(s, d).select("event_id", "user_id", "value", "ts"),
+      col("value") < 150, Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("event_id", "user_id", "value")),
+
+    "q_map_indexed" -> ((s, d) => OrderedOps.mapIndexed(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      Seq(col("user_id")), Seq(col("ts"), col("event_id")), "idx")
+      .select(col("event_id"), col("user_id"), col("idx").cast("long").as("idx"))),
+
+    "q_partition_runs" -> ((s, d) => OrderedOps.partitionByRuns(
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "ts"),
+      col("event_type"), Seq(col("user_id")), Seq(col("ts"), col("event_id")), "run_id")
+      .groupBy(col("user_id"), col("run_id").cast("long").as("run_id"))
+      .agg(count(lit(1)).as("n"), min(col("event_type")).as("event_type"))),
+
+    "q_partition_all" -> ((s, d) => OrderedOps.partitionAll(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      100, Seq(col("user_id")), Seq(col("ts"), col("event_id")), "chunk_id")
+      .groupBy(col("user_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n"))),
+
+    // ---- set ops ----
+
+    "q_union" -> ((s, d) =>
+      Tables.events(s, d).select(col("event_type").as("v"))
+        .union(Tables.orders(s, d).select(col("o_orderstatus").as("v"))).distinct()),
+
+    "q_intersect" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+
+    "q_except" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))),
+
+    // ---- scalar function families ----
+
+    "q_string_fns" -> ((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      upper(substring(col("text"), 1, 12)).as("head12"),
+      length(col("text")).cast("long").as("n"),
+      concat(col("lang"), lit("_"), col("source")).as("tag"),
+      regexp_replace(col("text"), " ", "_").as("underscored"))),
+
+    "q_date_fns" -> ((s, d) => Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_trunc("month", col("o_orderdate")).as("month_start"))),
+
+    "q_math_fns" -> ((s, d) => Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("a"),
+      floor(col("l_extendedprice") / 1000.0).as("f"),
+      ceil(col("l_discount") * 100.0).as("c"),
+      sqrt(col("l_quantity")).as("sq"),
+      (col("l_orderkey") % 7).as("m"))),
+
+    "q_json_fns" -> ((s, d) => Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    "q_array_fns" -> ((s, d) => Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      element_at(col("embedding"), 1).cast("double").as("first"),
+      aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("esum")))
+  )
+
+  private def branchPreds = Seq(
+    "first" -> (col("event_type") === "click"),
+    "second" -> (col("value") > 100.0),
+    "third" -> (col("user_id") % 2 === 0))
+
+  private def branchOut(s: SparkSession, d: String): Seq[DataFrame] = {
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    Branch.branch(ev, branchPreds.map(_._2)).map(_.select("event_id", "event_type", "value"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "flagship_pipeline" ->
+      "SELECT event_type AS key, CAST(event_id AS VARCHAR) AS value FROM events WHERE event_type IS NOT NULL AND CAST(event_id AS VARCHAR) = '7'",
+
+    "q_map" ->
+      "SELECT l_orderkey, l_linenumber, (1.0 - l_discount) * l_extendedprice AS net FROM lineitem",
+
+    "q_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_quantity > 45",
+
+    "q_remove" ->
+      "SELECT event_id, value FROM events WHERE NOT (value < 50)",
+
+    "q_keep" ->
+      "SELECT event_id, CASE WHEN event_type <> 'click' THEN event_type END AS kept FROM events WHERE (CASE WHEN event_type <> 'click' THEN event_type END) IS NOT NULL",
+
+    "q_mapcat" ->
+      "SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS token FROM documents",
+
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_branch_first" ->
+      "SELECT event_id, event_type, value FROM events WHERE COALESCE(event_type = 'click', false)",
+
+    "q_branch_second" ->
+      "SELECT event_id, event_type, value FROM events WHERE COALESCE(value > 100.0, false) AND NOT COALESCE(event_type = 'click', false)",
+
+    "q_branch_third" ->
+      "SELECT event_id, event_type, value FROM events WHERE COALESCE(user_id % 2 = 0, false) AND NOT COALESCE(event_type = 'click', false) AND NOT COALESCE(value > 100.0, false)",
+
+    "q_safe_flatmap" ->
+      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events WHERE event_type <> 'error'",
+
+    "q_dedupe" ->
+      """SELECT event_id, user_id, event_type FROM (
+        |  SELECT event_id, user_id, event_type,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events) t
+        |WHERE prev IS NULL OR prev <> event_type""".stripMargin,
+
+    "q_take_ordered" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn <= 3""".stripMargin,
+
+    "q_drop_ordered" ->
+      """SELECT event_id, user_id FROM (
+        |  SELECT event_id, user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) t WHERE rn > 3""".stripMargin,
+
+    "q_take_while" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |         sum(CASE WHEN NOT COALESCE(value < 150, false) THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS fails
+        |  FROM events) t WHERE fails = 0""".stripMargin,
+
+    "q_drop_while" ->
+      """SELECT event_id, user_id, value FROM (
+        |  SELECT event_id, user_id, value,
+        |         sum(CASE WHEN NOT COALESCE(value < 150, false) THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS fails
+        |  FROM events) t WHERE fails > 0""".stripMargin,
+
+    "q_map_indexed" ->
+      """SELECT event_id, user_id,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS idx
+        |FROM events""".stripMargin,
+
+    "q_partition_runs" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> event_type
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM flagged)
+        |SELECT user_id, run_id, count(*) AS n, min(event_type) AS event_type
+        |FROM runs GROUP BY user_id, run_id""".stripMargin,
+
+    "q_partition_all" ->
+      """WITH rn AS (
+        |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+        |  FROM events)
+        |SELECT user_id, CAST(floor((r - 1) / 100) AS BIGINT) AS chunk_id, count(*) AS n
+        |FROM rn GROUP BY 1, 2""".stripMargin,
+
+    "q_union" ->
+      "SELECT event_type AS v FROM events UNION SELECT o_orderstatus AS v FROM orders",
+
+    "q_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier",
+
+    "q_except" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey AS nationkey FROM supplier",
+
+    "q_string_fns" ->
+      """SELECT doc_id, upper(substr(text, 1, 12)) AS head12, CAST(length(text) AS BIGINT) AS n,
+        |       concat(lang, '_', source) AS tag, regexp_replace(text, ' ', '_', 'g') AS underscored
+        |FROM documents""".stripMargin,
+
+    "q_date_fns" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+        |       CAST(day(o_orderdate) AS BIGINT) AS dom, date_trunc('month', o_orderdate) AS month_start
+        |FROM orders""".stripMargin,
+
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber, abs(l_quantity - 25.0) AS a,
+        |       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS f,
+        |       CAST(ceil(l_discount * 100.0) AS BIGINT) AS c,
+        |       sqrt(l_quantity) AS sq, l_orderkey % 7 AS m
+        |FROM lineitem""".stripMargin,
+
+    "q_json_fns" ->
+      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+
+    "q_array_fns" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first,
+        |       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS esum
+        |FROM embeddings""".stripMargin
+  )
+}

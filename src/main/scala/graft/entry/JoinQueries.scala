@@ -1,0 +1,107 @@
+package graft.entry
+
+import graft.join.Joins
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-family driver queries. Physical posture: dimension chains are
+  * broadcast (no fact shuffle), the large lineitem⋈orders join is left to
+  * Catalyst+AQE (sort-merge/shuffled-hash with runtime skew split), the
+  * as-of join is the union+window composition (one shuffle).
+  */
+object JoinQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_join_enrich" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      Joins.enrich(Joins.enrich(Joins.enrich(
+        o, c, col("o_custkey") === col("c_custkey")),
+        n, col("c_nationkey") === col("n_nationkey")),
+        r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+    }),
+
+    "q_join_large" -> ((s, d) =>
+      Joins.largeJoin(Tables.lineitem(s, d),
+        Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))),
+
+    "q_semi_join" -> ((s, d) =>
+      Joins.semi(Tables.part(s, d),
+        Tables.lineitem(s, d).filter(col("l_quantity") > 45),
+        col("p_partkey") === col("l_partkey"))
+        .select("p_partkey", "p_name")),
+
+    "q_anti_join" -> ((s, d) =>
+      Joins.anti(Tables.customer(s, d), Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "c_name")),
+
+    "q_outer_join" -> ((s, d) =>
+      Joins.valueJoin(Tables.customer(s, d), Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey"), "left_outer",
+        Seq(col("c_custkey"), col("o_orderkey")))
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))),
+
+    "q_asof_join" -> ((s, d) => asofFixed(s, d))
+  )
+
+  // asOf needs a shared key column name on both sides; wrap:
+  private def asofFixed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id").as("uk"), col("ts"))
+    val or = Tables.orders(s, d).select(col("o_custkey").as("uk"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderdate"))
+    Joins.asOf(ev, col("ts"), or, col("o_orderdate"),
+      keys = Seq("uk"), payload = Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = col("o_orderkey"))
+      .select(col("event_id"), col("uk").as("user_id"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_join_enrich" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_join_large" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_semi_join" ->
+      "SELECT p_partkey, p_name FROM part WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)",
+
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e
+        |LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) o ON true""".stripMargin
+  )
+}

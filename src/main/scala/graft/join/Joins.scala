@@ -50,34 +50,39 @@ object Joins {
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` sharing `keys` — the time-series enrichment the
     * reference cannot express. Composed from built-ins (union + window)
-    * rather than a custom SparkPlan: one shuffle on the key, no range
-    * explosion, which survives scale-up. Right columns come back
-    * null-padded when no prior row exists.
+    * rather than a custom SparkPlan: ONE shuffle on the key, no range
+    * explosion, which survives scale-up. Right payload columns come back
+    * null when no prior right row exists.
     *
-    * Implementation: tag both sides, union by key+time, carry-forward the
-    * last right payload with `last(_, ignoreNulls=true)` over
-    * (key, time, side-priority), keep left rows.
+    * Implementation: tag both sides, union on (keys, time), carry the
+    * right payload forward as a single struct with
+    * `last(_, ignoreNulls=true)` over (key, time, side, tieBreak) —
+    * struct + total order makes the picked row deterministic on timestamp
+    * ties (largest `rightTieBreak` wins, matching
+    * `ORDER BY t DESC, tieBreak DESC LIMIT 1`).
     */
   def asOf(left: DataFrame, leftTs: Column, right: DataFrame, rightTs: Column,
-           keys: Seq[String], payload: Seq[String]): DataFrame = {
+           keys: Seq[String], payload: Seq[String], rightTieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val l = left.withColumn("__t", leftTs).withColumn("__side", lit(1))
-    val lPadded = payload.foldLeft(l)((d, c) => d.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType)))
-    val r = right.withColumn("__t", rightTs).withColumn("__side", lit(0))
-    val rSel = r.select((keys.map(col) :+ col("__t") :+ col("__side")) ++ payload.map(c => col(c).as(s"__p_$c")): _*)
-    val lCols = lPadded.columns.filterNot(c => c.startsWith("__p_") || c == "__t" || c == "__side")
-    val lSel = lPadded.select((keys.map(col) :+ col("__t") :+ col("__side")) ++
-      payload.map(c => col(s"__p_$c")) ++ lCols.filterNot(keys.contains).map(col): _*)
-    // union with schema alignment: right side lacks the left payload columns
-    val rAligned = lCols.filterNot(keys.contains).foldLeft(rSel)((d, c) =>
+    val payloadStruct = struct(payload.map(col): _*)
+    val rSel = right.select(
+      keys.map(col) :+ rightTs.as("__t") :+ lit(0).as("__side") :+
+        payloadStruct.as("__p") :+ rightTieBreak.as("__tb"): _*)
+    val payloadType = rSel.schema("__p").dataType
+    val tbType = rSel.schema("__tb").dataType
+    val leftCols = left.columns.filterNot(keys.contains)
+    val lSel = left.select(
+      keys.map(col) ++ leftCols.map(col) :+ leftTs.as("__t") :+ lit(1).as("__side") :+
+        lit(null).cast(payloadType).as("__p") :+ lit(null).cast(tbType).as("__tb"): _*)
+    val rAligned = leftCols.foldLeft(rSel)((d, c) =>
       d.withColumn(c, lit(null).cast(lSel.schema(c).dataType)))
     val u = lSel.unionByName(rAligned.select(lSel.columns.map(col): _*))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__side"))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = payload.foldLeft(u)((d, c) =>
-      d.withColumn(c, last(col(s"__p_$c"), ignoreNulls = true).over(w)))
-    filled.filter(col("__side") === 1)
-      .drop("__t", "__side")
-      .drop(payload.map(c => s"__p_$c"): _*)
+    val filled = u.withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+    val out = filled.filter(col("__side") === 1)
+    payload.foldLeft(out)((d, c) => d.withColumn(c, col("__last").getField(c)))
+      .drop("__t", "__side", "__p", "__tb", "__last")
   }
 }

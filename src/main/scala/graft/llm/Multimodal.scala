@@ -33,13 +33,14 @@ object Multimodal {
     * derived from the payload hash (stand-ins for decoded dimensions). */
   def asMediaTable(df: DataFrame, id: Column, content: Column): DataFrame = {
     val payload = encode(content, "UTF-8")
+    val h = md5(payload)
     df.select(
       id.cast("long").as("media_id"),
       payload.as("payload"),
       struct(
         lit("application/octet-stream").as("mime"),
-        (pmod(crc32(payload), lit(1920L)) + 1).cast("int").as("width"),
-        (pmod(crc32(payload) / 7, lit(1080L)) + 1).cast("int").as("height"),
+        (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(1920L)) + 1).cast("int").as("width"),
+        (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(1080L)) + 1).cast("int").as("height"),
         octet_length(payload).cast("long").as("n_bytes")).as("meta"))
   }
 
@@ -55,7 +56,9 @@ object Multimodal {
     while (i < dim) {
       val b = md(i % md.length) & 0xFF
       val mix = (b * 31 + i * 17) % 256
-      out(i) = (mix / 255.0f) - 0.5f
+      // double arithmetic, single final rounding to float — reproducible
+      // in the SQL oracle (no float/float double-rounding hazard)
+      out(i) = ((mix / 255.0) - 0.5).toFloat
       i += 1
     }
     out
