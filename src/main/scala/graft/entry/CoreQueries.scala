@@ -59,13 +59,13 @@ object CoreQueries {
       import s.implicits._
       val ev = Tables.events(s, d).select("event_id", "event_type", "props")
         .as[(Long, String, String)]
-      val parsed = Xform.safeFlatMap[(Long, String, String), (Long, Long)](s, "q_safe_flatmap") {
+      val pipe = Xform.safeFlatMap[(Long, String, String), (Long, Long)](s, "q_safe_flatmap") {
         case (id, et, props) =>
           if (et == "error") throw new IllegalStateException("poison record")
           val k = "[0-9]+".r.findFirstIn(props).get.toLong
           Iterator.single((id, k))
-      }(ev)
-      parsed.toDF("event_id", "k")
+      }
+      pipe(ev).toDF("event_id", "k")
     }),
 
     // ---- order-sensitive family (explicit (user_id | ts, event_id) order) ----
@@ -138,7 +138,7 @@ object CoreQueries {
       year(col("o_orderdate")).cast("long").as("y"),
       month(col("o_orderdate")).cast("long").as("m"),
       dayofmonth(col("o_orderdate")).cast("long").as("dom"),
-      date_trunc("month", col("o_orderdate")).as("month_start"))),
+      to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))),
 
     "q_math_fns" -> ((s, d) => Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_linenumber"),

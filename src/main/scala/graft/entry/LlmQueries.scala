@@ -1,0 +1,378 @@
+package graft.entry
+
+import graft.functions.{CosineSimilarity, GraftFunctions}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline driver queries (BASELINE.json north_star):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed ANN,
+  * kNN join), text analysis (token counts, quality, language-ID,
+  * fingerprints) and multimodal column plumbing.
+  *
+  * Oracle-parity rules used throughout:
+  *  - hashes are md5-derived on both engines
+  *    (`conv(substr(md5 x),16,10)` ⇔ `CAST('0x'||substr(md5 x) AS BIGINT)`);
+  *  - float math is computed in DOUBLE in index order on both engines and
+  *    `round(_, 6)`-ed wherever a value crosses the compare boundary;
+  *  - thresholds/top-k filter on the ROUNDED value so set membership can't
+  *    diverge on last-ulp differences.
+  */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // MinHash/LSH parameters shared by query + oracle.
+  private val ShingleW = 3
+  private val DedupBands = 4; private val DedupRows = 4
+  private val PairBands = 8; private val PairRows = 2
+  private val NPlanes = 6
+
+  private def media(s: SparkSession, d: String): DataFrame =
+    Multimodal.asMediaTable(Tables.documents(s, d), col("doc_id"), col("text"))
+
+  /** Raw double cosine — both engines run the identical op sequence in
+    * DOUBLE (index-order accumulation), so the bits match exactly; rounding
+    * would INTRODUCE divergence (engine round() half-way behavior differs). */
+  private def roundCos(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  val queries: Map[String, Q] = Map(
+    // ---- deduplication ---------------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactByContent(Tables.documents(s, d), col("text"), col("doc_id"))),
+
+    "q_dedup_exact_rows" -> ((s, d) =>
+      Dedup.exactRows(Tables.documents(s, d), col("text"), col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    "q_minhash_bands" -> ((s, d) =>
+      Dedup.minhashBands(Tables.documents(s, d), col("doc_id"), col("text"),
+        ShingleW, DedupBands, DedupRows)),
+
+    "q_minhash_dedup" -> ((s, d) =>
+      Dedup.minhashDedupKeptIds(Tables.documents(s, d), col("doc_id"), col("text"),
+        ShingleW, DedupBands, DedupRows)),
+
+    "q_neardup_jaccard" -> ((s, d) =>
+      Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        threshold = 0.4, ShingleW, PairBands, PairRows)),
+
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxDist = 8)),
+
+    "q_embed_neardup" -> ((s, d) => {
+      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
+      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          roundCos(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.2)
+    }),
+
+    // ---- similarity search ----------------------------------------------
+    "q_ann_bruteforce" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), roundCos(col("embedding"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val idx = Similarity.buildLshIndex(e, col("vec_id"), col("embedding"), NPlanes)
+      val qb = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"),
+          Similarity.hyperplaneBucket(col("embedding"), NPlanes).as("bucket"))
+      idx.join(broadcast(qb), Seq("bucket"))
+        .select(col("vec_id"), roundCos(col("v"), col("qv")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    "q_knn_join" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding").as("cv"))
+      val qs = e.filter(col("vec_id") < 3).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val scored = corpus.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"), roundCos(col("cv"), col("qv")).as("cos"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= 3).drop("__rn")
+    }),
+
+    // ---- text analysis ---------------------------------------------------
+    "q_text_stats" -> ((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("chars"),
+      TextAnalysis.wordCount(col("text")).cast("long").as("words"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("alnum_tokens"),
+      TextAnalysis.bpeTokenEstimate(col("text")).cast("long").as("bpe_tokens"))),
+
+    "q_text_quality" -> ((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_lang_id" -> ((s, d) => Tables.documents(s, d).select(
+      col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
+
+    "q_fingerprint" -> ((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"),
+      TextAnalysis.rollingHash(col("text")).as("rolling"))),
+
+    // ---- multimodal plumbing --------------------------------------------
+    "q_media_meta" -> ((s, d) => Multimodal.metaScan(media(s, d))),
+
+    "q_media_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(media(s, d), frameBytes = 32, stride = 2)
+        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))),
+
+    "q_media_features" -> ((s, d) =>
+      Multimodal.extractFeatures(s, media(s, d), dim = 16)
+        .select(col("media_id"),
+          size(col("features")).cast("long").as("n_dims"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")).as("fsum")))
+  )
+
+  // ======================================================================
+  // DuckDB oracle twins
+  // ======================================================================
+
+  /** md5-derived 60-bit BIGINT — DuckDB twin of GraftFunctions.md5Long. */
+  private def sqlMd5Long(x: String): String =
+    s"CAST('0x'||substring(md5($x),1,15) AS BIGINT)"
+
+  /** Whitespace tokens (drop empties) — twin of GraftFunctions.tokens. */
+  private val sqlToks =
+    "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  /** CTE producing (doc_id, tk tokens, sg shingles) for documents. */
+  private def shingleCte: String =
+    s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tk) >= $ShingleW
+       |              THEN list_transform(range(0, len(tk) - $ShingleW + 1),
+       |                     i -> array_to_string(tk[i+1:i+$ShingleW], ' '))
+       |              ELSE [] END AS sg
+       |  FROM toks)""".stripMargin
+
+  /** CTE bands(doc_id, band_key): minhash k = bands*rows, LSH band keys. */
+  private def bandCte(bands: Int, rows: Int): String = {
+    val k = bands * rows
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, $k), i ->
+       |           list_min(list_transform(sg, e ->
+       |             ${sqlMd5Long("CAST(i AS VARCHAR)||'|'||e")}))) AS sig
+       |  FROM sh),
+       |bandsrc AS (
+       |  SELECT doc_id,
+       |         CAST(b AS VARCHAR)||'_'||md5(array_to_string(
+       |           list_transform(sig[b*$rows+1:b*$rows+$rows], v -> CAST(v AS VARCHAR)), ',')) AS band_key
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $bands)) AS b) AS bs)""".stripMargin
+  }
+
+  /** Hyperplane dot product for plane h — twin of Similarity.planeComponent
+    * folded into the bucket dot (vec must be a FLOAT[] SQL expression). */
+  private def sqlPlaneDot(h: Int, vec: String): String =
+    s"""list_sum(list_transform(range(0, len($vec)), j ->
+       |  CAST($vec[j+1] AS DOUBLE) *
+       |  ((CAST('0x'||substring(md5('plane$h|'||CAST(j AS VARCHAR)),1,8) AS BIGINT) / 4294967296.0) - 0.5)))""".stripMargin
+
+  /** Sign-bit LSH bucket — twin of Similarity.hyperplaneBucket. */
+  private def sqlBucket(vec: String): String =
+    (0 until NPlanes).map { h =>
+      s"(CASE WHEN ${sqlPlaneDot(h, vec)} >= 0 THEN CAST(${1L << h} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Cosine similarity in DOUBLE, index order, 0 on zero norm — bitwise
+    * twin of the CosineSimilarity expression (no rounding on either side). */
+  private def sqlCos(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |            * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(range(0, least(len($a), len($b))), i ->
+       |              CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+       |            / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |               * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) END)""".stripMargin
+
+  private val sqlAlnumToks =
+    "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
+
+    "q_dedup_exact_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    "q_minhash_bands" ->
+      s"""WITH ${bandCte(DedupBands, DedupRows)}
+         |SELECT doc_id, band_key FROM bandsrc""".stripMargin,
+
+    "q_minhash_dedup" ->
+      s"""WITH ${bandCte(DedupBands, DedupRows)},
+         |dominated AS (
+         |  SELECT DISTINCT a.doc_id FROM bandsrc a JOIN bandsrc b
+         |    ON a.band_key = b.band_key AND a.doc_id > b.doc_id)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dominated)""".stripMargin,
+
+    "q_neardup_jaccard" ->
+      s"""WITH ${bandCte(PairBands, PairRows)},
+         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsrc a JOIN bandsrc b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |                 / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) END AS jaccard_sim
+         |FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         COALESCE(list_sum(list_transform(range(0, 32), b ->
+         |           CASE WHEN COALESCE(list_sum(list_transform(tk, t ->
+         |                  CASE WHEN (${sqlMd5Long("t")} >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+         |                THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS sh
+         |  FROM toks),
+         |probes AS (
+         |  SELECT doc_id, sh, unnest([sh >> 16, sh & 65535]) AS bucket FROM h)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
+         |FROM probes a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 8""".stripMargin,
+
+    "q_embed_neardup" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH idx AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, ${sqlBucket("embedding")} AS bucket FROM embeddings WHERE vec_id = 0)
+         |SELECT idx.vec_id, ${sqlCos("idx.embedding", "q.qv")} AS cos
+         |FROM idx JOIN q ON idx.bucket = q.bucket
+         |ORDER BY cos DESC, idx.vec_id LIMIT 20""".stripMargin,
+
+    "q_knn_join" ->
+      s"""SELECT query_id, vec_id, cos FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id,
+         |         ${sqlCos("c.embedding", "q.embedding")} AS cos,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY ${sqlCos("c.embedding", "q.embedding")} DESC, c.vec_id) AS rn
+         |  FROM embeddings c CROSS JOIN embeddings q
+         |  WHERE c.vec_id >= 3 AND q.vec_id < 3) t
+         |WHERE rn <= 3""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+         |       CAST(len($sqlToks) AS BIGINT) AS words,
+         |       CAST(len($sqlAlnumToks) AS BIGINT) AS alnum_tokens,
+         |       CAST(COALESCE(list_sum(list_transform($sqlAlnumToks,
+         |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, $sqlToks AS tk,
+         |         CAST(length(text) AS DOUBLE) AS total,
+         |         CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS punct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN total = 0 THEN 0.0 ELSE punct / total END AS pr,
+         |         CASE WHEN len(tk) = 0 THEN 0.0
+         |              ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |                   / CAST(len(tk) AS DOUBLE) END AS sr,
+         |         CASE WHEN len(tk) = 0 THEN 0.0
+         |              ELSE CAST(COALESCE(list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))), 0) AS DOUBLE)
+         |                   / CAST(len(tk) AS DOUBLE) END AS mwl,
+         |         total
+         |  FROM base)
+         |SELECT doc_id, pr AS punct_ratio, sr AS stopword_ratio,
+         |       mwl AS mean_word_len,
+         |       least(total / 500.0, 1.0) * 0.4
+         |         + greatest(0.0, 1.0 - pr * 5.0) * 0.3
+         |         + least(sr * 5.0, 1.0) * 0.3 AS quality
+         |FROM r""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id, 'de' AS c, CAST(len(list_filter(tk, t -> t IN ('der','die','und','das','ist'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS s FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'en', CAST(len(list_filter(tk, t -> t IN ('the','and','of','to','is'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'es', CAST(len(list_filter(tk, t -> t IN ('el','la','que','los','es'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> t IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks)
+         |SELECT doc_id, c AS lang_guess FROM (
+         |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
+         |WHERE rn = 1""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |step(doc_id, i, h) AS (
+         |  SELECT doc_id, 0, CAST(0 AS BIGINT) FROM toks
+         |  UNION ALL
+         |  SELECT s.doc_id, s.i + 1,
+         |         (s.h * 31 + (${sqlMd5Long("t.tk[s.i+1]")} % 1000000007)) % 1000000007
+         |  FROM step s JOIN toks t ON s.doc_id = t.doc_id
+         |  WHERE s.i < len(t.tk))
+         |SELECT t.doc_id,
+         |       md5(array_to_string(list_sort(list_distinct(t.tk)), ' ')) AS fingerprint,
+         |       s.h AS rolling
+         |FROM toks t JOIN step s ON s.doc_id = t.doc_id AND s.i = len(t.tk)""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       'application/octet-stream' AS mime,
+        |       CAST(CAST('0x'||substring(md5(text),1,8) AS BIGINT) % 1920 + 1 AS INT) AS width,
+        |       CAST(CAST('0x'||substring(md5(text),9,8) AS BIGINT) % 1080 + 1 AS INT) AS height,
+        |       CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INT) AS frame_idx,
+        |       md5(substring(text, CAST(i AS INT) * 32 + 1, 32)) AS frame_md5
+        |FROM documents
+        |CROSS JOIN LATERAL unnest(list_filter(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT)),
+        |  i -> i % 2 = 0)) AS u(i)
+        |WHERE length(text) > 0""".stripMargin,
+
+    "q_media_features" ->
+      """WITH f AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |         list_transform(range(0, 16), i ->
+        |           CAST(((CAST('0x'||substring(md5(text), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
+        |                  + i * 17) % 256) / 255.0 - 0.5 AS FLOAT)) AS features
+        |  FROM documents)
+        |SELECT media_id, CAST(len(features) AS BIGINT) AS n_dims,
+        |       CAST(features[1] AS DOUBLE) AS f0,
+        |       list_sum(list_transform(features, x -> CAST(x AS DOUBLE))) AS fsum
+        |FROM f""".stripMargin
+  )
+}

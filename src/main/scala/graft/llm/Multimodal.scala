@@ -73,7 +73,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType), nullable = true)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload")).mapPartitions { it =>
       // per-partition "decoder" setup happens here, once
       it.grouped(batchSize).flatMap { batch =>
@@ -96,7 +96,7 @@ object Multimodal {
       .select(col("media_id"), col("payload"),
         explode(filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
-        substring(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+        substr(col("payload"), col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
   }
 
   /** Metadata-only scan: prunes the payload column entirely at the parquet

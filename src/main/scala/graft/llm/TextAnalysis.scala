@@ -56,7 +56,9 @@ object TextAnalysis {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 5.0)
     val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    round(lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3, 6)
+    // raw double, fixed op order — bit-reproducible in the SQL oracle
+    // (round() is NOT: its half-way behavior differs across engines)
+    lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3
   }
 
   /** n-gram-frequency language ID over a tiny built-in profile set.
@@ -105,9 +107,9 @@ object TextAnalysis {
       wordCount(text).as("n_words"),
       tokenCount(text).as("n_tokens"),
       bpeTokenEstimate(text).as("n_bpe_tokens"),
-      round(punctRatio(text), 6).as("punct_ratio"),
-      round(stopwordRatio(text), 6).as("stopword_ratio"),
-      round(meanWordLen(text), 6).as("mean_word_len"),
+      punctRatio(text).as("punct_ratio"),
+      stopwordRatio(text).as("stopword_ratio"),
+      meanWordLen(text).as("mean_word_len"),
       qualityScore(text).as("quality"),
       langId(text).as("lang_guess"),
       tokenSetFingerprint(text).as("fingerprint"))
