@@ -163,16 +163,22 @@ object LlmQueries {
        |              ELSE [] END AS sg
        |  FROM toks)""".stripMargin
 
-  /** CTE bands(doc_id, band_key): minhash k = bands*rows, LSH band keys. */
+  /** CTE bands(doc_id, band_key): minhash k = bands*rows, LSH band keys.
+    * Mirrors GraftFunctions.minhashSignature: one md5 per shingle, then k
+    * affine permutations with the SAME (a_i, b_i) constants. */
   private def bandCte(bands: Int, rows: Int): String = {
     val k = bands * rows
+    val p = GraftFunctions.HashP
+    val sigExprs = GraftFunctions.minhashCoeffs(k).map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString("[", ",\n           ", "]")
     s"""$shingleCte,
+       |hsrc AS (
+       |  SELECT doc_id, list_transform(sg, e -> ${sqlMd5Long("e")} % $p) AS hs FROM sh),
        |sig AS (
        |  SELECT doc_id,
-       |         list_transform(range(0, $k), i ->
-       |           list_min(list_transform(sg, e ->
-       |             ${sqlMd5Long("CAST(i AS VARCHAR)||'|'||e")}))) AS sig
-       |  FROM sh),
+       |         $sigExprs AS sig
+       |  FROM hsrc),
        |bandsrc AS (
        |  SELECT doc_id,
        |         CAST(b AS VARCHAR)||'_'||md5(array_to_string(

@@ -40,39 +40,42 @@ object GraftFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature: k independent permutation-mins over the element
-    * hashes of `arr` (strings). hash_i(x) = min over elements of
-    * md5Long(i-salted element). Null-safe: empty arrays give Long.Max. */
-  def minhashSignature(arr: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      // per-salt min over the array; salt folded into the md5 input
-      array_min(transform(arr, e =>
-        conv(substring(md5(concat(cast_str(i), lit("|"), e)), 1, 15), 16, 10).cast("long")))
-    })
+  /** Prime modulus for the MinHash permutation family and the rolling
+    * fingerprint. Small enough that a*h+b never overflows a Java long. */
+  val HashP: Long = 1000000007L
 
-  private def cast_str(c: Column): Column = c.cast("string")
+  /** Deterministic affine-permutation coefficients (a_i, b_i) for the
+    * MinHash family h_i(x) = (a_i*x + b_i) mod P — fixed Weyl/LCG-style
+    * mixing so the identical constants can be embedded in the SQL oracle. */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { i =>
+      val a = 1L + ((i.toLong * 2654435761L + 1013904223L) % (HashP - 1))
+      val b = (i.toLong * 1640531527L + 2654435769L) % HashP
+      (a, b)
+    }
+
+  /** MinHash signature: k permutation-mins over the element hashes of
+    * `arr` (strings). ONE md5 per element (the expensive part), then k
+    * cheap affine permutations (a_i*h + b_i) mod P — the textbook
+    * universal-hash family. Empty arrays give null signature elements.
+    * Implemented as a native single-pass expression ([[MinHashSignature]])
+    * because the equivalent HOF composition gets re-inlined k times by
+    * CollapseProject. */
+  def minhashSignature(arr: Column, k: Int): Column =
+    MinHashSignature(arr, k)
 
   /** LSH band keys from a MinHash signature: split the k-length signature
     * into `bands` contiguous groups and hash each group to one string key.
     * Two documents sharing ANY band key are near-dup candidates. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
-      concat_ws("_", cast_str(b),
-        md5(array_join(transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), v => cast_str(v)), ","))))
+      concat_ws("_", b.cast("string"),
+        md5(array_join(transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), v => v.cast("string")), ","))))
 
   /** 32-bit SimHash over the tokens of `text`: bit b is set iff the sum of
-    * (+1 / -1) over tokens' hash-bit-b values is positive. Returns BIGINT. */
-  def simhash32(text: Column): Column = simhashImpl(tokens(text))
-
-  private def simhashImpl(toks: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => {
-        val bitSum = aggregate(toks, lit(0L), (a, t) =>
-          a + when(call_function("shiftrightunsigned", md5Long(t), b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-        acc + when(bitSum > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))
-      })
+    * (+1 / -1) over tokens' hash-bit-b values is positive. Returns BIGINT.
+    * Native single-pass expression — see [[SimHash32]]. */
+  def simhash32(text: Column): Column = SimHash32(tokens(text))
 
   /** Hamming distance between two BIGINT bit-sets (for SimHash near-dup). */
   def hamming(a: Column, b: Column): Column =

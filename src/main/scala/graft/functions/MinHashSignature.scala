@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature as a single native Catalyst expression.
+  *
+  * Semantically identical to the composed higher-order-function form
+  * (hash each element once with md5, then k affine permutations
+  * `(a_i*h + b_i) mod P`, min per permutation — see
+  * [[GraftFunctions.minhashCoeffs]]), but evaluated in ONE pass per row:
+  * the HOF form is re-inlined by `CollapseProject` into every one of the
+  * k `array_min` branches, re-hashing the whole array k times (measured
+  * 16× md5 blow-up at sf0.1). SURVEY.md §7.3: drop to a custom Expression
+  * exactly when the declarative form can't hit the needed constant factor.
+  *
+  * Value parity with the SQL oracle: md5Long(e) = first 15 hex digits of
+  * md5 = top 60 bits of the digest = (first-8-bytes-BE >>> 4).
+  *
+  * Null/empty semantics match the HOF form: null input → null; empty
+  * array → k null elements (array_min of empty is null).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_signature expects array<string>, got ${other.simpleString}")
+    }
+
+  private val P = GraftFunctions.HashP
+  private lazy val coeffs: Array[(Long, Long)] = GraftFunctions.minhashCoeffs(k).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val e = arr.getUTF8String(i)
+      md.reset()
+      val d = md.digest(e.getBytes)
+      // top 60 bits of the digest, as a non-negative long, mod P
+      var be = 0L
+      var j = 0
+      while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
+      val h = (be >>> 4) % P
+      var c = 0
+      while (c < k) {
+        val v = (h * coeffs(c)._1 + coeffs(c)._2) % P
+        if (v < mins(c)) mins(c) = v
+        c += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  def apply(arr: Column, k: Int): Column =
+    bridge.toColumn(MinHashSignature(bridge.toExpression(arr), k))
+}

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** 32-bit SimHash over a token array as a single native expression.
+  *
+  * Bit b of the result is set iff the sum over tokens of ±1 (by bit b of
+  * the token's md5-derived 60-bit hash) is positive — identical values to
+  * the HOF composition in [[GraftFunctions.simhash32]]'s oracle SQL, but
+  * one md5 + one 32-counter update per token instead of a 32-element
+  * array-zip lambda chain per token (measured ~6× at sf0.1).
+  *
+  * Empty array → 0L (all bit-sums are 0, no bit set) — same as the
+  * aggregate-with-init-0 form.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash32 expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val e = arr.getUTF8String(i)
+      md.reset()
+      val d = md.digest(e.getBytes)
+      var be = 0L
+      var j = 0
+      while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
+      val h = be >>> 4 // top 60 bits — same base hash as md5Long
+      var b = 0
+      while (b < 32) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 32) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}
+
+object SimHash32 {
+  def apply(toks: Column): Column = bridge.toColumn(SimHash32(bridge.toExpression(toks)))
+}

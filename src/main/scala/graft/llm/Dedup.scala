@@ -31,12 +31,23 @@ object Dedup {
   /** MinHash+LSH near-dup candidates: (doc, band_key) pairs. Docs sharing
     * any band key are candidates. k = bands * rowsPerBand hashes.
     * Scale shape: explode to bands× rows, ONE shuffle on band_key —
-    * classic shingle→minhash→band→bucket-join. */
+    * classic shingle→minhash→band→bucket-join.
+    *
+    * Plan shape: the signature is computed ONCE per doc (project), then
+    * the band index is exploded FIRST and the band key derived from the
+    * materialized `sig` attribute — deriving keys inside a lambda over
+    * the band range would re-evaluate the signature per band. */
   def minhashBands(df: DataFrame, id: Column, text: Column,
                    shingleWidth: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignature(shingles(text, shingleWidth), bands * rowsPerBand)
     df.select(id.as("doc_id"), sig.as("sig"))
-      .select(col("doc_id"), explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("band_key"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("b"))
+      .select(col("doc_id"),
+        concat_ws("_", col("b").cast("string"),
+          md5(array_join(transform(
+            slice(col("sig"), col("b") * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")), ","))).as("band_key"))
   }
 
   /** MinHash-LSH dedup: drop every doc that shares ≥1 LSH band with a

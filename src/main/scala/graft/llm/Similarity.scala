@@ -35,17 +35,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic hyperplane component: md5("h|j") → [-0.5, 0.5). */
-  private def planeComponent(h: Int, j: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$h|"), j.cast("string"))), 1, 8), 16, 10).cast("double")
-      / lit(4294967296.0)) - 0.5
+  /** Max dimensionality the plane literals cover (testdata vectors are
+    * 64-dim; extra components are simply unused for shorter vectors). */
+  val PlaneDim = 64
 
-  /** Sign-bit bucket id from `nPlanes` random hyperplanes (one BIGINT). */
+  /** Deterministic hyperplane component j of plane h: first 4 bytes of
+    * md5("plane{h}|{j}") as unsigned, mapped to [-0.5, 0.5). Computed ONCE
+    * at plan-authoring time and embedded as array literals — the md5
+    * derivation is row-independent, so deriving it per row (the naive HOF
+    * form) costs nPlanes×dim md5 calls per vector for identical values.
+    * The SQL oracle derives the same constants with the same formula. */
+  def planeComponents(h: Int, dim: Int = PlaneDim): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      md.reset()
+      val d = md.digest(s"plane$h|$j".getBytes("UTF-8"))
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) | ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      v / 4294967296.0 - 0.5
+    }.toArray
+  }
+
+  /** Sign-bit bucket id from `nPlanes` random hyperplanes (one BIGINT).
+    * Vectors must have dim == PlaneDim (zip_with null-pads the shorter
+    * side, which would null the dot product). */
   def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { h =>
       val d = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeComponent(h, j)),
+        zip_with(vec, lit(planeComponents(h)), (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming twins of the reference's topology surface.
+  *
+  * The reference's whole execution model is: Kafka topics in
+  * (reference: src/kafka_streams_clojure/api.clj:57-60), a transducer
+  * pipeline per record (api.clj:49-51), topics out (api.clj:164), with
+  * at-least-once per-record commit (api.clj:33). Here the same dataflow is
+  * declared once and runs EITHER batch or streaming (Spark's unified
+  * Dataset API): every combinator in [[graft.core.Xform]],
+  * [[graft.core.Branch]] and the aggregates in [[graft.agg.Aggregates]]
+  * applies unchanged to a streaming DataFrame — this module adds only the
+  * genuinely streaming-specific pieces: sources/sinks, watermarking,
+  * output-mode plumbing, and streaming-native state (dedup within
+  * watermark, KTable-style upserts).
+  *
+  * Delivery semantics: micro-batch checkpoint + idempotent/transactional
+  * sink = exactly-once — strictly stronger than the reference's per-record
+  * at-least-once commit (SURVEY.md §1.3.2, documented divergence).
+  */
+object Streaming {
+
+  /** Kafka source — the twin of the reference's varargs `stream`
+    * (api.clj:57-60): ≥1 topics merged into one keyed stream, key/value
+    * decoded to strings exactly like the String/String serdes in every
+    * reference example (api.clj:170-171). */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String, topics: Seq[String]): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(
+        col("key").cast("string").as("key"),
+        col("value").cast("string").as("value"),
+        col("topic"), col("partition"), col("offset"),
+        col("timestamp").as("ts"))
+
+  /** Kafka sink — the twin of `.to topic` (api.clj:164). The checkpoint
+    * directory is the commit log (micro-batch WAL vs the reference's
+    * per-record `.commit`). */
+  def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
+              checkpointDir: String): DataStreamWriter[Row] =
+    df.select(col("key").cast("string"), col("value").cast("string"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Memory sink for interactive state queries (SURVEY.md §2.5 backend 1):
+    * the materialized view behind StateView get/all/range. */
+  def toMemory(df: DataFrame, queryName: String,
+               mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory").queryName(queryName).outputMode(mode).start()
+
+  /** Event-time watermark — prerequisite for every stateful streaming op;
+    * the late-data policy the reference lacks entirely (SURVEY.md §2.4). */
+  def withEventTime(df: DataFrame, tsCol: String, watermark: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+
+  /** Streaming tumbling-window aggregation (reference roadmap "windowed
+    * aggregates", README.md:30-31). */
+  def tumbling(df: DataFrame, tsCol: String, watermark: String, size: String,
+               keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), size) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Streaming session windows (gap-based). */
+  def session(df: DataFrame, tsCol: String, watermark: String, gap: String,
+              keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+
+  /** Streaming `distinct` — the transducer's task-local seen-set
+    * (SURVEY.md §2.2) made fault-tolerant + bounded by watermark. */
+  def distinctWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                              cols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(cols)
+
+  /** KTable changelog view (reference roadmap README.md:33-34, 69):
+    * latest value per key, emitted as upserts. Run with
+    * `OutputMode.Update` + a key-upsert sink: max_by keeps the row with
+    * the greatest (event-time, tie-break) — one blind shuffle per
+    * micro-batch, no window sort. */
+  def latestByKey(df: DataFrame, keys: Seq[Column], ts: Column,
+                  valueCols: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(valueCols: _*), struct(ts)).as("__latest"))
+      .select(keys ++ Seq(col("__latest.*")): _*)
+
+  /** First-match branch fan-out in ONE pass over each micro-batch — the
+    * reference's single-evaluation cost model (SURVEY.md §3.2): tag rows
+    * with their branch, persist the batch, write each branch through its
+    * handler. */
+  def branchForeachBatch(df: DataFrame, branches: Seq[(String, Column)],
+                         handlers: Map[String, DataFrame => Unit],
+                         checkpointDir: String): DataStreamWriter[Row] = {
+    val tagged = graft.core.Branch.branchTagged(df, branches)
+    tagged.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try branches.foreach { case (name, _) =>
+          handlers.get(name).foreach(h => h(batch.filter(col("branch") === name).drop("branch")))
+        } finally batch.unpersist()
+        ()
+      }
+  }
+
+  /** Convenience: run a micro-batch query to completion over a bounded
+    * test source (Trigger.AvailableNow) and block. */
+  def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {
+    val q = w.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

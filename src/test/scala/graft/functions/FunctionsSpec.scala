@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Function-library semantics: the codegen'd CosineSimilarity expression
+  * must agree bit-for-bit with the composed higher-order-function form
+  * (SURVEY.md §7.3), and the sketch primitives must behave like their
+  * definitions.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity expression == HOF cosine, bit-for-bit") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 2.0f), Array(0.5f, 1.0f, -1.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)), // zero norm → 0.0
+      (Array(3.0f, 4.0f, 0.0f), Array(3.0f, 4.0f, 0.0f))  // identical → 1.0
+    ).toDF("a", "b")
+    val out = df.select(
+      CosineSimilarity(col("a"), col("b")).as("expr"),
+      GraftFunctions.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (e, h) => assert(e == h) } // exact, not approx
+    assert(out(1)._1 == 0.0 && out(2)._1 == 1.0)
+  }
+
+  test("jaccard and hamming match hand computation") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"), 12L, 10L)).toDF("x", "y", "h1", "h2")
+    val (j, h) = df.select(
+      GraftFunctions.jaccard(col("x"), col("y")),
+      GraftFunctions.hamming(col("h1"), col("h2")))
+      .as[(Double, Int)].head()
+    assert(j == 2.0 / 4.0)
+    assert(h == 2) // 12=1100, 10=1010 → xor=0110
+  }
+
+  test("shingles produce overlapping windows; short docs give empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val sh = df.select(GraftFunctions.shingles(col("text"), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty)
+  }
+
+  test("minhash signature: identical docs share all bands, disjoint docs differ") {
+    val df = Seq(("d1", "x y z w"), ("d2", "x y z w"), ("d3", "p q r s")).toDF("id", "text")
+    val sig = df.select(col("id"),
+      GraftFunctions.minhashSignature(GraftFunctions.shingles(col("text"), 2), 8).as("sig"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(sig("d1") == sig("d2"))
+    assert(sig("d1") != sig("d3"))
+  }
+
+  test("md5Long is deterministic and salt-sensitive") {
+    val df = Seq("hello").toDF("s")
+    val (h0, h0b, h1) = df.select(
+      GraftFunctions.md5Long(col("s")), GraftFunctions.md5Long(col("s")),
+      GraftFunctions.md5Long(col("s"), salt = 1)).as[(Long, Long, Long)].head()
+    assert(h0 == h0b && h0 != h1 && h0 >= 0)
+  }
+}

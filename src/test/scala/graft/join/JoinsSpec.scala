@@ -1,0 +1,49 @@
+package graft.join
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Join-family semantics, including the as-of join against a
+  * hand-computed example (SURVEY.md §2.3).
+  */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semi/anti partition the left side") {
+    val l = Seq(1, 2, 3, 4).toDF("id")
+    val r = Seq(2, 4, 6).toDF("rid")
+    val semi = Joins.semi(l, r, col("id") === col("rid")).as[Int].collect().sorted.toSeq
+    val anti = Joins.anti(l, r, col("id") === col("rid")).as[Int].collect().sorted.toSeq
+    assert(semi == Seq(2, 4) && anti == Seq(1, 3))
+  }
+
+  test("enrich broadcasts the dim and keeps fact rows") {
+    val fact = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+    val dim = Seq((1, "one"), (2, "two")).toDF("dk", "name")
+    val out = Joins.enrich(fact, dim, col("k") === col("dk"))
+    assert(out.count() == 2)
+    // the physical plan must contain a broadcast exchange (no fact shuffle)
+    val phys = out.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastExchange"))
+  }
+
+  test("asOf picks the latest right row at-or-before each left ts") {
+    val left = Seq(
+      ("u1", 10, "e1"), ("u1", 25, "e2"), ("u2", 5, "e3")).toDF("k", "lts", "ev")
+    val right = Seq(
+      ("u1", 5, 100), ("u1", 20, 200), ("u1", 30, 300), ("u2", 7, 400)).toDF("k", "rts", "price")
+    val out = Joins.asOf(left, col("lts"), right, col("rts"),
+        keys = Seq("k"), payload = Seq("price"), rightTieBreak = col("price"))
+      .select("ev", "price").as[(String, Option[Int])].collect().toMap
+    assert(out == Map("e1" -> Some(100), "e2" -> Some(200), "e3" -> None))
+  }
+
+  test("asOf tie-break: equal timestamps pick the largest tieBreak") {
+    val left = Seq(("k", 10, "e")).toDF("k", "lts", "ev")
+    val right = Seq(("k", 10, 1), ("k", 10, 9), ("k", 10, 5)).toDF("k", "rts", "p")
+    val out = Joins.asOf(left, col("lts"), right, col("rts"),
+        keys = Seq("k"), payload = Seq("p"), rightTieBreak = col("p"))
+      .select("p").as[Int].collect().toSeq
+    assert(out == Seq(9))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming-specific semantics: windowed aggregation with watermark,
+  * dedup within watermark, KTable-style latest-by-key upserts.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("streaming tumbling window aggregates by event time") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    ms.addData((ts(1), "a", 1.0), (ts(2), "a", 2.0), (ts(11), "a", 4.0), (ts(12), "b", 8.0))
+    val agg = Streaming.tumbling(ms.toDF().toDF("ts", "k", "v"),
+      "ts", "1 minute", "10 minutes", Seq(col("k")), Seq(sum(col("v")).as("s")))
+    val q = agg.writeStream.format("memory").queryName("win_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_out").select("k", "s").as[(String, Double)].collect().toSet
+    assert(out == Set(("a", 3.0), ("a", 4.0), ("b", 8.0)))
+  }
+
+  test("distinctWithinWatermark drops streaming duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String)]
+    ms.addData((ts(1), "x"), (ts(2), "x"), (ts(3), "y"))
+    val dd = Streaming.distinctWithinWatermark(ms.toDF().toDF("ts", "v"), "ts", "10 minutes", Seq("v"))
+    val q = dd.writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dd_out").select("v").as[String].collect().sorted.toSeq
+    assert(out == Seq("x", "y"))
+  }
+
+  test("latestByKey emits the newest value per key (KTable view)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Int)]
+    ms.addData((ts(1), "k1", 10), (ts(5), "k1", 50), (ts(2), "k2", 20))
+    val latest = Streaming.latestByKey(ms.toDF().toDF("ts", "k", "v"),
+      Seq(col("k")), col("ts"), Seq(col("v")))
+    val q = latest.writeStream.format("memory").queryName("kt_out").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("kt_out").select("k", "v").as[(String, Int)].collect().toMap
+    assert(out == Map("k1" -> 50, "k2" -> 20))
+  }
+
+  test("StateView verbs over a materialized table") {
+    import spark.implicits._
+    val stateDf = Seq((1, "a"), (2, "b"), (3, "c"), (7, "d")).toDF("key", "value")
+    val sv = graft.state.StateView.ofBatch(spark, stateDf, "sv_test", "key")
+    assert(sv.get(2).select("value").as[String].collect().toSeq == Seq("b"))
+    assert(sv.all().count() == 4)
+    assert(sv.range(2, 3).select("value").as[String].collect().toSeq == Seq("b", "c"))
+  }
+}
