@@ -31,14 +31,9 @@ object GraftFunctions {
     filter(split(text, " "), t => length(t) > 0)
 
   /** Word w-shingles: overlapping windows of `w` tokens joined by a
-    * space. Empty array when the document has fewer than `w` tokens. */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= w,
-      transform(sequence(lit(0), size(toks) - w),
-        i => array_join(slice(toks, i + 1, lit(w)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * space. Empty array when the document has fewer than `w` tokens.
+    * Native single-pass expression — see [[Shingles]]. */
+  def shingles(text: Column, w: Int): Column = Shingles(tokens(text), w)
 
   /** Prime modulus for the MinHash permutation family and the rolling
     * fingerprint. Small enough that a*h+b never overflows a Java long. */

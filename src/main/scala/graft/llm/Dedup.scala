@@ -52,10 +52,15 @@ object Dedup {
 
   /** MinHash-LSH dedup: drop every doc that shares ≥1 LSH band with a
     * lower-id doc. Returns the kept ids. Bucketed self-join (band_key is
-    * the join key) — no all-pairs work. */
+    * the join key) — no all-pairs work.
+    *
+    * The band table is persisted before the self-join: without it Spark
+    * executes the scan→shingle→signature subtree once per join side. At
+    * lake scale the same move is writing the signature/band table out
+    * once and joining against the materialization. */
   def minhashDedupKeptIds(df: DataFrame, id: Column, text: Column,
                           shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand)
+    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand).persist()
     val dominated = b.as("a").join(b.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") > col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id")).distinct()
@@ -69,7 +74,8 @@ object Dedup {
   def nearDupPairs(df: DataFrame, id: Column, text: Column, threshold: Double,
                    shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val withSh = df.select(id.as("doc_id"), array_distinct(shingles(text, shingleWidth)).as("sh"))
-    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand)
+    // persist: the self-join would otherwise recompute scan→shingle→sig per side
+    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand).persist()
     val cand = b.as("x").join(b.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
