@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.{CosineSimilarity, MinHashSignature, Shingles, SimHash32}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * Two entry points:
+  *  - config `spark.sql.extensions=graft.GraftExtensions` (session build
+  *    time — the standard extension-library hook);
+  *  - [[GraftExtensions.register]] for an already-running session
+  *    (registers into its FunctionRegistry directly).
+  *
+  * After registration the engine's Catalyst expressions are callable from
+  * SQL: `cosine_similarity(a, b)`, `minhash_signature(arr, k)`,
+  * `simhash32(tokens)`, `shingles(tokens, w)` — the same operators the
+  * Column API exposes, so `spark.sql(...)` users get the full surface.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples — shared by both registration paths. */
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0), intLit(args(1), "minhash_signature k"))),
+    (FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => SimHash32(args(0))),
+    (FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[Shingles].getName, "shingles"),
+      (args: Seq[Expression]) => Shingles(args(0), intLit(args(1), "shingles w"))))
+
+  /** Register into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    entries.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -156,7 +156,35 @@ object CoreQueries {
       col("vec_id"),
       size(col("embedding")).cast("long").as("dim"),
       element_at(col("embedding"), 1).cast("double").as("first"),
-      aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("esum")))
+      aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("esum"))),
+
+    // ---- analytic window functions (SURVEY.md §2.4 "window functions") ----
+
+    "q_window_rank" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wv = Window.partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        rank().over(wv).cast("long").as("rnk"),
+        dense_rank().over(wv).cast("long").as("drnk"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        // mean via exact decimal sum / count — a double avg() is
+        // accumulation-order-dependent and breaks the oracle hash
+        (col("value") -
+          sum(col("value").cast("decimal(18,2)")).over(Window.partitionBy(col("user_id"))).cast("double")
+            / count(lit(1)).over(Window.partitionBy(col("user_id")))).as("dev"))
+    }),
+
+    // ---- struct build + field access ----
+
+    "q_struct_fns" -> ((s, d) => Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("os"))
+      .select(col("o_orderkey"),
+        col("os.st").as("status"),
+        (col("os.tp") * 2).as("double_price")))
   )
 
   private def branchPreds = Seq(
@@ -293,6 +321,23 @@ object CoreQueries {
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
         |       CAST(embedding[1] AS DOUBLE) AS first,
         |       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS esum
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT event_id, user_id,
+        |       CAST(rank() OVER wv AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER wv AS BIGINT) AS drnk,
+        |       lag(value, 1) OVER w AS prev_value,
+        |       lead(value, 1) OVER w AS next_value,
+        |       value - CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id) AS DOUBLE)
+        |               / count(*) OVER (PARTITION BY user_id) AS dev
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       wv AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+
+    "q_struct_fns" ->
+      """SELECT o_orderkey, os.st AS status, os.tp * 2 AS double_price FROM (
+        |  SELECT o_orderkey, struct_pack(st := o_orderstatus, tp := o_totalprice) AS os
+        |  FROM orders) t""".stripMargin
   )
 }

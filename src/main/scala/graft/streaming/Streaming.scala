@@ -103,6 +103,24 @@ object Streaming {
       .agg(max_by(struct(valueCols: _*), struct(ts)).as("__latest"))
       .select(keys ++ Seq(col("__latest.*")): _*)
 
+  /** Stream-stream windowed equi-join — the reference's TODO-listed join
+    * family (api.clj:53-55) in its streaming form: both sides watermarked,
+    * matches constrained to a time band so state is bounded and evictable.
+    * joinType covers inner/left_outer/right_outer/full_outer (outer rows
+    * emit once the watermark passes the band). */
+  def streamStreamJoin(left: DataFrame, leftTs: String, leftWatermark: String,
+                       right: DataFrame, rightTs: String, rightWatermark: String,
+                       keys: Seq[String], band: String,
+                       joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, leftWatermark)
+    val r = right.withWatermark(rightTs, rightWatermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond = r(rightTs).between(
+      l(leftTs) - expr(s"INTERVAL $band"), l(leftTs) + expr(s"INTERVAL $band"))
+    // drop the right-side key duplicates: callers address keys unambiguously
+    keys.foldLeft(l.join(r, keyCond && timeCond, joinType))((d, k) => d.drop(r(k)))
+  }
+
   /** First-match branch fan-out in ONE pass over each micro-batch — the
     * reference's single-evaluation cost model (SURVEY.md §3.2): tag rows
     * with their branch, persist the batch, write each branch through its

@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan posture tests (SURVEY.md §4.3, §7.4.7): the properties
+  * that make these plans survive a 100 TB scale-up, asserted against the
+  * actual executed plans so regressions are caught like correctness bugs.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+  private def explained(df: DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("filters and column pruning reach the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val p = explained(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed to scan:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned at scan:\n$p")
+  }
+
+  test("stateless pipeline compiles to one codegen stage, zero exchanges") {
+    val df = entry.CoreQueries.flagship(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"stateless pipeline must not shuffle:\n$p")
+    // "*(1)" markers = WholeStageCodegen stage 1 spanning the whole pipeline
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"),
+      s"pipeline fell out of codegen:\n$p")
+  }
+
+  test("dimension-chain join broadcasts every dim (fact side never shuffles pre-agg)") {
+    val df = SparkEntry.queries("q_join_enrich")(spark, sf)
+    val p = plan(df)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join must not sort-merge:\n$p")
+  }
+
+  test("grouped aggregation is partial (map-side combine before the exchange)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf)
+    val p = plan(df)
+    // partial + final HashAggregate pair around exactly one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly one shuffle:\n$p")
+  }
+
+  test("brute-force top-k runs as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_ann_bruteforce")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be heap-based:\n$p")
+    assert(!p.contains("Sort "), s"top-k must not global-sort:\n$p")
+  }
+
+  test("metadata-only scan over a STORED media table never reads the blob") {
+    // the pruning claim is about storage: meta lives beside (not inside)
+    // the payload so a metadata query prunes the blob at the reader
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    llm.Multimodal.asMediaTable(Tables.documents(spark, sf), col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(dir)
+    val p = explained(llm.Multimodal.metaScan(spark.read.parquet(dir)))
+    assert(p.contains("ReadSchema") && !p.contains("payload:binary"),
+      s"payload must be pruned from a metadata scan:\n$p")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based transducer laws (SURVEY.md §5), driven by raw ScalaCheck
+  * generators with deterministic seeds (each case is a Spark job, so the
+  * case count is kept small): branch routing equals a plain-Scala
+  * first-match reference; composed pipelines equal their sequential and
+  * in-memory equivalents.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cases = 8
+  private def sample[A](g: Gen[A], i: Int): A =
+    g.apply(Gen.Parameters.default, Seed(42L + i)).get
+
+  private val inputGen = Gen.listOfN(30, Gen.choose(-50, 50))
+  private val threshGen = Gen.listOfN(3, Gen.choose(-40, 40))
+
+  test("branch == plain-Scala first-match routing, for arbitrary inputs") {
+    for (i <- 0 until Cases) {
+      val xs = sample(inputGen, i); val ts = sample(threshGen, 100 + i)
+      val df = xs.toDF("n")
+      val preds = ts.map(t => col("n") > t)
+      val got = Branch.branch(df, preds).map(_.as[Int].collect().sorted.toList)
+      // reference routing: each x goes to the first i with x > ts(i)
+      val want = ts.indices.map { j =>
+        xs.filter(x => ts.indexWhere(x > _) == j).sorted
+      }.toList
+      assert(got == want, s"case $i: xs=$xs ts=$ts")
+    }
+  }
+
+  test("pipeline composition is associative and equals in-memory semantics") {
+    for (i <- 0 until Cases) {
+      val xs = sample(inputGen, 200 + i)
+      val df = xs.toDF("n")
+      val f = Xform.xfilter(col("n") =!= 0)
+      val g = Xform.xmap((col("n") + 1).as("n"))
+      val h = Xform.xfilter(col("n") % 2 === 0)
+      val all = (f andThen g andThen h)(df).as[Int].collect().sorted.toList
+      val split = ((f andThen g) andThen h)(df).as[Int].collect().sorted.toList
+      // Spark's % keeps the dividend sign, like Scala's %
+      val manual = xs.filter(_ != 0).map(_ + 1).filter(x => x % 2 == 0).sorted
+      assert(all == split && all == manual, s"case $i: xs=$xs")
+    }
+  }
+
+  test("branchTagged covers exactly the union of branch outputs") {
+    for (i <- 0 until Cases) {
+      val xs = sample(inputGen, 300 + i); val ts = sample(threshGen, 400 + i)
+      val df = xs.toDF("n")
+      val named = ts.zipWithIndex.map { case (t, j) => s"b$j" -> (col("n") > t) }
+      val tagged = Branch.branchTagged(df, named)
+      val routed = tagged.filter(col("branch").isNotNull).count()
+      val dropped = tagged.filter(col("branch").isNull).count()
+      val branchTotal = Branch.branch(df, named.map(_._2)).map(_.count()).sum
+      assert(routed == branchTotal && routed + dropped == xs.size, s"case $i")
+    }
+  }
+}

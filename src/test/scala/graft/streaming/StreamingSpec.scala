@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map("k1" -> 50, "k2" -> 20))
   }
 
+  test("stream-stream windowed inner join matches within the time band") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val views = MemoryStream[(Timestamp, String)]
+    clicks.addData((ts(10), "u1"), (ts(40), "u2"))
+    views.addData((ts(12), "u1"), (ts(13), "u1"), (ts(20), "u2"))
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("cts", "k"), "cts", "1 minute",
+      views.toDF().toDF("vts", "k"), "vts", "1 minute",
+      keys = Seq("k"), band = "5 minutes")
+    val q = joined.select(col("k"), col("vts"))
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_out").as[(String, Timestamp)].collect().toSet
+    // u1's click at :10 matches views at :12/:13 (within 5 min);
+    // u2's click at :40 does NOT match the :20 view (outside the band)
+    assert(out == Set(("u1", ts(12)), ("u1", ts(13))))
+  }
+
   test("StateView verbs over a materialized table") {
     import spark.implicits._
     val stateDf = Seq((1, "a"), (2, "b"), (3, "c"), (7, "d")).toDF("key", "value")
