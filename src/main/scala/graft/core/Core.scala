@@ -78,6 +78,14 @@ object Xform {
   def xsample(fraction: Double, seed: Long = 42L): TPipe =
     df => df.sample(withReplacement = false, fraction, seed)
 
+  /** `through` twin (reference TODO api.clj:55): in Kafka Streams,
+    * writing to an intermediate topic and re-reading it is how a pipeline
+    * repartitions; in Spark that is just an explicit hash repartition on
+    * the key — no external round-trip. */
+  def through(numPartitions: Int, keys: Column*): TPipe =
+    df => if (keys.isEmpty) df.repartition(numPartitions)
+          else df.repartition(numPartitions, keys: _*)
+
   // ---- Typed (arbitrary-function) layer ---------------------------------
 
   def tmap[T, U: Encoder](f: T => U): Pipe.Pipe[T, U] = _.map(f)

@@ -76,6 +76,27 @@ object AggQueries {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // statistical aggregates via EXACT decimal power sums: mean/var/stddev
+    // from (n, Σx, Σx²) — decimal accumulation is order-independent, so
+    // the distributed result matches the single-threaded oracle bit-for-
+    // bit; the double math happens once, after aggregation, in fixed order
+    "q_stats" -> ((s, d) => {
+      val x = col("l_quantity").cast("decimal(18,2)")
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("s1"),
+          sum(x * x).cast("double").as("s2"))
+        .select(col("l_returnflag"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("variance"),
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("stddev"))
+    }),
+
+    "q_percentile" -> ((s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"))),
+
     // state-store verbs over the materialized per-user aggregate
     "q_store_get" -> ((s, d) => stateTable(s, d).filter(col("user_id") === 7)),
     "q_store_all" -> ((s, d) => stateTable(s, d)),
@@ -162,6 +183,22 @@ object AggQueries {
         |  SELECT event_id, event_type, value,
         |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
         |  FROM events) t WHERE rn <= 3""".stripMargin,
+
+    "q_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, s1 / n AS mean,
+        |       (s2 - s1 * s1 / n) / n AS variance,
+        |       sqrt((s2 - s1 * s1 / n) / n) AS stddev
+        |FROM s""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_store_get" -> (stateSql.replace("GROUP BY user_id", "WHERE user_id = 7 GROUP BY user_id")),
     "q_store_all" -> stateSql,

@@ -47,6 +47,22 @@ object Joins {
   def anti(left: DataFrame, right: DataFrame, cond: Column): DataFrame =
     left.join(right, cond, "left_anti")
 
+  /** Salted equi-join for skewed keys: the hot-key antidote when AQE's
+    * runtime skew split isn't available (e.g. the key skew is extreme or
+    * the join sits under an operator AQE can't re-plan). Left rows get a
+    * deterministic salt in [0, salt); the right side is replicated once
+    * per salt value; the join key becomes (key, salt) so a hot key's rows
+    * spread over `salt` reducers instead of one.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    val lS = left.withColumn("__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(salt)))
+    val rS = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    lS.join(rS, keys :+ "__salt", joinType).drop("__salt")
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` sharing `keys` — the time-series enrichment the
     * reference cannot express. Composed from built-ins (union + window)

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, KeyValueGroupedDataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
 
 /** Structured Streaming twins of the reference's topology surface.
@@ -138,6 +138,37 @@ object Streaming {
         } finally batch.unpersist()
         ()
       }
+  }
+
+  /** Arbitrary per-key state — the low-level Processor-API parity point
+    * (reference roadmap README.md:33-34, 70): checkpointed, fault-tolerant
+    * keyed state (strictly stronger than the reference's task-local
+    * transducer closures, SURVEY.md §1.3.6). The canonical instance: a
+    * running per-key event counter emitting (key, count) updates. */
+  def perKeyRunningCount[K: Encoder](grouped: KeyValueGroupedDataset[K, _])(
+      implicit outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    implicit val stateEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    grouped.mapGroupsWithState[Long, (K, Long)](GroupStateTimeout.NoTimeout) {
+      (key: K, values: Iterator[_], state: GroupState[Long]) =>
+        val next = state.getOption.getOrElse(0L) + values.size
+        state.update(next)
+        (key, next)
+    }
+  }
+
+  /** Per-key streaming `take n` — the order/state transducer family
+    * (SURVEY.md §2.2 `take`) as fault-tolerant keyed state: emits each
+    * key's records only until n have been seen, drops the rest. */
+  def perKeyTake[K: Encoder, V: Encoder](grouped: KeyValueGroupedDataset[K, V], n: Int): Dataset[V] = {
+    implicit val stateEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    grouped.flatMapGroupsWithState[Long, V](
+      OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+      (_: K, values: Iterator[V], state: GroupState[Long]) =>
+        val seen = state.getOption.getOrElse(0L)
+        val out = values.take(math.max(0, n - seen.toInt)).toSeq
+        state.update(seen + out.size)
+        out.iterator
+    }
   }
 
   /** Convenience: run a micro-batch query to completion over a bounded

@@ -38,6 +38,16 @@ class JoinsSpec extends SparkSpec {
     assert(out == Map("e1" -> Some(100), "e2" -> Some(200), "e3" -> None))
   }
 
+  test("saltedJoin equals the plain join (skew-spread is semantics-free)") {
+    val left = Seq.tabulate(100)(i => (if (i < 90) "hot" else s"k$i", i)).toDF("k", "v")
+    val right = Seq(("hot", 1), ("k95", 2)).toDF("k", "r")
+    val plain = left.join(right, Seq("k")).select("k", "v", "r")
+      .as[(String, Int, Int)].collect().toSet
+    val salted = Joins.saltedJoin(left, right, Seq("k"), salt = 8)
+      .select("k", "v", "r").as[(String, Int, Int)].collect().toSet
+    assert(salted == plain && plain.size == 91)
+  }
+
   test("asOf tie-break: equal timestamps pick the largest tieBreak") {
     val left = Seq(("k", 10, "e")).toDF("k", "lts", "ev")
     val right = Seq(("k", 10, 1), ("k", 10, 9), ("k", 10, 5)).toDF("k", "rts", "p")

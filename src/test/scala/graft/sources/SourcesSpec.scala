@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** File-source/sink round trips beyond parquet (SURVEY.md §2.4 "only
+  * Kafka topics in the reference") and the multi-source union. */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(suffix: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$suffix").toString
+
+  test("csv round trip with header + schema") {
+    val dir = tmp("csv")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x")
+    df.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(df.schema).csv(dir)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("json lines round trip preserves nested structs") {
+    val dir = tmp("json")
+    val df = Seq((1L, ("x", 10)), (2L, ("y", 20))).toDF("id", "nested")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(df.schema).json(dir)
+    assert(back.select("id", "nested._2").as[(Long, Int)].collect().toSet ==
+      Set((1L, 10), (2L, 20)))
+  }
+
+  test("unionAll merges heterogeneous-order sources by name") {
+    val a = Seq((1, "x")).toDF("n", "s")
+    val b = Seq(("y", 2)).toDF("s", "n") // reversed column order
+    val u = Tables.unionAll(Seq(a, b))
+    assert(u.as[(Int, String)].collect().toSet == Set((1, "x"), (2, "y")))
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = tmp("part")
+    Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("part") === "a")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 2)
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), s"no partition pruning:\n$plan")
+  }
+}

@@ -70,6 +70,37 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("u1", ts(12)), ("u1", ts(13))))
   }
 
+  test("perKeyRunningCount maintains checkpointed keyed state (Processor-API parity)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    ms.addData(("a", 1), ("a", 2), ("b", 3))
+    val counts = Streaming.perKeyRunningCount(ms.toDS().groupByKey(_._1))
+    val q = counts.toDF("k", "n").writeStream
+      .format("memory").queryName("cnt_out").outputMode("update").start()
+    q.processAllAvailable()
+    ms.addData(("a", 4)) // second batch: state must carry over
+    q.processAllAvailable(); q.stop()
+    val byKey = spark.table("cnt_out").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(byKey == Map("a" -> 3L, "b" -> 1L))
+  }
+
+  test("perKeyTake emits only the first n records per key across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    ms.addData(("a", 1), ("a", 2), ("b", 10))
+    val taken = Streaming.perKeyTake(ms.toDS().groupByKey(_._1), n = 2)
+    val q = taken.toDF("k", "v").writeStream
+      .format("memory").queryName("take_out").outputMode("append").start()
+    q.processAllAvailable()
+    ms.addData(("a", 3), ("b", 20), ("b", 30)) // a is exhausted; b has 1 slot
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("take_out").as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 10), ("b", 20)))
+  }
+
   test("StateView verbs over a materialized table") {
     import spark.implicits._
     val stateDf = Seq((1, "a"), (2, "b"), (3, "c"), (7, "d")).toDF("key", "value")
