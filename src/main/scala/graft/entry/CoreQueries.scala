@@ -104,6 +104,11 @@ object CoreQueries {
       .groupBy(col("user_id"), col("run_id").cast("long").as("run_id"))
       .agg(count(lit(1)).as("n"), min(col("event_type")).as("event_type"))),
 
+    "q_interpose" -> ((s, d) => OrderedOps.interposeFlag(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+      .select("event_id", "user_id", "has_next")),
+
     "q_partition_all" -> ((s, d) => OrderedOps.partitionAll(
       Tables.events(s, d).select("event_id", "user_id", "ts"),
       100, Seq(col("user_id")), Seq(col("ts"), col("event_id")), "chunk_id")
@@ -280,6 +285,11 @@ object CoreQueries {
         |  FROM flagged)
         |SELECT user_id, run_id, count(*) AS n, min(event_type) AS event_type
         |FROM runs GROUP BY user_id, run_id""".stripMargin,
+
+    "q_interpose" ->
+      """SELECT event_id, user_id,
+        |       lead(1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NOT NULL AS has_next
+        |FROM events""".stripMargin,
 
     "q_partition_all" ->
       """WITH rn AS (

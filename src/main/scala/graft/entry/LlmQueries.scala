@@ -137,6 +137,21 @@ object LlmQueries {
       TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"),
       TextAnalysis.rollingHash(col("text")).as("rolling"))),
 
+    // ---- composite curation pipeline ------------------------------------
+    // The end-to-end shape a training-data pipeline actually runs: quality
+    // gate → exact dedup (keep lowest doc_id per content) → per-language
+    // token budget. One declarative plan: the gate pushes into the scan,
+    // dedup is one hash shuffle, the rollup is a partial aggregation.
+    "q_curation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.exactRows(docs, col("text"), col("doc_id"))
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.bpeTokenEstimate(col("text"))).as("total_bpe_tokens"),
+          min(col("doc_id")).as("first_doc"))
+    }),
+
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, d) => Multimodal.metaScan(media(s, d))),
 
@@ -379,6 +394,29 @@ object LlmQueries {
          |       md5(array_to_string(list_sort(list_distinct(t.tk)), ' ')) AS fingerprint,
          |       s.h AS rolling
          |FROM toks t JOIN step s ON s.doc_id = t.doc_id AND s.i = len(t.tk)""".stripMargin,
+
+    "q_curation" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, text,
+         |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+         |           + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |               ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+         |                    / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+         |           + least((CASE WHEN len($sqlToks) = 0 THEN 0.0
+         |               ELSE CAST(len(list_filter($sqlToks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |                    / CAST(len($sqlToks) AS DOUBLE) END) * 5.0, 1.0) * 0.3 AS quality
+         |  FROM documents),
+         |gated AS (SELECT doc_id, lang, text FROM q WHERE quality >= 0.5),
+         |deduped AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM gated) t WHERE rn = 1)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(COALESCE(list_sum(list_transform($sqlAlnumToks,
+         |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
+         |       min(doc_id) AS first_doc
+         |FROM deduped GROUP BY lang""".stripMargin,
 
     "q_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -109,4 +109,21 @@ class StreamingSpec extends SparkSpec {
     assert(sv.all().count() == 4)
     assert(sv.range(2, 3).select("value").as[String].collect().toSeq == Seq("b", "c"))
   }
+
+  test("StateView checkpoint backend reads a stopped query's keyed state") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[(String, Int)]
+    ms.addData(("a", 1), ("a", 2), ("b", 5))
+    val agg = ms.toDF().toDF("k", "v").groupBy("k").agg(sum("v").as("total"))
+    val q = agg.writeStream.format("memory").queryName("ckpt_out")
+      .option("checkpointLocation", ckpt).outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    // Spark 4 statestore reader: exact keyed state, offline
+    val state = spark.read.format("statestore").option("path", ckpt).load()
+    val rows = state.select(col("key.k"), col("value.sum"))
+      .as[(String, Long)].collect().toMap
+    assert(rows == Map("a" -> 3L, "b" -> 5L))
+  }
 }
