@@ -104,6 +104,12 @@ object LlmQueries {
         .limit(20)
     }),
 
+    "q_ann_ivf" -> ((s, d) => {
+      val assigned = Similarity.ivfAssign(
+        Tables.embeddings(s, d), col("vec_id"), col("embedding"), nCentroids = 16)
+      Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
+    }),
+
     "q_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val corpus = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding").as("cv"))
@@ -324,6 +330,20 @@ object LlmQueries {
          |SELECT idx.vec_id, ${sqlCos("idx.embedding", "q.qv")} AS cos
          |FROM idx JOIN q ON idx.bucket = q.bucket
          |ORDER BY cos DESC, idx.vec_id LIMIT 20""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.vec_id AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, ${sqlCos("a.v", "q.qv")} AS cos
+         |FROM assigned a JOIN q ON a.cid = q.qcid
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
 
     "q_knn_join" ->
       s"""SELECT query_id, vec_id, cos FROM (

@@ -101,6 +101,37 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** IVF-style ANN: partition the corpus into Voronoi cells around a
+    * fixed centroid set (here: deterministic — the vectors with the C
+    * lowest ids; production would run k-means, the plan shape is
+    * identical), assign each vector to its nearest centroid ONCE, then
+    * answer queries by scanning only the query's cell. The assignment is
+    * a broadcast cross-join + per-vector top-1 — one corpus scan; probes
+    * touch corpus/C of the data. Ties on cosine break to the lowest
+    * centroid id (deterministic). */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column, nCentroids: Int): DataFrame = {
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    val cents = v.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val scored = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        graft.functions.CosineSimilarity(col("v"), col("cv")).as("ccos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** IVF probe: top-k by exact cosine within the query vector's cell. */
+  def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = assigned.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("cid").as("qcid"))
+    assigned.join(broadcast(q), col("cid") === col("qcid"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), graft.functions.CosineSimilarity(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact k-NN join for a small query set: broadcast the queries, rank
     * per query — one scan of the corpus regardless of |queries|. */
   def knnJoin(corpus: DataFrame, corpusId: Column, corpusVec: Column,

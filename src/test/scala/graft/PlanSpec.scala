@@ -57,6 +57,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"top-k must not global-sort:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no shuffle on either side") {
+    // The 100 TB fact-fact join answer: bucket both tables on the join
+    // key at write time; the join then needs zero exchanges.
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val l = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "lv")
+      val r = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+      l.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bl")
+      r.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("br")
+      val joined = spark.table("bl").join(spark.table("br"), "k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      spark.sql("DROP TABLE IF EXISTS bl"); spark.sql("DROP TABLE IF EXISTS br")
+    }
+  }
+
   test("metadata-only scan over a STORED media table never reads the blob") {
     // the pruning claim is about storage: meta lives beside (not inside)
     // the payload so a metadata query prunes the blob at the reader
