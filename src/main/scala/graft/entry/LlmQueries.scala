@@ -121,19 +121,21 @@ object LlmQueries {
     }),
 
     // ---- text analysis ---------------------------------------------------
-    "q_text_stats" -> ((s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      length(col("text")).cast("long").as("chars"),
-      TextAnalysis.wordCount(col("text")).cast("long").as("words"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("alnum_tokens"),
-      TextAnalysis.bpeTokenEstimate(col("text")).cast("long").as("bpe_tokens"))),
+    "q_text_stats" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.counts(col("text")).as("tc"))
+      .select(col("doc_id"),
+        col("tc.n_chars").as("chars"),
+        col("tc.n_words").as("words"),
+        col("tc.n_alnum").as("alnum_tokens"),
+        col("tc.n_bpe").as("bpe_tokens"))),
 
-    "q_text_quality" -> ((s, d) => Tables.documents(s, d).select(
-      col("doc_id"),
-      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
-      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
-      TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))),
+    "q_text_quality" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.counts(col("text")).as("tc"))
+      .select(col("doc_id"),
+        TextAnalysis.punctRatioFrom(col("tc")).as("punct_ratio"),
+        TextAnalysis.stopwordRatioFrom(col("tc")).as("stopword_ratio"),
+        TextAnalysis.meanWordLenFrom(col("tc")).as("mean_word_len"),
+        TextAnalysis.qualityFrom(col("tc")).as("quality"))),
 
     "q_lang_id" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
@@ -150,11 +152,13 @@ object LlmQueries {
     // dedup is one hash shuffle, the rollup is a partial aggregation.
     "q_curation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.counts(col("text")).as("tc"))
+        .filter(TextAnalysis.qualityFrom(col("tc")) >= 0.5)
       val deduped = Dedup.exactRows(docs, col("text"), col("doc_id"))
       deduped.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(TextAnalysis.bpeTokenEstimate(col("text"))).as("total_bpe_tokens"),
+          sum(col("tc.n_bpe")).as("total_bpe_tokens"),
           min(col("doc_id")).as("first_doc"))
     }),
 

@@ -99,6 +99,33 @@ object TextAnalysis {
     * twin of [[tokenSetFingerprint]]. */
   def rollingHash(text: Column): Column = rollingFingerprint(text)
 
+  // ---- single-pass counts (native) + derivations -----------------------
+
+  /** All integer counts in one pass — [[graft.functions.TextCounts]].
+    * Compute this ONCE as a column, then derive the metrics below from
+    * it; each HOF metric above re-tokenizes the document. */
+  def counts(text: Column): Column = graft.functions.TextCounts(text)
+
+  def punctRatioFrom(tc: Column): Column =
+    when(tc.getField("n_chars") === 0, lit(0.0))
+      .otherwise(tc.getField("n_punct").cast("double") / tc.getField("n_chars").cast("double"))
+
+  def stopwordRatioFrom(tc: Column): Column =
+    when(tc.getField("n_words") === 0, lit(0.0))
+      .otherwise(tc.getField("n_stop").cast("double") / tc.getField("n_words").cast("double"))
+
+  def meanWordLenFrom(tc: Column): Column =
+    when(tc.getField("n_words") === 0, lit(0.0))
+      .otherwise(tc.getField("sum_word_len").cast("double") / tc.getField("n_words").cast("double"))
+
+  /** Same formula (and bits) as [[qualityScore]], from the counts struct. */
+  def qualityFrom(tc: Column): Column = {
+    val lenScore = least(tc.getField("n_chars").cast("double") / 500.0, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatioFrom(tc) * 5.0)
+    val swScore = least(stopwordRatioFrom(tc) * 5.0, lit(1.0))
+    lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3
+  }
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

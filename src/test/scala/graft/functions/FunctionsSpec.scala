@@ -71,6 +71,44 @@ class FunctionsSpec extends SparkSpec {
     assert(grouped("g1").length == 8 && grouped("g2").length == 8)
   }
 
+  test("TextCounts matches the HOF metrics on edge cases") {
+    import graft.llm.TextAnalysis
+    val df = Seq(
+      "the cat and  the hat!",  // double space, punct, stopwords
+      "",                        // empty
+      "!!! ... ???",             // punct-only tokens
+      "The AND Of",              // case-insensitive stopwords
+      "a1b2 c3-d4 x"             // alnum runs split by '-'
+    ).toDF("text")
+    val rows = df.select(
+      TextAnalysis.counts(col("text")).as("tc"),
+      TextAnalysis.wordCount(col("text")).cast("long").as("w"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("a"),
+      TextAnalysis.bpeTokenEstimate(col("text")).cast("long").as("b"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.meanWordLen(col("text")).as("ml"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+    rows.collect().foreach { r =>
+      val tc = r.getStruct(0)
+      assert(tc.getAs[Long]("n_words") == r.getAs[Long]("w"))
+      assert(tc.getAs[Long]("n_alnum") == r.getAs[Long]("a"))
+      assert(tc.getAs[Long]("n_bpe") == r.getAs[Long]("b"))
+    }
+    val derived = df.select(TextAnalysis.counts(col("text")).as("tc"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.meanWordLen(col("text")).as("ml"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .select(
+        (TextAnalysis.punctRatioFrom(col("tc")) === col("pr")).as("e1"),
+        (TextAnalysis.stopwordRatioFrom(col("tc")) === col("sr")).as("e2"),
+        (TextAnalysis.meanWordLenFrom(col("tc")) === col("ml")).as("e3"),
+        (TextAnalysis.qualityFrom(col("tc")) === col("q")).as("e4"))
+      .as[(Boolean, Boolean, Boolean, Boolean)].collect()
+    assert(derived.forall(t => t._1 && t._2 && t._3 && t._4))
+  }
+
   test("md5Long is deterministic and salt-sensitive") {
     val df = Seq("hello").toDF("s")
     val (h0, h0b, h1) = df.select(
