@@ -105,8 +105,7 @@ object GraftFunctions {
   /** Rolling polynomial (Karp–Rabin) fingerprint over tokens:
     * h = (h*31 + (md5Long(token) mod p)) mod p with p = 1e9+7, in token
     * order. The per-step mod keeps every intermediate < 2^35 — no silent
-    * Java-long wraparound, so the identical SQL is exact in the oracle. */
-  def rollingFingerprint(text: Column): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => pmod(acc * 31 + pmod(md5Long(t), lit(1000000007L)), lit(1000000007L)))
+    * Java-long wraparound, so the identical SQL is exact in the oracle.
+    * Native single-pass expression — see [[RollingHash]]. */
+  def rollingFingerprint(text: Column): Column = RollingHash(tokens(text))
 }

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Karp–Rabin rolling fingerprint over a token array as one native pass:
+  * h = (h*31 + (md5Long(token) mod P)) mod P in token order, P = 1e9+7 —
+  * identical values to the HOF fold in
+  * [[GraftFunctions.rollingFingerprint]]'s oracle (md5Long = top 60 bits
+  * of the digest), one md5 per token instead of an interpreted
+  * md5+conv+pmod lambda chain per token. Empty array → 0.
+  */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash expects array<string>, got ${other.simpleString}")
+    }
+
+  private val P = GraftFunctions.HashP
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val e = arr.getUTF8String(i)
+      md.reset()
+      val d = md.digest(e.getBytes)
+      var be = 0L
+      var j = 0
+      while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
+      h = (h * 31 + (be >>> 4) % P) % P
+      i += 1
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  def apply(toks: Column): Column = bridge.toColumn(RollingHash(bridge.toExpression(toks)))
+}
