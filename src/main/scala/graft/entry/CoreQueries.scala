@@ -163,6 +163,19 @@ object CoreQueries {
       element_at(col("embedding"), 1).cast("double").as("first"),
       aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x.cast("double")).as("esum"))),
 
+    "q_map_fns" -> ((s, d) => Tables.events(s, d)
+      .select(col("event_id"),
+        map_from_arrays(
+          array(lit("type"), lit("uid")),
+          array(col("event_type"), col("user_id").cast("string"))).as("m"),
+        col("user_id"))
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("t"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys"),
+        aggregate(flatten(array(array(col("event_id")), array(col("user_id")))),
+          lit(0L), (a, x) => a + x).as("flat_sum"))),
+
     // ---- analytic window functions (SURVEY.md §2.4 "window functions") ----
 
     "q_window_rank" -> ((s, d) => {
@@ -332,6 +345,15 @@ object CoreQueries {
         |       CAST(embedding[1] AS DOUBLE) AS first,
         |       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS esum
         |FROM embeddings""".stripMargin,
+
+    "q_map_fns" ->
+      """SELECT event_id, m['type'][1] AS t,
+        |       CAST(cardinality(m) AS BIGINT) AS n_keys,
+        |       array_to_string(map_keys(m), ',') AS keys,
+        |       list_sum(flatten([[event_id],[user_id]])) AS flat_sum
+        |FROM (SELECT event_id, user_id,
+        |        map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+        |      FROM events) t""".stripMargin,
 
     "q_window_rank" ->
       """SELECT event_id, user_id,
