@@ -62,13 +62,8 @@ object LlmQueries {
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxDist = 8)),
 
-    "q_embed_neardup" -> ((s, d) => {
-      val v = Tables.embeddings(s, d).select(col("vec_id"), col("embedding").as("v"))
-      v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          roundCos(col("a.v"), col("b.v")).as("cos"))
-        .filter(col("cos") >= 0.2)
-    }),
+    "q_embed_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"), threshold = 0.2)),
 
     "q_minhash_by_source" -> ((s, d) => {
       val sig = GraftFunctions.minhashSignature(

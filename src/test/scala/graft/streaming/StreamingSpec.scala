@@ -70,6 +70,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("u1", ts(12)), ("u1", ts(13))))
   }
 
+  test("branchForeachBatch routes each micro-batch row to its first-match handler") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val collected = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val ms = MemoryStream[Int]
+    ms.addData(2, 3, 4, 7, 9, 11)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_branch").toString
+    val w = Streaming.branchForeachBatch(
+      ms.toDF().toDF("n"),
+      branches = Seq("even" -> (col("n") % 2 === 0), "big" -> (col("n") > 5)),
+      handlers = Map(
+        "even" -> (df => collected.merge("even", df.count(), (a, b) => a + b): Unit),
+        "big" -> (df => collected.merge("big", df.count(), (a, b) => a + b): Unit)),
+      checkpointDir = ckpt)
+    val q = w.start(); q.processAllAvailable(); q.stop()
+    // evens: 2,4; big (first-match excludes evens): 7,9,11; 3 dropped
+    assert(collected.get("even") == 2L && collected.get("big") == 3L)
+  }
+
   test("perKeyRunningCount maintains checkpointed keyed state (Processor-API parity)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
