@@ -31,6 +31,7 @@ object Bench {
       // time only the scan for map-shaped queries.
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case _: Throwable => -1L }
+      finally graft.llm.Dedup.releaseCaches()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -350,7 +350,7 @@ object CoreQueries {
       """SELECT event_id, m['type'][1] AS t,
         |       CAST(cardinality(m) AS BIGINT) AS n_keys,
         |       array_to_string(map_keys(m), ',') AS keys,
-        |       list_sum(flatten([[event_id],[user_id]])) AS flat_sum
+        |       CAST(list_sum(flatten([[event_id],[user_id]])) AS BIGINT) AS flat_sum
         |FROM (SELECT event_id, user_id,
         |        map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
         |      FROM events) t""".stripMargin,

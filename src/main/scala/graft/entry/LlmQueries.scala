@@ -69,6 +69,10 @@ object LlmQueries {
       val sig = GraftFunctions.minhashSignature(
         GraftFunctions.shingles(col("text"), ShingleW), 8)
       Tables.documents(s, d)
+        // docs shorter than the shingle width yield all-null signatures,
+        // which MinHashUnion's non-nullable Seq[Long] encoder rejects —
+        // filter them out (the oracle mirrors with len(sg) > 0)
+        .filter(size(GraftFunctions.tokens(col("text"))) >= ShingleW)
         .select(col("source"), sig.as("sig"))
         .groupBy(col("source"))
         .agg(graft.agg.MinHashUnion.agg(8)(col("sig")).as("gsig"))
@@ -273,7 +277,8 @@ object LlmQueries {
       }.mkString("[", ", ", "]")
       s"""WITH $shingleCte,
          |hsrc AS (
-         |  SELECT doc_id, list_transform(sg, e -> ${sqlMd5Long("e")} % $p) AS hs FROM sh),
+         |  SELECT doc_id, list_transform(sg, e -> ${sqlMd5Long("e")} % $p) AS hs
+         |  FROM sh WHERE len(sg) > 0),
          |sig AS (SELECT doc_id, $sigExprs AS sig FROM hsrc)
          |SELECT d.source, i.i AS pos, min(s.sig[i.i + 1]) AS sigval
          |FROM documents d JOIN sig s ON d.doc_id = s.doc_id
@@ -372,7 +377,7 @@ object LlmQueries {
          |  SELECT doc_id,
          |         CASE WHEN total = 0 THEN 0.0 ELSE punct / total END AS pr,
          |         CASE WHEN len(tk) = 0 THEN 0.0
-         |              ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |              ELSE CAST(len(list_filter(tk, t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
          |                   / CAST(len(tk) AS DOUBLE) END AS sr,
          |         CASE WHEN len(tk) = 0 THEN 0.0
          |              ELSE CAST(COALESCE(list_sum(list_transform(tk, t -> CAST(len(t) AS BIGINT))), 0) AS DOUBLE)
@@ -422,7 +427,7 @@ object LlmQueries {
          |               ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
          |                    / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
          |           + least((CASE WHEN len($sqlToks) = 0 THEN 0.0
-         |               ELSE CAST(len(list_filter($sqlToks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+         |               ELSE CAST(len(list_filter($sqlToks, t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
          |                    / CAST(len($sqlToks) AS DOUBLE) END) * 5.0, 1.0) * 0.3 AS quality
          |  FROM documents),
          |gated AS (SELECT doc_id, lang, text FROM q WHERE quality >= 0.5),

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * md5 = top 60 bits of the digest = (first-8-bytes-BE >>> 4).
   *
   * Null/empty semantics match the HOF form: null input → null; empty
-  * array → k null elements (array_min of empty is null).
+  * array → k null elements (array_min of empty is null); null ELEMENTS
+  * are skipped (md5(null) → null, which array_min ignores) — an array of
+  * only nulls therefore also yields k null elements.
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -48,24 +50,29 @@ case class MinHashSignature(child: Expression, k: Int)
     if (n == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
     val md = java.security.MessageDigest.getInstance("MD5")
     val mins = Array.fill(k)(Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < n) {
       val e = arr.getUTF8String(i)
-      md.reset()
-      val d = md.digest(e.getBytes)
-      // top 60 bits of the digest, as a non-negative long, mod P
-      var be = 0L
-      var j = 0
-      while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
-      val h = (be >>> 4) % P
-      var c = 0
-      while (c < k) {
-        val v = (h * coeffs(c)._1 + coeffs(c)._2) % P
-        if (v < mins(c)) mins(c) = v
-        c += 1
+      if (e != null) {
+        seen += 1
+        md.reset()
+        val d = md.digest(e.getBytes)
+        // top 60 bits of the digest, as a non-negative long, mod P
+        var be = 0L
+        var j = 0
+        while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
+        val h = (be >>> 4) % P
+        var c = 0
+        while (c < k) {
+          val v = (h * coeffs(c)._1 + coeffs(c)._2) % P
+          if (v < mins(c)) mins(c) = v
+          c += 1
+        }
       }
       i += 1
     }
+    if (seen == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
 

@@ -12,12 +12,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * identical values to the HOF fold in
   * [[GraftFunctions.rollingFingerprint]]'s oracle (md5Long = top 60 bits
   * of the digest), one md5 per token instead of an interpreted
-  * md5+conv+pmod lambda chain per token. Empty array → 0.
+  * md5+conv+pmod lambda chain per token. Empty array → 0. A null element
+  * nulls the whole fingerprint (the HOF fold's accumulator is
+  * null-poisoned by md5(null)) rather than crashing.
   */
 case class RollingHash(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
+
+  // null even for a non-null input array, when an element is null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -38,6 +43,7 @@ case class RollingHash(child: Expression)
     var i = 0
     while (i < n) {
       val e = arr.getUTF8String(i)
+      if (e == null) return null
       md.reset()
       val d = md.digest(e.getBytes)
       var be = 0L

@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`transform(sequence(...), i -> array_join(slice(tokens, i+1, w)))`)
   * but one native pass instead of per-shingle lambda-chain evaluation —
   * the shingle build dominated the minhash pipeline once the signature
-  * itself went native.
+  * itself went native. Null tokens are skipped inside a window (the
+  * `array_join` of the HOF form drops null elements and their separator).
   */
 case class Shingles(child: Expression, w: Int)
     extends UnaryExpression with CodegenFallback {
@@ -38,14 +39,17 @@ case class Shingles(child: Expression, w: Int)
     val space = UTF8String.fromString(" ")
     var i = 0
     while (i <= n - w) {
-      val parts = new Array[UTF8String](2 * w - 1)
+      val buf = new scala.collection.mutable.ArrayBuffer[UTF8String](2 * w - 1)
       var j = 0
       while (j < w) {
-        if (j > 0) parts(2 * j - 1) = space
-        parts(2 * j) = toks.getUTF8String(i + j)
+        val t = toks.getUTF8String(i + j)
+        if (t != null) {
+          if (buf.nonEmpty) buf += space
+          buf += t
+        }
         j += 1
       }
-      out(i) = UTF8String.concat(parts: _*)
+      out(i) = UTF8String.concat(buf.toSeq: _*)
       i += 1
     }
     new GenericArrayData(out)

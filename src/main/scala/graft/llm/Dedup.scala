@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Band tables persisted by [[minhashDedupKeptIds]] / [[nearDupPairs]].
+    * Caching contract: the persist is what stops Spark re-running the
+    * scan→shingle→signature subtree once per self-join side, but Spark has
+    * no "unpersist when the consuming action finishes" hook for a lazily
+    * returned DataFrame — so cached handles are tracked here and callers
+    * release them with [[releaseCaches]] after their action completes
+    * (Verify/Bench do this per query). Untracked, they would pin executor
+    * storage for the session's lifetime. */
+  private val persistedHandles = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    persistedHandles.add(p)
+    p
+  }
+
+  /** Unpersist every band table cached by dedup calls since the last
+    * release. Call after the action consuming the returned DataFrame. */
+  def releaseCaches(): Unit = {
+    var df = persistedHandles.poll()
+    while (df != null) { df.unpersist(blocking = false); df = persistedHandles.poll() }
+  }
+
   /** Exact dedup by content hash: keeps the lowest-id row per distinct
     * content. One hash-aggregate shuffle; at 100 TB the md5 prefilter means
     * we never shuffle full documents, only (hash, id). */
@@ -60,7 +83,7 @@ object Dedup {
     * once and joining against the materialization. */
   def minhashDedupKeptIds(df: DataFrame, id: Column, text: Column,
                           shingleWidth: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand).persist()
+    val b = persistTracked(minhashBands(df, id, text, shingleWidth, bands, rowsPerBand))
     val dominated = b.as("a").join(b.as("b"),
         col("a.band_key") === col("b.band_key") && col("a.doc_id") > col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id")).distinct()
@@ -75,7 +98,7 @@ object Dedup {
                    shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val withSh = df.select(id.as("doc_id"), array_distinct(shingles(text, shingleWidth)).as("sh"))
     // persist: the self-join would otherwise recompute scan→shingle→sig per side
-    val b = minhashBands(df, id, text, shingleWidth, bands, rowsPerBand).persist()
+    val b = persistTracked(minhashBands(df, id, text, shingleWidth, bands, rowsPerBand))
     val cand = b.as("x").join(b.as("y"),
         col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()

@@ -56,15 +56,25 @@ object Similarity {
   }
 
   /** Sign-bit bucket id from `nPlanes` random hyperplanes (one BIGINT).
-    * Vectors must have dim == PlaneDim (zip_with null-pads the shorter
-    * side, which would null the dot product). */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { h =>
+    * The plane literal is sliced to the ACTUAL vector length, so any
+    * dim ≤ PlaneDim gets the same components the SQL oracle derives for
+    * that dim; dim > PlaneDim raises instead of silently null-padding the
+    * dot product (zip_with pads the shorter side with nulls, which would
+    * collapse every vector into bucket 0). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
+    val dimGuard = when(size(vec) > PlaneDim,
+      raise_error(format_string(
+        s"hyperplane_bucket: vector dim %d exceeds PlaneDim $PlaneDim", size(vec)))
+        .cast("long")).otherwise(lit(0L))
+    val bits = (0 until nPlanes).map { h =>
+      val planes = slice(lit(planeComponents(h)), lit(1), size(vec))
       val d = aggregate(
-        zip_with(vec, lit(planeComponents(h)), (x, c) => x.cast("double") * c),
+        zip_with(vec, planes, (x, c) => x.cast("double") * c),
         lit(0.0), (acc, v) => acc + v)
       when(d >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
     }.reduce((a, b) => a + b)
+    dimGuard + bits
+  }
 
   /** Corpus-side bucketing pass: (vec_id, bucket). Computed once, reusable
     * across queries (write out / cache as the "index"). */

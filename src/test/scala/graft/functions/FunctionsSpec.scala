@@ -109,6 +109,50 @@ class FunctionsSpec extends SparkSpec {
     assert(derived.forall(t => t._1 && t._2 && t._3 && t._4))
   }
 
+  test("sketch expressions tolerate null array elements (HOF null semantics)") {
+    // null elements come from user SQL (the functions are SQL-exposed via
+    // GraftExtensions): minhash/simhash skip them, rolling_hash
+    // null-propagates, shingles drops them inside the window join
+    val df = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit("b")).as("toks"),
+      array(lit(null).cast("string"), lit(null).cast("string")).as("allnull"))
+    val r = df.select(
+      MinHashSignature(col("toks"), 4).as("sig"),
+      MinHashSignature(col("allnull"), 4).as("signull"),
+      SimHash32(col("toks")).as("sh"),
+      SimHash32(col("allnull")).as("shnull"),
+      RollingHash(col("toks")).as("rh"),
+      Shingles(col("toks"), 2).as("sg")).head()
+    val skipped = df.select(
+      MinHashSignature(array(lit("a"), lit("b")), 4).as("sig"),
+      SimHash32(array(lit("a"), lit("b"))).as("sh")).head()
+    assert(r.getSeq[Long](0) == skipped.getSeq[Long](0)) // nulls skipped
+    assert(r.getSeq[Any](1).forall(_ == null))           // all-null → k nulls
+    assert(r.getLong(2) == skipped.getLong(1))           // nulls cast no vote
+    assert(r.isNullAt(4))                                // fold null-poisoned
+    assert(r.getSeq[String](5) == Seq("a", "b"))         // array_join skip
+  }
+
+  test("hyperplaneBucket adapts to vector dim and equals full-dim prefix semantics") {
+    import graft.llm.Similarity
+    // a 3-dim and a 64-dim vector must both bucket via the md5-derived
+    // plane components for THEIR dim (oracle adapts to len(vec))
+    val v3 = Array(1.0f, -2.0f, 0.5f)
+    val v64 = Array.tabulate(64)(i => (i % 7 - 3).toFloat)
+    val df = Seq((1L, v3), (2L, v64)).toDF("id", "v")
+    val got = df.select(col("id"), Similarity.hyperplaneBucket(col("v"), 4).as("b"))
+      .as[(Long, Long)].collect().toMap
+    // hand-compute: dot of v against the first dim components of each plane
+    def bucket(v: Array[Float]): Long =
+      (0 until 4).map { h =>
+        val planes = Similarity.planeComponents(h)
+        val d = v.zipWithIndex.map { case (x, j) => x.toDouble * planes(j) }
+          .foldLeft(0.0)(_ + _)
+        if (d >= 0) 1L << h else 0L
+      }.sum
+    assert(got(1L) == bucket(v3) && got(2L) == bucket(v64))
+  }
+
   test("md5Long is deterministic and salt-sensitive") {
     val df = Seq("hello").toDF("s")
     val (h0, h0b, h1) = df.select(

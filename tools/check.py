@@ -55,6 +55,16 @@ def main(sf_dir, out_dir):
             n_fail += 1
             print(f"  ✗ {name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}")
             continue
+        # The driver's compare path goes through pandas, where DuckDB
+        # HUGEINT/DECIMAL become float64/object and hash differently from
+        # Spark's int64 even when values are equal (bit q_map_fns in r2).
+        # fetchall() hides that, so lint the oracle result types.
+        risky = [c for c, t in zip(o_cols, o_rel.types)
+                 if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+        if risky:
+            n_fail += 1
+            print(f"  ✗ {name}: oracle emits pandas-lossy types {risky} — CAST them (BIGINT/DOUBLE)")
+            continue
         st, ot = table_of(s_rows, s_cols), table_of(o_rows, o_cols)
         if st == ot:
             n_pass += 1
