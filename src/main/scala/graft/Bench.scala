@@ -24,6 +24,21 @@ object Bench {
       try graft.sources.Tables.table(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
+    // JIT/codegen warmup: run one throwaway query exercising the hot code
+    // paths (hash agg, join, window, sort) so the first TIMED query isn't
+    // charged for HotSpot + Janino compilation of the shared operators.
+    try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val w = spark.range(10000).select(col("id"), (col("id") % 97).as("k"),
+        (col("id") % 7).cast("double").as("v"))
+      val agg = w.groupBy("k").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).as("s"))
+      val win = w.withColumn("rn",
+        row_number().over(Window.partitionBy("k").orderBy("id")))
+      agg.join(win, Seq("k")).orderBy(col("n").desc, col("id")).limit(10)
+        .queryExecution.toRdd.count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() executes the query's OWN physical plan — a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, Shingles, SimHash32}
+import graft.functions.{CosineSimilarity, MinHashSignature, RollingHash, Shingles, SimHash32, TextCounts, TokenSetFingerprint}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -45,7 +45,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash32(args(0))),
     (FunctionIdentifier("shingles"),
       new ExpressionInfo(classOf[Shingles].getName, "shingles"),
-      (args: Seq[Expression]) => Shingles(args(0), intLit(args(1), "shingles w"))))
+      (args: Seq[Expression]) => Shingles(args(0), intLit(args(1), "shingles w"))),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args(0))),
+    (FunctionIdentifier("text_counts"),
+      new ExpressionInfo(classOf[TextCounts].getName, "text_counts"),
+      (args: Seq[Expression]) => TextCounts(args(0))),
+    (FunctionIdentifier("token_set_fingerprint"),
+      new ExpressionInfo(classOf[TokenSetFingerprint].getName, "token_set_fingerprint"),
+      (args: Seq[Expression]) => TokenSetFingerprint(args(0))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -97,6 +97,46 @@ object AggQueries {
       .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
         percentile(col("l_quantity"), lit(0.9)).as("p90"))),
 
+    // pivot: per-user event-type counts as columns. The value list is
+    // EXPLICIT — an implicit pivot would run a distinct-scan job to
+    // discover values, and at lake scale the column set must be declared
+    // anyway (schema stability).
+    "q_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = Tables.events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      // pivot leaves NULL where a (user, type) combo has no rows; the
+      // oracle's FILTER counts give 0 — align on 0
+      p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+    }),
+
+    // grouping sets beyond rollup/cube: the two 1-D margins plus the
+    // grand total, no (flag, status) cells — only expressible via SQL
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(1) AS n,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
+    // window FRAME family: trailing-3-rows sum and full-partition share
+    // per user in event-time order (decimal accumulation, §scaladoc)
+    "q_window_sliding" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trail3 = order.rowsBetween(-2, Window.currentRow)
+      val all = Window.partitionBy(col("user_id"))
+      Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast("decimal(18,2)")).over(trail3).cast("double").as("trailing3"),
+        // one double division on exact-decimal totals — deterministic;
+        // a decimal division would hit engine-specific scale rules
+        (col("value") /
+          sum(col("value").cast("decimal(18,2)")).over(all).cast("double")).as("share"))
+    }),
+
     // state-store verbs over the materialized per-user aggregate
     "q_store_get" -> ((s, d) => stateTable(s, d).filter(col("user_id") === 7)),
     "q_store_all" -> ((s, d) => stateTable(s, d)),
@@ -162,6 +202,30 @@ object AggQueries {
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM islands GROUP BY user_id, sid""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q_window_sliding" ->
+      """SELECT event_id, user_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |              OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3,
+        |       value / CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |                      OVER (PARTITION BY user_id) AS DOUBLE) AS share
+        |FROM events""".stripMargin,
 
     "q_latest_by_key" ->
       """SELECT user_id, event_id, event_type, value FROM (

@@ -55,7 +55,25 @@ object JoinQueries {
         .groupBy(col("c_custkey"))
         .agg(count(col("o_orderkey")).as("n_orders"))),
 
-    "q_asof_join" -> ((s, d) => asofFixed(s, d))
+    "q_asof_join" -> ((s, d) => asofFixed(s, d)),
+
+    // range join: click→purchase attribution — for every purchase, the
+    // clicks by the same user in the preceding hour (equi on user, range
+    // on ts). One key shuffle; the range is a post-join filter.
+    "q_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      Joins.rangeJoin(purchases, clicks, Seq("user_id"),
+        rightOrd = col("cts"),
+        low = col("pts") - expr("INTERVAL 1 HOUR"), high = col("pts"),
+        joinType = "left_outer")
+        .groupBy(purchases("user_id"), col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks"))
+        .select(col("user_id"), col("purchase_id"), col("n_clicks"))
+    })
   )
 
   // asOf needs a shared key column name on both sides; wrap:
@@ -95,6 +113,14 @@ object JoinQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, count(c.event_id) AS n_clicks
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+        |GROUP BY p.user_id, p.event_id""".stripMargin,
 
     "q_asof_join" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice

@@ -109,6 +109,9 @@ object LlmQueries {
       Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
     }),
 
+    "q_embed_centroid" -> ((s, d) => Similarity.quantizedCentroids(
+      Tables.embeddings(s, d), col("vec_id") % 8, col("embedding"))),
+
     "q_knn_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val corpus = e.filter(col("vec_id") >= 3).select(col("vec_id"), col("embedding").as("cv"))
@@ -348,6 +351,14 @@ object LlmQueries {
          |FROM assigned a JOIN q ON a.cid = q.qcid
          |WHERE a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q_embed_centroid" ->
+      """SELECT vec_id % 8 AS g, CAST(i.i AS BIGINT) AS pos,
+        |       (CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+        |          / 1048576.0) / count(*) AS centroid,
+        |       count(*) AS n
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) AS i
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_knn_join" ->
       s"""SELECT query_id, vec_id, cos FROM (

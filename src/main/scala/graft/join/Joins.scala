@@ -63,6 +63,21 @@ object Joins {
     lS.join(rS, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Range join: equi-keys plus an interval predicate on an ordering
+    * column (`low <= rOrd <= high`). Keeping the equi-keys FIRST in the
+    * condition is what lets Catalyst plan a shuffled equi-join with the
+    * range as a post-join filter — one key shuffle, candidate pairs
+    * bounded per key — instead of a broadcast-nested-loop over the cross
+    * product. At extreme per-key fan-out the next step is interval
+    * bucketing (join on (key, floor(ord/width)) ± 1); the equi-shuffle
+    * shape here is the same one that variant produces. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                rightOrd: Column, low: Column, high: Column,
+                joinType: String = "inner"): DataFrame = {
+    val equi = keys.map(k => left(k) === right(k)).reduce(_ && _)
+    left.join(right, equi && rightOrd.between(low, high), joinType)
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` sharing `keys` — the time-series enrichment the
     * reference cannot express. Composed from built-ins (union + window)

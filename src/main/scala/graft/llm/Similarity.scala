@@ -142,6 +142,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-group, per-dimension embedding centroids with ORDER-INDEPENDENT
+    * accumulation: each component is quantized to fixed-point
+    * (floor(x * 2^20) as BIGINT) before summing, so the distributed sum is
+    * exact integer math — independent of partial-aggregation order — and
+    * the final mean is two deterministic double ops. A naive double mean
+    * varies with partition merge order and can't be verified against a
+    * single-threaded oracle (nor reproduced run-to-run on a cluster);
+    * 2^-20 quantization error (~1e-6) is far below embedding noise. This
+    * is the centroid step IVF/k-means training needs at 100 TB: one
+    * explode + one hash-agg shuffle of (group, dim) longs. */
+  def quantizedCentroids(df: DataFrame, groupKey: Column, vec: Column): DataFrame = {
+    val Q = 1048576.0 // 2^20
+    df.select(groupKey.as("g"), posexplode(vec).as(Seq("pos", "x")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(floor(col("x").cast("double") * Q).cast("long")).as("qsum"),
+        count(lit(1)).as("n"))
+      .select(col("g"), col("pos").cast("long").as("pos"),
+        ((col("qsum").cast("double") / Q) / col("n")).as("centroid"), col("n"))
+  }
+
   /** Exact k-NN join for a small query set: broadcast the queries, rank
     * per query — one scan of the corpus regardless of |queries|. */
   def knnJoin(corpus: DataFrame, corpusId: Column, corpusVec: Column,

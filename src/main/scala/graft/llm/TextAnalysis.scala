@@ -91,9 +91,12 @@ object TextAnalysis {
   }
 
   /** Canonical document fingerprint: md5 of the sorted distinct lowercase
-    * token set — catches reorderings/duplicated-content docs. */
+    * token set — catches reorderings/duplicated-content docs. Native
+    * single-pass expression ([[graft.functions.TokenSetFingerprint]]);
+    * value-identical to
+    * `md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))`. */
   def tokenSetFingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+    graft.functions.TokenSetFingerprint(lower(text))
 
   /** Rolling-hash fingerprint (Karp–Rabin over tokens) — order-sensitive
     * twin of [[tokenSetFingerprint]]. */

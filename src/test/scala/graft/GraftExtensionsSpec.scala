@@ -34,6 +34,7 @@ class GraftExtensionsSpec extends SparkSpec {
     val holder = new org.apache.spark.sql.SparkSessionExtensions
     ext(holder) // must not throw — config path: spark.sql.extensions=graft.GraftExtensions
     assert(GraftExtensions.entries.map(_._1.funcName).toSet ==
-      Set("cosine_similarity", "minhash_signature", "simhash32", "shingles"))
+      Set("cosine_similarity", "minhash_signature", "simhash32", "shingles",
+        "rolling_hash", "text_counts", "token_set_fingerprint"))
   }
 }

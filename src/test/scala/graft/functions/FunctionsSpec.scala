@@ -153,6 +153,22 @@ class FunctionsSpec extends SparkSpec {
     assert(got(1L) == bucket(v3) && got(2L) == bucket(v64))
   }
 
+  test("TokenSetFingerprint == composed md5∘sort∘distinct∘tokens form") {
+    val df = Seq(
+      "the cat sat on the mat",
+      "mat the on sat cat the", // reordering → same fingerprint
+      "",                        // empty → md5("")
+      "  double  spaces  here ",
+      "UPPER and lower MiXeD").toDF("text")
+    val rows = df.select(
+      graft.llm.TextAnalysis.tokenSetFingerprint(col("text")).as("native"),
+      md5(array_join(array_sort(array_distinct(
+        GraftFunctions.tokens(lower(col("text"))))), " ")).as("hof"))
+      .as[(String, String)].collect()
+    rows.foreach { case (n, h) => assert(n == h) }
+    assert(rows(0)._1 == rows(1)._1) // order-insensitive
+  }
+
   test("md5Long is deterministic and salt-sensitive") {
     val df = Seq("hello").toDF("s")
     val (h0, h0b, h1) = df.select(
