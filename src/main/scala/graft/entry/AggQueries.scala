@@ -76,6 +76,10 @@ object AggQueries {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    "q_hll_custom" -> ((s, d) => // engine-native HLL aggregate — rows-only check
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(graft.agg.HllSketchAgg.agg(col("l_partkey")).as("hll_parts"))),
+
     // statistical aggregates via EXACT decimal power sums: mean/var/stddev
     // from (n, Σx, Σx²) — decimal accumulation is order-independent, so
     // the distributed result matches the single-threaded oracle bit-for-

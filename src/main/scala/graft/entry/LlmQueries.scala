@@ -142,6 +142,17 @@ object LlmQueries {
     "q_lang_id" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // within-document repetition: 1 - distinct/total shingles — the
+    // Gopher-style "repetitive doc" curation gate (high ratio = the same
+    // n-grams loop). Pure projection: runs at scan speed, no shuffle.
+    "q_repetition" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), GraftFunctions.shingles(col("text"), ShingleW).as("sg"))
+      .select(col("doc_id"),
+        size(col("sg")).cast("long").as("n_shingles"),
+        when(size(col("sg")) === 0, lit(0.0))
+          .otherwise(lit(1.0) - size(array_distinct(col("sg"))).cast("double")
+            / size(col("sg")).cast("double")).as("rep_ratio"))),
+
     "q_fingerprint" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"),
@@ -163,6 +174,15 @@ object LlmQueries {
           sum(col("tc.n_bpe")).as("total_bpe_tokens"),
           min(col("doc_id")).as("first_doc"))
     }),
+
+    // deterministic train/val assignment by CONTENT hash: stable under
+    // re-sharding/re-ids, reproducible across runs and engines — the only
+    // split discipline that survives a distributed rebuild of the corpus
+    "q_split_assign" -> ((s, d) => Tables.documents(s, d).select(
+      col("doc_id"),
+      (GraftFunctions.md5Long(col("text")) % 20).as("bucket"),
+      when(GraftFunctions.md5Long(col("text")) % 20 === 0, lit("val"))
+        .otherwise(lit("train")).as("split"))),
 
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, d) => Multimodal.metaScan(media(s, d))),
@@ -416,6 +436,14 @@ object LlmQueries {
          |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
          |WHERE rn = 1""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, CAST(len(sg) AS BIGINT) AS n_shingles,
+         |       CASE WHEN len(sg) = 0 THEN 0.0
+         |            ELSE 1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)
+         |                       / CAST(len(sg) AS DOUBLE) END AS rep_ratio
+         |FROM sh""".stripMargin,
+
     "q_fingerprint" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |step(doc_id, i, h) AS (
@@ -452,6 +480,11 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id, ${sqlMd5Long("text")} % 20 AS bucket,
+         |       CASE WHEN ${sqlMd5Long("text")} % 20 = 0 THEN 'val' ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
 
     "q_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,

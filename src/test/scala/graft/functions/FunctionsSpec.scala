@@ -71,6 +71,23 @@ class FunctionsSpec extends SparkSpec {
     assert(grouped("g1").length == 8 && grouped("g2").length == 8)
   }
 
+  test("HllSketchAgg: within 5% of exact distinct, and partitioning-independent") {
+    val n = 20000
+    val df = spark.range(n).select((col("id") % 7331).as("v")) // 7331 distinct
+    val est1 = df.agg(graft.agg.HllSketchAgg.agg(col("v"))).as[Long].head()
+    assert(math.abs(est1 - 7331.0) / 7331.0 < 0.05, s"estimate $est1 off by >5%")
+    // register max-merge is associative+commutative+idempotent → the
+    // estimate must be EXACTLY equal under any partitioning
+    val est32 = df.repartition(32).agg(graft.agg.HllSketchAgg.agg(col("v"))).as[Long].head()
+    val est3 = df.repartition(3, col("v")).agg(graft.agg.HllSketchAgg.agg(col("v"))).as[Long].head()
+    assert(est1 == est32 && est1 == est3)
+    // grouped: per-group sketches independent of each other
+    val grouped = spark.range(n).select((col("id") % 3).as("g"), (col("id") % 500).as("v"))
+      .groupBy("g").agg(graft.agg.HllSketchAgg.agg(col("v")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    grouped.values.foreach(e => assert(math.abs(e - 500.0) / 500.0 < 0.1))
+  }
+
   test("TextCounts matches the HOF metrics on edge cases") {
     import graft.llm.TextAnalysis
     val df = Seq(
