@@ -79,6 +79,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join plans as an equi-join with interval filter, never a nested loop") {
+    // the equi-keys keep the shuffle keyed; the time interval must be a
+    // post-join condition — a BroadcastNestedLoopJoin here would be the
+    // cross-product plan that dies at scale
+    val df = SparkEntry.queries("q_range_join")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"expected an equi-join:\n$p")
+  }
+
+  test("quantized centroid aggregates map-side before its single exchange") {
+    val df = SparkEntry.queries("q_embed_centroid")(spark, sf)
+    val p = plan(df)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"centroid must shuffle exactly once (group, dim):\n$p")
+  }
+
   test("metadata-only scan over a STORED media table never reads the blob") {
     // the pruning claim is about storage: meta lives beside (not inside)
     // the payload so a metadata query prunes the blob at the reader

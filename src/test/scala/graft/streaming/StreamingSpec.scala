@@ -37,6 +37,49 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq("x", "y"))
   }
 
+  test("watermark drops late data in append-mode windowed aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Double)]
+    val agg = Streaming.tumbling(ms.toDF().toDF("ts", "v"),
+      "ts", "5 minutes", "10 minutes", Nil, Seq(sum(col("v")).as("s")))
+    val q = agg.writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    // batch 1: window [0,10) gets 1.0; max event time 00:25 → watermark 00:20
+    ms.addData((ts(1), 1.0), (ts(25), 100.0))
+    q.processAllAvailable()
+    // batch 2: ts 00:02 is behind the watermark — MUST be discarded, not
+    // re-opened (the late-data policy the reference has no notion of)
+    ms.addData((ts(2), 50.0), (ts(26), 200.0))
+    q.processAllAvailable()
+    // batches 3+4: the watermark a batch USES comes from the data of the
+    // batch before it, so advancing it far enough to close [00:25,00:30)
+    // takes one batch to observe ts 00:59 and a second to emit
+    ms.addData((ts(59), 0.5))
+    q.processAllAvailable()
+    ms.addData((ts(59), 0.25))
+    q.processAllAvailable(); q.stop()
+    val byWindow = spark.table("late_out")
+      .select(col("window_start").cast("string"), col("s")).as[(String, Double)]
+      .collect().toMap
+    assert(byWindow("2024-01-01 00:00:00") == 1.0) // late 50.0 dropped
+    assert(byWindow("2024-01-01 00:20:00") == 300.0) // 10-min window of ts 00:25/00:26
+  }
+
+  test("streaming safeFlatMap swallows poison records and keeps the query alive") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, String)]
+    ms.addData(("k1", "7"), ("k2", "boom"), ("k3", "9"))
+    val pipe = graft.core.Xform.safeFlatMap[(String, String), (String, Long)](spark, "stream_safe") {
+      case (k, v) => Iterator.single((k, v.toLong)) // "boom" throws NumberFormatException
+    }
+    val out = pipe(ms.toDS()).toDF("k", "n")
+    val q = out.writeStream.format("memory").queryName("safe_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("safe_out").as[(String, Long)].collect().toSet
+    assert(rows == Set(("k1", 7L), ("k3", 9L))) // poison record skipped, query alive
+  }
+
   test("latestByKey emits the newest value per key (KTable view)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
