@@ -49,13 +49,16 @@ object Aggregates {
       .drop("session_window")
 
   /** KTable/changelog view: latest value per key by event time
-    * (reference roadmap: README.md:33-34, 69). Deterministic tie-break via
-    * `tieBreak` — at scale this is one shuffle + per-key top-1, no global
-    * sort. */
-  def latestByKey(df: DataFrame, keys: Seq[Column], ts: Column, tieBreak: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy((ts +: tieBreak).map(_.desc): _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+    * (reference roadmap: README.md:33-34, 69). `max_by` over the
+    * (ts, tieBreak...) struct — a hash-aggregate with map-side combine,
+    * NOT a window: no per-partition sort, partial top-1s merge before the
+    * single shuffle, and skewed keys reduce map-side first. The struct
+    * order makes the pick total, so ties are deterministic (largest
+    * tieBreak wins, matching ORDER BY ts DESC, tieBreak DESC LIMIT 1). */
+  def latestByKey(df: DataFrame, keys: Seq[Column], ts: Column, tieBreak: Seq[Column]): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(max_by(struct(df.columns.map(col): _*), struct(ts +: tieBreak: _*)).as("__latest"))
+      .select(col("__latest.*"))
 
   /** Grouping-sets family — free in Spark, absent in the reference
     * (SURVEY.md §2.4). */

@@ -126,9 +126,13 @@ object Similarity {
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
         graft.functions.CosineSimilarity(col("v"), col("cv")).as("ccos"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    // per-vector argmax as max_by over (ccos, -cid): hash-aggregate with
+    // map-side combine instead of a sort-window — ties go to the LOWEST
+    // centroid id (max of -cid), same pick as ORDER BY ccos DESC, cid
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cid")),
+        struct(col("ccos"), -col("cid"))).as("__best"))
+      .select(col("vec_id"), col("__best.v").as("v"), col("__best.cid").as("cid"))
   }
 
   /** IVF probe: top-k by exact cosine within the query vector's cell. */
