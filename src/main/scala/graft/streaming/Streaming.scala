@@ -171,6 +171,39 @@ object Streaming {
     }
   }
 
+  /** `halt-when` — the transducer vocabulary's control-flow stage
+    * (SURVEY.md §2.2): terminate the whole pipeline once a record
+    * matching `pred` arrives. Streaming semantics: every micro-batch is
+    * handed to `handler`; the batch containing the first match is still
+    * processed in full, then the query is stopped from a monitor thread
+    * (a query cannot stop itself from inside its own micro-batch thread
+    * without deadlocking on the in-flight batch). Halt granularity is
+    * therefore the micro-batch, not the record — the documented
+    * divergence from the reference's record-at-a-time model
+    * (SURVEY.md §1.3.2). */
+  def haltWhen(df: DataFrame, pred: Column, checkpointDir: String)
+              (handler: DataFrame => Unit): StreamingQuery = {
+    val matched = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          handler(batch)
+          if (!batch.filter(pred).isEmpty) matched.set(true)
+        } finally batch.unpersist()
+        ()
+      }
+      .start()
+    val monitor = new Thread(() => {
+      while (q.isActive && !matched.get()) Thread.sleep(20)
+      if (matched.get()) q.stop()
+    }, s"graft-halt-when-${q.id}")
+    monitor.setDaemon(true)
+    monitor.start()
+    q
+  }
+
   /** Convenience: run a micro-batch query to completion over a bounded
     * test source (Trigger.AvailableNow) and block. */
   def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {

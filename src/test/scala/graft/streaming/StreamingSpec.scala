@@ -80,6 +80,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("k1", 7L), ("k3", 9L))) // poison record skipped, query alive
   }
 
+  test("haltWhen stops the query once a matching record arrives") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_halt").toString
+    val q = Streaming.haltWhen(ms.toDF().toDF("k", "v"), col("v") >= 100, ckpt) { batch =>
+      batch.collect().foreach(r => seen.add(r.getString(0)))
+    }
+    ms.addData(("a", 1), ("b", 2))
+    q.processAllAvailable()
+    assert(q.isActive && seen.size == 2)
+    ms.addData(("c", 100), ("d", 3)) // match → batch processed, then halt
+    q.awaitTermination(30000)
+    assert(!q.isActive, "query must stop after the halting batch")
+    assert(seen.contains("c") && seen.contains("d")) // halting batch fully handled
+  }
+
   test("latestByKey emits the newest value per key (KTable view)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
