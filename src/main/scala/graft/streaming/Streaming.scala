@@ -171,6 +171,42 @@ object Streaming {
     }
   }
 
+  /** Punctuate parity — the reference stubs `punctuate` (api.clj:26), the
+    * Kafka Streams hook for time-driven callbacks; the Spark twin is a
+    * state TIMEOUT in `flatMapGroupsWithState`. Canonical instance:
+    * gap-based sessionization with event-time timers — counts per-key
+    * records, arms a timer at (last event + gap), and emits the session
+    * exactly when the watermark passes it (then clears the state, so
+    * memory is bounded by live sessions). Input must be watermarked and
+    * grouped by key; emits (key, sessionCount) per closed session. */
+  def perKeySessionCount(
+      grouped: KeyValueGroupedDataset[String, (String, java.sql.Timestamp)],
+      gapMs: Long): Dataset[(String, Long)] = {
+    implicit val stateEnc: Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+    implicit val outEnc: Encoder[(String, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong)
+    grouped.flatMapGroupsWithState[(Long, Long), (String, Long)](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (key: String, values: Iterator[(String, java.sql.Timestamp)],
+       state: GroupState[(Long, Long)]) =>
+        if (state.hasTimedOut) {
+          val (n, _) = state.get
+          state.remove()
+          Iterator.single((key, n)) // the "punctuate" callback firing
+        } else {
+          val vs = values.toSeq
+          val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+          val last = math.max(last0, vs.map(_._2.getTime).max)
+          state.update((n0 + vs.size, last))
+          state.setTimeoutTimestamp(last + gapMs)
+          Iterator.empty
+        }
+    }
+  }
+
   /** `halt-when` — the transducer vocabulary's control-flow stage
     * (SURVEY.md §2.2): terminate the whole pipeline once a record
     * matching `pred` arrives. Streaming semantics: every micro-batch is

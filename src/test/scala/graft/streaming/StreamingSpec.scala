@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("k1", 7L), ("k3", 9L))) // poison record skipped, query alive
   }
 
+  test("perKeySessionCount fires event-time timers (punctuate parity)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Timestamp)]
+    val grouped = ms.toDS().withWatermark("_2", "1 minute").groupByKey(_._1)
+    val sessions = Streaming.perKeySessionCount(grouped, gapMs = 10 * 60 * 1000)
+    val q = sessions.toDF("k", "n")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    // k1's session: events at 00:01 and 00:02 → timer armed at 00:12
+    ms.addData(("k1", ts(1)), ("k1", ts(2)))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").isEmpty) // watermark hasn't passed the timer
+    // a late-keyed record at 00:59 pushes the watermark to 00:58 → k1's
+    // timer fires on the following batch
+    ms.addData(("k2", ts(59)))
+    q.processAllAvailable()
+    ms.addData(("k2", ts(59)))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sess_out").as[(String, Long)].collect().toSet
+    assert(out == Set(("k1", 2L)), s"expected k1 session of 2, got $out")
+  }
+
   test("haltWhen stops the query once a matching record arrives") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
