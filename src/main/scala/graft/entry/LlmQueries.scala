@@ -196,7 +196,14 @@ object LlmQueries {
         .select(col("media_id"),
           size(col("features")).cast("long").as("n_dims"),
           element_at(col("features"), 1).cast("double").as("f0"),
-          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")).as("fsum")))
+          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")).as("fsum"))),
+
+    "q_media_resize" -> ((s, d) =>
+      Multimodal.resize(media(s, d), outW = 16, outH = 8)
+        .select(col("media_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"),
+          md5(col("payload")).as("payload_md5")))
   )
 
   // ======================================================================
@@ -501,6 +508,13 @@ object LlmQueries {
         |CROSS JOIN LATERAL unnest(list_filter(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT)),
         |  i -> i % 2 = 0)) AS u(i)
         |WHERE length(text) > 0""".stripMargin,
+
+    "q_media_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+        |       CAST(least(length(text), 128) AS BIGINT) AS n_bytes,
+        |       md5(substring(text, 1, 128)) AS payload_md5
+        |FROM documents""".stripMargin,
 
     "q_media_features" ->
       """WITH f AS (

@@ -86,6 +86,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: crop the payload to the target dimension budget
+    * (outW*outH bytes) — the deterministic stand-in for a real scaler.
+    * Same mapPartitions batch shape as [[extractFeatures]] (one codec
+    * instance per partition, batched rows), emitting the full media
+    * schema with the meta struct updated to the new dimensions. */
+  def resize(media: DataFrame, outW: Int, outH: Int, batchSize: Int = 256): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val budget = outW * outH
+    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            val resized =
+              if (payload == null) null
+              else if (payload.length <= budget) payload
+              else java.util.Arrays.copyOfRange(payload, 0, budget)
+            val n = if (resized == null) 0L else resized.length.toLong
+            Row(id, resized, Row(r.getString(2), outW, outH, n))
+          }
+        }
+      }(enc)
+  }
+
   /** "Frame sampling" for sequence media: split payload into fixed-size
     * frames, keep every `stride`-th — pure Column ops, fully pushed into
     * codegen. Emits (media_id, frame_idx, frame binary). */
