@@ -166,6 +166,44 @@ object Similarity {
         ((col("qsum").cast("double") / Q) / col("n")).as("centroid"), col("n"))
   }
 
+  /** Deterministic distributed k-means (cosine metric) — the IVF training
+    * step [[ivfAssign]]'s scaladoc promises: initialize with the k
+    * lowest-id vectors, then iterate assign (broadcast centroids, per-row
+    * argmax — no shuffle of the corpus beyond the centroid agg) and
+    * re-center ([[quantizedCentroids]] — exact fixed-point accumulation,
+    * so every iteration is reproducible run-to-run and cluster-to-local).
+    * Centroids are COLLECTED to the driver between iterations (k·dim
+    * floats — broadcast state, not data): lineage stays O(1) deep per
+    * iteration instead of growing with the iteration count.
+    * Returns (cid, cv array<float>, n members). */
+  def kmeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    var cents: Seq[(Long, Array[Float], Long)] = v.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Float])]
+      .collect().map { case (cid, cv) => (cid, cv, 0L) }.toSeq
+    var i = 0
+    while (i < iters) {
+      val centDf = cents.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "cv")
+      val assigned = v.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("v"), col("cid"),
+          CosineSimilarity(col("v"), col("cv")).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(struct(col("v"), col("cid")), struct(col("ccos"), -col("cid"))).as("__b"))
+        .select(col("__b.v").as("v"), col("__b.cid").as("cid"))
+      cents = quantizedCentroids(assigned, col("cid"), col("v"))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("centroid")))).as("pc"),
+          max(col("n")).as("n"))
+        .select(col("g"), transform(col("pc"), x => x.getField("centroid").cast("float")).as("cv"),
+          col("n"))
+        .as[(Long, Array[Float], Long)].collect().sortBy(_._1).toSeq
+      i += 1
+    }
+    cents.toDF("cid", "cv", "n")
+  }
+
   /** Exact k-NN join for a small query set: broadcast the queries, rank
     * per query — one scan of the corpus regardless of |queries|. */
   def knnJoin(corpus: DataFrame, corpusId: Column, corpusVec: Column,

@@ -186,6 +186,32 @@ class FunctionsSpec extends SparkSpec {
     assert(rows(0)._1 == rows(1)._1) // order-insensitive
   }
 
+  test("kmeans separates two deterministic clusters and is reproducible") {
+    import graft.llm.Similarity
+    // 100 vectors: even ids point along dim 0, odd ids along dim 1, with
+    // small deterministic cross-talk so no two vectors are identical
+    val data = (0 until 100).map { i =>
+      val main = i % 2
+      val v = Array.fill(4)(0.0f)
+      v(main) = 1.0f
+      v(1 - main) = 0.01f * (i % 7)
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(df, col("vec_id"), col("embedding"), k = 2, iters = 3)
+      .as[(Long, Array[Float], Long)].collect().sortBy(_._1)
+    assert(cents.length == 2)
+    val Array((_, c0, n0), (_, c1, n1)) = cents
+    assert(n0 == 50 && n1 == 50)
+    assert(c0(0) > 0.9f && c0(1) < 0.1f, s"centroid0 ${c0.toSeq}") // even cluster
+    assert(c1(1) > 0.9f && c1(0) < 0.1f, s"centroid1 ${c1.toSeq}") // odd cluster
+    // determinism: a second run yields bit-identical centroids
+    val again = Similarity.kmeans(df, col("vec_id"), col("embedding"), k = 2, iters = 3)
+      .as[(Long, Array[Float], Long)].collect().sortBy(_._1)
+    assert(again.zip(cents).forall { case ((i1, v1, m1), (i2, v2, m2)) =>
+      i1 == i2 && m1 == m2 && v1.sameElements(v2) })
+  }
+
   test("md5Long is deterministic and salt-sensitive") {
     val df = Seq("hello").toDF("s")
     val (h0, h0b, h1) = df.select(
