@@ -57,7 +57,7 @@ object Aggregates {
     * tieBreak wins, matching ORDER BY ts DESC, tieBreak DESC LIMIT 1). */
   def latestByKey(df: DataFrame, keys: Seq[Column], ts: Column, tieBreak: Seq[Column]): DataFrame =
     df.groupBy(keys: _*)
-      .agg(max_by(struct(df.columns.map(col): _*), struct(ts +: tieBreak: _*)).as("__latest"))
+      .agg(max_by(struct(df.columns.toIndexedSeq.map(col): _*), struct(ts +: tieBreak: _*)).as("__latest"))
       .select(col("__latest.*"))
 
   /** Grouping-sets family — free in Spark, absent in the reference

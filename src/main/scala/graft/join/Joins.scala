@@ -107,7 +107,7 @@ object Joins {
         lit(null).cast(payloadType).as("__p") :+ lit(null).cast(tbType).as("__tb"): _*)
     val rAligned = leftCols.foldLeft(rSel)((d, c) =>
       d.withColumn(c, lit(null).cast(lSel.schema(c).dataType)))
-    val u = lSel.unionByName(rAligned.select(lSel.columns.map(col): _*))
+    val u = lSel.unionByName(rAligned.select(lSel.columns.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__tb"))
       .rowsBetween(Window.unboundedPreceding, 0)
