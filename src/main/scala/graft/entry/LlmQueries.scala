@@ -240,7 +240,8 @@ object LlmQueries {
     }.mkString("[", ",\n           ", "]")
     s"""$shingleCte,
        |hsrc AS (
-       |  SELECT doc_id, list_transform(sg, e -> ${sqlMd5Long("e")} % $p) AS hs FROM sh),
+       |  SELECT doc_id, list_transform(sg, e -> ${sqlMd5Long("e")} % $p) AS hs
+       |  FROM sh WHERE len(sg) > 0),
        |sig AS (
        |  SELECT doc_id,
        |         $sigExprs AS sig
@@ -432,13 +433,13 @@ object LlmQueries {
     "q_lang_id" ->
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |sc AS (
-         |  SELECT doc_id, 'de' AS c, CAST(len(list_filter(tk, t -> t IN ('der','die','und','das','ist'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS s FROM toks
+         |  SELECT doc_id, 'de' AS c, CAST(len(list_filter(tk, t -> lower(t) IN ('der','die','und','das','ist'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS s FROM toks
          |  UNION ALL
-         |  SELECT doc_id, 'en', CAST(len(list_filter(tk, t -> t IN ('the','and','of','to','is'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  SELECT doc_id, 'en', CAST(len(list_filter(tk, t -> lower(t) IN ('the','and','of','to','is'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
          |  UNION ALL
-         |  SELECT doc_id, 'es', CAST(len(list_filter(tk, t -> t IN ('el','la','que','los','es'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  SELECT doc_id, 'es', CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','que','los','es'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
          |  UNION ALL
-         |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> t IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks)
+         |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks)
          |SELECT doc_id, c AS lang_guess FROM (
          |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
          |WHERE rn = 1""".stripMargin,
@@ -461,7 +462,7 @@ object LlmQueries {
          |  FROM step s JOIN toks t ON s.doc_id = t.doc_id
          |  WHERE s.i < len(t.tk))
          |SELECT t.doc_id,
-         |       md5(array_to_string(list_sort(list_distinct(t.tk)), ' ')) AS fingerprint,
+         |       md5(COALESCE(array_to_string(list_sort(list_distinct(list_transform(t.tk, x -> lower(x)))), ' '), '')) AS fingerprint,
          |       s.h AS rolling
          |FROM toks t JOIN step s ON s.doc_id = t.doc_id AND s.i = len(t.tk)""".stripMargin,
 

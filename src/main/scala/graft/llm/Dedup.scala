@@ -63,7 +63,13 @@ object Dedup {
   def minhashBands(df: DataFrame, id: Column, text: Column,
                    shingleWidth: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val sig = minhashSignature(shingles(text, shingleWidth), bands * rowsPerBand)
-    df.select(id.as("doc_id"), sig.as("sig"))
+    // docs shorter than the shingle width have NO shingles and therefore
+    // no signal: banding their all-null signatures would make every short
+    // doc a spurious near-dup of every other short doc (their "empty"
+    // band keys collide). They are excluded here and thus never dominated
+    // — dedup keeps them, pair generation skips them.
+    df.filter(size(tokens(text)) >= shingleWidth)
+      .select(id.as("doc_id"), sig.as("sig"))
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("b"))
       .select(col("doc_id"),
