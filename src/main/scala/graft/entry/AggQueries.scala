@@ -132,13 +132,15 @@ object AggQueries {
       val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val trail3 = order.rowsBetween(-2, Window.currentRow)
       val all = Window.partitionBy(col("user_id"))
+      val total = sum(col("value").cast("decimal(18,2)")).over(all).cast("double")
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
         sum(col("value").cast("decimal(18,2)")).over(trail3).cast("double").as("trailing3"),
-        // one double division on exact-decimal totals — deterministic;
-        // a decimal division would hit engine-specific scale rules
-        (col("value") /
-          sum(col("value").cast("decimal(18,2)")).over(all).cast("double")).as("share"))
+        // one double division on exact-decimal totals — deterministic; a
+        // decimal division would hit engine-specific scale rules. The
+        // zero-total guard yields NULL, matching DuckDB's double x/0.0
+        // (Spark ANSI would raise instead)
+        when(total =!= 0.0, col("value") / total).as("share"))
     }),
 
     // state-store verbs over the materialized per-user aggregate

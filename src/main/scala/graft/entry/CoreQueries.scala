@@ -246,8 +246,15 @@ object CoreQueries {
     "q_branch_third" ->
       "SELECT event_id, event_type, value FROM events WHERE COALESCE(user_id % 2 = 0, false) AND NOT COALESCE(event_type = 'click', false) AND NOT COALESCE(value > 100.0, false)",
 
+    // mirrors the error-swallowing semantics exactly: rows whose parse
+    // would throw on the Spark side (NULL props → NPE, digit-less props →
+    // .get on None) are dropped, and a NULL event_type is NOT 'error' so
+    // the row flows (plain <> would null out and drop it)
     "q_safe_flatmap" ->
-      "SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k FROM events WHERE event_type <> 'error'",
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |FROM events
+        |WHERE COALESCE(event_type, '') <> 'error'
+        |  AND props IS NOT NULL AND regexp_matches(props, '[0-9]+')""".stripMargin,
 
     "q_dedupe" ->
       """SELECT event_id, user_id, event_type FROM (
@@ -337,8 +344,13 @@ object CoreQueries {
         |       sqrt(l_quantity) AS sq, l_orderkey % 7 AS m
         |FROM lineitem""".stripMargin,
 
+    // json_valid guard: Spark's get_json_object returns NULL on malformed
+    // JSON where DuckDB's json_extract_string raises
     "q_json_fns" ->
-      "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+      """SELECT event_id,
+        |       CASE WHEN props IS NOT NULL AND json_valid(props)
+        |            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |FROM events""".stripMargin,
 
     "q_array_fns" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
@@ -350,7 +362,8 @@ object CoreQueries {
       """SELECT event_id, m['type'][1] AS t,
         |       CAST(cardinality(m) AS BIGINT) AS n_keys,
         |       array_to_string(map_keys(m), ',') AS keys,
-        |       CAST(list_sum(flatten([[event_id],[user_id]])) AS BIGINT) AS flat_sum
+        |       CASE WHEN event_id IS NULL OR user_id IS NULL THEN NULL
+        |            ELSE CAST(list_sum(flatten([[event_id],[user_id]])) AS BIGINT) END AS flat_sum
         |FROM (SELECT event_id, user_id,
         |        map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS m
         |      FROM events) t""".stripMargin,
@@ -365,7 +378,8 @@ object CoreQueries {
         |               / count(*) OVER (PARTITION BY user_id) AS dev
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-        |       wv AS (PARTITION BY user_id ORDER BY value, event_id)""".stripMargin,
+        |-- NULLS FIRST: Spark's ascending default; DuckDB defaults to last
+        |       wv AS (PARTITION BY user_id ORDER BY value NULLS FIRST, event_id)""".stripMargin,
 
     "q_struct_fns" ->
       """SELECT o_orderkey, os.st AS status, os.tp * 2 AS double_price FROM (

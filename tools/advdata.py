@@ -1,21 +1,32 @@
 #!/usr/bin/env python3
-"""Build an ADVERSARIAL documents corpus at <out_dir> (other tables are
-copied from sf0.001): capitalized stopwords/markers, mixed case, docs
-shorter than the shingle width, empty text, repetitive shingles — the
-triggers the driver's synthetic corpus lacks. Running the verify gate
-against it proves the Spark/DuckDB oracle pairs share semantics instead
-of passing by corpus luck (round-2 ADVICE found two such latent splits;
-round 3 found three more this way: lang-id/fingerprint case folding,
-DuckDB array_to_string([])→NULL, empty-signature band collisions).
+"""Build an ADVERSARIAL corpus at <out_dir> (remaining tables are copied
+from sf0.001): the triggers the driver's synthetic corpus lacks.
+
+documents: capitalized stopwords/markers, mixed case, docs shorter than
+the shingle width, empty text, repetitive shingles.
+events: ordering ties on (user, ts), NULL event_type/value/props/user,
+digit-less and malformed-JSON props, exact threshold values (150, 100),
+a user whose values sum to zero, an event type outside the pivot list.
+
+Running the verify gate against this corpus proves the Spark/DuckDB
+oracle pairs share semantics instead of passing by corpus luck. Round-2
+ADVICE found two such latent splits; this corpus found seven more:
+lang-id/fingerprint case folding, DuckDB array_to_string([])→NULL,
+empty-signature band collisions, malformed-JSON extraction, safeFlatMap
+drop-vs-NULL rows, aggregate-vs-list_sum null poisoning, ASC null
+ordering in windows, and Spark-ANSI divide-by-zero vs DuckDB NULL.
 
 Usage: advdata.py [out_dir]   # then: bash tools/verify.sh <out_dir> /tmp/vout_adv
 """
+import datetime as dt
 import shutil
 import sys
 
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
 
-def main(out_dir):
+def write_documents(out_dir):
     con = duckdb.connect()
     rows = [
         (0, "The Cat AND the hat IS on THE mat", "en", "web", 33),
@@ -31,8 +42,50 @@ def main(out_dir):
                 " source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
     con.execute(f"COPY d TO '{out_dir}/documents.parquet' (FORMAT PARQUET)")
+
+def write_events(out_dir):
+    # pyarrow, not DuckDB COPY: the real events.parquet is TIMESTAMP(NANOS)
+    # (which exercises the Tables.events nanosAsLong path) and DuckDB
+    # silently writes micros
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m, 0)
+    rows = [
+        (0, t(1), 1, "click", 10.0, '{"k": 1}'),
+        (1, t(1), 1, "click", 20.0, '{"k": 2}'),        # tie on (user, ts)
+        (2, t(2), 1, None, 30.0, '{"k": 3}'),           # NULL type
+        (3, t(3), 1, "view", None, '{"k": 4}'),         # NULL value
+        (4, t(4), 1, "view", 40.0, None),               # NULL props
+        (5, t(5), 2, "view", 50.0, 'no digits here'),
+        (6, t(6), 2, "click", 60.0, '{broken'),         # malformed JSON
+        (7, t(7), 2, "purchase", 150.0, '{"k": 7}'),    # take_while edge
+        (8, t(8), 2, "purchase", 100.0, '{"k": 8}'),    # branch edge
+        (9, t(9), 3, "click", 5.0, '{"k": 9}'),
+        (10, t(10), 3, "click", -5.0, '{"k": 10}'),     # user 3 sums to 0
+        (11, t(11), 4, "weird", 1.0, '{"k": 11}'),      # outside pivot list
+        (12, t(12), None, "click", 2.0, '{"k": 12}'),   # NULL user
+        (13, t(13), 4, "error", 3.0, '{"k": 13}'),
+        (14, t(14), 4, "error", 4.0, None),
+        (15, t(15), 5, "view", 1.0, '{"k": 15}'),
+        (16, t(16), 5, "view", 2.0, '{"k": 16}'),
+        (17, t(17), 5, "click", 3.0, '{"k": 17}'),
+        (18, t(18), 5, "view", 4.0, '{"k": 18}'),
+    ]
+    cols = list(zip(*rows))
+    tbl = pa.table({
+        "event_id": pa.array(cols[0], pa.int64()),
+        "ts": pa.array(cols[1], pa.timestamp("ns")),
+        "user_id": pa.array(cols[2], pa.int64()),
+        "event_type": pa.array(cols[3], pa.string()),
+        "value": pa.array(cols[4], pa.float64()),
+        "props": pa.array(cols[5], pa.string()),
+    })
+    pq.write_table(tbl, f"{out_dir}/events.parquet", version="2.6")
+
+def main(out_dir):
+    write_documents(out_dir)
+    write_events(out_dir)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "embeddings"]:
+              "lineitem", "embeddings"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial corpus at {out_dir}")
 
