@@ -150,7 +150,9 @@ object CoreQueries {
       abs(col("l_quantity") - 25.0).as("a"),
       floor(col("l_extendedprice") / 1000.0).as("f"),
       ceil(col("l_discount") * 100.0).as("c"),
-      sqrt(col("l_quantity")).as("sq"),
+      // negative guard → NULL on both engines (Spark sqrt(neg) is NaN,
+      // DuckDB raises Out of Range — NULL is the shared semantics)
+      when(col("l_quantity") >= 0, sqrt(col("l_quantity"))).as("sq"),
       (col("l_orderkey") % 7).as("m"))),
 
     "q_json_fns" -> ((s, d) => Tables.events(s, d).select(
@@ -341,7 +343,8 @@ object CoreQueries {
       """SELECT l_orderkey, l_linenumber, abs(l_quantity - 25.0) AS a,
         |       CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS f,
         |       CAST(ceil(l_discount * 100.0) AS BIGINT) AS c,
-        |       sqrt(l_quantity) AS sq, l_orderkey % 7 AS m
+        |       CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END AS sq,
+        |       l_orderkey % 7 AS m
         |FROM lineitem""".stripMargin,
 
     // json_valid guard: Spark's get_json_object returns NULL on malformed
