@@ -154,6 +154,36 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("u1", ts(12)), ("u1", ts(13))))
   }
 
+  test("stream-stream LEFT OUTER join emits null-padded rows after the watermark") {
+    // THE roadmap item the reference TODO-lists by name (api.clj:53-55
+    // "leftJoin"): unmatched left rows must emit with nulls — but only
+    // once the watermark proves no matching right row can still arrive
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val views = MemoryStream[(Timestamp, String)]
+    clicks.addData((ts(10), "u1"), (ts(11), "u2"))
+    views.addData((ts(12), "u1"))
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("cts", "k"), "cts", "1 minute",
+      views.toDF().toDF("vts", "k"), "vts", "1 minute",
+      keys = Seq("k"), band = "5 minutes", joinType = "left_outer")
+    val q = joined.select(col("k"), col("vts"))
+      .writeStream.format("memory").queryName("ssj_lo").outputMode("append").start()
+    q.processAllAvailable()
+    // matched u1 emits immediately; u2 is still pending (a view could
+    // arrive until the watermark passes its band)
+    val early = spark.table("ssj_lo").as[(String, Option[Timestamp])].collect().toSet
+    assert(early == Set(("u1", Some(ts(12)))))
+    // push both watermarks far past u2's band, then one more batch to emit
+    clicks.addData((ts(59), "u9")); views.addData((ts(59), "u9"))
+    q.processAllAvailable()
+    clicks.addData((ts(59), "u9")); views.addData((ts(59), "u9"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_lo").as[(String, Option[Timestamp])].collect().toSet
+    assert(out.contains(("u2", None)), s"unmatched left row must null-pad: $out")
+  }
+
   test("branchForeachBatch routes each micro-batch row to its first-match handler") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
