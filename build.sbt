@@ -15,6 +15,10 @@ run / fork := true
 // forked run output goes RAW to stdout (no "[info] " logger prefix) so the
 // driver can parse Bench's single JSON line directly
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and no "[success] Total time" banner AFTER it: Bench's JSON must be
+// the LAST stdout line for last-line parsers (r2's bench log shows the
+// banner trailing the JSON and the driver recording parsed=null)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
