@@ -43,10 +43,12 @@ case class HllSketchAgg(
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
+  @transient private lazy val md = graft.functions.Md5Base.newDigest()
+
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v == null) return buf
-    val h = HllSketchAgg.hash64(v.toString)
+    val h = graft.functions.Md5Base.be64(md, v.toString.getBytes("UTF-8"))
     val idx = (h >>> (64 - p)).toInt
     // rank: leading zeros of the remaining (64-p) bits, capped, + 1
     val rest = h << p
@@ -101,17 +103,6 @@ case class HllSketchAgg(
 }
 
 object HllSketchAgg {
-
-  /** md5-derived 64-bit hash of the UTF-8 bytes (first 8 digest bytes,
-    * big-endian) — deterministic, engine-independent. */
-  private[agg] def hash64(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes("UTF-8"))
-    var be = 0L
-    var j = 0
-    while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
-    be
-  }
 
   /** Column API: `df.groupBy(k).agg(HllSketchAgg.agg(col("x")))`. */
   def agg(c: Column, p: Int = 11): Column =

@@ -48,7 +48,7 @@ case class MinHashSignature(child: Expression, k: Int)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Base.newDigest()
     val mins = Array.fill(k)(Long.MaxValue)
     var seen = 0
     var i = 0
@@ -56,13 +56,8 @@ case class MinHashSignature(child: Expression, k: Int)
       val e = arr.getUTF8String(i)
       if (e != null) {
         seen += 1
-        md.reset()
-        val d = md.digest(e.getBytes)
         // top 60 bits of the digest, as a non-negative long, mod P
-        var be = 0L
-        var j = 0
-        while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
-        val h = (be >>> 4) % P
+        val h = (Md5Base.be64(md, e.getBytes) >>> 4) % P
         var c = 0
         while (c < k) {
           val v = (h * coeffs(c)._1 + coeffs(c)._2) % P

@@ -38,18 +38,13 @@ case class RollingHash(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Base.newDigest()
     var h = 0L
     var i = 0
     while (i < n) {
       val e = arr.getUTF8String(i)
       if (e == null) return null
-      md.reset()
-      val d = md.digest(e.getBytes)
-      var be = 0L
-      var j = 0
-      while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
-      h = (h * 31 + (be >>> 4) % P) % P
+      h = (h * 31 + (Md5Base.be64(md, e.getBytes) >>> 4) % P) % P
       i += 1
     }
     h

@@ -37,17 +37,12 @@ case class SimHash32(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val counts = new Array[Int](32)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = Md5Base.newDigest()
     var i = 0
     while (i < n) {
       val e = arr.getUTF8String(i)
       if (e != null) {
-        md.reset()
-        val d = md.digest(e.getBytes)
-        var be = 0L
-        var j = 0
-        while (j < 8) { be = (be << 8) | (d(j) & 0xFFL); j += 1 }
-        val h = be >>> 4 // top 60 bits — same base hash as md5Long
+        val h = Md5Base.be64(md, e.getBytes) >>> 4 // top 60 bits — same base hash as md5Long
         var b = 0
         while (b < 32) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1

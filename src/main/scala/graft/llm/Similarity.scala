@@ -112,9 +112,10 @@ object Similarity {
   }
 
   /** IVF-style ANN: partition the corpus into Voronoi cells around a
-    * fixed centroid set (here: deterministic — the vectors with the C
-    * lowest ids; production would run k-means, the plan shape is
-    * identical), assign each vector to its nearest centroid ONCE, then
+    * fixed centroid set (here: deterministic — the vectors with ids below
+    * `nCentroids`, mirroring the SQL oracle; production seeds via
+    * [[kmeans]], the plan shape is identical), assign each vector to its
+    * nearest centroid ONCE, then
     * answer queries by scanning only the query's cell. The assignment is
     * a broadcast cross-join + per-vector top-1 — one corpus scan; probes
     * touch corpus/C of the data. Ties on cosine break to the lowest
@@ -180,7 +181,9 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(id.as("vec_id"), vec.as("v"))
-    var cents: Seq[(Long, Array[Float], Long)] = v.filter(col("vec_id") < k)
+    // the k LOWEST ids — not `id < k`, which silently under-seeds (or
+    // seeds nothing) when the id space is sparse or not zero-based
+    var cents: Seq[(Long, Array[Float], Long)] = v.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), col("v")).as[(Long, Array[Float])]
       .collect().map { case (cid, cv) => (cid, cv, 0L) }.toSeq
     var i = 0

@@ -197,12 +197,21 @@ object Streaming {
           state.remove()
           Iterator.single((key, n)) // the "punctuate" callback firing
         } else {
-          val vs = values.toSeq
-          val (n0, last0) = state.getOption.getOrElse((0L, 0L))
-          val last = math.max(last0, vs.map(_._2.getTime).max)
-          state.update((n0 + vs.size, last))
+          // fold events in time order, CLOSING the open session whenever
+          // the next event is more than `gapMs` after the last — without
+          // this, two sessions of one key arriving before the watermark
+          // passes the first's timer would merge into one
+          val ts = values.map(_._2.getTime).toSeq.sorted
+          var (n, last) = state.getOption.getOrElse((0L, Long.MinValue))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+          ts.foreach { t =>
+            if (n > 0 && t - last > gapMs) { closed += ((key, n)); n = 0 }
+            n += 1
+            last = math.max(last, t)
+          }
+          state.update((n, last))
           state.setTimeoutTimestamp(last + gapMs)
-          Iterator.empty
+          closed.iterator
         }
     }
   }
@@ -223,11 +232,16 @@ object Streaming {
     val q = df.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        try {
-          handler(batch)
-          if (!batch.filter(pred).isEmpty) matched.set(true)
-        } finally batch.unpersist()
+        // batches already queued when the halting batch finishes may still
+        // fire before the monitor's stop lands — skip them, the halt
+        // contract ends processing WITH the matching batch
+        if (!matched.get()) {
+          batch.persist()
+          try {
+            handler(batch)
+            if (!batch.filter(pred).isEmpty) matched.set(true)
+          } finally batch.unpersist()
+        }
         ()
       }
       .start()

@@ -88,10 +88,15 @@ class StreamingSpec extends SparkSpec {
     val sessions = Streaming.perKeySessionCount(grouped, gapMs = 10 * 60 * 1000)
     val q = sessions.toDF("k", "n")
       .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
-    // k1's session: events at 00:01 and 00:02 → timer armed at 00:12
-    ms.addData(("k1", ts(1)), ("k1", ts(2)))
+    // k1's session: events at 00:01 and 00:02 → timer armed at 00:12.
+    // k3 carries TWO sessions in one batch (00:03, then 00:30 — more
+    // than the gap later): the first must close immediately with count 1
+    ms.addData(("k1", ts(1)), ("k1", ts(2)), ("k3", ts(3)), ("k3", ts(30)))
     q.processAllAvailable()
-    assert(spark.table("sess_out").isEmpty) // watermark hasn't passed the timer
+    // k3's first session splits in-batch (gap exceeded); the 00:30 event
+    // also pushes the watermark past k1's 00:12 timer, so k1 fires too
+    assert(spark.table("sess_out").as[(String, Long)].collect().toSet
+      == Set(("k3", 1L), ("k1", 2L)))
     // a late-keyed record at 00:59 pushes the watermark to 00:58 → k1's
     // timer fires on the following batch
     ms.addData(("k2", ts(59)))
@@ -100,7 +105,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val out = spark.table("sess_out").as[(String, Long)].collect().toSet
-    assert(out == Set(("k1", 2L)), s"expected k1 session of 2, got $out")
+    assert(out == Set(("k1", 2L), ("k3", 1L), ("k3", 1L)).map(identity)
+      || out == Set(("k1", 2L), ("k3", 1L)), // sets collapse the two (k3,1)
+      s"expected k1=2 and both k3 sessions of 1, got $out")
+    val k3Sessions = spark.table("sess_out").as[(String, Long)].collect()
+      .count(_._1 == "k3")
+    assert(k3Sessions == 2, s"k3 must emit two sessions, got $k3Sessions")
   }
 
   test("haltWhen stops the query once a matching record arrives") {
