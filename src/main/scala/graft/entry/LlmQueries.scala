@@ -385,7 +385,8 @@ object LlmQueries {
         |       (CAST(sum(CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
         |          / 1048576.0) / count(*) AS centroid,
         |       count(*) AS n
-        |FROM embeddings CROSS JOIN (SELECT unnest(range(0, 64)) AS i) AS i
+        |FROM embeddings
+        |CROSS JOIN LATERAL unnest(range(0, len(embedding))) AS i(i)
         |GROUP BY 1, 2""".stripMargin,
 
     "q_knn_join" ->

@@ -81,11 +81,30 @@ def write_events(out_dir):
     })
     pq.write_table(tbl, f"{out_dir}/events.parquet", version="2.6")
 
+def write_embeddings(out_dir):
+    # dim 8 (NOT the production 64): stresses every dim-adaptive path —
+    # LSH plane slicing, centroid explode, cosine loops. id 5 is the zero
+    # vector (zero-norm cosine guard). ids 0..19 cover the fixed probe ids
+    # (query 0, knn queries <3, ivf centroids <16).
+    vecs = []
+    for i in range(20):
+        if i == 5:
+            v = [0.0] * 8
+        else:
+            v = [((i * 31 + j * 17) % 13 - 6) / 7.0 for j in range(8)]
+        vecs.append(v)
+    tbl = pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet", version="2.6")
+
 def main(out_dir):
     write_documents(out_dir)
     write_events(out_dir)
+    write_embeddings(out_dir)
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "embeddings"]:
+              "lineitem"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial corpus at {out_dir}")
 
