@@ -92,8 +92,11 @@ object AggQueries {
           sum(x * x).cast("double").as("s2"))
         .select(col("l_returnflag"), col("n"),
           (col("s1") / col("n")).as("mean"),
-          ((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("variance"),
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / col("n")).as("stddev"))
+          // clamp at 0: the power-sum form can go fractionally negative
+          // for (near-)constant groups via double rounding of s1²/n —
+          // DuckDB's sqrt would then raise where Spark returns NaN
+          greatest((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), lit(0.0)).as("variance"),
+          sqrt(greatest((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), lit(0.0))).as("stddev"))
     }),
 
     "q_percentile" -> ((s, d) => Tables.lineitem(s, d)
@@ -261,8 +264,8 @@ object AggQueries {
         |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, s1 / n AS mean,
-        |       (s2 - s1 * s1 / n) / n AS variance,
-        |       sqrt((s2 - s1 * s1 / n) / n) AS stddev
+        |       greatest((s2 - s1 * s1 / n) / n, 0.0) AS variance,
+        |       sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)) AS stddev
         |FROM s""".stripMargin,
 
     "q_percentile" ->

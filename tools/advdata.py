@@ -99,12 +99,35 @@ def write_embeddings(out_dir):
     })
     pq.write_table(tbl, f"{out_dir}/embeddings.parquet", version="2.6")
 
+def write_lineitem(out_dir):
+    # constant-quantity group (variance→tiny-negative hazard), negative
+    # quantity (sqrt guard), NULL quantity/flag, zero-price rows
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE l (l_orderkey BIGINT, l_partkey BIGINT,
+        l_suppkey BIGINT, l_linenumber INTEGER, l_quantity DOUBLE,
+        l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE,
+        l_returnflag VARCHAR, l_linestatus VARCHAR, l_shipdate TIMESTAMP)""")
+    rows = [
+        # group 'C': constant quantity → variance must clamp at 0
+        (1, 1, 1, 1, 7.0, 100.0, 0.05, 0.01, "C", "O", "1995-01-01"),
+        (1, 2, 1, 2, 7.0, 200.0, 0.00, 0.02, "C", "O", "1995-02-01"),
+        (2, 3, 2, 1, 7.0, 300.0, 0.10, 0.00, "C", "F", "1995-03-01"),
+        # group 'N': negative + NULL quantity, zero price
+        (3, 4, 2, 1, -4.0, 0.0, 0.00, 0.00, "N", "O", "1996-01-01"),
+        (3, 5, 3, 2, None, 50.0, 0.02, 0.01, "N", "O", "1996-02-01"),
+        (4, 6, 3, 1, 46.0, 75.0, 0.07, 0.03, "N", "F", "1994-12-31"),
+        # NULL returnflag group
+        (5, 7, 4, 1, 10.0, 10.0, 0.01, 0.00, None, "O", "1997-06-15"),
+    ]
+    con.executemany("INSERT INTO l VALUES (?,?,?,?,?,?,?,?,?,?,?)", rows)
+    con.execute(f"COPY l TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)")
+
 def main(out_dir):
     write_documents(out_dir)
     write_events(out_dir)
     write_embeddings(out_dir)
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem"]:
+    write_lineitem(out_dir)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial corpus at {out_dir}")
 
