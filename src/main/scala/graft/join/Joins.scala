@@ -96,7 +96,14 @@ object Joins {
            keys: Seq[String], payload: Seq[String], rightTieBreak: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val payloadStruct = struct(payload.map(col): _*)
-    val rSel = right.select(
+    // Right rows that can never match under JOIN semantics must be
+    // dropped BEFORE the union — the window composition would otherwise
+    // "match" them: a NULL timestamp sorts FIRST (ascending nulls-first)
+    // and its payload would leak into left rows with no genuine prior
+    // match, and Window.partitionBy groups NULL keys together where SQL
+    // equality never matches NULL to NULL.
+    val rightMatchable = keys.map(col(_).isNotNull).foldLeft(rightTs.isNotNull)(_ && _)
+    val rSel = right.filter(rightMatchable).select(
       keys.map(col) :+ rightTs.as("__t") :+ lit(0).as("__side") :+
         payloadStruct.as("__p") :+ rightTieBreak.as("__tb"): _*)
     val payloadType = rSel.schema("__p").dataType

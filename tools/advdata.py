@@ -122,12 +122,31 @@ def write_lineitem(out_dir):
     con.executemany("INSERT INTO l VALUES (?,?,?,?,?,?,?,?,?,?,?)", rows)
     con.execute(f"COPY l TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)")
 
+def write_orders(out_dir):
+    # NULL order date with the HIGHEST orderkey on a joined key (the as-of
+    # join must never pick it), NULL custkey, NULL totalprice
+    con = duckdb.connect()
+    con.execute("""CREATE TABLE o (o_orderkey BIGINT, o_custkey BIGINT,
+        o_orderstatus VARCHAR, o_totalprice DOUBLE, o_orderdate TIMESTAMP,
+        o_orderpriority VARCHAR)""")
+    rows = [
+        (1, 1, "O", 100.0, "1995-06-01", "1-URGENT"),
+        (2, 1, "F", 200.0, "1996-06-01", "2-HIGH"),
+        (99, 1, "O", 999.0, None, "3-MEDIUM"),         # NULL date, top key
+        (3, 2, "O", None, "1997-01-01", "4-NOT SPECIFIED"),
+        (4, None, "F", 50.0, "1998-01-01", "5-LOW"),   # NULL custkey
+        (5, 3, "P", 75.0, "1994-01-01", "1-URGENT"),
+    ]
+    con.executemany("INSERT INTO o VALUES (?,?,?,?,?,?)", rows)
+    con.execute(f"COPY o TO '{out_dir}/orders.parquet' (FORMAT PARQUET)")
+
 def main(out_dir):
     write_documents(out_dir)
     write_events(out_dir)
     write_embeddings(out_dir)
     write_lineitem(out_dir)
-    for t in ["region", "nation", "customer", "supplier", "part", "orders"]:
+    write_orders(out_dir)
+    for t in ["region", "nation", "customer", "supplier", "part"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial corpus at {out_dir}")
 
