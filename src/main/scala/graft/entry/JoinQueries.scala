@@ -57,6 +57,21 @@ object JoinQueries {
 
     "q_asof_join" -> ((s, d) => asofFixed(s, d)),
 
+    // skew join: user_id deliberately collapsed to 5 hot keys (each key
+    // holds ~20% of the fact table — the shape AQE's skew split cannot
+    // always save, e.g. under a non-shuffle parent). saltedJoin spreads
+    // each hot key over `salt` reducers via (key, salt) composite keys;
+    // salting is semantics-free so the oracle is the PLAIN join.
+    "q_skew_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), pmod(col("user_id"), lit(5)).cast("long").as("hk"))
+      val dim = Tables.nation(s, d)
+        .groupBy(pmod(col("n_nationkey"), lit(5)).cast("long").as("hk"))
+        .agg(count(lit(1)).as("n_dim"))
+      Joins.saltedJoin(ev, dim, Seq("hk"), salt = 8)
+        .select(col("event_id"), col("hk"), col("n_dim"))
+    }),
+
     // range join: click→purchase attribution — for every purchase, the
     // clicks by the same user in the preceding hour (equi on user, range
     // on ts). One key shuffle; the range is a post-join filter.
@@ -113,6 +128,12 @@ object JoinQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT e.event_id, e.hk, n.n_dim
+        |FROM (SELECT event_id, user_id % 5 AS hk FROM events) e
+        |JOIN (SELECT n_nationkey % 5 AS hk, count(*) AS n_dim
+        |      FROM nation GROUP BY 1) n USING (hk)""".stripMargin,
 
     "q_range_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, count(c.event_id) AS n_clicks

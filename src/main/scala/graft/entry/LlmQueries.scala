@@ -29,6 +29,13 @@ object LlmQueries {
   private val DedupBands = 4; private val DedupRows = 4
   private val PairBands = 8; private val PairRows = 2
   private val NPlanes = 6
+  // SimHash banding (Manku-style): 60-bit hash, 4 bands of 15 bits —
+  // recall GUARANTEED for hamming ≤ maxDist because maxDist < bands.
+  private val SimHashWidth = 60; private val SimHashBands = 4
+  private val SimHashMaxDist = 3
+  // kmeans-trained IVF: k centroids, fixed iteration count (deterministic
+  // by construction — the oracle unrolls the same iterations).
+  private val IvfK = 4; private val IvfIters = 2
 
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.asMediaTable(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -60,10 +67,15 @@ object LlmQueries {
         threshold = 0.4, ShingleW, PairBands, PairRows)),
 
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"), maxDist = 8)),
+      Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        maxDist = SimHashMaxDist, width = SimHashWidth, bands = SimHashBands)),
 
-    "q_embed_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(
-      Tables.embeddings(s, d), col("vec_id"), col("embedding"), threshold = 0.2)),
+    // the scale path: pairs form only WITHIN hyperplane-LSH buckets (an
+    // equi-join on bucket) — the brute-force all-pairs form stays in the
+    // library (Dedup.embeddingNearDupPairs) as the small-corpus baseline
+    "q_embed_neardup" -> ((s, d) => Similarity.lshBucketedPairs(
+      Tables.embeddings(s, d), col("vec_id"), col("embedding"),
+      nPlanes = NPlanes, threshold = 0.2)),
 
     "q_minhash_by_source" -> ((s, d) => {
       val sig = GraftFunctions.minhashSignature(
@@ -106,6 +118,16 @@ object LlmQueries {
     "q_ann_ivf" -> ((s, d) => {
       val assigned = Similarity.ivfAssign(
         Tables.embeddings(s, d), col("vec_id"), col("embedding"), nCentroids = 16)
+      Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
+    }),
+
+    // IVF with TRAINED centroids: deterministic distributed k-means
+    // (lowest-k seeds, fixed-point recentering) feeds the assignment —
+    // the full production path train→index→probe, all reproducible.
+    "q_ann_ivf_trained" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.kmeans(e, col("vec_id"), col("embedding"), IvfK, IvfIters)
+      val assigned = Similarity.ivfAssignWith(e, col("vec_id"), col("embedding"), cents)
       Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
     }),
 
@@ -187,9 +209,14 @@ object LlmQueries {
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, d) => Multimodal.metaScan(media(s, d))),
 
+    // frame fingerprint = md5 over the LOWERCASE HEX of the frame BYTES:
+    // byte semantics on both engines (DuckDB cannot md5 a BLOB, but both
+    // engines hex-render bytes identically) — a char-based oracle would
+    // silently diverge on any non-ASCII document (ADVICE r3)
     "q_media_frames" -> ((s, d) =>
       Multimodal.sampleFrames(media(s, d), frameBytes = 32, stride = 2)
-        .select(col("media_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"))),
+        .select(col("media_id"), col("frame_idx"),
+          md5(lower(hex(col("frame")))).as("frame_md5"))),
 
     "q_media_features" -> ((s, d) =>
       Multimodal.extractFeatures(s, media(s, d), dim = 16)
@@ -203,7 +230,7 @@ object LlmQueries {
         .select(col("media_id"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.n_bytes").as("n_bytes"),
-          md5(col("payload")).as("payload_md5")))
+          md5(lower(hex(col("payload")))).as("payload_md5")))
   )
 
   // ======================================================================
@@ -279,6 +306,42 @@ object LlmQueries {
   private val sqlAlnumToks =
     "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)"
 
+  /** CTE chain c0..c{iters} reproducing [[Similarity.kmeans]] exactly:
+    * c0 = the k lowest-id vectors; each iteration assigns every vector to
+    * its argmax-cosine centroid (ties to the lowest cid, the max_by twin)
+    * and recenters with the SAME fixed-point quantization as
+    * quantizedCentroids (floor(x*2^20) integer sums — order-independent,
+    * so both engines compute identical doubles), cast to FLOAT like the
+    * Scala loop. A cluster that empties keeps its previous centroid
+    * (COALESCE), mirroring the retention rule in kmeans. */
+  private def sqlKmeansCte(k: Int, iters: Int): String = {
+    val init =
+      s"""c0 AS (
+         |  SELECT vec_id AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k) t)""".stripMargin
+    val steps = (1 to iters).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c${it - 1} c) t WHERE rn = 1),
+         |c${it}new AS (
+         |  SELECT cid, list_transform(list(centroid ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv
+         |  FROM (
+         |    SELECT cid, i.i AS pos,
+         |           (CAST(sum(CAST(floor(CAST(v[i.i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
+         |              / 1048576.0) / count(*) AS centroid
+         |    FROM a$it CROSS JOIN LATERAL unnest(range(0, len(v))) AS i(i)
+         |    GROUP BY cid, i.i) t
+         |  GROUP BY cid),
+         |c$it AS (
+         |  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+         |  FROM c${it - 1} p LEFT JOIN c${it}new n ON p.cid = n.cid)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
@@ -332,25 +395,31 @@ object LlmQueries {
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
 
-    "q_simhash_pairs" ->
+    "q_simhash_pairs" -> {
+      val w = SimHashWidth / SimHashBands
+      val mask = (1L << w) - 1L
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |h AS (
          |  SELECT doc_id,
-         |         COALESCE(list_sum(list_transform(range(0, 32), b ->
+         |         COALESCE(list_sum(list_transform(range(0, $SimHashWidth), b ->
          |           CASE WHEN COALESCE(list_sum(list_transform(tk, t ->
          |                  CASE WHEN (${sqlMd5Long("t")} >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
          |                THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS sh
          |  FROM toks),
          |probes AS (
-         |  SELECT doc_id, sh, unnest([sh >> 16, sh & 65535]) AS bucket FROM h)
+         |  SELECT doc_id, sh, bidx, (sh >> CAST(bidx * $w AS INT)) & $mask AS band_bits
+         |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimHashBands)) AS bidx) AS bs)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS dist
-         |FROM probes a JOIN probes b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 8""".stripMargin,
+         |FROM probes a JOIN probes b
+         |  ON a.bidx = b.bidx AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= $SimHashMaxDist""".stripMargin
+    },
 
     "q_embed_neardup" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a.embedding", "b.embedding")} AS cos
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      s"""WITH idx AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a.embedding", "b.embedding")} AS cos
+         |FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
 
     "q_ann_bruteforce" ->
@@ -374,6 +443,20 @@ object LlmQueries {
          |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
          |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
          |  WHERE rn = 1),
+         |q AS (SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
+         |SELECT a.vec_id, ${sqlCos("a.v", "q.qv")} AS cos
+         |FROM assigned a JOIN q ON a.cid = q.qcid
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf_trained" ->
+      s"""WITH ${sqlKmeansCte(IvfK, IvfIters)},
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c$IvfIters c) t WHERE rn = 1),
          |q AS (SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
          |SELECT a.vec_id, ${sqlCos("a.v", "q.qv")} AS cos
          |FROM assigned a JOIN q ON a.cid = q.qcid
@@ -495,27 +578,33 @@ object LlmQueries {
          |       CASE WHEN ${sqlMd5Long("text")} % 20 = 0 THEN 'val' ELSE 'train' END AS split
          |FROM documents""".stripMargin,
 
+    // media oracles are BYTE-based (encode/octet_length + hex slicing):
+    // the Spark side crops the UTF-8 payload by bytes, so a char-based
+    // oracle (substring/length on text) diverges on any non-ASCII doc —
+    // the adversarial corpus carries one to pin this (ADVICE r3). Byte
+    // slices are compared via md5(lower(hex(bytes))) because DuckDB's md5
+    // only accepts VARCHAR; both engines hex-render bytes identically.
     "q_media_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |       'application/octet-stream' AS mime,
         |       CAST(CAST('0x'||substring(md5(text),1,8) AS BIGINT) % 1920 + 1 AS INT) AS width,
         |       CAST(CAST('0x'||substring(md5(text),9,8) AS BIGINT) % 1080 + 1 AS INT) AS height,
-        |       CAST(length(text) AS BIGINT) AS n_bytes
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
     "q_media_frames" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INT) AS frame_idx,
-        |       md5(substring(text, CAST(i AS INT) * 32 + 1, 32)) AS frame_md5
+        |       md5(lower(substring(hex(encode(text)), CAST(i AS INT) * 64 + 1, 64))) AS frame_md5
         |FROM documents
-        |CROSS JOIN LATERAL unnest(list_filter(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT)),
+        |CROSS JOIN LATERAL unnest(list_filter(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)),
         |  i -> i % 2 = 0)) AS u(i)
-        |WHERE length(text) > 0""".stripMargin,
+        |WHERE octet_length(encode(text)) > 0""".stripMargin,
 
     "q_media_resize" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
-        |       CAST(least(length(text), 128) AS BIGINT) AS n_bytes,
-        |       md5(substring(text, 1, 128)) AS payload_md5
+        |       CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS n_bytes,
+        |       md5(lower(substring(hex(encode(text)), 1, 256))) AS payload_md5
         |FROM documents""".stripMargin,
 
     "q_media_features" ->

@@ -72,6 +72,10 @@ object GraftFunctions {
     * Native single-pass expression — see [[SimHash32]]. */
   def simhash32(text: Column): Column = SimHash32(tokens(text))
 
+  /** Width-bit SimHash (width ≤ 60) over the tokens of `text` — see
+    * [[SimHashN]]. */
+  def simhashN(text: Column, width: Int): Column = SimHashN(tokens(text), width)
+
   /** Hamming distance between two BIGINT bit-sets (for SimHash near-dup). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")

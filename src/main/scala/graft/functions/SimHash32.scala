@@ -66,3 +66,61 @@ case class SimHash32(child: Expression)
 object SimHash32 {
   def apply(toks: Column): Column = bridge.toColumn(SimHash32(bridge.toExpression(toks)))
 }
+
+/** Width-parameterized SimHash (width ≤ 60) — the generalization of
+  * [[SimHash32]] banded dedup needs at scale: a wider fingerprint is what
+  * lets band width (= buckets per band, 2^(width/bands)) and band count
+  * (= the hamming-distance recall guarantee, maxDist < bands) be chosen
+  * independently. Bits come from the same md5-derived 60-bit token hash
+  * as [[GraftFunctions.md5Long]], so the SQL oracle derives identical
+  * values with `(md5long(t) >> b) & 1`.
+  */
+case class SimHashN(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width > 0 && width <= 60, s"simhash width must be in (0, 60], got $width")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash expects array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](width)
+    val md = Md5Base.newDigest()
+    var i = 0
+    while (i < n) {
+      val e = arr.getUTF8String(i)
+      if (e != null) {
+        val h = Md5Base.be64(md, e.getBytes) >>> 4 // top 60 bits — same base hash as md5Long
+        var b = 0
+        while (b < width) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < width) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = s"simhash$width"
+}
+
+object SimHashN {
+  def apply(toks: Column, width: Int): Column =
+    bridge.toColumn(SimHashN(bridge.toExpression(toks), width))
+}

@@ -29,7 +29,15 @@ object Dedup {
   }
 
   /** Unpersist every band table cached by dedup calls since the last
-    * release. Call after the action consuming the returned DataFrame. */
+    * release. Call after the action consuming the returned DataFrame.
+    *
+    * SINGLE-CONSUMER contract: the handle queue is process-global, so
+    * `releaseCaches()` drops band tables backing EVERY dedup DataFrame
+    * built since the last release — safe under the strictly sequential
+    * build→action→release usage of Verify/Bench, NOT safe with
+    * concurrent or lazily-held dedup frames. A multi-tenant service
+    * would scope handles per returned frame (return a Closeable pair)
+    * instead of using this queue. */
   def releaseCaches(): Unit = {
     var df = persistedHandles.poll()
     while (df != null) { df.unpersist(blocking = false); df = persistedHandles.poll() }
@@ -116,18 +124,42 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 32-bit simhash, candidates = equal hash
-    * (hamming 0) via hash-bucket join, or hamming ≤ maxDist within
-    * 16-bit-prefix buckets (two-probe). Emits (doc_a, doc_b, dist). */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
-    val h = df.select(id.as("doc_id"), simhash32(text).as("sh"))
-    // bucket by upper/lower 16 bits: any pair with hamming<=maxDist (small)
-    // agrees on at least one half when maxDist < 16 buckets miss some; for
-    // the verified contract we probe both halves.
-    val probes = h.select(col("doc_id"), col("sh"),
-      explode(array(shiftrightunsigned(col("sh"), 16), col("sh").bitwiseAND(lit(0xFFFFL)))).as("bucket"))
+  /** SimHash near-dup pairs, Manku-style banding (WWW'07 "Detecting
+    * near-duplicates for web crawling"): a `width`-bit simhash split into
+    * `bands` disjoint sub-bands of width/bands bits; candidates are pairs
+    * agreeing on ≥1 full band, joined on the equi-key
+    * (band_idx, band_bits). Emits (doc_a, doc_b, dist).
+    *
+    * Recall contract (pigeonhole): hamming(a,b) ≤ maxDist flips at most
+    * maxDist bits across `bands` disjoint bands, so whenever
+    * maxDist < bands at least one band is untouched and the pair IS a
+    * candidate — recall 1. With maxDist ≥ bands recall is partial
+    * (a pair can differ in every band); callers wanting the guarantee
+    * raise `bands` (and `width`, to keep bands wide).
+    *
+    * Scale posture: bucket space per band is 2^(width/bands) — width is
+    * the lever that keeps in-bucket membership (and so the quadratic
+    * in-bucket pair work) bounded as the corpus grows. The defaults
+    * (60-bit hash, 4 bands of 15 bits, 2^15 buckets/band) guarantee
+    * recall for maxDist ≤ 3; a larger corpus moves to a wider base hash
+    * with the same structure, never to more probes of a fixed space. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxDist: Int,
+                   width: Int = 60, bands: Int = 4): DataFrame = {
+    require(width % bands == 0, s"bands ($bands) must divide width ($width)")
+    val w = width / bands
+    val mask = (1L << w) - 1L
+    val h = df.select(id.as("doc_id"), simhashN(text, width).as("sh"))
+    // band structs are derived from the materialized `sh` attribute at
+    // plan-authoring time (bands is static) — one hash per doc, not per band
+    val bandArr = array((0 until bands).map(i =>
+      struct(lit(i).as("band_idx"),
+        shiftrightunsigned(col("sh"), i * w).bitwiseAND(lit(mask)).as("band_bits"))): _*)
+    val probes = h.select(col("doc_id"), col("sh"), explode(bandArr).as("p"))
+      .select(col("doc_id"), col("sh"),
+        col("p.band_idx").as("band_idx"), col("p.band_bits").as("band_bits"))
     probes.as("a").join(probes.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_bits") === col("b.band_bits") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming(col("a.sh"), col("b.sh")).as("dist")).distinct()
       .filter(col("dist") <= maxDist)

@@ -104,7 +104,9 @@ object Multimodal {
               if (payload == null) null
               else if (payload.length <= budget) payload
               else java.util.Arrays.copyOfRange(payload, 0, budget)
-            val n = if (resized == null) 0L else resized.length.toLong
+            // null payload → null n_bytes: the mediaSchema convention
+            // (asMediaTable's octet_length(NULL) is NULL, not 0)
+            val n: Any = if (resized == null) null else resized.length.toLong
             Row(id, resized, Row(r.getString(2), outW, outH, n))
           }
         }

@@ -124,6 +124,15 @@ object Similarity {
     val v = df.select(id.as("vec_id"), vec.as("v"))
     val cents = v.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    ivfAssignWith(df, id, vec, cents)
+  }
+
+  /** IVF assignment against an explicit centroid table (cid, cv) — e.g.
+    * the output of [[kmeans]]. Broadcast cross-join + per-vector argmax:
+    * one corpus scan, no corpus shuffle beyond the argmax hash-agg. */
+  def ivfAssignWith(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame = {
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    val cents = centroids.select(col("cid"), col("cv"))
     val scored = v.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
         graft.functions.CosineSimilarity(col("v"), col("cv")).as("ccos"))
@@ -195,13 +204,19 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max_by(struct(col("v"), col("cid")), struct(col("ccos"), -col("cid"))).as("__b"))
         .select(col("__b.v").as("v"), col("__b.cid").as("cid"))
-      cents = quantizedCentroids(assigned, col("cid"), col("v"))
+      val updated = quantizedCentroids(assigned, col("cid"), col("v"))
         .groupBy(col("g"))
         .agg(sort_array(collect_list(struct(col("pos"), col("centroid")))).as("pc"),
           max(col("n")).as("n"))
         .select(col("g"), transform(col("pc"), x => x.getField("centroid").cast("float")).as("cv"),
           col("n"))
-        .as[(Long, Array[Float], Long)].collect().sortBy(_._1).toSeq
+        .as[(Long, Array[Float], Long)].collect().map(c => c._1 -> c).toMap
+      // a cluster that emptied this iteration produces no row — RETAIN its
+      // previous centroid (n = 0) so the result always has exactly k cells
+      // (ivfAssignWith's contract) and the iteration stays deterministic
+      cents = cents.map { case (cid, cv, _) =>
+        updated.getOrElse(cid, (cid, cv, 0L))
+      }
       i += 1
     }
     cents.toDF("cid", "cv", "n")

@@ -72,23 +72,12 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "es" -> Seq("el", "la", "que", "los", "es"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val n = greatest(size(toks).cast("double"), lit(1.0))
-    // struct(score, negated-lang) max ⇒ highest score, ties → smallest code
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (code, markers) =>
-      val score = size(filter(toks, t => t.isin(markers: _*))).cast("double") / n
-      struct(score.as("s"), lit(code).as("c"))
-    }
-    // greatest(structs) compares fieldwise: score first; for equal scores
-    // the LARGER code wins — make tie-break deterministic-smallest by
-    // comparing on (score, reverse-rank) instead.
-    val ranked = langMarkers.toSeq.sortBy(_._1).zipWithIndex.map { case ((code, markers), i) =>
-      val score = size(filter(toks, t => t.isin(markers: _*))).cast("double") / n
-      struct(score.as("s"), lit(-i).as("r"), lit(code).as("c"))
-    }
-    greatest(ranked: _*).getField("c")
-  }
+  /** Argmax marker-hit-ratio over [[langMarkers]], ties to the smallest
+    * code. Native single-pass expression ([[graft.functions.LangId]]) —
+    * the HOF form (one `filter(tokens(lower(text)))` chain per language)
+    * gets its token array re-inlined into every consumer by
+    * CollapseProject, tokenizing each doc ~8×. */
+  def langId(text: Column): Column = graft.functions.LangId(text)
 
   /** Canonical document fingerprint: md5 of the sorted distinct lowercase
     * token set — catches reorderings/duplicated-content docs. Native

@@ -37,6 +37,10 @@ def write_documents(out_dir):
         (5, "El Perro Y LA Casa QUE es GRANDE", "es", "web", 32),
         (6, "Le chat ET LES chiens EST ici", "fr", "books", 29),
         (7, "MiXeD CaSe ToKeNs MiXeD CaSe", "en", "books", 28),
+        # non-ASCII: UTF-8 multi-byte chars make octet_length != length —
+        # forces the media oracles (resize/frames/meta) to be BYTE-based;
+        # a char-based oracle passes on ASCII by corpus luck (r3 ADVICE)
+        (8, "Über die Straße — ein größer Fluß und naïve café im Büro", "de", "web", 56),
     ]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
