@@ -66,14 +66,20 @@ object Bench {
         .queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() executes the query's OWN physical plan — a
-      // df.count() would let Catalyst prune every unused projection and
-      // time only the scan for map-shaped queries.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      finally graft.llm.Dedup.releaseCaches()
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        // toRdd.count() executes the query's OWN physical plan — a
+        // df.count() would let Catalyst prune every unused projection and
+        // time only the scan for map-shaped queries.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        finally graft.llm.Dedup.releaseCaches()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // best-of-2: a machine-load spike on one run can't fabricate a
+      // regression (round-3 BENCH showed 6x phantom slowdowns from load);
+      // min, not mean — the minimum is the run least polluted by noise
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -51,6 +51,15 @@ object CoreQueries {
     "q_sample" -> ((s, d) => // seeded Bernoulli sample — no SQL oracle (rows-only check)
       Xform.xsample(0.1, 42L)(Tables.events(s, d))),
 
+    // `through` (reference TODO api.clj:55): explicit hash repartition on
+    // the key — semantics-free, so the oracle is the PLAIN aggregate; a
+    // grouped count downstream proves result invariance under the
+    // re-partitioning (Kafka Streams' intermediate-topic round-trip).
+    "q_through" -> ((s, d) =>
+      Xform.through(32, col("user_id"))(Tables.events(s, d))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))),
+
     "q_branch_first" -> ((s, d) => branchOut(s, d)(0)),
     "q_branch_second" -> ((s, d) => branchOut(s, d)(1)),
     "q_branch_third" -> ((s, d) => branchOut(s, d)(2)),
@@ -238,6 +247,9 @@ object CoreQueries {
 
     "q_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "q_through" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
 
     "q_branch_first" ->
       "SELECT event_id, event_type, value FROM events WHERE COALESCE(event_type = 'click', false)",

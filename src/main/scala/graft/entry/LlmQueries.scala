@@ -115,6 +115,28 @@ object LlmQueries {
         .limit(20)
     }),
 
+    // Library-parity rows: the same ANN paths through the PUBLIC library
+    // entry points ([[Similarity.bruteForceTopK]] / [[Similarity.lshTopK]]
+    // with hamming-1 multiprobe) against a LITERAL query vector — the
+    // production call shape, where the query arrives from outside the
+    // corpus. The one-row head() fetches the query constant, not data.
+    "q_ann_brute_lib" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      Similarity.bruteForceTopK(e, col("vec_id"), col("embedding"), qv, k = 10)
+    }),
+
+    "q_ann_lsh_probes" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val idx = Similarity.buildLshIndex(e, col("vec_id"), col("embedding"), NPlanes)
+      Similarity.lshTopK(idx, qv, NPlanes, k = 20, nProbes = 2)
+    }),
+
     "q_ann_ivf" -> ((s, d) => {
       val assigned = Similarity.ivfAssign(
         Tables.embeddings(s, d), col("vec_id"), col("embedding"), nCentroids = 16)
@@ -433,6 +455,28 @@ object LlmQueries {
          |q AS (SELECT embedding AS qv, ${sqlBucket("embedding")} AS bucket FROM embeddings WHERE vec_id = 0)
          |SELECT idx.vec_id, ${sqlCos("idx.embedding", "q.qv")} AS cos
          |FROM idx JOIN q ON idx.bucket = q.bucket
+         |ORDER BY cos DESC, idx.vec_id LIMIT 20""".stripMargin,
+
+    // bruteForceTopK ranks the WHOLE corpus (vec_id 0 included, cos ≈ 1)
+    "q_ann_brute_lib" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
+         |FROM embeddings e CROSS JOIN q
+         |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // lshTopK multiprobe: the query bucket PLUS every hamming-1 neighbor
+    // (qb XOR 1<<h for each plane) — the twin of lshTopK's probe array
+    "q_ann_lsh_probes" ->
+      s"""WITH idx AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, ${sqlBucket("embedding")} AS qb FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT DISTINCT bucket FROM (
+         |    SELECT qb AS bucket FROM q
+         |    UNION ALL
+         |    SELECT xor(qb, CAST(1 AS BIGINT) << h) AS bucket
+         |    FROM q CROSS JOIN (SELECT unnest(range(0, $NPlanes)) AS h) hs))
+         |SELECT idx.vec_id, ${sqlCos("idx.embedding", "q.qv")} AS cos
+         |FROM idx JOIN probes p ON idx.bucket = p.bucket CROSS JOIN q
          |ORDER BY cos DESC, idx.vec_id LIMIT 20""".stripMargin,
 
     "q_ann_ivf" ->

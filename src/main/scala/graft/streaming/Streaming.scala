@@ -117,8 +117,15 @@ object Streaming {
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
     val timeCond = r(rightTs).between(
       l(leftTs) - expr(s"INTERVAL $band"), l(leftTs) + expr(s"INTERVAL $band"))
-    // drop the right-side key duplicates: callers address keys unambiguously
-    keys.foldLeft(l.join(r, keyCond && timeCond, joinType))((d, k) => d.drop(r(k)))
+    val joined = l.join(r, keyCond && timeCond, joinType)
+    // ONE unambiguous column per key, COALESCED across sides: on a
+    // right_outer/full_outer null-padded row the left key is null and the
+    // key value lives in the right copy (plain drop(r(k)) would emit a
+    // null key for every right-only row)
+    val keyCols = keys.map(k => coalesce(l(k), r(k)).as(k))
+    val lCols = l.columns.filterNot(keys.contains).map(l(_))
+    val rCols = r.columns.filterNot(keys.contains).map(r(_))
+    joined.select(keyCols ++ lCols ++ rCols: _*)
   }
 
   /** First-match branch fan-out in ONE pass over each micro-batch — the
@@ -225,7 +232,16 @@ object Streaming {
     * without deadlocking on the in-flight batch). Halt granularity is
     * therefore the micro-batch, not the record — the documented
     * divergence from the reference's record-at-a-time model
-    * (SURVEY.md §1.3.2). */
+    * (SURVEY.md §1.3.2).
+    *
+    * Restart semantics: the halting batch is processed AT-LEAST-ONCE.
+    * The monitor may stop() after `matched` is set but before that
+    * batch's offsets are committed to the checkpoint, in which case a
+    * restart from the same checkpointDir replays the batch and re-invokes
+    * `handler` — same contract as the reference's per-record commit
+    * (Kafka Streams 1.0 is itself at-least-once). Handlers needing
+    * exactly-once must be idempotent or commit-aware (e.g. key the side
+    * effect on the batchId foreachBatch provides). */
   def haltWhen(df: DataFrame, pred: Column, checkpointDir: String)
               (handler: DataFrame => Unit): StreamingQuery = {
     val matched = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -252,6 +268,35 @@ object Streaming {
     monitor.setDaemon(true)
     monitor.start()
     q
+  }
+
+  /** Processing-time punctuate twin — what Kafka Streams 1.0's
+    * `punctuate` ACTUALLY was (the reference stubs it, api.clj:26):
+    * wall-clock-driven, independent of event time. Counts records per
+    * key and flushes (key, count) after `idleMs` of wall-clock
+    * inactivity for that key, then clears the state (memory bounded by
+    * live keys). Complements [[perKeySessionCount]], the event-time
+    * variant — together they cover both timer kinds
+    * `flatMapGroupsWithState` offers. Timeouts fire when a subsequent
+    * micro-batch runs (processing-time timers need a batch to tick, the
+    * standard Structured Streaming caveat). */
+  def perKeyIdleFlush[K: Encoder](grouped: KeyValueGroupedDataset[K, _], idleMs: Long)(
+      implicit outEnc: Encoder[(K, Long)]): Dataset[(K, Long)] = {
+    implicit val stateEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    grouped.flatMapGroupsWithState[Long, (K, Long)](
+      OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+      (key: K, values: Iterator[_], state: GroupState[Long]) =>
+        if (state.hasTimedOut) {
+          val n = state.get
+          state.remove()
+          Iterator.single((key, n)) // the wall-clock punctuate firing
+        } else {
+          val n = state.getOption.getOrElse(0L) + values.size
+          state.update(n)
+          state.setTimeoutDuration(idleMs)
+          Iterator.empty
+        }
+    }
   }
 
   /** Convenience: run a micro-batch query to completion over a bounded

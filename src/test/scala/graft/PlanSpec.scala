@@ -99,6 +99,40 @@ class PlanSpec extends SparkSpec {
       s"centroid must shuffle exactly once (group, dim):\n$p")
   }
 
+  test("embedding near-dup pairs join on the LSH bucket, never a nested loop") {
+    // the r3 scale-killer: an all-pairs non-equi self-join is O(n²) at
+    // lake scale; the LSH-bucketed form must plan as an equi-join
+    val df = SparkEntry.queries("q_embed_neardup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"embedding near-dup degenerated to a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"expected an equi-join on bucket:\n$p")
+  }
+
+  test("simhash banding joins on (band_idx, band_bits) equi-keys") {
+    val df = SparkEntry.queries("q_simhash_pairs")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"simhash pairing degenerated to a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"expected an equi-join on the band key:\n$p")
+  }
+
+  test("salted join composes the salt into the join key (hot key spreads over reducers)") {
+    // with broadcast off (the regime where salting matters — a dim too
+    // big to broadcast), the shuffle keys must include __salt so a hot
+    // key's rows spread over `salt` reducers instead of one
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_skew_join")(spark, sf)
+      val p = plan(df)
+      assert(p.contains("__salt"), s"join keys must include the salt:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on (key, salt):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+  }
+
   test("metadata-only scan over a STORED media table never reads the blob") {
     // the pruning claim is about storage: meta lives beside (not inside)
     // the payload so a metadata query prunes the blob at the reader

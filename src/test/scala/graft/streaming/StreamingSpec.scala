@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
 
 /** Streaming-specific semantics: windowed aggregation with watermark,
@@ -113,6 +114,30 @@ class StreamingSpec extends SparkSpec {
     assert(k3Sessions == 2, s"k3 must emit two sessions, got $k3Sessions")
   }
 
+  test("perKeyIdleFlush fires processing-time timers (wall-clock punctuate)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Int)]
+    val flushed = Streaming.perKeyIdleFlush(ms.toDS().groupByKey(_._1), idleMs = 300)
+    // a PACED trigger, NOT the default 0ms: with ProcessingTimeTimeout,
+    // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always true (the
+    // engine can't know when the next wall-clock timer is due), so an
+    // unpaced trigger runs no-data batches back-to-back and
+    // processAllAvailable never settles — poll the sink instead
+    val q = flushed.toDF("k", "n")
+      .writeStream.format("memory").queryName("idle_out").outputMode("append")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    ms.addData(("a", 1), ("a", 2), ("b", 3))
+    // both keys go idle past 300ms; their timers fire on a later paced
+    // (possibly no-data) micro-batch and flush the counts
+    def rows() = spark.table("idle_out").as[(String, Long)].collect().toSet
+    val deadline = System.currentTimeMillis() + 30000
+    while (rows().size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q.stop()
+    assert(rows() == Set(("a", 2L), ("b", 1L)), s"expected a=2, b=1 flushed, got ${rows()}")
+  }
+
   test("haltWhen stops the query once a matching record arrives") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -192,6 +217,37 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val out = spark.table("ssj_lo").as[(String, Option[Timestamp])].collect().toSet
     assert(out.contains(("u2", None)), s"unmatched left row must null-pad: $out")
+  }
+
+  test("stream-stream FULL OUTER join null-pads both sides after the watermark") {
+    // unmatched rows on EITHER side must emit exactly once the watermark
+    // closes their band — the strictest of the reference's TODO join family
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val views = MemoryStream[(Timestamp, String)]
+    clicks.addData((ts(10), "u1"), (ts(11), "u2")) // u2: left-only
+    views.addData((ts(12), "u1"), (ts(13), "u3"))  // u3: right-only
+    val joined = Streaming.streamStreamJoin(
+      clicks.toDF().toDF("cts", "k"), "cts", "1 minute",
+      views.toDF().toDF("vts", "k"), "vts", "1 minute",
+      keys = Seq("k"), band = "5 minutes", joinType = "full_outer")
+    val q = joined.select(col("k"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("ssj_fo").outputMode("append").start()
+    q.processAllAvailable()
+    // only the matched pair emits before the watermark closes the bands
+    val early = spark.table("ssj_fo")
+      .as[(String, Option[Timestamp], Option[Timestamp])].collect().toSet
+    assert(early == Set(("u1", Some(ts(10)), Some(ts(12)))), s"early: $early")
+    // advance both watermarks past the bands, then tick once more to flush
+    clicks.addData((ts(59), "u9")); views.addData((ts(59), "u9"))
+    q.processAllAvailable()
+    clicks.addData((ts(59), "u9")); views.addData((ts(59), "u9"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj_fo")
+      .as[(String, Option[Timestamp], Option[Timestamp])].collect().toSet
+    assert(out.contains(("u2", Some(ts(11)), None)), s"left-only row must null-pad: $out")
+    assert(out.contains(("u3", None, Some(ts(13)))), s"right-only row must null-pad: $out")
   }
 
   test("branchForeachBatch routes each micro-batch row to its first-match handler") {
