@@ -71,15 +71,20 @@ object Bench {
         // toRdd.count() executes the query's OWN physical plan — a
         // df.count() would let Catalyst prune every unused projection and
         // time only the scan for map-shaped queries.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        // a crashed run must NOT count as a timing: min() would prefer a
+        // fast transient failure and fabricate a phantom speedup
+        catch { case _: Throwable => Double.PositiveInfinity }
         finally graft.llm.Dedup.releaseCaches()
-        (System.nanoTime() - t0) / 1e9
       }
       // best-of-2: a machine-load spike on one run can't fabricate a
       // regression (round-3 BENCH showed 6x phantom slowdowns from load);
       // min, not mean — the minimum is the run least polluted by noise
-      name -> math.min(once(), once())
+      val best = math.min(once(), once())
+      name -> (if (best.isInfinity) -1.0 else best) // -1 = both runs failed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -134,7 +134,10 @@ object LlmQueries {
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .as[Seq[Float]].head()
       val idx = Similarity.buildLshIndex(e, col("vec_id"), col("embedding"), NPlanes)
-      Similarity.lshTopK(idx, qv, NPlanes, k = 20, nProbes = 2)
+      // nProbes > 1 means "multiprobe": the query bucket plus ALL NPlanes
+      // hamming-1 neighbors (1 + NPlanes buckets) — spelled out so the
+      // call shape matches the oracle's hardcoded probe set
+      Similarity.lshTopK(idx, qv, NPlanes, k = 20, nProbes = NPlanes + 1)
     }),
 
     "q_ann_ivf" -> ((s, d) => {

@@ -82,8 +82,9 @@ object Similarity {
     df.select(id.as("vec_id"), vec.as("v"), hyperplaneBucket(vec, nPlanes).as("bucket"))
 
   /** ANN top-k: probe the query vector's bucket and rank candidates by
-    * exact cosine. Recall < 1 by construction; nProbes>1 also scans the
-    * buckets at hamming distance 1 from the query bucket. */
+    * exact cosine. Recall < 1 by construction. `nProbes` is a MODE, not a
+    * count: <= 1 probes only the query bucket; > 1 probes the query bucket
+    * plus ALL nPlanes hamming-1 neighbors (1 + nPlanes buckets total). */
   def lshTopK(index: DataFrame, query: Seq[Float], nPlanes: Int, k: Int,
               nProbes: Int = 1): DataFrame = {
     val qCol = lit(query.toArray)

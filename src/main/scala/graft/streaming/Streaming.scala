@@ -118,14 +118,19 @@ object Streaming {
     val timeCond = r(rightTs).between(
       l(leftTs) - expr(s"INTERVAL $band"), l(leftTs) + expr(s"INTERVAL $band"))
     val joined = l.join(r, keyCond && timeCond, joinType)
-    // ONE unambiguous column per key, COALESCED across sides: on a
-    // right_outer/full_outer null-padded row the left key is null and the
-    // key value lives in the right copy (plain drop(r(k)) would emit a
-    // null key for every right-only row)
-    val keyCols = keys.map(k => coalesce(l(k), r(k)).as(k))
-    val lCols = l.columns.filterNot(keys.contains).map(l(_))
-    val rCols = r.columns.filterNot(keys.contains).map(r(_))
-    joined.select(keyCols ++ lCols ++ rCols: _*)
+    // semi/anti output carries ONLY left columns — already unambiguous,
+    // and referencing r(k) in a projection over it would fail analysis
+    if (joinType == "left_semi" || joinType == "left_anti") joined
+    else {
+      // ONE unambiguous column per key, COALESCED across sides: on a
+      // right_outer/full_outer null-padded row the left key is null and the
+      // key value lives in the right copy (plain drop(r(k)) would emit a
+      // null key for every right-only row)
+      val keyCols = keys.map(k => coalesce(l(k), r(k)).as(k))
+      val lCols = l.columns.filterNot(keys.contains).map(l(_))
+      val rCols = r.columns.filterNot(keys.contains).map(r(_))
+      joined.select(keyCols ++ lCols ++ rCols: _*)
+    }
   }
 
   /** First-match branch fan-out in ONE pass over each micro-batch — the

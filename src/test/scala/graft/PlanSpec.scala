@@ -61,6 +61,7 @@ class PlanSpec extends SparkSpec {
     // The 100 TB fact-fact join answer: bucket both tables on the join
     // key at write time; the join then needs zero exchanges.
     import spark.implicits._
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -74,7 +75,7 @@ class PlanSpec extends SparkSpec {
         s"bucketed join must not shuffle:\n$p")
       assert(joined.count() == 1000)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS bl"); spark.sql("DROP TABLE IF EXISTS br")
     }
   }
@@ -123,6 +124,7 @@ class PlanSpec extends SparkSpec {
     // with broadcast off (the regime where salting matters — a dim too
     // big to broadcast), the shuffle keys must include __salt so a hot
     // key's rows spread over `salt` reducers instead of one
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = SparkEntry.queries("q_skew_join")(spark, sf)
@@ -130,7 +132,7 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("__salt"), s"join keys must include the salt:\n$p")
       assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
         s"expected a shuffled equi-join on (key, salt):\n$p")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
 
   test("metadata-only scan over a STORED media table never reads the blob") {

@@ -53,7 +53,9 @@ class KafkaSmokeSpec extends SparkSpec {
     val q = Streaming.toKafka(goldenPipe(in), bs, outTopic, ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // bounded wait: a reachable-but-misbehaving broker (auth, leader
+    // down) must fail the test, not hang the JVM
+    assert(q.awaitTermination(120000), "Kafka pipeline did not finish within 2 minutes")
 
     val out = spark.read.format("kafka")
       .option("kafka.bootstrap.servers", bs)
@@ -62,7 +64,10 @@ class KafkaSmokeSpec extends SparkSpec {
       .load()
       .select(col("key").cast("string"), col("value").cast("string"))
       .as[(String, String)].collect().toSeq
-    assert(out == Seq(("bar", "foo")),
-      s"golden pipeline through the broker must emit exactly [(bar,foo)], got $out")
+    // SET compare: both the seed write and the streaming sink are
+    // at-least-once, so a broker-side retry may duplicate records —
+    // duplicates are correct behavior, foreign values are not
+    assert(out.nonEmpty && out.toSet == Set(("bar", "foo")),
+      s"golden pipeline through the broker must emit exactly {(bar,foo)} (dups allowed), got $out")
   }
 }
