@@ -146,6 +146,17 @@ object LlmQueries {
       Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
     }),
 
+    // Multi-cell IVF probe: scan the 3 cells whose centroids are closest
+    // to the query — the recall knob for near-boundary queries. Same
+    // deterministic vec_id<16 centroid set as q_ann_ivf.
+    "q_ann_ivf_probes" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssignWith(e, col("vec_id"), col("embedding"), cents)
+      Similarity.ivfTopKProbes(assigned, cents, queryId = 0L, k = 10, nProbes = 3)
+    }),
+
     // IVF with TRAINED centroids: deterministic distributed k-means
     // (lowest-k seeds, fixed-point recentering) feeds the assignment —
     // the full production path train→index→probe, all reproducible.
@@ -493,6 +504,27 @@ object LlmQueries {
          |q AS (SELECT v AS qv, cid AS qcid FROM assigned WHERE vec_id = 0)
          |SELECT a.vec_id, ${sqlCos("a.v", "q.qv")} AS cos
          |FROM assigned a JOIN q ON a.cid = q.qcid
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // probes = 3 centroid-nearest cells; the query vector rides along on
+    // the probe rows so the final scan is a single equi-join on cid
+    "q_ann_ivf_probes" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.vec_id AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid, qv FROM (
+         |    SELECT c.vec_id AS cid, q.qv, ${sqlCos("c.embedding", "q.qv")} AS qcos
+         |    FROM embeddings c CROSS JOIN q WHERE c.vec_id < 16
+         |    ORDER BY qcos DESC, cid LIMIT 3) p)
+         |SELECT a.vec_id, ${sqlCos("a.v", "p.qv")} AS cos
+         |FROM assigned a JOIN probes p ON a.cid = p.cid
          |WHERE a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
 

@@ -146,6 +146,28 @@ object Similarity {
       .select(col("vec_id"), col("__best.v").as("v"), col("__best.cid").as("cid"))
   }
 
+  /** Multi-cell IVF probe — the standard IVF recall knob: scan the
+    * `nProbes` cells whose CENTROIDS are closest to the query vector
+    * instead of only the query's own cell (a near-boundary query's true
+    * neighbors often sit in the adjacent Voronoi cell). Centroid ranking
+    * is a broadcast-sized computation (k centroids); the corpus-side work
+    * is one equi-join on cid touching ~nProbes/k of the data. */
+  def ivfTopKProbes(assigned: DataFrame, centroids: DataFrame, queryId: Long,
+                    k: Int, nProbes: Int): DataFrame = {
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probeCells = centroids.select(col("cid"), col("cv")).crossJoin(broadcast(q))
+      .select(col("cid"), col("qv"),
+        graft.functions.CosineSimilarity(col("cv"), col("qv")).as("qcos"))
+      .orderBy(col("qcos").desc, col("cid"))
+      .limit(nProbes)
+      .select(col("cid"), col("qv"))
+    assigned.join(broadcast(probeCells), Seq("cid"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), graft.functions.CosineSimilarity(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF probe: top-k by exact cosine within the query vector's cell. */
   def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = assigned.filter(col("vec_id") === queryId)

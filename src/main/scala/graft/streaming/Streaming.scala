@@ -76,6 +76,18 @@ object Streaming {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
+  /** Tumbling aggregation over an ALREADY-watermarked stream — the form
+    * for chaining stateful operators (dedup → window, join → window):
+    * Spark disallows redefining a watermark mid-stream, so the upstream
+    * op owns it and this one only windows. */
+  def tumblingChained(df: DataFrame, tsCol: String, size: String,
+                      keys: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), size) +: keys: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
   /** Streaming session windows (gap-based). */
   def session(df: DataFrame, tsCol: String, watermark: String, gap: String,
               keys: Seq[Column], aggs: Seq[Column]): DataFrame =

@@ -250,6 +250,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains(("u3", None, Some(ts(13)))), s"right-only row must null-pad: $out")
   }
 
+  test("streaming curation: quality gate + watermarked dedup + windowed corpus stats") {
+    // the LLM curation pipeline (q_curation) in its streaming form: a
+    // document stream is quality-gated at scan time, exact-deduped within
+    // the watermark horizon, and aggregated into per-window corpus stats —
+    // the continuous-ingest twin of the batch curation query
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long, String, String)]
+    val good = "the quick brown fox jumps over the lazy dog near the quiet river bank. " * 8
+    val short = "tiny"
+    ms.addData(
+      (ts(1), 1L, "en", good),
+      (ts(2), 2L, "en", good),   // exact dup of doc 1's text → deduped
+      (ts(3), 3L, "en", short),  // fails the quality gate
+      (ts(4), 4L, "en", good + " extra tail words here."),
+      (ts(12), 5L, "en", good))  // later window, but same content WITHIN the watermark → deduped
+    val docs = ms.toDF().toDF("ts", "doc_id", "lang", "text")
+      .withColumn("tc", graft.llm.TextAnalysis.counts(col("text")))
+      .filter(graft.llm.TextAnalysis.qualityFrom(col("tc")) >= 0.5)
+      .withColumn("content_hash", md5(col("text")))
+    val deduped = Streaming.distinctWithinWatermark(
+      docs, "ts", "10 minutes", Seq("content_hash"))
+    // chained stateful ops: the dedup owns the watermark, the window
+    // only aggregates (redefining a watermark mid-stream is disallowed)
+    val stats = Streaming.tumblingChained(deduped, "ts", "10 minutes",
+      keys = Seq(col("lang")),
+      aggs = Seq(count(lit(1)).as("n_docs"), sum(col("tc.n_bpe")).as("bpe")))
+    val q = stats.select(col("lang"), col("n_docs"), col("window_start"))
+      .writeStream.format("memory").queryName("cur_out").outputMode("append").start()
+    ms.addData((ts(25), 9L, "xx", "closer " * 40)) // advance the watermark past both windows
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("cur_out").as[(String, Long, Timestamp)].collect()
+      .map { case (l, n, w) => (l, n, w.toString.take(16)) }.toSet
+    // window [00:00,00:10): docs 1 and 4 survive (2 deduped, 3 gated);
+    // window [00:10,00:20): doc 5's text is a dup WITHIN the watermark → dropped entirely
+    assert(out == Set(("en", 2L, "2024-01-01 00:00")), s"got $out")
+  }
+
   test("branchForeachBatch routes each micro-batch row to its first-match handler") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
