@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Schema-explicit JSONL / CSV sources and sinks — the ingest formats a
+  * training-data pipeline actually receives (web-scrape dumps arrive as
+  * JSONL, tabular metadata as CSV), beside the parquet tables in
+  * [[Tables]]. The reference's only source is Kafka topics
+  * (reference: src/kafka_streams_clojure/api.clj:57-60); file formats are
+  * part of the engine's batch superset.
+  *
+  * Design rules for lake scale:
+  *  - Schema is REQUIRED, never inferred: inference is a full extra read
+  *    of the input, and a drifting inferred schema silently changes
+  *    downstream query semantics between runs.
+  *  - Malformed records are CAPTURED, not fatal: PERMISSIVE mode routes
+  *    unparseable lines into a corrupt-record column — the file-source
+  *    twin of `Xform.safeFlatMap`'s dead-letter contract, so one bad line
+  *    in a billion can't kill the job.
+  *  - Both formats split by line, so reads parallelize across executors
+  *    without coordination (unlike multiline JSON).
+  */
+object FileSources {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Line-delimited JSON with an explicit schema. Rows that fail to parse
+    * land with all data columns null and the raw line in [[CorruptCol]];
+    * [[corruptRecords]]/[[wellFormed]] split them. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorruptCol(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+
+  /** CSV with an explicit schema. Same PERMISSIVE + corrupt-column
+    * contract as [[jsonl]]. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(withCorruptCol(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** The rows that parsed cleanly, with the bookkeeping column dropped. */
+  def wellFormed(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** One-pass ingest split: (clean rows, dead-letter lines). Spark
+    * disallows corrupt-column-only queries over raw file scans
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parse is persisted once
+    * and both sides read from it — which is also the right shape at
+    * scale: parse each input byte exactly once, then fan out. Callers
+    * unpersist via the returned handle's `unpersist()` after both sides
+    * are consumed (or write both out in the same job). */
+  def partitionValid(df: DataFrame): (DataFrame, DataFrame, () => Unit) = {
+    val parsed = df.persist()
+    (wellFormed(parsed),
+      parsed.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)),
+      () => { parsed.unpersist(blocking = false); () })
+  }
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  private def withCorruptCol(schema: StructType): StructType =
+    if (schema.fieldNames.contains(CorruptCol)) schema
+    else schema.add(CorruptCol, StringType, nullable = true)
+}

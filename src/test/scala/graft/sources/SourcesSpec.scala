@@ -29,6 +29,39 @@ class SourcesSpec extends SparkSpec {
       Set((1L, 10), (2L, 20)))
   }
 
+  test("FileSources.jsonl quarantines malformed lines instead of failing the read") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("jsonl_dl")
+    val f = java.nio.file.Paths.get(dir, "part0.jsonl")
+    java.nio.file.Files.write(f,
+      ("""{"doc_id": 1, "text": "good line"}""" + "\n" +
+       """{"doc_id": 2 "text": "missing comma"}""" + "\n" +
+       """{"doc_id": 3, "text": "another good"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val raw = FileSources.jsonl(spark, dir, schema)
+    val (goodDf, deadDf, release) = FileSources.partitionValid(raw)
+    try {
+      val good = goodDf.as[(Long, String)].collect().toSet
+      val dead = deadDf.as[String].collect()
+      assert(good == Set((1L, "good line"), (3L, "another good")))
+      assert(dead.length == 1 && dead.head.contains("missing comma"),
+        s"malformed line must land in the dead-letter column: ${dead.toSeq}")
+    } finally release()
+  }
+
+  test("FileSources csv round trip with explicit schema") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("csv_fs")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "x")
+    FileSources.writeCsv(df, dir)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("x", DoubleType)))
+    val back = FileSources.wellFormed(FileSources.csv(spark, dir, schema))
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
   test("unionAll merges heterogeneous-order sources by name") {
     val a = Seq((1, "x")).toDF("n", "s")
     val b = Seq(("y", 2)).toDF("s", "n") // reversed column order
