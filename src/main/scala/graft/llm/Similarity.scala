@@ -212,7 +212,12 @@ object Similarity {
   def kmeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(id.as("vec_id"), vec.as("v"))
+    // persist the training set for the iteration loop: every iteration
+    // re-reads it (assign + re-center + the seed scan), so without the
+    // persist each pass re-scans the source. At lake scale the training
+    // set is a SAMPLE of the corpus (train on 1%, assign all 100%), so
+    // persisting it is the standard posture, not a luxury.
+    val v = df.select(id.as("vec_id"), vec.as("v")).persist()
     // the k LOWEST ids — not `id < k`, which silently under-seeds (or
     // seeds nothing) when the id space is sparse or not zero-based
     var cents: Seq[(Long, Array[Float], Long)] = v.orderBy(col("vec_id")).limit(k)
@@ -242,6 +247,9 @@ object Similarity {
       }
       i += 1
     }
+    // every iteration ended in a driver collect, so nothing downstream
+    // holds lineage into the persisted training set — safe to release
+    v.unpersist(blocking = false)
     cents.toDF("cid", "cv", "n")
   }
 

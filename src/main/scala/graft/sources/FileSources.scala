@@ -48,6 +48,21 @@ object FileSources {
       .option("delimiter", delimiter)
       .csv(path)
 
+  /** Streaming twin of [[jsonl]]: watch a directory for new JSONL files —
+    * the continuous-ingest front door of a training-data pipeline
+    * (scrapers drop files, the stream picks them up exactly once via the
+    * checkpoint's file log). Same explicit-schema + dead-letter contract;
+    * `maxFilesPerTrigger` bounds per-micro-batch work so one giant drop
+    * can't produce an unbounded batch. */
+  def jsonlStream(spark: SparkSession, path: String, schema: StructType,
+                  maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(withCorruptCol(schema))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .json(path)
+
   /** The rows that parsed cleanly, with the bookkeeping column dropped. */
   def wellFormed(df: DataFrame): DataFrame =
     df.filter(col(CorruptCol).isNull).drop(CorruptCol)

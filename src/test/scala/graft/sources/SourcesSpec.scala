@@ -62,6 +62,24 @@ class SourcesSpec extends SparkSpec {
       Set((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("FileSources.jsonlStream ingests dropped files via the streaming file source") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("jsonl_stream")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "drop1.jsonl"),
+      ("""{"doc_id": 1, "text": "first"}""" + "\n" +
+       """{"doc_id": 2, "text": "second"}""" + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "drop2.jsonl"),
+      ("""{"doc_id": 3, "text": "third"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = FileSources.wellFormed(FileSources.jsonlStream(spark, dir, schema))
+    val q = stream.writeStream.format("memory").queryName("jsonl_in")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "file-stream ingest did not finish")
+    val out = spark.table("jsonl_in").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "first"), (2L, "second"), (3L, "third")))
+  }
+
   test("unionAll merges heterogeneous-order sources by name") {
     val a = Seq((1, "x")).toDF("n", "s")
     val b = Seq(("y", 2)).toDF("s", "n") // reversed column order
