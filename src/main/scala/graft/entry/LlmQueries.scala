@@ -134,10 +134,22 @@ object LlmQueries {
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .as[Seq[Float]].head()
       val idx = Similarity.buildLshIndex(e, col("vec_id"), col("embedding"), NPlanes)
-      // nProbes > 1 means "multiprobe": the query bucket plus ALL NPlanes
-      // hamming-1 neighbors (1 + NPlanes buckets) — spelled out so the
-      // call shape matches the oracle's hardcoded probe set
+      // nProbes = 1 + NPlanes probes the FULL hamming-1 neighborhood
+      // (multiprobe ranking is moot at the cap) — the oracle mirrors the
+      // complete xor(qb, 1<<h) set
       Similarity.lshTopK(idx, qv, NPlanes, k = 20, nProbes = NPlanes + 1)
+    }),
+
+    // RANKED multi-probe (Lv et al. VLDB'07): only the 2 neighbor buckets
+    // whose hyperplane boundary the query sits closest to — the oracle
+    // reproduces the ranking from the same per-plane dot products
+    "q_ann_lsh_ranked" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val idx = Similarity.buildLshIndex(e, col("vec_id"), col("embedding"), NPlanes)
+      Similarity.lshTopK(idx, qv, NPlanes, k = 20, nProbes = 3)
     }),
 
     "q_ann_ivf" -> ((s, d) => {
@@ -477,6 +489,29 @@ object LlmQueries {
          |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
          |FROM embeddings e CROSS JOIN q
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // ranked multi-probe: per-plane boundary distances of the query, the
+    // 2 closest-boundary bit flips, then a bucket-IN probe — bitwise twin
+    // of lshTopK's driver-side probe-set computation
+    "q_ann_lsh_ranked" -> {
+      val pdRows = (0 until NPlanes).map { h =>
+        s"SELECT $h AS h, ${sqlPlaneDot(h, "q.qv")} AS dot FROM q"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH idx AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, ${sqlBucket("embedding")} AS qb FROM embeddings WHERE vec_id = 0),
+         |pd AS (
+         |  $pdRows),
+         |flips AS (SELECT h FROM pd ORDER BY abs(dot), h LIMIT 2),
+         |probes AS (
+         |  SELECT DISTINCT bucket FROM (
+         |    SELECT qb AS bucket FROM q
+         |    UNION ALL
+         |    SELECT xor(q.qb, CAST(1 AS BIGINT) << f.h) AS bucket
+         |    FROM q CROSS JOIN flips f))
+         |SELECT idx.vec_id, ${sqlCos("idx.embedding", "q.qv")} AS cos
+         |FROM idx JOIN probes p ON idx.bucket = p.bucket CROSS JOIN q
+         |ORDER BY cos DESC, idx.vec_id LIMIT 20""".stripMargin
+    },
 
     // lshTopK multiprobe: the query bucket PLUS every hamming-1 neighbor
     // (qb XOR 1<<h for each plane) — the twin of lshTopK's probe array

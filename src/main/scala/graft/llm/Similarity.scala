@@ -81,20 +81,36 @@ object Similarity {
   def buildLshIndex(df: DataFrame, id: Column, vec: Column, nPlanes: Int): DataFrame =
     df.select(id.as("vec_id"), vec.as("v"), hyperplaneBucket(vec, nPlanes).as("bucket"))
 
-  /** ANN top-k: probe the query vector's bucket and rank candidates by
-    * exact cosine. Recall < 1 by construction. `nProbes` is a MODE, not a
-    * count: <= 1 probes only the query bucket; > 1 probes the query bucket
-    * plus ALL nPlanes hamming-1 neighbors (1 + nPlanes buckets total). */
+  /** ANN top-k via TRUE multi-probe LSH (Lv et al., VLDB 2007): probe the
+    * query's own bucket plus the `nProbes - 1` hamming-1 neighbor buckets
+    * whose hyperplane boundary the query sits CLOSEST to — the buckets
+    * likeliest to hold near misses. Recall < 1 by construction; nProbes
+    * caps at 1 + nPlanes (the full hamming-1 neighborhood).
+    *
+    * The probe set is computed driver-side from the query literal (the
+    * plane components are driver constants), so the corpus-side plan is a
+    * JOINLESS `bucket IN (...)` filter — against a STORED index table the
+    * predicate pushes down to the reader and prunes at the scan. */
   def lshTopK(index: DataFrame, query: Seq[Float], nPlanes: Int, k: Int,
               nProbes: Int = 1): DataFrame = {
+    require(query.length <= PlaneDim,
+      s"lshTopK: query dim ${query.length} exceeds PlaneDim $PlaneDim")
+    // per-plane signed boundary distance of the query, same index-order
+    // double accumulation as hyperplaneBucket / the SQL oracle
+    val dots = (0 until nPlanes).map { h =>
+      val pc = planeComponents(h)
+      var s = 0.0; var j = 0
+      while (j < query.length) { s += query(j).toDouble * pc(j); j += 1 }
+      s
+    }
+    val qb = dots.zipWithIndex.map { case (d, h) => if (d >= 0) 1L << h else 0L }.sum
+    val flips = dots.zipWithIndex
+      .sortBy { case (d, h) => (math.abs(d), h) } // closest boundary first, h tie-break
+      .take(math.max(0, math.min(nProbes, nPlanes + 1) - 1))
+      .map { case (_, h) => qb ^ (1L << h) }
+    val probeSet = (qb +: flips).distinct
     val qCol = lit(query.toArray)
-    val qBucketDf = index.sparkSession.range(1)
-      .select(hyperplaneBucket(qCol, nPlanes).as("qb"))
-    val probeBuckets: Column =
-      if (nProbes <= 1) array(col("qb"))
-      else array((col("qb") +: (0 until nPlanes).map(h => col("qb").bitwiseXOR(shiftleft(lit(1L), h)))): _*)
-    val probes = qBucketDf.select(explode(probeBuckets).as("bucket")).distinct()
-    index.join(broadcast(probes), Seq("bucket"))
+    index.filter(col("bucket").isin(probeSet: _*))
       .select(col("vec_id"), CosineSimilarity(col("v"), qCol).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
