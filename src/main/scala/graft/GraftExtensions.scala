@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, RollingHash, Shingles, SimHash32, TextCounts, TokenSetFingerprint}
+import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, RollingHash, Shingles, SimHash32, TextCounts, TokenSetFingerprint}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -54,7 +54,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => TextCounts(args(0))),
     (FunctionIdentifier("token_set_fingerprint"),
       new ExpressionInfo(classOf[TokenSetFingerprint].getName, "token_set_fingerprint"),
-      (args: Seq[Expression]) => TokenSetFingerprint(args(0))))
+      (args: Seq[Expression]) => TokenSetFingerprint(args(0))),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -201,6 +201,17 @@ object LlmQueries {
         col("tc.n_alnum").as("alnum_tokens"),
         col("tc.n_bpe").as("bpe_tokens"))),
 
+    // Unicode NFC + casefold + control-strip: the canonical pre-dedup
+    // normalization (decomposed é ≡ precomposed é must content-hash the
+    // same). Emits the normalized text AND its hash so the oracle proves
+    // byte-for-byte normalizer agreement (Java UAX#15 vs DuckDB utf8proc).
+    "q_text_normalize" -> ((s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_raw"),
+        TextAnalysis.normalize(col("text")).as("norm_text"))
+      .withColumn("n_norm", length(col("norm_text")).cast("long"))
+      .withColumn("norm_md5", md5(col("norm_text")))),
+
     "q_text_quality" -> ((s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.counts(col("text")).as("tc"))
       .select(col("doc_id"),
@@ -603,6 +614,14 @@ object LlmQueries {
          |       CAST(COALESCE(list_sum(list_transform($sqlAlnumToks,
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens
          |FROM documents""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_raw,
+        |       regexp_replace(lower(nfc_normalize(text)), '[\x00-\x1F\x7F]', '', 'g') AS norm_text,
+        |       CAST(length(regexp_replace(lower(nfc_normalize(text)), '[\x00-\x1F\x7F]', '', 'g')) AS BIGINT) AS n_norm,
+        |       md5(regexp_replace(lower(nfc_normalize(text)), '[\x00-\x1F\x7F]', '', 'g')) AS norm_md5
+        |FROM documents""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH base AS (

@@ -25,6 +25,15 @@ object TextAnalysis {
   /** Whitespace word count. */
   def wordCount(text: Column): Column = size(tokens(text))
 
+  /** Canonical curation normalization: Unicode NFC (decomposed e+accent ≡
+    * precomposed é — without it, content-hash dedup treats equal texts as
+    * distinct), then casefold, then strip control characters. Single
+    * codegen-stage projection; the oracle twin is
+    * `regexp_replace(lower(nfc_normalize(text)), …)`. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(graft.functions.NfcNormalize(text)),
+      "[\\x00-\\x1F\\x7F]", "")
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")

@@ -35,6 +35,6 @@ class GraftExtensionsSpec extends SparkSpec {
     ext(holder) // must not throw — config path: spark.sql.extensions=graft.GraftExtensions
     assert(GraftExtensions.entries.map(_._1.funcName).toSet ==
       Set("cosine_similarity", "minhash_signature", "simhash32", "shingles",
-        "rolling_hash", "text_counts", "token_set_fingerprint"))
+        "rolling_hash", "text_counts", "token_set_fingerprint", "nfc_normalize"))
   }
 }

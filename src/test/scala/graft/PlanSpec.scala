@@ -120,6 +120,16 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), s"expected an equi-join on the band key:\n$p")
   }
 
+  test("ranked multi-probe LSH plans as a joinless bucket-IN filter") {
+    // the probe set is a driver-side literal, so the corpus side needs no
+    // join at all — a scan filter + TakeOrdered; against a stored index
+    // table the IN predicate pushes to the reader
+    val df = SparkEntry.queries("q_ann_lsh_ranked")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"ranked probe must be joinless:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a heap, not a sort:\n$p")
+  }
+
   test("salted join composes the salt into the join key (hot key spreads over reducers)") {
     // with broadcast off (the regime where salting matters — a dim too
     // big to broadcast), the shuffle keys must include __salt so a hot

@@ -219,4 +219,22 @@ class FunctionsSpec extends SparkSpec {
       GraftFunctions.md5Long(col("s"), salt = 1)).as[(Long, Long, Long)].head()
     assert(h0 == h0b && h0 != h1 && h0 >= 0)
   }
+
+  test("NfcNormalize recomposes decomposed sequences; normalize unifies content hashes") {
+    val decomposed = "Cafe\u0301"   // e + COMBINING ACUTE ACCENT
+    val precomposed = "Caf\u00e9"  // precomposed U+00E9
+    val df = Seq((1L, decomposed), (2L, precomposed)).toDF("id", "t")
+    val out = df.select(col("id"), NfcNormalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == precomposed, s"NFC must recompose, got ${out(1L).codePoints().toArray.toSeq}")
+    assert(out(1L) == out(2L))
+    // end-to-end curation normalization: both spellings + control chars +
+    // case converge to one content hash
+    val hashes = Seq((1L, "CAFE\u0301\t"), (2L, "caf\u00e9")).toDF("id", "t")
+      .select(md5(graft.llm.TextAnalysis.normalize(col("t"))).as("h"))
+      .as[String].collect().toSet
+    assert(hashes.size == 1, s"normalized hashes must converge: $hashes")
+    // null passes through
+    assert(df.select(NfcNormalize(lit(null).cast("string"))).head().isNullAt(0))
+  }
 }

@@ -41,6 +41,12 @@ def write_documents(out_dir):
         # forces the media oracles (resize/frames/meta) to be BYTE-based;
         # a char-based oracle passes on ASCII by corpus luck (r3 ADVICE)
         (8, "Über die Straße — ein größer Fluß und naïve café im Büro", "de", "web", 56),
+        # DECOMPOSED Unicode (e + combining acute, a + combining ring,
+        # plus a tab control char): NFC normalization must recompose these
+        # identically in Spark (java.text.Normalizer) and DuckDB
+        # (utf8proc) — a precomposed-only corpus never exercises the
+        # normalizer's actual work
+        (9, "Cafe\u0301 cre\u0300me a\u030aThe END\t", "fr", "web", 22),
     ]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
