@@ -80,6 +80,16 @@ object AggQueries {
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(graft.agg.HllSketchAgg.agg(col("l_partkey")).as("hll_parts"))),
 
+    // the percentile SCALE path: a mergeable quantile sketch (built-in
+    // approx_percentile) instead of the exact form's full per-group sort —
+    // approximate by design, rows-only check like the HLL pair
+    "q_approx_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median"),
+          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
+            .as("approx_p99"))),
+
     // statistical aggregates via EXACT decimal power sums: mean/var/stddev
     // from (n, Σx, Σx²) — decimal accumulation is order-independent, so
     // the distributed result matches the single-threaded oracle bit-for-

@@ -201,6 +201,13 @@ object LlmQueries {
         col("tc.n_alnum").as("alnum_tokens"),
         col("tc.n_bpe").as("bpe_tokens"))),
 
+    // normalize→dedup composition: exact dedup keyed on the NORMALIZED
+    // content hash, so decomposed/precomposed/case variants of one text
+    // collapse to a single kept id — the operator normalize exists FOR
+    "q_dedup_normalized" -> ((s, d) =>
+      Dedup.exactByContent(Tables.documents(s, d),
+        TextAnalysis.normalize(col("text")), col("doc_id"))),
+
     // Unicode NFC + casefold + control-strip: the canonical pre-dedup
     // normalization (decomposed é ≡ precomposed é must content-hash the
     // same). Emits the normalized text AND its hash so the oracle proves
@@ -614,6 +621,11 @@ object LlmQueries {
          |       CAST(COALESCE(list_sum(list_transform($sqlAlnumToks,
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens
          |FROM documents""".stripMargin,
+
+    "q_dedup_normalized" ->
+      """SELECT md5(regexp_replace(lower(nfc_normalize(text)), '[\x00-\x1F\x7F]', '', 'g')) AS content_hash,
+        |       min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,
