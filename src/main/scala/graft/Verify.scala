@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // locale-independent string ops: Spark's non-ASCII lower() slow path
+    // goes through String.toLowerCase(default locale) — a tr_TR JVM maps
+    // I→ı and breaks oracle parity with DuckDB's locale-free utf8proc
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

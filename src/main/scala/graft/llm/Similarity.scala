@@ -170,6 +170,9 @@ object Similarity {
     * is one equi-join on cid touching ~nProbes/k of the data. */
   def ivfTopKProbes(assigned: DataFrame, centroids: DataFrame, queryId: Long,
                     k: Int, nProbes: Int): DataFrame = {
+    // NOT a second corpus pass: the grouping-key filter pushes through the
+    // argmax aggregate and the centroid cross-join down to the scan
+    // (PushedFilters: EqualTo(vec_id, queryId)), so this side reads one key
     val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probeCells = centroids.select(col("cid"), col("cv")).crossJoin(broadcast(q))
       .select(col("cid"), col("qv"),

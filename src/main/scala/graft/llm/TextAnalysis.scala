@@ -27,9 +27,11 @@ object TextAnalysis {
 
   /** Canonical curation normalization: Unicode NFC (decomposed e+accent ≡
     * precomposed é — without it, content-hash dedup treats equal texts as
-    * distinct), then casefold, then strip control characters. Single
-    * codegen-stage projection; the oracle twin is
-    * `regexp_replace(lower(nfc_normalize(text)), …)`. */
+    * distinct), then LOWERCASE (not full Unicode case folding — ß stays ß,
+    * matching DuckDB's lower(); the harness mains pin Locale.ROOT so
+    * Spark's non-ASCII toLowerCase path is locale-independent), then strip
+    * control characters. Single codegen-stage projection; the oracle twin
+    * is `regexp_replace(lower(nfc_normalize(text)), …)`. */
   def normalize(text: Column): Column =
     regexp_replace(lower(graft.functions.NfcNormalize(text)),
       "[\\x00-\\x1F\\x7F]", "")

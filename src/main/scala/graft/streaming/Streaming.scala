@@ -69,12 +69,7 @@ object Streaming {
     * aggregates", README.md:30-31). */
   def tumbling(df: DataFrame, tsCol: String, watermark: String, size: String,
                keys: Seq[Column], aggs: Seq[Column]): DataFrame =
-    df.withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), size) +: keys: _*)
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("window_start", col("window.start"))
-      .withColumn("window_end", col("window.end"))
-      .drop("window")
+    tumblingChained(df.withWatermark(tsCol, watermark), tsCol, size, keys, aggs)
 
   /** Tumbling aggregation over an ALREADY-watermarked stream — the form
     * for chaining stateful operators (dedup → window, join → window):

@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // locale-free string ops (see Verify)
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

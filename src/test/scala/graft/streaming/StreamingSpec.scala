@@ -279,12 +279,19 @@ class StreamingSpec extends SparkSpec {
       aggs = Seq(count(lit(1)).as("n_docs"), sum(col("tc.n_bpe")).as("bpe")))
     val q = stats.select(col("lang"), col("n_docs"), col("window_start"))
       .writeStream.format("memory").queryName("cur_out").outputMode("append").start()
-    ms.addData((ts(25), 9L, "xx", "closer " * 40)) // advance the watermark past both windows
+    // ts(31) drives the watermark to 00:21 — PAST both windows' ends, so
+    // window [00:10,00:20) provably closes and its absence is observable;
+    // two rounds because the watermark computed at one batch's end takes
+    // effect in the next
+    ms.addData((ts(31), 9L, "xx", "closer " * 40))
+    q.processAllAvailable()
+    ms.addData((ts(31), 10L, "xx", "closer " * 40))
     q.processAllAvailable(); q.stop()
     val out = spark.table("cur_out").as[(String, Long, Timestamp)].collect()
       .map { case (l, n, w) => (l, n, w.toString.take(16)) }.toSet
     // window [00:00,00:10): docs 1 and 4 survive (2 deduped, 3 gated);
-    // window [00:10,00:20): doc 5's text is a dup WITHIN the watermark → dropped entirely
+    // window [00:10,00:20): EMPTY — doc 5 was deduped against doc 1's
+    // state (same micro-batch, watermark still unset), so no row emits
     assert(out == Set(("en", 2L, "2024-01-01 00:00")), s"got $out")
   }
 

@@ -46,7 +46,7 @@ def write_documents(out_dir):
         # identically in Spark (java.text.Normalizer) and DuckDB
         # (utf8proc) — a precomposed-only corpus never exercises the
         # normalizer's actual work
-        (9, "Cafe\u0301 cre\u0300me a\u030aThe END\t", "fr", "web", 22),
+        (9, "Cafe\u0301 cre\u0300me a\u030aThe END\t", "fr", "web", 23),
     ]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
