@@ -50,6 +50,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("normalize is idempotent for arbitrary unicode strings") {
+    // normalize(normalize(x)) == normalize(x) — the law that makes it safe
+    // to re-run curation over already-curated data; generator mixes ASCII,
+    // combining accents, precomposed chars and control chars
+    val charGen = Gen.frequency(
+      (6, Gen.alphaNumChar),
+      (2, Gen.oneOf('\u00e9', '\u00c5', '\u00df', '\u00dc')),
+      (1, Gen.oneOf('\u0301', '\u0300', '\u030a')), // combining accents
+      (1, Gen.oneOf('\t', '\u0001', ' ')))
+    val strGen = Gen.listOfN(24, charGen).map(_.mkString)
+    val inputs = (0 until Cases * 4).map(i => sample(strGen, 500 + i))
+    val df = inputs.toDF("t")
+    import graft.llm.TextAnalysis.normalize
+    val bad = df.select(col("t"), normalize(col("t")).as("n1"),
+        normalize(normalize(col("t"))).as("n2"))
+      .filter(col("n1") =!= col("n2"))
+      .collect()
+    assert(bad.isEmpty, s"normalize not idempotent on: ${bad.toSeq}")
+  }
+
   test("branchTagged covers exactly the union of branch outputs") {
     for (i <- 0 until Cases) {
       val xs = sample(inputGen, 300 + i); val ts = sample(threshGen, 400 + i)
