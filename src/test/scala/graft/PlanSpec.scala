@@ -67,8 +67,8 @@ class PlanSpec extends SparkSpec {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val l = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "lv")
       val r = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
-      l.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("bl")
-      r.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("br")
+      graft.sources.Sinks.writeBucketed(l, "bl", Seq("k"), nBuckets = 8)
+      graft.sources.Sinks.writeBucketed(r, "br", Seq("k"), nBuckets = 8)
       val joined = spark.table("bl").join(spark.table("br"), "k")
       val p = joined.queryExecution.executedPlan.toString
       assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),

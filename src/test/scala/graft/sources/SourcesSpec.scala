@@ -89,8 +89,9 @@ class SourcesSpec extends SparkSpec {
 
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part")
-    Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "part", "v")
-      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    Sinks.writePartitioned(
+      Seq((1, "a", 10), (2, "b", 20), (3, "a", 30)).toDF("id", "part", "v"),
+      dir, partitionCols = Seq("part"))
     val pruned = spark.read.parquet(dir).filter(col("part") === "a")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(pruned.count() == 2)
