@@ -158,6 +158,32 @@ object LlmQueries {
       Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
     }),
 
+    // Product quantization (Jégou et al.): per-subspace k-means codebooks,
+    // every vector compressed to m=2 small codes via a literal-codebook
+    // joinless projection. The oracle re-trains both subspace codebooks
+    // with the same deterministic iterations (prefixed kmeans CTEs over
+    // vector slices) and reproduces the argmax-cosine encoding.
+    "q_pq_encode" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val books = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        m = 2, k = IvfK, iters = IvfIters)
+      Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
+    }),
+
+    // ADC top-k over the PQ codes: full-precision query, candidates scored
+    // from the m per-subspace dot-product lookup tables — the scan never
+    // touches the original vectors (the 100 TB memory win of PQ).
+    "q_pq_adc" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val books = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        m = 2, k = IvfK, iters = IvfIters)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val enc = Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
+      Similarity.pqAdcTopK(enc, books, qv, k = 10)
+    }),
+
     // Multi-cell IVF probe: scan the 3 cells whose centroids are closest
     // to the query — the recall knob for near-boundary queries. Same
     // deterministic vec_id<16 centroid set as q_ann_ivf.
@@ -359,6 +385,34 @@ object LlmQueries {
       s"(CASE WHEN ${sqlPlaneDot(h, vec)} >= 0 THEN CAST(${1L << h} AS BIGINT) ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Raw dot product in DOUBLE, index order — twin of the driver-side ADC
+    * lookup-table loop (sequential accumulation). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(0, len($a)), j -> CAST($a[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)))"
+
+  /** The two PQ subspace kmeans CTE chains (m=2) + per-vector encodings —
+    * shared by the q_pq_* oracles. Final codes in `enc(vec_id, code_0,
+    * code_1)`. */
+  private def sqlPqCtes: String =
+    s"""${sqlKmeansCte(IvfK, IvfIters, pfx = "s0_", vecExpr = "embedding[1:len(embedding)//2]")},
+       |${sqlKmeansCte(IvfK, IvfIters, pfx = "s1_", vecExpr = "embedding[len(embedding)//2+1:len(embedding)]")},
+       |enc0 AS (
+       |  SELECT vec_id, cid AS code_0 FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM s0_base e CROSS JOIN s0_c$IvfIters c) t WHERE rn = 1),
+       |enc1 AS (
+       |  SELECT vec_id, cid AS code_1 FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
+       |    FROM s1_base e CROSS JOIN s1_c$IvfIters c) t WHERE rn = 1),
+       |enc AS (
+       |  SELECT e0.vec_id, CAST(e0.code_0 AS INT) AS code_0,
+       |         CAST(e1.code_1 AS INT) AS code_1
+       |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id))""".stripMargin
+
   /** Cosine similarity in DOUBLE, index order, 0 on zero norm — bitwise
     * twin of the CosineSimilarity expression (no rounding on either side). */
   private def sqlCos(a: String, b: String): String =
@@ -380,30 +434,36 @@ object LlmQueries {
     * so both engines compute identical doubles), cast to FLOAT like the
     * Scala loop. A cluster that empties keeps its previous centroid
     * (COALESCE), mirroring the retention rule in kmeans. */
-  private def sqlKmeansCte(k: Int, iters: Int): String = {
+  /** Deterministic k-means CTE chain — twin of Similarity.kmeans. `pfx`
+    * namespaces the CTEs so several instances (e.g. one per PQ subspace)
+    * compose in one query; `vecExpr` selects the trained vector (full
+    * embedding, or a subspace slice). Final centroids: `${pfx}c$iters`. */
+  private def sqlKmeansCte(k: Int, iters: Int, pfx: String = "",
+                           vecExpr: String = "embedding"): String = {
     val init =
-      s"""c0 AS (
-         |  SELECT vec_id AS cid, embedding AS cv
-         |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $k) t)""".stripMargin
+      s"""${pfx}base AS (SELECT vec_id, $vecExpr AS bv FROM embeddings),
+         |${pfx}c0 AS (
+         |  SELECT vec_id AS cid, bv AS cv
+         |  FROM (SELECT vec_id, bv FROM ${pfx}base ORDER BY vec_id LIMIT $k) t)""".stripMargin
     val steps = (1 to iters).map { it =>
-      s"""a$it AS (
+      s"""${pfx}a$it AS (
          |  SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.embedding AS v, c.cid,
+         |    SELECT e.vec_id, e.bv AS v, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN c${it - 1} c) t WHERE rn = 1),
-         |c${it}new AS (
+         |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM ${pfx}base e CROSS JOIN ${pfx}c${it - 1} c) t WHERE rn = 1),
+         |${pfx}c${it}new AS (
          |  SELECT cid, list_transform(list(centroid ORDER BY pos), x -> CAST(x AS FLOAT)) AS cv
          |  FROM (
          |    SELECT cid, i.i AS pos,
          |           (CAST(sum(CAST(floor(CAST(v[i.i + 1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS DOUBLE)
          |              / 1048576.0) / count(*) AS centroid
-         |    FROM a$it CROSS JOIN LATERAL unnest(range(0, len(v))) AS i(i)
+         |    FROM ${pfx}a$it CROSS JOIN LATERAL unnest(range(0, len(v))) AS i(i)
          |    GROUP BY cid, i.i) t
          |  GROUP BY cid),
-         |c$it AS (
+         |${pfx}c$it AS (
          |  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
-         |  FROM c${it - 1} p LEFT JOIN c${it}new n ON p.cid = n.cid)""".stripMargin
+         |  FROM ${pfx}c${it - 1} p LEFT JOIN ${pfx}c${it}new n ON p.cid = n.cid)""".stripMargin
     }
     (init +: steps).mkString(",\n")
   }
@@ -559,6 +619,24 @@ object LlmQueries {
          |FROM assigned a JOIN q ON a.cid = q.qcid
          |WHERE a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q_pq_encode" ->
+      s"""WITH $sqlPqCtes
+         |SELECT vec_id, code_0, code_1 FROM enc""".stripMargin,
+
+    // ADC: per-row score = dot(q_sub0, centroid(code_0)) +
+    // dot(q_sub1, centroid(code_1)) — the query stays full-precision
+    "q_pq_adc" ->
+      s"""WITH $sqlPqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |       (${sqlDot("q.qv[1:len(q.qv)//2]", "c0.cv")}
+         |          + ${sqlDot("q.qv[len(q.qv)//2+1:len(q.qv)]", "c1.cv")}) AS adc_score
+         |FROM enc e
+         |JOIN s0_c$IvfIters c0 ON e.code_0 = c0.cid
+         |JOIN s1_c$IvfIters c1 ON e.code_1 = c1.cid
+         |CROSS JOIN q
+         |ORDER BY adc_score DESC, e.vec_id LIMIT 10""".stripMargin,
 
     // probes = 3 centroid-nearest cells; the query vector rides along on
     // the probe rows so the final scan is a single equi-join on cid

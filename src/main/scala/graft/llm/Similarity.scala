@@ -272,6 +272,75 @@ object Similarity {
     cents.toDF("cid", "cv", "n")
   }
 
+  // ---- Product quantization (Jégou et al., TPAMI 2011) -----------------
+
+  /** Subvector s of m: the contiguous dim/m-slice. Dim must be divisible
+    * by m (standard PQ constraint; enforced by the slice arithmetic). */
+  private def subVec(vec: Column, s: Int, m: Int): Column =
+    slice(vec, (size(vec) / m) * s + 1, size(vec) / m)
+
+  /** Train a PQ codebook: run the deterministic [[kmeans]] independently
+    * on each of the m contiguous subspaces. Returns the m codebooks
+    * driver-side — m·k·(dim/m) floats, codebook-sized state like the
+    * k-means centroids themselves, NOT data. At 100 TB: train on a
+    * sample, encode everything. */
+  def pqTrain(df: DataFrame, id: Column, vec: Column, m: Int, k: Int,
+              iters: Int): Seq[Seq[(Long, Array[Float])]] = {
+    import df.sparkSession.implicits._
+    (0 until m).map { s =>
+      kmeans(df, id, subVec(vec, s, m), k, iters)
+        .select(col("cid"), col("cv")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).toSeq
+    }
+  }
+
+  /** Encode each vector as m small centroid codes — 4·dim bytes of float
+    * down to m codes (one byte each for k ≤ 256). The codebooks are plan
+    * LITERALS, so encoding is a joinless single-pass projection at scan
+    * speed. Per subspace: argmax cosine against the k centroids, ties to
+    * the lowest centroid id (array_max over (score, -cid) structs — the
+    * same tie discipline as [[ivfAssignWith]]). Output: (vec_id,
+    * code_0 … code_{m-1}). */
+  def pqEncode(df: DataFrame, id: Column, vec: Column,
+               codebooks: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
+    val m = codebooks.length
+    val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
+      val sub = subVec(vec, s, m)
+      val scored = array(cents.map { case (cid, cv) =>
+        struct(CosineSimilarity(sub, lit(cv)).as("s"), lit(-cid).as("nc"))
+      }: _*)
+      (-array_max(scored).getField("nc")).cast("int").as(s"code_$s")
+    }
+    df.select(id.as("vec_id") +: codeCols: _*)
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: the query
+    * stays full-precision, each candidate's score is the sum of
+    * per-subspace dot products between the query slice and the candidate's
+    * CODE centroid — dot decomposes exactly across subspaces, so the scan
+    * never touches the original vectors. The m·k dot products are
+    * precomputed driver-side into per-code lookups (the classic ADC
+    * table), making scoring a joinless when-chain projection. */
+  def pqAdcTopK(encoded: DataFrame, codebooks: Seq[Seq[(Long, Array[Float])]],
+                query: Seq[Float], k: Int): DataFrame = {
+    val m = codebooks.length
+    val subLen = query.length / m
+    val score = codebooks.zipWithIndex.map { case (cents, s) =>
+      val qs = query.slice(s * subLen, (s + 1) * subLen)
+      val lut = cents.map { case (cid, cv) =>
+        var d = 0.0; var j = 0
+        while (j < qs.length) { d += qs(j).toDouble * cv(j).toDouble; j += 1 }
+        cid -> d
+      }
+      lut.foldLeft(lit(Double.NegativeInfinity)) { case (acc, (cid, d)) =>
+        when(col(s"code_$s") === cid, lit(d)).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    encoded.select(col("vec_id"), score.as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact k-NN join for a small query set: broadcast the queries, rank
     * per query — one scan of the corpus regardless of |queries|. */
   def knnJoin(corpus: DataFrame, corpusId: Column, corpusVec: Column,

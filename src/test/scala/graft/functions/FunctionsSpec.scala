@@ -212,6 +212,43 @@ class FunctionsSpec extends SparkSpec {
       i1 == i2 && m1 == m2 && v1.sameElements(v2) })
   }
 
+  test("PQ: encode is deterministic, codes index real centroids, ADC ranks sanely") {
+    import graft.llm.Similarity
+    // two DIRECTIONALLY-separated clusters per subspace (cosine is
+    // scale-invariant, so clusters must differ in direction, not
+    // magnitude) -> PQ must reconstruct cluster membership in its codes,
+    // and ADC must rank same-cluster vectors above the other cluster's
+    val data = (0 until 64).map { i =>
+      val active = if (i % 2 == 0) 0 else 3 // dominant dim within each subspace
+      val v = Array.tabulate(8)(j =>
+        if (j % 4 == active) 1.0f + 0.01f * (i % 5) else 0.01f * ((i + j) % 3))
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(df, col("vec_id"), col("embedding"), m = 2, k = 2, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 2))
+    assert(books.forall(_.forall(_._2.length == 4))) // subdim = 8/2
+    val enc = Similarity.pqEncode(df, col("vec_id"), col("embedding"), books)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    // determinism: re-encoding yields identical codes
+    val enc2 = Similarity.pqEncode(df, col("vec_id"), col("embedding"), books)
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(enc.sameElements(enc2))
+    // the two alternating clusters must receive distinct code pairs
+    val evenCodes = enc.filter(_._1 % 2 == 0).map(e => (e._2, e._3)).toSet
+    val oddCodes = enc.filter(_._1 % 2 == 1).map(e => (e._2, e._3)).toSet
+    assert(evenCodes.size == 1 && oddCodes.size == 1 && evenCodes != oddCodes,
+      s"clusters must encode distinctly: even=$evenCodes odd=$oddCodes")
+    // ADC with vector 0 as query: every even (same-cluster) id must
+    // outrank every odd one in the top-k
+    val q0 = data(0)._2.toSeq
+    val top = Similarity.pqAdcTopK(
+      Similarity.pqEncode(df, col("vec_id"), col("embedding"), books), books, q0, k = 32)
+      .as[(Long, Double)].collect()
+    assert(top.length == 32 && top.forall(_._1 % 2 == 0),
+      s"top-32 must be exactly the query's cluster: ${top.map(_._1).toSeq}")
+  }
+
   test("md5Long is deterministic and salt-sensitive") {
     val df = Seq("hello").toDF("s")
     val (h0, h0b, h1) = df.select(
