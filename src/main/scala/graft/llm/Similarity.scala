@@ -279,18 +279,56 @@ object Similarity {
   private def subVec(vec: Column, s: Int, m: Int): Column =
     slice(vec, (size(vec) / m) * s + 1, size(vec) / m)
 
-  /** Train a PQ codebook: run the deterministic [[kmeans]] independently
-    * on each of the m contiguous subspaces. Returns the m codebooks
-    * driver-side — m·k·(dim/m) floats, codebook-sized state like the
-    * k-means centroids themselves, NOT data. At 100 TB: train on a
-    * sample, encode everything. */
+  /** Train a PQ codebook: the deterministic [[kmeans]] recurrence run
+    * independently on each of the m contiguous subspaces — but FUSED into
+    * one distributed pass: the training set is exploded once into
+    * (subspace, vec_id, subvector) rows, so every iteration is a single
+    * job covering all m sub-problems instead of m sequential ones (same
+    * total floats — m× rows of dim/m each; per-job fixed overhead is the
+    * real cost at iteration granularity). Produces bit-identical centroids
+    * to the per-subspace runs: assignment is per-row, the fixed-point
+    * centroid sums are order-independent, and the seeds (k lowest ids) are
+    * the same in every subspace. Returns the m codebooks driver-side —
+    * m·k·(dim/m) floats, codebook-sized state like the k-means centroids
+    * themselves, NOT data. At 100 TB: train on a sample, encode
+    * everything. */
   def pqTrain(df: DataFrame, id: Column, vec: Column, m: Int, k: Int,
               iters: Int): Seq[Seq[(Long, Array[Float])]] = {
     import df.sparkSession.implicits._
+    val subs = array((0 until m).map(s => subVec(vec, s, m)): _*)
+    val v = df.select(id.as("vec_id"), posexplode(subs).as(Seq("s", "v"))).persist()
+    // seeds: the k lowest vec_ids (every id appears once per subspace, so
+    // ordering by (vec_id, s) and taking k*m rows yields exactly those ids
+    // in all m subspaces — identical to seeding each subspace separately)
+    var cents: Map[(Int, Long), Array[Float]] =
+      v.orderBy(col("vec_id"), col("s")).limit(k * m)
+        .select(col("s"), col("vec_id"), col("v")).as[(Int, Long, Array[Float])]
+        .collect().map { case (s, cid, cv) => (s, cid) -> cv }.toMap
+    var i = 0
+    while (i < iters) {
+      val centDf = cents.toSeq.map { case ((s, cid), cv) => (s, cid, cv) }
+        .toDF("s", "cid", "cv")
+      val assigned = v.join(broadcast(centDf), "s")
+        .select(col("s"), col("vec_id"), col("v"), col("cid"),
+          CosineSimilarity(col("v"), col("cv")).as("ccos"))
+        .groupBy(col("s"), col("vec_id"))
+        .agg(max_by(struct(col("v"), col("cid")), struct(col("ccos"), -col("cid"))).as("__b"))
+        .select(col("s"), col("__b.v").as("v"), col("__b.cid").as("cid"))
+      val updated = quantizedCentroids(assigned, struct(col("s"), col("cid")), col("v"))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("centroid")))).as("pc"))
+        .select(col("g.s"), col("g.cid"),
+          transform(col("pc"), x => x.getField("centroid").cast("float")).as("cv"))
+        .as[(Int, Long, Array[Float])]
+        .collect().map { case (s, cid, cv) => (s, cid) -> cv }.toMap
+      // a cluster that emptied this iteration produces no row — RETAIN its
+      // previous centroid so each subspace keeps exactly k cells
+      cents = cents.map { case (key, cv) => key -> updated.getOrElse(key, cv) }
+      i += 1
+    }
+    v.unpersist(blocking = false)
     (0 until m).map { s =>
-      kmeans(df, id, subVec(vec, s, m), k, iters)
-        .select(col("cid"), col("cv")).as[(Long, Array[Float])]
-        .collect().sortBy(_._1).toSeq
+      cents.collect { case ((`s`, cid), cv) => (cid, cv) }.toSeq.sortBy(_._1)
     }
   }
 
