@@ -155,4 +155,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("payload:binary"),
       s"payload must be pruned from a metadata scan:\n$p")
   }
+
+  test("PQ encode is a joinless scan-speed projection; ADC top-k is heap-based") {
+    val e = Tables.embeddings(spark, sf)
+    val books = llm.Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+      m = 2, k = 4, iters = 1)
+    val enc = llm.Similarity.pqEncode(e, col("vec_id"), col("embedding"), books)
+    val pe = plan(enc)
+    // the codebooks are literals: encoding must not join or shuffle
+    assert(!pe.contains("Join") && !pe.contains("Exchange"),
+      s"PQ encode must be a pure projection:\n$pe")
+    assert(pe.contains("*(1) Project"), s"PQ encode fell out of codegen:\n$pe")
+    val pa = plan(llm.Similarity.pqAdcTopK(enc, books,
+      query = Seq.fill(64)(0.1f), k = 10))
+    assert(pa.contains("TakeOrderedAndProject") && !pa.contains("Join"),
+      s"ADC top-k must be a joinless heap top-k:\n$pa")
+  }
 }
