@@ -184,6 +184,27 @@ object LlmQueries {
       Similarity.pqAdcTopK(enc, books, qv, k = 10)
     }),
 
+    // IVF-PQ (the standard lake-scale ANN composition): coarse cell from
+    // the deterministic vec_id<16 centroid set (as q_ann_ivf), PQ codes
+    // from the trained subspace codebooks; probe the 3 query-nearest
+    // cells driver-side and ADC-score only their codes. The read side is
+    // a partition-prunable cell filter + joinless projection — raw
+    // vectors never touched.
+    "q_ann_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val coarse = e.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1).toSeq
+      val books = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        m = 2, k = IvfK, iters = IvfIters)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val idx = Similarity.pqIndex(e.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), coarse, books)
+      Similarity.ivfPqTopK(idx, coarse, books, qv, nProbes = 3, k = 10)
+    }),
+
     // Multi-cell IVF probe: scan the 3 cells whose centroids are closest
     // to the query — the recall knob for near-boundary queries. Same
     // deterministic vec_id<16 centroid set as q_ann_ivf.
@@ -636,6 +657,35 @@ object LlmQueries {
          |JOIN s0_c$IvfIters c0 ON e.code_0 = c0.cid
          |JOIN s1_c$IvfIters c1 ON e.code_1 = c1.cid
          |CROSS JOIN q
+         |ORDER BY adc_score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // IVF-PQ: coarse cells + probe set re-derived exactly as q_ann_ivf /
+    // q_ann_ivf_probes, ADC scoring exactly as q_pq_adc — composed
+    "q_ann_ivfpq" ->
+      s"""WITH $sqlPqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cells AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.vec_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.vec_id AS cid, ${sqlCos("c.embedding", "q.qv")} AS qcos
+         |    FROM embeddings c CROSS JOIN q WHERE c.vec_id < 16
+         |    ORDER BY qcos DESC, cid LIMIT 3) p)
+         |SELECT e.vec_id,
+         |       (${sqlDot("q.qv[1:len(q.qv)//2]", "c0.cv")}
+         |          + ${sqlDot("q.qv[len(q.qv)//2+1:len(q.qv)]", "c1.cv")}) AS adc_score
+         |FROM enc e
+         |JOIN cells cl ON e.vec_id = cl.vec_id
+         |JOIN probes p ON cl.cell = p.cid
+         |JOIN s0_c$IvfIters c0 ON e.code_0 = c0.cid
+         |JOIN s1_c$IvfIters c1 ON e.code_1 = c1.cid
+         |CROSS JOIN q
+         |WHERE e.vec_id <> 0
          |ORDER BY adc_score DESC, e.vec_id LIMIT 10""".stripMargin,
 
     // probes = 3 centroid-nearest cells; the query vector rides along on

@@ -339,15 +339,21 @@ object Similarity {
     * the lowest centroid id (array_max over (score, -cid) structs — the
     * same tie discipline as [[ivfAssignWith]]). Output: (vec_id,
     * code_0 … code_{m-1}). */
+  /** Argmax-cosine centroid id for `v` against LITERAL centroids — ties
+    * to the lowest id via array_max over (score, -cid) structs, the same
+    * tie discipline as [[ivfAssignWith]]. A pure projection: no join. */
+  private def argmaxCid(v: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(CosineSimilarity(v, lit(cv)).as("s"), lit(-cid).as("nc"))
+    }: _*)
+    -array_max(scored).getField("nc")
+  }
+
   def pqEncode(df: DataFrame, id: Column, vec: Column,
                codebooks: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
     val m = codebooks.length
     val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
-      val sub = subVec(vec, s, m)
-      val scored = array(cents.map { case (cid, cv) =>
-        struct(CosineSimilarity(sub, lit(cv)).as("s"), lit(-cid).as("nc"))
-      }: _*)
-      (-array_max(scored).getField("nc")).cast("int").as(s"code_$s")
+      argmaxCid(subVec(vec, s, m), cents).cast("int").as(s"code_$s")
     }
     df.select(id.as("vec_id") +: codeCols: _*)
   }
@@ -360,10 +366,18 @@ object Similarity {
     * precomputed driver-side into per-code lookups (the classic ADC
     * table), making scoring a joinless when-chain projection. */
   def pqAdcTopK(encoded: DataFrame, codebooks: Seq[Seq[(Long, Array[Float])]],
-                query: Seq[Float], k: Int): DataFrame = {
+                query: Seq[Float], k: Int): DataFrame =
+    encoded.select(col("vec_id"), adcScore(codebooks, query).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+
+  /** The ADC when-chain score for the m code columns of an encoded row —
+    * shared by [[pqAdcTopK]] and [[ivfPqTopK]]. */
+  private def adcScore(codebooks: Seq[Seq[(Long, Array[Float])]],
+                       query: Seq[Float]): Column = {
     val m = codebooks.length
     val subLen = query.length / m
-    val score = codebooks.zipWithIndex.map { case (cents, s) =>
+    codebooks.zipWithIndex.map { case (cents, s) =>
       val qs = query.slice(s * subLen, (s + 1) * subLen)
       val lut = cents.map { case (cid, cv) =>
         var d = 0.0; var j = 0
@@ -374,7 +388,47 @@ object Similarity {
         when(col(s"code_$s") === cid, lit(d)).otherwise(acc)
       }
     }.reduce(_ + _)
-    encoded.select(col("vec_id"), score.as("adc_score"))
+  }
+
+  /** Build the IVF-PQ index table: one projection emitting each vector's
+    * coarse cell (argmax against the LITERAL coarse centroids) plus its m
+    * PQ codes. This is the table you'd WRITE partitioned/bucketed by
+    * `cell` (see [[graft.sources.TableLayout]]) — at 100 TB the index is
+    * m+1 small ints per vector instead of 4·dim bytes, and a probe scan
+    * prunes to nProbes/|cells| of it. */
+  def pqIndex(df: DataFrame, id: Column, vec: Column,
+              coarse: Seq[(Long, Array[Float])],
+              codebooks: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
+    val m = codebooks.length
+    val cols = argmaxCid(vec, coarse).as("cell") +:
+      codebooks.zipWithIndex.map { case (cents, s) =>
+        argmaxCid(subVec(vec, s, m), cents).cast("int").as(s"code_$s")
+      }
+    df.select(id.as("vec_id") +: cols: _*)
+  }
+
+  /** IVF-PQ top-k (the standard large-scale ANN composition): pick the
+    * nProbes coarse cells nearest the query DRIVER-side (the coarse
+    * centroid set is k·dim floats — index-order cosine, bit-identical to
+    * [[graft.functions.CosineSimilarity]]), then scan only those cells of
+    * the [[pqIndex]] table and ADC-score the codes. The whole read side is
+    * a partition-prunable `cell IN (...)` filter plus a joinless
+    * projection into TakeOrderedAndProject — no join, no shuffle, and the
+    * raw vectors are never touched. */
+  def ivfPqTopK(index: DataFrame, coarse: Seq[(Long, Array[Float])],
+                codebooks: Seq[Seq[(Long, Array[Float])]],
+                query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
+    val probes = coarse.map { case (cid, cv) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
+      while (j < math.min(query.length, cv.length)) {
+        val a = query(j).toDouble; val b = cv(j).toDouble
+        dot += a * b; na += a * a; nb += b * b; j += 1
+      }
+      val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+      (cid, cos)
+    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbes).map(_._1)
+    index.filter(col("cell").isin(probes: _*))
+      .select(col("vec_id"), adcScore(codebooks, query).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))
       .limit(k)
   }

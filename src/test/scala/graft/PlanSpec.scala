@@ -171,4 +171,26 @@ class PlanSpec extends SparkSpec {
     assert(pa.contains("TakeOrderedAndProject") && !pa.contains("Join"),
       s"ADC top-k must be a joinless heap top-k:\n$pa")
   }
+
+  test("IVF-PQ probe scan is a prunable cell filter, no join, heap top-k") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val coarse = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+    val books = llm.Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+      m = 2, k = 4, iters = 1)
+    // the 100 TB posture: the index is WRITTEN partitioned by cell, so
+    // the driver-side probe choice becomes a partition-pruning IN filter
+    // — only nProbes/|cells| of the stored index is ever read
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    llm.Similarity.pqIndex(e, col("vec_id"), col("embedding"), coarse, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val p = explained(llm.Similarity.ivfPqTopK(spark.read.parquet(dir),
+      coarse, books, query = Seq.fill(64)(0.1f), nProbes = 2, k = 10))
+    assert(p.contains("TakeOrderedAndProject") && !p.contains("Join"),
+      s"IVF-PQ must be joinless heap top-k:\n$p")
+    assert(p.contains("PartitionFilters: [cell#"),
+      s"probe filter must prune index partitions:\n$p")
+  }
 }
