@@ -311,6 +311,64 @@ object Streaming {
     }
   }
 
+  /** Streaming MinHash-LSH band claims — the stateful core of
+    * [[streamingMinHashDedup]]. Each incoming doc is exploded into its
+    * LSH band keys; keyed state per band remembers the FIRST doc to ever
+    * present that band (within a micro-batch, ties go to the lowest
+    * doc id — the batch [[graft.llm.Dedup.minhashDedup]] keep rule).
+    * Emits one claim row (doc_id, band_key, owner) per (doc, band).
+    * Docs shorter than the shingle width carry no signal and are
+    * excluded, exactly like the batch banding (they are trivially kept).
+    *
+    * 100 TB posture: state is one long per DISTINCT band key, hash-
+    * partitioned across executors by the group key — the streaming twin
+    * of the batch band table, living in the state store instead of a
+    * shuffle. Claims for a given band always land on its owning
+    * partition, so dedup needs no further shuffle. Semantics vs batch:
+    * batch ownership is global-min doc id; streaming ownership is
+    * first-arrival (arrival order IS the stream's keep priority). */
+  def streamingBandClaims(docs: DataFrame, id: Column, text: Column,
+                          shingleWidth: Int, bands: Int,
+                          rowsPerBand: Int): Dataset[(Long, String, Long)] = {
+    import graft.functions.GraftFunctions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val banded = docs
+      .filter(size(tokens(text)) >= shingleWidth)
+      .select(id.cast("long").as("doc_id"),
+        explode(lshBandKeys(
+          minhashSignature(shingles(text, shingleWidth), bands * rowsPerBand),
+          bands, rowsPerBand)).as("band_key"))
+      .as[(Long, String)]
+    banded.groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (bandKey: String, values: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = values.map(_._1).toSeq
+          val owner = state.getOption.getOrElse(ids.min)
+          if (!state.exists) state.update(owner)
+          ids.iterator.map(d => (d, bandKey, owner))
+      }
+  }
+
+  /** Streaming MinHash-LSH near-dup dedup: per-doc verdicts over the
+    * [[streamingBandClaims]] stream. A doc is KEPT iff every one of its
+    * bands was first claimed by itself; otherwise `dup_of` is the lowest
+    * prior owner among its collided bands. Aggregation after an
+    * Append-mode flatMapGroupsWithState is the supported chained-stateful
+    * shape; run the sink in Update mode (a doc's verdict is complete once
+    * its single input record's claims are aggregated — all of them arrive
+    * in the same micro-batch, so the verdict emitted for that batch is
+    * final). */
+  def streamingMinHashDedup(docs: DataFrame, id: Column, text: Column,
+                            shingleWidth: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 4): DataFrame =
+    streamingBandClaims(docs, id, text, shingleWidth, bands, rowsPerBand)
+      .toDF("doc_id", "band_key", "owner")
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+
   /** Convenience: run a micro-batch query to completion over a bounded
     * test source (Trigger.AvailableNow) and block. */
   def runAvailableNow(w: DataStreamWriter[Row]): StreamingQuery = {

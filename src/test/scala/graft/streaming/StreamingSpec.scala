@@ -370,4 +370,33 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(rows == Map("a" -> 3L, "b" -> 5L))
   }
+
+  test("streaming minhash dedup: first arrival claims the bands, later near-dups are flagged") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val verdicts = Streaming.streamingMinHashDedup(
+      ms.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      shingleWidth = 3, bands = 4, rowsPerBand = 4)
+    val q = verdicts.writeStream.format("memory").queryName("smhd_out")
+      .outputMode("update").start()
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "completely different words describing structured streaming state stores in detail"
+    // batch 1: doc 1 claims t1's bands; doc 2 (same text, same batch)
+    // loses the within-batch tie to the lower id
+    ms.addData((1L, t1), (2L, t1))
+    q.processAllAvailable()
+    // batch 2: doc 3 collides with state claimed a batch earlier; doc 4
+    // is genuinely novel
+    ms.addData((3L, t1), (4L, t2))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("smhd_out")
+      .select(col("doc_id"), col("dup_of"), col("kept"))
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4, s"one verdict per doc: $out")
+    assert(out(1L)._3 && out(4L)._3, s"docs 1 and 4 must be kept: $out")
+    assert(!out(2L)._3 && out(2L)._2.contains(1L), s"doc 2 dup of 1: $out")
+    assert(!out(3L)._3 && out(3L)._2.contains(1L), s"doc 3 dup of 1 across batches: $out")
+  }
 }
