@@ -313,6 +313,15 @@ object LlmQueries {
     // deterministic train/val assignment by CONTENT hash: stable under
     // re-sharding/re-ids, reproducible across runs and engines — the only
     // split discipline that survives a distributed rebuild of the corpus
+    // Deterministic mixture sampling: re-weight the corpus per language
+    // (the data-mixing knob of a training pipeline) via content-hash
+    // thresholds — reproducible, reshard-stable, a pure scan filter.
+    "q_mix_sample" -> ((s, d) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, d), col("text"),
+        col("lang"), Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25),
+        default = 0.1, salt = 7)
+        .select(col("doc_id"), col("lang"))),
+
     "q_split_assign" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       (GraftFunctions.md5Long(col("text")) % 20).as("bucket"),
@@ -845,6 +854,16 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    // thresholds are the driver-side (rate*10^6).toLong values — integer
+    // compare on both engines (0.1*10^6 truncates to 100000 in Scala)
+    "q_mix_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlMd5Long("'7|' || text")} % 1000000 <
+         |      CASE WHEN lang = 'de' THEN 1000000
+         |           WHEN lang = 'en' THEN 500000
+         |           WHEN lang = 'fr' THEN 250000
+         |           ELSE 100000 END""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id, ${sqlMd5Long("text")} % 20 AS bucket,

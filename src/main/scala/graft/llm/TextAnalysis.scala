@@ -36,6 +36,28 @@ object TextAnalysis {
     regexp_replace(lower(graft.functions.NfcNormalize(text)),
       "[\\x00-\\x1F\\x7F]", "")
 
+  /** Deterministic data-mixture sampling — the training-corpus
+    * re-weighting op: keep a row iff md5Long(salt|content) mod 10^6 falls
+    * under its group's rate threshold. Content-hash gating (the
+    * q_split_assign discipline) makes the decision stable under
+    * resharding, repartitioning and reruns, and exactly reproducible in
+    * the SQL oracle — none of which holds for seeded `sample()`. A pure
+    * codegen filter: pushes to the scan, no shuffle, no RNG state.
+    * Thresholds are computed driver-side as longs (rate·10^6) so both
+    * engines compare integers — a per-row double→long cast would diverge
+    * (Spark truncates, DuckDB rounds). Groups absent from `rates` fall
+    * back to `default`; null content hashes to null and is dropped. */
+  def mixtureSample(df: DataFrame, content: Column, group: Column,
+                    rates: Map[String, Double], default: Double,
+                    salt: Int = 7): DataFrame = {
+    val scale = 1000000L
+    def th(r: Double): Long = math.max(0L, math.min((r * scale).toLong, scale))
+    val threshold = rates.foldLeft(lit(th(default))) { case (acc, (g, r)) =>
+      when(group === g, lit(th(r))).otherwise(acc)
+    }
+    df.filter(md5Long(content, salt) % scale < threshold)
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")
