@@ -313,6 +313,15 @@ object LlmQueries {
     // deterministic train/val assignment by CONTENT hash: stable under
     // re-sharding/re-ids, reproducible across runs and engines — the only
     // split discipline that survives a distributed rebuild of the corpus
+    // Sequence packing: assign each doc its training-sequence index and
+    // offset under a 512-token budget, packed per language shard — the
+    // concat-and-chunk layout step of a training pipeline.
+    "q_pack_sequences" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d),
+        col("lang"), col("doc_id"),
+        coalesce(TextAnalysis.bpeTokenEstimate(col("text")), lit(0L)),
+        budget = 512L)),
+
     // Deterministic mixture sampling: re-weight the corpus per language
     // (the data-mixing knob of a training pipeline) via content-hash
     // thresholds — reproducible, reshard-stable, a pure scan filter.
@@ -854,6 +863,24 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    // prefix-sum packing: pure integer window arithmetic; HUGEINT sums
+    // cast back to BIGINT per the pandas-canonicalization rule
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT lang AS shard, doc_id,
+         |         COALESCE(list_sum(list_transform($sqlAlnumToks,
+         |           t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM t)
+         |SELECT shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(cb // 512 AS BIGINT) AS seq_idx,
+         |       CAST(cb % 512 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin,
 
     // thresholds are the driver-side (rate*10^6).toLong values — integer
     // compare on both engines (0.1*10^6 truncates to 100000 in Scala)

@@ -58,6 +58,29 @@ object TextAnalysis {
     df.filter(md5Long(content, salt) % scale < threshold)
   }
 
+  /** Sequence packing — concat-and-chunk assignment of documents into
+    * fixed token-budget training sequences: docs are laid out in `order`
+    * within each shard, and each doc's sequence index / offset comes from
+    * the prefix sum of token counts (the standard "concatenate then split
+    * every `budget` tokens" packing; docs may straddle a boundary).
+    * Scale posture: the window partitions by `shard`, so packing runs in
+    * parallel per shard with ONE shuffle+sort — a global (shard-less)
+    * order would serialize onto one reducer, which is why real pipelines
+    * always pack per shard. Integer arithmetic throughout. */
+  def packSequences(df: DataFrame, shard: Column, order: Column,
+                    tokenCount: Column, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(order)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cumBefore = coalesce(sum(tokenCount).over(w), lit(0L))
+    df.select(shard.as("shard"), order.as("doc_id"),
+        tokenCount.cast("long").as("n_tokens"),
+        cumBefore.as("cb"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"),
+        floor(col("cb") / budget).cast("long").as("seq_idx"),
+        pmod(col("cb"), lit(budget)).as("seq_offset"))
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")
