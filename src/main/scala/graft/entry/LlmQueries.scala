@@ -310,9 +310,6 @@ object LlmQueries {
           min(col("doc_id")).as("first_doc"))
     }),
 
-    // deterministic train/val assignment by CONTENT hash: stable under
-    // re-sharding/re-ids, reproducible across runs and engines — the only
-    // split discipline that survives a distributed rebuild of the corpus
     // Sequence packing: assign each doc its training-sequence index and
     // offset under a 512-token budget, packed per language shard — the
     // concat-and-chunk layout step of a training pipeline.
@@ -331,6 +328,9 @@ object LlmQueries {
         default = 0.1, salt = 7)
         .select(col("doc_id"), col("lang"))),
 
+    // deterministic train/val assignment by CONTENT hash: stable under
+    // re-sharding/re-ids, reproducible across runs and engines — the only
+    // split discipline that survives a distributed rebuild of the corpus
     "q_split_assign" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       (GraftFunctions.md5Long(col("text")) % 20).as("bucket"),
@@ -429,28 +429,37 @@ object LlmQueries {
   private def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(range(0, len($a)), j -> CAST($a[j+1] AS DOUBLE) * CAST($b[j+1] AS DOUBLE)))"
 
-  /** The two PQ subspace kmeans CTE chains (m=2) + per-vector encodings —
-    * shared by the q_pq_* oracles. Final codes in `enc(vec_id, code_0,
-    * code_1)`. */
-  private def sqlPqCtes: String =
-    s"""${sqlKmeansCte(IvfK, IvfIters, pfx = "s0_", vecExpr = "embedding[1:len(embedding)//2]")},
-       |${sqlKmeansCte(IvfK, IvfIters, pfx = "s1_", vecExpr = "embedding[len(embedding)//2+1:len(embedding)]")},
-       |enc0 AS (
-       |  SELECT vec_id, cid AS code_0 FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
-       |    FROM s0_base e CROSS JOIN s0_c$IvfIters c) t WHERE rn = 1),
-       |enc1 AS (
-       |  SELECT vec_id, cid AS code_1 FROM (
-       |    SELECT e.vec_id, c.cid,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
-       |    FROM s1_base e CROSS JOIN s1_c$IvfIters c) t WHERE rn = 1),
-       |enc AS (
-       |  SELECT e0.vec_id, CAST(e0.code_0 AS INT) AS code_0,
-       |         CAST(e1.code_1 AS INT) AS code_1
-       |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id))""".stripMargin
+  /** The two PQ subspace kmeans CTE chains (m=2), their RANKED codebooks
+    * (`s{s}_r(cid, code, cv)` — code = dense 0..k-1 rank in cid order,
+    * the argmaxRank twin) and per-vector encodings, generated per
+    * subspace from one template — shared by the q_pq_* oracles. Final
+    * codes in `enc(vec_id, code_0, code_1)`. */
+  private def sqlPqCtes: String = {
+    val slices = Seq("embedding[1:len(embedding)//2]",
+      "embedding[len(embedding)//2+1:len(embedding)]")
+    val kctes = slices.zipWithIndex.map { case (sl, s) =>
+      sqlKmeansCte(IvfK, IvfIters, pfx = s"s${s}_", vecExpr = sl)
+    }
+    val ranked = slices.indices.map { s =>
+      s"""s${s}_r AS (
+         |  SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS code, cv
+         |  FROM s${s}_c$IvfIters)""".stripMargin
+    }
+    val encs = slices.indices.map { s =>
+      s"""enc$s AS (
+         |  SELECT vec_id, code AS code_$s FROM (
+         |    SELECT e.vec_id, c.code,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.code) AS rn
+         |    FROM s${s}_base e CROSS JOIN s${s}_r c) t WHERE rn = 1)""".stripMargin
+    }
+    val enc =
+      """enc AS (
+        |  SELECT e0.vec_id, CAST(e0.code_0 AS INT) AS code_0,
+        |         CAST(e1.code_1 AS INT) AS code_1
+        |  FROM enc0 e0 JOIN enc1 e1 USING (vec_id))""".stripMargin
+    (kctes ++ ranked ++ encs :+ enc).mkString(",\n")
+  }
 
   /** Cosine similarity in DOUBLE, index order, 0 on zero norm — bitwise
     * twin of the CosineSimilarity expression (no rounding on either side). */
@@ -465,15 +474,14 @@ object LlmQueries {
   private val sqlAlnumToks =
     "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)"
 
-  /** CTE chain c0..c{iters} reproducing [[Similarity.kmeans]] exactly:
-    * c0 = the k lowest-id vectors; each iteration assigns every vector to
-    * its argmax-cosine centroid (ties to the lowest cid, the max_by twin)
-    * and recenters with the SAME fixed-point quantization as
-    * quantizedCentroids (floor(x*2^20) integer sums — order-independent,
-    * so both engines compute identical doubles), cast to FLOAT like the
-    * Scala loop. A cluster that empties keeps its previous centroid
-    * (COALESCE), mirroring the retention rule in kmeans. */
-  /** Deterministic k-means CTE chain — twin of Similarity.kmeans. `pfx`
+  /** Deterministic k-means CTE chain reproducing [[Similarity.kmeans]]
+    * exactly: `${pfx}c0` = the k lowest-id vectors; each iteration
+    * assigns every vector to its argmax-cosine centroid (ties to the
+    * lowest cid, the max_by twin) and recenters with the SAME fixed-point
+    * quantization as quantizedCentroids (floor(x*2^20) integer sums —
+    * order-independent, so both engines compute identical doubles), cast
+    * to FLOAT like the Scala loop. A cluster that empties keeps its
+    * previous centroid (COALESCE), mirroring the retention rule. `pfx`
     * namespaces the CTEs so several instances (e.g. one per PQ subspace)
     * compose in one query; `vecExpr` selects the trained vector (full
     * embedding, or a subspace slice). Final centroids: `${pfx}c$iters`. */
@@ -672,36 +680,40 @@ object LlmQueries {
          |       (${sqlDot("q.qv[1:len(q.qv)//2]", "c0.cv")}
          |          + ${sqlDot("q.qv[len(q.qv)//2+1:len(q.qv)]", "c1.cv")}) AS adc_score
          |FROM enc e
-         |JOIN s0_c$IvfIters c0 ON e.code_0 = c0.cid
-         |JOIN s1_c$IvfIters c1 ON e.code_1 = c1.cid
+         |JOIN s0_r c0 ON e.code_0 = c0.code
+         |JOIN s1_r c1 ON e.code_1 = c1.code
          |CROSS JOIN q
          |ORDER BY adc_score DESC, e.vec_id LIMIT 10""".stripMargin,
 
     // IVF-PQ: coarse cells + probe set re-derived exactly as q_ann_ivf /
-    // q_ann_ivf_probes, ADC scoring exactly as q_pq_adc — composed
+    // q_ann_ivf_probes but as dense RANKS of the coarse centroids (the
+    // argmaxRank twin), ADC scoring exactly as q_pq_adc — composed
     "q_ann_ivfpq" ->
       s"""WITH $sqlPqCtes,
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |coarse AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+         |  FROM embeddings WHERE vec_id < 16),
          |cells AS (
          |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.vec_id AS cell,
+         |    SELECT e.vec_id, c.cell,
          |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
-         |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
+         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.cell) AS rn
+         |    FROM embeddings e CROSS JOIN coarse c) t
          |  WHERE rn = 1),
          |probes AS (
-         |  SELECT cid FROM (
-         |    SELECT c.vec_id AS cid, ${sqlCos("c.embedding", "q.qv")} AS qcos
-         |    FROM embeddings c CROSS JOIN q WHERE c.vec_id < 16
-         |    ORDER BY qcos DESC, cid LIMIT 3) p)
+         |  SELECT cell FROM (
+         |    SELECT c.cell, ${sqlCos("c.embedding", "q.qv")} AS qcos
+         |    FROM coarse c CROSS JOIN q
+         |    ORDER BY qcos DESC, cell LIMIT 3) p)
          |SELECT e.vec_id,
          |       (${sqlDot("q.qv[1:len(q.qv)//2]", "c0.cv")}
          |          + ${sqlDot("q.qv[len(q.qv)//2+1:len(q.qv)]", "c1.cv")}) AS adc_score
          |FROM enc e
          |JOIN cells cl ON e.vec_id = cl.vec_id
-         |JOIN probes p ON cl.cell = p.cid
-         |JOIN s0_c$IvfIters c0 ON e.code_0 = c0.cid
-         |JOIN s1_c$IvfIters c1 ON e.code_1 = c1.cid
+         |JOIN probes p ON cl.cell = p.cell
+         |JOIN s0_r c0 ON e.code_0 = c0.code
+         |JOIN s1_r c1 ON e.code_1 = c1.code
          |CROSS JOIN q
          |WHERE e.vec_id <> 0
          |ORDER BY adc_score DESC, e.vec_id LIMIT 10""".stripMargin,

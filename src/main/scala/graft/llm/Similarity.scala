@@ -231,45 +231,67 @@ object Similarity {
   def kmeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // persist the training set for the iteration loop: every iteration
-    // re-reads it (assign + re-center + the seed scan), so without the
-    // persist each pass re-scans the source. At lake scale the training
-    // set is a SAMPLE of the corpus (train on 1%, assign all 100%), so
-    // persisting it is the standard posture, not a luxury.
-    val v = df.select(id.as("vec_id"), vec.as("v")).persist()
-    // the k LOWEST ids — not `id < k`, which silently under-seeds (or
-    // seeds nothing) when the id space is sparse or not zero-based
-    var cents: Seq[(Long, Array[Float], Long)] = v.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"), col("v")).as[(Long, Array[Float])]
-      .collect().map { case (cid, cv) => (cid, cv, 0L) }.toSeq
+    val v = df.select(lit(0).as("s"), id.as("vec_id"), vec.as("v"))
+    kmeansSlots(v, slots = 1, k, iters).toSeq
+      .map { case ((_, cid), (cv, n)) => (cid, cv, n) }
+      .sortBy(_._1).toDF("cid", "cv", "n")
+  }
+
+  /** The shared deterministic k-means engine: one independent k-means per
+    * SLOT, all slots iterating in the same distributed jobs. Input rows
+    * are (s slot, vec_id, v subvector) with every vec_id appearing once
+    * per slot. [[kmeans]] is the single-slot instance; [[pqTrain]] runs
+    * one slot per PQ subspace — keeping them on one engine is what makes
+    * the per-subspace oracle CTEs provably equal to the fused run.
+    *
+    * Per slot: seeds are the k LOWEST vec_ids (not `id < k`, which
+    * silently under-seeds when the id space is sparse or not zero-based);
+    * assignment is argmax cosine with ties to the lowest centroid id;
+    * re-centering goes through the fixed-point [[quantizedCentroids]]
+    * sums, so results are independent of row order and partitioning; a
+    * cluster that empties RETAINS its previous centroid (n = 0) so every
+    * slot always has exactly k cells. The training set is persisted for
+    * the iteration loop (each pass re-reads it; at lake scale it is a
+    * SAMPLE of the corpus — train on 1%, assign all 100%), and centroids
+    * are collected driver-side between iterations (slots·k·dim floats —
+    * broadcast state, not data), keeping lineage O(1) per iteration. */
+  private def kmeansSlots(v: DataFrame, slots: Int, k: Int,
+                          iters: Int): Map[(Int, Long), (Array[Float], Long)] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val pv = v.persist()
+    // every vec_id appears once per slot, so ordering by (vec_id, s) and
+    // taking k*slots rows seeds each slot with the same k lowest ids
+    var cents: Map[(Int, Long), (Array[Float], Long)] =
+      pv.orderBy(col("vec_id"), col("s")).limit(k * slots)
+        .select(col("s"), col("vec_id"), col("v")).as[(Int, Long, Array[Float])]
+        .collect().map { case (s, cid, cv) => (s, cid) -> (cv, 0L) }.toMap
     var i = 0
     while (i < iters) {
-      val centDf = cents.map { case (cid, cv, _) => (cid, cv) }.toDF("cid", "cv")
-      val assigned = v.crossJoin(broadcast(centDf))
-        .select(col("vec_id"), col("v"), col("cid"),
+      val centDf = cents.toSeq.map { case ((s, cid), (cv, _)) => (s, cid, cv) }
+        .toDF("s", "cid", "cv")
+      val assigned = pv.join(broadcast(centDf), "s")
+        .select(col("s"), col("vec_id"), col("v"), col("cid"),
           CosineSimilarity(col("v"), col("cv")).as("ccos"))
-        .groupBy(col("vec_id"))
+        .groupBy(col("s"), col("vec_id"))
         .agg(max_by(struct(col("v"), col("cid")), struct(col("ccos"), -col("cid"))).as("__b"))
-        .select(col("__b.v").as("v"), col("__b.cid").as("cid"))
-      val updated = quantizedCentroids(assigned, col("cid"), col("v"))
+        .select(col("s"), col("__b.v").as("v"), col("__b.cid").as("cid"))
+      val updated = quantizedCentroids(assigned, struct(col("s"), col("cid")), col("v"))
         .groupBy(col("g"))
         .agg(sort_array(collect_list(struct(col("pos"), col("centroid")))).as("pc"),
           max(col("n")).as("n"))
-        .select(col("g"), transform(col("pc"), x => x.getField("centroid").cast("float")).as("cv"),
+        .select(col("g.s"), col("g.cid"),
+          transform(col("pc"), x => x.getField("centroid").cast("float")).as("cv"),
           col("n"))
-        .as[(Long, Array[Float], Long)].collect().map(c => c._1 -> c).toMap
-      // a cluster that emptied this iteration produces no row — RETAIN its
-      // previous centroid (n = 0) so the result always has exactly k cells
-      // (ivfAssignWith's contract) and the iteration stays deterministic
-      cents = cents.map { case (cid, cv, _) =>
-        updated.getOrElse(cid, (cid, cv, 0L))
-      }
+        .as[(Int, Long, Array[Float], Long)]
+        .collect().map { case (s, cid, cv, n) => (s, cid) -> (cv, n) }.toMap
+      cents = cents.map { case (key, (cv, _)) => key -> updated.getOrElse(key, (cv, 0L)) }
       i += 1
     }
     // every iteration ended in a driver collect, so nothing downstream
     // holds lineage into the persisted training set — safe to release
-    v.unpersist(blocking = false)
-    cents.toDF("cid", "cv", "n")
+    pv.unpersist(blocking = false)
+    cents
   }
 
   // ---- Product quantization (Jégou et al., TPAMI 2011) -----------------
@@ -280,80 +302,52 @@ object Similarity {
     slice(vec, (size(vec) / m) * s + 1, size(vec) / m)
 
   /** Train a PQ codebook: the deterministic [[kmeans]] recurrence run
-    * independently on each of the m contiguous subspaces — but FUSED into
-    * one distributed pass: the training set is exploded once into
-    * (subspace, vec_id, subvector) rows, so every iteration is a single
-    * job covering all m sub-problems instead of m sequential ones (same
-    * total floats — m× rows of dim/m each; per-job fixed overhead is the
-    * real cost at iteration granularity). Produces bit-identical centroids
-    * to the per-subspace runs: assignment is per-row, the fixed-point
-    * centroid sums are order-independent, and the seeds (k lowest ids) are
-    * the same in every subspace. Returns the m codebooks driver-side —
-    * m·k·(dim/m) floats, codebook-sized state like the k-means centroids
-    * themselves, NOT data. At 100 TB: train on a sample, encode
-    * everything. */
+    * independently on each of the m contiguous subspaces — FUSED into one
+    * distributed pass via [[kmeansSlots]] (one slot per subspace), so
+    * every iteration is a single job covering all m sub-problems instead
+    * of m sequential ones (same total floats — m× rows of dim/m each;
+    * per-job fixed overhead is the real cost at iteration granularity).
+    * Bit-identical to per-subspace training: assignment is per-row, the
+    * fixed-point centroid sums are order-independent, and the seeds (the
+    * k lowest ids) are the same in every subspace. Returns the m
+    * codebooks driver-side, each sorted by centroid id — m·k·(dim/m)
+    * floats, codebook-sized state like the k-means centroids themselves,
+    * NOT data. At 100 TB: train on a sample, encode everything. */
   def pqTrain(df: DataFrame, id: Column, vec: Column, m: Int, k: Int,
               iters: Int): Seq[Seq[(Long, Array[Float])]] = {
-    import df.sparkSession.implicits._
     val subs = array((0 until m).map(s => subVec(vec, s, m)): _*)
-    val v = df.select(id.as("vec_id"), posexplode(subs).as(Seq("s", "v"))).persist()
-    // seeds: the k lowest vec_ids (every id appears once per subspace, so
-    // ordering by (vec_id, s) and taking k*m rows yields exactly those ids
-    // in all m subspaces — identical to seeding each subspace separately)
-    var cents: Map[(Int, Long), Array[Float]] =
-      v.orderBy(col("vec_id"), col("s")).limit(k * m)
-        .select(col("s"), col("vec_id"), col("v")).as[(Int, Long, Array[Float])]
-        .collect().map { case (s, cid, cv) => (s, cid) -> cv }.toMap
-    var i = 0
-    while (i < iters) {
-      val centDf = cents.toSeq.map { case ((s, cid), cv) => (s, cid, cv) }
-        .toDF("s", "cid", "cv")
-      val assigned = v.join(broadcast(centDf), "s")
-        .select(col("s"), col("vec_id"), col("v"), col("cid"),
-          CosineSimilarity(col("v"), col("cv")).as("ccos"))
-        .groupBy(col("s"), col("vec_id"))
-        .agg(max_by(struct(col("v"), col("cid")), struct(col("ccos"), -col("cid"))).as("__b"))
-        .select(col("s"), col("__b.v").as("v"), col("__b.cid").as("cid"))
-      val updated = quantizedCentroids(assigned, struct(col("s"), col("cid")), col("v"))
-        .groupBy(col("g"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("centroid")))).as("pc"))
-        .select(col("g.s"), col("g.cid"),
-          transform(col("pc"), x => x.getField("centroid").cast("float")).as("cv"))
-        .as[(Int, Long, Array[Float])]
-        .collect().map { case (s, cid, cv) => (s, cid) -> cv }.toMap
-      // a cluster that emptied this iteration produces no row — RETAIN its
-      // previous centroid so each subspace keeps exactly k cells
-      cents = cents.map { case (key, cv) => key -> updated.getOrElse(key, cv) }
-      i += 1
-    }
-    v.unpersist(blocking = false)
+    val v = df.select(id.as("vec_id"), posexplode(subs).as(Seq("s", "v")))
+      .select(col("s"), col("vec_id"), col("v"))
+    val cents = kmeansSlots(v, slots = m, k, iters)
     (0 until m).map { s =>
-      cents.collect { case ((`s`, cid), cv) => (cid, cv) }.toSeq.sortBy(_._1)
+      cents.collect { case ((`s`, cid), (cv, _)) => (cid, cv) }.toSeq.sortBy(_._1)
     }
   }
 
-  /** Encode each vector as m small centroid codes — 4·dim bytes of float
-    * down to m codes (one byte each for k ≤ 256). The codebooks are plan
-    * LITERALS, so encoding is a joinless single-pass projection at scan
-    * speed. Per subspace: argmax cosine against the k centroids, ties to
-    * the lowest centroid id (array_max over (score, -cid) structs — the
-    * same tie discipline as [[ivfAssignWith]]). Output: (vec_id,
-    * code_0 … code_{m-1}). */
-  /** Argmax-cosine centroid id for `v` against LITERAL centroids — ties
-    * to the lowest id via array_max over (score, -cid) structs, the same
-    * tie discipline as [[ivfAssignWith]]. A pure projection: no join. */
-  private def argmaxCid(v: Column, cents: Seq[(Long, Array[Float])]): Column = {
-    val scored = array(cents.map { case (cid, cv) =>
-      struct(CosineSimilarity(v, lit(cv)).as("s"), lit(-cid).as("nc"))
+  /** Argmax-cosine codebook RANK (0..k-1) for `v` against LITERAL
+    * centroids, which MUST be pre-sorted by centroid id (as [[pqTrain]]
+    * returns them) — ties go to the lowest rank = lowest centroid id, the
+    * same tie discipline as [[ivfAssignWith]]. Emitting the rank rather
+    * than the raw centroid id keeps codes dense ints regardless of the id
+    * space (64-bit sparse ids would overflow an int code column). A pure
+    * projection: no join. */
+  private def argmaxRank(v: Column, cents: Seq[(Long, Array[Float])]): Column = {
+    val scored = array(cents.zipWithIndex.map { case ((_, cv), r) =>
+      struct(CosineSimilarity(v, lit(cv)).as("s"), lit(-r).as("nr"))
     }: _*)
-    -array_max(scored).getField("nc")
+    (-array_max(scored).getField("nr")).cast("int")
   }
 
+  /** Encode each vector as m small codebook ranks — 4·dim bytes of float
+    * down to m dense int codes (one byte each for k ≤ 256). The codebooks
+    * are plan LITERALS, so encoding is a joinless single-pass projection
+    * at scan speed. Output: (vec_id, code_0 … code_{m-1}), where code_s
+    * indexes codebooks(s) in centroid-id order. */
   def pqEncode(df: DataFrame, id: Column, vec: Column,
                codebooks: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
     val m = codebooks.length
     val codeCols = codebooks.zipWithIndex.map { case (cents, s) =>
-      argmaxCid(subVec(vec, s, m), cents).cast("int").as(s"code_$s")
+      argmaxRank(subVec(vec, s, m), cents).as(s"code_$s")
     }
     df.select(id.as("vec_id") +: codeCols: _*)
   }
@@ -379,20 +373,21 @@ object Similarity {
     val subLen = query.length / m
     codebooks.zipWithIndex.map { case (cents, s) =>
       val qs = query.slice(s * subLen, (s + 1) * subLen)
-      val lut = cents.map { case (cid, cv) =>
+      val lut = cents.zipWithIndex.map { case ((_, cv), r) =>
         var d = 0.0; var j = 0
         while (j < qs.length) { d += qs(j).toDouble * cv(j).toDouble; j += 1 }
-        cid -> d
+        r -> d
       }
-      lut.foldLeft(lit(Double.NegativeInfinity)) { case (acc, (cid, d)) =>
-        when(col(s"code_$s") === cid, lit(d)).otherwise(acc)
+      lut.foldLeft(lit(Double.NegativeInfinity)) { case (acc, (r, d)) =>
+        when(col(s"code_$s") === r, lit(d)).otherwise(acc)
       }
     }.reduce(_ + _)
   }
 
   /** Build the IVF-PQ index table: one projection emitting each vector's
-    * coarse cell (argmax against the LITERAL coarse centroids) plus its m
-    * PQ codes. This is the table you'd WRITE partitioned/bucketed by
+    * coarse cell (the RANK of the argmax coarse centroid — `coarse` must
+    * be pre-sorted by centroid id, as all trainers here return) plus its
+    * m PQ codes. This is the table you'd WRITE partitioned/bucketed by
     * `cell` (see [[graft.sources.TableLayout]]) — at 100 TB the index is
     * m+1 small ints per vector instead of 4·dim bytes, and a probe scan
     * prunes to nProbes/|cells| of it. */
@@ -400,9 +395,9 @@ object Similarity {
               coarse: Seq[(Long, Array[Float])],
               codebooks: Seq[Seq[(Long, Array[Float])]]): DataFrame = {
     val m = codebooks.length
-    val cols = argmaxCid(vec, coarse).as("cell") +:
+    val cols = argmaxRank(vec, coarse).as("cell") +:
       codebooks.zipWithIndex.map { case (cents, s) =>
-        argmaxCid(subVec(vec, s, m), cents).cast("int").as(s"code_$s")
+        argmaxRank(subVec(vec, s, m), cents).as(s"code_$s")
       }
     df.select(id.as("vec_id") +: cols: _*)
   }
@@ -418,15 +413,15 @@ object Similarity {
   def ivfPqTopK(index: DataFrame, coarse: Seq[(Long, Array[Float])],
                 codebooks: Seq[Seq[(Long, Array[Float])]],
                 query: Seq[Float], nProbes: Int, k: Int): DataFrame = {
-    val probes = coarse.map { case (cid, cv) =>
+    val probes = coarse.zipWithIndex.map { case ((_, cv), cell) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0; var j = 0
       while (j < math.min(query.length, cv.length)) {
         val a = query(j).toDouble; val b = cv(j).toDouble
         dot += a * b; na += a * a; nb += b * b; j += 1
       }
       val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
-      (cid, cos)
-    }.sortBy { case (cid, cos) => (-cos, cid) }.take(nProbes).map(_._1)
+      (cell, cos)
+    }.sortBy { case (cell, cos) => (-cos, cell) }.take(nProbes).map(_._1)
     index.filter(col("cell").isin(probes: _*))
       .select(col("vec_id"), adcScore(codebooks, query).as("adc_score"))
       .orderBy(col("adc_score").desc, col("vec_id"))

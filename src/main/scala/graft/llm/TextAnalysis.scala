@@ -77,7 +77,10 @@ object TextAnalysis {
         tokenCount.cast("long").as("n_tokens"),
         cumBefore.as("cb"))
       .select(col("shard"), col("doc_id"), col("n_tokens"),
-        floor(col("cb") / budget).cast("long").as("seq_idx"),
+        // `div` is exact long division; Column./ would detour through
+        // DOUBLE and round once a shard's cumulative count passes 2^53,
+        // diverging from the oracle's integer `//`
+        expr(s"cb div ${budget}L").as("seq_idx"),
         pmod(col("cb"), lit(budget)).as("seq_offset"))
   }
 

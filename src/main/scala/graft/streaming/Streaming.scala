@@ -351,23 +351,43 @@ object Streaming {
       }
   }
 
-  /** Streaming MinHash-LSH near-dup dedup: per-doc verdicts over the
-    * [[streamingBandClaims]] stream. A doc is KEPT iff every one of its
-    * bands was first claimed by itself; otherwise `dup_of` is the lowest
-    * prior owner among its collided bands. Aggregation after an
-    * Append-mode flatMapGroupsWithState is the supported chained-stateful
-    * shape; run the sink in Update mode (a doc's verdict is complete once
-    * its single input record's claims are aggregated — all of them arrive
-    * in the same micro-batch, so the verdict emitted for that batch is
-    * final). */
-  def streamingMinHashDedup(docs: DataFrame, id: Column, text: Column,
-                            shingleWidth: Int = 3, bands: Int = 4,
-                            rowsPerBand: Int = 4): DataFrame =
-    streamingBandClaims(docs, id, text, shingleWidth, bands, rowsPerBand)
-      .toDF("doc_id", "band_key", "owner")
-      .groupBy(col("doc_id"))
+  /** Per-doc dedup verdicts from band-claim rows: a doc is KEPT iff every
+    * one of its bands was first claimed by itself; otherwise `dup_of` is
+    * the lowest prior owner among its collided bands. Plain aggregation —
+    * STATELESS when applied per micro-batch: a doc's claims all arrive in
+    * its own arrival batch, so aggregating inside `foreachBatch` yields
+    * exactly the chained-streaming verdicts with zero doc-level state.
+    * That is the lake-scale shape; [[streamingMinHashDedup]] uses the
+    * same function as a chained streaming aggregation for convenience. */
+  def claimsToVerdicts(claims: DataFrame): DataFrame =
+    claims.groupBy(col("doc_id"))
       .agg(min(when(col("owner") =!= col("doc_id"), col("owner"))).as("dup_of"))
       .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+
+  /** Streaming MinHash-LSH near-dup dedup: per-doc verdicts over the
+    * [[streamingBandClaims]] stream, plus trivially-kept verdicts for
+    * docs below the shingle width (no signal — the batch dedup keeps
+    * them too, so the verdict stream covers EVERY input doc). Aggregation
+    * after an Append-mode flatMapGroupsWithState is the supported
+    * chained-stateful shape; run the sink in Update mode (a doc's claims
+    * all arrive in one micro-batch, so the verdict emitted for that batch
+    * is final). State cost: the convenience aggregation retains one row
+    * per doc_id ever seen — acceptable for bounded backfills and tests;
+    * long-running lake-scale jobs should run [[streamingBandClaims]] with
+    * [[claimsToVerdicts]] inside `foreachBatch` instead, which needs no
+    * doc-level state at all. */
+  def streamingMinHashDedup(docs: DataFrame, id: Column, text: Column,
+                            shingleWidth: Int = 3, bands: Int = 4,
+                            rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions.tokens
+    val verdicts = claimsToVerdicts(
+      streamingBandClaims(docs, id, text, shingleWidth, bands, rowsPerBand)
+        .toDF("doc_id", "band_key", "owner"))
+    val short = docs.filter(size(tokens(text)) < shingleWidth)
+      .select(id.cast("long").as("doc_id"),
+        lit(null).cast("long").as("dup_of"), lit(true).as("kept"))
+    verdicts.unionByName(short)
+  }
 
   /** Convenience: run a micro-batch query to completion over a bounded
     * test source (Trigger.AvailableNow) and block. */

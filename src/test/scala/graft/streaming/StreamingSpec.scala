@@ -387,15 +387,17 @@ class StreamingSpec extends SparkSpec {
     ms.addData((1L, t1), (2L, t1))
     q.processAllAvailable()
     // batch 2: doc 3 collides with state claimed a batch earlier; doc 4
-    // is genuinely novel
-    ms.addData((3L, t1), (4L, t2))
+    // is genuinely novel; doc 5 is below the shingle width (no signal)
+    // and must still get a kept verdict like the batch dedup gives it
+    ms.addData((3L, t1), (4L, t2), (5L, "too short"))
     q.processAllAvailable()
     q.stop()
     val out = spark.table("smhd_out")
       .select(col("doc_id"), col("dup_of"), col("kept"))
       .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
-    assert(out.size == 4, s"one verdict per doc: $out")
-    assert(out(1L)._3 && out(4L)._3, s"docs 1 and 4 must be kept: $out")
+    assert(out.size == 5, s"one verdict per doc: $out")
+    assert(out(1L)._3 && out(4L)._3 && out(5L)._3,
+      s"docs 1, 4 and the short doc 5 must be kept: $out")
     assert(!out(2L)._3 && out(2L)._2.contains(1L), s"doc 2 dup of 1: $out")
     assert(!out(3L)._3 && out(3L)._2.contains(1L), s"doc 3 dup of 1 across batches: $out")
   }
