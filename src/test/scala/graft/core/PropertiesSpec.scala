@@ -70,6 +70,47 @@ class PropertiesSpec extends SparkSpec {
     assert(bad.isEmpty, s"normalize not idempotent on: ${bad.toSeq}")
   }
 
+  test("packSequences equals the sequential prefix-sum reference, per shard") {
+    import graft.llm.TextAnalysis
+    val rowGen = Gen.zip(Gen.oneOf("en", "de", "fr"), Gen.choose(0L, 900L))
+    for (i <- 0 until Cases) {
+      val rows = (0 until 40).map { j =>
+        val (shard, n) = sample(rowGen, i * 100 + j)
+        (shard, (i * 100 + j).toLong, n)
+      }
+      val df = rows.toDF("shard", "doc_id", "n")
+      val got = TextAnalysis.packSequences(df, col("shard"), col("doc_id"),
+          col("n"), budget = 512L)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._4, r._5)).toMap
+      // reference: fold docs in doc_id order per shard, chunk every 512
+      rows.groupBy(_._1).foreach { case (shard, docs) =>
+        var cum = 0L
+        docs.sortBy(_._2).foreach { case (_, docId, n) =>
+          assert(got((shard, docId)) == (cum / 512L, cum % 512L),
+            s"case $i shard=$shard doc=$docId cum=$cum got=${got((shard, docId))}")
+          cum += n
+        }
+      }
+    }
+  }
+
+  test("mixtureSample: rate 1 keeps all, rate 0 keeps none, higher rate is a superset") {
+    import graft.llm.TextAnalysis
+    val docs = (0 until 60).map(i => (i.toLong, s"doc text $i", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    def ids(rates: Map[String, Double]) =
+      TextAnalysis.mixtureSample(docs, col("text"), col("lang"), rates, default = 0.0)
+        .select("doc_id").as[Long].collect().toSet
+    assert(ids(Map("en" -> 1.0, "de" -> 1.0)).size == 60)
+    assert(ids(Map("en" -> 0.0, "de" -> 0.0)).isEmpty)
+    assert(ids(Map("en" -> 1.0)).forall(_ % 2 == 0), "default 0 must drop de docs")
+    val lo = ids(Map("en" -> 0.3, "de" -> 0.3))
+    val hi = ids(Map("en" -> 0.7, "de" -> 0.7))
+    assert(lo.subsetOf(hi), "thresholds are monotone: raising a rate only adds docs")
+    assert(lo == ids(Map("en" -> 0.3, "de" -> 0.3)), "deterministic across runs")
+  }
+
   test("branchTagged covers exactly the union of branch outputs") {
     for (i <- 0 until Cases) {
       val xs = sample(inputGen, 300 + i); val ts = sample(threshGen, 400 + i)
