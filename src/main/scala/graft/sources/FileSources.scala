@@ -87,6 +87,26 @@ object FileSources {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 
+  /** ORC with an explicit schema — the columnar interchange format beside
+    * parquet (warehouses hand data over as ORC as often as parquet). ORC
+    * is self-describing and binary, so there is no PERMISSIVE
+    * line-capture tier: a corrupt stripe fails the read, which is the
+    * correct posture for a format with checksummed footers. Projection
+    * and predicate pushdown work as for parquet. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  /** Streaming twin of [[orc]]: directory watch with exactly-once file
+    * tracking via the checkpoint, like [[jsonlStream]]. */
+  def orcStream(spark: SparkSession, path: String, schema: StructType,
+                maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   private def withCorruptCol(schema: StructType): StructType =
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, StringType, nullable = true)

@@ -80,6 +80,21 @@ class SourcesSpec extends SparkSpec {
     assert(out == Set((1L, "first"), (2L, "second"), (3L, "third")))
   }
 
+  test("FileSources orc round trip with explicit schema and pushdown") {
+    val dir = tmp("orc")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)).toDF("id", "s", "x")
+    FileSources.writeOrc(df, dir)
+    val back = FileSources.orc(spark, dir, df.schema)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5)))
+    // projection + predicate reach the ORC scan like parquet
+    val p = back.filter(col("id") > 1).select("id", "x")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"ORC filter not pushed:\n$p")
+  }
+
   test("unionAll merges heterogeneous-order sources by name") {
     val a = Seq((1, "x")).toDF("n", "s")
     val b = Seq(("y", 2)).toDF("s", "n") // reversed column order
