@@ -184,6 +184,21 @@ object LlmQueries {
       Similarity.pqAdcTopK(enc, books, qv, k = 10)
     }),
 
+    // Two-stage retrieval: ADC top-20 candidates from the codes, exact
+    // cosine re-rank of just those rows — quantized recall, exact order.
+    "q_ann_pq_refined" -> ((s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val books = Similarity.pqTrain(e, col("vec_id"), col("embedding"),
+        m = 2, k = IvfK, iters = IvfIters)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .as[Seq[Float]].head()
+      val enc = Similarity.pqEncode(e.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), books)
+      Similarity.pqRefineTopK(enc, e, col("vec_id"), col("embedding"),
+        books, qv, r = 20, k = 10)
+    }),
+
     // IVF-PQ (the standard lake-scale ANN composition): coarse cell from
     // the deterministic vec_id<16 centroid set (as q_ann_ivf), PQ codes
     // from the trained subspace codebooks; probe the 3 query-nearest
@@ -684,6 +699,26 @@ object LlmQueries {
          |JOIN s1_r c1 ON e.code_1 = c1.code
          |CROSS JOIN q
          |ORDER BY adc_score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // two-stage: ADC candidate CTE (codes exclude the query id, exactly
+    // like the Spark side), exact-cosine re-rank of the 20 candidates
+    "q_ann_pq_refined" ->
+      s"""WITH $sqlPqCtes,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT e.vec_id
+         |  FROM enc e
+         |  JOIN s0_r c0 ON e.code_0 = c0.code
+         |  JOIN s1_r c1 ON e.code_1 = c1.code
+         |  CROSS JOIN q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY (${sqlDot("q.qv[1:len(q.qv)//2]", "c0.cv")}
+         |              + ${sqlDot("q.qv[len(q.qv)//2+1:len(q.qv)]", "c1.cv")}) DESC,
+         |           e.vec_id
+         |  LIMIT 20)
+         |SELECT em.vec_id, ${sqlCos("em.embedding", "q.qv")} AS cos
+         |FROM embeddings em JOIN adc ON em.vec_id = adc.vec_id CROSS JOIN q
+         |ORDER BY cos DESC, em.vec_id LIMIT 10""".stripMargin,
 
     // IVF-PQ: coarse cells + probe set re-derived exactly as q_ann_ivf /
     // q_ann_ivf_probes but as dense RANKS of the coarse centroids (the

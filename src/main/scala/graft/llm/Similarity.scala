@@ -428,6 +428,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Two-stage retrieval (candidate generation + refine): ADC top-R over
+    * the PQ codes picks R candidates cheaply, then ONLY those R rows are
+    * re-ranked by exact cosine against the raw vectors — the standard
+    * recall fixer for quantized search. The R candidate ids are collected
+    * driver-side (R longs), so the refine pass is a pushable `vec_id IN`
+    * filter on the corpus scan feeding a heap top-k: at 100 TB the exact
+    * arithmetic touches R rows, never the corpus. */
+  def pqRefineTopK(encoded: DataFrame, corpus: DataFrame, corpusId: Column,
+                   corpusVec: Column, codebooks: Seq[Seq[(Long, Array[Float])]],
+                   query: Seq[Float], r: Int, k: Int): DataFrame = {
+    import encoded.sparkSession.implicits._
+    val cand = pqAdcTopK(encoded, codebooks, query, r)
+      .select(col("vec_id")).as[Long].collect()
+    corpus.filter(corpusId.isin(cand: _*))
+      .select(corpusId.as("vec_id"),
+        CosineSimilarity(corpusVec, lit(query.toArray)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Exact k-NN join for a small query set: broadcast the queries, rank
     * per query — one scan of the corpus regardless of |queries|. */
   def knnJoin(corpus: DataFrame, corpusId: Column, corpusVec: Column,
