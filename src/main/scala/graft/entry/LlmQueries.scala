@@ -325,6 +325,12 @@ object LlmQueries {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df) —
+    // rational IDF, not log, for bit-exact cross-engine ranking.
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 3)),
+
     // Sequence packing: assign each doc its training-sequence index and
     // offset under a 512-token budget, packed per language shard — the
     // concat-and-chunk layout step of a training pipeline.
@@ -910,6 +916,21 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lower(u.t) AS term
+         |  FROM documents CROSS JOIN LATERAL unnest($sqlToks) AS u(t)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM (
+         |  SELECT t.doc_id, t.term,
+         |         t.tf * (CAST(n.n AS DOUBLE) / d.df) AS tfidf,
+         |         row_number() OVER (PARTITION BY t.doc_id
+         |           ORDER BY t.tf * (CAST(n.n AS DOUBLE) / d.df) DESC, t.term) AS rank
+         |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n) s
+         |WHERE rank <= 3""".stripMargin,
 
     // prefix-sum packing: pure integer window arithmetic; HUGEINT sums
     // cast back to BIGINT per the pandas-canonicalization rule

@@ -84,6 +84,36 @@ object TextAnalysis {
         pmod(col("cb"), lit(budget)).as("seq_offset"))
   }
 
+  /** Top-k TF-IDF terms per document — the corpus-statistics text op
+    * (keyword extraction / quality signals need it). IDF is the RATIONAL
+    * form N/df, not log(N/df): log implementations differ across engines
+    * in the last ulp (libm vs Math.log), while division and
+    * multiplication are IEEE-correctly-rounded everywhere, so
+    * tf·(N/df) is bit-reproducible in the oracle — and log is monotone,
+    * so rankings are identical anyway. Terms are lowercased tokens.
+    * Plan shape: one explode, two hash aggregations (doc-term tf, term
+    * df), a term-keyed join, and a per-doc top-k window — the standard
+    * two-shuffle corpus-statistics pipeline; nothing is collected. */
+  def tfIdfTopTerms(df: DataFrame, id: Column, text: Column,
+                    k: Int): DataFrame = {
+    val tok = df.select(id.as("doc_id"),
+      explode(transform(tokens(text), t => lower(t))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(id).count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * (lit(n.toDouble) / col("df"))).as("tfidf"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")
