@@ -325,6 +325,12 @@ object LlmQueries {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // Context chunking: 32-token windows, stride 24 (25% overlap) — the
+    // splitter feeding embedding generation over long documents.
+    "q_chunk_docs" -> ((s, d) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        col("doc_id"), col("text"), chunkTokens = 32, stride = 24)),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df) —
     // rational IDF, not log, for bit-exact cross-engine ranking.
     "q_tfidf" -> ((s, d) =>
@@ -916,6 +922,17 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    // chunk_idx = start//stride because starts are exactly the stride
+    // multiples in ascending order (the posexplode position twin)
+    "q_chunk_docs" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents)
+         |SELECT doc_id, CAST(u.st // 24 AS INT) AS chunk_idx,
+         |       array_to_string(tk[CAST(u.st + 1 AS INT):CAST(u.st + 32 AS INT)], ' ') AS chunk_text,
+         |       CAST(len(tk[CAST(u.st + 1 AS INT):CAST(u.st + 32 AS INT)]) AS BIGINT) AS n_tokens
+         |FROM t CROSS JOIN LATERAL unnest(list_filter(range(0, len(tk)),
+         |  i -> i % 24 = 0)) AS u(st)
+         |WHERE len(tk) > 0""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tok AS (

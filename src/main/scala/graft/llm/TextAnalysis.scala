@@ -114,6 +114,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** Overlapping token-window chunking — the context-window splitter that
+    * feeds embedding generation and long-doc training: chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens). Pure Column ops (explode
+    * of a generated start-index array + slice), fully codegen'd, no
+    * shuffle; docs with no tokens produce no chunks (there is nothing to
+    * embed). stride < chunkTokens gives overlap; stride == chunkTokens
+    * tiles. Emits (doc_id, chunk_idx, chunk_text, n_tokens). */
+  def chunkDocuments(df: DataFrame, id: Column, text: Column,
+                     chunkTokens: Int, stride: Int): DataFrame = {
+    val tk = tokens(text)
+    df.select(id.as("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"), col("tk"),
+        posexplode(filter(sequence(lit(0), size(col("tk")) - 1),
+          i => i % stride === 0)).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(slice(col("tk"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("tk"), col("start") + 1, lit(chunkTokens)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")
