@@ -100,8 +100,10 @@ object TextAnalysis {
       explode(transform(tokens(text), t => lower(t))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tok.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency = tf's row count per term (tf is one row per
+    // (doc, term)) — no second explode/distinct pass, and the identical
+    // tf subtree lets ReuseExchange share one shuffle for both branches
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = df.select(id).count()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
