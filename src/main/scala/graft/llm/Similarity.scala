@@ -441,11 +441,8 @@ object Similarity {
     import encoded.sparkSession.implicits._
     val cand = pqAdcTopK(encoded, codebooks, query, r)
       .select(col("vec_id")).as[Long].collect()
-    corpus.filter(corpusId.isin(cand: _*))
-      .select(corpusId.as("vec_id"),
-        CosineSimilarity(corpusVec, lit(query.toArray)).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(k)
+    bruteForceTopK(corpus.filter(corpusId.isin(cand: _*)),
+      corpusId, corpusVec, query, k)
   }
 
   /** Exact k-NN join for a small query set: broadcast the queries, rank

@@ -102,15 +102,18 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     // document frequency = tf's row count per term (tf is one row per
     // (doc, term)) — no second explode/distinct pass, and the identical
-    // tf subtree lets ReuseExchange share one shuffle for both branches
+    // tf subtree lets AQE's runtime stage reuse share one shuffle
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = df.select(id).count()
+    // N as a LAZY 1-row broadcast, not a driver count(): an eager action
+    // here would scan the corpus once more at query-CONSTRUCTION time
+    val n = df.select(count(lit(1)).cast("double").as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
-        (col("tf") * (lit(n.toDouble) / col("df"))).as("tfidf"))
+        (col("tf") * (col("n_docs") / col("df"))).as("tfidf"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))

@@ -340,7 +340,7 @@ object Streaming {
           minhashSignature(shingles(text, shingleWidth), bands * rowsPerBand),
           bands, rowsPerBand)).as("band_key"))
       .as[(Long, String)]
-    banded.groupByKey(_._2)
+    val claims = banded.groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Long, String, Long)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (bandKey: String, values: Iterator[(Long, String)], state: GroupState[Long]) =>
@@ -349,6 +349,17 @@ object Streaming {
           if (!state.exists) state.update(owner)
           ids.iterator.map(d => (d, bandKey, owner))
       }
+    // docs below the shingle width carry no signal; they emit ONE
+    // self-owned sentinel claim (empty band key) so every input doc
+    // reaches the verdict layer — routed AROUND the stateful op, which
+    // keeps them out of the band state entirely (a shared "" group would
+    // make the first short doc own every later one; per-doc keys would
+    // leak one state row per short doc). The sentinel branch is a second
+    // filter over the micro-batch source — the price of zero extra state.
+    val short = docs.filter(size(tokens(text)) < shingleWidth)
+      .select(id.cast("long").as("doc_id")).as[Long]
+      .map(d => (d, "", d))
+    claims.union(short)
   }
 
   /** Per-doc dedup verdicts from band-claim rows: a doc is KEPT iff every
@@ -365,29 +376,24 @@ object Streaming {
       .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
 
   /** Streaming MinHash-LSH near-dup dedup: per-doc verdicts over the
-    * [[streamingBandClaims]] stream, plus trivially-kept verdicts for
-    * docs below the shingle width (no signal — the batch dedup keeps
-    * them too, so the verdict stream covers EVERY input doc). Aggregation
-    * after an Append-mode flatMapGroupsWithState is the supported
-    * chained-stateful shape; run the sink in Update mode (a doc's claims
-    * all arrive in one micro-batch, so the verdict emitted for that batch
-    * is final). State cost: the convenience aggregation retains one row
-    * per doc_id ever seen — acceptable for bounded backfills and tests;
-    * long-running lake-scale jobs should run [[streamingBandClaims]] with
+    * [[streamingBandClaims]] stream. Short docs arrive as self-owned
+    * sentinel claims, so the verdict stream covers EVERY input doc (the
+    * batch dedup keeps them too). Aggregation after an Append-mode
+    * flatMapGroupsWithState is the supported chained-stateful shape; run
+    * the sink in Update mode (a doc's claims all arrive in one
+    * micro-batch, so the verdict emitted for that batch is final). State
+    * cost: the convenience aggregation retains one row per doc_id ever
+    * seen — acceptable for bounded backfills and tests; long-running
+    * lake-scale jobs should run [[streamingBandClaims]] with
     * [[claimsToVerdicts]] inside `foreachBatch` instead, which needs no
-    * doc-level state at all. */
+    * doc-level state at all (and covers short docs identically, since
+    * the sentinel claims are part of the shared claims stream). */
   def streamingMinHashDedup(docs: DataFrame, id: Column, text: Column,
                             shingleWidth: Int = 3, bands: Int = 4,
-                            rowsPerBand: Int = 4): DataFrame = {
-    import graft.functions.GraftFunctions.tokens
-    val verdicts = claimsToVerdicts(
+                            rowsPerBand: Int = 4): DataFrame =
+    claimsToVerdicts(
       streamingBandClaims(docs, id, text, shingleWidth, bands, rowsPerBand)
         .toDF("doc_id", "band_key", "owner"))
-    val short = docs.filter(size(tokens(text)) < shingleWidth)
-      .select(id.cast("long").as("doc_id"),
-        lit(null).cast("long").as("dup_of"), lit(true).as("kept"))
-    verdicts.unionByName(short)
-  }
 
   /** Convenience: run a micro-batch query to completion over a bounded
     * test source (Trigger.AvailableNow) and block. */
