@@ -325,6 +325,28 @@ object LlmQueries {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // The full training-data pipeline as ONE declarative plan: quality
+    // gate (single-pass TextCounts) → deterministic mixture re-weighting
+    // → exact content dedup → per-shard sequence packing → corpus stats.
+    // Catalyst fuses the three scan-level stages into the scan; the only
+    // shuffles are the dedup hash, the packing window sort and the final
+    // partial agg — the whole curation story in one query.
+    "q_pipeline_full" -> ((s, d) => {
+      val gated = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.counts(col("text")).as("tc"))
+        .filter(TextAnalysis.qualityFrom(col("tc")) >= 0.5)
+      val mixed = TextAnalysis.mixtureSample(gated, col("text"), col("lang"),
+        Map("en" -> 0.8, "de" -> 1.0), default = 0.5, salt = 11)
+      val deduped = Dedup.exactRows(mixed, col("text"), col("doc_id"))
+      val packed = TextAnalysis.packSequences(deduped, col("lang"),
+        col("doc_id"), coalesce(col("tc.n_bpe"), lit(0L)), budget = 256L)
+      packed.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("seq_idx")) + 1).as("n_seqs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    }),
+
     // Context chunking: 32-token windows, stride 24 (25% overlap) — the
     // splitter feeding embedding generation over long documents.
     "q_chunk_docs" -> ((s, d) =>
@@ -500,6 +522,18 @@ object LlmQueries {
 
   private val sqlAlnumToks =
     "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)"
+
+  /** The curation quality score over `text` — twin of
+    * TextAnalysis.qualityFrom(counts(text)); shared by the q_curation and
+    * q_pipeline_full oracles. */
+  private def sqlQuality: String =
+    s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+       |           + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+       |               ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |                    / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
+       |           + least((CASE WHEN len($sqlToks) = 0 THEN 0.0
+       |               ELSE CAST(len(list_filter($sqlToks, t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+       |                    / CAST(len($sqlToks) AS DOUBLE) END) * 5.0, 1.0) * 0.3""".stripMargin
 
   /** Deterministic k-means CTE chain reproducing [[Similarity.kmeans]]
     * exactly: `${pfx}c0` = the k lowest-id vectors; each iteration
@@ -903,13 +937,7 @@ object LlmQueries {
     "q_curation" ->
       s"""WITH q AS (
          |  SELECT doc_id, lang, text,
-         |         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-         |           + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-         |               ELSE CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
-         |                    / CAST(length(text) AS DOUBLE) END) * 5.0) * 0.3
-         |           + least((CASE WHEN len($sqlToks) = 0 THEN 0.0
-         |               ELSE CAST(len(list_filter($sqlToks, t -> lower(t) IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
-         |                    / CAST(len($sqlToks) AS DOUBLE) END) * 5.0, 1.0) * 0.3 AS quality
+         |         $sqlQuality AS quality
          |  FROM documents),
          |gated AS (SELECT doc_id, lang, text FROM q WHERE quality >= 0.5),
          |deduped AS (
@@ -922,6 +950,41 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    // the composed pipeline: quality gate -> mixture threshold -> dedup
+    // rn=1 -> per-shard prefix-sum packing -> stats; every stage is the
+    // already-proven oracle fragment of its standalone query
+    "q_pipeline_full" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, $sqlQuality AS quality
+         |    FROM documents) t
+         |  WHERE quality >= 0.5),
+         |mixed AS (
+         |  SELECT doc_id, lang, text FROM gated
+         |  WHERE ${sqlMd5Long("'11|' || text")} % 1000000 <
+         |        CASE WHEN lang = 'de' THEN 1000000
+         |             WHEN lang = 'en' THEN 800000
+         |             ELSE 500000 END),
+         |deduped AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM mixed) t WHERE rn = 1),
+         |toks AS (
+         |  SELECT doc_id, lang,
+         |         COALESCE(list_sum(list_transform($sqlAlnumToks,
+         |           t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS n_tokens
+         |  FROM deduped),
+         |c AS (
+         |  SELECT lang, doc_id, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM toks)
+         |SELECT lang AS shard, count(*) AS n_docs,
+         |       CAST(max(cb // 256) + 1 AS BIGINT) AS n_seqs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY lang""".stripMargin,
 
     // chunk_idx = start//stride because starts are exactly the stride
     // multiples in ascending order (the posexplode position twin)
