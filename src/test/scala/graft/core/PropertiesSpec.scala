@@ -111,6 +111,25 @@ class PropertiesSpec extends SparkSpec {
     assert(lo == ids(Map("en" -> 0.3, "de" -> 0.3)), "deterministic across runs")
   }
 
+  test("mixtureSample and packSequences are invariant under repartitioning") {
+    // the reshard-stability claim, tested: physical partitioning must not
+    // change which rows are kept or which sequence a doc lands in
+    import graft.llm.TextAnalysis
+    val docs = (0 until 80).map(i =>
+      (i.toLong, s"text body number $i", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    def mixIds(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.mixtureSample(df, col("text"), col("lang"),
+        Map("en" -> 0.6, "de" -> 0.4), default = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(mixIds(docs) == mixIds(docs.repartition(7)))
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(df, col("lang"), col("doc_id"),
+        length(col("text")).cast("long"), budget = 64L)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(packed(docs) == packed(docs.repartition(7)))
+  }
+
   test("branchTagged covers exactly the union of branch outputs") {
     for (i <- 0 until Cases) {
       val xs = sample(inputGen, 300 + i); val ts = sample(threshGen, 400 + i)

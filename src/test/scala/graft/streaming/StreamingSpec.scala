@@ -401,4 +401,34 @@ class StreamingSpec extends SparkSpec {
     assert(!out(2L)._3 && out(2L)._2.contains(1L), s"doc 2 dup of 1: $out")
     assert(!out(3L)._3 && out(3L)._2.contains(1L), s"doc 3 dup of 1 across batches: $out")
   }
+
+  test("claimsToVerdicts in foreachBatch equals the chained-aggregation verdicts") {
+    // the documented lake-scale path: per-batch stateless verdict
+    // aggregation over the claims stream (no doc-level state) must yield
+    // the same verdicts the chained streaming aggregation produces
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val claims = Streaming.streamingBandClaims(
+      ms.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"),
+      shingleWidth = 3, bands = 4, rowsPerBand = 4)
+      .toDF("doc_id", "band_key", "owner")
+    val got = scala.collection.mutable.Map.empty[Long, (Option[Long], Boolean)]
+    val q = claims.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Streaming.claimsToVerdicts(batch)
+          .as[(Long, Option[Long], Boolean)].collect()
+          .foreach(v => got(v._1) = (v._2, v._3))
+      }.start()
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    ms.addData((1L, t1), (2L, t1))
+    q.processAllAvailable()
+    ms.addData((3L, t1), (4L, "an entirely unrelated body of streaming text"), (5L, "too short"))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), s"every doc verdicted: $got")
+    assert(got(1L)._2 && got(4L)._2 && got(5L)._2, s"kept set: $got")
+    assert(!got(2L)._2 && got(2L)._1.contains(1L), s"doc 2 dup of 1: $got")
+    assert(!got(3L)._2 && got(3L)._1.contains(1L), s"doc 3 dup of 1: $got")
+  }
 }
