@@ -40,6 +40,15 @@ object LlmQueries {
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.asMediaTable(Tables.documents(s, d), col("doc_id"), col("text"))
 
+  /** The curation quality gate (single-pass TextCounts, quality ≥ 0.5) —
+    * shared by q_curation and q_pipeline_full; its SQL twin is
+    * [[sqlQuality]]. Keeps `tc` for downstream token accounting. */
+  private def gatedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextAnalysis.counts(col("text")).as("tc"))
+      .filter(TextAnalysis.qualityFrom(col("tc")) >= 0.5)
+
   /** Raw double cosine — both engines run the identical op sequence in
     * DOUBLE (index-order accumulation), so the bits match exactly; rounding
     * would INTRODUCE divergence (engine round() half-way behavior differs). */
@@ -314,11 +323,7 @@ object LlmQueries {
     // token budget. One declarative plan: the gate pushes into the scan,
     // dedup is one hash shuffle, the rollup is a partial aggregation.
     "q_curation" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextAnalysis.counts(col("text")).as("tc"))
-        .filter(TextAnalysis.qualityFrom(col("tc")) >= 0.5)
-      val deduped = Dedup.exactRows(docs, col("text"), col("doc_id"))
+      val deduped = Dedup.exactRows(gatedDocs(s, d), col("text"), col("doc_id"))
       deduped.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tc.n_bpe")).as("total_bpe_tokens"),
@@ -332,19 +337,19 @@ object LlmQueries {
     // shuffles are the dedup hash, the packing window sort and the final
     // partial agg — the whole curation story in one query.
     "q_pipeline_full" -> ((s, d) => {
-      val gated = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextAnalysis.counts(col("text")).as("tc"))
-        .filter(TextAnalysis.qualityFrom(col("tc")) >= 0.5)
-      val mixed = TextAnalysis.mixtureSample(gated, col("text"), col("lang"),
-        Map("en" -> 0.8, "de" -> 1.0), default = 0.5, salt = 11)
+      val mixed = TextAnalysis.mixtureSample(gatedDocs(s, d), col("text"),
+        col("lang"), Map("en" -> 0.8, "de" -> 1.0), default = 0.5, salt = 11)
       val deduped = Dedup.exactRows(mixed, col("text"), col("doc_id"))
       val packed = TextAnalysis.packSequences(deduped, col("lang"),
         col("doc_id"), coalesce(col("tc.n_bpe"), lit(0L)), budget = 256L)
       packed.groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
-          (max(col("seq_idx")) + 1).as("n_seqs"),
           sum(col("n_tokens")).as("total_tokens"))
+        // sequences of the concatenated shard stream = ceil(total/budget):
+        // max(seq_idx)+1 would undercount when the LAST doc straddles
+        // budget boundaries (seq_idx marks where a doc STARTS)
+        .withColumn("n_seqs", expr("(total_tokens + 255) div 256"))
+        .select(col("shard"), col("n_docs"), col("n_seqs"), col("total_tokens"))
     }),
 
     // Context chunking: 32-token windows, stride 24 (25% overlap) — the
@@ -952,8 +957,9 @@ object LlmQueries {
          |FROM deduped GROUP BY lang""".stripMargin,
 
     // the composed pipeline: quality gate -> mixture threshold -> dedup
-    // rn=1 -> per-shard prefix-sum packing -> stats; every stage is the
-    // already-proven oracle fragment of its standalone query
+    // rn=1 -> per-shard stats (n_seqs = ceil(total/budget), the packed
+    // sequence count of the concatenated shard stream); every stage is
+    // the already-proven oracle fragment of its standalone query
     "q_pipeline_full" ->
       s"""WITH gated AS (
          |  SELECT doc_id, lang, text FROM (
@@ -975,16 +981,11 @@ object LlmQueries {
          |  SELECT doc_id, lang,
          |         COALESCE(list_sum(list_transform($sqlAlnumToks,
          |           t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS n_tokens
-         |  FROM deduped),
-         |c AS (
-         |  SELECT lang, doc_id, n_tokens,
-         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
-         |  FROM toks)
+         |  FROM deduped)
          |SELECT lang AS shard, count(*) AS n_docs,
-         |       CAST(max(cb // 256) + 1 AS BIGINT) AS n_seqs,
+         |       CAST((sum(n_tokens) + 255) // 256 AS BIGINT) AS n_seqs,
          |       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-         |FROM c GROUP BY lang""".stripMargin,
+         |FROM toks GROUP BY lang""".stripMargin,
 
     // chunk_idx = start//stride because starts are exactly the stride
     // multiples in ascending order (the posexplode position twin)
