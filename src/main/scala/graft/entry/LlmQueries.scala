@@ -330,6 +330,25 @@ object LlmQueries {
           min(col("doc_id")).as("first_doc"))
     }),
 
+    // Incremental dedup: today's drop (odd ids) against the already-
+    // ingested corpus (even ids) — new-to-corpus content only, deduped
+    // within the increment.
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exactIncrement(
+        docs.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"),
+        docs.filter(col("doc_id") % 2 === 0), col("text"))
+    }),
+
+    // Percentile quality cut: top 50% by quality per language — the
+    // drift-proof way to pick curation thresholds.
+    "q_quality_cut" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityFrom(TextAnalysis.counts(col("text"))).as("quality"))
+      TextAnalysis.qualityCut(docs, col("lang"), col("quality"),
+        col("doc_id"), frac = 0.5)
+    }),
+
     // The full training-data pipeline as ONE declarative plan: quality
     // gate (single-pass TextCounts) → deterministic mixture re-weighting
     // → exact content dedup → per-shard sequence packing → corpus stats.
@@ -955,6 +974,25 @@ object LlmQueries {
          |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0)) AS BIGINT) AS total_bpe_tokens,
          |       min(doc_id) AS first_doc
          |FROM deduped GROUP BY lang""".stripMargin,
+
+    // anti-join keeps NULL-hash rows on both engines (NULL never matches)
+    "q_dedup_incremental" ->
+      """WITH ex AS (
+        |  SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |inc AS (
+        |  SELECT md5(text) AS content_hash, min(doc_id) AS keep_id
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT inc.content_hash, inc.keep_id
+        |FROM inc ANTI JOIN ex ON inc.content_hash = ex.content_hash""".stripMargin,
+
+    "q_quality_cut" ->
+      s"""SELECT doc_id, lang, quality FROM (
+         |  SELECT doc_id, lang, quality,
+         |         percent_rank() OVER (PARTITION BY lang
+         |           ORDER BY quality DESC, doc_id) AS pr
+         |  FROM (SELECT doc_id, lang, $sqlQuality AS quality FROM documents) t) s
+         |WHERE pr <= 0.5""".stripMargin,
 
     // the composed pipeline: quality gate -> mixture threshold -> dedup
     // rn=1 -> per-shard stats (n_seqs = ceil(total/budget), the packed

@@ -51,6 +51,22 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("keep_id")).as("keep_id"))
 
+  /** Incremental exact dedup: dedupe INCOMING docs against an already-
+    * ingested corpus — the every-day shape of a continuously-fed lake
+    * (yesterday's corpus is fixed; today's drop must not re-add seen
+    * content). Returns (content_hash, keep_id) for content that is both
+    * new-to-the-corpus and deduped within the increment (lowest id).
+    * Anti-join on the hash, so NULL-content rows are kept on both engines
+    * (a NULL key never matches) and full documents never shuffle —
+    * only (hash, id). At 100 TB the existing side is the stored dedup
+    * ledger, bucketed by content_hash so the anti-join co-locates. */
+  def exactIncrement(incoming: DataFrame, content: Column, id: Column,
+                     existing: DataFrame, existingContent: Column): DataFrame =
+    exactByContent(incoming, content, id)
+      .join(existing.select(md5(existingContent).as("content_hash"))
+          .filter(col("content_hash").isNotNull).distinct(),
+        Seq("content_hash"), "left_anti")
+
   /** Exact dedup retaining full rows: hash-partitioned top-1 per content
     * hash (no full-row shuffle beyond the one exchange). */
   def exactRows(df: DataFrame, content: Column, id: Column): DataFrame = {

@@ -141,6 +141,20 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Percentile-based quality cut: keep the top `frac` of rows per group
+    * by quality — how real curation picks thresholds (an absolute score
+    * cutoff drifts as the corpus mix changes; "top 50% per language"
+    * doesn't). percent_rank is rank arithmetic over the sort, so the
+    * decision is exactly reproducible across engines; ties break by
+    * `order` for determinism. One shuffle+sort per group partition. */
+  def qualityCut(df: DataFrame, group: Column, quality: Column,
+                 order: Column, frac: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(quality.desc, order)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= frac).drop("__pr")
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")
