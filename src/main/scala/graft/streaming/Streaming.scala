@@ -327,18 +327,25 @@ object Streaming {
     * partition, so dedup needs no further shuffle. Semantics vs batch:
     * batch ownership is global-min doc id; streaming ownership is
     * first-arrival (arrival order IS the stream's keep priority). */
-  def streamingBandClaims(docs: DataFrame, id: Column, text: Column,
-                          shingleWidth: Int, bands: Int,
-                          rowsPerBand: Int): Dataset[(Long, String, Long)] = {
-    import graft.functions.GraftFunctions._
+  /** Generic first-claimer streaming core: every doc presents an ARRAY
+    * of claim keys (MinHash-LSH bands, SimHash bands, any bucketing);
+    * keyed state per key remembers the FIRST doc to ever present it
+    * (within a micro-batch, ties go to the lowest doc id). Docs with an
+    * empty/null key array carry no signal and emit ONE self-owned
+    * sentinel claim (empty key) so every input doc reaches the verdict
+    * layer — routed AROUND the stateful op, which keeps them out of the
+    * key state entirely (a shared "" group would make the first such doc
+    * own every later one; per-doc keys would leak one state row each).
+    * The sentinel branch is a second filter over the micro-batch source —
+    * the price of zero extra state. */
+  def streamingClaims(docs: DataFrame, id: Column,
+                      keys: Column): Dataset[(Long, String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val banded = docs
-      .filter(size(tokens(text)) >= shingleWidth)
-      .select(id.cast("long").as("doc_id"),
-        explode(lshBandKeys(
-          minhashSignature(shingles(text, shingleWidth), bands * rowsPerBand),
-          bands, rowsPerBand)).as("band_key"))
+    val withKeys = docs.select(id.cast("long").as("doc_id"),
+      coalesce(keys, array().cast("array<string>")).as("ks"))
+    val banded = withKeys.filter(size(col("ks")) > 0)
+      .select(col("doc_id"), explode(col("ks")).as("band_key"))
       .as[(Long, String)]
     val claims = banded.groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Long, String, Long)](
@@ -349,18 +356,49 @@ object Streaming {
           if (!state.exists) state.update(owner)
           ids.iterator.map(d => (d, bandKey, owner))
       }
-    // docs below the shingle width carry no signal; they emit ONE
-    // self-owned sentinel claim (empty band key) so every input doc
-    // reaches the verdict layer — routed AROUND the stateful op, which
-    // keeps them out of the band state entirely (a shared "" group would
-    // make the first short doc own every later one; per-doc keys would
-    // leak one state row per short doc). The sentinel branch is a second
-    // filter over the micro-batch source — the price of zero extra state.
-    val short = docs.filter(size(tokens(text)) < shingleWidth)
-      .select(id.cast("long").as("doc_id")).as[Long]
+    val sentinels = withKeys.filter(size(col("ks")) <= 0)
+      .select(col("doc_id")).as[Long]
       .map(d => (d, "", d))
-    claims.union(short)
+    claims.union(sentinels)
   }
+
+  def streamingBandClaims(docs: DataFrame, id: Column, text: Column,
+                          shingleWidth: Int, bands: Int,
+                          rowsPerBand: Int): Dataset[(Long, String, Long)] = {
+    import graft.functions.GraftFunctions._
+    streamingClaims(docs, id,
+      when(size(tokens(text)) >= shingleWidth,
+        lshBandKeys(minhashSignature(shingles(text, shingleWidth),
+          bands * rowsPerBand), bands, rowsPerBand))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** SimHash streaming near-dup claims — the SimHash twin of
+    * [[streamingBandClaims]], banding the width-bit simhash into `bands`
+    * sub-band keys exactly like the batch `Dedup.simhashPairs`. Token-less
+    * docs (simhash 0 would mass-collide) go the sentinel route. */
+  def streamingSimHashClaims(docs: DataFrame, id: Column, text: Column,
+                             width: Int = 60,
+                             bands: Int = 4): Dataset[(Long, String, Long)] = {
+    import graft.functions.GraftFunctions._
+    require(width % bands == 0, s"bands ($bands) must divide width ($width)")
+    val w = width / bands
+    val mask = (1L << w) - 1L
+    val sh = simhashN(text, width)
+    streamingClaims(docs, id,
+      when(size(tokens(text)) > 0,
+        array((0 until bands).map(i => concat_ws("_", lit(i),
+          shiftrightunsigned(sh, i * w).bitwiseAND(lit(mask)))): _*))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-doc SimHash dedup verdicts — [[claimsToVerdicts]] over
+    * [[streamingSimHashClaims]], same consumption contract as
+    * [[streamingMinHashDedup]]. */
+  def streamingSimHashDedup(docs: DataFrame, id: Column, text: Column,
+                            width: Int = 60, bands: Int = 4): DataFrame =
+    claimsToVerdicts(streamingSimHashClaims(docs, id, text, width, bands)
+      .toDF("doc_id", "band_key", "owner"))
 
   /** Per-doc dedup verdicts from band-claim rows: a doc is KEPT iff every
     * one of its bands was first claimed by itself; otherwise `dup_of` is

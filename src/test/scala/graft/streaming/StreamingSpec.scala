@@ -402,6 +402,30 @@ class StreamingSpec extends SparkSpec {
     assert(!out(3L)._3 && out(3L)._2.contains(1L), s"doc 3 dup of 1 across batches: $out")
   }
 
+  test("streaming simhash dedup flags exact near-dups and keeps token-less docs") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val verdicts = Streaming.streamingSimHashDedup(
+      ms.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val q = verdicts.writeStream.format("memory").queryName("ssh_out")
+      .outputMode("update").start()
+    val t1 = "structured streaming state stores hold one long per band key"
+    ms.addData((1L, t1))
+    q.processAllAvailable()
+    // identical text -> identical simhash -> every band collides; the
+    // empty doc has no tokens and must take the sentinel (kept) route
+    ms.addData((2L, t1), (3L, "wholly different content about parquet readers"), (4L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("ssh_out")
+      .select(col("doc_id"), col("dup_of"), col("kept"))
+      .as[(Long, Option[Long], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 4, s"one verdict per doc: $out")
+    assert(out(1L)._3 && out(3L)._3 && out(4L)._3, s"kept set: $out")
+    assert(!out(2L)._3 && out(2L)._2.contains(1L), s"doc 2 dup of 1: $out")
+  }
+
   test("claimsToVerdicts in foreachBatch equals the chained-aggregation verdicts") {
     // the documented lake-scale path: per-batch stateless verdict
     // aggregation over the claims stream (no doc-level state) must yield
