@@ -75,6 +75,15 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         threshold = 0.4, ShingleW, PairBands, PairRows)),
 
+    // Transitive near-dup groups: min-label propagation (5 rounds) over
+    // the Jaccard-verified pair graph — A≈B≈C collapses to one component
+    // even when A and C don't pair directly.
+    "q_neardup_components" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), threshold = 0.4, ShingleW, PairBands, PairRows)
+      Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"), iters = 5)
+    }),
+
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         maxDist = SimHashMaxDist, width = SimHashWidth, bands = SimHashBands)),
@@ -652,6 +661,35 @@ object LlmQueries {
          |FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
+
+    // min-label propagation as a chained CTE (l0..l5), one CTE per round
+    // — the bounded recurrence is deterministic so both engines replay it
+    "q_neardup_components" -> {
+      val steps = (1 to 5).map { i =>
+        s"""l$i AS (
+           |  SELECT l.node, least(l.label, COALESCE(m.nl, l.label)) AS label
+           |  FROM l${i - 1} l LEFT JOIN (
+           |    SELECT e.x AS node2, min(t.label) AS nl
+           |    FROM edges e JOIN l${i - 1} t ON e.y = t.node GROUP BY e.x) m
+           |  ON l.node = m.node2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${bandCte(PairBands, PairRows)},
+         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsrc a JOIN bandsrc b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |jp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
+         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4),
+         |edges AS (SELECT doc_a AS x, doc_b AS y FROM jp
+         |          UNION ALL SELECT doc_b AS x, doc_a AS y FROM jp),
+         |l0 AS (SELECT DISTINCT x AS node, x AS label FROM edges),
+         |$steps
+         |SELECT node AS doc_id, label AS component FROM l5""".stripMargin
+    },
 
     "q_simhash_pairs" -> {
       val w = SimHashWidth / SimHashBands

@@ -181,6 +181,39 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Connected components over a near-dup pair graph — bounded min-label
+    * propagation: after `iters` rounds every node's label is the lowest
+    * doc id reachable within `iters` hops, so with iters ≥ the component
+    * diameter the label IS the component id (near-dup chains are shallow;
+    * a handful of rounds covers real corpora). Turning pairs into
+    * components is what makes transitive dedup correct: A≈B and B≈C must
+    * collapse to ONE kept doc even when A≉C directly. Each round is one
+    * edge join + min hash-agg — the standard distributed CC recurrence;
+    * labels stay (node, long) so nothing wide shuffles. The recurrence is
+    * deterministic (min over integers), so a SQL oracle replays it as a
+    * chained CTE. For very large iters, checkpoint between rounds to cut
+    * lineage. Returns (doc_id, component) for every node in `pairs`. */
+  def nearDupComponents(pairs: DataFrame, a: Column, b: Column,
+                        iters: Int): DataFrame = {
+    val edges = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+      .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y")))
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var i = 0
+    while (i < iters) {
+      val nbr = edges
+        .join(labels.select(col("node").as("y2"), col("label").as("nlbl")),
+          col("y") === col("y2"))
+        .groupBy(col("x")).agg(min(col("nlbl")).as("nl"))
+        .select(col("x").as("node2"), col("nl"))
+      labels = labels.join(nbr, col("node") === col("node2"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, brute-force
     * within-corpus — the small-corpus baseline. For the 100 TB path use
     * [[Similarity.lshBucketedPairs]]. */
