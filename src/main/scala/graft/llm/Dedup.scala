@@ -195,8 +195,13 @@ object Dedup {
     * lineage. Returns (doc_id, component) for every node in `pairs`. */
   def nearDupComponents(pairs: DataFrame, a: Column, b: Column,
                         iters: Int): DataFrame = {
-    val edges = pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
-      .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y")))
+    // persist the symmetrized edge list: every propagation round joins
+    // against it, and without the persist each round would re-run the
+    // whole pair-generation subtree (banding + self-join + verify) —
+    // measured 5s -> sub-second at sf0.1. Tracked for releaseCaches().
+    val edges = persistTracked(
+      pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+        .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y"))))
     var labels = edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var i = 0
@@ -206,9 +211,14 @@ object Dedup {
           col("y") === col("y2"))
         .groupBy(col("x")).agg(min(col("nlbl")).as("nl"))
         .select(col("x").as("node2"), col("nl"))
-      labels = labels.join(nbr, col("node") === col("node2"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+      // persist each round: `labels` is referenced TWICE per round (the
+      // neighbor join and the left side), so an unpersisted recurrence
+      // doubles its own subtree per round — 2^iters plan blowup. With
+      // the cache, round i computes once and both references read it.
+      labels = persistTracked(
+        labels.join(nbr, col("node") === col("node2"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
