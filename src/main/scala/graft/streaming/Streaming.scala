@@ -392,6 +392,22 @@ object Streaming {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Streaming incremental exact dedup: drop incoming docs whose content
+    * hash already exists in a STATIC corpus ledger (yesterday's corpus is
+    * fixed; today's stream must not re-admit seen content) — a
+    * stream-static LEFT ANTI join, which Spark executes per micro-batch
+    * with the static side broadcast or shuffled once. No streaming state
+    * at all: the ledger is the state, stored as a table (bucket it by
+    * content_hash for a co-located join at lake scale). Within-stream
+    * duplicates are NOT handled here — chain
+    * [[distinctWithinWatermark]] (bounded) or the claims core for that. */
+  def streamingDedupAgainstLedger(docs: DataFrame, content: Column,
+                                  ledger: DataFrame,
+                                  ledgerHash: Column): DataFrame =
+    docs.withColumn("__ch", md5(content))
+      .join(ledger.select(ledgerHash.as("__ch")).distinct(), Seq("__ch"), "left_anti")
+      .drop("__ch")
+
   /** Per-doc SimHash dedup verdicts — [[claimsToVerdicts]] over
     * [[streamingSimHashClaims]], same consumption contract as
     * [[streamingMinHashDedup]]. */

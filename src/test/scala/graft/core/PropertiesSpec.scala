@@ -130,6 +130,20 @@ class PropertiesSpec extends SparkSpec {
     assert(packed(docs) == packed(docs.repartition(7)))
   }
 
+  test("nearDupComponents merges transitive chains and separates disjoint ones") {
+    import graft.llm.Dedup
+    // chain 1: 5~7~9~11 (pairwise links only); chain 2: 20~21; isolated pair 30~31
+    val pairs = Seq((5L, 7L), (7L, 9L), (9L, 11L), (20L, 21L), (30L, 31L))
+      .toDF("doc_a", "doc_b")
+    val comp = Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseCaches()
+    assert(Seq(5L, 7L, 9L, 11L).forall(comp(_) == 5L),
+      s"chain must collapse to min label 5: $comp")
+    assert(comp(20L) == 20L && comp(21L) == 20L && comp(30L) == 30L && comp(31L) == 30L,
+      s"disjoint components stay separate: $comp")
+  }
+
   test("branchTagged covers exactly the union of branch outputs") {
     for (i <- 0 until Cases) {
       val xs = sample(inputGen, 300 + i); val ts = sample(threshGen, 400 + i)

@@ -426,6 +426,22 @@ class StreamingSpec extends SparkSpec {
     assert(!out(2L)._3 && out(2L)._2.contains(1L), s"doc 2 dup of 1: $out")
   }
 
+  test("stream-static anti join drops docs already in the corpus ledger") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ledger = Seq("seen text one", "seen text two").toDF("t")
+      .select(md5(col("t")).as("content_hash"))
+    val ms = MemoryStream[(Long, String)]
+    val out = Streaming.streamingDedupAgainstLedger(
+      ms.toDF().toDF("doc_id", "text"), col("text"), ledger, col("content_hash"))
+    val q = out.writeStream.format("memory").queryName("ledger_out")
+      .outputMode("append").start()
+    ms.addData((1L, "seen text one"), (2L, "brand new text"), (3L, "seen text two"))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("ledger_out").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L), s"only unseen content admitted: $ids")
+  }
+
   test("claimsToVerdicts in foreachBatch equals the chained-aggregation verdicts") {
     // the documented lake-scale path: per-batch stateless verdict
     // aggregation over the claims stream (no doc-level state) must yield
