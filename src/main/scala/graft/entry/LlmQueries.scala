@@ -386,6 +386,25 @@ object LlmQueries {
       TextAnalysis.chunkDocuments(Tables.documents(s, d),
         col("doc_id"), col("text"), chunkTokens = 32, stride = 24)),
 
+    // RAG indexing path end-to-end: chunk every doc, hash-embed each
+    // chunk (stub embedder — the plumbing is the point), cosine top-10
+    // against the first chunk as the query. One scan to chunks+vectors,
+    // heap top-k — the retrieval shape over a chunked corpus.
+    "q_rag_topk" -> ((s, d) => {
+      val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d),
+          col("doc_id"), col("text"), chunkTokens = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"),
+          TextAnalysis.hashEmbed(col("chunk_text"), 16).as("emb"))
+      val qrow = chunks.orderBy(col("doc_id"), col("chunk_idx")).head()
+      val (qd, qc) = (qrow.getLong(0), qrow.getInt(1))
+      val qv = qrow.getSeq[Float](2).toArray
+      chunks.filter(!(col("doc_id") === qd && col("chunk_idx") === qc))
+        .select(col("doc_id"), col("chunk_idx"),
+          CosineSimilarity(col("emb"), lit(qv)).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))
+        .limit(10)
+    }),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·(N/df) —
     // rational IDF, not log, for bit-exact cross-engine ranking.
     "q_tfidf" -> ((s, d) =>
@@ -1073,6 +1092,29 @@ object LlmQueries {
          |FROM t CROSS JOIN LATERAL unnest(list_filter(range(0, len(tk)),
          |  i -> i % 24 = 0)) AS u(st)
          |WHERE len(tk) > 0""".stripMargin,
+
+    // chunks -> stub hash embedding (media-features formula over
+    // chunk_text) -> cosine vs the first chunk -> top-10
+    "q_rag_topk" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, CAST(u.st // 24 AS INT) AS chunk_idx,
+         |         array_to_string(tk[CAST(u.st + 1 AS INT):CAST(u.st + 32 AS INT)], ' ') AS chunk_text
+         |  FROM t CROSS JOIN LATERAL unnest(list_filter(range(0, len(tk)),
+         |    i -> i % 24 = 0)) AS u(st)
+         |  WHERE len(tk) > 0),
+         |emb AS (
+         |  SELECT doc_id, chunk_idx,
+         |         list_transform(range(0, 16), i ->
+         |           CAST(((CAST('0x'||substring(md5(chunk_text), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
+         |                  + i * 17) % 256) / 255.0 - 0.5 AS FLOAT)) AS emb
+         |  FROM chunks),
+         |q AS (SELECT doc_id AS qd, chunk_idx AS qc, emb AS qv
+         |      FROM emb ORDER BY doc_id, chunk_idx LIMIT 1)
+         |SELECT e.doc_id, e.chunk_idx, ${sqlCos("e.emb", "q.qv")} AS cos
+         |FROM emb e CROSS JOIN q
+         |WHERE NOT (e.doc_id = q.qd AND e.chunk_idx = q.qc)
+         |ORDER BY cos DESC, e.doc_id, e.chunk_idx LIMIT 10""".stripMargin,
 
     "q_tfidf" ->
       s"""WITH tok AS (

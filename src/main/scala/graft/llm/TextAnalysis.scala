@@ -155,6 +155,20 @@ object TextAnalysis {
       .filter(col("__pr") <= frac).drop("__pr")
   }
 
+  /** Deterministic hash embedding — the STUB text embedder (a real model
+    * isn't in this container): component j is derived from md5(text)'s
+    * hex bytes with the same affine mixing as the media feature stub, so
+    * it is reproducible in SQL and across runs. Pure Column ops; the
+    * md5 appears once per output component (dim small, digest cheap —
+    * acceptable for a stub whose point is the PLUMBING: chunk → embed →
+    * index → search with real distribution and schema). */
+  def hashEmbed(text: Column, dim: Int): Column = {
+    val h = md5(text)
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (((conv(h.substr(((i % 16) * 2 + 1).cast("int"), lit(2)), 16, 10).cast("long") * 31
+        + i.cast("long") * 17) % 256).cast("double") / lit(255.0) - lit(0.5)).cast("float"))
+  }
+
   /** Punctuation ratio: punctuation chars / total chars (0 for empty). */
   def punctRatio(text: Column): Column = {
     val total = length(text).cast("double")
