@@ -195,13 +195,13 @@ object Dedup {
     * lineage. Returns (doc_id, component) for every node in `pairs`. */
   def nearDupComponents(pairs: DataFrame, a: Column, b: Column,
                         iters: Int): DataFrame = {
-    // persist the symmetrized edge list: every propagation round joins
-    // against it, and without the persist each round would re-run the
-    // whole pair-generation subtree (banding + self-join + verify) —
-    // measured 5s -> sub-second at sf0.1. Tracked for releaseCaches().
-    val edges = persistTracked(
-      pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
-        .union(pairs.select(b.cast("long").as("x"), a.cast("long").as("y"))))
+    // persist the PAIRS before symmetrizing: the union's two branches and
+    // every propagation round would otherwise each re-run the whole
+    // pair-generation subtree (banding + self-join + verify). Tracked
+    // for releaseCaches().
+    val p = persistTracked(
+      pairs.select(a.cast("long").as("x"), b.cast("long").as("y")))
+    val edges = p.union(p.select(col("y").as("x"), col("x").as("y")))
     var labels = edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var i = 0

@@ -311,22 +311,6 @@ object Streaming {
     }
   }
 
-  /** Streaming MinHash-LSH band claims — the stateful core of
-    * [[streamingMinHashDedup]]. Each incoming doc is exploded into its
-    * LSH band keys; keyed state per band remembers the FIRST doc to ever
-    * present that band (within a micro-batch, ties go to the lowest
-    * doc id — the batch [[graft.llm.Dedup.minhashDedup]] keep rule).
-    * Emits one claim row (doc_id, band_key, owner) per (doc, band).
-    * Docs shorter than the shingle width carry no signal and are
-    * excluded, exactly like the batch banding (they are trivially kept).
-    *
-    * 100 TB posture: state is one long per DISTINCT band key, hash-
-    * partitioned across executors by the group key — the streaming twin
-    * of the batch band table, living in the state store instead of a
-    * shuffle. Claims for a given band always land on its owning
-    * partition, so dedup needs no further shuffle. Semantics vs batch:
-    * batch ownership is global-min doc id; streaming ownership is
-    * first-arrival (arrival order IS the stream's keep priority). */
   /** Generic first-claimer streaming core: every doc presents an ARRAY
     * of claim keys (MinHash-LSH bands, SimHash bands, any bucketing);
     * keyed state per key remembers the FIRST doc to ever present it
@@ -362,6 +346,11 @@ object Streaming {
     claims.union(sentinels)
   }
 
+  /** MinHash-LSH band claims — [[streamingClaims]] bound to the batch
+    * `Dedup` banding (shingle → minhash → LSH bands; sub-shingle docs go
+    * the sentinel route, the batch keep rule). A shared LSH band IS the
+    * near-dup signal (bands hash `rowsPerBand` signature rows), so no
+    * post-collision verification step is needed here, unlike SimHash. */
   def streamingBandClaims(docs: DataFrame, id: Column, text: Column,
                           shingleWidth: Int, bands: Int,
                           rowsPerBand: Int): Dataset[(Long, String, Long)] = {
@@ -373,23 +362,49 @@ object Streaming {
         .otherwise(array().cast("array<string>")))
   }
 
-  /** SimHash streaming near-dup claims — the SimHash twin of
-    * [[streamingBandClaims]], banding the width-bit simhash into `bands`
-    * sub-band keys exactly like the batch `Dedup.simhashPairs`. Token-less
-    * docs (simhash 0 would mass-collide) go the sentinel route. */
+  /** SimHash streaming near-dup claims with in-state verification: band
+    * state holds the first claimer's (id, full simhash), and each claim
+    * row carries the hamming distance to that owner — a band collision is
+    * only a CANDIDATE (4 sub-bands of 2^15 buckets produce coincidental
+    * collisions at corpus scale), exactly why the batch `simhashPairs`
+    * filters candidates by `dist <= maxDist`. The verdict layer applies
+    * that same filter ([[streamingSimHashDedup]]). Token-less docs
+    * (simhash 0 would mass-collide) emit a self-owned sentinel with
+    * dist 0. Emits (doc_id, band_key, owner, dist). */
   def streamingSimHashClaims(docs: DataFrame, id: Column, text: Column,
                              width: Int = 60,
-                             bands: Int = 4): Dataset[(Long, String, Long)] = {
+                             bands: Int = 4): Dataset[(Long, String, Long, Int)] = {
     import graft.functions.GraftFunctions._
     require(width % bands == 0, s"bands ($bands) must divide width ($width)")
     val w = width / bands
     val mask = (1L << w) - 1L
-    val sh = simhashN(text, width)
-    streamingClaims(docs, id,
-      when(size(tokens(text)) > 0,
-        array((0 until bands).map(i => concat_ws("_", lit(i),
-          shiftrightunsigned(sh, i * w).bitwiseAND(lit(mask)))): _*))
-        .otherwise(array().cast("array<string>")))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withSh = docs.select(id.cast("long").as("doc_id"),
+      simhashN(text, width).as("sh"), size(tokens(text)).as("ntok"))
+    val banded = withSh.filter(col("ntok") > 0)
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until bands).map(i => concat_ws("_", lit(i),
+          shiftrightunsigned(col("sh"), i * w).bitwiseAND(lit(mask)))): _*))
+          .as("band_key"))
+      .as[(Long, Long, String)]
+    val claims = banded.groupByKey(_._3)
+      .flatMapGroupsWithState[(Long, Long), (Long, String, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (bandKey: String, values: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, Long)]) =>
+          val rows = values.toSeq
+          val (owner, ownerSh) = state.getOption.getOrElse {
+            val first = rows.minBy(_._1); (first._1, first._2)
+          }
+          if (!state.exists) state.update((owner, ownerSh))
+          rows.iterator.map { case (d, sh, _) =>
+            (d, bandKey, owner, java.lang.Long.bitCount(sh ^ ownerSh))
+          }
+      }
+    val sentinels = withSh.filter(col("ntok") <= 0)
+      .select(col("doc_id")).as[Long].map(d => (d, "", d, 0))
+    claims.union(sentinels)
   }
 
   /** Streaming incremental exact dedup: drop incoming docs whose content
@@ -408,13 +423,20 @@ object Streaming {
       .join(ledger.select(ledgerHash.as("__ch")).distinct(), Seq("__ch"), "left_anti")
       .drop("__ch")
 
-  /** Per-doc SimHash dedup verdicts — [[claimsToVerdicts]] over
-    * [[streamingSimHashClaims]], same consumption contract as
-    * [[streamingMinHashDedup]]. */
+  /** Per-doc SimHash dedup verdicts over [[streamingSimHashClaims]]: a
+    * doc is a duplicate only of a band owner VERIFIED within `maxDist`
+    * hamming (the batch `simhashPairs` precision rule — an unverified
+    * band collision is just a 15-bit hash coincidence); otherwise kept.
+    * Same consumption contract as [[streamingMinHashDedup]]. */
   def streamingSimHashDedup(docs: DataFrame, id: Column, text: Column,
-                            width: Int = 60, bands: Int = 4): DataFrame =
-    claimsToVerdicts(streamingSimHashClaims(docs, id, text, width, bands)
-      .toDF("doc_id", "band_key", "owner"))
+                            width: Int = 60, bands: Int = 4,
+                            maxDist: Int = 3): DataFrame =
+    streamingSimHashClaims(docs, id, text, width, bands)
+      .toDF("doc_id", "band_key", "owner", "dist")
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("owner") =!= col("doc_id") && col("dist") <= maxDist,
+        col("owner"))).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
 
   /** Per-doc dedup verdicts from band-claim rows: a doc is KEPT iff every
     * one of its bands was first claimed by itself; otherwise `dup_of` is
