@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+object JudgeProbe {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val names = args.toSeq
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => println(s"ERR $n: $e"); Double.PositiveInfinity }
+        finally graft.llm.Dedup.releaseCaches()
+      }
+      val a = once(); val b = once()
+      println(f"PROBE $n%-24s best=${math.min(a,b)}%.3f  runs=[$a%.3f, $b%.3f]")
+    }
+    spark.stop()
+  }
+}
