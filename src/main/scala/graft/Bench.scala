@@ -2,10 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Perf harness (driver-run): times every SparkEntry query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. A warmup pass touches
-  * each table first so timings measure the operators, not parquet-footer
-  * reads / first-query JIT. Queries run in sorted-name order so per-query
-  * numbers are comparable across rounds.
+  * SPARK_GRAFT_SF_DIR. Emits the full per-query JSON line first (also
+  * written to ./BENCH_FULL.json), then a compact final JSON line —
+  * total + slowest queries — sized to fit the driver's 2000-char stdout
+  * tail window. A warmup pass touches each table first so timings
+  * measure the operators, not parquet-footer reads / first-query JIT.
+  * Queries run in sorted-name order so per-query numbers are comparable
+  * across rounds.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,10 +90,34 @@ object Bench {
       val best = math.min(once(), once())
       name -> (if (best.isInfinity) -1.0 else best) // -1 = both runs failed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def jsonLine(qs: String, omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
+        (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
+        s""","n_queries":${results.size},"sf":"$sfDir"}"""
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullLine = jsonLine(fullQs, 0)
+    // The driver captures only the LAST 2000 chars of stdout (BENCH_r03/
+    // r04 both came back `parsed: None` — the full 105-query line is
+    // ~3.7 KB, so its head was cut and the JSON never parsed). Preserve
+    // full fidelity in a file + an early stdout line, and make the FINAL
+    // line a compact JSON guaranteed to fit the tail window: total first,
+    // then per-query entries slowest-first until the 1800-char budget.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(fullLine)
+    val byCost = results.sortBy { case (_, v) => -v } // failures (-1) surface too
+    val entries = byCost.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val overhead = jsonLine("{}", results.size).length + 16
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = overhead
+    entries.foreach { e =>
+      if (len + e.length + 1 <= 1800) { kept += e; len += e.length + 1 }
+    }
+    println(jsonLine(kept.mkString("{", ",", "}"), results.size - kept.size))
     spark.stop()
   }
 }

@@ -86,8 +86,9 @@ object LangId {
     "es" -> Array("el", "la", "que", "los", "es"),
     "fr" -> Array("le", "la", "et", "les", "est"))
 
-  /** Case-insensitive (ASCII fold) marker membership for a substring,
-    * without allocating — same discipline as [[TextCounts.isStopword]]. */
+  /** Case-insensitive (ASCII + 'İ'→'i') marker membership for a substring,
+    * without allocating — same fold as [[TextCounts.isStopword]] (the
+    * oracle's `lower(t) IN (...)` simple-maps U+0130 back into ASCII). */
   private[functions] def hasMarker(markers: Array[String], s: String,
                                    start: Int, len: Int): Boolean = {
     var m = 0
@@ -98,7 +99,8 @@ object LangId {
         var ok = true
         while (ok && j < len) {
           val c = s.charAt(start + j)
-          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar
+                   else if (c == 'İ') 'i' else c
           if (lc != mk.charAt(j)) ok = false
           j += 1
         }

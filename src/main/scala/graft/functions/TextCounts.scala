@@ -95,7 +95,11 @@ object TextCounts {
   val Stopwords: Array[String] =
     Array("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  /** Case-insensitive member check on a substring without allocating. */
+  /** Case-insensitive member check on a substring without allocating.
+    * Folds ASCII plus U+0130 'İ'→'i' — the one non-ASCII uppercase whose
+    * DuckDB simple lowercase lands back in ASCII, so the oracle's
+    * `lower(t) IN (...)` would hit on "İN" while a pure-ASCII fold missed
+    * (Σ→σ never reaches an ASCII stopword, no fold needed). */
   private[functions] def isStopword(s: String, start: Int, len: Int): Boolean = {
     var w = 0
     while (w < Stopwords.length) {
@@ -105,7 +109,8 @@ object TextCounts {
         var ok = true
         while (ok && j < len) {
           val c = s.charAt(start + j)
-          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+          val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar
+                   else if (c == 'İ') 'i' else c
           if (lc != sw.charAt(j)) ok = false
           j += 1
         }

@@ -297,9 +297,18 @@ object Similarity {
   // ---- Product quantization (Jégou et al., TPAMI 2011) -----------------
 
   /** Subvector s of m: the contiguous dim/m-slice. Dim must be divisible
-    * by m (standard PQ constraint; enforced by the slice arithmetic). */
-  private def subVec(vec: Column, s: Int, m: Int): Column =
-    slice(vec, (size(vec) / m) * s + 1, size(vec) / m)
+    * by m (standard PQ constraint) — RAISES otherwise: size(vec)/m is
+    * double division that slice's int cast silently truncates, so an
+    * odd dim would misslice (drop trailing elements) and quietly diverge
+    * from the oracle's exact integer split instead of failing. */
+  private def subVec(vec: Column, s: Int, m: Int): Column = {
+    val dimGuard = when(pmod(size(vec), lit(m)) =!= 0,
+      raise_error(format_string(
+        s"pq subvec: vector dim %d not divisible by m=$m", size(vec)))
+        .cast("int")).otherwise(lit(0))
+    slice(vec, dimGuard + (size(vec) / m).cast("int") * s + 1,
+      (size(vec) / m).cast("int"))
+  }
 
   /** Train a PQ codebook: the deterministic [[kmeans]] recurrence run
     * independently on each of the m contiguous subspaces — FUSED into one

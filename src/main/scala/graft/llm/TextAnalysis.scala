@@ -25,15 +25,28 @@ object TextAnalysis {
   /** Whitespace word count. */
   def wordCount(text: Column): Column = size(tokens(text))
 
+  /** Locale-stable lowercase with cross-engine parity. Java's
+    * String.toLowerCase applies Unicode FULL case mappings: U+0130 'İ'
+    * expands to "i"+U+0307 (combining dot, length 2) and word-final 'Σ'
+    * contextually maps to 'ς' (Final_Sigma) — while DuckDB's utf8proc
+    * lower() applies SIMPLE mappings ('İ'→'i', 'Σ'→'σ', always).
+    * Substituting İ→i and Σ→σ BEFORE lower makes both engines produce
+    * identical bytes (those are the only two divergent lowercase mappings
+    * under Locale.ROOT; Turkish/Lithuanian rules are locale-gated and the
+    * harness mains pin ROOT). Use this — never bare `lower` — on any
+    * whole-document column that feeds an oracle-compared value. */
+  def foldLower(text: Column): Column = lower(translate(text, "İΣ", "iσ"))
+
   /** Canonical curation normalization: Unicode NFC (decomposed e+accent ≡
     * precomposed é — without it, content-hash dedup treats equal texts as
-    * distinct), then LOWERCASE (not full Unicode case folding — ß stays ß,
-    * matching DuckDB's lower(); the harness mains pin Locale.ROOT so
-    * Spark's non-ASCII toLowerCase path is locale-independent), then strip
-    * control characters. Single codegen-stage projection; the oracle twin
-    * is `regexp_replace(lower(nfc_normalize(text)), …)`. */
+    * distinct), then locale-stable lowercase ([[foldLower]] — bare lower()
+    * diverges from DuckDB on İ/Σ), then strip control characters. Single
+    * codegen-stage projection; the oracle twin is
+    * `regexp_replace(lower(nfc_normalize(text)), …)` — DuckDB's simple
+    * mappings already produce the folded forms, so the SQL needs no
+    * replace. */
   def normalize(text: Column): Column =
-    regexp_replace(lower(graft.functions.NfcNormalize(text)),
+    regexp_replace(foldLower(graft.functions.NfcNormalize(text)),
       "[\\x00-\\x1F\\x7F]", "")
 
   /** Deterministic data-mixture sampling — the training-corpus
@@ -66,7 +79,15 @@ object TextAnalysis {
     * Scale posture: the window partitions by `shard`, so packing runs in
     * parallel per shard with ONE shuffle+sort — a global (shard-less)
     * order would serialize onto one reducer, which is why real pipelines
-    * always pack per shard. Integer arithmetic throughout. */
+    * always pack per shard. Integer arithmetic throughout.
+    *
+    * PRECONDITION: `order` must be UNIQUE within each shard (it doubles
+    * as the emitted doc_id). With duplicate `order` values the prefix
+    * sum's ROWS frame visits ties in partition-arrival order, making
+    * seq_idx/seq_offset nondeterministic across runs and repartitionings
+    * — there is no meaningful secondary key to break ties with, because a
+    * duplicate `order` is two docs claiming the same identity. Derive
+    * `order` from a unique id (content-hash or source row id). */
   def packSequences(df: DataFrame, shard: Column, order: Column,
                     tokenCount: Column, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -97,7 +118,7 @@ object TextAnalysis {
   def tfIdfTopTerms(df: DataFrame, id: Column, text: Column,
                     k: Int): DataFrame = {
     val tok = df.select(id.as("doc_id"),
-      explode(transform(tokens(text), t => lower(t))).as("term"))
+      explode(transform(tokens(text), t => foldLower(t))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // document frequency = tf's row count per term (tf is one row per
@@ -180,7 +201,7 @@ object TextAnalysis {
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
+    val toks = tokens(foldLower(text))
     val n = size(toks).cast("double")
     val sw = size(filter(toks, t => t.isin(stopwords: _*))).cast("double")
     when(n === 0, lit(0.0)).otherwise(sw / n)
@@ -229,7 +250,7 @@ object TextAnalysis {
     * value-identical to
     * `md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))`. */
   def tokenSetFingerprint(text: Column): Column =
-    graft.functions.TokenSetFingerprint(lower(text))
+    graft.functions.TokenSetFingerprint(foldLower(text))
 
   /** Rolling-hash fingerprint (Karp–Rabin over tokens) — order-sensitive
     * twin of [[tokenSetFingerprint]]. */

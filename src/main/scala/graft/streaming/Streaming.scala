@@ -370,7 +370,17 @@ object Streaming {
     * filters candidates by `dist <= maxDist`. The verdict layer applies
     * that same filter ([[streamingSimHashDedup]]). Token-less docs
     * (simhash 0 would mass-collide) emit a self-owned sentinel with
-    * dist 0. Emits (doc_id, band_key, owner, dist). */
+    * dist 0. Emits (doc_id, band_key, owner, dist).
+    *
+    * RECALL CONTRACT — a deliberate divergence from batch `simhashPairs`:
+    * distance is verified against the band's FIRST claimer only (state is
+    * one (owner, simhash) pair per band, O(bands·buckets) total). A doc
+    * within maxDist of a LATER doc sharing the band but > maxDist from
+    * the owner is kept — batch, which forms all in-band pairs, would flag
+    * it. That is the streaming-dedup trade everywhere (per-band state
+    * must stay bounded); batch remains the recall reference, and a
+    * periodic batch sweep over the kept set recovers the difference.
+    * Same at-least-once framing as the haltWhen note. */
   def streamingSimHashClaims(docs: DataFrame, id: Column, text: Column,
                              width: Int = 60,
                              bands: Int = 4): Dataset[(Long, String, Long, Int)] = {

@@ -47,6 +47,17 @@ def write_documents(out_dir):
         # (utf8proc) — a precomposed-only corpus never exercises the
         # normalizer's actual work
         (9, "Cafe\u0301 cre\u0300me a\u030aThe END\t", "fr", "web", 23),
+        # U+0130 '\u0130': Java FULL lowercase expands it to i+U+0307 (len 2)
+        # while DuckDB's utf8proc SIMPLE-maps it to 'i' (len 1) \u2014 the one
+        # lowercase mapping where the engines' lower() disagree (r4
+        # ADVICE). "\u0130N" also lands on a stopword only after the fold.
+        (10, "\u0130stanbul \u0130N THE \u0130stanbul office", "tr", "web", 31),
+        # decomposed twin of doc 10 (I + combining dot above): NFC must
+        # recompose it to \u0130 and normalized dedup must collapse 10 and 11
+        (11, "I\u0307stanbul I\u0307N THE I\u0307stanbul office", "tr", "web", 34),
+        # word-final \u03a3: Java's contextual Final_Sigma lowers it to '\u03c2',
+        # utf8proc always gives '\u03c3' \u2014 the second divergent mapping
+        (12, "\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u039a\u0391\u0399 \u0397 \u0398\u0391\u039b\u0391\u03a3\u03a3\u0391 \u0395\u03a3 \u03a3\u039f\u03a6\u039f\u03a3", "el", "web", 31),
     ]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
