@@ -160,7 +160,24 @@ object AggQueries {
     "q_store_get" -> ((s, d) => stateTable(s, d).filter(col("user_id") === 7)),
     "q_store_all" -> ((s, d) => stateTable(s, d)),
     "q_store_range" -> ((s, d) => stateTable(s, d)
-      .filter(col("user_id").between(3, 9)).orderBy(col("user_id")))
+      .filter(col("user_id").between(3, 9)).orderBy(col("user_id"))),
+
+    // ordered-step conversion funnel: earliest view, then earliest click
+    // strictly after it, then earliest purchase after that
+    "q_funnel" -> ((s, d) => graft.agg.Funnel.funnel(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_type"),
+      Seq("view", "click", "purchase"))),
+
+    // per-event gap-based session assignment (30-minute gap — same
+    // boundary rule as q_session_window, but emitting the event→session
+    // mapping instead of per-session rollups)
+    "q_sessionize" -> ((s, d) => graft.agg.Funnel.sessionize(Tables.events(s, d),
+      col("user_id"), col("ts"), col("event_id"), gapMinutes = 30)),
+
+    // single-pass column profiling (completeness / cardinality / ranges)
+    "q_profile" -> ((s, d) => graft.agg.Profile.profile(Tables.events(s, d),
+      Seq("user_id", "event_type", "value", "props"),
+      numeric = Set("user_id", "value")))
   )
 
   /** The materialized store: per-user running aggregate (the topology
@@ -286,6 +303,59 @@ object AggQueries {
     "q_store_get" -> (stateSql.replace("GROUP BY user_id", "WHERE user_id = 7 GROUP BY user_id")),
     "q_store_all" -> stateSql,
     "q_store_range" -> (stateSql.replace("GROUP BY user_id",
-      "WHERE user_id BETWEEN 3 AND 9 GROUP BY user_id ORDER BY user_id"))
+      "WHERE user_id BETWEEN 3 AND 9 GROUP BY user_id ORDER BY user_id")),
+
+    // NULL users survive step 1 (grouping keeps the NULL group) but the
+    // equi-joins never advance them — both engines share that semantics
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |       1 + (CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |         + (CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    // ts >= prev + INTERVAL (Spark) ⇔ ts - prev >= INTERVAL (here):
+    // timestamp arithmetic is exact in both engines
+    "q_sessionize" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |       CAST(sum(CASE WHEN pv IS NULL OR ts - pv >= INTERVAL '30 minutes'
+        |                     THEN 1 ELSE 0 END)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM p""".stripMargin,
+
+    // min/max emitted as DOUBLE for numeric columns, NULL otherwise —
+    // never strings, whose number formatting diverges across engines
+    "q_profile" ->
+      """SELECT 'user_id' AS col_name, count(*) AS n_rows,
+        |       count(*) - count(user_id) AS n_null,
+        |       count(DISTINCT user_id) AS n_distinct,
+        |       CAST(min(user_id) AS DOUBLE) AS min_value,
+        |       CAST(max(user_id) AS DOUBLE) AS max_value
+        |FROM events
+        |UNION ALL
+        |SELECT 'event_type', count(*), count(*) - count(event_type),
+        |       count(DISTINCT event_type), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM events
+        |UNION ALL
+        |SELECT 'value', count(*), count(*) - count(value),
+        |       count(DISTINCT value), min(value), max(value)
+        |FROM events
+        |UNION ALL
+        |SELECT 'props', count(*), count(*) - count(props),
+        |       count(DISTINCT props), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        |FROM events""".stripMargin
   )
 }

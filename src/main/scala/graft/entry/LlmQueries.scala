@@ -1,7 +1,7 @@
 package graft.entry
 
 import graft.functions.{CosineSimilarity, GraftFunctions}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -36,6 +36,9 @@ object LlmQueries {
   // kmeans-trained IVF: k centroids, fixed iteration count (deterministic
   // by construction — the oracle unrolls the same iterations).
   private val IvfK = 4; private val IvfIters = 2
+  // BM25 query-term bag shared by query + oracle (k1/b/topK are the
+  // Retrieval.bm25 defaults: 1.2 / 0.75 / 10).
+  private val BmQueryTerms = Seq("the", "of", "and")
 
   private def media(s: SparkSession, d: String): DataFrame =
     Multimodal.asMediaTable(Tables.documents(s, d), col("doc_id"), col("text"))
@@ -82,6 +85,18 @@ object LlmQueries {
       val pairs = Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"),
         col("text"), threshold = 0.4, ShingleW, PairBands, PairRows)
       Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"), iters = 5)
+    }),
+
+    // components → keep the best-quality member per component: the
+    // decision step that near-dup grouping exists for
+    "q_component_rep" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), threshold = 0.4, ShingleW, PairBands, PairRows)
+      val comps = Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"),
+        iters = 5)
+      val quality = Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.qualityFrom(TextAnalysis.counts(col("text"))).as("quality"))
+      Dedup.componentRepresentatives(comps, quality)
     }),
 
     "q_simhash_pairs" -> ((s, d) =>
@@ -411,6 +426,24 @@ object LlmQueries {
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d),
         col("doc_id"), col("text"), k = 3)),
 
+    // lexical retrieval twin of the dense ANN path: BM25 top-10 against
+    // a fixed query-term bag (rational IDF — see Retrieval.bm25)
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25(Tables.documents(s, d), col("doc_id"), col("text"),
+        BmQueryTerms)),
+
+    // corpus bigram table: top-20 most frequent token 2-grams
+    "q_ngram_counts" -> ((s, d) =>
+      Retrieval.ngramCounts(Tables.documents(s, d), col("text"), n = 2,
+        topK = 20)),
+
+    // exact-count-per-group eval slice: 2 docs per source, picked by
+    // content-hash order (stable under resharding, unlike sample())
+    "q_stratified_sample" -> ((s, d) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, d), col("source"),
+        col("text"), col("doc_id"), n = 2, salt = 11)
+        .select(col("doc_id"), col("source"), col("sample_rank"))),
+
     // Sequence packing: assign each doc its training-sequence index and
     // offset under a 512-token budget, packed per language shard — the
     // concat-and-chunk layout step of a training pipeline.
@@ -575,6 +608,35 @@ object LlmQueries {
   private val sqlAlnumToks =
     "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)"
 
+  /** Shared CTE chain: banding → Jaccard-verified pairs → symmetric
+    * edges → 5 rounds of min-label propagation (l0..l5). Used by the
+    * components query and the component-representative query. */
+  private def componentsCte: String = {
+    val steps = (1 to 5).map { i =>
+      s"""l$i AS (
+         |  SELECT l.node, least(l.label, COALESCE(m.nl, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.x AS node2, min(t.label) AS nl
+         |    FROM edges e JOIN l${i - 1} t ON e.y = t.node GROUP BY e.x) m
+         |  ON l.node = m.node2)""".stripMargin
+    }.mkString(",\n")
+    s"""${bandCte(PairBands, PairRows)},
+       |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bandsrc a JOIN bandsrc b
+       |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |jp AS (
+       |  SELECT doc_a, doc_b
+       |  FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
+       |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4),
+       |edges AS (SELECT doc_a AS x, doc_b AS y FROM jp
+       |          UNION ALL SELECT doc_b AS x, doc_a AS y FROM jp),
+       |l0 AS (SELECT DISTINCT x AS node, x AS label FROM edges),
+       |$steps""".stripMargin
+  }
+
   /** The curation quality score over `text` — twin of
     * TextAnalysis.qualityFrom(counts(text)); shared by the q_curation and
     * q_pipeline_full oracles. */
@@ -683,32 +745,25 @@ object LlmQueries {
 
     // min-label propagation as a chained CTE (l0..l5), one CTE per round
     // — the bounded recurrence is deterministic so both engines replay it
-    "q_neardup_components" -> {
-      val steps = (1 to 5).map { i =>
-        s"""l$i AS (
-           |  SELECT l.node, least(l.label, COALESCE(m.nl, l.label)) AS label
-           |  FROM l${i - 1} l LEFT JOIN (
-           |    SELECT e.x AS node2, min(t.label) AS nl
-           |    FROM edges e JOIN l${i - 1} t ON e.y = t.node GROUP BY e.x) m
-           |  ON l.node = m.node2)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ${bandCte(PairBands, PairRows)},
-         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bandsrc a JOIN bandsrc b
-         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |jp AS (
-         |  SELECT doc_a, doc_b
-         |  FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
-         |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-         |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4),
-         |edges AS (SELECT doc_a AS x, doc_b AS y FROM jp
-         |          UNION ALL SELECT doc_b AS x, doc_a AS y FROM jp),
-         |l0 AS (SELECT DISTINCT x AS node, x AS label FROM edges),
-         |$steps
-         |SELECT node AS doc_id, label AS component FROM l5""".stripMargin
-    },
+    "q_neardup_components" ->
+      s"""WITH $componentsCte
+         |SELECT node AS doc_id, label AS component FROM l5""".stripMargin,
+
+    // components + quality join + per-component argmax pick: the
+    // representative-selection step (keep best member, drop the rest)
+    "q_component_rep" ->
+      s"""WITH $componentsCte,
+         |comp AS (SELECT node AS doc_id, label AS component FROM l5),
+         |q AS (SELECT doc_id, $sqlQuality AS quality FROM documents),
+         |j AS (
+         |  SELECT c.component, c.doc_id, q.quality,
+         |         row_number() OVER (PARTITION BY c.component
+         |           ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY c.component) AS nm
+         |  FROM comp c JOIN q ON c.doc_id = q.doc_id)
+         |SELECT component, doc_id AS rep_doc, quality AS rep_quality,
+         |       CAST(nm AS BIGINT) AS n_members
+         |FROM j WHERE rn = 1""".stripMargin,
 
     "q_simhash_pairs" -> {
       val w = SimHashWidth / SimHashBands
@@ -1130,6 +1185,57 @@ object LlmQueries {
          |           ORDER BY t.tf * (CAST(n.n AS DOUBLE) / d.df) DESC, t.term) AS rank
          |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n) s
          |WHERE rank <= 3""".stripMargin,
+
+    // constants interpolated from the SAME Scala doubles the plan uses
+    // (k1=1.2, b=0.75): both engines parse identical literals. The
+    // per-doc total is a FIXED-ORDER sum of conditional maxes, never a
+    // cross-row double SUM.
+    "q_bm25" -> {
+      val terms = BmQueryTerms.map(t => s"'$t'").mkString(", ")
+      val partials = BmQueryTerms.map(t =>
+        s"COALESCE(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+        .mkString("\n        |       + ")
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
+         |tok AS (SELECT doc_id, lower(u.t) AS term
+         |        FROM toks CROSS JOIN LATERAL unnest(tk) AS u(t)
+         |        WHERE lower(u.t) IN ($terms)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |         (s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+         |           / (CAST(d.df AS DOUBLE) + 0.5)
+         |         * (CAST(t.tf AS DOUBLE) * ${1.2 + 1.0})
+         |         / (CAST(t.tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
+         |              + (${0.75} * CAST(l.dl AS DOUBLE)) / (s.sum_dl / s.n_docs))) AS s
+         |  FROM tf t JOIN dfreq d ON t.term = d.term
+         |       JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s)
+         |SELECT doc_id,
+         |       $partials AS bm25
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    },
+
+    "q_ngram_counts" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |sh AS (SELECT CASE WHEN len(tk) >= 2
+         |              THEN list_transform(range(0, len(tk) - 1),
+         |                     i -> array_to_string(tk[i+1:i+2], ' '))
+         |              ELSE [] END AS sg FROM toks),
+         |g AS (SELECT u.s AS ngram, count(*) AS cnt
+         |      FROM sh CROSS JOIN LATERAL unnest(sg) AS u(s) GROUP BY 1)
+         |SELECT ngram, cnt FROM g ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
+         |  SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${sqlMd5Long("'11|' || text")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= 2""".stripMargin,
 
     // prefix-sum packing: pure integer window arithmetic; HUGEINT sums
     // cast back to BIGINT per the pandas-canonicalization rule

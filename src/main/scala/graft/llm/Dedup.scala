@@ -224,6 +224,29 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** One representative per near-dup component — the step that turns
+    * component labels into a curation DECISION: keep the highest-quality
+    * member (ties to the lowest doc_id), drop the rest. `components` is
+    * [[nearDupComponents]] output; `docQuality` maps doc_id → quality.
+    * One shuffle on the component key; the row_number pick and the
+    * member count share the window partition. Quality doubles order
+    * identically on both engines because both compute the score with the
+    * same op sequence (SURVEY §8 raw-double discipline). */
+  def componentRepresentatives(components: DataFrame,
+                               docQuality: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    components.join(docQuality, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("doc_id").as("rep_doc"),
+        col("quality").as("rep_quality"),
+        col("n_members").cast("long").as("n_members"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, brute-force
     * within-corpus — the small-corpus baseline. For the 100 TB path use
     * [[Similarity.lshBucketedPairs]]. */

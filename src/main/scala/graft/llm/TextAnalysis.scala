@@ -71,6 +71,26 @@ object TextAnalysis {
     df.filter(md5Long(content, salt) % scale < threshold)
   }
 
+  /** Deterministic stratified sampling: EXACTLY min(n, |group|) rows per
+    * group, chosen by content-hash order — the "balanced eval slice per
+    * language/source" op. Where [[mixtureSample]] keeps an expected
+    * FRACTION per group, this keeps an exact COUNT, which rate-based
+    * gating cannot do. Ordering by md5Long(content, salt) is a uniform
+    * pseudo-random permutation that is stable under resharding and
+    * reruns (no RNG state) and exactly reproducible in the SQL oracle;
+    * `order` breaks hash ties deterministically. One shuffle+sort per
+    * group partition (row_number window) — per-group top-n, never a
+    * global sort. Emits the input columns plus sample_rank (1..n). */
+  def stratifiedSample(df: DataFrame, group: Column, content: Column,
+                       order: Column, n: Int, salt: Int = 11): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5Long(content, salt), order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .withColumn("sample_rank", col("__rn").cast("long"))
+      .drop("__rn")
+  }
+
   /** Sequence packing — concat-and-chunk assignment of documents into
     * fixed token-budget training sequences: docs are laid out in `order`
     * within each shard, and each doc's sequence index / offset comes from

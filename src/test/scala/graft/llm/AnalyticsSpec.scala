@@ -1,0 +1,128 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.agg.{Funnel, Profile}
+import graft.graph.Graph
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: lexical retrieval (BM25, n-grams), event-sequence
+  * analytics (funnel, sessionize), profiling, PageRank, stratified
+  * sampling, component representatives, and the İ/Σ case-fold parity
+  * helper. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foldLower simple-maps İ and word-final Σ like utf8proc") {
+    val out = Seq("İstanbul İN ΟΔΥΣΣΕΥΣ")
+      .toDF("t").select(TextAnalysis.foldLower(col("t"))).as[String].head()
+    // Java's bare toLowerCase would give "i̇stanbul i̇n οδυσσευς" (combining
+    // dot + final sigma ς); the fold must match DuckDB's simple mapping
+    assert(out == "istanbul in οδυσσευσ")
+  }
+
+  test("bm25 favors higher tf, normalizes by doc length, ranks deterministically") {
+    val docs = Seq((1L, "the cat"), (2L, "the the dog"), (3L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("the"))
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // doc 3 has no hit
+    val d2 = out(0).getDouble(1); val d1 = out(1).getDouble(1)
+    // hand-computed: N=3 docs, df=2 ⇒ idf = 1.5/2.5 = 0.6; avgdl = 8/3
+    // (doc 3 counts toward N and avgdl even though it scores no terms)
+    val avgdl = 8.0 / 3.0
+    val e1 = 0.6 * (1 * 2.2) / (1 + 1.2 * (0.25 + (0.75 * 2) / avgdl))
+    val e2 = 0.6 * (2 * 2.2) / (2 + 1.2 * (0.25 + (0.75 * 3) / avgdl))
+    assert(math.abs(d1 - e1) < 1e-12 && math.abs(d2 - e2) < 1e-12)
+  }
+
+  test("ngramCounts returns top bigrams with deterministic ties") {
+    val docs = Seq("a b a b c", "a b x").toDF("text")
+    val out = Retrieval.ngramCounts(docs, col("text"), n = 2, topK = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("funnel requires strictly ordered steps per user") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      (2L, t(5), "click"), (2L, t(6), "view"), // click BEFORE view: no stage 2
+      (3L, t(1), "view"), (3L, t(1), "click")  // same ts: not strictly after
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(ev, col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("stage")).as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("sessionize starts a new session at the gap boundary") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val ev = Seq(
+      (1L, 10L, t(0)), (1L, 11L, t(10)), (1L, 12L, t(45)), // 35min gap
+      (2L, 20L, t(0))
+    ).toDF("user_id", "event_id", "ts")
+    val out = Funnel.sessionize(ev, col("user_id"), col("ts"), col("event_id"),
+        gapMinutes = 30)
+      .select(col("event_id"), col("session_seq")).as[(Long, Long)]
+      .collect().toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 2L, 20L -> 1L))
+  }
+
+  test("profile counts nulls, distincts and numeric ranges in one pass") {
+    val df = Seq((Some(1), Some("a"), Some(1.5)), (Some(1), None, Some(2.5)),
+        (None, Some("b"), None))
+      .toDF("k", "s", "v")
+    val out = Profile.profile(df, Seq("k", "s", "v"), numeric = Set("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k").getLong(1) == 3 && out("k").getLong(2) == 1 &&
+      out("k").getLong(3) == 1)
+    assert(out("s").getLong(2) == 1 && out("s").getLong(3) == 2 &&
+      out("s").isNullAt(4))
+    assert(out("v").getDouble(4) == 1.5 && out("v").getDouble(5) == 2.5)
+  }
+
+  test("pageRank ranks sink-heavy nodes highest and is repartition-invariant") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      Graph.pageRank(df, col("s"), col("d"), iters = 2)
+        .as[(Long, Double)].collect().toMap
+    val pr = run(e)
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
+    // fixed-point LONG sums make the result independent of partitioning
+    assert(run(e.repartition(7)) == pr)
+  }
+
+  test("stratifiedSample keeps exactly n per group, stable under resharding") {
+    val docs = (0 until 40).map(i => (i.toLong, s"doc text $i", s"g${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(String, Long)] =
+      TextAnalysis.stratifiedSample(df, col("source"), col("text"),
+          col("doc_id"), n = 4)
+        .select(col("source"), col("doc_id")).as[(String, Long)].collect().toSet
+    val s1 = ids(docs)
+    assert(s1.groupBy(_._1).forall(_._2.size == 4))
+    assert(ids(docs.repartition(11)) == s1)
+  }
+
+  test("componentRepresentatives keeps the best-quality member per component") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("doc_id", "component")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = Dedup.componentRepresentatives(comps, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // quality tie between docs 2 and 3 breaks to the lower doc_id
+    assert(out == Map(1L -> ((2L, 3L)), 9L -> ((9L, 1L))))
+  }
+
+  test("pq subvector slicing raises on dim not divisible by m") {
+    val bad = Seq((1L, Array(1f, 2f, 3f, 4f, 5f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqTrain(bad, col("vec_id"), col("embedding"), m = 2, k = 1,
+        iters = 1)
+    }
+    assert(ex.getMessage.contains("not divisible") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
+  }
+}
