@@ -427,7 +427,8 @@ object LlmQueries {
         col("doc_id"), col("text"), k = 3)),
 
     // lexical retrieval twin of the dense ANN path: BM25 top-10 against
-    // a fixed query-term bag (rational IDF — see Retrieval.bm25)
+    // a fixed query-term bag (Lucene-style log IDF, fixed-point
+    // quantized — see Retrieval.bm25)
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25(Tables.documents(s, d), col("doc_id"), col("text"),
         BmQueryTerms)),
@@ -1187,13 +1188,16 @@ object LlmQueries {
          |WHERE rank <= 3""".stripMargin,
 
     // constants interpolated from the SAME Scala doubles the plan uses
-    // (k1=1.2, b=0.75): both engines parse identical literals. The
-    // per-doc total is a FIXED-ORDER sum of conditional maxes, never a
-    // cross-row double SUM.
+    // (k1=1.2, b=0.75): both engines parse identical literals. True
+    // log-IDF BM25; libm-vs-Math.log ulp drift is absorbed by the
+    // fixed-point quantization (floor(s·10^9) AS BIGINT — the pageRank
+    // trick), and the per-doc total is a FIXED-ORDER sum of BIGINT
+    // conditional maxes, never a cross-row double SUM.
     "q_bm25" -> {
-      val terms = BmQueryTerms.map(t => s"'$t'").mkString(", ")
-      val partials = BmQueryTerms.map(t =>
-        s"COALESCE(max(CASE WHEN term = '$t' THEN s END), 0.0)")
+      val folded = BmQueryTerms.map(Retrieval.foldLowerStr).distinct
+      val terms = folded.map(t => s"'$t'").mkString(", ")
+      val partials = folded.map(t =>
+        s"COALESCE(max(CASE WHEN term = '$t' THEN sq END), 0)")
         .mkString("\n        |       + ")
       s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
          |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toks),
@@ -1206,15 +1210,17 @@ object LlmQueries {
          |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          |scored AS (
          |  SELECT t.doc_id, t.term,
-         |         (s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
-         |           / (CAST(d.df AS DOUBLE) + 0.5)
-         |         * (CAST(t.tf AS DOUBLE) * ${1.2 + 1.0})
-         |         / (CAST(t.tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
-         |              + (${0.75} * CAST(l.dl AS DOUBLE)) / (s.sum_dl / s.n_docs))) AS s
+         |         CAST(floor(
+         |           ln(1.0 + (s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+         |              / (CAST(d.df AS DOUBLE) + 0.5))
+         |           * (CAST(t.tf AS DOUBLE) * ${1.2 + 1.0})
+         |           / (CAST(t.tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
+         |              + (${0.75} * CAST(l.dl AS DOUBLE)) / (s.sum_dl / s.n_docs)))
+         |           * ${Retrieval.Bm25Scale}) AS BIGINT) AS sq
          |  FROM tf t JOIN dfreq d ON t.term = d.term
          |       JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s)
          |SELECT doc_id,
-         |       $partials AS bm25
+         |       CAST($partials AS DOUBLE) / ${Retrieval.Bm25Scale} AS bm25
          |FROM scored GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
     },

@@ -32,6 +32,11 @@ object Graph {
     * nodes (no out-edges) simply don't contribute — the simple PageRank
     * variant; document, don't redistribute.
     *
+    * The edge/node working sets are unpersisted before returning; the
+    * final rank vector stays cached (it is the result) but is registered
+    * with [[graft.core.Caches]], so the harness's releaseCaches() hook
+    * frees it after the consuming action.
+    *
     * Returns (node, pr) for every node in the edge list. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85): DataFrame = {
@@ -65,6 +70,7 @@ object Graph {
       i += 1
     }
     e.unpersist(blocking = false)
-    pr
+    nodes.unpersist(blocking = false)
+    graft.core.Caches.adopt(pr)
   }
 }

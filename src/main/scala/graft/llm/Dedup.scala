@@ -14,34 +14,17 @@ object Dedup {
 
   /** Band tables persisted by [[minhashDedupKeptIds]] / [[nearDupPairs]].
     * Caching contract: the persist is what stops Spark re-running the
-    * scan→shingle→signature subtree once per self-join side, but Spark has
-    * no "unpersist when the consuming action finishes" hook for a lazily
-    * returned DataFrame — so cached handles are tracked here and callers
+    * scan→shingle→signature subtree once per self-join side; handles go
+    * through the shared [[graft.core.Caches]] registry and callers
     * release them with [[releaseCaches]] after their action completes
-    * (Verify/Bench do this per query). Untracked, they would pin executor
-    * storage for the session's lifetime. */
-  private val persistedHandles = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    * (Verify/Bench do this per query). */
+  private def persistTracked(df: DataFrame): DataFrame = graft.core.Caches.track(df)
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist()
-    persistedHandles.add(p)
-    p
-  }
-
-  /** Unpersist every band table cached by dedup calls since the last
-    * release. Call after the action consuming the returned DataFrame.
-    *
-    * SINGLE-CONSUMER contract: the handle queue is process-global, so
-    * `releaseCaches()` drops band tables backing EVERY dedup DataFrame
-    * built since the last release — safe under the strictly sequential
-    * build→action→release usage of Verify/Bench, NOT safe with
-    * concurrent or lazily-held dedup frames. A multi-tenant service
-    * would scope handles per returned frame (return a Closeable pair)
-    * instead of using this queue. */
-  def releaseCaches(): Unit = {
-    var df = persistedHandles.poll()
-    while (df != null) { df.unpersist(blocking = false); df = persistedHandles.poll() }
-  }
+  /** Release every tracked cache (dedup band tables, graph rank
+    * vectors, …) registered since the last release — delegates to
+    * [[graft.core.Caches.release]]; see the single-consumer contract
+    * there. Call after the action consuming the returned DataFrame. */
+  def releaseCaches(): Unit = graft.core.Caches.release()
 
   /** Exact dedup by content hash: keeps the lowest-id row per distinct
     * content. One hash-aggregate shuffle; at 100 TB the md5 prefilter means

@@ -18,33 +18,61 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Fixed-point quantization step for BM25 partial scores: 10^9 keeps
+    * nine fractional digits of the log-IDF score — far below any rank
+    * gap BM25 produces in practice — while fitting |score|·10^9 well
+    * inside a LONG. */
+  val Bm25Scale: Double = 1e9
+
+  /** Driver-side twin of [[TextAnalysis.foldLower]]
+    * (`lower(translate(text, "İΣ", "iσ"))`): İ (U+0130) and Σ map first
+    * so Java's locale lowercase can't diverge from DuckDB's
+    * simple-mapping lower(). Query terms fold through this so a
+    * mixed-case term (e.g. "The") matches the folded token stream
+    * instead of silently scoring 0. FoldParitySpec pins the equivalence
+    * against the Column form. */
+  def foldLowerStr(s: String): String =
+    s.replace('İ', 'i').replace('Σ', 'σ')
+      .toLowerCase(java.util.Locale.ROOT)
+
   /** BM25 (Robertson–Sparck Jones) relevance of every document against a
     * bag of query terms; emits the top-k (doc_id, bm25) with ties broken
     * by doc_id.
     *
+    * True log-IDF BM25: score(d) = Σ_t ln(1 + (N − df + 0.5)/(df + 0.5))
+    * · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) — the Lucene/ATIRE
+    * non-negative IDF variant (the +1 keeps stopword terms with
+    * df > N/2 from going negative and inverting ranking). An earlier
+    * revision dropped the log entirely (rational IDF), but monotone
+    * transforms don't commute with the per-term SUM, so multi-term
+    * rankings could diverge from real BM25 — the log stays.
+    *
     * Oracle-parity choices:
-    *  - IDF uses the RATIONAL form (N − df + 0.5)/(df + 0.5) WITHOUT the
-    *    log wrap: libm vs Math.log differ in the last ulp while +,−,×,÷
-    *    are IEEE-correctly-rounded on both engines, and log is monotone
-    *    so rankings are identical (same trick as tfIdfTopTerms).
+    *  - libm vs Math.log can differ in the last ulp, so each per-term
+    *    partial is QUANTIZED to fixed point (floor(s·10^9) as LONG, the
+    *    pageRank trick) and the per-document score sums those LONGs in
+    *    FIXED literal order — integer adds, bit-reproducible, never a
+    *    cross-row double SUM. Sub-10^-9 score gaps (and the
+    *    astronomically unlikely ulp-at-a-floor-boundary flip) are the
+    *    documented tolerance.
     *  - avgdl is sum(dl)/N with dl summed as LONG (order-independent),
     *    divided once — bit-reproducible.
-    *  - the per-document score sums its query-term partials in FIXED
-    *    literal order (one conditional max per term, added left to
-    *    right) — never a cross-row double SUM, whose partial-agg order
-    *    would break the hash match.
-    *  - terms are folded with [[TextAnalysis.foldLower]] so İ/Σ docs
-    *    match DuckDB's simple-mapping lower().
+    *  - tokens and QUERY TERMS both fold through the same İ/Σ-safe
+    *    lowercase ([[TextAnalysis.foldLower]] / [[foldLowerStr]]), so
+    *    İ/Σ docs match DuckDB and mixed-case query terms still match.
+    *    Terms that collide after folding are deduplicated (a repeated
+    *    query term does not double-count).
     */
   def bm25(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val terms = queryTerms.map(foldLowerStr).distinct
     val toks = df.select(id.as("doc_id"), tokens(text).as("tk"))
     val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     val tok = toks.select(col("doc_id"),
         explode(transform(col("tk"), t => TextAnalysis.foldLower(t))).as("term"))
       // filter BEFORE the aggregation: only query-term postings shuffle
-      .filter(col("term").isin(queryTerms: _*))
+      .filter(col("term").isin(terms: _*))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     // df = tf's row count per term (tf is one row per (doc, term))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -52,20 +80,22 @@ object Retrieval {
     // scan the corpus at query-construction time)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).cast("double").as("sum_dl"))
-    val idf = (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)))
     val num = col("tf").cast("double") * lit(k1 + 1.0)
     val den = col("tf").cast("double") + lit(k1) *
       (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
         (col("sum_dl") / col("n_docs")))
     val scored = tf.join(dfreq, "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"), (idf * num / den).as("s"))
-    val total = queryTerms
-      .map(t => coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+      .select(col("doc_id"), col("term"),
+        floor(idf * num / den * lit(Bm25Scale)).cast("long").as("sq"))
+    val total = terms
+      .map(t => coalesce(max(when(col("term") === t, col("sq"))), lit(0L)))
       .reduce(_ + _)
     scored.groupBy(col("doc_id"))
-      .agg(total.as("bm25"))
+      .agg((total.cast("double") / lit(Bm25Scale)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }

@@ -28,12 +28,27 @@ class AnalyticsSpec extends SparkSpec {
       .collect()
     assert(out.map(_.getLong(0)).toSeq == Seq(2L, 1L)) // doc 3 has no hit
     val d2 = out(0).getDouble(1); val d1 = out(1).getDouble(1)
-    // hand-computed: N=3 docs, df=2 ⇒ idf = 1.5/2.5 = 0.6; avgdl = 8/3
-    // (doc 3 counts toward N and avgdl even though it scores no terms)
+    // hand-computed: N=3 docs, df=2 ⇒ idf = ln(1 + 1.5/2.5); avgdl = 8/3
+    // (doc 3 counts toward N and avgdl even though it scores no terms);
+    // the engine quantizes each partial to floor(s·10^9)/10^9 — same JVM
+    // Math.log, same op order, so the comparison is exact
     val avgdl = 8.0 / 3.0
-    val e1 = 0.6 * (1 * 2.2) / (1 + 1.2 * (0.25 + (0.75 * 2) / avgdl))
-    val e2 = 0.6 * (2 * 2.2) / (2 + 1.2 * (0.25 + (0.75 * 3) / avgdl))
-    assert(math.abs(d1 - e1) < 1e-12 && math.abs(d2 - e2) < 1e-12)
+    val idf = math.log(1.0 + 0.6)
+    def q(s: Double) = math.floor(s * 1e9) / 1e9
+    val e1 = q(idf * (1 * 2.2) / (1 + 1.2 * (0.25 + (0.75 * 2) / avgdl)))
+    val e2 = q(idf * (2 * 2.2) / (2 + 1.2 * (0.25 + (0.75 * 3) / avgdl)))
+    assert(d1 == e1 && d2 == e2)
+  }
+
+  test("bm25 folds mixed-case query terms to match the folded token stream") {
+    val docs = Seq((1L, "the cat"), (2L, "the the dog")).toDF("doc_id", "text")
+    def run(terms: Seq[String]) =
+      Retrieval.bm25(docs, col("doc_id"), col("text"), terms)
+        .as[(Long, Double)].collect().toSeq
+    // "The" must not silently score 0 everywhere; "İN"-style folds go
+    // through the same İ/Σ translate as the token side
+    assert(run(Seq("The")) == run(Seq("the")))
+    assert(Retrieval.foldLowerStr("İstanbul ΟΔΥΣΣΕΥΣ") == "istanbul οδυσσευσ")
   }
 
   test("ngramCounts returns top bigrams with deterministic ties") {
