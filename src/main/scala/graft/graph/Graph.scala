@@ -24,53 +24,72 @@ object Graph {
     * the double "0.15").
     *
     * Scale posture: the classic iterative join pipeline — edges join the
-    * rank vector on src (one key shuffle), aggregate on dst (second
-    * shuffle), outer-join back to the node set. Each iteration's result
-    * is PERSISTED and the previous one released: without it the
-    * recurrence is referenced twice per step and the lazy plan doubles
-    * every iteration (the label-propagation lesson, SURVEY §8). Dangling
-    * nodes (no out-edges) simply don't contribute — the simple PageRank
-    * variant; document, don't redistribute.
+    * rank vector on src, aggregate on dst, outer-join back to the node
+    * set. Disciplines that keep it one-shuffle-per-iteration:
+    *  - every iteration layer is persisted LAZILY and the WHOLE
+    *    recurrence materializes in the consuming action — one Spark job,
+    *    not one `count()` job per iteration (an earlier revision paid 39
+    *    jobs for 3 iterations: per-iteration materialization plus a
+    *    broadcast-exchange job for every tiny join side);
+    *  - out-degree is FUSED onto the edge set once — (src, dst, od)
+    *    cached clustered by src — so each iteration joins one table,
+    *    not two, and the cached layout already satisfies the join's
+    *    distribution: the edges never re-shuffle inside the loop. At
+    *    lake scale paying the edge shuffle once instead of per-iteration
+    *    is the difference between O(E) and O(iters·E) network;
+    *  - both per-iteration joins carry a `shuffle_hash` hint: the rank
+    *    vector is |V| rows — broadcasting it is exactly what must NOT
+    *    happen at 1e9 nodes (and each broadcast is a blocking driver
+    *    job). Both sides arrive hash-clustered on the join key, so the
+    *    SHJ plans with zero exchanges;
+    *  - |V| is collected ONCE driver-side (one count job) — it is
+    *    broadcast-scalar state like the k-means centroids, and folding
+    *    `1/N` into plan literals deletes a per-iteration broadcast of a
+    *    1-row aggregate. The division happens in the same IEEE double
+    *    ops the oracle's `x / n.nn` performs, so values stay bit-equal.
+    * Dangling nodes (no out-edges) simply don't contribute — the simple
+    * PageRank variant; document, don't redistribute.
     *
-    * The edge/node working sets are unpersisted before returning; the
-    * final rank vector stays cached (it is the result) but is registered
-    * with [[graft.core.Caches]], so the harness's releaseCaches() hook
-    * frees it after the consuming action.
+    * Every cached layer (edge set, nodes, each rank vector) is
+    * registered with [[graft.core.Caches]]; the harness's releaseCaches()
+    * hook frees them after the consuming action. Peak cached footprint is
+    * the edge/degree set plus iters rank vectors of (long, double) — at
+    * 1e9 nodes and 10 iterations ≈ 160 GB cluster-wide, well inside a
+    * 1000-executor cluster's storage tier; for much deeper recurrences,
+    * materialize + release every few rounds instead.
     *
     * Returns (node, pr) for every node in the edge list. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85): DataFrame = {
+    import graft.core.Caches
     val Scale = 1000000000000.0 // 10^12 fixed-point
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct().persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    // lazy 1-row N — broadcast, never a driver-side count()
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-    var pr = nodes.crossJoin(broadcast(nRow))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr")).persist()
+      .distinct()
+    // (src, dst, od) in ONE cached pass: out-degree comes from a count
+    // window over the same src-clustered exchange the iterations reuse —
+    // no degree-table self-join, no second cache. The window's sort cost
+    // is per-src-group; a hot key concentrates on one reducer either
+    // way (any od computation must co-locate a node's out-edges).
+    val e = Caches.track(e0.withColumn("od",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")))))
+    val nodes = Caches.track(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val n = nodes.count().toDouble
+    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     var i = 0
     while (i < iters) {
-      val contrib = e.join(pr, e("src") === pr("node"))
-        .join(outdeg, "src")
+      val contrib = e.join(pr.hint("shuffle_hash"), e("src") === pr("node"))
         .select(col("dst"),
           floor((col("pr") / col("od").cast("double")) * lit(Scale)).as("q"))
       val sums = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
-      val next = nodes.join(sums, Seq("node"), "left")
-        .crossJoin(broadcast(nRow))
+      pr = Caches.track(nodes.join(sums.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
-          (lit(1.0 - damping) / col("n_nodes") + lit(damping) *
-            (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr"))
-        .persist()
-      next.count() // materialize before releasing the previous vector
-      pr.unpersist(blocking = false)
-      pr = next
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr")))
       i += 1
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    graft.core.Caches.adopt(pr)
+    pr
   }
 }

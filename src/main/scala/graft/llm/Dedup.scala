@@ -178,20 +178,36 @@ object Dedup {
     * lineage. Returns (doc_id, component) for every node in `pairs`. */
   def nearDupComponents(pairs: DataFrame, a: Column, b: Column,
                         iters: Int): DataFrame = {
-    // persist the PAIRS before symmetrizing: the union's two branches and
-    // every propagation round would otherwise each re-run the whole
-    // pair-generation subtree (banding + self-join + verify). Tracked
-    // for releaseCaches().
-    val p = persistTracked(
-      pairs.select(a.cast("long").as("x"), b.cast("long").as("y")))
-    val edges = p.union(p.select(col("y").as("x"), col("x").as("y")))
+    // symmetrize in ONE pass (explode of the two orientations — a union
+    // of two references would re-run the whole pair-generation subtree,
+    // banding + self-join + verify, once per branch), then cluster the
+    // edge set by the JOIN side (y) once: every propagation round joins
+    // edges on y against the label vector (hashed on node from its own
+    // groupBy/distinct), so a y-clustered cached layout makes each
+    // round's neighbor join exchange-free on the edge side — one shuffle
+    // per round (the min-agg on x) instead of three. At lake scale the
+    // per-round edge re-shuffle is the dominant cost. Tracked for
+    // releaseCaches().
+    val edges = persistTracked(
+      pairs.select(a.cast("long").as("x"), b.cast("long").as("y"))
+        .select(explode(array(
+          struct(col("x"), col("y")),
+          struct(col("y").as("x"), col("x").as("y")))).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .repartition(col("y")))
     var labels = edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var i = 0
     while (i < iters) {
+      // shuffle_hash on the label/neighbor sides: the label vector is
+      // |V| rows — broadcasting it is what must NOT happen at lake scale
+      // (and every broadcast is a blocking driver job per round). Both
+      // joins arrive hash-clustered on their keys (edges on y, labels on
+      // node, nbr on x), so the SHJs plan with zero exchanges — one
+      // shuffle per round (the min-agg), total.
       val nbr = edges
-        .join(labels.select(col("node").as("y2"), col("label").as("nlbl")),
-          col("y") === col("y2"))
+        .join(labels.select(col("node").as("y2"), col("label").as("nlbl"))
+          .hint("shuffle_hash"), col("y") === col("y2"))
         .groupBy(col("x")).agg(min(col("nlbl")).as("nl"))
         .select(col("x").as("node2"), col("nl"))
       // persist each round: `labels` is referenced TWICE per round (the
@@ -199,7 +215,7 @@ object Dedup {
       // doubles its own subtree per round — 2^iters plan blowup. With
       // the cache, round i computes once and both references read it.
       labels = persistTracked(
-        labels.join(nbr, col("node") === col("node2"), "left")
+        labels.join(nbr.hint("shuffle_hash"), col("node") === col("node2"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
       i += 1

@@ -231,10 +231,19 @@ object Similarity {
   def kmeans(df: DataFrame, id: Column, vec: Column, k: Int, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    kmeansCentroids(df, id, vec, k, iters).toDF("cid", "cv", "n")
+  }
+
+  /** [[kmeans]]'s driver-side result: the trained (cid, centroid, n)
+    * rows as plain Scala data, sorted by centroid id. This IS the index
+    * artifact (k·dim floats) — callers that train once and reuse across
+    * queries memoize this form rather than the DataFrame wrapper. */
+  def kmeansCentroids(df: DataFrame, id: Column, vec: Column, k: Int,
+                      iters: Int): Seq[(Long, Array[Float], Long)] = {
     val v = df.select(lit(0).as("s"), id.as("vec_id"), vec.as("v"))
     kmeansSlots(v, slots = 1, k, iters).toSeq
       .map { case ((_, cid), (cv, n)) => (cid, cv, n) }
-      .sortBy(_._1).toDF("cid", "cv", "n")
+      .sortBy(_._1)
   }
 
   /** The shared deterministic k-means engine: one independent k-means per
