@@ -1,7 +1,7 @@
 package graft.entry
 
 import graft.functions.{CosineSimilarity, GraftFunctions}
-import graft.llm.{Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -91,6 +91,17 @@ object LlmQueries {
         .select(col("embedding")).as[Array[Float]].head()
     }
 
+  /** Shared by q_contamination / q_decontaminate: 3-gram overlap of the
+    * training slice (doc_id % 97 != 0) against the benchmark slice
+    * (doc_id % 97 == 0) of `documents`, minShared = 2. */
+  private def contaminationOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Contamination.ngramOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+      docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+      w = ShingleW, minShared = 2)
+  }
+
   /** The curation quality gate (single-pass TextCounts, quality ≥ 0.5) —
     * shared by q_curation and q_pipeline_full; its SQL twin is
     * [[sqlQuality]]. Keeps `tc` for downstream token accounting. */
@@ -150,6 +161,17 @@ object LlmQueries {
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         maxDist = SimHashMaxDist, width = SimHashWidth, bands = SimHashBands)),
+
+    // Train/test contamination: training docs (id % 97 != 0) sharing ≥2
+    // distinct 3-gram spans with the benchmark slice (id % 97 == 0) —
+    // the benchmark n-gram table broadcasts, the training side never
+    // shuffles pre-aggregation.
+    "q_contamination" -> ((s, d) => contaminationOverlap(s, d)),
+
+    // The decontamination decision: one row per training doc to DROP
+    // with its worst benchmark leak.
+    "q_decontaminate" -> ((s, d) =>
+      Contamination.contaminatedIds(contaminationOverlap(s, d))),
 
     // the scale path: pairs form only WITHIN hyperplane-LSH buckets (an
     // equi-join on bucket) — the brute-force all-pairs form stays in the
@@ -435,10 +457,15 @@ object LlmQueries {
     // against the first chunk as the query. One scan to chunks+vectors,
     // heap top-k — the retrieval shape over a chunked corpus.
     "q_rag_topk" -> ((s, d) => {
-      val chunks = TextAnalysis.chunkDocuments(Tables.documents(s, d),
-          col("doc_id"), col("text"), chunkTokens = 32, stride = 24)
-        .select(col("doc_id"), col("chunk_idx"),
-          TextAnalysis.hashEmbed(col("chunk_text"), 16).as("emb"))
+      // cache the chunk+embed table: the query-row fetch (head) and the
+      // scoring scan otherwise each recompute the chunk explode + hash
+      // embedding of the whole corpus — this IS the "index build once,
+      // query it" shape, and the tracked persist is the index
+      val chunks = graft.core.Caches.track(
+        TextAnalysis.chunkDocuments(Tables.documents(s, d),
+            col("doc_id"), col("text"), chunkTokens = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_idx"),
+            TextAnalysis.hashEmbed(col("chunk_text"), 16).as("emb")))
       val qrow = chunks.orderBy(col("doc_id"), col("chunk_idx")).head()
       val (qd, qc) = (qrow.getLong(0), qrow.getInt(1))
       val qv = qrow.getSeq[Float](2).toArray
@@ -466,6 +493,13 @@ object LlmQueries {
     "q_ngram_counts" -> ((s, d) =>
       Retrieval.ngramCounts(Tables.documents(s, d), col("text"), n = 2,
         topK = 20)),
+
+    // CCNet-style LM quality proxy: mean Laplace-smoothed bigram
+    // log-prob per doc under corpus-trained counts, fixed-point
+    // quantized partials (order-independent distributed sum)
+    "q_lm_score" -> ((s, d) =>
+      Retrieval.bigramLmScore(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
 
     // exact-count-per-group eval slice: 2 docs per source, picked by
     // content-hash order (stable under resharding, unlike sample())
@@ -550,6 +584,20 @@ object LlmQueries {
        |                     i -> array_to_string(tk[i+1:i+$ShingleW], ' '))
        |              ELSE [] END AS sg
        |  FROM toks)""".stripMargin
+
+  /** CTEs tr/be/bn/ov for the contamination pair table (expects `sh`
+    * from [[shingleCte]] in scope): train slice = doc_id % 97 != 0,
+    * bench slice = doc_id % 97 == 0, shared-count threshold 2. */
+  private def contaminationCte: String =
+    """tr AS (SELECT DISTINCT doc_id AS train_id, unnest(sg) AS s
+      |       FROM sh WHERE doc_id % 97 <> 0),
+      |be AS (SELECT DISTINCT doc_id AS bench_id, unnest(sg) AS s
+      |       FROM sh WHERE doc_id % 97 = 0),
+      |bn AS (SELECT bench_id, count(*) AS n_bench FROM be GROUP BY 1),
+      |ov AS (
+      |  SELECT train_id, bench_id, count(*) AS n_shared
+      |  FROM tr JOIN be USING (s) GROUP BY 1, 2
+      |  HAVING count(*) >= 2)""".stripMargin
 
   /** CTE bands(doc_id, band_key): minhash k = bands*rows, LSH band keys.
     * Mirrors GraftFunctions.minhashSignature: one md5 per shingle, then k
@@ -794,6 +842,30 @@ object LlmQueries {
          |SELECT component, doc_id AS rep_doc, quality AS rep_quality,
          |       CAST(nm AS BIGINT) AS n_members
          |FROM j WHERE rn = 1""".stripMargin,
+
+    // contamination: per-doc DISTINCT 3-grams on both slices, equi-join
+    // on the n-gram, per-pair shared count ≥ 2, frac = shared over the
+    // BENCH doc's distinct n-gram count — both engines dedup per doc
+    // (array_distinct ⇔ SELECT DISTINCT + unnest) and divide the same
+    // two BIGINTs in DOUBLE once
+    "q_contamination" ->
+      s"""WITH $shingleCte,
+         |$contaminationCte
+         |SELECT ov.train_id, ov.bench_id, ov.n_shared,
+         |       CAST(ov.n_shared AS DOUBLE) / CAST(bn.n_bench AS DOUBLE) AS frac
+         |FROM ov JOIN bn USING (bench_id)""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH $shingleCte,
+         |$contaminationCte,
+         |pairs AS (
+         |  SELECT ov.train_id,
+         |         CAST(ov.n_shared AS DOUBLE) / CAST(bn.n_bench AS DOUBLE) AS frac,
+         |         ov.n_shared
+         |  FROM ov JOIN bn USING (bench_id))
+         |SELECT train_id, max(frac) AS worst_frac, max(n_shared) AS max_shared,
+         |       count(*) AS n_bench_hit
+         |FROM pairs GROUP BY 1""".stripMargin,
 
     "q_simhash_pairs" -> {
       val w = SimHashWidth / SimHashBands
@@ -1263,6 +1335,33 @@ object LlmQueries {
          |g AS (SELECT u.s AS ngram, count(*) AS cnt
          |      FROM sh CROSS JOIN LATERAL unnest(sg) AS u(s) GROUP BY 1)
          |SELECT ngram, cnt FROM g ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    // bigram LM score: Laplace-smoothed ln((c2+1)/(c1+V)) per bigram,
+    // quantized to fixed-point LONGs before the per-doc sum (integer
+    // adds — order-independent on both engines); V = unigram vocab size
+    "q_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS w FROM toks),
+         |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+         |bg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |         THEN list_transform(range(0, len(tk) - 1),
+         |                i -> array_to_string(tk[i+1:i+2], ' '))
+         |         ELSE [] END) AS bg
+         |  FROM toks),
+         |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY 1),
+         |q AS (
+         |  SELECT bgw.doc_id,
+         |         CAST(floor(ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |                       / (CAST(c1.c1 AS DOUBLE) + vv.v))
+         |                    * 1.0E9) AS BIGINT) AS q
+         |  FROM bgw JOIN c2 USING (bg) JOIN c1 ON bgw.w1 = c1.w CROSS JOIN vv)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       (CAST(sum(q) AS DOUBLE) / 1.0E9) / CAST(count(*) AS DOUBLE)
+         |         AS lm_score
+         |FROM q GROUP BY 1""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (

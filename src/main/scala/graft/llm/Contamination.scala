@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Train/test contamination detection — the decontamination step every
+  * serious training-data pipeline runs before training: find documents
+  * in the TRAINING corpus that share verbatim n-gram spans with an
+  * EVALUATION/benchmark set, so benchmark answers don't leak into the
+  * training mix (the reference pipeline has no equivalent; this is part
+  * of the driver-mandated LLM-pipeline surface).
+  *
+  * Method: per-doc DISTINCT token n-grams on both sides (the native
+  * single-pass [[graft.functions.Shingles]] expression), equi-join on
+  * the n-gram, count shared n-grams per (train, bench) pair, and report
+  * the pair with the shared count and the fraction of the benchmark
+  * doc's n-grams that leak (`n_shared / n_bench` — the decontamination
+  * literature's overlap ratio; thresholding on the BENCH side is what
+  * makes the decision independent of training-doc length).
+  *
+  * Scale posture: the benchmark set is tiny next to a 100 TB training
+  * corpus (thousands of eval docs vs billions of training docs), so the
+  * bench n-gram table is BROADCAST — the training side is one scan +
+  * explode with NO shuffle of training data; the only exchange is the
+  * post-join aggregation on (train_id, bench_id), bounded by actual
+  * matches, which contamination makes rare by construction. For a
+  * benchmark set too large to broadcast, drop the hint and the same
+  * plan shuffles both sides on the n-gram — semantics unchanged.
+  */
+object Contamination {
+
+  /** (train_id, bench_id, n_shared, frac) for every pair sharing at
+    * least `minShared` distinct `w`-gram spans; `frac` = n_shared over
+    * the benchmark doc's distinct n-gram count (0 < frac ≤ 1). */
+  def ngramOverlap(train: DataFrame, trainId: Column, trainText: Column,
+                   bench: DataFrame, benchId: Column, benchText: Column,
+                   w: Int, minShared: Long): DataFrame = {
+    val t = train.select(trainId.as("train_id"),
+      explode(array_distinct(shingles(trainText, w))).as("sg"))
+    val b = bench.select(benchId.as("bench_id"),
+      explode(array_distinct(shingles(benchText, w))).as("sg"))
+    // per-bench distinct n-gram totals: benchmark-sized, broadcast
+    val bn = bench.select(benchId.as("bench_id"),
+      size(array_distinct(shingles(benchText, w))).cast("long").as("n_bench"))
+    t.join(broadcast(b), "sg")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(bn), "bench_id")
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_bench").cast("double")).as("frac"))
+  }
+
+  /** The decontamination DECISION: one row per training doc to DROP —
+    * its worst leak (max frac, then max n_shared) and how many
+    * benchmark docs it clashes with. Anti-joining the training corpus
+    * against this id set is the "clean corpus" step. */
+  def contaminatedIds(overlap: DataFrame): DataFrame =
+    overlap.groupBy(col("train_id"))
+      .agg(max(col("frac")).as("worst_frac"),
+        max(col("n_shared")).as("max_shared"),
+        count(lit(1)).as("n_bench_hit"))
+}

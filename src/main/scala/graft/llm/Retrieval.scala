@@ -112,4 +112,54 @@ object Retrieval {
       .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(topK)
+
+  /** Bigram language-model quality score — the CCNet-style perplexity
+    * proxy for corpus curation: score every document by the mean
+    * Laplace-smoothed bigram log-probability under counts trained on
+    * the corpus itself,
+    *   score(d) = mean over bigrams (w1 w2) of
+    *              ln((c(w1 w2) + 1) / (c(w1) + V)),
+    * where V is the unigram vocabulary size. Repetitive/templated text
+    * scores high, token soup scores low; curation cuts a quantile (pair
+    * with [[TextAnalysis]]'s percentile machinery). To score against a
+    * REFERENCE corpus (true CCNet), train the count tables on that
+    * corpus and join the target's bigrams — the plan shape is identical.
+    *
+    * Scale posture: the two count tables are classic explode → hash-agg
+    * (map-side combine); the scoring side shuffles on the bigram and
+    * first-token keys — the standard distributed LM-training shape;
+    * nothing collects, V is a 1-row lazy broadcast.
+    *
+    * Determinism: ln() partials are quantized to fixed-point LONGs
+    * (floor(x·10^9), the BM25/pageRank discipline) so the cross-row sum
+    * is integer math — order-independent, bit-reproducible, and immune
+    * to libm-vs-JVM last-ulp drift. Docs with < 2 tokens have no
+    * bigrams and emit no row (nothing to score).
+    *
+    * Returns (doc_id, n_bigrams, lm_score). */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), tokens(text).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
+    val bg = toks.select(col("doc_id"), explode(Shingles2(col("tk"))).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"))
+    val c2 = bg.groupBy(col("bg").as("bg2")).agg(count(lit(1)).as("c2"))
+    bg.join(c2, col("bg") === col("bg2"))
+      .join(c1, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(log((col("c2").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v"))) * lit(Bm25Scale))
+          .cast("long").as("q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        ((sum(col("q")).cast("double") / lit(Bm25Scale)) /
+          count(lit(1)).cast("double")).as("lm_score"))
+  }
+
+  /** Bigram shingles over a pre-tokenized array (w = 2). */
+  private def Shingles2(tk: Column): Column =
+    graft.functions.Shingles(tk, 2)
 }

@@ -193,4 +193,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [cell#"),
       s"probe filter must prune index partitions:\n$p")
   }
+
+  test("pageRank iterations shuffle-hash the rank vector, never broadcast it") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val pr = graph.Graph.pageRank(edges, col("s"), col("d"), iters = 2)
+    val p = plan(pr)
+    // a |V|-row rank vector must never be a broadcast build side — each
+    // broadcast is also a blocking driver job per iteration
+    assert(!p.contains("BroadcastHashJoin"),
+      s"rank joins must not broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"rank joins must be shuffled-hash:\n$p")
+    llm.Dedup.releaseCaches()
+  }
+
+  test("label propagation shuffle-hashes the label vector, never broadcasts it") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = llm.Dedup.nearDupComponents(pairs, col("a"), col("b"), iters = 3)
+    val p = plan(comps)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"label joins must not broadcast:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"label joins must be shuffled-hash:\n$p")
+    llm.Dedup.releaseCaches()
+  }
+
+  test("contamination broadcasts the benchmark n-gram side; training side never sort-merges") {
+    val p = plan(SparkEntry.queries("q_contamination")(spark, sf))
+    // bench n-grams + bench totals both broadcast — the training corpus
+    // is only ever scanned, exploded, and hash-aggregated
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"expected both bench sides broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"contamination join must not sort-merge the corpus:\n$p")
+  }
 }

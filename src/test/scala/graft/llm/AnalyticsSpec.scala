@@ -21,6 +21,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == "istanbul in οδυσσευσ")
   }
 
+  test("bigramLmScore: Laplace-smoothed corpus bigram log-prob, quantized partials") {
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bigramLmScore(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    // doc 3 has one token — no bigrams, no row
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // corpus: c1(a)=4, c1(b)=2, V=3 (a, b, solo); c2("a b")=2, ("b a")=1, ("a a")=1
+    def part(c2: Long, c1: Long) = math.floor(math.log((c2 + 1.0) / (c1 + 3.0)) * 1e9).toLong
+    val d1 = ((2L * part(2, 4) + part(1, 2)).toDouble / 1e9) / 3.0
+    val d2 = (part(1, 4).toDouble / 1e9) / 1.0
+    assert(out(0).getLong(1) == 3L && out(1).getLong(1) == 1L)
+    assert(out(0).getDouble(2) == d1 && out(1).getDouble(2) == d2)
+  }
+
   test("bm25 favors higher tf, normalizes by doc length, ranks deterministically") {
     val docs = Seq((1L, "the cat"), (2L, "the the dog"), (3L, "no match here"))
       .toDF("doc_id", "text")

@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contamination detection: cross-corpus n-gram overlap + the drop-list
+  * decision step. */
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bench = Seq(
+    (100L, "the quick brown fox jumps"), // 3 distinct 3-grams
+    (200L, "entirely disjoint benchmark text here"))
+    .toDF("doc_id", "text")
+
+  test("ngramOverlap finds verbatim spans, counts distinct n-grams once, scales frac by the bench side") {
+    val train = Seq(
+      // shares "the quick brown" + "quick brown fox" with bench 100 —
+      // and repeats the span, which must NOT double-count (per-doc
+      // distinct n-grams on both sides)
+      (1L, "a b the quick brown fox c the quick brown fox"),
+      (2L, "the quick brown only"), // 1 shared 3-gram — below minShared=2
+      (3L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), w = 3, minShared = 2)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("train_id")) == 1L)
+    assert(r.getLong(r.fieldIndex("bench_id")) == 100L)
+    assert(r.getLong(r.fieldIndex("n_shared")) == 2L)
+    // bench 100 has 3 distinct 3-grams; 2 leak
+    assert(r.getDouble(r.fieldIndex("frac")) == 2.0 / 3.0)
+  }
+
+  test("contaminatedIds keeps the worst leak per training doc") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"), // 3/3 vs bench 100
+      (1L, "x"), // extra benign row for same id is fine upstream
+      (4L, "entirely disjoint benchmark text here too")) // 4/4 vs bench 200
+      .toDF("doc_id", "text")
+    val ov = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), w = 3, minShared = 2)
+    val ids = Contamination.contaminatedIds(ov)
+      .orderBy(col("train_id")).collect()
+    assert(ids.map(_.getLong(0)).toSeq == Seq(1L, 4L))
+    val worst = ids.map(r => r.getDouble(r.fieldIndex("worst_frac")))
+    assert(worst(0) == 1.0 && worst(1) == 1.0)
+    assert(ids.forall(r => r.getLong(r.fieldIndex("n_bench_hit")) == 1L))
+  }
+
+  test("no pairs at or below threshold and short docs yield empty output") {
+    val train = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), w = 3, minShared = 1)
+    assert(out.count() == 0)
+  }
+}
