@@ -67,7 +67,10 @@ object Retrieval {
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.map(foldLowerStr).distinct
-    val toks = df.select(id.as("doc_id"), tokens(text).as("tk"))
+    // tokenized once (tracked persist): the doc-length table and the
+    // query-term postings otherwise each re-scan + re-tokenize the corpus
+    val toks = graft.core.Caches.track(
+      df.select(id.as("doc_id"), tokens(text).as("tk")))
     val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
     val tok = toks.select(col("doc_id"),
         explode(transform(col("tk"), t => TextAnalysis.foldLower(t))).as("term"))

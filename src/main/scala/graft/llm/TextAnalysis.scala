@@ -139,11 +139,14 @@ object TextAnalysis {
                     k: Int): DataFrame = {
     val tok = df.select(id.as("doc_id"),
       explode(transform(tokens(text), t => foldLower(t))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    // the posting list is MATERIALIZED once (tracked persist, released
+    // by the harness after the action): it feeds both the per-term
+    // document frequency and the scoring join — unpersisted, each
+    // reference re-runs the corpus scan + tokenize + explode + agg
+    val tf = graft.core.Caches.track(
+      tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf")))
     // document frequency = tf's row count per term (tf is one row per
-    // (doc, term)) — no second explode/distinct pass, and the identical
-    // tf subtree lets AQE's runtime stage reuse share one shuffle
+    // (doc, term)) — no second explode/distinct pass
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // N as a LAZY 1-row broadcast, not a driver count(): an eager action
     // here would scan the corpus once more at query-CONSTRUCTION time
