@@ -61,4 +61,30 @@ object Contamination {
       .agg(max(col("frac")).as("worst_frac"),
         max(col("n_shared")).as("max_shared"),
         count(lit(1)).as("n_bench_hit"))
+
+  /** The benchmark's per-doc distinct n-gram ARRAYS — the static side
+    * [[streamingFlags]] broadcasts; build once, reuse per batch. */
+  def benchNgrams(bench: DataFrame, benchId: Column, benchText: Column,
+                  w: Int): DataFrame =
+    bench.select(benchId.as("bench_id"),
+      array_distinct(shingles(benchText, w)).as("bsg"))
+
+  /** INGEST-TIME contamination gate, streaming-safe: flag each arriving
+    * doc against the benchmark set with NO state, watermark, or
+    * aggregation — a stateless cross join against the broadcast
+    * benchmark n-gram arrays plus a per-pair `array_intersect`. The
+    * per-doc cost is |bench| array intersections (the benchmark set is
+    * small by definition — the same premise as [[ngramOverlap]]'s
+    * broadcast), and because no shuffle or state is involved the same
+    * plan runs identically over a batch frame or a `readStream` micro
+    * batch (used from `foreachBatch` or directly in append mode).
+    * Returns (train_id, bench_id, n_shared) for pairs ≥ minShared. */
+  def streamingFlags(docs: DataFrame, id: Column, text: Column,
+                     benchNg: DataFrame, w: Int, minShared: Long): DataFrame =
+    docs.select(id.as("train_id"),
+        array_distinct(shingles(text, w)).as("dsg"))
+      .crossJoin(broadcast(benchNg))
+      .select(col("train_id"), col("bench_id"),
+        size(array_intersect(col("dsg"), col("bsg"))).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
 }

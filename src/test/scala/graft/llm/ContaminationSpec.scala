@@ -50,6 +50,39 @@ class ContaminationSpec extends SparkSpec {
     assert(ids.forall(r => r.getLong(r.fieldIndex("n_bench_hit")) == 1L))
   }
 
+  test("streamingFlags equals ngramOverlap's pair set on the same data, stateless") {
+    val train = Seq(
+      (1L, "a b the quick brown fox c the quick brown fox"),
+      (2L, "the quick brown only"),
+      (3L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val ng = Contamination.benchNgrams(bench, col("doc_id"), col("text"), w = 3)
+    val flags = Contamination.streamingFlags(train, col("doc_id"), col("text"),
+        ng, w = 3, minShared = 2)
+      .select("train_id", "bench_id", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), w = 3, minShared = 2)
+      .select("train_id", "bench_id", "n_shared").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flags == batch && flags == Set((1L, 100L, 2L)))
+  }
+
+  test("streamingFlags runs over a MemoryStream micro-batch (append, no state)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val ng = Contamination.benchNgrams(bench, col("doc_id"), col("text"), w = 3)
+    val out = Contamination.streamingFlags(ms.toDF().toDF("doc_id", "text"),
+      col("doc_id"), col("text"), ng, w = 3, minShared = 2)
+    val q = out.writeStream.format("memory").queryName("contam_flags")
+      .outputMode("append").start()
+    ms.addData((7L, "x the quick brown fox y"), (8L, "clean document"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("contam_flags")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((7L, 100L)), s"got $rows")
+  }
+
   test("no pairs at or below threshold and short docs yield empty output") {
     val train = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
     val out = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
