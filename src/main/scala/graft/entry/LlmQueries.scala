@@ -173,6 +173,20 @@ object LlmQueries {
     "q_decontaminate" -> ((s, d) =>
       Contamination.contaminatedIds(contaminationOverlap(s, d))),
 
+    // library-parity row for the ingest-time gate: the STATELESS
+    // cross-join + array_intersect plan (the one a readStream micro
+    // batch runs) over the same slices — must flag the same pairs the
+    // aggregation form finds
+    "q_contam_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ng = Contamination.benchNgrams(
+        docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+        w = ShingleW)
+      Contamination.streamingFlags(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        ng, w = ShingleW, minShared = 2)
+    }),
+
     // the scale path: pairs form only WITHIN hyperplane-LSH buckets (an
     // equi-join on bucket) — the brute-force all-pairs form stays in the
     // library (Dedup.embeddingNearDupPairs) as the small-corpus baseline
@@ -854,6 +868,20 @@ object LlmQueries {
          |SELECT ov.train_id, ov.bench_id, ov.n_shared,
          |       CAST(ov.n_shared AS DOUBLE) / CAST(bn.n_bench AS DOUBLE) AS frac
          |FROM ov JOIN bn USING (bench_id)""".stripMargin,
+
+    // the stateless gate twin: per-pair list_intersect of pre-distinct
+    // n-gram lists (both engines dedup per doc before intersecting)
+    "q_contam_gate" ->
+      s"""WITH $shingleCte,
+         |tr AS (SELECT doc_id AS train_id, list_distinct(sg) AS dsg
+         |       FROM sh WHERE doc_id % 97 <> 0),
+         |be AS (SELECT doc_id AS bench_id, list_distinct(sg) AS bsg
+         |       FROM sh WHERE doc_id % 97 = 0),
+         |p AS (
+         |  SELECT train_id, bench_id,
+         |         CAST(len(list_intersect(dsg, bsg)) AS BIGINT) AS n_shared
+         |  FROM tr CROSS JOIN be)
+         |SELECT train_id, bench_id, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $shingleCte,
