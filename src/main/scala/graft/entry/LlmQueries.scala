@@ -870,12 +870,17 @@ object LlmQueries {
          |FROM ov JOIN bn USING (bench_id)""".stripMargin,
 
     // the stateless gate twin: per-pair list_intersect of pre-distinct
-    // n-gram lists (both engines dedup per doc before intersecting)
+    // md5-hashed n-gram lists (both engines dedup per doc, then hash
+    // with the shared 60-bit md5-long before intersecting)
     "q_contam_gate" ->
       s"""WITH $shingleCte,
-         |tr AS (SELECT doc_id AS train_id, list_distinct(sg) AS dsg
+         |tr AS (SELECT doc_id AS train_id,
+         |              list_transform(list_distinct(sg),
+         |                             e -> ${sqlMd5Long("e")}) AS dsg
          |       FROM sh WHERE doc_id % 97 <> 0),
-         |be AS (SELECT doc_id AS bench_id, list_distinct(sg) AS bsg
+         |be AS (SELECT doc_id AS bench_id,
+         |              list_transform(list_distinct(sg),
+         |                             e -> ${sqlMd5Long("e")}) AS bsg
          |       FROM sh WHERE doc_id % 97 = 0),
          |p AS (
          |  SELECT train_id, bench_id,

@@ -62,12 +62,16 @@ object Contamination {
         max(col("n_shared")).as("max_shared"),
         count(lit(1)).as("n_bench_hit"))
 
-  /** The benchmark's per-doc distinct n-gram ARRAYS — the static side
-    * [[streamingFlags]] broadcasts; build once, reuse per batch. */
+  /** The benchmark's per-doc distinct n-gram HASH arrays (60-bit md5
+    * longs — the shared oracle-parity hash) — the static side
+    * [[streamingFlags]] broadcasts; build once, reuse per batch.
+    * Hashing up front makes the per-pair intersect integer work instead
+    * of string hashing, and shrinks the broadcast ~5× vs n-gram text. */
   def benchNgrams(bench: DataFrame, benchId: Column, benchText: Column,
                   w: Int): DataFrame =
     bench.select(benchId.as("bench_id"),
-      array_distinct(shingles(benchText, w)).as("bsg"))
+      transform(array_distinct(shingles(benchText, w)),
+        s => md5Long(s)).as("bsg"))
 
   /** INGEST-TIME contamination gate, streaming-safe: flag each arriving
     * doc against the benchmark set with NO state, watermark, or
@@ -82,7 +86,8 @@ object Contamination {
   def streamingFlags(docs: DataFrame, id: Column, text: Column,
                      benchNg: DataFrame, w: Int, minShared: Long): DataFrame =
     docs.select(id.as("train_id"),
-        array_distinct(shingles(text, w)).as("dsg"))
+        transform(array_distinct(shingles(text, w)),
+          s => md5Long(s)).as("dsg"))
       .crossJoin(broadcast(benchNg))
       .select(col("train_id"), col("bench_id"),
         size(array_intersect(col("dsg"), col("bsg"))).cast("long").as("n_shared"))
