@@ -68,8 +68,8 @@ object Profile {
         .queryExecution.toRdd.count()
     }
     // graph side — phase breakdown with a job/stage counter
-    var jobs = 0; var stages = 0; var tasks = 0
-    var verbose = false
+    @volatile var jobs = 0; @volatile var stages = 0; @volatile var tasks = 0
+    @volatile var verbose = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs += 1; stages += j.stageInfos.size
@@ -90,6 +90,9 @@ object Profile {
       graft.entry.GraphQueries.queries("q_pagerank")(spark, sfDir)
         .queryExecution.toRdd.count()
     }
+    // the listener bus is async — give queued JobStart events time to
+    // drain before reading the counters (dev tool; sleep is fine)
+    Thread.sleep(1000)
     println(s"PROFILE pagerank jobs=$jobs stages=$stages tasks=$tasks")
     graft.llm.Dedup.releaseCaches()
     jobs = 0; stages = 0; tasks = 0; verbose = true
@@ -97,6 +100,7 @@ object Profile {
       graft.entry.GraphQueries.queries("q_pagerank")(spark, sfDir)
         .queryExecution.toRdd.count()
     }
+    Thread.sleep(1000)
     verbose = false
     println(s"PROFILE pagerank2 jobs=$jobs stages=$stages tasks=$tasks")
     graft.llm.Dedup.releaseCaches()

@@ -25,10 +25,6 @@ object Caches {
     p
   }
 
-  /** Register an ALREADY-persisted frame (e.g. one materialized eagerly
-    * inside an iterative loop) without re-persisting it. */
-  def adopt(df: DataFrame): DataFrame = { handles.add(df); df }
-
   /** Unpersist every registered handle since the last release. */
   def release(): Unit = {
     var df = handles.poll()

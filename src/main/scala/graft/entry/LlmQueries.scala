@@ -54,11 +54,20 @@ object LlmQueries {
     * Scala data only (k·dim floats) — no Spark resources are pinned, so
     * nothing here interacts with Caches.release. Correctness is
     * unaffected: every query still recomputes its own distributed scan/
-    * probe; only the (identical) training round-trips collapse. */
+    * probe; only the (identical) training round-trips collapse.
+    *
+    * STALENESS CONTRACT: the key is (dataset dir, hyperparameters) —
+    * the memo assumes a dataset directory is immutable for the JVM
+    * lifetime (true for the driver's testdata). A process that rewrites
+    * data under a reused path must call [[clearArtifacts]] first, or
+    * the next query silently trains against the old artifact. */
   private val artifactMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def artifact[T <: AnyRef](key: String)(build: => T): T =
     artifactMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
+
+  /** Drop every memoized index artifact (see staleness contract above). */
+  def clearArtifacts(): Unit = artifactMemo.clear()
 
   /** The m=2 PQ codebooks over `embeddings` (one train per dataset). */
   private def pqBooks(s: SparkSession, d: String): Seq[Seq[(Long, Array[Float])]] =
@@ -333,8 +342,7 @@ object LlmQueries {
     "q_ann_ivf_trained" -> ((s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-      val cents = ivfCentroids(s, d).map { case (cid, cv, n) => (cid, cv, n) }
-        .toDF("cid", "cv", "n")
+      val cents = ivfCentroids(s, d).toDF("cid", "cv", "n")
       val assigned = Similarity.ivfAssignWith(e, col("vec_id"), col("embedding"), cents)
       Similarity.ivfTopK(assigned, queryId = 0L, k = 10)
     }),

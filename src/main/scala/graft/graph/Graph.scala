@@ -26,11 +26,13 @@ object Graph {
     * Scale posture: the classic iterative join pipeline — edges join the
     * rank vector on src, aggregate on dst, outer-join back to the node
     * set. Disciplines that keep it one-shuffle-per-iteration:
-    *  - every iteration layer is persisted LAZILY and the WHOLE
-    *    recurrence materializes in the consuming action — one Spark job,
-    *    not one `count()` job per iteration (an earlier revision paid 39
-    *    jobs for 3 iterations: per-iteration materialization plus a
-    *    broadcast-exchange job for every tiny join side);
+    *  - the WHOLE recurrence materializes in the consuming action — one
+    *    Spark job, not one `count()` job per iteration (an earlier
+    *    revision paid 39 jobs for 3 iterations: per-iteration
+    *    materialization plus a broadcast-exchange job for every tiny
+    *    join side). Rank layers are NOT persisted: each is referenced
+    *    exactly once, so the linear chain computes once either way and
+    *    caching it would pin iters·|V| storage for zero reuse;
     *  - out-degree is FUSED onto the edge set once — (src, dst, od)
     *    cached clustered by src — so each iteration joins one table,
     *    not two, and the cached layout already satisfies the join's
@@ -50,13 +52,10 @@ object Graph {
     * Dangling nodes (no out-edges) simply don't contribute — the simple
     * PageRank variant; document, don't redistribute.
     *
-    * Every cached layer (edge set, nodes, each rank vector) is
-    * registered with [[graft.core.Caches]]; the harness's releaseCaches()
-    * hook frees them after the consuming action. Peak cached footprint is
-    * the edge/degree set plus iters rank vectors of (long, double) — at
-    * 1e9 nodes and 10 iterations ≈ 160 GB cluster-wide, well inside a
-    * 1000-executor cluster's storage tier; for much deeper recurrences,
-    * materialize + release every few rounds instead.
+    * The two genuinely multiply-referenced frames (the degree-fused
+    * edge set — once per iteration — and the node set) are registered
+    * with [[graft.core.Caches]]; the harness's releaseCaches() hook
+    * frees them after the consuming action.
     *
     * Returns (node, pr) for every node in the edge list. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
@@ -80,14 +79,20 @@ object Graph {
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     var i = 0
     while (i < iters) {
+      // each rank layer is referenced exactly ONCE (by the next
+      // iteration's join), so the recurrence is a linear plan computed
+      // once by the consuming action — no persist needed (unlike label
+      // propagation, whose label vector is referenced twice per round).
+      // For very deep recurrences, checkpoint every few rounds to bound
+      // plan/optimizer depth.
       val contrib = e.join(pr.hint("shuffle_hash"), e("src") === pr("node"))
         .select(col("dst"),
           floor((col("pr") / col("od").cast("double")) * lit(Scale)).as("q"))
       val sums = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
-      pr = Caches.track(nodes.join(sums.hint("shuffle_hash"), Seq("node"), "left")
+      pr = nodes.join(sums.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr")))
+            (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr"))
       i += 1
     }
     pr

@@ -36,13 +36,19 @@ object Contamination {
   def ngramOverlap(train: DataFrame, trainId: Column, trainText: Column,
                    bench: DataFrame, benchId: Column, benchText: Column,
                    w: Int, minShared: Long): DataFrame = {
+    // dedup is per (doc_id, n-gram) ACROSS rows, not per row: a doc_id
+    // split over several rows must still count each shared n-gram once
+    // (the oracle's SELECT DISTINCT doc_id, unnest(sg) semantics). The
+    // per-row array_distinct does the bulk of the work map-side; the
+    // .distinct() collapses multi-row ids and is a no-op shuffle-wise
+    // for the broadcast-sized bench side.
     val t = train.select(trainId.as("train_id"),
-      explode(array_distinct(shingles(trainText, w))).as("sg"))
+      explode(array_distinct(shingles(trainText, w))).as("sg")).distinct()
     val b = bench.select(benchId.as("bench_id"),
-      explode(array_distinct(shingles(benchText, w))).as("sg"))
-    // per-bench distinct n-gram totals: benchmark-sized, broadcast
-    val bn = bench.select(benchId.as("bench_id"),
-      size(array_distinct(shingles(benchText, w))).cast("long").as("n_bench"))
+      explode(array_distinct(shingles(benchText, w))).as("sg")).distinct()
+    // per-bench distinct n-gram totals derived from the SAME deduped
+    // rows (one row per bench_id, even when the input id spans rows)
+    val bn = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     t.join(broadcast(b), "sg")
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))

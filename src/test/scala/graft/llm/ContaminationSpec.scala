@@ -19,6 +19,10 @@ class ContaminationSpec extends SparkSpec {
       // and repeats the span, which must NOT double-count (per-doc
       // distinct n-grams on both sides)
       (1L, "a b the quick brown fox c the quick brown fox"),
+      // SAME doc_id split over a second row re-sharing "the quick
+      // brown": dedup is per (doc, n-gram) ACROSS rows — n_shared must
+      // stay 2, not 3 (the oracle's SELECT DISTINCT semantics)
+      (1L, "z z the quick brown z"),
       (2L, "the quick brown only"), // 1 shared 3-gram — below minShared=2
       (3L, "nothing in common at all"))
       .toDF("doc_id", "text")
