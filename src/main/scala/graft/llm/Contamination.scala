@@ -40,10 +40,13 @@ object Contamination {
     // split over several rows must still count each shared n-gram once
     // (the oracle's SELECT DISTINCT doc_id, unnest(sg) semantics). The
     // per-row array_distinct does the bulk of the work map-side; the
-    // .distinct() collapses multi-row ids and is a no-op shuffle-wise
-    // for the broadcast-sized bench side.
+    // cross-row residue is handled where it's CHEAP — the bench side is
+    // broadcast-sized (.distinct() there is trivial), and the train
+    // side dedups inside the post-join aggregate (countDistinct over
+    // the matched postings only) instead of shuffling the entire
+    // exploded training n-gram stream pre-join.
     val t = train.select(trainId.as("train_id"),
-      explode(array_distinct(shingles(trainText, w))).as("sg")).distinct()
+      explode(array_distinct(shingles(trainText, w))).as("sg"))
     val b = bench.select(benchId.as("bench_id"),
       explode(array_distinct(shingles(benchText, w))).as("sg")).distinct()
     // per-bench distinct n-gram totals derived from the SAME deduped
@@ -51,7 +54,7 @@ object Contamination {
     val bn = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
     t.join(broadcast(b), "sg")
       .groupBy(col("train_id"), col("bench_id"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("sg")).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(broadcast(bn), "bench_id")
       .select(col("train_id"), col("bench_id"), col("n_shared"),
