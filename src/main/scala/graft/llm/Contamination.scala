@@ -32,7 +32,13 @@ object Contamination {
 
   /** (train_id, bench_id, n_shared, frac) for every pair sharing at
     * least `minShared` distinct `w`-gram spans; `frac` = n_shared over
-    * the benchmark doc's distinct n-gram count (0 < frac ≤ 1). */
+    * the benchmark doc's distinct n-gram count (0 < frac ≤ 1).
+    *
+    * Width guidance: production decontamination uses w in the 8-13
+    * range (a 13-gram match is essentially always verbatim leakage;
+    * GPT-3/PaLM-era pipelines standardized there). The driver query
+    * runs w=3 only because the synthetic corpus contains no planted
+    * contamination — at w≥5 it has zero overlapping spans. */
   def ngramOverlap(train: DataFrame, trainId: Column, trainText: Column,
                    bench: DataFrame, benchId: Column, benchText: Column,
                    w: Int, minShared: Long): DataFrame = {
