@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -22,8 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * are single-space-split non-empty runs, matched case-insensitively
   * (ASCII fold) against the marker lists.
   */
-case class LangId(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class LangId(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -36,40 +35,11 @@ case class LangId(child: Expression)
           s"lang_id expects string, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = s.length
-    val profiles = LangId.Profiles
-    val counts = new Array[Long](profiles.length)
-    var nWords = 0L
-    var i = 0
-    while (i < n) {
-      if (s.charAt(i) != ' ') {
-        val start = i
-        while (i < n && s.charAt(i) != ' ') i += 1
-        val len = i - start
-        nWords += 1
-        var p = 0
-        while (p < profiles.length) {
-          if (LangId.hasMarker(profiles(p)._2, s, start, len)) counts(p) += 1
-          p += 1
-        }
-      } else i += 1
-    }
-    val denom = math.max(nWords, 1L).toDouble
-    // profiles are sorted by code: iterate in order keeping the first
-    // strict maximum ⇒ highest score, ties to the smallest code — the
-    // same pick as the oracle's ORDER BY score DESC, code
-    var best = 0
-    var bestScore = counts(0).toDouble / denom
-    var p = 1
-    while (p < profiles.length) {
-      val sc = counts(p).toDouble / denom
-      if (sc > bestScore) { best = p; bestScore = sc }
-      p += 1
-    }
-    UTF8String.fromString(profiles(best)._1)
-  }
+  override def nullSafeEval(input: Any): Any = LangId.build(input)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.LangId.build($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -112,4 +82,40 @@ object LangId {
   }
 
   def apply(text: Column): Column = bridge.toColumn(LangId(bridge.toExpression(text)))
+
+  /** Shared eval body for interpreted and generated paths. */
+  def build(input: Any): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    val profiles = Profiles
+    val counts = new Array[Long](profiles.length)
+    var nWords = 0L
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) != ' ') {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        val len = i - start
+        nWords += 1
+        var p = 0
+        while (p < profiles.length) {
+          if (hasMarker(profiles(p)._2, s, start, len)) counts(p) += 1
+          p += 1
+        }
+      } else i += 1
+    }
+    val denom = math.max(nWords, 1L).toDouble
+    // profiles are sorted by code: iterate in order keeping the first
+    // strict maximum ⇒ highest score, ties to the smallest code — the
+    // same pick as the oracle's ORDER BY score DESC, code
+    var best = 0
+    var bestScore = counts(0).toDouble / denom
+    var p = 1
+    while (p < profiles.length) {
+      val sc = counts(p).toDouble / denom
+      if (sc > bestScore) { best = p; bestScore = sc }
+      p += 1
+    }
+    UTF8String.fromString(profiles(best)._1)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -27,8 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * are skipped (md5(null) → null, which array_min ignores) — an array of
   * only nulls therefore also yields k null elements.
   */
-case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
@@ -41,11 +40,34 @@ case class MinHashSignature(child: Expression, k: Int)
           s"minhash_signature expects array<string>, got ${other.simpleString}")
     }
 
-  private val P = GraftFunctions.HashP
-  private lazy val coeffs: Array[(Long, Long)] = GraftFunctions.minhashCoeffs(k).toArray
+  private lazy val coeffA: Array[Long] = GraftFunctions.minhashCoeffs(k).map(_._1).toArray
+  private lazy val coeffB: Array[Long] = GraftFunctions.minhashCoeffs(k).map(_._2).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.build(input.asInstanceOf[ArrayData], k, coeffA, coeffB)
+
+  // static-call codegen: generated projections run the same helper the
+  // interpreted path does (coefficient arrays travel as references)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", coeffA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", coeffB, "long[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHashSignature.build($a, $k, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  def apply(arr: Column, k: Int): Column =
+    bridge.toColumn(MinHashSignature(bridge.toExpression(arr), k))
+
+  /** Shared eval body for interpreted and generated paths. */
+  def build(arr: ArrayData, k: Int, ca: Array[Long], cb: Array[Long]): ArrayData = {
+    val P = GraftFunctions.HashP
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
     val md = Md5Base.newDigest()
@@ -60,7 +82,7 @@ case class MinHashSignature(child: Expression, k: Int)
         val h = (Md5Base.be64(md, e.getBytes) >>> 4) % P
         var c = 0
         while (c < k) {
-          val v = (h * coeffs(c)._1 + coeffs(c)._2) % P
+          val v = (h * ca(c) + cb(c)) % P
           if (v < mins(c)) mins(c) = v
           c += 1
         }
@@ -70,14 +92,4 @@ case class MinHashSignature(child: Expression, k: Int)
     if (seen == 0) return new GenericArrayData(new Array[Any](k)) // k nulls
     new GenericArrayData(mins.map(Long.box(_): Any))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "minhash_signature"
-}
-
-object MinHashSignature {
-  def apply(arr: Column, k: Int): Column =
-    bridge.toColumn(MinHashSignature(bridge.toExpression(arr), k))
 }

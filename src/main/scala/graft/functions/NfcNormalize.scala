@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -19,8 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * true for virtually all real-world text — the quick-check skips the
   * decompose/recompose machinery unless actually needed.
   */
-case class NfcNormalize(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class NfcNormalize(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -33,12 +32,12 @@ case class NfcNormalize(child: Expression)
           s"nfc_normalize expects string, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
-  }
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.build(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.NfcNormalize.build($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -48,4 +47,13 @@ case class NfcNormalize(child: Expression)
 
 object NfcNormalize {
   def apply(text: Column): Column = bridge.toColumn(NfcNormalize(bridge.toExpression(text)))
+
+  /** Shared eval body; returns the input reference untouched when the
+    * string is already NFC (the overwhelmingly common case). */
+  def build(input: UTF8String): UTF8String = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
@@ -16,8 +16,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * nulls the whole fingerprint (the HOF fold's accumulator is
   * null-poisoned by md5(null)) rather than crashing.
   */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -33,10 +32,34 @@ case class RollingHash(child: Expression)
           s"rolling_hash expects array<string>, got ${other.simpleString}")
     }
 
-  private val P = GraftFunctions.HashP
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.build(input.asInstanceOf[ArrayData])
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  // the helper returns a boxed Long (null when an element is null), so
+  // the generated code must translate null into ev.isNull
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("rh")
+      s"""
+         |Object $r = graft.functions.RollingHash.build($a);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  def apply(toks: Column): Column = bridge.toColumn(RollingHash(bridge.toExpression(toks)))
+
+  /** Shared eval body; null when any element is null (the HOF fold's
+    * accumulator is null-poisoned by md5(null)). */
+  def build(arr: ArrayData): java.lang.Long = {
+    val P = GraftFunctions.HashP
     val n = arr.numElements()
     val md = Md5Base.newDigest()
     var h = 0L
@@ -47,15 +70,6 @@ case class RollingHash(child: Expression)
       h = (h * 31 + (Md5Base.be64(md, e.getBytes) >>> 4) % P) % P
       i += 1
     }
-    h
+    java.lang.Long.valueOf(h)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "rolling_hash"
-}
-
-object RollingHash {
-  def apply(toks: Column): Column = bridge.toColumn(RollingHash(bridge.toExpression(toks)))
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
@@ -16,9 +16,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * the shingle build dominated the minhash pipeline once the signature
   * itself went native. Null tokens are skipped inside a window (the
   * `array_join` of the HOF form drops null elements and their separator).
+  *
+  * Codegen: a static-call `doGenCode` (the same [[Shingles.build]] body
+  * the interpreted path runs) rather than CodegenFallback — the
+  * generated projection calls the helper directly instead of routing
+  * through a boxed `eval(InternalRow)` per row, keeping the shingle
+  * pipelines (minhash banding, Jaccard, n-gram stats, contamination)
+  * fully inside whole-stage codegen.
   */
-case class Shingles(child: Expression, w: Int)
-    extends UnaryExpression with CodegenFallback {
+case class Shingles(child: Expression, w: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -31,8 +37,27 @@ case class Shingles(child: Expression, w: Int)
           s"shingles expects array<string>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    Shingles.build(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Shingles.build($a, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingles"
+}
+
+object Shingles {
+  def apply(tokens: Column, w: Int): Column =
+    bridge.toColumn(Shingles(bridge.toExpression(tokens), w))
+
+  /** Shared eval body: interpreted `nullSafeEval` and the generated
+    * code both call this (single implementation — no codegen/eval
+    * divergence possible). */
+  def build(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
     if (n < w) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n - w + 1)
@@ -54,14 +79,4 @@ case class Shingles(child: Expression, w: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "shingles"
-}
-
-object Shingles {
-  def apply(tokens: Column, w: Int): Column =
-    bridge.toColumn(Shingles(bridge.toExpression(tokens), w))
 }

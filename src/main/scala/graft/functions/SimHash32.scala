@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
@@ -19,8 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * aggregate-with-init-0 form. Null elements are skipped (they hash to
   * null in the HOF form and contribute no vote).
   */
-case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
@@ -33,29 +32,12 @@ case class SimHash32(child: Expression)
           s"simhash32 expects array<string>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val counts = new Array[Int](32)
-    val md = Md5Base.newDigest()
-    var i = 0
-    while (i < n) {
-      val e = arr.getUTF8String(i)
-      if (e != null) {
-        val h = Md5Base.be64(md, e.getBytes) >>> 4 // top 60 bits — same base hash as md5Long
-        var b = 0
-        while (b < 32) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 32) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  override def nullSafeEval(input: Any): Any =
+    SimHashN.build(input.asInstanceOf[ArrayData], 32)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashN.build($a, 32);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -75,8 +57,7 @@ object SimHash32 {
   * as [[GraftFunctions.md5Long]], so the SQL oracle derives identical
   * values with `(md5long(t) >> b) & 1`.
   */
-case class SimHashN(child: Expression, width: Int)
-    extends UnaryExpression with CodegenFallback {
+case class SimHashN(child: Expression, width: Int) extends UnaryExpression {
   require(width > 0 && width <= 60, s"simhash width must be in (0, 60], got $width")
 
   override def dataType: DataType = LongType
@@ -90,8 +71,25 @@ case class SimHashN(child: Expression, width: Int)
           s"simhash expects array<string>, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    SimHashN.build(input.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.SimHashN.build($a, $width);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = s"simhash$width"
+}
+
+object SimHashN {
+  def apply(toks: Column, width: Int): Column =
+    bridge.toColumn(SimHashN(bridge.toExpression(toks), width))
+
+  /** Shared eval body ([[SimHash32]] is the width = 32 instance). */
+  def build(arr: ArrayData, width: Int): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](width)
     val md = Md5Base.newDigest()
@@ -113,14 +111,4 @@ case class SimHashN(child: Expression, width: Int)
     while (b < width) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = s"simhash$width"
-}
-
-object SimHashN {
-  def apply(toks: Column, width: Int): Column =
-    bridge.toColumn(SimHashN(bridge.toExpression(toks), width))
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -23,8 +23,7 @@ import org.apache.spark.sql.types._
   *  - n_alnum / n_bpe: maximal [A-Za-z0-9] runs; Σ ceil(len/4)
   *  - n_punct: characters in the ASCII punctuation class (\p{Punct})
   */
-case class TextCounts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TextCounts(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextCounts.schema
 
@@ -37,43 +36,14 @@ case class TextCounts(child: Expression)
           s"text_counts expects string, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = s.length
-    var nWords = 0L; var sumWordLen = 0L; var nStop = 0L
-    var nAlnum = 0L; var nBpe = 0L; var nPunct = 0L
-    // single-space word scan
-    var i = 0
-    while (i < n) {
-      if (s.charAt(i) != ' ') {
-        val start = i
-        while (i < n && s.charAt(i) != ' ') i += 1
-        val len = i - start
-        nWords += 1; sumWordLen += len
-        if (TextCounts.isStopword(s, start, len)) nStop += 1
-      } else i += 1
-    }
-    // alnum-run scan + punct count
-    i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        val start = i
-        var cc = c
-        while (i < n && ((cc >= 'A' && cc <= 'Z') || (cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9'))) {
-          i += 1
-          if (i < n) cc = s.charAt(i)
-        }
-        val len = i - start
-        nAlnum += 1; nBpe += (len + 3) / 4
-      } else {
-        if (c >= '!' && c <= '~' &&
-          !((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) nPunct += 1
-        i += 1
-      }
-    }
-    InternalRow(n.toLong, nWords, sumWordLen, nStop, nAlnum, nBpe, nPunct)
-  }
+  override def nullSafeEval(input: Any): Any = TextCounts.build(input)
+
+  // static-call codegen: the generated projection invokes the same
+  // helper the interpreted path runs — no boxed eval(InternalRow)
+  // round-trip per row, no codegen/eval divergence possible
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextCounts.build($a);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -122,4 +92,43 @@ object TextCounts {
   }
 
   def apply(text: Column): Column = bridge.toColumn(TextCounts(bridge.toExpression(text)))
+
+  /** Shared eval body for interpreted and generated paths. */
+  def build(input: Any): InternalRow = {
+    val s = input.toString
+    val n = s.length
+    var nWords = 0L; var sumWordLen = 0L; var nStop = 0L
+    var nAlnum = 0L; var nBpe = 0L; var nPunct = 0L
+    // single-space word scan
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) != ' ') {
+        val start = i
+        while (i < n && s.charAt(i) != ' ') i += 1
+        val len = i - start
+        nWords += 1; sumWordLen += len
+        if (isStopword(s, start, len)) nStop += 1
+      } else i += 1
+    }
+    // alnum-run scan + punct count
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        var cc = c
+        while (i < n && ((cc >= 'A' && cc <= 'Z') || (cc >= 'a' && cc <= 'z') || (cc >= '0' && cc <= '9'))) {
+          i += 1
+          if (i < n) cc = s.charAt(i)
+        }
+        val len = i - start
+        nAlnum += 1; nBpe += (len + 3) / 4
+      } else {
+        if (c >= '!' && c <= '~' &&
+          !((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))) nPunct += 1
+        i += 1
+      }
+    }
+    InternalRow(n.toLong, nWords, sumWordLen, nStop, nAlnum, nBpe, nPunct)
+  }
 }

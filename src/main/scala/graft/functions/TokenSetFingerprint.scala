@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -23,8 +23,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * (reference: src/kafka_streams_clojure/api.clj:157-159) for the
   * curation fingerprint use-case at codegen-adjacent speed.
   */
-case class TokenSetFingerprint(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TokenSetFingerprint(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -37,8 +36,26 @@ case class TokenSetFingerprint(child: Expression)
           s"token_set_fingerprint expects string, got ${other.simpleString}")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any =
+    TokenSetFingerprint.build(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenSetFingerprint.build($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_set_fingerprint"
+}
+
+object TokenSetFingerprint {
+  def apply(text: Column): Column =
+    bridge.toColumn(TokenSetFingerprint(bridge.toExpression(text)))
+
+  /** Shared eval body for interpreted and generated paths. */
+  def build(input: UTF8String): UTF8String = {
+    val s = input.toString
     // distinct tokens in UTF8String binary order (== array_sort order)
     val set = new java.util.TreeSet[UTF8String]()
     val n = s.length
@@ -69,14 +86,4 @@ case class TokenSetFingerprint(child: Expression)
     }
     UTF8String.fromString(new String(hex))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "token_set_fingerprint"
-}
-
-object TokenSetFingerprint {
-  def apply(text: Column): Column =
-    bridge.toColumn(TokenSetFingerprint(bridge.toExpression(text)))
 }

@@ -274,4 +274,29 @@ class FunctionsSpec extends SparkSpec {
     // null passes through
     assert(df.select(NfcNormalize(lit(null).cast("string"))).head().isNullAt(0))
   }
+
+  test("every native expression compiles under codegen — no interpreted fallback permitted") {
+    // spark.sql.codegen.fallback=false turns a Janino failure in any
+    // doGenCode into a hard error instead of a silent interpreted
+    // fallback, so this test pins that the static-call codegen of all
+    // nine expressions actually COMPILES (values are pinned elsewhere)
+    import graft.functions.GraftFunctions._
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((1L, "the quick brown fox the lazy dog"),
+                   (2L, "der hund und die katze ist da")).toDF("id", "text")
+      val rows = df.select(
+        shingles(col("text"), 3).as("sg"),
+        minhashSignature(shingles(col("text"), 3), 8).as("mh"),
+        simhash32(col("text")).as("sh"),
+        SimHashN(tokens(col("text")), 60).as("shn"),
+        graft.llm.TextAnalysis.rollingHash(col("text")).as("rh"),
+        graft.llm.TextAnalysis.tokenSetFingerprint(col("text")).as("fp"),
+        graft.llm.TextAnalysis.counts(col("text")).as("tc"),
+        NfcNormalize(col("text")).as("nfc"),
+        LangId(col("text")).as("lang")).collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("lang") == "en" && rows(1).getAs[String]("lang") == "de")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
