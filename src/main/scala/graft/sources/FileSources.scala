@@ -107,6 +107,39 @@ object FileSources {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** XML with an explicit schema (Spark 4's built-in xml source — the
+    * spark-xml module merged into spark-sql). Web-archive and feed dumps
+    * (WARC sidecars, RSS/Atom, Wikipedia exports) arrive as XML; rowTag
+    * selects the repeating record element. Same PERMISSIVE dead-letter
+    * contract as [[jsonl]] — one malformed record lands in
+    * [[CorruptCol]] instead of failing the job. Note XML is NOT
+    * line-splittable: one file = one input split, so at lake scale the
+    * ingest layout must shard into many files (which archive dumps do). */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: StructType): DataFrame =
+    spark.read
+      .schema(withCorruptCol(schema))
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .xml(path)
+
+  /** Streaming twin of [[xml]]: directory watch with exactly-once file
+    * tracking via the checkpoint, like [[jsonlStream]]. */
+  def xmlStream(spark: SparkSession, path: String, rowTag: String,
+                schema: StructType, maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(withCorruptCol(schema))
+      .option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .format("xml")
+      .load(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
   private def withCorruptCol(schema: StructType): StructType =
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, StringType, nullable = true)

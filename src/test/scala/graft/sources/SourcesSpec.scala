@@ -95,6 +95,35 @@ class SourcesSpec extends SparkSpec {
       s"ORC filter not pushed:\n$p")
   }
 
+  test("FileSources xml round trip with rowTag + quarantined malformed record") {
+    val dir = tmp("xml")
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "s")
+    FileSources.writeXml(df, dir, rowTag = "doc")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val back = FileSources.xml(spark, dir, rowTag = "doc", schema)
+    assert(FileSources.wellFormed(back).as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta")))
+    // a record whose field can't coerce to the schema is quarantined,
+    // not fatal — same dead-letter contract as jsonl
+    val badDir = tmp("xml_bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(badDir, "part-0.xml"),
+      """<rows><doc><id>7</id><s>ok</s></doc><doc><id>NOT_A_NUMBER</id><s>bad</s></doc></rows>"""
+        .getBytes("UTF-8"))
+    val mixed = FileSources.xml(spark, badDir, rowTag = "doc", schema)
+    // corrupt-column-only scans over raw files are disallowed
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — partitionValid's
+    // parse-once-then-fan-out is the supported shape, same as jsonl
+    val (good, bad, release) = FileSources.partitionValid(mixed)
+    try {
+      assert(good.as[(Long, String)].collect().toSet == Set((7L, "ok")))
+      assert(bad.count() == 1)
+    } finally release()
+  }
+
   test("unionAll merges heterogeneous-order sources by name") {
     val a = Seq((1, "x")).toDF("n", "s")
     val b = Seq(("y", 2)).toDF("s", "n") // reversed column order
