@@ -156,4 +156,41 @@ class PropertiesSpec extends SparkSpec {
       assert(routed == branchTotal && routed + dropped == xs.size, s"case $i")
     }
   }
+
+  // random docs over a 6-word alphabet: dense n-gram collisions, so both
+  // contamination forms see real overlap structure every case
+  private val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+  private val docGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    .map(_.mkString(" "))
+
+  test("stateless contamination gate == aggregation form, for arbitrary corpora") {
+    import graft.llm.Contamination
+    for (i <- 0 until Cases) {
+      val docs = (0 until 14).map(j => (j.toLong, sample(docGen, 1000 + 17 * i + j)))
+      val df = docs.toDF("doc_id", "text")
+      val train = df.filter(col("doc_id") % 3 =!= 0)
+      val bench = df.filter(col("doc_id") % 3 === 0)
+      val agg = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+          bench, col("doc_id"), col("text"), w = 2, minShared = 1)
+        .select("train_id", "bench_id", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gate = Contamination.streamingFlags(train, col("doc_id"), col("text"),
+          Contamination.benchNgrams(bench, col("doc_id"), col("text"), w = 2),
+          w = 2, minShared = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gate == agg, s"case $i: gate=$gate agg=$agg docs=$docs")
+    }
+  }
+
+  test("bigramLmScore is invariant under repartitioning (fixed-point sums)") {
+    import graft.llm.Retrieval
+    for (i <- 0 until 3) {
+      val docs = (0 until 10).map(j => (j.toLong, sample(docGen, 3000 + 13 * i + j)))
+      val df = docs.toDF("doc_id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Retrieval.bigramLmScore(d, col("doc_id"), col("text"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(run(df) == run(df.repartition(7)), s"case $i")
+    }
+  }
 }
