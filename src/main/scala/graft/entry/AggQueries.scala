@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.agg.Aggregates
+import graft.agg.{Aggregates, TimeSeries}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -54,6 +54,12 @@ object AggQueries {
       Tables.events(s, d), col("ts"), "30 minutes", Seq(col("user_id")),
       Seq(count(lit(1)).as("n")))
       .select(col("user_id"), col("session_start"), col("n"))),
+
+    // time-series regularization: per-user hourly grid over each user's
+    // observed span, last observation carried forward (gap filling)
+    "q_resample" -> ((s, d) => TimeSeries.resampleForwardFill(
+      Tables.events(s, d), col("user_id"), col("ts"), col("value"),
+      bucketMicros = 3600000000L)),
 
     "q_latest_by_key" -> ((s, d) => Aggregates.latestByKey(
       Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts"),
@@ -238,6 +244,34 @@ object AggQueries {
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM islands GROUP BY user_id, sid""".stripMargin,
+
+    // resample: integer micro-bucket (epoch_us // width, the exact twin
+    // of Spark's (u - u mod w)/w), per-bucket argmax by (ts, value) via
+    // row_number, dense grid from generate_series, forward fill with
+    // last_value IGNORE NULLS over an unbounded-preceding row frame
+    "q_resample" ->
+      """WITH o AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS bucket,
+        |         epoch_us(ts) AS tsu, value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |ob AS (
+        |  SELECT k, bucket, v AS v_obs FROM (
+        |    SELECT k, bucket, v,
+        |           row_number() OVER (PARTITION BY k, bucket
+        |                              ORDER BY tsu DESC, v DESC) AS rn
+        |    FROM o) WHERE rn = 1),
+        |span AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM ob GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket FROM span),
+        |j AS (SELECT g.k, g.bucket, ob.v_obs
+        |      FROM grid g LEFT JOIN ob ON g.k = ob.k AND g.bucket = ob.bucket)
+        |SELECT k, bucket,
+        |       last_value(v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY k ORDER BY bucket
+        |         ROWS UNBOUNDED PRECEDING) AS v_fill,
+        |       CAST(CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS observed
+        |FROM j""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

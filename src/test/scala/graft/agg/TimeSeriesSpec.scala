@@ -1,0 +1,51 @@
+package graft.agg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling: dense grid, carry-forward semantics, argmax
+  * tie-breaks, null hygiene. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // one hour in micros
+
+  private def ts(hour: Int, minute: Int = 0): java.sql.Timestamp =
+    new java.sql.Timestamp((hour * 3600L + minute * 60L) * 1000L)
+
+  test("fills gaps per key with the last observation and flags observed buckets") {
+    val df = Seq(
+      (1L, ts(0), Some(10.0)),   // bucket 0
+      (1L, ts(3), Some(40.0)),   // bucket 3 — buckets 1, 2 must fill with 10.0
+      (2L, ts(1), Some(7.0)))    // key 2 spans a single bucket
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(df, col("k"), col("t"), col("v"), H)
+      .orderBy("k", "bucket")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 10.0, 1L), (1L, 1L, 10.0, 0L), (1L, 2L, 10.0, 0L),
+      (1L, 3L, 40.0, 1L), (2L, 1L, 7.0, 1L)))
+  }
+
+  test("within a bucket the LATEST observation wins; ts ties break to the larger value") {
+    val df = Seq(
+      (1L, ts(0, 10), 1.0), (1L, ts(0, 50), 5.0), // later minute wins
+      (2L, ts(0, 20), 3.0), (2L, ts(0, 20), 9.0)) // exact tie → larger value
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(df, col("k"), col("t"), col("v"), H)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(out == Set((1L, 5.0), (2L, 9.0)))
+  }
+
+  test("null values, keys, and timestamps are not observations") {
+    val df = Seq(
+      (Some(1L), Some(ts(0)), Some(2.0)),
+      (Some(1L), Some(ts(1)), None),         // null value → bucket 1 filled, not observed
+      (None, Some(ts(0)), Some(9.0)),        // null key dropped
+      (Some(3L), None, Some(9.0)))           // null ts dropped
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(df, col("k"), col("t"), col("v"), H)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L, 2.0, 1L)))
+  }
+}
