@@ -33,7 +33,36 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   def resampleForwardFill(df: DataFrame, key: Column, ts: Column,
-                          value: Column, bucketMicros: Long): DataFrame = {
+                          value: Column, bucketMicros: Long): DataFrame =
+    resampled(df, key, ts, value, bucketMicros) { (vObs, _, w, _) =>
+      last(vObs, ignoreNulls = true).over(w)
+    }
+
+  /** Linear-interpolation variant: an unobserved bucket gets
+    * vp + (vn − vp) · (b − bp)/(bn − bp) between its neighboring
+    * observations; observed buckets keep their exact value. Every gap is
+    * INTERIOR by construction (the grid spans each key's first..last
+    * observed bucket), so both neighbors always exist. The arithmetic is
+    * the same IEEE double op sequence on both engines — no rounding,
+    * no tolerance. */
+  def resampleInterpolate(df: DataFrame, key: Column, ts: Column,
+                          value: Column, bucketMicros: Long): DataFrame =
+    resampled(df, key, ts, value, bucketMicros) { (vObs, bucket, wPrev, wNext) =>
+      val vp = last(vObs, ignoreNulls = true).over(wPrev)
+      val bp = last(when(vObs.isNotNull, bucket), ignoreNulls = true).over(wPrev)
+      val vn = first(vObs, ignoreNulls = true).over(wNext)
+      val bn = first(when(vObs.isNotNull, bucket), ignoreNulls = true).over(wNext)
+      when(vObs.isNotNull, vObs)
+        .otherwise(vp + (vn - vp) *
+          ((bucket - bp).cast("double") / (bn - bp).cast("double")))
+    }
+
+  /** Shared bucketing/grid/join core; `fill(vObs, bucket, wPrev, wNext)`
+    * produces the filled value column. */
+  private def resampled(df: DataFrame, key: Column, ts: Column,
+                        value: Column, bucketMicros: Long)(
+      fill: (Column, Column, org.apache.spark.sql.expressions.WindowSpec,
+             org.apache.spark.sql.expressions.WindowSpec) => Column): DataFrame = {
     // exact integral division: (u - u mod w) / w — the numerator is an
     // exact multiple of w and well inside double's 53-bit mantissa, so
     // the division is exact (a bare u/w double-rounds and can land one
@@ -51,11 +80,13 @@ object TimeSeries {
     val grid = obs.groupBy(col("k"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+    val wPrev = Window.partitionBy(col("k")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     grid.join(obs, Seq("k", "bucket"), "left")
       .select(col("k"), col("bucket"),
-        last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
+        fill(col("v_obs"), col("bucket"), wPrev, wNext).as("v_fill"),
         when(col("v_obs").isNotNull, 1L).otherwise(0L).as("observed"))
   }
 }

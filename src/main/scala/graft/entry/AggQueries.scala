@@ -61,6 +61,12 @@ object AggQueries {
       Tables.events(s, d), col("user_id"), col("ts"), col("value"),
       bucketMicros = 3600000000L)),
 
+    // interpolation variant: interior gaps lerp between neighboring
+    // observations (identical IEEE op sequence on both engines)
+    "q_resample_lerp" -> ((s, d) => TimeSeries.resampleInterpolate(
+      Tables.events(s, d), col("user_id"), col("ts"), col("value"),
+      bucketMicros = 3600000000L)),
+
     "q_latest_by_key" -> ((s, d) => Aggregates.latestByKey(
       Tables.events(s, d).select("event_id", "user_id", "event_type", "value", "ts"),
       Seq(col("user_id")), col("ts"), Seq(col("event_id")))
@@ -272,6 +278,45 @@ object AggQueries {
         |       CAST(CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |         AS observed
         |FROM j""".stripMargin,
+
+    "q_resample_lerp" ->
+      """WITH o AS (
+        |  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS bucket,
+        |         epoch_us(ts) AS tsu, value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
+        |ob AS (
+        |  SELECT k, bucket, v AS v_obs FROM (
+        |    SELECT k, bucket, v,
+        |           row_number() OVER (PARTITION BY k, bucket
+        |                              ORDER BY tsu DESC, v DESC) AS rn
+        |    FROM o) WHERE rn = 1),
+        |span AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM ob GROUP BY 1),
+        |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket FROM span),
+        |j AS (SELECT g.k, g.bucket, ob.v_obs
+        |      FROM grid g LEFT JOIN ob ON g.k = ob.k AND g.bucket = ob.bucket),
+        |nb AS (
+        |  SELECT k, bucket, v_obs,
+        |         last_value(v_obs IGNORE NULLS) OVER (
+        |           PARTITION BY k ORDER BY bucket
+        |           ROWS UNBOUNDED PRECEDING) AS vp,
+        |         last_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+        |           OVER (PARTITION BY k ORDER BY bucket
+        |                 ROWS UNBOUNDED PRECEDING) AS bp,
+        |         first_value(v_obs IGNORE NULLS) OVER (
+        |           PARTITION BY k ORDER BY bucket
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn,
+        |         first_value(CASE WHEN v_obs IS NOT NULL THEN bucket END IGNORE NULLS)
+        |           OVER (PARTITION BY k ORDER BY bucket
+        |                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bn
+        |  FROM j)
+        |SELECT k, bucket,
+        |       CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |            ELSE vp + (vn - vp) * (CAST(bucket - bp AS DOUBLE)
+        |                                   / CAST(bn - bp AS DOUBLE)) END AS v_fill,
+        |       CAST(CASE WHEN v_obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |         AS observed
+        |FROM nb""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

@@ -37,6 +37,17 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Set((1L, 5.0), (2L, 9.0)))
   }
 
+  test("interpolation lerps interior gaps and keeps observed values exact") {
+    val df = Seq(
+      (1L, ts(0), 10.0),
+      (1L, ts(3), 40.0)) // buckets 1, 2 lerp to 20.0, 30.0
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleInterpolate(df, col("k"), col("t"), col("v"), H)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 10.0, 1L), (1L, 20.0, 0L), (2L, 30.0, 0L), (3L, 40.0, 1L)))
+  }
+
   test("null values, keys, and timestamps are not observations") {
     val df = Seq(
       (Some(1L), Some(ts(0)), Some(2.0)),
