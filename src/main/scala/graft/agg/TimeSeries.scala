@@ -33,36 +33,56 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   def resampleForwardFill(df: DataFrame, key: Column, ts: Column,
-                          value: Column, bucketMicros: Long): DataFrame =
-    resampled(df, key, ts, value, bucketMicros) { (vObs, _, w, _) =>
-      last(vObs, ignoreNulls = true).over(w)
-    }
+                          value: Column, bucketMicros: Long): DataFrame = {
+    val (obs, grid) = observationsAndGrid(df, key, ts, value, bucketMicros)
+    val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("k", "bucket"), "left")
+      .select(col("k"), col("bucket"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("v_fill"),
+        when(col("v_obs").isNotNull, 1L).otherwise(0L).as("observed"))
+  }
 
   /** Linear-interpolation variant: an unobserved bucket gets
     * vp + (vn − vp) · (b − bp)/(bn − bp) between its neighboring
     * observations; observed buckets keep their exact value. Every gap is
     * INTERIOR by construction (the grid spans each key's first..last
     * observed bucket), so both neighbors always exist. The arithmetic is
-    * the same IEEE double op sequence on both engines — no rounding,
-    * no tolerance. */
+    * the same IEEE double op sequence on both engines — no rounding, no
+    * tolerance.
+    *
+    * Plan shape: segment endpoints come from a `lead` window over the
+    * OBSERVATIONS (small — one row per observed bucket), the grid runs
+    * ONE forward-fill window (the previous observed bucket `bp`), and
+    * segments attach by an equi-join on (k, bp) — window work scales
+    * with observations, not grid size (an earlier form ran two full
+    * IGNORE-NULLS window passes over the dense grid, 2× slower). */
   def resampleInterpolate(df: DataFrame, key: Column, ts: Column,
-                          value: Column, bucketMicros: Long): DataFrame =
-    resampled(df, key, ts, value, bucketMicros) { (vObs, bucket, wPrev, wNext) =>
-      val vp = last(vObs, ignoreNulls = true).over(wPrev)
-      val bp = last(when(vObs.isNotNull, bucket), ignoreNulls = true).over(wPrev)
-      val vn = first(vObs, ignoreNulls = true).over(wNext)
-      val bn = first(when(vObs.isNotNull, bucket), ignoreNulls = true).over(wNext)
-      when(vObs.isNotNull, vObs)
-        .otherwise(vp + (vn - vp) *
-          ((bucket - bp).cast("double") / (bn - bp).cast("double")))
-    }
+                          value: Column, bucketMicros: Long): DataFrame = {
+    val (obs, grid) = observationsAndGrid(df, key, ts, value, bucketMicros)
+    val wLead = Window.partitionBy(col("k")).orderBy(col("bucket"))
+    val seg = obs.select(col("k"), col("bucket").as("bp"), col("v_obs").as("vp"),
+      lead(col("bucket"), 1).over(wLead).as("bn"),
+      lead(col("v_obs"), 1).over(wLead).as("vn"))
+    val wPrev = Window.partitionBy(col("k")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("k", "bucket"), "left")
+      .withColumn("bp",
+        last(when(col("v_obs").isNotNull, col("bucket")), ignoreNulls = true).over(wPrev))
+      .join(seg, Seq("k", "bp"))
+      .select(col("k"), col("bucket"),
+        when(col("v_obs").isNotNull, col("v_obs"))
+          .otherwise(col("vp") + (col("vn") - col("vp")) *
+            ((col("bucket") - col("bp")).cast("double") /
+              (col("bn") - col("bp")).cast("double"))).as("v_fill"),
+        when(col("v_obs").isNotNull, 1L).otherwise(0L).as("observed"))
+  }
 
-  /** Shared bucketing/grid/join core; `fill(vObs, bucket, wPrev, wNext)`
-    * produces the filled value column. */
-  private def resampled(df: DataFrame, key: Column, ts: Column,
-                        value: Column, bucketMicros: Long)(
-      fill: (Column, Column, org.apache.spark.sql.expressions.WindowSpec,
-             org.apache.spark.sql.expressions.WindowSpec) => Column): DataFrame = {
+  /** Shared core: per-(key, bucket) last observations and the dense
+    * per-key grid. */
+  private def observationsAndGrid(df: DataFrame, key: Column, ts: Column,
+                                  value: Column,
+                                  bucketMicros: Long): (DataFrame, DataFrame) = {
     // exact integral division: (u - u mod w) / w — the numerator is an
     // exact multiple of w and well inside double's 53-bit mantissa, so
     // the division is exact (a bare u/w double-rounds and can land one
@@ -71,22 +91,19 @@ object TimeSeries {
       ((u - pmod(u, lit(bucketMicros))) / lit(bucketMicros)).cast("long")
     // a null observation is not an observation, and a grid for the null
     // key or an un-timestamped event is meaningless — all three drop
-    val obs = df
+    // tracked persist: the observation table feeds the span/grid, the
+    // segment window and the grid join (2-3 consumers) and is small
+    // (one row per observed bucket) — the posting-list trade, opposite
+    // of an exploded stream
+    val obs = graft.core.Caches.track(df
       .filter(value.isNotNull && key.isNotNull && ts.isNotNull)
       .select(key.as("k"), bucketOf(unix_micros(ts)).as("bucket"),
         unix_micros(ts).as("tsu"), value.as("v"))
       .groupBy(col("k"), col("bucket"))
-      .agg(max_by(col("v"), struct(col("tsu"), col("v"))).as("v_obs"))
+      .agg(max_by(col("v"), struct(col("tsu"), col("v"))).as("v_obs")))
     val grid = obs.groupBy(col("k"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val wPrev = Window.partitionBy(col("k")).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = Window.partitionBy(col("k")).orderBy(col("bucket"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    grid.join(obs, Seq("k", "bucket"), "left")
-      .select(col("k"), col("bucket"),
-        fill(col("v_obs"), col("bucket"), wPrev, wNext).as("v_fill"),
-        when(col("v_obs").isNotNull, 1L).otherwise(0L).as("observed"))
+    (obs, grid)
   }
 }
