@@ -251,13 +251,17 @@ object AggQueries {
         |SELECT user_id, min(ts) AS session_start, count(*) AS n
         |FROM islands GROUP BY user_id, sid""".stripMargin,
 
-    // resample: integer micro-bucket (epoch_us // width, the exact twin
-    // of Spark's (u - u mod w)/w), per-bucket argmax by (ts, value) via
+    // resample: integer micro-bucket mirrored as pure integer FLOOR
+    // division — (u - pmod(u, w)) // w on both engines (a bare
+    // `epoch_us // w` TRUNCATES toward zero in DuckDB and lands one
+    // bucket high for pre-1970 timestamps); per-bucket argmax via
     // row_number, dense grid from generate_series, forward fill with
     // last_value IGNORE NULLS over an unbounded-preceding row frame
     "q_resample" ->
       """WITH o AS (
-        |  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS bucket,
+        |  SELECT user_id AS k,
+        |         (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+        |                          % 3600000000) // 3600000000 AS bucket,
         |         epoch_us(ts) AS tsu, value AS v
         |  FROM events
         |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
@@ -281,7 +285,9 @@ object AggQueries {
 
     "q_resample_lerp" ->
       """WITH o AS (
-        |  SELECT user_id AS k, epoch_us(ts) // 3600000000 AS bucket,
+        |  SELECT user_id AS k,
+        |         (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+        |                          % 3600000000) // 3600000000 AS bucket,
         |         epoch_us(ts) AS tsu, value AS v
         |  FROM events
         |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),

@@ -40,8 +40,9 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
           s"minhash_signature expects array<string>, got ${other.simpleString}")
     }
 
-  private lazy val coeffA: Array[Long] = GraftFunctions.minhashCoeffs(k).map(_._1).toArray
-  private lazy val coeffB: Array[Long] = GraftFunctions.minhashCoeffs(k).map(_._2).toArray
+  private lazy val coeffs = GraftFunctions.minhashCoeffs(k)
+  private lazy val coeffA: Array[Long] = coeffs.map(_._1).toArray
+  private lazy val coeffB: Array[Long] = coeffs.map(_._2).toArray
 
   override def nullSafeEval(input: Any): Any =
     MinHashSignature.build(input.asInstanceOf[ArrayData], k, coeffA, coeffB)

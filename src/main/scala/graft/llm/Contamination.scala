@@ -38,19 +38,21 @@ object Contamination {
     * range (a 13-gram match is essentially always verbatim leakage;
     * GPT-3/PaLM-era pipelines standardized there). The driver query
     * runs w=3 only because the synthetic corpus contains no planted
-    * contamination — at w≥5 it has zero overlapping spans. */
+    * contamination — at w≥5 it has zero overlapping spans.
+    *
+    * `multiRowTrainDocs`: dedup is per (doc, n-gram). With one row per
+    * training doc (the normal corpus shape — DEFAULT), the per-row
+    * `array_distinct` IS that dedup and the post-join count stays a
+    * plain map-combined count. Set true when a training doc's text
+    * spans several rows: the post-join aggregate switches to
+    * countDistinct over the matched postings (measured ~2× the
+    * aggregate cost at sf0.1 — only pay it when the shape demands it).
+    * The bench side always dedups across rows (broadcast-sized,
+    * trivial). */
   def ngramOverlap(train: DataFrame, trainId: Column, trainText: Column,
                    bench: DataFrame, benchId: Column, benchText: Column,
-                   w: Int, minShared: Long): DataFrame = {
-    // dedup is per (doc_id, n-gram) ACROSS rows, not per row: a doc_id
-    // split over several rows must still count each shared n-gram once
-    // (the oracle's SELECT DISTINCT doc_id, unnest(sg) semantics). The
-    // per-row array_distinct does the bulk of the work map-side; the
-    // cross-row residue is handled where it's CHEAP — the bench side is
-    // broadcast-sized (.distinct() there is trivial), and the train
-    // side dedups inside the post-join aggregate (countDistinct over
-    // the matched postings only) instead of shuffling the entire
-    // exploded training n-gram stream pre-join.
+                   w: Int, minShared: Long,
+                   multiRowTrainDocs: Boolean = false): DataFrame = {
     val t = train.select(trainId.as("train_id"),
       explode(array_distinct(shingles(trainText, w))).as("sg"))
     val b = bench.select(benchId.as("bench_id"),
@@ -58,9 +60,11 @@ object Contamination {
     // per-bench distinct n-gram totals derived from the SAME deduped
     // rows (one row per bench_id, even when the input id spans rows)
     val bn = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+    val nShared =
+      if (multiRowTrainDocs) countDistinct(col("sg")) else count(lit(1))
     t.join(broadcast(b), "sg")
       .groupBy(col("train_id"), col("bench_id"))
-      .agg(countDistinct(col("sg")).as("n_shared"))
+      .agg(nShared.as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .join(broadcast(bn), "bench_id")
       .select(col("train_id"), col("bench_id"), col("n_shared"),

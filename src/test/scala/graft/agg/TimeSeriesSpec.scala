@@ -48,6 +48,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 10.0, 1L), (1L, 20.0, 0L), (2L, 30.0, 0L), (3L, 40.0, 1L)))
   }
 
+  test("pre-1970 timestamps bucket by FLOOR division (negative epochs land one bucket lower)") {
+    // -30 min = epoch micros -1.8e9 → hourly bucket -1 under floor
+    // division; truncation toward zero would (wrongly) give bucket 0 and
+    // merge it with the 0..1h bucket — the oracle mirrors the floor form
+    val df = Seq(
+      (1L, new java.sql.Timestamp(-1800L * 1000), 5.0), // 1969-12-31 23:30
+      (1L, ts(0, 30), 7.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(df, col("k"), col("t"), col("v"), H)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq == Seq((-1L, 5.0, 1L), (0L, 7.0, 1L)))
+  }
+
   test("null values, keys, and timestamps are not observations") {
     val df = Seq(
       (Some(1L), Some(ts(0)), Some(2.0)),

@@ -20,14 +20,16 @@ class ContaminationSpec extends SparkSpec {
       // distinct n-grams on both sides)
       (1L, "a b the quick brown fox c the quick brown fox"),
       // SAME doc_id split over a second row re-sharing "the quick
-      // brown": dedup is per (doc, n-gram) ACROSS rows — n_shared must
-      // stay 2, not 3 (the oracle's SELECT DISTINCT semantics)
+      // brown": with multiRowTrainDocs dedup is per (doc, n-gram)
+      // ACROSS rows — n_shared must stay 2, not 3 (the oracle's
+      // SELECT DISTINCT semantics)
       (1L, "z z the quick brown z"),
       (2L, "the quick brown only"), // 1 shared 3-gram — below minShared=2
       (3L, "nothing in common at all"))
       .toDF("doc_id", "text")
     val out = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
-        bench, col("doc_id"), col("text"), w = 3, minShared = 2)
+        bench, col("doc_id"), col("text"), w = 3, minShared = 2,
+        multiRowTrainDocs = true)
       .collect()
     assert(out.length == 1)
     val r = out.head
