@@ -83,12 +83,14 @@ object TimeSeries {
   private def observationsAndGrid(df: DataFrame, key: Column, ts: Column,
                                   value: Column,
                                   bucketMicros: Long): (DataFrame, DataFrame) = {
-    // exact integral division: (u - u mod w) / w — the numerator is an
-    // exact multiple of w and well inside double's 53-bit mantissa, so
-    // the division is exact (a bare u/w double-rounds and can land one
-    // bucket off the oracle's integer `//` at boundaries)
+    // exact integral division: (u - u mod w) div w stays in LONG end to
+    // end (the numerator is an exact multiple of w, so truncating
+    // division IS floor division for any sign). An earlier form divided
+    // through DOUBLE, exact only while |numerator| < 2^53 — a junk
+    // far-future timestamp (> year ~2255 in epoch micros) would silently
+    // land one bucket off the oracle's integer `//`.
     def bucketOf(u: Column): Column =
-      ((u - pmod(u, lit(bucketMicros))) / lit(bucketMicros)).cast("long")
+      call_function("div", u - pmod(u, lit(bucketMicros)), lit(bucketMicros))
     // a null observation is not an observation, and a grid for the null
     // key or an un-timestamped event is meaningless — all three drop
     // tracked persist: the observation table feeds the span/grid, the

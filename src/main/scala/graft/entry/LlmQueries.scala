@@ -56,13 +56,20 @@ object LlmQueries {
     * unaffected: every query still recomputes its own distributed scan/
     * probe; only the (identical) training round-trips collapse.
     *
-    * STALENESS CONTRACT: the key is (dataset dir, hyperparameters) —
-    * the memo assumes a dataset directory is immutable for the JVM
-    * lifetime (true for the driver's testdata). A process that rewrites
-    * data under a reused path must call [[clearArtifacts]] first, or
-    * the next query silently trains against the old artifact. */
+    * STALENESS: the key folds in a cheap DATASET FINGERPRINT (file
+    * count + max mtime of the dir) alongside (dataset dir,
+    * hyperparameters), so a process that regenerates data under a
+    * reused path re-trains automatically instead of silently reading a
+    * stale codebook. The fingerprint is a listdir — no data read. A
+    * same-millisecond in-place rewrite could still alias;
+    * [[clearArtifacts]] remains the explicit override. */
   private val artifactMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def dirFingerprint(d: String): String = {
+    val fs = Option(new java.io.File(d).listFiles())
+      .map(_.filter(_.isFile)).getOrElse(Array.empty[java.io.File])
+    s"${fs.length}:${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified()))}"
+  }
   private def artifact[T <: AnyRef](key: String)(build: => T): T =
     artifactMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
@@ -71,21 +78,21 @@ object LlmQueries {
 
   /** The m=2 PQ codebooks over `embeddings` (one train per dataset). */
   private def pqBooks(s: SparkSession, d: String): Seq[Seq[(Long, Array[Float])]] =
-    artifact(s"pq|$d|m=2|k=$IvfK|i=$IvfIters") {
+    artifact(s"pq|$d|${dirFingerprint(d)}|m=2|k=$IvfK|i=$IvfIters") {
       Similarity.pqTrain(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), m = 2, k = IvfK, iters = IvfIters)
     }
 
   /** Trained k-means centroids over `embeddings` (one train per dataset). */
   private def ivfCentroids(s: SparkSession, d: String): Seq[(Long, Array[Float], Long)] =
-    artifact(s"kmeans|$d|k=$IvfK|i=$IvfIters") {
+    artifact(s"kmeans|$d|${dirFingerprint(d)}|k=$IvfK|i=$IvfIters") {
       Similarity.kmeansCentroids(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), IvfK, IvfIters)
     }
 
   /** The deterministic vec_id<16 coarse centroid set, id-sorted. */
   private def coarse16(s: SparkSession, d: String): Seq[(Long, Array[Float])] =
-    artifact(s"coarse16|$d") {
+    artifact(s"coarse16|$d|${dirFingerprint(d)}") {
       import s.implicits._
       Tables.embeddings(s, d).filter(col("vec_id") < 16)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -94,7 +101,7 @@ object LlmQueries {
 
   /** Query vector: embedding of vec_id 0. */
   private def queryVec0(s: SparkSession, d: String): Array[Float] =
-    artifact(s"qv0|$d") {
+    artifact(s"qv0|$d|${dirFingerprint(d)}") {
       import s.implicits._
       Tables.embeddings(s, d).filter(col("vec_id") === 0)
         .select(col("embedding")).as[Array[Float]].head()
@@ -194,6 +201,34 @@ object LlmQueries {
       Contamination.streamingFlags(
         docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
         ng, w = ShingleW, minShared = 2)
+    }),
+
+    // posting-list form of the ingest gate: doc n-grams explode once and
+    // hash-join the broadcast (hash → bench_id) postings — per-doc cost
+    // independent of |bench| (the 100k-eval-doc regime); must flag the
+    // same pairs as the array_intersect form above
+    "q_contam_postings" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ng = Contamination.benchNgrams(
+        docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+        w = ShingleW)
+      Contamination.streamingFlagsPostings(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        ng, w = ShingleW, minShared = 2)
+    }),
+
+    // contamination at PRODUCTION n-gram width (w=8 — the GPT-3/PaLM
+    // decontamination regime, minShared=1: one verbatim 8-gram is
+    // already leakage). The driver corpus plants no w≥5 overlap, so this
+    // row proves the operator finds NOTHING there (exact-zero parity
+    // with the oracle); the adversarial corpus (tools/advdata.py) plants
+    // verbatim bench spans and proves the positive path at w=8.
+    "q_contam_w8" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+        w = 8, minShared = 1)
     }),
 
     // the scale path: pairs form only WITHIN hyperplane-LSH buckets (an
@@ -479,7 +514,7 @@ object LlmQueries {
     // against the first chunk as the query. One scan to chunks+vectors,
     // heap top-k — the retrieval shape over a chunked corpus.
     "q_rag_topk" -> ((s, d) => {
-      // cache the chunk+embed table: the query-row fetch (head) and the
+      // cache the chunk+embed table: the query-row subplan and the
       // scoring scan otherwise each recompute the chunk explode + hash
       // embedding of the whole corpus — this IS the "index build once,
       // query it" shape, and the tracked persist is the index
@@ -488,12 +523,17 @@ object LlmQueries {
             col("doc_id"), col("text"), chunkTokens = 32, stride = 24)
           .select(col("doc_id"), col("chunk_idx"),
             TextAnalysis.hashEmbed(col("chunk_text"), 16).as("emb")))
-      val qrow = chunks.orderBy(col("doc_id"), col("chunk_idx")).head()
-      val (qd, qc) = (qrow.getLong(0), qrow.getInt(1))
-      val qv = qrow.getSeq[Float](2).toArray
-      chunks.filter(!(col("doc_id") === qd && col("chunk_idx") === qc))
+      // the query row is a BROADCAST 1-row subplan over the same
+      // persisted index (TakeOrderedAndProject → broadcast), not a
+      // driver head(): the whole query runs in ONE action — the
+      // broadcast job materializes the cache, the scoring scan reads it
+      val q = chunks.orderBy(col("doc_id"), col("chunk_idx")).limit(1)
+        .select(col("doc_id").as("qd"), col("chunk_idx").as("qc"),
+          col("emb").as("qv"))
+      chunks.crossJoin(broadcast(q))
+        .filter(!(col("doc_id") === col("qd") && col("chunk_idx") === col("qc")))
         .select(col("doc_id"), col("chunk_idx"),
-          CosineSimilarity(col("emb"), lit(qv)).as("cos"))
+          CosineSimilarity(col("emb"), col("qv")).as("cos"))
         .orderBy(col("cos").desc, col("doc_id"), col("chunk_idx"))
         .limit(10)
     }),
@@ -522,6 +562,17 @@ object LlmQueries {
     "q_lm_score" -> ((s, d) =>
       Retrieval.bigramLmScore(Tables.documents(s, d), col("doc_id"),
         col("text"))),
+
+    // true-CCNet cross-corpus form: counts train on the REFERENCE slice
+    // (doc_id % 97 == 0 — the "Wikipedia"), the rest of the corpus is
+    // scored against them; unseen bigrams fall back to the Laplace prior
+    "q_lm_score_ref" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Retrieval.bigramLmScoreRef(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        col("doc_id"), col("text"))
+    }),
 
     // exact-count-per-group eval slice: 2 docs per source, picked by
     // content-hash order (stable under resharding, unlike sample())
@@ -596,16 +647,18 @@ object LlmQueries {
   private val sqlToks =
     "list_filter(string_split(text, ' '), t -> len(t) > 0)"
 
-  /** CTE producing (doc_id, tk tokens, sg shingles) for documents. */
-  private def shingleCte: String =
+  /** CTE producing (doc_id, tk tokens, sg w-shingles) for documents. */
+  private def shingleCteW(w: Int): String =
     s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
        |sh AS (
        |  SELECT doc_id,
-       |         CASE WHEN len(tk) >= $ShingleW
-       |              THEN list_transform(range(0, len(tk) - $ShingleW + 1),
-       |                     i -> array_to_string(tk[i+1:i+$ShingleW], ' '))
+       |         CASE WHEN len(tk) >= $w
+       |              THEN list_transform(range(0, len(tk) - $w + 1),
+       |                     i -> array_to_string(tk[i+1:i+$w], ' '))
        |              ELSE [] END AS sg
        |  FROM toks)""".stripMargin
+
+  private def shingleCte: String = shingleCteW(ShingleW)
 
   /** CTEs tr/be/bn/ov for the contamination pair table (expects `sh`
     * from [[shingleCte]] in scope): train slice = doc_id % 97 != 0,
@@ -895,6 +948,40 @@ object LlmQueries {
          |         CAST(len(list_intersect(dsg, bsg)) AS BIGINT) AS n_shared
          |  FROM tr CROSS JOIN be)
          |SELECT train_id, bench_id, n_shared FROM p WHERE n_shared >= 2""".stripMargin,
+
+    // posting-list twin: per-id distinct hashed n-grams on both sides,
+    // equi-join on the hash, per-pair count — the count IS the intersect
+    // size because both sides are distinct per id
+    "q_contam_postings" ->
+      s"""WITH $shingleCte,
+         |tr AS (SELECT DISTINCT doc_id AS train_id,
+         |              unnest(list_transform(list_distinct(sg),
+         |                                    e -> ${sqlMd5Long("e")})) AS h
+         |       FROM sh WHERE doc_id % 97 <> 0),
+         |be AS (SELECT DISTINCT doc_id AS bench_id,
+         |              unnest(list_transform(list_distinct(sg),
+         |                                    e -> ${sqlMd5Long("e")})) AS h
+         |       FROM sh WHERE doc_id % 97 = 0)
+         |SELECT train_id, bench_id, count(*) AS n_shared
+         |FROM tr JOIN be USING (h)
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // production-width contamination (w=8, minShared=1): same pair
+    // pipeline as q_contamination over 8-gram spans
+    "q_contam_w8" ->
+      s"""WITH ${shingleCteW(8)},
+         |tr AS (SELECT DISTINCT doc_id AS train_id, unnest(sg) AS s
+         |       FROM sh WHERE doc_id % 97 <> 0),
+         |be AS (SELECT DISTINCT doc_id AS bench_id, unnest(sg) AS s
+         |       FROM sh WHERE doc_id % 97 = 0),
+         |bn AS (SELECT bench_id, count(*) AS n_bench FROM be GROUP BY 1),
+         |ov AS (
+         |  SELECT train_id, bench_id, count(*) AS n_shared
+         |  FROM tr JOIN be USING (s) GROUP BY 1, 2
+         |  HAVING count(*) >= 1)
+         |SELECT ov.train_id, ov.bench_id, ov.n_shared,
+         |       CAST(ov.n_shared AS DOUBLE) / CAST(bn.n_bench AS DOUBLE) AS frac
+         |FROM ov JOIN bn USING (bench_id)""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $shingleCte,
@@ -1399,6 +1486,40 @@ object LlmQueries {
          |                       / (CAST(c1.c1 AS DOUBLE) + vv.v))
          |                    * 1.0E9) AS BIGINT) AS q
          |  FROM bgw JOIN c2 USING (bg) JOIN c1 ON bgw.w1 = c1.w CROSS JOIN vv)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       (CAST(sum(q) AS DOUBLE) / 1.0E9) / CAST(count(*) AS DOUBLE)
+         |         AS lm_score
+         |FROM q GROUP BY 1""".stripMargin,
+
+    // cross-corpus twin: counts + vocab from the REFERENCE slice
+    // (doc_id % 97 = 0), target bigrams LEFT-join them (unseen → the
+    // COALESCE(0) Laplace prior), same fixed-point quantized sum
+    "q_lm_score_ref" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |rt AS (SELECT tk FROM toks WHERE doc_id % 97 = 0),
+         |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(tk) AS w FROM rt) GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+         |c2 AS (
+         |  SELECT bg, count(*) AS c2 FROM (
+         |    SELECT unnest(CASE WHEN len(tk) >= 2
+         |           THEN list_transform(range(0, len(tk) - 1),
+         |                  i -> array_to_string(tk[i+1:i+2], ' '))
+         |           ELSE [] END) AS bg
+         |    FROM rt) GROUP BY 1),
+         |bgw AS (
+         |  SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |           THEN list_transform(range(0, len(tk) - 1),
+         |                  i -> array_to_string(tk[i+1:i+2], ' '))
+         |           ELSE [] END) AS bg
+         |    FROM toks WHERE doc_id % 97 <> 0)),
+         |q AS (
+         |  SELECT bgw.doc_id,
+         |         CAST(floor(ln((CAST(COALESCE(c2.c2, 0) AS DOUBLE) + 1.0)
+         |                       / (CAST(COALESCE(c1.c1, 0) AS DOUBLE) + vv.v))
+         |                    * 1.0E9) AS BIGINT) AS q
+         |  FROM bgw LEFT JOIN c2 USING (bg) LEFT JOIN c1 ON bgw.w1 = c1.w
+         |       CROSS JOIN vv)
          |SELECT doc_id, count(*) AS n_bigrams,
          |       (CAST(sum(q) AS DOUBLE) / 1.0E9) / CAST(count(*) AS DOUBLE)
          |         AS lm_score

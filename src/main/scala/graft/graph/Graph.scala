@@ -39,11 +39,19 @@ object Graph {
     *    distribution: the edges never re-shuffle inside the loop. At
     *    lake scale paying the edge shuffle once instead of per-iteration
     *    is the difference between O(E) and O(iters·E) network;
-    *  - both per-iteration joins carry a `shuffle_hash` hint: the rank
-    *    vector is |V| rows — broadcasting it is exactly what must NOT
-    *    happen at 1e9 nodes (and each broadcast is a blocking driver
-    *    job). Both sides arrive hash-clustered on the join key, so the
-    *    SHJ plans with zero exchanges;
+    *  - the per-iteration rank/contribution joins are SIZE-ADAPTIVE:
+    *    |V| is already counted driver-side, so when the graph is small
+    *    (|V| < `smallGraphThreshold`) the |V|-row side is broadcast —
+    *    the per-round SHJ scheduling cost dominates on a small graph and
+    *    a tiny broadcast wins outright (measured 2.2 s → sub-second at
+    *    sf0.1's 1600-node graph). Above the threshold both joins carry a
+    *    `shuffle_hash` hint: a |V|-row rank vector must NOT broadcast at
+    *    1e9 nodes (each broadcast is also a blocking driver job per
+    *    round), and both sides arrive hash-clustered on the join key, so
+    *    the SHJ plans with zero exchanges. The threshold is a parameter
+    *    so tests pin BOTH branches; the default (10M rows ≈ a few
+    *    hundred MB of (long, double)) sits safely under executor
+    *    broadcast budgets;
     *  - |V| is collected ONCE driver-side (one count job) — it is
     *    broadcast-scalar state like the k-means centroids, and folding
     *    `1/N` into plan literals deletes a per-iteration broadcast of a
@@ -57,9 +65,19 @@ object Graph {
     * with [[graft.core.Caches]]; the harness's releaseCaches() hook
     * frees them after the consuming action.
     *
+    * Deep recurrences: every iteration appends two joins + an aggregate
+    * to one linear plan, so analysis/optimizer time grows superlinearly
+    * with `iters`. `checkpointEvery` > 0 truncates lineage every that
+    * many rounds via an eager `localCheckpoint` (executor-local blocks,
+    * no HDFS round-trip) — values are unchanged (the recurrence is
+    * deterministic), only the plan is cut. 0 disables (right for the
+    * usual 3-10 rounds).
+    *
     * Returns (node, pr) for every node in the edge list. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               smallGraphThreshold: Long = 10000000L,
+               checkpointEvery: Int = 0): DataFrame = {
     import graft.core.Caches
     val Scale = 1000000000000.0 // 10^12 fixed-point
     val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
@@ -75,7 +93,12 @@ object Graph {
         .partitionBy(col("src")))))
     val nodes = Caches.track(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
-    val n = nodes.count().toDouble
+    val nL = nodes.count()
+    val n = nL.toDouble
+    // the |V|-row side's join strategy, chosen ONCE from the counted |V|
+    // (values are identical either way — the contribution sums are
+    // order-independent fixed-point integers)
+    val vHint = if (nL < smallGraphThreshold) "broadcast" else "shuffle_hash"
     var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
     var i = 0
     while (i < iters) {
@@ -83,17 +106,17 @@ object Graph {
       // iteration's join), so the recurrence is a linear plan computed
       // once by the consuming action — no persist needed (unlike label
       // propagation, whose label vector is referenced twice per round).
-      // For very deep recurrences, checkpoint every few rounds to bound
-      // plan/optimizer depth.
-      val contrib = e.join(pr.hint("shuffle_hash"), e("src") === pr("node"))
+      val contrib = e.join(pr.hint(vHint), e("src") === pr("node"))
         .select(col("dst"),
           floor((col("pr") / col("od").cast("double")) * lit(Scale)).as("q"))
       val sums = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
-      pr = nodes.join(sums.hint("shuffle_hash"), Seq("node"), "left")
+      pr = nodes.join(sums.hint(vHint), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr"))
       i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        pr = pr.localCheckpoint()
     }
     pr
   }

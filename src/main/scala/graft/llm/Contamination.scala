@@ -85,12 +85,21 @@ object Contamination {
     * longs — the shared oracle-parity hash) — the static side
     * [[streamingFlags]] broadcasts; build once, reuse per batch.
     * Hashing up front makes the per-pair intersect integer work instead
-    * of string hashing, and shrinks the broadcast ~5× vs n-gram text. */
+    * of string hashing, and shrinks the broadcast ~5× vs n-gram text.
+    *
+    * Dedup is per bench ID, not per input row: a benchmark doc whose
+    * text spans several rows still yields ONE (bench_id, bsg) row with
+    * the union of its distinct n-grams (matching [[ngramOverlap]]'s
+    * bench-side cross-row dedup), so [[streamingFlags]] never emits
+    * duplicate pairs with partial counts. The aggregate runs on the
+    * broadcast-sized bench table — trivial. */
   def benchNgrams(bench: DataFrame, benchId: Column, benchText: Column,
                   w: Int): DataFrame =
     bench.select(benchId.as("bench_id"),
-      transform(array_distinct(shingles(benchText, w)),
-        s => md5Long(s)).as("bsg"))
+        transform(array_distinct(shingles(benchText, w)),
+          s => md5Long(s)).as("bsg0"))
+      .groupBy(col("bench_id"))
+      .agg(array_distinct(flatten(collect_list(col("bsg0")))).as("bsg"))
 
   /** INGEST-TIME contamination gate, streaming-safe: flag each arriving
     * doc against the benchmark set with NO state, watermark, or
@@ -111,4 +120,32 @@ object Contamination {
       .select(col("train_id"), col("bench_id"),
         size(array_intersect(col("dsg"), col("bsg"))).cast("long").as("n_shared"))
       .filter(col("n_shared") >= minShared)
+
+  /** Posting-list form of the ingest gate — same pairs as
+    * [[streamingFlags]], different cost model: [[streamingFlags]] runs
+    * one `array_intersect` per (doc × bench doc), linear in the corpus
+    * but with a per-doc constant of |bench| — fine for thousands of
+    * eval docs, wrong for a 100k-doc benchmark union. Here each doc's
+    * distinct n-gram hashes explode ONCE and hash-join the broadcast
+    * (hash → bench_id) POSTINGS table, so per-doc work scales with the
+    * doc's n-grams × their actual bench matches, independent of
+    * |bench|. Both sides are per-id distinct, so the per-pair count IS
+    * the intersect size — [[ContaminationSpec]] property-tests pair-set
+    * equality between the two forms.
+    *
+    * The aggregation makes this batch-shaped: from a stream, call it
+    * inside `foreachBatch` (the per-batch aggregate is bounded by the
+    * batch's matches); [[streamingFlags]] remains the stateless
+    * append-mode form. */
+  def streamingFlagsPostings(docs: DataFrame, id: Column, text: Column,
+                             benchNg: DataFrame, w: Int, minShared: Long): DataFrame = {
+    val postings = benchNg.select(col("bench_id"), explode(col("bsg")).as("h"))
+    docs.select(id.as("train_id"),
+        explode(transform(array_distinct(shingles(text, w)),
+          s => md5Long(s))).as("h"))
+      .join(broadcast(postings), "h")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -174,10 +174,16 @@ object Dedup {
     * edge join + min hash-agg — the standard distributed CC recurrence;
     * labels stay (node, long) so nothing wide shuffles. The recurrence is
     * deterministic (min over integers), so a SQL oracle replays it as a
-    * chained CTE. For very large iters, checkpoint between rounds to cut
-    * lineage. Returns (doc_id, component) for every node in `pairs`. */
+    * chained CTE.
+    *
+    * `checkpointEvery` > 0 truncates lineage every that many rounds with
+    * an eager `localCheckpoint` — a deep run (20-50 rounds for a
+    * high-diameter graph) otherwise pays superlinear analysis/optimizer
+    * time on the unbounded plan chain. Labels are unchanged (the min
+    * recurrence is deterministic); 0 disables (right for the usual ≤5
+    * rounds). Returns (doc_id, component) for every node in `pairs`. */
   def nearDupComponents(pairs: DataFrame, a: Column, b: Column,
-                        iters: Int): DataFrame = {
+                        iters: Int, checkpointEvery: Int = 0): DataFrame = {
     // symmetrize in ONE pass (explode of the two orientations — a union
     // of two references would re-run the whole pair-generation subtree,
     // banding + self-join + verify, once per branch), then cluster the
@@ -219,6 +225,8 @@ object Dedup {
           .select(col("node"),
             least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
       i += 1
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint()
     }
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }

@@ -140,27 +140,46 @@ object Retrieval {
     * bigrams and emit no row (nothing to score).
     *
     * Returns (doc_id, n_bigrams, lm_score). */
-  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // toks and bg each feed two consumers, but deliberately NOT
+  def bigramLmScore(df: DataFrame, id: Column, text: Column): DataFrame =
+    bigramLmScoreRef(df, df, id, text)
+
+  /** The true-CCNet shape of [[bigramLmScore]]: bigram/unigram counts
+    * train on a REFERENCE corpus (`ref` — Wikipedia in CCNet), the
+    * TARGET corpus is scored against them. Self-training is the
+    * `ref eq target` special case above. Target bigrams/first-tokens
+    * unseen in the reference fall back to count 0 via left joins +
+    * coalesce — exactly the Laplace prior ln(1/(0+V)): for a self-
+    * trained run every count exists, so the left joins degrade to the
+    * inner-join plan. Plan shape is otherwise identical (two explode →
+    * hash-agg count tables on the REFERENCE, target bigrams shuffle on
+    * the bigram and first-token keys).
+    *
+    * Returns (doc_id, n_bigrams, lm_score) for target docs with ≥ 1
+    * bigram. */
+  def bigramLmScoreRef(ref: DataFrame, target: DataFrame,
+                       id: Column, text: Column): DataFrame = {
+    // refToks/bg each feed two consumers, but deliberately NOT
     // persisted: the exploded token/bigram streams are LARGER than the
     // parent columnar scan they derive from, so materializing them
     // costs more than recomputing (measured 0.83 s unpersisted vs
     // 1.34 s persisted at sf0.1 — the opposite trade from bm25/tfidf,
     // whose cached posting lists are smaller than their scan)
-    val toks = df.select(id.as("doc_id"), tokens(text).as("tk"))
-    val uni = toks.select(explode(col("tk")).as("w"))
-    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val refToks = ref.select(tokens(text).as("tk"))
+    val c1 = refToks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
     val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
-    val bg = toks.select(col("doc_id"), explode(Shingles2(col("tk"))).as("bg"))
+    val c2 = refToks.select(explode(Shingles2(col("tk"))).as("bg2"))
+      .groupBy(col("bg2")).agg(count(lit(1)).as("c2"))
+    val bg = target.select(id.as("doc_id"),
+        explode(Shingles2(tokens(text))).as("bg"))
       .select(col("doc_id"), col("bg"),
         substring_index(col("bg"), " ", 1).as("w1"))
-    val c2 = bg.groupBy(col("bg").as("bg2")).agg(count(lit(1)).as("c2"))
-    bg.join(c2, col("bg") === col("bg2"))
-      .join(c1, col("w1") === col("w"))
+    bg.join(c2, col("bg") === col("bg2"), "left")
+      .join(c1, col("w1") === col("w"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"),
-        floor(log((col("c2").cast("double") + lit(1.0)) /
-          (col("c1").cast("double") + col("v"))) * lit(Bm25Scale))
+        floor(log((coalesce(col("c2"), lit(0L)).cast("double") + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)).cast("double") + col("v"))) * lit(Bm25Scale))
           .cast("long").as("q"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

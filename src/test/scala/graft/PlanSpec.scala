@@ -194,17 +194,33 @@ class PlanSpec extends SparkSpec {
       s"probe filter must prune index partitions:\n$p")
   }
 
-  test("pageRank iterations shuffle-hash the rank vector, never broadcast it") {
+  test("pageRank above the size threshold shuffle-hashes the rank vector, never broadcasts it") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
-    val pr = graph.Graph.pageRank(edges, col("s"), col("d"), iters = 2)
+    // threshold 0 forces the large-|V| branch on this tiny graph: a
+    // |V|-row rank vector must never be a broadcast build side at lake
+    // scale — each broadcast is also a blocking driver job per iteration
+    val pr = graph.Graph.pageRank(edges, col("s"), col("d"), iters = 2,
+      smallGraphThreshold = 0L)
     val p = plan(pr)
-    // a |V|-row rank vector must never be a broadcast build side — each
-    // broadcast is also a blocking driver job per iteration
     assert(!p.contains("BroadcastHashJoin"),
       s"rank joins must not broadcast:\n$p")
     assert(p.contains("ShuffledHashJoin"),
       s"rank joins must be shuffled-hash:\n$p")
+    llm.Dedup.releaseCaches()
+  }
+
+  test("pageRank below the size threshold broadcasts the rank vector") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    // |V|=3 < default threshold: the small-graph regime broadcasts the
+    // tiny rank vector instead of paying per-round SHJ scheduling
+    val pr = graph.Graph.pageRank(edges, col("s"), col("d"), iters = 2)
+    val p = plan(pr)
+    assert(p.contains("BroadcastHashJoin"),
+      s"small-graph rank joins should broadcast:\n$p")
+    assert(!p.contains("ShuffledHashJoin"),
+      s"small-graph plan should not shuffle-hash the rank vector:\n$p")
     llm.Dedup.releaseCaches()
   }
 
@@ -228,5 +244,18 @@ class PlanSpec extends SparkSpec {
       s"expected both bench sides broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"contamination join must not sort-merge the corpus:\n$p")
+  }
+
+  test("posting-list ingest gate hash-joins the broadcast postings — no cross join") {
+    val p = plan(SparkEntry.queries("q_contam_postings")(spark, sf))
+    // doc n-gram hashes equi-join the broadcast (hash → bench_id)
+    // postings: per-doc cost is independent of |bench|, unlike the
+    // array_intersect gate's per-pair cross join
+    assert(p.contains("BroadcastHashJoin"),
+      s"postings must broadcast-hash-join on the n-gram hash:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"postings gate must not cross-join doc × bench:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"postings gate must not sort-merge the corpus:\n$p")
   }
 }

@@ -28,6 +28,10 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     // doc 3 has one token — no bigrams, no row
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // self-trained must equal the ref-trained form on the same corpus
+    val ref = Retrieval.bigramLmScoreRef(docs, docs, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(ref.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
     // corpus: c1(a)=4, c1(b)=2, V=3 (a, b, solo); c2("a b")=2, ("b a")=1, ("a a")=1
     def part(c2: Long, c1: Long) = math.floor(math.log((c2 + 1.0) / (c1 + 3.0)) * 1e9).toLong
     val d1 = ((2L * part(2, 4) + part(1, 2)).toDouble / 1e9) / 3.0
@@ -112,6 +116,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("v").getDouble(4) == 1.5 && out("v").getDouble(5) == 2.5)
   }
 
+  test("bigramLmScoreRef trains on the reference corpus; unseen bigrams take the Laplace prior") {
+    val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")  // c("a b")=2, c("b a")=1, V=2
+    val target = Seq((10L, "a b c")).toDF("doc_id", "text") // "a b" seen, "b c" unseen
+    val out = Retrieval.bigramLmScoreRef(ref, target, col("doc_id"), col("text"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 10L &&
+      out.head.getLong(1) == 2L)
+    // ln((2+1)/(2+2)) for "a b"; ln((0+1)/(2+2)) for unseen "b c"
+    val expected = (math.floor(math.log(3.0 / 4.0) * 1e9) +
+      math.floor(math.log(1.0 / 4.0) * 1e9)) / 1e9 / 2.0
+    assert(out.head.getDouble(2) == expected)
+  }
+
   test("pageRank ranks sink-heavy nodes highest and is repartition-invariant") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
     def run(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
@@ -121,6 +138,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(pr(3L) > pr(2L) && pr(2L) > pr(1L))
     // fixed-point LONG sums make the result independent of partitioning
     assert(run(e.repartition(7)) == pr)
+  }
+
+  test("pageRank values are identical across join strategy and checkpointing choices") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L)).toDF("s", "d")
+    def run(threshold: Long, ckpt: Int): Map[Long, Double] =
+      Graph.pageRank(e, col("s"), col("d"), iters = 6,
+          smallGraphThreshold = threshold, checkpointEvery = ckpt)
+        .as[(Long, Double)].collect().toMap
+    val broadcastPlan = run(1000000L, 0) // small-graph branch
+    // the fixed-point recurrence makes strategy (broadcast vs
+    // shuffle_hash) and lineage checkpointing value-invariant
+    assert(run(0L, 0) == broadcastPlan, "shuffle_hash branch must match")
+    assert(run(1000000L, 2) == broadcastPlan, "checkpointed run must match")
+    graft.core.Caches.release()
+  }
+
+  test("nearDupComponents with checkpointEvery bounds deep-recurrence lineage, same labels") {
+    // a 12-node chain needs 11 propagation rounds to converge — the
+    // deep-recurrence regime checkpointEvery exists for. An UNcheckpointed
+    // 12-round run is infeasible by design: the label vector is
+    // referenced twice per round, so the logical plan TREE doubles per
+    // round (2^12 ≈ 4096× — analysis-time blowup the persist alone can't
+    // fix); two different checkpoint cadences must agree with each other
+    // and with the known converged labels
+    val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    def labels(iters: Int, ckpt: Int): Map[Long, Long] = {
+      val m = Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"),
+        iters, checkpointEvery = ckpt).as[(Long, Long)].collect().toMap
+      Dedup.releaseCaches()
+      m
+    }
+    val deep = labels(12, 3)
+    assert((0L to 11L).forall(deep(_) == 0L), s"chain must converge to 0: $deep")
+    assert(labels(12, 2) == deep, "checkpoint cadence must not change labels")
   }
 
   test("stratifiedSample keeps exactly n per group, stable under resharding") {

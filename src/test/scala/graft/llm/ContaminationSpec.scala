@@ -95,4 +95,71 @@ class ContaminationSpec extends SparkSpec {
       bench, col("doc_id"), col("text"), w = 3, minShared = 1)
     assert(out.count() == 0)
   }
+
+  test("benchNgrams dedups across rows of one bench id — multi-row bench docs flag once") {
+    // bench doc 100 split over TWO rows, both re-sharing "the quick
+    // brown": benchNgrams must union the rows into one (bench_id, bsg)
+    // row, so streamingFlags emits ONE pair with the full count instead
+    // of duplicate pairs with partial counts (round-6 ADVICE)
+    val multiRowBench = Seq(
+      (100L, "the quick brown fox jumps"),
+      (100L, "the quick brown cat sits"))
+      .toDF("doc_id", "text")
+    val ng = Contamination.benchNgrams(multiRowBench, col("doc_id"), col("text"), w = 3)
+    assert(ng.count() == 1, "one row per bench id")
+    val train = Seq((1L, "x the quick brown fox jumps y the quick brown cat"))
+      .toDF("doc_id", "text")
+    val flags = Contamination.streamingFlags(train, col("doc_id"), col("text"),
+        ng, w = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+        multiRowBench, col("doc_id"), col("text"), w = 3, minShared = 1)
+      .select("train_id", "bench_id", "n_shared")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(flags == batch, s"flags=$flags batch=$batch")
+    // shared grams: "the quick brown", "quick brown fox",
+    // "brown fox jumps", "quick brown cat" — one pair, FULL count
+    assert(flags == Set((1L, 100L, 4L)), s"full cross-row count: $flags")
+  }
+
+  test("streamingFlagsPostings equals streamingFlags on random corpora (property)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    def doc(): String = Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (trial <- 0 until 5) {
+      val benchR = (0 until 4).map(i => (100L + i, doc())).toDF("doc_id", "text")
+      val train = (0 until 20).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+      val ng = Contamination.benchNgrams(benchR, col("doc_id"), col("text"), w = 2)
+      def pairs(df: org.apache.spark.sql.DataFrame) = df
+        .select("train_id", "bench_id", "n_shared")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val a = pairs(Contamination.streamingFlags(train, col("doc_id"),
+        col("text"), ng, w = 2, minShared = 1))
+      val b = pairs(Contamination.streamingFlagsPostings(train, col("doc_id"),
+        col("text"), ng, w = 2, minShared = 1))
+      assert(a == b, s"trial $trial: intersect=$a postings=$b")
+    }
+  }
+
+  test("production-width w=8 finds a planted verbatim span and nothing else") {
+    val benchW = Seq(
+      (100L, "what is the capital of france the answer is paris exactly"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // embeds a verbatim 11-token span → 4 shared 8-grams
+      (1L, "intro text what is the capital of france the answer is paris exactly outro"),
+      // paraphrase — shares many tokens, zero 8-gram spans
+      (2L, "the capital city of france is called paris as everyone knows"),
+      (3L, "completely unrelated document about distributed join strategies"))
+      .toDF("doc_id", "text")
+    val out = Contamination.ngramOverlap(train, col("doc_id"), col("text"),
+        benchW, col("doc_id"), col("text"), w = 8, minShared = 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("train_id")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_shared")) == 4L)
+    // bench doc has 11 tokens → 4 distinct 8-grams, all leaked
+    assert(r.getDouble(r.fieldIndex("frac")) == 1.0)
+  }
 }
