@@ -51,6 +51,14 @@ object Bench {
         row_number().over(Window.partitionBy("k").orderBy("id")))
       agg.join(win, Seq("k")).orderBy(col("n").desc, col("id")).limit(10)
         .queryExecution.toRdd.count()
+      // object-hash aggregation (collect_set), generate (explode) and
+      // the single-partition checkpoint path — the iterative graph
+      // queries' hot operators, cold otherwise until their first run
+      w.groupBy("k").agg(collect_set(col("id")).as("s"))
+        .select(col("k"), explode(col("s")))
+        .queryExecution.toRdd.count()
+      org.apache.spark.sql.graft.bridge.localCheckpointWithStats(
+        spark.range(1000).select(col("id"), (col("id") % 7).as("k")).coalesce(1))
       // warm the native expression eval loops (CodegenFallback paths run
       // interpreted; their first few thousand rows pay HotSpot compilation
       // — measured 2.0s cold vs 0.26s warm on the fingerprint query).

@@ -39,19 +39,22 @@ object Graph {
     *    distribution: the edges never re-shuffle inside the loop. At
     *    lake scale paying the edge shuffle once instead of per-iteration
     *    is the difference between O(E) and O(iters·E) network;
-    *  - the per-iteration rank/contribution joins are SIZE-ADAPTIVE:
-    *    |V| is already counted driver-side, so when the graph is small
-    *    (|V| < `smallGraphThreshold`) the |V|-row side is broadcast —
-    *    the per-round SHJ scheduling cost dominates on a small graph and
-    *    a tiny broadcast wins outright (measured 2.2 s → sub-second at
-    *    sf0.1's 1600-node graph). Above the threshold both joins carry a
-    *    `shuffle_hash` hint: a |V|-row rank vector must NOT broadcast at
-    *    1e9 nodes (each broadcast is also a blocking driver job per
-    *    round), and both sides arrive hash-clustered on the join key, so
-    *    the SHJ plans with zero exchanges. The threshold is a parameter
-    *    so tests pin BOTH branches; the default (10M rows ≈ a few
-    *    hundred MB of (long, double)) sits safely under executor
-    *    broadcast budgets;
+    *  - the execution REGIME is size-adaptive: |V| is already counted
+    *    driver-side, so when the graph is small
+    *    (summed input-leaf bytes ≤ `smallGraphThreshold`) the edge and
+    *    node frames collapse to ONE checkpointed partition and the
+    *    entire recurrence runs exchange-free in single-task stages
+    *    (SinglePartition satisfies every clustering requirement) —
+    *    per-task/per-job scheduling, not data, dominates a small
+    *    graph. Above the threshold both joins keep cluster
+    *    partitioning with a `shuffle_hash` hint: a |V|-row rank vector
+    *    must NOT broadcast at 1e9 nodes (each broadcast is also a
+    *    blocking driver job per round), and both sides arrive
+    *    hash-clustered on the join key, so the SHJ plans with zero
+    *    exchanges. The threshold is a parameter so tests pin BOTH
+    *    branches; the default (256 MB of input — an edge list one task
+    *    handles comfortably) marks where single-partition execution
+    *    stops being a win;
     *  - |V| is collected ONCE driver-side (one count job) — it is
     *    broadcast-scalar state like the k-means centroids, and folding
     *    `1/N` into plan literals deletes a per-iteration broadcast of a
@@ -76,46 +79,136 @@ object Graph {
     * Returns (node, pr) for every node in the edge list. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85,
-               smallGraphThreshold: Long = 10000000L,
+               smallGraphThreshold: Long = 268435456L,
                checkpointEvery: Int = 0): DataFrame = {
     import graft.core.Caches
     val Scale = 1000000000000.0 // 10^12 fixed-point
     val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-    // (src, dst, od) in ONE cached pass: out-degree comes from a count
-    // window over the same src-clustered exchange the iterations reuse —
-    // no degree-table self-join, no second cache. The window's sort cost
-    // is per-src-group; a hot key concentrates on one reducer either
-    // way (any od computation must co-locate a node's out-edges).
-    val e = Caches.track(e0.withColumn("od",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src")))))
-    val nodes = Caches.track(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
-    val nL = nodes.count()
+    // (src, dst, od) in ONE map-combined shuffle: groupBy(src) with a
+    // partial collect_set dedups edges map-side AND yields the
+    // out-degree as size(set) — replacing the earlier distinct()
+    // (shuffle on (src,dst)) + count-window (second shuffle on src +
+    // sort). One exchange instead of two, no sort, and the output is
+    // already src-clustered for the iteration joins (measured 2× on the
+    // sf0.1 prep). Any od computation must co-locate a node's
+    // out-edges; the residual hazard here is the per-key set buffer on
+    // a hot src (ObjectHashAggregate falls back to sort-based on
+    // pressure), matching the window form's per-group frame buffer.
+    val ePlan = e0.groupBy(col("src"))
+      .agg(collect_set(col("dst")).as("ds"))
+      .select(col("src"), size(col("ds")).cast("long").as("od"),
+        explode(col("ds")).as("dst"))
+    // the regime decision reads the summed INPUT LEAF sizes of the
+    // edge expression at PLAN TIME — zero jobs: file sources report
+    // exact on-disk bytes, LocalRelations exact row bytes. Leaf sums
+    // are deliberately used instead of the edge plan's own estimate,
+    // which a join inflates to size(L)·size(R). A small input can in
+    // principle join-explode into a large edge set (then the small
+    // path is slow-but-correct single-task); a large input never
+    // misclassifies as small.
+    val inputBytes = edges.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    // SMALL-GRAPH REGIME, chosen ONCE (values are identical in both
+    // regimes — the contribution sums are order-independent fixed-point
+    // integers): below the threshold the whole recurrence runs on ONE
+    // partition — per-task/per-job scheduling, not data, dominates a
+    // small graph, and 32 shuffle partitions × stages × iterations of
+    // near-empty tasks cost more than the compute (measured: the sf0.1
+    // 1600-node graph spent ~2 s scheduling ~300 tasks). Above the
+    // threshold: cluster-scale partitioning and shuffle_hash — a
+    // |V|-row build side must never broadcast at 1e9 nodes.
+    val small = inputBytes <= BigInt(smallGraphThreshold)
+    // Single-partition exact-stats LEAVES ([[org.apache.spark.sql.graft
+    // .bridge.localCheckpointWithStats]]) compose with the shuffle_hash
+    // hint into the best small-graph plan possible: SinglePartition
+    // satisfies every clustering requirement, so the iteration joins
+    // and aggregates run exchange-free as single-task stages. Leaves —
+    // not cached views — because (a) the analyzer's relation dedup can
+    // miss the cache lookup on one side of the self-referencing outer
+    // join and silently re-plan the whole subtree with its 32-partition
+    // exchanges, and (b) EnsureRequirements force-re-shuffles any
+    // SinglePartition child whose ESTIMATED logical size exceeds
+    // spark.sql.maxSinglePartitionBytes (SPARK-41986) — stock stats
+    // here are estimate-inflated (explode over collect_set, join size
+    // products), so only measured-stats leaves keep the guard honest
+    // AND the plan single-partition. The node set derives from the
+    // edge leaf in one task (union→coalesce→distinct, no exchange) and
+    // |V| rides the checkpoint materialization — the 32-partition
+    // node cache is never built in this regime. Checkpoint block
+    // cleanup rides the ContextCleaner when the frames are dropped.
+    val vHint = "shuffle_hash"
+    // The small branch plans its internal actions with the SPARK-41986
+    // guard lifted: `spark.sql.maxSinglePartitionBytes` re-shuffles any
+    // single-partition child whose ESTIMATED size exceeds it, and
+    // size-only join estimation (size(L)·size(R) without column stats)
+    // makes every post-join subtree look like tens of GB for a
+    // MB-sized graph. The guard's job — "don't serialize big data
+    // through one task" — is already done here by the driver-side
+    // input-bytes check above, so lifting it inside this scope is the
+    // guard's own contract, not a bypass. Session-conf mutation is
+    // scoped by try/finally; like [[graft.core.Caches]], concurrent
+    // multi-tenant sessions would need a session-isolated wrapper.
+    def withGuardLifted[T](f: => T): T = {
+      val spark = edges.sparkSession
+      val key = "spark.sql.maxSinglePartitionBytes"
+      val old = spark.conf.getOption(key)
+      spark.conf.set(key, Long.MaxValue)
+      try f
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val (eJ, nodesJ, nL) =
+      if (small) withGuardLifted {
+        val (eS, _) = org.apache.spark.sql.graft.bridge
+          .localCheckpointWithStats(ePlan.coalesce(1))
+        val (nS, nCnt) = org.apache.spark.sql.graft.bridge
+          .localCheckpointWithStats(
+            eS.select(col("src").as("node"))
+              .union(eS.select(col("dst").as("node")))
+              .coalesce(1).distinct())
+        (eS, nS, nCnt)
+      } else {
+        val e = Caches.track(ePlan)
+        val nodes = Caches.track(e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct())
+        (e, nodes, nodes.count())
+      }
     val n = nL.toDouble
-    // the |V|-row side's join strategy, chosen ONCE from the counted |V|
-    // (values are identical either way — the contribution sums are
-    // order-independent fixed-point integers)
-    val vHint = if (nL < smallGraphThreshold) "broadcast" else "shuffle_hash"
-    var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+    var pr = nodesJ.select(col("node"), lit(1.0 / n).as("pr"))
     var i = 0
     while (i < iters) {
       // each rank layer is referenced exactly ONCE (by the next
       // iteration's join), so the recurrence is a linear plan computed
       // once by the consuming action — no persist needed (unlike label
       // propagation, whose label vector is referenced twice per round).
-      val contrib = e.join(pr.hint(vHint), e("src") === pr("node"))
+      val contrib = eJ.join(pr.hint(vHint), eJ("src") === pr("node"))
         .select(col("dst"),
           floor((col("pr") / col("od").cast("double")) * lit(Scale)).as("q"))
-      val sums = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
-      pr = nodes.join(sums.hint(vHint), Seq("node"), "left")
+      val sums0 = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
+      // small branch: re-assert SinglePartition on the aggregate (the
+      // SHJ underneath reports a composite PartitioningCollection that
+      // fails the outer join's co-partitioning check) — narrow no-op
+      val sums = if (small) sums0.coalesce(1) else sums0
+      pr = nodesJ.join(sums.hint(vHint), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr"))
       i += 1
-      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+      if (small) {
+        // checkpoint EVERY layer, last included: (a) a rank layer
+        // nesting an outer-join subtree on the next round's build side
+        // defeats the planner's co-partitioning analysis even with
+        // accurate stats (exchanges cascade back in); (b) the caller's
+        // consuming action plans OUTSIDE the lifted-guard scope, so a
+        // lazy last layer would re-shuffle there. Each checkpoint is a
+        // ~ms single-task job; the returned frame is a ready
+        // single-partition leaf.
+        pr = withGuardLifted {
+          org.apache.spark.sql.graft.bridge.localCheckpointWithStats(pr)._1 }
+      } else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         pr = pr.localCheckpoint()
     }
     pr

@@ -210,17 +210,22 @@ class PlanSpec extends SparkSpec {
     llm.Dedup.releaseCaches()
   }
 
-  test("pageRank below the size threshold broadcasts the rank vector") {
+  test("pageRank below the size threshold runs the recurrence as single-task leaf jobs") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
-    // |V|=3 < default threshold: the small-graph regime broadcasts the
-    // tiny rank vector instead of paying per-round SHJ scheduling
+    // tiny input < default threshold: the small-graph regime executes
+    // each round eagerly on ONE partition (per-job scheduling, not
+    // data, dominates a small graph) and returns a ready
+    // single-partition checkpointed LEAF — the consuming action plans
+    // a bare scan: no exchange, no join, no 32-task stages
     val pr = graph.Graph.pageRank(edges, col("s"), col("d"), iters = 2)
     val p = plan(pr)
-    assert(p.contains("BroadcastHashJoin"),
-      s"small-graph rank joins should broadcast:\n$p")
-    assert(!p.contains("ShuffledHashJoin"),
-      s"small-graph plan should not shuffle-hash the rank vector:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"small-graph result should be a checkpointed leaf:\n$p")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"small-graph result must plan as a bare leaf scan:\n$p")
+    assert(pr.rdd.getNumPartitions == 1,
+      s"small-graph result should stay single-partition")
     llm.Dedup.releaseCaches()
   }
 
