@@ -39,22 +39,27 @@ object Graph {
     *    distribution: the edges never re-shuffle inside the loop. At
     *    lake scale paying the edge shuffle once instead of per-iteration
     *    is the difference between O(E) and O(iters·E) network;
-    *  - the execution REGIME is size-adaptive: |V| is already counted
-    *    driver-side, so when the graph is small
-    *    (summed input-leaf bytes ≤ `smallGraphThreshold`) the edge and
-    *    node frames collapse to ONE checkpointed partition and the
-    *    entire recurrence runs exchange-free in single-task stages
-    *    (SinglePartition satisfies every clustering requirement) —
-    *    per-task/per-job scheduling, not data, dominates a small
-    *    graph. Above the threshold both joins keep cluster
-    *    partitioning with a `shuffle_hash` hint: a |V|-row rank vector
+    *  - the execution REGIME is size-adaptive: when the input is small
+    *    (summed input-leaf bytes ≤ `smallGraphThreshold`) the whole
+    *    recurrence runs IMPERATIVELY inside one `mapPartitions` task
+    *    over the raw single-partition pair stream — ONE lazy plan, ONE
+    *    shuffle (the repartition(1) of ~16-byte pairs), ONE action,
+    *    and plan depth CONSTANT in `iters`. Per-job scheduling, not
+    *    data, dominates a small graph: the declarative per-layer form
+    *    paid ~0.25 s of driver overhead per internal action (6+
+    *    actions ≈ 1.5 s at sf0.1 against ~0.5 s of actual compute;
+    *    stage-level listener numbers in-code below). This is the
+    *    documented last-resort `mapPartitions` case — per-partition
+    *    imperative logic that Catalyst operators cannot schedule
+    *    efficiently at this size. Above the threshold both joins keep
+    *    cluster partitioning with a `shuffle_hash` hint: a |V|-row rank vector
     *    must NOT broadcast at 1e9 nodes (each broadcast is also a
     *    blocking driver job per round), and both sides arrive
     *    hash-clustered on the join key, so the SHJ plans with zero
     *    exchanges. The threshold is a parameter so tests pin BOTH
-    *    branches; the default (256 MB of input — an edge list one task
-    *    handles comfortably) marks where single-partition execution
-    *    stops being a win;
+    *    branches; the default (64 MB of input leaves) bounds the
+    *    single task's in-memory adjacency to a few hundred MB
+    *    uncompressed;
     *  - |V| is collected ONCE driver-side (one count job) — it is
     *    broadcast-scalar state like the k-means centroids, and folding
     *    `1/N` into plan literals deletes a per-iteration broadcast of a
@@ -79,26 +84,12 @@ object Graph {
     * Returns (node, pr) for every node in the edge list. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
                damping: Double = 0.85,
-               smallGraphThreshold: Long = 268435456L,
+               smallGraphThreshold: Long = 67108864L,
                checkpointEvery: Int = 0): DataFrame = {
     import graft.core.Caches
     val Scale = 1000000000000.0 // 10^12 fixed-point
     val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-    // (src, dst, od) in ONE map-combined shuffle: groupBy(src) with a
-    // partial collect_set dedups edges map-side AND yields the
-    // out-degree as size(set) — replacing the earlier distinct()
-    // (shuffle on (src,dst)) + count-window (second shuffle on src +
-    // sort). One exchange instead of two, no sort, and the output is
-    // already src-clustered for the iteration joins (measured 2× on the
-    // sf0.1 prep). Any od computation must co-locate a node's
-    // out-edges; the residual hazard here is the per-key set buffer on
-    // a hot src (ObjectHashAggregate falls back to sort-based on
-    // pressure), matching the window form's per-group frame buffer.
-    val ePlan = e0.groupBy(col("src"))
-      .agg(collect_set(col("dst")).as("ds"))
-      .select(col("src"), size(col("ds")).cast("long").as("od"),
-        explode(col("ds")).as("dst"))
     // the regime decision reads the summed INPUT LEAF sizes of the
     // edge expression at PLAN TIME — zero jobs: file sources report
     // exact on-disk bytes, LocalRelations exact row bytes. Leaf sums
@@ -109,108 +100,193 @@ object Graph {
     // misclassifies as small.
     val inputBytes = edges.queryExecution.optimizedPlan.collectLeaves()
       .map(_.stats.sizeInBytes).sum
-    // SMALL-GRAPH REGIME, chosen ONCE (values are identical in both
-    // regimes — the contribution sums are order-independent fixed-point
-    // integers): below the threshold the whole recurrence runs on ONE
-    // partition — per-task/per-job scheduling, not data, dominates a
-    // small graph, and 32 shuffle partitions × stages × iterations of
-    // near-empty tasks cost more than the compute (measured: the sf0.1
-    // 1600-node graph spent ~2 s scheduling ~300 tasks). Above the
-    // threshold: cluster-scale partitioning and shuffle_hash — a
-    // |V|-row build side must never broadcast at 1e9 nodes.
     val small = inputBytes <= BigInt(smallGraphThreshold)
-    // Single-partition exact-stats LEAVES ([[org.apache.spark.sql.graft
-    // .bridge.localCheckpointWithStats]]) compose with the shuffle_hash
-    // hint into the best small-graph plan possible: SinglePartition
-    // satisfies every clustering requirement, so the iteration joins
-    // and aggregates run exchange-free as single-task stages. Leaves —
-    // not cached views — because (a) the analyzer's relation dedup can
-    // miss the cache lookup on one side of the self-referencing outer
-    // join and silently re-plan the whole subtree with its 32-partition
-    // exchanges, and (b) EnsureRequirements force-re-shuffles any
-    // SinglePartition child whose ESTIMATED logical size exceeds
-    // spark.sql.maxSinglePartitionBytes (SPARK-41986) — stock stats
-    // here are estimate-inflated (explode over collect_set, join size
-    // products), so only measured-stats leaves keep the guard honest
-    // AND the plan single-partition. The node set derives from the
-    // edge leaf in one task (union→coalesce→distinct, no exchange) and
-    // |V| rides the checkpoint materialization — the 32-partition
-    // node cache is never built in this regime. Checkpoint block
-    // cleanup rides the ContextCleaner when the frames are dropped.
-    val vHint = "shuffle_hash"
-    // The small branch plans its internal actions with the SPARK-41986
-    // guard lifted: `spark.sql.maxSinglePartitionBytes` re-shuffles any
-    // single-partition child whose ESTIMATED size exceeds it, and
-    // size-only join estimation (size(L)·size(R) without column stats)
-    // makes every post-join subtree look like tens of GB for a
-    // MB-sized graph. The guard's job — "don't serialize big data
-    // through one task" — is already done here by the driver-side
-    // input-bytes check above, so lifting it inside this scope is the
-    // guard's own contract, not a bypass. Session-conf mutation is
-    // scoped by try/finally; like [[graft.core.Caches]], concurrent
-    // multi-tenant sessions would need a session-isolated wrapper.
-    def withGuardLifted[T](f: => T): T = {
-      val spark = edges.sparkSession
-      val key = "spark.sql.maxSinglePartitionBytes"
-      val old = spark.conf.getOption(key)
-      spark.conf.set(key, Long.MaxValue)
-      try f
-      finally old match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+    if (small) {
+      // SMALL-GRAPH REGIME: the whole recurrence runs imperatively in
+      // ONE task — the RAW (src, dst) pairs (~16 bytes/edge) shuffle
+      // once to a single partition and dedup + out-degree + the rank
+      // loop all happen in primitive in-task structures. One lazy
+      // plan, one exchange, one action, plan depth CONSTANT in iters
+      // (checkpointEvery is moot here). Why not declarative layers:
+      // the per-layer form spent ~0.25 s of driver overhead per
+      // internal action across 6+ actions at sf0.1 against ~0.5 s of
+      // compute, and a lazy layered plan re-plans with cascading
+      // exchanges (the outer-join layer defeats co-partitioning
+      // analysis; measured 7 exchanges at iters=3). Why not
+      // collect_set prep feeding the task: the ObjectHashAggregate's
+      // boxed set-building was the single largest stage (378 ms of a
+      // 1.09 s query); the in-task open-addressed dedup replaces it at
+      // memcpy speed. repartition(1) — not coalesce(1) — keeps the
+      // upstream scan/join parallel and moves only the 16-byte pairs.
+      // Values are identical to the cluster branch: same dedup, same
+      // fixed-point quantization, same IEEE double op order, and the
+      // integer contribution sums are accumulation-order-independent.
+      val session = edges.sparkSession
+      import session.implicits._
+      e0.as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions(it => smallPageRank(it, iters, damping, Scale))
+        .toDF("node", "pr")
+    } else {
+      val vHint = "shuffle_hash"
+      // (src, dst, od) in ONE map-combined shuffle: groupBy(src) with a
+      // partial collect_set dedups edges map-side AND yields the
+      // out-degree as size(set) — one exchange instead of the earlier
+      // distinct() (shuffle on (src,dst)) + count-window (second
+      // shuffle on src + sort), no sort, and the output is
+      // src-clustered for the iteration joins. Any od computation must
+      // co-locate a node's out-edges; the residual hazard is the
+      // per-key set buffer on a hot src (ObjectHashAggregate falls
+      // back to sort-based on pressure), matching the window form's
+      // per-group frame buffer.
+      val ePlan = e0.groupBy(col("src"))
+        .agg(collect_set(col("dst")).as("ds"))
+        .select(col("src"),
+          size(col("ds")).cast("long").as("od"), explode(col("ds")).as("dst"))
+      val e = Caches.track(ePlan)
+      val nodes = Caches.track(e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct())
+      val n = nodes.count().toDouble
+      var pr = nodes.select(col("node"), lit(1.0 / n).as("pr"))
+      var i = 0
+      while (i < iters) {
+        // each rank layer is referenced exactly ONCE (by the next
+        // iteration's join), so the recurrence is a linear plan computed
+        // once by the consuming action — no persist needed (unlike label
+        // propagation, whose label vector is referenced twice per round).
+        val contrib = e.join(pr.hint(vHint), e("src") === pr("node"))
+          .select(col("dst"),
+            floor((col("pr") / col("od").cast("double")) * lit(Scale)).as("q"))
+        val sums = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
+        pr = nodes.join(sums.hint(vHint), Seq("node"), "left")
+          .select(col("node"),
+            (lit((1.0 - damping) / n) + lit(damping) *
+              (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr"))
+        i += 1
+        if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+          pr = pr.localCheckpoint()
+      }
+      pr
+    }
+  }
+
+  /** The small-regime recurrence body: PageRank over the complete raw
+    * edge stream held by one task — dedup, out-degree, and the rank
+    * loop in primitive open-addressed structures (no boxing anywhere).
+    *
+    * Mirrors the cluster branch's math EXACTLY so both regimes (and the
+    * SQL oracle) agree bit-for-bit: per-edge contributions are
+    * `floor((pr / od) · 10^12)` quantized to LONG and summed as
+    * integers (order-independent), and the damping update interpolates
+    * the same driver-computed doubles `(1−d)/n` and `d` in the same op
+    * order as the Column expression.
+    *
+    * Memory: ~16 bytes per distinct node (intern table) + ~16 per
+    * distinct edge (dedup set + edge list); the 64 MB input-leaf
+    * threshold bounds this to a few hundred MB in the worst case. */
+  private def smallPageRank(pairs: Iterator[(Long, Long)],
+                            iters: Int, damping: Double,
+                            Scale: Double): Iterator[(Long, Double)] = {
+    // Fibonacci-scrambled hash: `Long.hashCode` (hi ^ lo) is
+    // catastrophic for the packed (srcIdx << 32 | dstIdx) keys — both
+    // halves are small intern indices, so every key lands in the low
+    // |V| slots and linear probing degenerates into one quadratic
+    // cluster (measured: minutes, not milliseconds, at 587k edges)
+    def mix(v: Long): Int = {
+      val z = v * -7046029254386353131L // golden-ratio multiplier
+      (z ^ (z >>> 32)).toInt
+    }
+    // open-addressed long→int intern table (power-of-2, linear probing)
+    var cap = 1 << 14
+    var keys = new Array[Long](cap)
+    var used = new Array[Boolean](cap)
+    var vals = new Array[Int](cap)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](1 << 14)
+    def rehash(): Unit = {
+      val ok = keys; val ou = used; val ov = vals
+      cap <<= 1; keys = new Array[Long](cap); used = new Array[Boolean](cap)
+      vals = new Array[Int](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ou(i)) {
+          var h = mix(ok(i)) & (cap - 1)
+          while (used(h)) h = (h + 1) & (cap - 1)
+          keys(h) = ok(i); used(h) = true; vals(h) = ov(i)
+        }
+        i += 1
       }
     }
-    val (eJ, nodesJ, nL) =
-      if (small) withGuardLifted {
-        val (eS, _) = org.apache.spark.sql.graft.bridge
-          .localCheckpointWithStats(ePlan.coalesce(1))
-        val (nS, nCnt) = org.apache.spark.sql.graft.bridge
-          .localCheckpointWithStats(
-            eS.select(col("src").as("node"))
-              .union(eS.select(col("dst").as("node")))
-              .coalesce(1).distinct())
-        (eS, nS, nCnt)
-      } else {
-        val e = Caches.track(ePlan)
-        val nodes = Caches.track(e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))).distinct())
-        (e, nodes, nodes.count())
+    def intern(v: Long): Int = {
+      if (ids.length * 2 >= cap) rehash()
+      var h = mix(v) & (cap - 1)
+      while (used(h)) {
+        if (keys(h) == v) return vals(h)
+        h = (h + 1) & (cap - 1)
       }
-    val n = nL.toDouble
-    var pr = nodesJ.select(col("node"), lit(1.0 / n).as("pr"))
-    var i = 0
-    while (i < iters) {
-      // each rank layer is referenced exactly ONCE (by the next
-      // iteration's join), so the recurrence is a linear plan computed
-      // once by the consuming action — no persist needed (unlike label
-      // propagation, whose label vector is referenced twice per round).
-      val contrib = eJ.join(pr.hint(vHint), eJ("src") === pr("node"))
-        .select(col("dst"),
-          floor((col("pr") / col("od").cast("double")) * lit(Scale)).as("q"))
-      val sums0 = contrib.groupBy(col("dst").as("node")).agg(sum(col("q")).as("sq"))
-      // small branch: re-assert SinglePartition on the aggregate (the
-      // SHJ underneath reports a composite PartitioningCollection that
-      // fails the outer join's co-partitioning check) — narrow no-op
-      val sums = if (small) sums0.coalesce(1) else sums0
-      pr = nodesJ.join(sums.hint(vHint), Seq("node"), "left")
-        .select(col("node"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("sq"), lit(0L)).cast("double") / lit(Scale))).as("pr"))
-      i += 1
-      if (small) {
-        // checkpoint EVERY layer, last included: (a) a rank layer
-        // nesting an outer-join subtree on the next round's build side
-        // defeats the planner's co-partitioning analysis even with
-        // accurate stats (exchanges cascade back in); (b) the caller's
-        // consuming action plans OUTSIDE the lifted-guard scope, so a
-        // lazy last layer would re-shuffle there. Each checkpoint is a
-        // ~ms single-task job; the returned frame is a ready
-        // single-partition leaf.
-        pr = withGuardLifted {
-          org.apache.spark.sql.graft.bridge.localCheckpointWithStats(pr)._1 }
-      } else if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
-        pr = pr.localCheckpoint()
+      keys(h) = v; used(h) = true; vals(h) = ids.length
+      ids += v
+      ids.length - 1
     }
-    pr
+    // edge-dedup set over the packed (srcIdx << 32 | dstIdx) key —
+    // intern indices are non-negative ints, so -1 never collides
+    var pcap = 1 << 16
+    var pkeys = new Array[Long](pcap)
+    java.util.Arrays.fill(pkeys, -1L)
+    var psize = 0
+    var edgeKeys = new Array[Long](1 << 16)
+    var m = 0
+    def pRehash(): Unit = {
+      val ok = pkeys
+      pcap <<= 1; pkeys = new Array[Long](pcap)
+      java.util.Arrays.fill(pkeys, -1L)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != -1L) {
+          var h = mix(ok(i)) & (pcap - 1)
+          while (pkeys(h) != -1L) h = (h + 1) & (pcap - 1)
+          pkeys(h) = ok(i)
+        }
+        i += 1
+      }
+    }
+    def addEdge(k: Long): Unit = {
+      if (psize * 2 >= pcap) pRehash()
+      var h = mix(k) & (pcap - 1)
+      while (pkeys(h) != -1L) {
+        if (pkeys(h) == k) return
+        h = (h + 1) & (pcap - 1)
+      }
+      pkeys(h) = k; psize += 1
+      if (m == edgeKeys.length)
+        edgeKeys = java.util.Arrays.copyOf(edgeKeys, m << 1)
+      edgeKeys(m) = k; m += 1
+    }
+    pairs.foreach { case (s, d) =>
+      val si = intern(s); val di = intern(d)
+      addEdge((si.toLong << 32) | (di.toLong & 0xffffffffL))
+    }
+    val n = ids.length
+    if (n == 0) return Iterator.empty
+    val od = new Array[Int](n)
+    var r = 0
+    while (r < m) { od((edgeKeys(r) >>> 32).toInt) += 1; r += 1 }
+    val nD = n.toDouble
+    var pr = Array.fill(n)(1.0 / nD)
+    var it = 0
+    while (it < iters) {
+      val acc = new Array[Long](n)
+      r = 0
+      while (r < m) {
+        val k = edgeKeys(r)
+        val s = (k >>> 32).toInt
+        val q = math.floor((pr(s) / od(s).toDouble) * Scale).toLong
+        acc(k.toInt) += q
+        r += 1
+      }
+      val base = (1.0 - damping) / nD
+      pr = Array.tabulate(n)(i => base + damping * (acc(i).toDouble / Scale))
+      it += 1
+    }
+    Iterator.tabulate(n)(i => (ids(i), pr(i)))
   }
 }

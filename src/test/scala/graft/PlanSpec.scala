@@ -210,20 +210,21 @@ class PlanSpec extends SparkSpec {
     llm.Dedup.releaseCaches()
   }
 
-  test("pageRank below the size threshold runs the recurrence as single-task leaf jobs") {
+  test("pageRank below the size threshold runs the recurrence in one imperative task") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
-    // tiny input < default threshold: the small-graph regime executes
-    // each round eagerly on ONE partition (per-job scheduling, not
-    // data, dominates a small graph) and returns a ready
-    // single-partition checkpointed LEAF — the consuming action plans
-    // a bare scan: no exchange, no join, no 32-task stages
+    // tiny input < default threshold: the small-graph regime runs the
+    // whole recurrence imperatively inside ONE mapPartitions task over
+    // the coalesced set-table — one lazy plan with exactly the dedup
+    // aggregation's exchange, no joins, plan depth constant in iters
     val pr = graph.Graph.pageRank(edges, col("s"), col("d"), iters = 2)
     val p = plan(pr)
-    assert(p.contains("Scan ExistingRDD"),
-      s"small-graph result should be a checkpointed leaf:\n$p")
-    assert(!p.contains("Exchange") && !p.contains("Join"),
-      s"small-graph result must plan as a bare leaf scan:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"small-graph recurrence should run in a mapPartitions task:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"small-graph plan should keep only the dedup+degree exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"small-graph plan must not join (adjacency is in-task):\n$p")
     assert(pr.rdd.getNumPartitions == 1,
       s"small-graph result should stay single-partition")
     llm.Dedup.releaseCaches()
