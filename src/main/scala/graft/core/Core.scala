@@ -86,6 +86,24 @@ object Xform {
     df => if (keys.isEmpty) df.repartition(numPartitions)
           else df.repartition(numPartitions, keys: _*)
 
+  /** Spread a frame across the cluster's cores BEFORE a CPU-heavy
+    * per-row expansion (chunking, hash-embedding, media decode): a
+    * small or single-file source scans as fewer splits than there are
+    * cores, and everything pipelined onto that scan then runs
+    * single-task no matter how expensive. A round-robin repartition of
+    * the RAW rows (cheap — pre-expansion bytes) rebalances the
+    * expensive stage; a source that already has enough splits passes
+    * through untouched, so at lake scale this is a no-op. The partition
+    * count is read from the physical scan at plan time — no job. */
+  def spreadToCores(df: DataFrame): DataFrame = {
+    // streaming frames can't report partition counts pre-execution
+    // (df.rdd requires a started query); micro-batches are already
+    // sized by the source — pass through
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---- Typed (arbitrary-function) layer ---------------------------------
 
   def tmap[T, U: Encoder](f: T => U): Pipe.Pipe[T, U] = _.map(f)

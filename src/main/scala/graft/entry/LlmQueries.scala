@@ -518,8 +518,13 @@ object LlmQueries {
       // scoring scan otherwise each recompute the chunk explode + hash
       // embedding of the whole corpus — this IS the "index build once,
       // query it" shape, and the tracked persist is the index
+      // spread raw docs across cores first: the md5 hash-embed is the
+      // expensive stage, and a small single-split corpus would pin the
+      // whole index build onto one task (measured 0.97 s of a 1.3 s
+      // query in one stage at sf0.1)
       val chunks = graft.core.Caches.track(
-        TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        TextAnalysis.chunkDocuments(
+            graft.core.Xform.spreadToCores(Tables.documents(s, d)),
             col("doc_id"), col("text"), chunkTokens = 32, stride = 24)
           .select(col("doc_id"), col("chunk_idx"),
             TextAnalysis.hashEmbed(col("chunk_text"), 16).as("emb")))

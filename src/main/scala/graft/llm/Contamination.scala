@@ -53,8 +53,12 @@ object Contamination {
                    bench: DataFrame, benchId: Column, benchText: Column,
                    w: Int, minShared: Long,
                    multiRowTrainDocs: Boolean = false): DataFrame = {
-    val t = train.select(trainId.as("train_id"),
-      explode(array_distinct(shingles(trainText, w))).as("sg"))
+    // shingling + per-row dedup is the CPU-heavy stage — spread a
+    // small/single-split training corpus across cores first (no-op at
+    // lake scale where the scan already has enough splits)
+    val t = graft.core.Xform.spreadToCores(train)
+      .select(trainId.as("train_id"),
+        explode(array_distinct(shingles(trainText, w))).as("sg"))
     val b = bench.select(benchId.as("bench_id"),
       explode(array_distinct(shingles(benchText, w))).as("sg")).distinct()
     // per-bench distinct n-gram totals derived from the SAME deduped
@@ -113,7 +117,10 @@ object Contamination {
     * Returns (train_id, bench_id, n_shared) for pairs ≥ minShared. */
   def streamingFlags(docs: DataFrame, id: Column, text: Column,
                      benchNg: DataFrame, w: Int, minShared: Long): DataFrame =
-    docs.select(id.as("train_id"),
+    // batch runs spread the shingle+intersect work across cores;
+    // streaming frames pass through spreadToCores untouched, so the
+    // batch/micro-batch plan parity StreamingSpec pins is preserved
+    graft.core.Xform.spreadToCores(docs).select(id.as("train_id"),
         transform(array_distinct(shingles(text, w)),
           s => md5Long(s)).as("dsg"))
       .crossJoin(broadcast(benchNg))
@@ -140,7 +147,7 @@ object Contamination {
   def streamingFlagsPostings(docs: DataFrame, id: Column, text: Column,
                              benchNg: DataFrame, w: Int, minShared: Long): DataFrame = {
     val postings = benchNg.select(col("bench_id"), explode(col("bsg")).as("h"))
-    docs.select(id.as("train_id"),
+    graft.core.Xform.spreadToCores(docs).select(id.as("train_id"),
         explode(transform(array_distinct(shingles(text, w)),
           s => md5Long(s))).as("h"))
       .join(broadcast(postings), "h")

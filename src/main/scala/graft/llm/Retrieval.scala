@@ -62,43 +62,59 @@ object Retrieval {
     *    İ/Σ docs match DuckDB and mixed-case query terms still match.
     *    Terms that collide after folding are deduplicated (a repeated
     *    query term does not double-count).
-    */
+    *
+    * Plan shape — SCAN, not postings: the query-term set is a fixed
+    * small literal list, so per-document term frequencies are K
+    * conditional counts over the folded token array computed in the
+    * tokenize scan itself, cached as (doc_id, dl, tf_0..tf_{K-1}) —
+    * K+2 longs per doc. Document frequencies and N/Σdl then reduce to
+    * ONE 1-row broadcast aggregate over that cache, and scoring is a
+    * second scan of it: zero corpus shuffles, two jobs total (the
+    * earlier postings form — explode→filter→tf/df aggregations→three
+    * joins — paid five jobs of which three were broadcast builds; same
+    * results). The trade: per-token work is O(K), so a workload with
+    * thousands of query terms wants the postings/inverted-index form —
+    * that regime is [[graft.llm.TextAnalysis.tfIdfTopTerms]]'s shape; here K is query-bag-sized. */
   def bm25(df: DataFrame, id: Column, text: Column, queryTerms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.map(foldLowerStr).distinct
-    // tokenized once (tracked persist): the doc-length table and the
-    // query-term postings otherwise each re-scan + re-tokenize the corpus
-    val toks = graft.core.Caches.track(
-      df.select(id.as("doc_id"), tokens(text).as("tk")))
-    val dl = toks.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
-    val tok = toks.select(col("doc_id"),
-        explode(transform(col("tk"), t => TextAnalysis.foldLower(t))).as("term"))
-      // filter BEFORE the aggregation: only query-term postings shuffle
-      .filter(col("term").isin(terms: _*))
-    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    // df = tf's row count per term (tf is one row per (doc, term))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // N and Σdl as a LAZY 1-row broadcast (an eager count() here would
-    // scan the corpus at query-construction time)
-    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).cast("double").as("sum_dl"))
-    val idf = log(lit(1.0) +
-      (col("n_docs") - col("df").cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5)))
-    val num = col("tf").cast("double") * lit(k1 + 1.0)
-    val den = col("tf").cast("double") + lit(k1) *
-      (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
-        (col("sum_dl") / col("n_docs")))
-    val scored = tf.join(dfreq, "term").join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("term"),
-        floor(idf * num / den * lit(Bm25Scale)).cast("long").as("sq"))
-    val total = terms
-      .map(t => coalesce(max(when(col("term") === t, col("sq"))), lit(0L)))
-      .reduce(_ + _)
-    scored.groupBy(col("doc_id"))
-      .agg((total.cast("double") / lit(Bm25Scale)).as("bm25"))
+    val tk = tokens(text)
+    val ft = transform(tk, t => TextAnalysis.foldLower(t))
+    // tokenize ONCE (tracked persist): the stats aggregate and the
+    // scoring scan both read the tiny per-doc count table
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(ft, x => x === lit(t))).cast("long").as(s"tf_$i") }
+    val perDoc = graft.core.Caches.track(
+      graft.core.Xform.spreadToCores(df).select(
+        id.as("doc_id") +: size(tk).cast("long").as("dl") +: tfCols: _*))
+    // N, Σdl and every per-term df in ONE lazy 1-row broadcast (an
+    // eager count() here would scan the corpus at plan-construction)
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L))
+          .cast("double").as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // per-term quantized partials in FIXED literal order; a tf of 0
+    // yields sq = 0, exactly the postings form's absent-row COALESCE
+    val sqs = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + lit(0.5)) /
+        (col(s"df_$i") + lit(0.5)))
+      val num = col(s"tf_$i").cast("double") * lit(k1 + 1.0)
+      val den = col(s"tf_$i").cast("double") + lit(k1) *
+        (lit(1.0 - b) + (lit(b) * col("dl").cast("double")) /
+          (col("sum_dl") / col("n_docs")))
+      floor(idf * num / den * lit(Bm25Scale)).cast("long")
+    }
+    perDoc.crossJoin(broadcast(stats))
+      // only docs containing at least one query term rank — the
+      // postings form never emitted rows for the rest
+      .filter(terms.indices.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .select(col("doc_id"),
+        (sqs.reduce(_ + _).cast("double") / lit(Bm25Scale)).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
@@ -164,6 +180,11 @@ object Retrieval {
     // costs more than recomputing (measured 0.83 s unpersisted vs
     // 1.34 s persisted at sf0.1 — the opposite trade from bm25/tfidf,
     // whose cached posting lists are smaller than their scan)
+    // refToks deliberately NOT spread across cores (unlike bm25): it
+    // feeds two unpersisted consumers, so a pre-tokenize repartition
+    // would re-shuffle per consumer and cost more than it parallelizes
+    // (measured +0.6 s at sf0.1); the count shuffles right below
+    // already redistribute
     val refToks = ref.select(tokens(text).as("tk"))
     val c1 = refToks.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))

@@ -137,6 +137,10 @@ object TextAnalysis {
     * two-shuffle corpus-statistics pipeline; nothing is collected. */
   def tfIdfTopTerms(df: DataFrame, id: Column, text: Column,
                     k: Int): DataFrame = {
+    // NOT spread across cores first (unlike bm25/contamination): the
+    // posting-list shuffle right below already redistributes, and a
+    // pre-tokenize repartition adds a stage that costs more than the
+    // single-split tokenize it parallelizes (measured +0.25 s at sf0.1)
     val tok = df.select(id.as("doc_id"),
       explode(transform(tokens(text), t => foldLower(t))).as("term"))
     // the posting list is MATERIALIZED once (tracked persist, released
