@@ -187,48 +187,11 @@ object Graph {
   private def smallPageRank(pairs: Iterator[(Long, Long)],
                             iters: Int, damping: Double,
                             Scale: Double): Iterator[(Long, Double)] = {
-    // Fibonacci-scrambled hash: `Long.hashCode` (hi ^ lo) is
-    // catastrophic for the packed (srcIdx << 32 | dstIdx) keys — both
-    // halves are small intern indices, so every key lands in the low
-    // |V| slots and linear probing degenerates into one quadratic
-    // cluster (measured: minutes, not milliseconds, at 587k edges)
-    def mix(v: Long): Int = {
-      val z = v * -7046029254386353131L // golden-ratio multiplier
-      (z ^ (z >>> 32)).toInt
-    }
-    // open-addressed long→int intern table (power-of-2, linear probing)
-    var cap = 1 << 14
-    var keys = new Array[Long](cap)
-    var used = new Array[Boolean](cap)
-    var vals = new Array[Int](cap)
-    val ids = new scala.collection.mutable.ArrayBuffer[Long](1 << 14)
-    def rehash(): Unit = {
-      val ok = keys; val ou = used; val ov = vals
-      cap <<= 1; keys = new Array[Long](cap); used = new Array[Boolean](cap)
-      vals = new Array[Int](cap)
-      var i = 0
-      while (i < ok.length) {
-        if (ou(i)) {
-          var h = mix(ok(i)) & (cap - 1)
-          while (used(h)) h = (h + 1) & (cap - 1)
-          keys(h) = ok(i); used(h) = true; vals(h) = ov(i)
-        }
-        i += 1
-      }
-    }
-    def intern(v: Long): Int = {
-      if (ids.length * 2 >= cap) rehash()
-      var h = mix(v) & (cap - 1)
-      while (used(h)) {
-        if (keys(h) == v) return vals(h)
-        h = (h + 1) & (cap - 1)
-      }
-      keys(h) = v; used(h) = true; vals(h) = ids.length
-      ids += v
-      ids.length - 1
-    }
+    import graft.core.LongIndex
+    val ids = new LongIndex()
     // edge-dedup set over the packed (srcIdx << 32 | dstIdx) key —
-    // intern indices are non-negative ints, so -1 never collides
+    // intern indices are non-negative ints, so -1 never collides;
+    // LongIndex.mix scrambling is load-bearing here (see its doc)
     var pcap = 1 << 16
     var pkeys = new Array[Long](pcap)
     java.util.Arrays.fill(pkeys, -1L)
@@ -242,7 +205,7 @@ object Graph {
       var i = 0
       while (i < ok.length) {
         if (ok(i) != -1L) {
-          var h = mix(ok(i)) & (pcap - 1)
+          var h = LongIndex.mix(ok(i)) & (pcap - 1)
           while (pkeys(h) != -1L) h = (h + 1) & (pcap - 1)
           pkeys(h) = ok(i)
         }
@@ -251,7 +214,7 @@ object Graph {
     }
     def addEdge(k: Long): Unit = {
       if (psize * 2 >= pcap) pRehash()
-      var h = mix(k) & (pcap - 1)
+      var h = LongIndex.mix(k) & (pcap - 1)
       while (pkeys(h) != -1L) {
         if (pkeys(h) == k) return
         h = (h + 1) & (pcap - 1)
@@ -262,10 +225,10 @@ object Graph {
       edgeKeys(m) = k; m += 1
     }
     pairs.foreach { case (s, d) =>
-      val si = intern(s); val di = intern(d)
+      val si = ids.intern(s); val di = ids.intern(d)
       addEdge((si.toLong << 32) | (di.toLong & 0xffffffffL))
     }
-    val n = ids.length
+    val n = ids.size
     if (n == 0) return Iterator.empty
     val od = new Array[Int](n)
     var r = 0
@@ -287,6 +250,6 @@ object Graph {
       pr = Array.tabulate(n)(i => base + damping * (acc(i).toDouble / Scale))
       it += 1
     }
-    Iterator.tabulate(n)(i => (ids(i), pr(i)))
+    Iterator.tabulate(n)(i => (ids.id(i), pr(i)))
   }
 }

@@ -233,12 +233,28 @@ class PlanSpec extends SparkSpec {
   test("label propagation shuffle-hashes the label vector, never broadcasts it") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-    val comps = llm.Dedup.nearDupComponents(pairs, col("a"), col("b"), iters = 3)
+    // threshold 0 forces the cluster branch so its plan stays pinned
+    val comps = llm.Dedup.nearDupComponents(pairs, col("a"), col("b"),
+      iters = 3, smallGraphThreshold = 0L)
     val p = plan(comps)
     assert(!p.contains("BroadcastHashJoin"),
       s"label joins must not broadcast:\n$p")
     assert(p.contains("ShuffledHashJoin"),
       s"label joins must be shuffled-hash:\n$p")
+    llm.Dedup.releaseCaches()
+  }
+
+  test("label propagation below the size threshold runs in one imperative task") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val comps = llm.Dedup.nearDupComponents(pairs, col("a"), col("b"), iters = 3)
+    val p = plan(comps)
+    assert(p.contains("MapPartitions"),
+      s"small-graph recurrence should run in a mapPartitions task:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"small-graph plan should keep only the repartition exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"small-graph plan must not join (pairs are in-task):\n$p")
     llm.Dedup.releaseCaches()
   }
 

@@ -163,15 +163,23 @@ class AnalyticsSpec extends SparkSpec {
     // fix); two different checkpoint cadences must agree with each other
     // and with the known converged labels
     val pairs = (0L until 11L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // threshold 0 forces the CLUSTER branch — this test exists to
+    // exercise the distributed recurrence's lineage checkpointing
     def labels(iters: Int, ckpt: Int): Map[Long, Long] = {
       val m = Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"),
-        iters, checkpointEvery = ckpt).as[(Long, Long)].collect().toMap
+          iters, smallGraphThreshold = 0L, checkpointEvery = ckpt)
+        .as[(Long, Long)].collect().toMap
       Dedup.releaseCaches()
       m
     }
     val deep = labels(12, 3)
     assert((0L to 11L).forall(deep(_) == 0L), s"chain must converge to 0: $deep")
     assert(labels(12, 2) == deep, "checkpoint cadence must not change labels")
+    // the imperative small-graph branch (default threshold) must
+    // produce the identical label vector
+    val small = Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"),
+      iters = 12).as[(Long, Long)].collect().toMap
+    assert(small == deep, "small-regime labels must match the cluster branch")
   }
 
   test("stratifiedSample keeps exactly n per group, stable under resharding") {
