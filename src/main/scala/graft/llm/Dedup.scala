@@ -20,10 +20,11 @@ object Dedup {
     * (Verify/Bench do this per query). */
   private def persistTracked(df: DataFrame): DataFrame = graft.core.Caches.track(df)
 
-  /** Release every tracked cache (dedup band tables, graph rank
-    * vectors, …) registered since the last release — delegates to
-    * [[graft.core.Caches.release]]; see the single-consumer contract
-    * there. Call after the action consuming the returned DataFrame. */
+  /** Release every GLOBALLY tracked cache (dedup band tables, graph
+    * rank vectors, …) registered since the last release — delegates to
+    * [[graft.core.Caches.release]]. Call after the action consuming
+    * the returned DataFrame; a concurrent harness wraps each query in
+    * [[graft.core.Caches.scope]] instead and closes its own scope. */
   def releaseCaches(): Unit = graft.core.Caches.release()
 
   /** Exact dedup by content hash: keeps the lowest-id row per distinct

@@ -193,4 +193,43 @@ class PropertiesSpec extends SparkSpec {
       assert(run(df) == run(df.repartition(7)), s"case $i")
     }
   }
+
+  test("interleaved Caches scopes release only their own handles") {
+    import graft.core.Caches
+    import org.apache.spark.storage.StorageLevel
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.storageLevel != StorageLevel.NONE
+    // two queries built interleaved, each inside its own scope — the
+    // failure mode the process-wide queue had: releasing A dropped B's
+    // still-needed cache out from under its pending action
+    val (dfA, scopeA) = Caches.scope {
+      Caches.track(spark.range(100).toDF("a"))
+    }
+    val (dfB, scopeB) = Caches.scope {
+      Caches.track(spark.range(200).toDF("b"))
+    }
+    dfA.count(); dfB.count() // materialize both caches
+    assert(cached(dfA) && cached(dfB))
+    scopeA.close()
+    assert(!cached(dfA), "closing scope A must release its handle")
+    assert(cached(dfB), "closing scope A must NOT release scope B's handle")
+    // the global queue is independent of scopes: release() leaves
+    // scoped-but-unclosed handles alone
+    val dfG = Caches.track(spark.range(50).toDF("g"))
+    dfG.count()
+    Caches.release()
+    assert(!cached(dfG) && cached(dfB))
+    scopeB.close()
+    assert(!cached(dfB))
+    // close is idempotent; nesting restores the outer scope
+    scopeB.close()
+    val ((inner, innerScope), outerScope) = Caches.scope {
+      Caches.scope { Caches.track(spark.range(10).toDF("i")) }
+    }
+    inner.count()
+    outerScope.close()
+    assert(cached(inner), "outer scope must not own the inner's handle")
+    innerScope.close()
+    assert(!cached(inner))
+  }
 }
