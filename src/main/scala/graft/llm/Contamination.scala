@@ -59,18 +59,22 @@ object Contamination {
     val t = graft.core.Xform.spreadToCores(train)
       .select(trainId.as("train_id"),
         explode(array_distinct(shingles(trainText, w))).as("sg"))
+    // per-bench distinct n-gram totals ride the SAME deduped rows as a
+    // count window (cheap — the bench side is broadcast-sized), so ONE
+    // broadcast serves both the match join and the frac denominator;
+    // a separate totals table would broadcast-build the bench
+    // explode+distinct subtree a second time and pay a second join
     val b = bench.select(benchId.as("bench_id"),
-      explode(array_distinct(shingles(benchText, w))).as("sg")).distinct()
-    // per-bench distinct n-gram totals derived from the SAME deduped
-    // rows (one row per bench_id, even when the input id spans rows)
-    val bn = b.groupBy(col("bench_id")).agg(count(lit(1)).as("n_bench"))
+        explode(array_distinct(shingles(benchText, w))).as("sg")).distinct()
+      .withColumn("n_bench", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bench_id"))))
     val nShared =
       if (multiRowTrainDocs) countDistinct(col("sg")) else count(lit(1))
     t.join(broadcast(b), "sg")
       .groupBy(col("train_id"), col("bench_id"))
-      .agg(nShared.as("n_shared"))
+      // n_bench is constant within the group — max() just carries it
+      .agg(nShared.as("n_shared"), max(col("n_bench")).as("n_bench"))
       .filter(col("n_shared") >= minShared)
-      .join(broadcast(bn), "bench_id")
       .select(col("train_id"), col("bench_id"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_bench").cast("double")).as("frac"))
   }

@@ -260,10 +260,11 @@ class PlanSpec extends SparkSpec {
 
   test("contamination broadcasts the benchmark n-gram side; training side never sort-merges") {
     val p = plan(SparkEntry.queries("q_contamination")(spark, sf))
-    // bench n-grams + bench totals both broadcast — the training corpus
+    // ONE broadcast serves both the match join and the frac denominator
+    // (n_bench rides the n-gram rows as a window) — the training corpus
     // is only ever scanned, exploded, and hash-aggregated
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
-      s"expected both bench sides broadcast:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"expected exactly the bench n-gram broadcast join:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"contamination join must not sort-merge the corpus:\n$p")
   }
