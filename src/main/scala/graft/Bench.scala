@@ -61,6 +61,18 @@ object Bench {
         (col("id") % 997).as("s"), (col("id") % 61).as("d"))
       graft.graph.Graph.pageRank(gw, col("s"), col("d"), iters = 3)
         .queryExecution.toRdd.count()
+      graft.llm.Dedup.nearDupComponents(gw, col("s"), col("d"), iters = 3)
+        .queryExecution.toRdd.count()
+      // sequence-explode + analytic windows (lead / ignore-nulls last) —
+      // the resample family's hot operators
+      w.select(col("k"), explode(sequence(lit(0L), col("id") % 5)).as("b"),
+          col("v"))
+        .withColumn("p", last(when(col("v") > 3, col("v")), ignoreNulls = true)
+          .over(Window.partitionBy("k").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("nx", lead(col("b"), 1).over(
+          Window.partitionBy("k").orderBy("b")))
+        .queryExecution.toRdd.count()
       // warm the native expression eval loops (CodegenFallback paths run
       // interpreted; their first few thousand rows pay HotSpot compilation
       // — measured 2.0s cold vs 0.26s warm on the fingerprint query).
