@@ -194,6 +194,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("LongIndex interns structured and random keys without collision") {
+    import graft.core.LongIndex
+    // adversarial key families: sequential, even-only (low-bit holes),
+    // packed small-index pairs (the Long.hashCode killer), random
+    val families: Seq[Seq[Long]] = Seq(
+      (0L until 3000L),
+      (0L until 3000L).map(_ * 2L),
+      for (a <- 0L until 60L; b <- 0L until 50L) yield (a << 32) | b,
+      (0 until 3000).map(i => sample(Gen.long, 7000 + i)))
+    families.zipWithIndex.foreach { case (keys, f) =>
+      val idx = new LongIndex(16) // force many rehashes
+      val firsts = keys.map(idx.intern)
+      assert(idx.size == keys.distinct.size, s"family $f size")
+      // re-interning returns the same dense index; id() round-trips
+      assert(keys.map(idx.intern) == firsts, s"family $f stability")
+      assert(firsts.map(idx.id) == keys, s"family $f round-trip")
+    }
+  }
+
+  test("small-regime pageRank and components match the cluster branch on a random graph") {
+    // a 2000-edge random graph with hubs, multi-edges and self-loops —
+    // far past the toy chains the plan tests use; both ops must produce
+    // bit-identical results from the imperative and distributed regimes
+    val edgeGen = Gen.listOfN(2000,
+      Gen.zip(Gen.choose(0L, 300L), Gen.choose(0L, 300L)))
+    val edges = sample(edgeGen, 31).toDF("a", "b")
+    val prSmall = graft.graph.Graph.pageRank(edges, col("a"), col("b"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    val prCluster = graft.graph.Graph.pageRank(edges, col("a"), col("b"), iters = 4,
+        smallGraphThreshold = 0L)
+      .as[(Long, Double)].collect().toMap
+    assert(prSmall == prCluster, "pageRank regimes must agree bit-for-bit")
+    val ccSmall = graft.llm.Dedup.nearDupComponents(edges, col("a"), col("b"),
+        iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val ccCluster = graft.llm.Dedup.nearDupComponents(edges, col("a"), col("b"),
+        iters = 4, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(ccSmall == ccCluster, "component regimes must agree bit-for-bit")
+    Caches.release()
+  }
+
   test("interleaved Caches scopes release only their own handles") {
     import graft.core.Caches
     import org.apache.spark.storage.StorageLevel
