@@ -26,9 +26,15 @@ object GraftFunctions {
   }
 
   /** Whitespace tokenizer — the shared token basis for text analysis,
-    * shingles, SimHash. Drops empty tokens. */
-  def tokens(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+    * shingles, SimHash. Drops empty tokens. Native single-pass
+    * expression ([[Tokens]]); value-identical to
+    * `filter(split(text, " "), t => length(t) > 0)` (spec-pinned). */
+  def tokens(text: Column): Column = Tokens(text, fold = false)
+
+  /** [[tokens]] with each token folded through the İ/Σ-safe lowercase
+    * in the same native pass — replaces the interpreted
+    * `transform(tokens(text), foldLower)` chain in term pipelines. */
+  def tokensFolded(text: Column): Column = Tokens(text, fold = true)
 
   /** Word w-shingles: overlapping windows of `w` tokens joined by a
     * space. Empty array when the document has fewer than `w` tokens.

@@ -80,7 +80,7 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
     val terms = queryTerms.map(foldLowerStr).distinct
     val tk = tokens(text)
-    val ft = transform(tk, t => TextAnalysis.foldLower(t))
+    val ft = tokensFolded(text)
     // tokenize ONCE (tracked persist): the stats aggregate and the
     // scoring scan both read the tiny per-doc count table
     val tfCols = terms.zipWithIndex.map { case (t, i) =>

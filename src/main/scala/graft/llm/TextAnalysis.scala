@@ -142,7 +142,7 @@ object TextAnalysis {
     // pre-tokenize repartition adds a stage that costs more than the
     // single-split tokenize it parallelizes (measured +0.25 s at sf0.1)
     val tok = df.select(id.as("doc_id"),
-      explode(transform(tokens(text), t => foldLower(t))).as("term"))
+      explode(graft.functions.GraftFunctions.tokensFolded(text)).as("term"))
     // the posting list is MATERIALIZED once (tracked persist, released
     // by the harness after the action): it feeds both the per-term
     // document frequency and the scoring join — unpersisted, each

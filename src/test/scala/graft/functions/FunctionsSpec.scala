@@ -299,4 +299,25 @@ class FunctionsSpec extends SparkSpec {
       assert(rows(0).getAs[String]("lang") == "en" && rows(1).getAs[String]("lang") == "de")
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
+
+  test("native tokens/tokensFolded match the HOF forms on adversarial strings") {
+    import graft.functions.GraftFunctions._
+    import graft.llm.TextAnalysis.foldLower
+    // multi-space runs, leading/trailing spaces, tabs/newlines (NOT
+    // separators), empty/blank strings, unicode incl. the İ/Σ fold
+    // hazards, combining accents, all-caps ASCII
+    val cases = Seq(
+      "", " ", "   ", "a", " a ", "a  b   c", "\ta b\nc", "A B C",
+      "İstanbul SİGMA ΣΟΦΙΑ ΑΣ τΣς", "héllo WÖRLD Straße",
+      "ẞ ǅungla ǲ", "👍 emoji  test", "mixedCASE tok", "ΑΣ")
+    val df = cases.toDF("t")
+    val hofTokens = filter(split(col("t"), " "), x => length(x) > 0)
+    val bad = df.select(col("t"),
+        tokens(col("t")).as("nt"), hofTokens.as("ht"),
+        tokensFolded(col("t")).as("nf"),
+        transform(hofTokens, x => foldLower(x)).as("hf"))
+      .filter(col("nt") =!= col("ht") || col("nf") =!= col("hf"))
+      .collect()
+    assert(bad.isEmpty, s"native/HOF divergence: ${bad.toSeq}")
+  }
 }
