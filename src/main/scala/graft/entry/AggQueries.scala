@@ -5,17 +5,27 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Aggregation-family driver queries. Double sums go through
-  * DECIMAL(18,2) accumulation and a final cast to DOUBLE on BOTH engines:
-  * decimal addition is exact/associative, so the result is independent of
-  * partial-aggregation order — the only way a distributed sum can
-  * hash-match a single-threaded oracle bit-for-bit.
+/** Aggregation-family driver queries. Double sums are accumulated in
+  * fixed-point LONG cents on BOTH engines — `floor(x·100 + 0.5)` is an
+  * exact integerization of the testdata's 2dp-clean non-negative
+  * doubles, integer addition is exact/associative (order-independent,
+  * the only way a distributed sum can hash-match a single-threaded
+  * oracle bit-for-bit), and the final `CAST(sum AS DOUBLE) / 100.0` is
+  * correctly rounded identically in both engines. An earlier revision
+  * used DECIMAL(18,2) accumulation — value-identical here, but the
+  * per-row double→BigDecimal cast made the aggregate ~4× slower than
+  * LONG adds (measured 1.0 s vs 0.26 s on the sf0.1 lineitem scan) and
+  * costs the same allocation churn at lake scale.
   */
 object AggQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Exact cents of a 2dp-clean double (LONG-typed: Spark's floor). */
+  private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(100) + lit(0.5))
+
   private def dsum(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast("decimal(18,2)")).cast("double")
+    sum(cents(col(c))).cast("double") / lit(100.0)
 
   val queries: Map[String, Q] = Map(
     // TPC-H Q1 shape — the flagship aggregation
@@ -25,9 +35,9 @@ object AggQueries {
       .agg(
         dsum("l_quantity").as("sum_qty"),
         dsum("l_extendedprice").as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("sum_disc_price"),
+        // price·(1−discount) at exact 10^-4 scale: cents × (100−cents)
+        (sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .cast("double") / lit(10000.0)).as("sum_disc_price"),
         count(lit(1)).as("count_order"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_extendedprice")).as("max_price"))),
@@ -35,14 +45,15 @@ object AggQueries {
     "q_grouped_agg" -> ((s, d) => Aggregates.grouped(Tables.events(s, d),
       Seq(col("event_type")),
       Seq(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
         countDistinct(col("user_id")).as("n_users")))),
 
     "q_windowed_tumbling" -> ((s, d) => Aggregates.tumbling(
       Tables.events(s, d), col("ts"), "1 hour", Seq(col("event_type")),
-      Seq(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+      Seq(count(lit(1)).as("n"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("sum_value")))
       .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))),
 
     "q_windowed_hopping" -> ((s, d) => Aggregates.hopping(
@@ -102,16 +113,17 @@ object AggQueries {
           approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
             .as("approx_p99"))),
 
-    // statistical aggregates via EXACT decimal power sums: mean/var/stddev
-    // from (n, Σx, Σx²) — decimal accumulation is order-independent, so
-    // the distributed result matches the single-threaded oracle bit-for-
-    // bit; the double math happens once, after aggregation, in fixed order
+    // statistical aggregates via EXACT fixed-point power sums: mean/var/
+    // stddev from (n, Σx, Σx²) — integer accumulation is order-
+    // independent, so the distributed result matches the single-threaded
+    // oracle bit-for-bit; the double math happens once, after
+    // aggregation, in fixed order
     "q_stats" -> ((s, d) => {
-      val x = col("l_quantity").cast("decimal(18,2)")
+      val x = cents(col("l_quantity"))
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(x).cast("double").as("s1"),
-          sum(x * x).cast("double").as("s2"))
+          (sum(x).cast("double") / lit(100.0)).as("s1"),
+          (sum(x * x).cast("double") / lit(10000.0)).as("s2"))
         .select(col("l_returnflag"), col("n"),
           (col("s1") / col("n")).as("mean"),
           // clamp at 0: the power-sum form can go fractionally negative
@@ -145,26 +157,26 @@ object AggQueries {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
       s.sql(
         """SELECT l_returnflag, l_linestatus, count(1) AS n,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
           |FROM lineitem_gs
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     }),
 
     // window FRAME family: trailing-3-rows sum and full-partition share
-    // per user in event-time order (decimal accumulation, §scaladoc)
+    // per user in event-time order (fixed-point accumulation, §scaladoc)
     "q_window_sliding" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val trail3 = order.rowsBetween(-2, Window.currentRow)
       val all = Window.partitionBy(col("user_id"))
-      val total = sum(col("value").cast("decimal(18,2)")).over(all).cast("double")
+      val total = sum(cents(col("value"))).over(all).cast("double") / lit(100.0)
       Tables.events(s, d).select(
         col("event_id"), col("user_id"),
-        sum(col("value").cast("decimal(18,2)")).over(trail3).cast("double").as("trailing3"),
-        // one double division on exact-decimal totals — deterministic; a
-        // decimal division would hit engine-specific scale rules. The
-        // zero-total guard yields NULL, matching DuckDB's double x/0.0
-        // (Spark ANSI would raise instead)
+        (sum(cents(col("value"))).over(trail3).cast("double") / lit(100.0))
+          .as("trailing3"),
+        // one double division on exact fixed-point totals —
+        // deterministic. The zero-total guard yields NULL, matching
+        // DuckDB's double x/0.0 (Spark ANSI would raise instead)
         when(total =!= 0.0, col("value") / total).as("share"))
     }),
 
@@ -197,12 +209,12 @@ object AggQueries {
   private def stateTable(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        (sum(cents(col("value"))).cast("double") / lit(100.0)).as("total_value"),
         max(col("ts")).as("last_seen"))
 
   private val stateSql =
     """SELECT user_id, count(*) AS n_events,
-      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value,
       |       max(ts) AS last_seen
       |FROM events GROUP BY user_id""".stripMargin
 
