@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   * tail window. A warmup pass touches each table first so timings
   * measure the operators, not parquet-footer reads / first-query JIT.
   * Queries run in sorted-name order so per-query numbers are comparable
-  * across rounds.
+  * across rounds. Timing is interleaved best-of-2 (pass 1 over every
+  * query, then pass 2, min per query, with a third tie-break run on >3x
+  * divergence) so a localized machine-load spike cannot poison both
+  * samples of one query; BENCH_FULL.json records each raw sample and
+  * its epoch start for post-hoc spike diagnosis.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -51,12 +55,16 @@ object Bench {
         row_number().over(Window.partitionBy("k").orderBy("id")))
       agg.join(win, Seq("k")).orderBy(col("n").desc, col("id")).limit(10)
         .queryExecution.toRdd.count()
-      // the iterative graph path (object-hash collect_set, explode,
-      // single-partition checkpoints, per-round hash joins) JIT-compiles
-      // over ~3 executions of the real query — far past best-of-2. Warm
-      // it with a synthetic pageRank exercising the identical operator
-      // chain on throwaway data (measured: q_pagerank best-of-2 1.95 s
-      // unwarmed vs ~1.5 s warmed at sf0.1).
+      // the iterative graph path JIT-compiles over ~3 executions of the
+      // real query — far past best-of-2. Warm it with a synthetic
+      // pageRank/components run on throwaway data (measured: q_pagerank
+      // best-of-2 1.95 s unwarmed vs ~1.5 s warmed at sf0.1). NOTE: this
+      // 100k-row range (~800 KB of leaf stats) sits far below
+      // smallGraphThreshold, so it warms the SMALL-regime imperative
+      // mapPartitions path (LongIndex loops) — the same regime the sf0.1
+      // bench queries take. The cluster-branch operators (collect_set,
+      // per-round shuffle_hash joins) are exercised only by PlanSpec's
+      // threshold=0 tests, not timed here, so they need no JIT warmup.
       val gw = spark.range(100000).select(
         (col("id") % 997).as("s"), (col("id") % 61).as("d"))
       graft.graph.Graph.pageRank(gw, col("s"), col("d"), iters = 3)
@@ -96,28 +104,48 @@ object Bench {
     // the round's full BENCH_FULL.json.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        // toRdd.count() executes the query's OWN physical plan — a
-        // df.count() would let Catalyst prune every unused projection and
-        // time only the scan for map-shaped queries.
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        // a crashed run must NOT count as a timing: min() would prefer a
-        // fast transient failure and fabricate a phantom speedup
-        catch { case _: Throwable => Double.PositiveInfinity }
-        finally graft.llm.Dedup.releaseCaches()
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long) = {
+      val epoch = System.currentTimeMillis() / 1000L
+      val t0 = System.nanoTime()
+      // toRdd.count() executes the query's OWN physical plan — a
+      // df.count() would let Catalyst prune every unused projection and
+      // time only the scan for map-shaped queries.
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        ((System.nanoTime() - t0) / 1e9, epoch)
       }
-      // best-of-2: a machine-load spike on one run can't fabricate a
-      // regression (round-3 BENCH showed 6x phantom slowdowns from load);
-      // min, not mean — the minimum is the run least polluted by noise
-      val best = math.min(once(), once())
-      name -> (if (best.isInfinity) -1.0 else best) // -1 = both runs failed
+      // a crashed run must NOT count as a timing: min() would prefer a
+      // fast transient failure and fabricate a phantom speedup
+      catch { case _: Throwable => (Double.PositiveInfinity, epoch) }
+      finally graft.llm.Dedup.releaseCaches()
+    }
+    // Interleaved best-of-2: PASS 1 times every query once, then PASS 2
+    // times them all again, min per query. Back-to-back samples (r7 and
+    // earlier) let one sustained machine-load spike poison BOTH samples
+    // of the queries running under it — BENCH_r07 fabricated 3-12x
+    // "regressions" on 8 consecutive sorted-order queries this way.
+    // Interleaving puts ~half the suite's wall-clock between a query's
+    // two samples, so a localized spike can hit at most one of them.
+    val pass1 = selected.map { case (name, fn) => name -> once(fn) }
+    val pass2 = selected.map { case (name, fn) => name -> once(fn) }
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[(Double, Long)]]()
+    pass1.zip(pass2).foreach { case ((name, s1), (_, s2)) =>
+      samples(name) = List(s1, s2)
+    }
+    // Divergence tie-break: two finite samples >3x apart mean at least
+    // one was load-polluted — take a third and keep the min. Bounded to
+    // one extra run per divergent query, so a quiet machine adds zero.
+    selected.foreach { case (name, fn) =>
+      val ss = samples(name).map(_._1).filter(_.isFinite)
+      if (ss.size == 2 && ss.max / math.max(ss.min, 1e-9) > 3.0)
+        samples(name) = samples(name) :+ once(fn)
+    }
+    val results = selected.map { case (name, _) =>
+      val best = samples(name).map(_._1).min
+      name -> (if (best.isInfinity) -1.0 else best) // -1 = all runs failed
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     def fmt(v: Double): String = f"$v%.3f"
@@ -128,6 +156,17 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine = jsonLine(fullQs, 0)
+    // BENCH_FULL.json additionally carries every raw sample and its epoch
+    // start time so a load spike is diagnosable post-hoc: a query whose
+    // samples disagree shows WHEN the slow one ran, and co-timed slow
+    // samples across queries expose the spike window.
+    def sampleFmt(f: ((Double, Long)) => String): String =
+      selected.map { case (name, _) =>
+        "\"" + name + "\":[" + samples(name).map(f).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+    val fullFileLine = fullLine.dropRight(1) +
+      s""","samples":${sampleFmt(s => fmt(if (s._1.isInfinity) -1.0 else s._1))}""" +
+      s""","t_epoch":${sampleFmt(_._2.toString)}}"""
     // The driver captures only the LAST 2000 chars of stdout (BENCH_r03/
     // r04 both came back `parsed: None` — the full 105-query line is
     // ~3.7 KB, so its head was cut and the JSON never parsed). Preserve
@@ -136,7 +175,7 @@ object Bench {
     // then per-query entries slowest-first until the 1800-char budget.
     if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+        (fullFileLine + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     println(fullLine)
     val byCost = results.sortBy { case (_, v) => -v } // failures (-1) surface too
