@@ -33,6 +33,10 @@ object LlmQueries {
   // recall GUARANTEED for hamming ≤ maxDist because maxDist < bands.
   private val SimHashWidth = 60; private val SimHashBands = 4
   private val SimHashMaxDist = 3
+  // line-boilerplate threshold: a line in MORE than this many distinct
+  // docs is boilerplate (nav bars hit thousands; 2 keeps legitimate
+  // two-doc quotes)
+  private val LineDedupMaxDocs = 2L
   // kmeans-trained IVF: k centroids, fixed iteration count (deterministic
   // by construction — the oracle unrolls the same iterations).
   private val IvfK = 4; private val IvfIters = 2
@@ -433,6 +437,14 @@ object LlmQueries {
     "q_lang_id" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // PII redaction: sequential email→phone→IPv4 mask passes with
+    // per-doc counts; patterns live in the Java∩RE2 regex subset so
+    // Spark and the DuckDB oracle match the same spans. Zero-shuffle
+    // projection. The driver corpus plants no PII (exact-zero parity);
+    // tools/advdata.py plants all three kinds plus collision traps.
+    "q_pii_scrub" -> ((s, d) =>
+      TextAnalysis.piiScrub(Tables.documents(s, d), col("doc_id"), col("text"))),
+
     // within-document repetition: 1 - distinct/total shingles — the
     // Gopher-style "repetitive doc" curation gate (high ratio = the same
     // n-grams loop). Pure projection: runs at scan speed, no shuffle.
@@ -471,6 +483,16 @@ object LlmQueries {
         docs.filter(col("doc_id") % 2 === 1), col("text"), col("doc_id"),
         docs.filter(col("doc_id") % 2 === 0), col("text"))
     }),
+
+    // Line-level boilerplate dedup (CCNet/RefinedWeb): drop lines that
+    // recur across > LineDedupMaxDocs distinct docs, reassemble the rest
+    // in order. The driver corpus has single-line docs with no cross-doc
+    // repeats, so this row proves exact-zero-drop parity; the
+    // adversarial corpus (tools/advdata.py) plants a nav-bar line across
+    // many docs and proves the positive path.
+    "q_line_dedup" -> ((s, d) =>
+      Dedup.lineDedup(Tables.documents(s, d), col("doc_id"), col("text"),
+        maxDocs = LineDedupMaxDocs)),
 
     // Percentile quality cut: top 50% by quality per language — the
     // drift-proof way to pick curation thresholds.
@@ -1283,6 +1305,24 @@ object LlmQueries {
          |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
          |WHERE rn = 1""".stripMargin,
 
+    // sequential email→phone→IP passes: each count runs on the text with
+    // the PRIOR categories already masked, mirroring piiScrub exactly
+    "q_pii_scrub" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text AS t0,
+         |         regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1
+         |  FROM documents),
+         |p2 AS (
+         |  SELECT doc_id, t0, t1,
+         |         regexp_replace(t1, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS t2
+         |  FROM p)
+         |SELECT doc_id,
+         |       regexp_replace(t2, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS clean_text,
+         |       CAST(len(regexp_extract_all(t0, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t1, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips
+         |FROM p2""".stripMargin,
+
     "q_repetition" ->
       s"""WITH $shingleCte
          |SELECT doc_id, CAST(len(sg) AS BIGINT) AS n_shingles,
@@ -1332,6 +1372,32 @@ object LlmQueries {
         |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
         |SELECT inc.content_hash, inc.keep_id
         |FROM inc ANTI JOIN ex ON inc.content_hash = ex.content_hash""".stripMargin,
+
+    // line-level boilerplate: string_split on newline (both engines keep
+    // trailing empties), 60-bit md5 line hash, distinct-doc frequency
+    // per hash, drop lines in > LineDedupMaxDocs docs, reassemble kept
+    // lines in position order (list ORDER BY pos FILTER)
+    "q_line_dedup" ->
+      s"""WITH sp AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+         |lines AS (
+         |  SELECT doc_id, i AS pos, ls[i+1] AS line,
+         |         ${sqlMd5Long("ls[i+1]")} AS h
+         |  FROM sp, unnest(range(0, len(ls))) AS u(i)),
+         |bp AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1)
+         |  WHERE n_docs > $LineDedupMaxDocs),
+         |j AS (
+         |  SELECT l.doc_id, l.pos, l.line, (b.h IS NOT NULL) AS is_bp
+         |  FROM lines l LEFT JOIN bp b USING (h))
+         |SELECT doc_id,
+         |       COALESCE(array_to_string(
+         |         list(line ORDER BY pos) FILTER (WHERE NOT is_bp), chr(10)),
+         |         '') AS clean_text,
+         |       CAST(count(*) FILTER (WHERE NOT is_bp) AS BIGINT) AS n_kept,
+         |       CAST(count(*) AS BIGINT) AS n_total
+         |FROM j GROUP BY 1""".stripMargin,
 
     "q_quality_cut" ->
       s"""SELECT doc_id, lang, quality FROM (

@@ -318,6 +318,61 @@ object Dedup {
         col("n_members").cast("long").as("n_members"))
   }
 
+  /** Line-level boilerplate dedup — the CCNet/RefinedWeb curation step:
+    * drop LINES that recur across more than `maxDocs` distinct documents
+    * (headers, nav bars, cookie banners — content no single-document
+    * dedup can see), keeping each document's remaining lines in order.
+    * Returns (doc_id, clean_text, n_kept, n_total); a document whose
+    * every line is boilerplate survives with clean_text = '' so the
+    * caller decides whether to drop empties (the row count stays the
+    * input's — lossless bookkeeping).
+    *
+    * Scale shape (reference has no equivalent; the corpus-level
+    * machinery is [[graft.llm.Contamination]]'s hashed n-gram postings
+    * applied at line granularity):
+    *   1. explode docs into (doc_id, pos, line) and key every line by
+    *      its 60-bit md5 hash — full line text never becomes a shuffle
+    *      KEY, and the doc-frequency side shuffles only (hash, doc_id);
+    *   2. doc-frequency = distinct (hash, doc_id) then count per hash.
+    *      The distinct shuffles on the PAIR, so a nav bar present in
+    *      100M documents spreads across the cluster instead of funneling
+    *      one reducer; the follow-on count per hash is map-side partial
+    *      (a hot hash contributes at most one row per partition to the
+    *      final exchange) — exact doc counts with no skew hotspot;
+    *   3. the boilerplate decision joins back EQUI on the line hash
+    *      (left join + null flag, never a cross join; the boilerplate
+    *      side is the filtered aggregate, small by construction — lines
+    *      recurring in >maxDocs docs are few distinct strings — so AQE
+    *      broadcasts it at runtime when it fits);
+    *   4. reassembly is one shuffle on doc_id: collect (pos, line)
+    *      structs of kept lines, sort by pos, join with newline.
+    * Every exchange key is a hash or an id — document text rides as
+    * values exactly twice (the explode and the reassembly), the minimum
+    * for a rewrite-the-text operator. */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+                maxDocs: Long): DataFrame = {
+    // limit -1 keeps trailing empty lines, matching DuckDB string_split
+    val lines = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("h", md5Long(col("line")))
+    val boilerplate = lines.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("h"), lit(true).as("bp"))
+    lines.join(boilerplate, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        // collect_list skips nulls, so the when() keeps only non-bp lines;
+        // array_sort on (pos, line) structs orders by pos (unique per doc)
+        array_join(transform(
+          array_sort(collect_list(when(col("bp").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(when(col("bp").isNull, lit(1))).as("n_kept"),
+        count(lit(1)).as("n_total"))
+      .select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_total"))
+  }
+
   /** Embedding-cosine near-dup pairs above `threshold`, brute-force
     * within-corpus — the small-corpus baseline. For the 100 TB path use
     * [[Similarity.lshBucketedPairs]]. */

@@ -310,6 +310,40 @@ object TextAnalysis {
     lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3
   }
 
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** PII regexes shared by the operator and the DuckDB oracle. Kept to
+    * the regex subset Java (Spark) and RE2 (DuckDB) treat identically:
+    * character classes + bounded greedy quantifiers, no lookarounds, no
+    * backrefs. Both engines use Perl leftmost-first matching, so
+    * non-overlapping match sets coincide. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction — every production pre-training pipeline runs one:
+    * mask emails / phone numbers / IPv4 addresses with typed tokens and
+    * report per-doc redaction counts. Returns
+    * (doc_id, clean_text, n_emails, n_phones, n_ips).
+    *
+    * The three passes are SEQUENTIAL (count on the current text, then
+    * replace, then next pattern) so a string can only be claimed by one
+    * category and both engines see the identical intermediate text —
+    * counting all three patterns on the raw text would double-count an
+    * IP-looking phone. Pure per-row projection: runs at scan speed, no
+    * shuffle, codegen'd regexp_replace/regexp_count — the 100 TB cost
+    * is one pass over the text column. */
+  def piiScrub(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val t0 = text
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, PhoneRe, "<PHONE>")
+    val t3 = regexp_replace(t2, Ipv4Re, "<IP>")
+    df.select(id.as("doc_id"), t3.as("clean_text"),
+      regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t1, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(t2, lit(Ipv4Re)).cast("long").as("n_ips"))
+  }
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

@@ -269,6 +269,23 @@ class PlanSpec extends SparkSpec {
       s"contamination join must not sort-merge the corpus:\n$p")
   }
 
+  test("line dedup: hash-keyed doc-frequency, equi-join decision, bounded exchanges") {
+    val p = plan(SparkEntry.queries("q_line_dedup")(spark, sf))
+    // the boilerplate decision must join back EQUI on the line hash —
+    // never a cross join of lines × boilerplate
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"line dedup must not cross-join:\n$p")
+    // doc-frequency is partial-aggregated (distinct pair, then map-side
+    // combined count per hash) — a hot nav-bar hash cannot funnel raw
+    // rows to one reducer
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"doc-frequency must partial-aggregate:\n$p")
+    // exchanges: distinct (h, doc_id), count (h), reassembly (doc_id),
+    // plus at most the probe side of the decision join — never more
+    assert("Exchange".r.findAllIn(p).size <= 4,
+      s"line dedup shuffles more than the minimal shape:\n$p")
+  }
+
   test("posting-list ingest gate hash-joins the broadcast postings — no cross join") {
     val p = plan(SparkEntry.queries("q_contam_postings")(spark, sf))
     // doc n-gram hashes equi-join the broadcast (hash → bench_id)

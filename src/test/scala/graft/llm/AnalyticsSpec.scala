@@ -205,6 +205,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out == Map(1L -> ((2L, 3L)), 9L -> ((9L, 1L))))
   }
 
+  test("lineDedup drops lines recurring past maxDocs, keeps order, keeps empty docs") {
+    val docs = Seq(
+      (1L, "nav bar\nbody one\nshared quote"),
+      (2L, "body two\nnav bar\nshared quote"),
+      (3L, "nav bar\nbody three"),
+      (4L, "nav bar\nnav bar")) // all boilerplate, nav twice in ONE doc
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, col("doc_id"), col("text"), maxDocs = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_kept", "n_total")
+      .as[(Long, String, Long, Long)].collect()
+    // "nav bar" is in 3 distinct docs (doc 4's repeat counts once) →
+    // dropped; "shared quote" is in exactly 2 → kept at the boundary
+    assert(out(0) == ((1L, "body one\nshared quote", 2L, 3L)))
+    assert(out(1) == ((2L, "body two\nshared quote", 2L, 3L)))
+    assert(out(2) == ((3L, "body three", 1L, 2L)))
+    assert(out(3) == ((4L, "", 0L, 2L))) // survives as an empty row
+  }
+
+  test("piiScrub masks email→phone→IP sequentially with per-doc counts") {
+    val docs = Seq(
+      (1L, "mail a.b@c.org call 555-123-4567 host 10.0.0.1"),
+      (2L, "phone-shaped IP 192.168.100.2000 stays phone-claimed"),
+      (3L, "no pii at all")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, "mail <EMAIL> call <PHONE> host <IP>", 1L, 1L, 1L)))
+    // the PHONE pass runs before IP and claims 168.100.2000 leftmost
+    assert(out(1) == ((2L, "phone-shaped IP 192.<PHONE> stays phone-claimed", 0L, 1L, 0L)))
+    assert(out(2) == ((3L, "no pii at all", 0L, 0L, 0L)))
+  }
+
   test("pq subvector slicing raises on dim not divisible by m") {
     val bad = Seq((1L, Array(1f, 2f, 3f, 4f, 5f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

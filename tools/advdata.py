@@ -68,7 +68,31 @@ def write_documents(out_dir):
         (97, "what is the capital of france the answer is paris", "en", "bench", 49),
         (13, "leaked prefix what is the capital of france the answer is paris and suffix", "en", "web", 74),
         (14, "the capital city of france is named paris as the answer states", "en", "web", 62),
+        # --- PLANTED LINE BOILERPLATE (q_line_dedup, maxDocs=2) ---
+        # "home | about | contact" recurs in docs 15/16/17/18 (>2 docs →
+        # dropped); "copyright 2024 example" is in exactly 2 docs (the
+        # threshold boundary → KEPT); docs 15-17 end with a trailing
+        # newline, so the empty line also hits 3 docs and is dropped
+        # (string_split trailing-empty parity). Doc 18 is ALL boilerplate
+        # (nav bar twice → within-doc dup counted once, clean_text = '').
+        (15, "home | about | contact\nunique fifteen content here\ncopyright 2024 example\n", "en", "web", 0),
+        (16, "copyright 2024 example\nhome | about | contact\nsixteen body line\n", "en", "web", 0),
+        (17, "seventeen opening line\nhome | about | contact\nseventeen closing line\n", "en", "web", 0),
+        (18, "home | about | contact\nhome | about | contact", "en", "web", 0),
+        # --- PLANTED PII (q_pii_scrub) ---
+        (19, "reach john.doe@example.com or jane_smith+tag@mail.co for info", "en", "web", 0),
+        (20, "call 555-123-4567 or 555.987.6543 now", "en", "web", 0),
+        (21, "ping 192.168.1.1 then 10.0.0.255 fails", "en", "web", 0),
+        # collision traps: "10.20.30.4055" is neither a 3-3-4 phone nor a
+        # clean IP (the IP match stops at 405, leaving a trailing 5);
+        # "192.168.100.2000" IS claimed by the PHONE pass (leftmost match
+        # 168.100.2000) before the IP pass ever sees it — proves the two
+        # engines agree on pass ORDER, not just per-pattern spans
+        (22, "ip 10.20.30.4055 mail x1@y2.org at 127.0.0.1 and 192.168.100.2000", "en", "web", 0),
     ]
+    # keep n_chars honest for the new rows (oracle-side len() parity)
+    rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
+            for (i, t, l, s, n) in rows]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
     con.executemany("INSERT INTO d VALUES (?,?,?,?,?)", rows)
