@@ -59,12 +59,38 @@ object Caches {
 
   /** Run `body` with a private registry and return (result, scope).
     * Close the scope after the consuming action; nesting restores the
-    * outer scope on exit. */
+    * outer scope on exit. If `body` THROWS, the scope is closed before
+    * the exception propagates — the caller never sees the Scope, so
+    * anything tracked up to the failure would otherwise be orphaned
+    * pinned storage (and it never falls through to the global queue,
+    * where a concurrent harness's [[release]] could unpersist it
+    * mid-query). */
   def scope[T](body: => T): (T, Scope) = {
     val s = new Scope
     val prev = active.get()
     active.set(s)
     try (body, s)
+    catch { case t: Throwable => s.close(); throw t }
     finally active.set(prev)
   }
+
+  /** Run `body` with tracking redirected to an EXISTING scope. Scope
+    * redirection is thread-local to the constructing thread, so a
+    * harness that fans ONE query's construction across worker threads
+    * (or builds artifacts under another thread's memo) wraps each
+    * worker's construction in `rebind(s) {...}` — otherwise those
+    * workers' [[track]] calls land in the GLOBAL queue, where a
+    * concurrent harness's [[release]] can unpersist them mid-query.
+    * Exceptions propagate unchanged; the scope stays open (its owner
+    * closes it). */
+  def rebind[T](s: Scope)(body: => T): T = {
+    val prev = active.get()
+    active.set(s)
+    try body
+    finally active.set(prev)
+  }
+
+  /** The scope active on THIS thread, if any — capture it inside a
+    * [[scope]] body to hand to worker threads via [[rebind]]. */
+  def current: Option[Scope] = Option(active.get())
 }

@@ -235,6 +235,19 @@ object LlmQueries {
         w = 8, minShared = 1)
     }),
 
+    // substring-level contamination: longest shared token span per
+    // (train, bench) pair via positional 8-gram matches + diagonal run
+    // extension — the planted 11-token adversarial span must report 11,
+    // not "4 shared 8-grams"; the paraphrased doc must not appear. The
+    // driver corpus has no w≥5 overlap, so here it proves exact-zero.
+    "q_contam_span" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.sharedSpans(
+        docs.filter(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("doc_id"), col("text"),
+        w = 8)
+    }),
+
     // the scale path: pairs form only WITHIN hyperplane-LSH buckets (an
     // equi-join on bucket) — the brute-force all-pairs form stays in the
     // library (Dedup.embeddingNearDupPairs) as the small-corpus baseline
@@ -1009,6 +1022,30 @@ object LlmQueries {
          |SELECT ov.train_id, ov.bench_id, ov.n_shared,
          |       CAST(ov.n_shared AS DOUBLE) / CAST(bn.n_bench AS DOUBLE) AS frac
          |FROM ov JOIN bn USING (bench_id)""".stripMargin,
+
+    // positional 8-gram matches, diagonal (ti - bj) run grouping via the
+    // row_number difference trick, longest run + 7 = span tokens
+    "q_contam_span" ->
+      s"""WITH ${shingleCteW(8)},
+         |tpos AS (
+         |  SELECT doc_id AS train_id, i AS ti, ${sqlMd5Long("sg[i+1]")} AS h
+         |  FROM sh, unnest(range(0, len(sg))) AS u(i) WHERE doc_id % 97 <> 0),
+         |bpos AS (
+         |  SELECT doc_id AS bench_id, i AS bj, ${sqlMd5Long("sg[i+1]")} AS h
+         |  FROM sh, unnest(range(0, len(sg))) AS u(i) WHERE doc_id % 97 = 0),
+         |m AS (
+         |  SELECT train_id, bench_id, ti, ti - bj AS diag
+         |  FROM tpos JOIN bpos USING (h)),
+         |r AS (
+         |  SELECT train_id, bench_id, diag,
+         |         ti - row_number() OVER (PARTITION BY train_id, bench_id, diag
+         |                                 ORDER BY ti) AS run
+         |  FROM m),
+         |rl AS (
+         |  SELECT train_id, bench_id, count(*) AS rl
+         |  FROM r GROUP BY train_id, bench_id, diag, run)
+         |SELECT train_id, bench_id, CAST(max(rl) + 7 AS BIGINT) AS span_len
+         |FROM rl GROUP BY 1, 2""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH $shingleCte,

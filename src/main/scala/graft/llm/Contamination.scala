@@ -159,4 +159,54 @@ object Contamination {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Longest shared token SPAN per (train, bench) pair — substring-level
+    * contamination beyond fixed-width n-gram counting (Lee et al. 2022's
+    * shared-span discipline): an 11-token verbatim quote reports as an
+    * 11-token span, not as "4 shared 8-grams".
+    *
+    * Method: POSITIONAL w-gram matches, then diagonal run extension.
+    * Both sides explode their w-grams WITH position and md5-hash them;
+    * the equi-join on the hash is simultaneously the contamination GATE
+    * (only actually-shared w-grams produce rows — never all-pairs; the
+    * oracle and PlanSpec pin the equi shape) and the seed set for span
+    * extension. A shared span of s tokens appears as s-w+1 consecutive
+    * matches on one DIAGONAL (ti - bj constant), so the longest span is
+    * found with plain relational ops: group matches by (pair, diagonal),
+    * split into consecutive-ti runs with the row_number difference
+    * trick, and report max(run length) + w - 1.
+    *
+    * Cost model at 100 TB: the train side is one scan + positional
+    * explode (spread across cores); the bench positional table is
+    * broadcast (same small-benchmark premise as [[ngramOverlap]]); the
+    * only exchange is the run-grouping window, whose input is the MATCH
+    * set — bounded by real contamination, which decontamination makes
+    * rare by construction. The per-pair work the two-width "gate then
+    * re-scan the pair" design would do is subsumed: extension here costs
+    * one window over already-gated rows instead of a second text scan. */
+  def sharedSpans(train: DataFrame, trainId: Column, trainText: Column,
+                  bench: DataFrame, benchId: Column, benchText: Column,
+                  w: Int): DataFrame = {
+    val t = graft.core.Xform.spreadToCores(train)
+      .select(trainId.as("train_id"),
+        posexplode(shingles(trainText, w)).as(Seq("ti", "sg")))
+      .select(col("train_id"), col("ti"), md5Long(col("sg")).as("h"))
+    val b = bench
+      .select(benchId.as("bench_id"),
+        posexplode(shingles(benchText, w)).as(Seq("bj", "sg")))
+      .select(col("bench_id"), col("bj"), md5Long(col("sg")).as("h"))
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("train_id"), col("bench_id"), col("diag"))
+      .orderBy(col("ti"))
+    t.join(broadcast(b), "h")
+      .select(col("train_id"), col("bench_id"), col("ti"),
+        (col("ti") - col("bj")).as("diag"))
+      // consecutive ti's on one diagonal share (ti - row_number): each
+      // run is one maximal shared span
+      .withColumn("run", col("ti") - row_number().over(runW))
+      .groupBy(col("train_id"), col("bench_id"), col("diag"), col("run"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg((max(col("rl")) + lit(w - 1)).cast("long").as("span_len"))
+  }
 }

@@ -286,6 +286,18 @@ class PlanSpec extends SparkSpec {
       s"line dedup shuffles more than the minimal shape:\n$p")
   }
 
+  test("shared-span extension seeds from an equi hash join — never all-pairs") {
+    val p = plan(SparkEntry.queries("q_contam_span")(spark, sf))
+    // positional w-gram matches come from the broadcast equi-join on the
+    // hash: the gate and the span seeds are the same bounded row set
+    assert(p.contains("BroadcastHashJoin"),
+      s"span matches must broadcast-hash-join on the w-gram hash:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span extension must not enumerate doc pairs:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"span extension must not sort-merge the corpus:\n$p")
+  }
+
   test("posting-list ingest gate hash-joins the broadcast postings — no cross join") {
     val p = plan(SparkEntry.queries("q_contam_postings")(spark, sf))
     // doc n-gram hashes equi-join the broadcast (hash → bench_id)

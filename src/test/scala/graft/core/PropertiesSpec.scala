@@ -274,4 +274,64 @@ class PropertiesSpec extends SparkSpec {
     innerScope.close()
     assert(!cached(inner))
   }
+
+  test("a scope whose body fails mid-construction leaks nothing") {
+    import graft.core.Caches
+    import org.apache.spark.storage.StorageLevel
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.storageLevel != StorageLevel.NONE
+    // a concurrent query's still-needed global handle — the failing
+    // scope must not push anything into the global queue where this
+    // release() ordering would drop a stranger's cache mid-query
+    val bystander = Caches.track(spark.range(30).toDF("g"))
+    bystander.count()
+    var tracked: org.apache.spark.sql.DataFrame = null
+    val ex = intercept[IllegalStateException] {
+      Caches.scope {
+        tracked = Caches.track(spark.range(40).toDF("f"))
+        tracked.count() // materialize, as a partially built query would
+        throw new IllegalStateException("query construction failed")
+      }
+    }
+    assert(ex.getMessage == "query construction failed")
+    // the orphan is released by the auto-close: no pinned storage
+    // survives a failed construction
+    assert(!cached(tracked), "failing scope must release its own handles")
+    // and the global queue holds ONLY the bystander
+    assert(cached(bystander))
+    Caches.release()
+    assert(!cached(bystander))
+    // a fresh scope on this thread still works (thread-local restored)
+    val (ok, okScope) = Caches.scope { Caches.track(spark.range(5).toDF("o")) }
+    ok.count()
+    assert(cached(ok)); okScope.close(); assert(!cached(ok))
+  }
+
+  test("rebind routes worker-thread tracking into the owning scope") {
+    import graft.core.Caches
+    import org.apache.spark.storage.StorageLevel
+    def cached(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.storageLevel != StorageLevel.NONE
+    // query construction fanned out across threads: without rebind the
+    // worker's track() lands in the GLOBAL queue (thread-local scope
+    // doesn't follow threads) — the residual hazard round-7 ADVICE
+    // flagged; with rebind it lands in the owner's scope
+    val (workerFrame, s) = Caches.scope {
+      val owner = Caches.current.get
+      val holder = new java.util.concurrent.atomic.AtomicReference[org.apache.spark.sql.DataFrame]()
+      val t = new Thread(() => {
+        holder.set(Caches.rebind(owner) { Caches.track(spark.range(60).toDF("w")) })
+        ()
+      })
+      t.start(); t.join()
+      holder.get()
+    }
+    workerFrame.count()
+    assert(cached(workerFrame))
+    // a global release must NOT touch it — it belongs to the scope
+    Caches.release()
+    assert(cached(workerFrame), "rebound handle must not sit in the global queue")
+    s.close()
+    assert(!cached(workerFrame))
+  }
 }

@@ -122,6 +122,45 @@ class ContaminationSpec extends SparkSpec {
     assert(flags == Set((1L, 100L, 4L)), s"full cross-row count: $flags")
   }
 
+  test("postings gate inside foreachBatch: micro-batch verdicts equal the batch run") {
+    // the documented deployment shape (Contamination.streamingFlagsPostings
+    // scaladoc): the aggregate makes the postings form batch-shaped, so a
+    // stream runs it per micro-batch from foreachBatch. Per-batch pair
+    // verdicts over a multi-batch stream must union to exactly the
+    // single-batch result — the per-doc aggregation never crosses docs,
+    // so batch boundaries cannot change any verdict.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "a b the quick brown fox c the quick brown fox"),
+      (2L, "the quick brown only"),
+      (3L, "nothing in common at all"),
+      (4L, "entirely disjoint benchmark text here and more"))
+    val ng = Contamination.benchNgrams(bench, col("doc_id"), col("text"), w = 3)
+    val seen = scala.collection.mutable.Set[(Long, Long, Long)]()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= Contamination.streamingFlagsPostings(batch,
+              col("doc_id"), col("text"), ng, w = 3, minShared = 1)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        ()
+      }
+      .start()
+    // two separate micro-batches (processAllAvailable between addData
+    // calls forces the boundary), emulating a rate-limited source
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+    val batchSide = Contamination.streamingFlagsPostings(
+        docs.toDF("doc_id", "text"), col("doc_id"), col("text"),
+        ng, w = 3, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seen.toSet == batchSide, s"stream=$seen batch=$batchSide")
+    assert(seen.nonEmpty, "planted overlap must flag at least one pair")
+  }
+
   test("streamingFlagsPostings equals streamingFlags on random corpora (property)") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
@@ -161,5 +200,26 @@ class ContaminationSpec extends SparkSpec {
     assert(r.getLong(r.fieldIndex("n_shared")) == 4L)
     // bench doc has 11 tokens → 4 distinct 8-grams, all leaked
     assert(r.getDouble(r.fieldIndex("frac")) == 1.0)
+  }
+
+  test("sharedSpans reports the longest shared token span via diagonal runs") {
+    val benchW = Seq(
+      (100L, "what is the capital of france the answer is paris exactly"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // full 11-token span verbatim → 4 consecutive 8-grams, one diagonal
+      (1L, "intro text what is the capital of france the answer is paris exactly outro"),
+      // paraphrase: many shared tokens, zero shared 8-grams → absent
+      (2L, "the capital city of france is called paris as everyone knows"),
+      // 8-token prefix of the span, then broken → exactly one 8-gram run
+      (3L, "what is the capital of france the answer junk is paris exactly and filler"))
+      .toDF("doc_id", "text")
+    val out = Contamination.sharedSpans(train, col("doc_id"), col("text"),
+        benchW, col("doc_id"), col("text"), w = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // span LENGTHS, not n-gram counts: 11 for the verbatim quote, 8 for
+    // the prefix-only doc, nothing for the paraphrase
+    assert(out == Set((1L, 100L, 11L), (3L, 100L, 8L)))
   }
 }

@@ -59,10 +59,11 @@ def write_documents(out_dir):
         # utf8proc always gives '\u03c3' \u2014 the second divergent mapping
         (12, "\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u039a\u0391\u0399 \u0397 \u0398\u0391\u039b\u0391\u03a3\u03a3\u0391 \u0395\u03a3 \u03a3\u039f\u03a6\u039f\u03a3", "el", "web", 31),
         # --- PLANTED CONTAMINATION at production n-gram width (w=8) ---
-        # bench doc 97 (97 % 97 == 0 \u2192 the benchmark slice) carries an
-        # 11-token QA span; train doc 13 embeds it VERBATIM (4 shared
-        # 8-grams), train doc 14 paraphrases it (many shared tokens, ZERO
-        # shared 8-grams). q_contam_w8 must flag 13 and only 13 \u2014 the
+        # bench doc 97 (97 % 97 == 0 \u2192 the benchmark slice) carries a
+        # 10-token QA span; train doc 13 embeds it VERBATIM (3 shared
+        # 8-grams \u2192 q_contam_span reports span_len 10), train doc 14
+        # paraphrases it (many shared tokens, ZERO shared 8-grams).
+        # q_contam_w8 / q_contam_span must flag 13 and only 13 \u2014 the
         # driver corpus has no w\u22655 overlap, so this is the only executed
         # positive at production width.
         (97, "what is the capital of france the answer is paris", "en", "bench", 49),
