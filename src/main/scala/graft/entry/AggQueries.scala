@@ -219,11 +219,16 @@ object AggQueries {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // cents formula mirrored from the Spark side (floor(x·100 + 0.5),
+    // integer sum, ONE cast+divide): DECIMAL accumulation matches at
+    // tested scales but double-rounds differently once the scaled sum
+    // exceeds 2^53 — identical op sequences cannot drift at ANY scale
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+        |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
         |       count(*) AS count_order,
         |       min(l_quantity) AS min_qty,
         |       max(l_extendedprice) AS max_price
@@ -233,14 +238,14 @@ object AggQueries {
 
     "q_grouped_agg" ->
       """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value,
         |       min(value) AS min_value, max(value) AS max_value,
         |       count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin,
 
     "q_windowed_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q_windowed_hopping" ->
@@ -347,17 +352,17 @@ object AggQueries {
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q_window_sliding" ->
       """SELECT event_id, user_id,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
         |              OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3,
-        |       value / CAST(sum(CAST(value AS DECIMAL(18,2)))
-        |                      OVER (PARTITION BY user_id) AS DOUBLE) AS share
+        |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS trailing3,
+        |       value / (CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |                       OVER (PARTITION BY user_id) AS DOUBLE) / 100.0) AS share
         |FROM events""".stripMargin,
 
     "q_latest_by_key" ->
@@ -368,7 +373,7 @@ object AggQueries {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |       CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_cube" ->
@@ -384,8 +389,9 @@ object AggQueries {
     "q_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS s1,
+        |         CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |                  * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS s2
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n, s1 / n AS mean,
         |       greatest((s2 - s1 * s1 / n) / n, 0.0) AS variance,

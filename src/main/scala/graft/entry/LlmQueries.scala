@@ -64,14 +64,23 @@ object LlmQueries {
     * count + max mtime of the dir) alongside (dataset dir,
     * hyperparameters), so a process that regenerates data under a
     * reused path re-trains automatically instead of silently reading a
-    * stale codebook. The fingerprint is a listdir — no data read. A
-    * same-millisecond in-place rewrite could still alias;
-    * [[clearArtifacts]] remains the explicit override. */
+    * stale codebook. The fingerprint is a listdir (one level of
+    * subdirectories included, so Spark-written `table.parquet/part-*`
+    * directory layouts perturb the key too — a top-level-files-only
+    * scan returns a constant for them and silently disables the
+    * staleness check). No data read. A same-millisecond in-place
+    * rewrite could still alias; [[clearArtifacts]] remains the
+    * explicit override. */
   private val artifactMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def dirFingerprint(d: String): String = {
-    val fs = Option(new java.io.File(d).listFiles())
-      .map(_.filter(_.isFile)).getOrElse(Array.empty[java.io.File])
+    def ls(f: java.io.File): Array[java.io.File] =
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    val top = ls(new java.io.File(d))
+    // top-level files + every entry one level under top-level dirs:
+    // the mtime of a rewritten part file (or of the dir the writer
+    // touched) moves the fingerprint in either layout
+    val fs = top.filter(_.isFile) ++ top.filter(_.isDirectory).flatMap(ls)
     s"${fs.length}:${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified()))}"
   }
   private def artifact[T <: AnyRef](key: String)(build: => T): T =
