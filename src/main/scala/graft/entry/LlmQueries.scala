@@ -257,6 +257,16 @@ object LlmQueries {
         w = 8)
     }),
 
+    // within-corpus substring dedup (Lee et al. ExactSubstr): longest
+    // shared token span per doc pair sharing any 8-gram — catches
+    // partial copies MinHash (whole-doc) and lineDedup (line-aligned)
+    // miss. Singleton hashes pruned, df-capped postings self-join equi
+    // on the hash; the planted adversarial verbatim quote must pair its
+    // two carriers with the full span length.
+    "q_substr_dedup" -> ((s, d) =>
+      Contamination.selfDupSpans(Tables.documents(s, d), col("doc_id"),
+        col("text"), w = 8, maxDf = 64)),
+
     // the scale path: pairs form only WITHIN hyperplane-LSH buckets (an
     // equi-join on bucket) — the brute-force all-pairs form stays in the
     // library (Dedup.embeddingNearDupPairs) as the small-corpus baseline
@@ -1031,6 +1041,34 @@ object LlmQueries {
          |SELECT ov.train_id, ov.bench_id, ov.n_shared,
          |       CAST(ov.n_shared AS DOUBLE) / CAST(bn.n_bench AS DOUBLE) AS frac
          |FROM ov JOIN bn USING (bench_id)""".stripMargin,
+
+    // within-corpus twin: positional 8-gram self-join over the
+    // singleton-pruned df-capped posting list, a < b pair orientation,
+    // same diagonal run extension
+    "q_substr_dedup" ->
+      s"""WITH ${shingleCteW(8)},
+         |pos AS (
+         |  SELECT doc_id, i AS p, ${sqlMd5Long("sg[i+1]")} AS h
+         |  FROM sh, unnest(range(0, len(sg))) AS u(i)),
+         |pairable AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1)
+         |  WHERE df >= 2 AND df <= 64),
+         |g AS (SELECT pos.* FROM pos JOIN pairable USING (h)),
+         |m AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa,
+         |         a.p - b.p AS diag
+         |  FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id),
+         |r AS (
+         |  SELECT doc_a, doc_b, diag,
+         |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+         |                                 ORDER BY pa) AS run
+         |  FROM m),
+         |rl AS (
+         |  SELECT doc_a, doc_b, count(*) AS rl
+         |  FROM r GROUP BY doc_a, doc_b, diag, run)
+         |SELECT doc_a, doc_b, CAST(max(rl) + 7 AS BIGINT) AS span_len
+         |FROM rl GROUP BY 1, 2""".stripMargin,
 
     // positional 8-gram matches, diagonal (ti - bj) run grouping via the
     // row_number difference trick, longest run + 7 = span tokens

@@ -184,6 +184,56 @@ object Contamination {
     * rare by construction. The per-pair work the two-width "gate then
     * re-scan the pair" design would do is subsumed: extension here costs
     * one window over already-gated rows instead of a second text scan. */
+  /** WITHIN-CORPUS substring dedup (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr
+    * discipline): longest shared token span for every document pair
+    * sharing at least one w-gram — the operator that catches partially
+    * copied articles, syndicated wire stories and template text that
+    * document-level MinHash misses and line-level dedup only catches
+    * when the copy is line-aligned.
+    *
+    * Same diagonal-run method as [[sharedSpans]], but the corpus joins
+    * ITSELF, so neither side broadcasts. Scale levers:
+    *   - singleton pruning: hashes appearing in one doc (the vast
+    *     majority of an organic corpus) are dropped before the pair
+    *     join — they cannot form a pair;
+    *   - a document-frequency CAP (`maxDf`): a w-gram present in more
+    *     than maxDf docs is boilerplate, not plagiarism — it belongs to
+    *     [[Dedup.lineDedup]]'s regime, and keeping it here would make
+    *     the pair join quadratic in its posting length (the classic
+    *     hot-shingle skew; RefinedWeb applies exactly this cap). Both
+    *     filters ride one hash-keyed aggregate, and the df-gated
+    *     posting list then self-joins EQUI on the hash with a.doc <
+    *     b.doc — bounded by maxDf² per hash, never all-pairs.
+    * The run-grouping window and final per-pair max are sized by actual
+    * shared spans. Every exchange is keyed by the hash or the pair. */
+  def selfDupSpans(docs: DataFrame, id: Column, text: Column,
+                   w: Int, maxDf: Long): DataFrame = {
+    val pos = graft.core.Xform.spreadToCores(docs)
+      .select(id.as("doc_id"), posexplode(shingles(text, w)).as(Seq("p", "sg")))
+      .select(col("doc_id"), col("p"), md5Long(col("sg")).as("h"))
+    // pairable hashes: in ≥2 docs (singletons can't pair) and ≤ maxDf
+    // (hotter is boilerplate; also bounds join fan-out per hash)
+    val pairable = pos.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val gated = pos.join(pairable, "h")
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    gated.select(col("doc_id").as("doc_a"), col("p").as("pa"), col("h"))
+      .join(gated.select(col("doc_id").as("doc_b"), col("p").as("pb"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+      .withColumn("run", col("pa") - row_number().over(runW))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run"))
+      .agg(count(lit(1)).as("rl"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("rl")) + lit(w - 1)).cast("long").as("span_len"))
+  }
+
   def sharedSpans(train: DataFrame, trainId: Column, trainText: Column,
                   bench: DataFrame, benchId: Column, benchText: Column,
                   w: Int): DataFrame = {

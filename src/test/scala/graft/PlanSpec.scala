@@ -298,6 +298,19 @@ class PlanSpec extends SparkSpec {
       s"span extension must not sort-merge the corpus:\n$p")
   }
 
+  test("within-corpus substring dedup: df-gated posting self-join, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_substr_dedup")(spark, sf))
+    // the corpus self-join must key on the w-gram hash (equi) with the
+    // singleton/df gate applied BEFORE pairing — a nested loop or
+    // cartesian would be the all-pairs plan this operator exists to avoid
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"substring dedup must not enumerate doc pairs:\n$p")
+    // pair orientation is a post-join filter on an equi join, so joins
+    // appear as hash joins (broadcast or shuffled) — never loops
+    assert(p.contains("Join") && p.contains("hash"),
+      s"expected hash-join pairing:\n$p")
+  }
+
   test("posting-list ingest gate hash-joins the broadcast postings — no cross join") {
     val p = plan(SparkEntry.queries("q_contam_postings")(spark, sf))
     // doc n-gram hashes equi-join the broadcast (hash → bench_id)

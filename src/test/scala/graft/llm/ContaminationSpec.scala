@@ -222,4 +222,27 @@ class ContaminationSpec extends SparkSpec {
     // the prefix-only doc, nothing for the paraphrase
     assert(out == Set((1L, 100L, 11L), (3L, 100L, 8L)))
   }
+
+  test("selfDupSpans pairs partial copies within one corpus; df cap drops boilerplate") {
+    val span = "one two three four five six seven eight nine ten"
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8" // an 8-gram in EVERY doc
+    val docs = Seq(
+      (1L, s"$boiler article starts $span and then diverges"),
+      (2L, s"totally different intro $span closing words $boiler"),
+      (3L, s"$boiler no copied content whatsoever in this one"),
+      (4L, s"unrelated filler text about query planners $boiler"))
+      .toDF("doc_id", "text")
+    val out = Contamination.selfDupSpans(docs, col("doc_id"), col("text"),
+        w = 8, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the 10-token copied span pairs docs 1-2 ONLY; the boilerplate
+    // 8-gram sits in 4 docs > maxDf=3, so it generates no pairs at all
+    assert(out == Set((1L, 2L, 10L)), s"got $out")
+    // raising the cap lets the boilerplate pair everything — the cap is
+    // what separates plagiarism detection from boilerplate noise
+    val uncapped = Contamination.selfDupSpans(docs, col("doc_id"), col("text"),
+        w = 8, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+  }
 }
