@@ -40,6 +40,11 @@ object LlmQueries {
   // kmeans-trained IVF: k centroids, fixed iteration count (deterministic
   // by construction — the oracle unrolls the same iterations).
   private val IvfK = 4; private val IvfIters = 2
+  // SemDeDup: k bounds the within-cluster quadratic screen (k grows with
+  // the corpus at scale); eps=0.3 sits inside the synthetic embeddings'
+  // cosine range (within-cluster pairs top out near 0.55) so the screen
+  // provably drops rows rather than vacuously keeping everything.
+  private val SemK = 8; private val SemEps = 0.3
   // BM25 query-term bag shared by query + oracle (k1/b/topK are the
   // Retrieval.bm25 defaults: 1.2 / 0.75 / 10).
   private val BmQueryTerms = Seq("the", "of", "and")
@@ -101,6 +106,14 @@ object LlmQueries {
     artifact(s"kmeans|$d|${dirFingerprint(d)}|k=$IvfK|i=$IvfIters") {
       Similarity.kmeansCentroids(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), IvfK, IvfIters)
+    }
+
+  /** SemDeDup's k-means centroids (k=SemK — a coarser-grained index than
+    * the IVF one, trained once per dataset like every other artifact). */
+  private def semCentroids(s: SparkSession, d: String): Seq[(Long, Array[Float], Long)] =
+    artifact(s"kmeans|$d|${dirFingerprint(d)}|k=$SemK|i=$IvfIters") {
+      Similarity.kmeansCentroids(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), SemK, IvfIters)
     }
 
   /** The deterministic vec_id<16 coarse centroid set, id-sorted. */
@@ -273,6 +286,19 @@ object LlmQueries {
     "q_embed_neardup" -> ((s, d) => Similarity.lshBucketedPairs(
       Tables.embeddings(s, d), col("vec_id"), col("embedding"),
       nPlanes = NPlanes, threshold = 0.2)),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup — k-means clusters
+    // bound the quadratic screen; within a cluster, a row is dropped iff
+    // a higher-ranked (more central) row sits within eps cosine. The
+    // centroid artifact is the same train-once k-means the IVF family
+    // memoizes (k=8 here — a separate index from IvfK=4).
+    "q_semdedup" -> ((s, d) => {
+      import s.implicits._
+      val cents = semCentroids(s, d).map { case (cid, cv, _) => (cid, cv) }
+        .toDF("cid", "cv")
+      Dedup.semDedup(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), cents, eps = SemEps)
+    }),
 
     "q_minhash_by_source" -> ((s, d) => {
       val sig = GraftFunctions.minhashSignature(
@@ -1132,6 +1158,30 @@ object LlmQueries {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${sqlCos("a.embedding", "b.embedding")} AS cos
          |FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.2""".stripMargin,
+
+    // SemDeDup: retrain the k=SemK codebook via the shared kmeans CTE
+    // chain, then mirror assign → centrality rank → within-cluster
+    // exists-screen exactly (cosines and ranks are bit-identical doubles
+    // on both engines, so kept flags match row-for-row)
+    "q_semdedup" ->
+      s"""WITH ${sqlKmeansCte(SemK, IvfIters, pfx = "sd_")},
+         |assigned AS (
+         |  SELECT vec_id, v, cid, ccos FROM (
+         |    SELECT e.vec_id, e.bv AS v, c.cid, ${sqlCos("e.bv", "c.cv")} AS ccos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM sd_base e CROSS JOIN sd_c$IvfIters c) t WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, v, cid,
+         |         row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS rnk
+         |  FROM assigned),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM ranked x JOIN ranked y ON x.cid = y.cid AND y.rnk < x.rnk
+         |  WHERE ${sqlCos("x.v", "y.v")} >= $SemEps)
+         |SELECT r.vec_id, r.cid, CAST(r.rnk AS BIGINT) AS rnk,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id""".stripMargin,
 
     "q_ann_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -383,4 +383,58 @@ object Dedup {
         graft.functions.CosineSimilarity(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): SEMANTIC dedup —
+    * MinHash/SimHash catch lexical copies, this catches paraphrases and
+    * re-renderings whose embeddings nearly coincide. The trick that makes
+    * it tractable is the one the paper names: cluster first (k-means over
+    * the embedding space, pre-trained `centroids` (cid, cv) — the
+    * [[Similarity.kmeans]] artifact), then compare pairs only WITHIN a
+    * cluster, so the quadratic work is bounded by cluster size, never
+    * corpus size. At 100 TB k grows with the corpus (k ≈ N / target
+    * cluster size), keeping per-cluster work constant; the cross-cluster
+    * pairs k-means separates are exactly the ones a high `eps` would
+    * reject anyway.
+    *
+    * Deterministic keep rule: within a cluster, rows are ranked by
+    * similarity-to-centroid DESC (ties to the lowest id) — rank 1 is the
+    * most central exemplar; a row is dropped iff some HIGHER-ranked row
+    * in its cluster has cosine >= eps with it. Exists-semantics, not
+    * transitive closure, matching the paper's per-cluster screen (a
+    * dropped row cannot shield a later one; its dominator is still
+    * present and >= eps pairs are what the join emits).
+    *
+    * Plan shape: broadcast of k·dim centroid floats + per-row argmax
+    * (map-side combined hash-agg), one window shuffle on cid, and an
+    * equi self-join on cid — no all-pairs anywhere (PlanSpec pins the
+    * no-cartesian shape). Returns (vec_id, cid, rnk, kept). */
+  def semDedup(df: DataFrame, id: Column, vec: Column,
+               centroids: DataFrame, eps: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    val scored = v.crossJoin(broadcast(centroids.select(col("cid"), col("cv"))))
+      .select(col("vec_id"), col("v"), col("cid"),
+        graft.functions.CosineSimilarity(col("v"), col("cv")).as("ccos"))
+    // per-vector argmax over (ccos, -cid): ties to the lowest centroid id,
+    // the same pick as ORDER BY ccos DESC, cid (the ivfAssignWith rule)
+    val assigned = scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("cid"), col("ccos")),
+        struct(col("ccos"), -col("cid"))).as("__b"))
+      .select(col("vec_id"), col("__b.v").as("v"),
+        col("__b.cid").as("cid"), col("__b.ccos").as("ccos"))
+    // persisted: the ranked table feeds both self-join sides and the
+    // final verdict join — untracked, Spark would re-run the argmax scan
+    // three times (released by the harness via releaseCaches)
+    val ranked = persistTracked(assigned.withColumn("rnk",
+      row_number().over(Window.partitionBy(col("cid"))
+        .orderBy(col("ccos").desc, col("vec_id")))))
+    val dropped = ranked.as("x").join(ranked.as("y"),
+        col("x.cid") === col("y.cid") && col("y.rnk") < col("x.rnk"))
+      .filter(graft.functions.CosineSimilarity(col("x.v"), col("y.v")) >= eps)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("__d", lit(true))
+    ranked.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rnk"),
+        col("__d").isNull.as("kept"))
+  }
 }

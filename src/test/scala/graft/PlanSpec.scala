@@ -323,4 +323,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"postings gate must not sort-merge the corpus:\n$p")
   }
+
+  test("semDedup: pair screen equi-joins on the cluster id — never all-pairs") {
+    val p = plan(SparkEntry.queries("q_semdedup")(spark, sf))
+    // the quadratic screen must stay WITHIN clusters: an equi join on
+    // cid (hash or sort-merge), never a corpus × corpus loop
+    assert(!p.contains("CartesianProduct"),
+      s"semDedup must not enumerate corpus pairs:\n$p")
+    // the only legitimate nested-loop is the broadcast of the k·dim
+    // centroid LITERAL table into the assignment scan (bounded index
+    // state, the ivfAssign shape). The cached ranked subtree prints once
+    // per InMemoryTableScan consumer, so count BNLJs against the centroid
+    // LocalTableScans: a pair screen gone nested-loop would broadcast an
+    // InMemoryTableScan side instead and break the equality
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size ==
+      "LocalTableScan \\[cid".r.findAllIn(p).size,
+      s"only the centroid broadcast may nested-loop:\n$p")
+    // the within-cluster screen itself is an equi join keyed on cid
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
+      .findFirstIn(p).isDefined,
+      s"pair screen must equi-join on the cluster id:\n$p")
+    // the ranked table is persisted and re-read by both self-join sides
+    // (InMemoryTableScan), not recomputed from the scan per side
+    assert(p.contains("InMemoryTableScan"),
+      s"ranked cluster table must be cached for the self-join:\n$p")
+  }
 }

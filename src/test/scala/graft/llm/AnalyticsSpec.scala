@@ -224,6 +224,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3) == ((4L, "", 0L, 2L))) // survives as an empty row
   }
 
+  test("semDedup: centrality-ranked eps-screen within clusters, exists not closure") {
+    def v(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
+      math.sin(math.toRadians(a)).toFloat)
+    // cluster 0: unit vectors at 0°/18°/36°; cluster 1: one vector at 90°
+    val df = Seq((1L, v(0)), (2L, v(18)), (3L, v(36)), (4L, v(90)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(0)), (1L, v(90))).toDF("cid", "cv")
+    val eps = math.cos(math.toRadians(25)) // 18° apart = dup, 36° = distinct
+    val out = Dedup.semDedup(df, col("vec_id"), col("embedding"), cents, eps)
+      .orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect()
+    assert(out(0) == ((1L, 0L, 1L, true))) // rank-1 exemplar always survives
+    assert(out(1) == ((2L, 0L, 2L, false))) // within eps of row 1
+    // row 2 being dropped does NOT shield row 3 (exists-semantics, not
+    // closure): row 3 is within eps of the higher-ranked row 2
+    assert(out(2) == ((3L, 0L, 3L, false)))
+    assert(out(3) == ((4L, 1L, 1L, true))) // alone in its cluster
+    Dedup.releaseCaches()
+  }
+
   test("piiScrub masks email→phone→IP sequentially with per-doc counts") {
     val docs = Seq(
       (1L, "mail a.b@c.org call 555-123-4567 host 10.0.0.1"),
