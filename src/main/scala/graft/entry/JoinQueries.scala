@@ -37,6 +37,30 @@ object JoinQueries {
             (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
             .cast("double").as("revenue"))),
 
+    // q_join_large's layout-optimized twin: both fact sides materialized
+    // ONCE as hash-bucketed tables on the join key (the write-time
+    // shuffle), then every join on that key reads co-located buckets —
+    // ZERO exchanges under the join (PlanSpec-pinned). The merge hint
+    // declares the 100 TB plan (two huge sides) that AQE would replace
+    // with a broadcast at toy scale; the filter proves pushdown survives
+    // the bucketed scan.
+    "q_bucketed_join" -> ((s, d) => {
+      val fp = graft.sources.Bucketing.dirFingerprint(d)
+      val li = graft.sources.Bucketing.bucketed(
+        Tables.lineitem(s, d), "li_bkt", fp, "l_orderkey", 8,
+        Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"))
+      val or = graft.sources.Bucketing.bucketed(
+        Tables.orders(s, d), "ord_bkt", fp, "o_orderkey", 8,
+        Seq("o_orderkey", "o_orderpriority"))
+      li.filter(col("l_quantity") > 25).hint("merge")
+        .join(or, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+    }),
+
     "q_semi_join" -> ((s, d) =>
       Joins.semi(Tables.part(s, d),
         Tables.lineitem(s, d).filter(col("l_quantity") > 45),
@@ -116,6 +140,15 @@ object JoinQueries {
       """SELECT o_orderpriority, count(*) AS n_items,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // bucketing is a physical layout — the logical result is the plain
+    // filtered join, which is exactly what the oracle states
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity > 25
         |GROUP BY o_orderpriority""".stripMargin,
 
     "q_semi_join" ->

@@ -17,11 +17,14 @@ object Sinks {
     * catalog (`saveAsTable`), not a bare path: bucket metadata lives in
     * the catalog. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    nBuckets: Int): Unit =
-    df.write.mode("overwrite")
+                    nBuckets: Int, path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    // an explicit path makes the table EXTERNAL (data outside the
+    // warehouse dir); bucket metadata still lives in the catalog
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Hive-style partitioned parquet with bounded file sizes:
     * `partitionBy` gives reads partition pruning on the filter columns;

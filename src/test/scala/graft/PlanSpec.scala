@@ -324,6 +324,26 @@ class PlanSpec extends SparkSpec {
       s"postings gate must not sort-merge the corpus:\n$p")
   }
 
+  test("bucketed fact⋈fact join reads co-located buckets — zero exchanges under the join") {
+    val df = SparkEntry.queries("q_bucketed_join")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("SortMergeJoin"),
+      s"bucketed twins must sort-merge (the declared 100 TB plan):\n$p")
+    // the ONLY shuffle in the whole query is the final group-by — the
+    // join itself reads both sides' buckets co-located (this is the
+    // point: the write-time shuffle is amortized over every later join)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"bucketed join must not shuffle either side:\n$p")
+    assert(!p.contains("BroadcastExchange"),
+      s"neither side may broadcast (both are facts at scale):\n$p")
+    val e = explained(df)
+    assert(e.contains("Bucketed: true"),
+      s"scan must read through the bucket spec:\n$e")
+    // predicate pushdown survives the bucketed scan
+    assert(e.contains("GreaterThan(l_quantity,25.0)"),
+      s"filter must push to the bucketed scan:\n$e")
+  }
+
   test("semDedup: pair screen equi-joins on the cluster id — never all-pairs") {
     val p = plan(SparkEntry.queries("q_semdedup")(spark, sf))
     // the quadratic screen must stay WITHIN clusters: an equi join on
