@@ -209,9 +209,13 @@ object Contamination {
     * shared spans. Every exchange is keyed by the hash or the pair. */
   def selfDupSpans(docs: DataFrame, id: Column, text: Column,
                    w: Int, maxDf: Long): DataFrame = {
-    val pos = graft.core.Xform.spreadToCores(docs)
+    // tracked persist: the exploded (doc, pos, hash) table feeds the
+    // df-gate aggregate AND the pair self-join — uncached, the raw
+    // scan→shingle→md5 subtree (the query's dominant cost) re-runs per
+    // consumer. (8B+4B+8B) per token position, far smaller than the text.
+    val pos = graft.core.Caches.track(graft.core.Xform.spreadToCores(docs)
       .select(id.as("doc_id"), posexplode(shingles(text, w)).as(Seq("p", "sg")))
-      .select(col("doc_id"), col("p"), md5Long(col("sg")).as("h"))
+      .select(col("doc_id"), col("p"), md5Long(col("sg")).as("h")))
     // pairable hashes: in ≥2 docs (singletons can't pair) and ≤ maxDf
     // (hotter is boilerplate; also bounds join fan-out per hash)
     val pairable = pos.select(col("h"), col("doc_id")).distinct()

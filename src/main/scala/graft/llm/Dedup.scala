@@ -351,10 +351,13 @@ object Dedup {
     * for a rewrite-the-text operator. */
   def lineDedup(df: DataFrame, id: Column, text: Column,
                 maxDocs: Long): DataFrame = {
-    // limit -1 keeps trailing empty lines, matching DuckDB string_split
-    val lines = df.select(id.as("doc_id"),
+    // limit -1 keeps trailing empty lines, matching DuckDB string_split.
+    // Tracked persist: the exploded line table feeds the doc-frequency
+    // aggregate AND the decision join-back — uncached, the scan+split
+    // re-runs per consumer (released by the harness via releaseCaches).
+    val lines = persistTracked(df.select(id.as("doc_id"),
         posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("h", md5Long(col("line")))
+      .withColumn("h", md5Long(col("line"))))
     val boilerplate = lines.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxDocs)
