@@ -16,7 +16,10 @@ object Verify {
       Files.writeString(Paths.get(args(1)), oracleJson)
       return
     }
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: only run queries whose name starts with the given
+    // prefix (local iteration aid; the driver always passes 2 args)
+    val (sfDir, outDir) = (args(0), args(1))
+    val prefix = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +29,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
