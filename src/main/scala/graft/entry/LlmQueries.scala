@@ -50,7 +50,8 @@ object LlmQueries {
   private val BmQueryTerms = Seq("the", "of", "and")
 
   private def media(s: SparkSession, d: String): DataFrame =
-    Multimodal.asMediaTable(Tables.documents(s, d), col("doc_id"), col("text"))
+    Multimodal.asMediaTable(Tables.documents(s, d), col("doc_id"),
+      Multimodal.syntheticPayload(col("doc_id"), col("text")))
 
   /** Content-keyed memo for deterministic INDEX-BUILD artifacts: PQ
     * codebooks, trained k-means centroids, the coarse centroid set and
@@ -716,6 +717,7 @@ object LlmQueries {
       Multimodal.resize(media(s, d), outW = 16, outH = 8)
         .select(col("media_id"),
           col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.bit_depth").as("bit_depth"),
           col("meta.n_bytes").as("n_bytes"),
           md5(lower(hex(col("payload")))).as("payload_md5")))
   )
@@ -1777,39 +1779,98 @@ object LlmQueries {
     // the adversarial corpus carries one to pin this (ADVICE r3). Byte
     // slices are compared via md5(lower(hex(bytes))) because DuckDB's md5
     // only accepts VARCHAR; both engines hex-render bytes identically.
+    // The payload CTE mirrors Multimodal.syntheticPayload: REAL container
+    // header bytes (by doc_id residue) + utf-8 text; q_media_meta's
+    // expected dims come from the residue FORMULA, independent of the
+    // byte-parsing path under test (functions/MediaDims).
     "q_media_meta" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |       'application/octet-stream' AS mime,
-        |       CAST(CAST('0x'||substring(md5(text),1,8) AS BIGINT) % 1920 + 1 AS INT) AS width,
-        |       CAST(CAST('0x'||substring(md5(text),9,8) AS BIGINT) % 1080 + 1 AS INT) AS height,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents""".stripMargin,
+      s"""$MediaPayloadCte
+         |SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+         |    WHEN 2 THEN 'image/gif' ELSE 'application/octet-stream' END AS mime,
+         |  CASE WHEN doc_id % 4 = 3 THEN NULL
+         |    ELSE CAST(doc_id % 1920 + 1 AS INT) END AS width,
+         |  CASE WHEN doc_id % 4 = 3 THEN NULL
+         |    ELSE CAST((doc_id * 7) % 1080 + 1 AS INT) END AS height,
+         |  CASE doc_id % 4
+         |    WHEN 0 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
+         |    WHEN 1 THEN CAST(8 AS INT)
+         |    WHEN 2 THEN CAST(doc_id % 8 + 1 AS INT)
+         |    ELSE NULL END AS bit_depth,
+         |  n_bytes
+         |FROM pl""".stripMargin,
 
     "q_media_frames" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INT) AS frame_idx,
-        |       md5(lower(substring(hex(encode(text)), CAST(i AS INT) * 64 + 1, 64))) AS frame_md5
-        |FROM documents
-        |CROSS JOIN LATERAL unnest(list_filter(range(0, CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT)),
-        |  i -> i % 2 = 0)) AS u(i)
-        |WHERE octet_length(encode(text)) > 0""".stripMargin,
+      s"""$MediaPayloadCte
+         |SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(i AS INT) AS frame_idx,
+         |       md5(substring(ph, CAST(i AS INT) * 64 + 1, 64)) AS frame_md5
+         |FROM pl
+         |CROSS JOIN LATERAL unnest(list_filter(range(0, CAST(ceil(n_bytes / 32.0) AS BIGINT)),
+         |  i -> i % 2 = 0)) AS u(i)
+         |WHERE n_bytes > 0""".stripMargin,
 
     "q_media_resize" ->
-      """SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
-        |       CAST(least(octet_length(encode(text)), 128) AS BIGINT) AS n_bytes,
-        |       md5(lower(substring(hex(encode(text)), 1, 256))) AS payload_md5
-        |FROM documents""".stripMargin,
+      s"""$MediaPayloadCte
+         |SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+         |       CASE doc_id % 4
+         |         WHEN 0 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
+         |         WHEN 1 THEN CAST(8 AS INT)
+         |         WHEN 2 THEN CAST(doc_id % 8 + 1 AS INT)
+         |         ELSE NULL END AS bit_depth,
+         |       CAST(least(n_bytes, 128) AS BIGINT) AS n_bytes,
+         |       md5(substring(ph, 1, 256)) AS payload_md5
+         |FROM pl""".stripMargin,
 
     "q_media_features" ->
-      """WITH f AS (
-        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
-        |         list_transform(range(0, 16), i ->
-        |           CAST(((CAST('0x'||substring(md5(text), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
-        |                  + i * 17) % 256) / 255.0 - 0.5 AS FLOAT)) AS features
-        |  FROM documents)
-        |SELECT media_id, CAST(len(features) AS BIGINT) AS n_dims,
-        |       CAST(features[1] AS DOUBLE) AS f0,
-        |       list_sum(list_transform(features, x -> CAST(x AS DOUBLE))) AS fsum
-        |FROM f""".stripMargin
+      s"""$MediaPayloadCte,
+         |f AS (
+         |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         |         list_transform(range(0, 16), i ->
+         |           CAST(((CAST('0x'||substring(md5(ph), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
+         |                  + i * 17) % 256) / 255.0 - 0.5 AS FLOAT)) AS features
+         |  FROM pl)
+         |SELECT media_id, CAST(len(features) AS BIGINT) AS n_dims,
+         |       CAST(features[1] AS DOUBLE) AS f0,
+         |       list_sum(list_transform(features, x -> CAST(x AS DOUBLE))) AS fsum
+         |FROM f""".stripMargin
   )
+
+  /** Payload-construction CTE shared by the media oracles — the SQL twin
+    * of [[Multimodal.syntheticPayload]]: `hdr` builds the container
+    * header hex per doc_id residue, `pl` appends the utf-8 text and
+    * carries (ph = full payload hex, lowercase; n_bytes). */
+  // NOTE: this fragment is interpolated into oracles that call
+  // .stripMargin afterwards, so no line may START with `||` (the second
+  // strip would eat one bar) — concatenation operators sit at line ENDS.
+  private lazy val MediaPayloadCte: String =
+    """WITH hdr AS (
+      |  SELECT doc_id, text,
+      |    CASE doc_id % 4
+      |     WHEN 0 THEN '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+      |       lpad(hex(CAST(doc_id % 1920 + 1 AS INT)), 8, '0') ||
+      |       lpad(hex(CAST((doc_id * 7) % 1080 + 1 AS INT)), 8, '0') ||
+      |       (CASE WHEN doc_id % 2 = 0 THEN '08' ELSE '10' END) ||
+      |       '06000000' || 'DEADBEEF'
+      |     WHEN 1 THEN 'FFD8' ||
+      |       'FFE0' || lpad(hex(CAST(doc_id % 8 + 16 AS INT)), 4, '0') ||
+      |       repeat('00', CAST(doc_id % 8 + 14 AS INT)) ||
+      |       'FFFE' || lpad(hex(CAST(doc_id % 5 + 4 AS INT)), 4, '0') ||
+      |       repeat('00', CAST(doc_id % 5 + 2 AS INT)) ||
+      |       'FFC0' || '000B' || '08' ||
+      |       lpad(hex(CAST((doc_id * 7) % 1080 + 1 AS INT)), 4, '0') ||
+      |       lpad(hex(CAST(doc_id % 1920 + 1 AS INT)), 4, '0') ||
+      |       '01' || '011100'
+      |     WHEN 2 THEN '474946383961' ||
+      |       substring(lpad(hex(CAST(doc_id % 1920 + 1 AS INT)), 4, '0'), 3, 2) ||
+      |       substring(lpad(hex(CAST(doc_id % 1920 + 1 AS INT)), 4, '0'), 1, 2) ||
+      |       substring(lpad(hex(CAST((doc_id * 7) % 1080 + 1 AS INT)), 4, '0'), 3, 2) ||
+      |       substring(lpad(hex(CAST((doc_id * 7) % 1080 + 1 AS INT)), 4, '0'), 1, 2) ||
+      |       lpad(hex(CAST((doc_id % 8) * 16 AS INT)), 2, '0') || '0000'
+      |     ELSE '' END AS hdr_hex
+      |  FROM documents),
+      |pl AS (
+      |  SELECT doc_id, text, lower(hdr_hex || hex(encode(text))) AS ph,
+      |         CAST(length(hdr_hex) // 2 + octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM hdr)""".stripMargin
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * actually uses (payload stays columnar-compressed in parquet; metadata
   * is pruned/pushed independently of the blobs).
   *
-  * The decode step is STUBBED (no image/audio libs in this container):
-  * [[fakeDecodeFeatures]] derives a deterministic float feature vector
-  * from the payload bytes, so the Spark-side plumbing — schema, batch
-  * iteration, partition shape, feature arrays — is real and tested while
-  * the codec call is an explicit seam to swap for a real decoder.
+  * The metadata is REAL: [[asMediaTable]] derives format/width/height/
+  * bit-depth by parsing container header bytes with the native
+  * [[graft.functions.MediaDims]] expression (PNG IHDR / JPEG SOFn scan /
+  * GIF logical screen) — no codec library, pure byte logic inside the
+  * scan, exactly what a curation resolution-gate filters on. Only PIXEL
+  * decode remains a stub ([[fakeDecodeFeatures]], an explicit seam for a
+  * real codec), because feature extraction genuinely needs one.
   */
 object Multimodal {
 
@@ -26,31 +28,87 @@ object Multimodal {
       StructField("mime", StringType, nullable = true),
       StructField("width", IntegerType, nullable = true),
       StructField("height", IntegerType, nullable = true),
+      StructField("bit_depth", IntegerType, nullable = true),
       StructField("n_bytes", LongType, nullable = true))), nullable = true)))
 
-  /** Build a media table from any (id, string-content) source — the
-    * payload is the utf-8 encoding; width/height are deterministic fakes
-    * derived from the payload hash (stand-ins for decoded dimensions). */
-  def asMediaTable(df: DataFrame, id: Column, content: Column): DataFrame = {
-    val payload = encode(content, "UTF-8")
-    val h = md5(payload)
+  /** Ingest step: (id, payload) → media table with the meta struct
+    * PARSED from the payload's container header bytes
+    * ([[graft.functions.MediaDims]] — a codegen'd projection, so the
+    * metadata materializes at scan speed with zero shuffles; downstream
+    * filters read the struct and never touch the blob again). */
+  def asMediaTable(df: DataFrame, id: Column, payload: Column): DataFrame = {
+    val dims = graft.functions.MediaDims(payload)
     df.select(
       id.cast("long").as("media_id"),
       payload.as("payload"),
       struct(
-        lit("application/octet-stream").as("mime"),
-        (pmod(conv(substring(h, 1, 8), 16, 10).cast("long"), lit(1920L)) + 1).cast("int").as("width"),
-        (pmod(conv(substring(h, 9, 8), 16, 10).cast("long"), lit(1080L)) + 1).cast("int").as("height"),
+        when(dims.getField("format") === "unknown",
+          lit("application/octet-stream"))
+          .otherwise(concat(lit("image/"), dims.getField("format"))).as("mime"),
+        dims.getField("width").as("width"),
+        dims.getField("height").as("height"),
+        dims.getField("bit_depth").as("bit_depth"),
         octet_length(payload).cast("long").as("n_bytes")).as("meta"))
   }
 
-  /** STUB decode: deterministic pseudo-features from payload bytes.
-    * Replace this seam with a real codec (e.g., JNI/ONNX) in production —
-    * everything around it (partitioned batch iteration, fixed-dim float
-    * output, null-payload passthrough) is the real contract. */
+  /** Deterministic test-corpus payload: REAL container header bytes
+    * (format and dimensions chosen by id residues) followed by the
+    * utf-8 content — so header parsing runs against genuine PNG/JPEG/GIF
+    * byte layouts (variable JPEG segment lengths included, forcing a
+    * real segment scan) without shipping binary fixtures. id % 4 == 3
+    * gets NO header: the unknown-format path. The residue formula is
+    * mirrored in the SQL oracles (entry/LlmQueries). */
+  def syntheticPayload(id: Column, content: Column): Column = {
+    val m = id
+    val w = (m % 1920 + 1).cast("int")
+    val h = ((m * 7) % 1080 + 1).cast("int")
+    val w32 = lpad(hex(w), 8, "0"); val h32 = lpad(hex(h), 8, "0")
+    val w16 = lpad(hex(w), 4, "0"); val h16 = lpad(hex(h), 4, "0")
+    // PNG: sig, IHDR len 13, "IHDR", w/h u32 BE, depth 8|16, colour-type
+    // 6 + compression/filter/interlace 0, fake CRC
+    val png = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      w32, h32, when(m % 2 === 0, lit("08")).otherwise(lit("10")),
+      lit("06000000" + "DEADBEEF"))
+    // JPEG: SOI, APP0 of VARIABLE length L, COM of variable length LC,
+    // then SOF0 (len 11, precision 8, h/w u16 BE, 1 component)
+    val L = (m % 8 + 16).cast("int"); val LC = (m % 5 + 4).cast("int")
+    val zeros = lit("0" * 64)
+    val app0 = concat(lit("FFE0"), lpad(hex(L), 4, "0"),
+      zeros.substr(lit(1), (L - 2) * 2))
+    val com = concat(lit("FFFE"), lpad(hex(LC), 4, "0"),
+      zeros.substr(lit(1), (LC - 2) * 2))
+    val sof = concat(lit("FFC0" + "000B" + "08"), h16, w16, lit("01" + "011100"))
+    val jpeg = concat(lit("FFD8"), app0, com, sof)
+    // GIF89a: w/h u16 LITTLE-endian, packed byte carrying colour
+    // resolution in bits 4-6, background + aspect
+    val wLe = concat(substring(w16, 3, 2), substring(w16, 1, 2))
+    val hLe = concat(substring(h16, 3, 2), substring(h16, 1, 2))
+    val gif = concat(lit("474946383961"), wLe, hLe,
+      lpad(hex((m % 8) * 16), 2, "0"), lit("0000"))
+    val hdr = when(m % 4 === 0, png).when(m % 4 === 1, jpeg)
+      .when(m % 4 === 2, gif).otherwise(lit(""))
+    concat(unhex(hdr), encode(content, "UTF-8"))
+  }
+
+  /** STUB pixel decode: deterministic pseudo-features from the payload's
+    * LOWERCASE HEX rendering (both engines hex-render bytes identically
+    * and DuckDB's md5 only accepts VARCHAR — the q_media_frames
+    * discipline). Replace this seam with a real codec (e.g., JNI/ONNX)
+    * in production — everything around it (partitioned batch iteration,
+    * fixed-dim float output, null-payload passthrough) is the real
+    * contract; header METADATA no longer goes through here (it parses
+    * natively via [[graft.functions.MediaDims]]). */
   def fakeDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     if (payload == null) return null
-    val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val hexChars = "0123456789abcdef"
+    val hx = new Array[Byte](payload.length * 2)
+    var p = 0
+    while (p < payload.length) {
+      hx(2 * p) = hexChars((payload(p) >> 4) & 0xF).toByte
+      hx(2 * p + 1) = hexChars(payload(p) & 0xF).toByte
+      p += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5").digest(hx)
     val out = new Array[Float](dim)
     var i = 0
     while (i < dim) {
@@ -94,7 +152,8 @@ object Multimodal {
   def resize(media: DataFrame, outW: Int, outH: Int, batchSize: Int = 256): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     val budget = outW * outH
-    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+    media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"),
+        col("meta.bit_depth").as("bit_depth"))
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
@@ -105,9 +164,10 @@ object Multimodal {
               else if (payload.length <= budget) payload
               else java.util.Arrays.copyOfRange(payload, 0, budget)
             // null payload → null n_bytes: the mediaSchema convention
-            // (asMediaTable's octet_length(NULL) is NULL, not 0)
+            // (asMediaTable's octet_length(NULL) is NULL, not 0);
+            // bit depth passes through — scaling changes dims, not depth
             val n: Any = if (resized == null) null else resized.length.toLong
-            Row(id, resized, Row(r.getString(2), outW, outH, n))
+            Row(id, resized, Row(r.getString(2), outW, outH, r.get(3), n))
           }
         }
       }(enc)
@@ -131,5 +191,5 @@ object Multimodal {
   def metaScan(media: DataFrame): DataFrame =
     media.select(col("media_id"), col("meta.mime").as("mime"),
       col("meta.width").as("width"), col("meta.height").as("height"),
-      col("meta.n_bytes").as("n_bytes"))
+      col("meta.bit_depth").as("bit_depth"), col("meta.n_bytes").as("n_bytes"))
 }

@@ -149,7 +149,8 @@ class PlanSpec extends SparkSpec {
     // the pruning claim is about storage: meta lives beside (not inside)
     // the payload so a metadata query prunes the blob at the reader
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
-    llm.Multimodal.asMediaTable(Tables.documents(spark, sf), col("doc_id"), col("text"))
+    llm.Multimodal.asMediaTable(Tables.documents(spark, sf), col("doc_id"),
+        llm.Multimodal.syntheticPayload(col("doc_id"), col("text")))
       .write.mode("overwrite").parquet(dir)
     val p = explained(llm.Multimodal.metaScan(spark.read.parquet(dir)))
     assert(p.contains("ReadSchema") && !p.contains("payload:binary"),
