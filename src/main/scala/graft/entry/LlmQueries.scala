@@ -515,6 +515,12 @@ object LlmQueries {
           .otherwise(lit(1.0) - size(array_distinct(col("sg"))).cast("double")
             / size(col("sg")).cast("double")).as("rep_ratio"))),
 
+    // the Gopher Table-A1 repetition battery — q_repetition covers only
+    // the distinct/total shingle ratio; this emits all six structural
+    // signals a curation run thresholds on
+    "q_quality_rules" -> ((s, d) =>
+      TextAnalysis.qualityRules(Tables.documents(s, d), col("doc_id"), col("text"))),
+
     "q_fingerprint" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"),
       TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"),
@@ -1466,6 +1472,54 @@ object LlmQueries {
          |            ELSE 1.0 - CAST(len(list_distinct(sg)) AS DOUBLE)
          |                       / CAST(len(sg) AS DOUBLE) END AS rep_ratio
          |FROM sh""".stripMargin,
+
+    // duplicate mass keyed per (doc, line/para/gram) then re-aggregated;
+    // the packed max (count*1e6 + len) mirrors TextAnalysis.qualityRules'
+    // single-max top-gram selection, ties to the longer gram
+    "q_quality_rules" ->
+      s"""WITH base AS (SELECT doc_id, text, length(text) AS n_chars FROM documents),
+         |l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM base),
+         |lg AS (SELECT doc_id, u, count(*) AS c FROM l GROUP BY 1, 2),
+         |ls AS (SELECT doc_id,
+         |         CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_line_frac,
+         |         sum((c - 1) * length(u)) AS dup_line_chars
+         |       FROM lg GROUP BY 1),
+         |p AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS u FROM base),
+         |pg AS (SELECT doc_id, u, count(*) AS c FROM p GROUP BY 1, 2),
+         |ps AS (SELECT doc_id,
+         |         CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_para_frac,
+         |         sum((c - 1) * length(u)) AS dup_para_chars
+         |       FROM pg GROUP BY 1),
+         |toks AS (SELECT doc_id, $sqlToks AS tk FROM base),
+         |gr AS (SELECT doc_id, w,
+         |         unnest(CASE WHEN len(tk) >= w
+         |                THEN list_transform(range(0, len(tk) - w + 1),
+         |                       i -> array_to_string(tk[i+1:i+w], ' '))
+         |                ELSE [] END) AS g
+         |       FROM toks, (SELECT unnest([2, 3, 4]) AS w) ws),
+         |gg AS (SELECT doc_id, w, g, count(*) AS c FROM gr GROUP BY 1, 2, 3),
+         |gv AS (SELECT doc_id, w, max(c * 1000000 + length(g)) AS v FROM gg GROUP BY 1, 2),
+         |gt AS (SELECT doc_id,
+         |         max(CASE WHEN w = 2 THEN v END) AS v2,
+         |         max(CASE WHEN w = 3 THEN v END) AS v3,
+         |         max(CASE WHEN w = 4 THEN v END) AS v4
+         |       FROM gv GROUP BY 1)
+         |SELECT b.doc_id, ls.dup_line_frac,
+         |  CASE WHEN b.n_chars = 0 THEN 0.0
+         |    ELSE CAST(ls.dup_line_chars AS DOUBLE) / b.n_chars END AS dup_line_char_frac,
+         |  ps.dup_para_frac,
+         |  CASE WHEN b.n_chars = 0 THEN 0.0
+         |    ELSE CAST(ps.dup_para_chars AS DOUBLE) / b.n_chars END AS dup_para_char_frac,
+         |  CASE WHEN b.n_chars = 0 OR gt.v2 IS NULL THEN 0.0
+         |    ELSE CAST((gt.v2 // 1000000) * (gt.v2 % 1000000) AS DOUBLE) / b.n_chars END AS top2_char_frac,
+         |  CASE WHEN b.n_chars = 0 OR gt.v3 IS NULL THEN 0.0
+         |    ELSE CAST((gt.v3 // 1000000) * (gt.v3 % 1000000) AS DOUBLE) / b.n_chars END AS top3_char_frac,
+         |  CASE WHEN b.n_chars = 0 OR gt.v4 IS NULL THEN 0.0
+         |    ELSE CAST((gt.v4 // 1000000) * (gt.v4 % 1000000) AS DOUBLE) / b.n_chars END AS top4_char_frac
+         |FROM base b
+         |LEFT JOIN ls USING (doc_id)
+         |LEFT JOIN ps USING (doc_id)
+         |LEFT JOIN gt USING (doc_id)""".stripMargin,
 
     "q_fingerprint" ->
       s"""WITH RECURSIVE toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),

@@ -344,6 +344,85 @@ object TextAnalysis {
       regexp_count(t2, lit(Ipv4Re)).cast("long").as("n_ips"))
   }
 
+  /** Gopher/Rae-style repetition rule pack (Rae et al. 2112.11446,
+    * Table A1): per doc, the six structural-repetition signals the
+    * standard quality battery thresholds on —
+    *
+    *  - dup_line_frac / dup_para_frac: fraction of lines (paragraphs)
+    *    that are repeat occurrences of an earlier identical one;
+    *  - dup_line_char_frac / dup_para_char_frac: the character mass of
+    *    those repeat occurrences over the doc's characters (the
+    *    REMOVABLE mass — first occurrences don't count);
+    *  - top{2,3,4}_char_frac: characters covered by the single most
+    *    frequent word n-gram (count × gram length; ties broken by the
+    *    longer gram) over the doc's characters.
+    *
+    * Shapes for 100 TB: line/paragraph/gram text is never a shuffle key —
+    * groups key on (doc_id, md5-hash) with the length as a value (the
+    * lineDedup discipline; a same-doc hash collision is the accepted
+    * ~2^-60 trade documented there). All three gram widths ride ONE
+    * explode (width-tagged structs concatenated from a shared token
+    * array), so the battery costs one scan for grams + one each for
+    * lines and paragraphs, then conditional aggregation — no pivot, no
+    * per-width scans. Thresholding is the caller's business: this emits
+    * the fractions. */
+  def qualityRules(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val docs = df.select(id.as("doc_id"), text.as("text"),
+      length(text).cast("long").as("n_chars"))
+    val base = docs.select(col("doc_id"), col("n_chars"))
+
+    // duplicate-structure stats for one splitter (lines or paragraphs)
+    def dupStats(sep: String, frac: String, chars: String): DataFrame =
+      docs.select(col("doc_id"), explode(split(col("text"), sep, -1)).as("u"))
+        .groupBy(col("doc_id"), md5Long(col("u")).as("h"))
+        .agg(count(lit(1)).as("c"), max(length(col("u"))).cast("long").as("len"))
+        .groupBy(col("doc_id"))
+        .agg(
+          (sum(col("c") - 1).cast("double") / sum(col("c")).cast("double")).as(frac),
+          sum((col("c") - 1) * col("len")).as(chars))
+
+    val lineStats = dupStats("\n", "dup_line_frac", "dup_line_chars")
+    val paraStats = dupStats("\n\n", "dup_para_frac", "dup_para_chars")
+
+    // (count, len) packed into one long so a single max() picks the top
+    // gram by count, then length — decoded after the aggregate
+    val Pack = 1000000L
+    val tagged = docs.select(col("doc_id"), explode(concat(
+      Seq(2, 3, 4).map(w => transform(shingles(col("text"), w),
+        g => struct(lit(w).as("w"), g.as("g")))): _*)).as("t"))
+      .select(col("doc_id"), col("t.w").as("w"), col("t.g").as("g"))
+    val topGrams = tagged
+      .groupBy(col("doc_id"), col("w"), md5Long(col("g")).as("h"))
+      .agg(count(lit(1)).as("c"), max(length(col("g"))).cast("long").as("len"))
+      .withColumn("v", col("c") * Pack + col("len"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("w") === 2, col("v"))).as("v2"),
+        max(when(col("w") === 3, col("v"))).as("v3"),
+        max(when(col("w") === 4, col("v"))).as("v4"))
+
+    def cover(v: Column): Column =
+      when(col("n_chars") === 0 || v.isNull, lit(0.0))
+        .otherwise((floor(v / Pack) * (v % Pack)).cast("double")
+          / col("n_chars").cast("double"))
+    def charFrac(chars: Column): Column =
+      when(col("n_chars") === 0, lit(0.0))
+        .otherwise(chars.cast("double") / col("n_chars").cast("double"))
+
+    base
+      .join(lineStats, Seq("doc_id"), "left")
+      .join(paraStats, Seq("doc_id"), "left")
+      .join(topGrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_line_frac"),
+        charFrac(col("dup_line_chars")).as("dup_line_char_frac"),
+        col("dup_para_frac"),
+        charFrac(col("dup_para_chars")).as("dup_para_char_frac"),
+        cover(col("v2")).as("top2_char_frac"),
+        cover(col("v3")).as("top3_char_frac"),
+        cover(col("v4")).as("top4_char_frac"))
+  }
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

@@ -80,6 +80,14 @@ def write_documents(out_dir):
         (16, "copyright 2024 example\nhome | about | contact\nsixteen body line\n", "en", "web", 0),
         (17, "seventeen opening line\nhome | about | contact\nseventeen closing line\n", "en", "web", 0),
         (18, "home | about | contact\nhome | about | contact", "en", "web", 0),
+        # --- GOPHER RULE-PACK BOUNDARIES (q_quality_rules) ---
+        # 23: duplicated PARAGRAPHS whose individual lines also repeat —
+        # dup_para_frac 2/4, and the para split ('\n\n') must not be
+        # confused with the line split; 24: heavy 2-gram repetition where
+        # the top 3-gram differs from the top 2-gram and ties exist at
+        # w=2 ('x y' vs 'y x' both 4x -> longer/equal len tie-break)
+        (23, "para one\n\npara two\n\npara one\n\npara one", "en", "web", 0),
+        (24, "x y x y x y x y z q z q", "en", "web", 0),
         # --- PLANTED PII (q_pii_scrub) ---
         (19, "reach john.doe@example.com or jane_smith+tag@mail.co for info", "en", "web", 0),
         (20, "call 555-123-4567 or 555.987.6543 now", "en", "web", 0),
