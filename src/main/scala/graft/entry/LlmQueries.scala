@@ -66,29 +66,18 @@ object LlmQueries {
     * unaffected: every query still recomputes its own distributed scan/
     * probe; only the (identical) training round-trips collapse.
     *
-    * STALENESS: the key folds in a cheap DATASET FINGERPRINT (file
-    * count + max mtime of the dir) alongside (dataset dir,
-    * hyperparameters), so a process that regenerates data under a
-    * reused path re-trains automatically instead of silently reading a
-    * stale codebook. The fingerprint is a listdir (one level of
-    * subdirectories included, so Spark-written `table.parquet/part-*`
-    * directory layouts perturb the key too — a top-level-files-only
-    * scan returns a constant for them and silently disables the
-    * staleness check). No data read. A same-millisecond in-place
-    * rewrite could still alias; [[clearArtifacts]] remains the
-    * explicit override. */
+    * STALENESS: the key folds in a DATASET FINGERPRINT alongside
+    * (dataset dir, hyperparameters) — the full recursive per-file
+    * (path, size, mtime) hash from [[graft.sources.Bucketing
+    * .dirFingerprint]], shared with the bucketed-table layer — so a
+    * process that regenerates data under a reused path re-trains
+    * automatically instead of silently reading a stale codebook. No
+    * data read. A same-millisecond same-size in-place rewrite could
+    * still alias; [[clearArtifacts]] remains the explicit override. */
   private val artifactMemo =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def dirFingerprint(d: String): String = {
-    def ls(f: java.io.File): Array[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    val top = ls(new java.io.File(d))
-    // top-level files + every entry one level under top-level dirs:
-    // the mtime of a rewritten part file (or of the dir the writer
-    // touched) moves the fingerprint in either layout
-    val fs = top.filter(_.isFile) ++ top.filter(_.isDirectory).flatMap(ls)
-    s"${fs.length}:${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified()))}"
-  }
+  private def dirFingerprint(d: String): String =
+    graft.sources.Bucketing.dirFingerprint(d)
   private def artifact[T <: AnyRef](key: String)(build: => T): T =
     artifactMemo.computeIfAbsent(key, _ => build).asInstanceOf[T]
 

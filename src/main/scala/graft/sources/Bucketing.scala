@@ -17,14 +17,21 @@ import org.apache.spark.sql.DataFrame
   * through the session catalog (`spark.table`), not the path — the
   * bucket spec lives in catalog metadata. Tables are EXTERNAL, written
   * under java.io.tmpdir, one per (logical name, dataset fingerprint):
-  * the fingerprint (file count + max mtime, the artifact-memo rule from
-  * entry/LlmQueries) keys the CATALOG name, so a dataset regenerated
-  * under a reused path gets a fresh table instead of stale buckets.
-  * Bucket files are one-per-writer-task per bucket; the merge join
-  * re-sorts within partitions (cheap, no exchange) when a bucket spans
-  * files.
+  * the fingerprint keys the CATALOG name, so a dataset regenerated
+  * under a reused path gets a fresh table instead of stale buckets —
+  * and the superseded fingerprint's table + files are dropped at that
+  * moment, so regeneration can't accumulate unbounded catalog entries.
+  *
+  * Concurrency: one lock PER LOGICAL NAME (not one global lock), so
+  * unrelated datasets materialize in parallel while two racers on the
+  * same name still write once; the same-name lock also makes the
+  * supersede-cleanup safe (nobody can be mid-write on a sibling
+  * fingerprint of the name being cleaned).
   */
 object Bucketing {
+
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Materialize `df` (projected to `cols`) as a parquet table bucketed
     * and bucket-sorted by `key` into `nBuckets`, once per (name,
@@ -33,28 +40,62 @@ object Bucketing {
     * the catalog read — the "write once, join shuffle-free after"
     * contract. */
   def bucketed(df: DataFrame, name: String, fingerprint: String,
-               key: String, nBuckets: Int, cols: Seq[String]): DataFrame =
-    synchronized {
-      val spark = df.sparkSession
-      val table = sanitize(s"${name}_$fingerprint")
+               key: String, nBuckets: Int, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val logical = sanitize(name)
+    val table = s"${logical}_${sanitize(fingerprint)}"
+    val lock = locks.computeIfAbsent(logical, _ => new Object)
+    lock.synchronized {
       if (!spark.catalog.tableExists(table)) {
-        val dir = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_bucketed/$table")
+        dropSuperseded(spark, logical, keep = table)
         Sinks.writeBucketed(df.select(cols.head, cols.tail: _*), table,
-          Seq(key), nBuckets, Some(dir.getAbsolutePath))
+          Seq(key), nBuckets, Some(tableDir(table).getAbsolutePath))
       }
-      spark.table(table)
     }
+    spark.table(table)
+  }
 
-  /** Cheap dataset fingerprint for the catalog-name key: top-level files
-    * plus one directory level, count:maxMtime (the LlmQueries artifact
-    * staleness rule). */
+  /** Drop every catalog table (and its external files) carrying this
+    * logical name under a DIFFERENT fingerprint — they describe a
+    * dataset version that no longer exists. */
+  private def dropSuperseded(spark: org.apache.spark.sql.SparkSession,
+                             logical: String, keep: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val stale = spark.catalog.listTables().collect()
+      .map(_.name).filter(t => t.startsWith(logical + "_") && t != keep)
+    stale.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val dir = tableDir(t)
+      if (dir.exists()) {
+        java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+  }
+
+  private def tableDir(table: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_bucketed/$table")
+
+  /** Dataset fingerprint for the catalog-name key: a full recursive walk
+    * folding every file's (path, size, mtime) into one md5 — any file
+    * added, removed, resized or touched at ANY depth perturbs the key
+    * (the count+maxMtime shortcut missed same-count same-mtime rewrites
+    * and changes below two directory levels). Listing-only: no data
+    * read; a parquet dataset is few files, so the walk is microseconds. */
   def dirFingerprint(d: String): String = {
-    def ls(f: java.io.File): Array[java.io.File] =
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    val top = ls(new java.io.File(d))
-    val fs = top.filter(_.isFile) ++ top.filter(_.isDirectory).flatMap(ls)
-    s"${fs.length}_${fs.foldLeft(0L)((m, f) => math.max(m, f.lastModified()))}"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def walk(f: java.io.File): Unit = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName)
+      kids.foreach { k =>
+        if (k.isDirectory) walk(k)
+        else md.update(
+          s"${k.getPath}|${k.length()}|${k.lastModified()}\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+    walk(new java.io.File(d))
+    md.digest().take(8).map(b => f"$b%02x").mkString
   }
 
   private def sanitize(s: String): String =

@@ -360,6 +360,15 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size ==
       "LocalTableScan \\[cid".r.findAllIn(p).size,
       s"only the centroid broadcast may nested-loop:\n$p")
+    // anchor the invariant structurally (ADVICE r8): the one legitimate
+    // nested loop lives INSIDE the cached assignment subtree, so its
+    // printed count must equal the number of cached-subtree prints
+    // (InMemoryRelation occurrences) — a second, genuinely distinct
+    // nested loop in the live plan would break this equality even if
+    // the LocalTableScan regex above drifted in lockstep
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size ==
+      "InMemoryRelation".r.findAllIn(p).size,
+      s"a nested loop appeared outside the cached centroid-assignment subtree:\n$p")
     // the within-cluster screen itself is an equi join keyed on cid
     assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cid".r
       .findFirstIn(p).isDefined,

@@ -243,6 +243,53 @@ class AnalyticsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("semDedup tractability: keep-set repartition-invariant; pair work linear when k grows with N") {
+    import org.apache.spark.sql.DataFrame
+    def ring(n: Int): DataFrame =
+      (0 until n).map { i =>
+        // golden-ratio (low-discrepancy) angles: any id prefix covers the
+        // circle uniformly, so the lowest-id k-means seeds start spread
+        // out. Sequential angles would be an adversarial seeding (all
+        // seeds in one arc → two giant boundary clusters) — that tests
+        // the seeder, not the screen's scaling mechanism
+        val a = 2 * math.Pi * ((i * 0.6180339887498949) % 1.0)
+        (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("vec_id", "embedding")
+
+    def run(n: Int, parts: Int): (Set[(Long, Boolean)], Long) = {
+      val df = ring(n).repartition(parts)
+      // k scales with the corpus (the paper's tractability lever):
+      // n/8 clusters keep expected cluster size constant as n grows
+      val cents = Similarity.kmeans(ring(n), col("vec_id"), col("embedding"),
+        k = n / 8, iters = 3).select(col("cid"), col("cv"))
+      val out = Dedup.semDedup(df, col("vec_id"), col("embedding"), cents,
+        eps = math.cos(math.toRadians(2)))
+        .select("vec_id", "cid", "kept")
+        .as[(Long, Long, Boolean)].collect()
+      Dedup.releaseCaches()
+      val pairs = out.groupBy(_._2).values
+        .map(c => c.size.toLong * (c.size - 1) / 2).sum
+      (out.map(r => (r._1, r._3)).toSet, pairs)
+    }
+
+    // 1. verdicts must not depend on physical partitioning (the shuffle
+    // keys are cid/vec_id; ranking ties break on vec_id, never on
+    // partition order)
+    val (keepA, pairs64) = run(64, 3)
+    val (keepB, _) = run(64, 11)
+    assert(keepA === keepB, "keep-set must be invariant under repartitioning")
+
+    // 2. the screen's pair count must scale LINEARLY in n when k ∝ n —
+    // quadratic (all-pairs or k fixed) would grow 16× here; allow 2×
+    // slack over linear for cluster imbalance
+    val (_, pairs256) = run(256, 5)
+    assert(pairs256 <= 8 * pairs64,
+      s"pair work grew super-linearly: $pairs64 -> $pairs256")
+    // and it must be far below the quadratic ceiling at n=256
+    assert(pairs256 < 256L * 255 / 8,
+      s"per-cluster screen degenerated toward all-pairs: $pairs256")
+  }
+
   test("piiScrub masks email→phone→IP sequentially with per-doc counts") {
     val docs = Seq(
       (1L, "mail a.b@c.org call 555-123-4567 host 10.0.0.1"),

@@ -23,10 +23,50 @@ class SourcesSpec extends SparkSpec {
     val again = Bucketing.bucketed(df.limit(0), "bkt_spec", "t1", "k", 2,
       Seq("k", "v"))
     assert(again.count() == 3)
-    // a new fingerprint (dataset rewritten) is a fresh table
+    // a new fingerprint (dataset rewritten) is a fresh table, and the
+    // superseded fingerprint's catalog entry + files are dropped
     val fresh = Bucketing.bucketed(df.limit(1), "bkt_spec", "t2", "k", 2,
       Seq("k", "v"))
     assert(fresh.count() == 1)
+    assert(!spark.catalog.tableExists("bkt_spec_t1"),
+      "superseded fingerprint must be dropped")
+  }
+
+  test("bucketed materialization: per-name locks let distinct names run concurrently") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    val pool = Executors.newFixedThreadPool(4)
+    val ready = new CountDownLatch(4)
+    val results = (0 until 4).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        override def call(): Long = {
+          ready.countDown(); ready.await(30, TimeUnit.SECONDS)
+          // two logical names, two racers each: same-name pairs must
+          // write once; distinct names must not serialize behind one
+          // global lock (they used to)
+          Bucketing.bucketed(df, s"bkt_conc_${i % 2}", "f1", "k", 2,
+            Seq("k", "v")).count()
+        }
+      })
+    }
+    assert(results.map(_.get(120, TimeUnit.SECONDS)).forall(_ == 2L))
+    pool.shutdown()
+    assert(spark.catalog.tableExists("bkt_conc_0_f1"))
+    assert(spark.catalog.tableExists("bkt_conc_1_f1"))
+  }
+
+  test("dirFingerprint: full-depth walk sees nested and same-count changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp")
+    val sub = java.nio.file.Files.createDirectories(dir.resolve("a/b/c"))
+    val f = sub.resolve("data.bin")
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
+    val fp1 = Bucketing.dirFingerprint(dir.toString)
+    // same file COUNT, same mtime resolution trap: change only the SIZE
+    // of a file three levels deep
+    java.nio.file.Files.write(f, Array[Byte](1, 2, 3, 4))
+    val fp2 = Bucketing.dirFingerprint(dir.toString)
+    assert(fp1 != fp2, "size change at depth 3 must perturb the fingerprint")
+    assert(Bucketing.dirFingerprint(dir.toString) == fp2, "stable when unchanged")
   }
 
   test("csv round trip with header + schema") {
