@@ -351,18 +351,36 @@ object Dedup {
     * for a rewrite-the-text operator. */
   def lineDedup(df: DataFrame, id: Column, text: Column,
                 maxDocs: Long): DataFrame = {
-    // limit -1 keeps trailing empty lines, matching DuckDB string_split.
     // Tracked persist: the exploded line table feeds the doc-frequency
     // aggregate AND the decision join-back — uncached, the scan+split
     // re-runs per consumer (released by the harness via releaseCaches).
-    val lines = persistTracked(df.select(id.as("doc_id"),
+    val lines = persistTracked(explodeLines(df, id, text))
+    applyLineVerdicts(lines,
+      lineFrequencies(lines).filter(col("n_docs") > maxDocs).select(col("h")))
+  }
+
+  /** The exploded (doc_id, pos, line, h) table [[lineDedup]] runs on —
+    * public so the streaming ledger twin shares the exact split
+    * semantics (limit -1 keeps trailing empty lines, matching DuckDB
+    * string_split). */
+  def explodeLines(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
         posexplode(split(text, "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("h", md5Long(col("line"))))
-    val boilerplate = lines.select(col("h"), col("doc_id")).distinct()
+      .withColumn("h", md5Long(col("line")))
+
+  /** Distinct-doc frequency per line hash — the skew-proof counting
+    * stage (distinct (h, doc) pair shuffle, then map-side-combinable
+    * count). Additive across disjoint doc sets, which is what makes the
+    * streaming ledger merge exact. */
+  def lineFrequencies(lines: DataFrame): DataFrame =
+    lines.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-      .filter(col("n_docs") > maxDocs)
-      .select(col("h"), lit(true).as("bp"))
-    lines.join(boilerplate, Seq("h"), "left")
+
+  /** Reassembly under a boilerplate decision: drop lines whose hash is
+    * in `boilerplate` (an (h)-column frame), stitch the survivors back
+    * in order per doc. */
+  def applyLineVerdicts(lines: DataFrame, boilerplate: DataFrame): DataFrame =
+    lines.join(boilerplate.select(col("h"), lit(true).as("bp")), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(
         // collect_list skips nulls, so the when() keeps only non-bp lines;
@@ -374,7 +392,6 @@ object Dedup {
         count(when(col("bp").isNull, lit(1))).as("n_kept"),
         count(lit(1)).as("n_total"))
       .select(col("doc_id"), col("clean_text"), col("n_kept"), col("n_total"))
-  }
 
   /** Embedding-cosine near-dup pairs above `threshold`, brute-force
     * within-corpus — the small-corpus baseline. For the 100 TB path use

@@ -433,6 +433,36 @@ object Streaming {
       .join(ledger.select(ledgerHash.as("__ch")).distinct(), Seq("__ch"), "left_anti")
       .drop("__ch")
 
+  /** Merge one micro-batch's line doc-frequencies into a persistent
+    * line-hash ledger — the ingest-time half of line-level boilerplate
+    * dedup ([[graft.llm.Dedup.lineDedup]]'s streaming twin, the
+    * exactIncrement ledger discipline). Each arriving doc lives in
+    * exactly ONE micro-batch, so per-batch DISTINCT (line-hash, doc)
+    * counts are additive across batches: after the last batch the
+    * ledger equals the batch run's [[graft.llm.Dedup.lineFrequencies]]
+    * over the full corpus, bit for bit — StreamingSpec pins the
+    * equality. The ledger is (h, n_docs): O(distinct lines) state,
+    * stored as a table (bucket by h at lake scale for a co-located
+    * merge); line TEXT never enters the ledger or any shuffle key. */
+  def mergeLineLedger(ledger: DataFrame, batchDocs: DataFrame,
+                      id: Column, text: Column): DataFrame =
+    ledger.select(col("h"), col("n_docs"))
+      .unionByName(graft.llm.Dedup.lineFrequencies(
+        graft.llm.Dedup.explodeLines(batchDocs, id, text)))
+      .groupBy(col("h")).agg(sum(col("n_docs")).cast("long").as("n_docs"))
+
+  /** Scrub docs against a line ledger: lines whose cumulative distinct
+    * doc count exceeds `maxDocs` are boilerplate. Run per micro-batch
+    * from `foreachBatch` (gate new docs against yesterday's ledger) or
+    * once at the end of an ingest window — against the final ledger it
+    * reproduces the batch [[graft.llm.Dedup.lineDedup]] verdicts
+    * exactly. */
+  def lineVerdictsAgainstLedger(docs: DataFrame, id: Column, text: Column,
+                                ledger: DataFrame, maxDocs: Long): DataFrame =
+    graft.llm.Dedup.applyLineVerdicts(
+      graft.llm.Dedup.explodeLines(docs, id, text),
+      ledger.filter(col("n_docs") > maxDocs).select(col("h")))
+
   /** Per-doc SimHash dedup verdicts over [[streamingSimHashClaims]]: a
     * doc is a duplicate only of a band owner VERIFIED within `maxDist`
     * hamming (the batch `simhashPairs` precision rule — an unverified

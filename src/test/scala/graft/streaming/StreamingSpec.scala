@@ -442,6 +442,58 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(2L), s"only unseen content admitted: $ids")
   }
 
+  test("line-ledger in foreachBatch: merged ledger and verdicts equal the batch lineDedup") {
+    // ingest-time twin of Dedup.lineDedup: each micro-batch folds its
+    // distinct (line-hash, doc) counts into a persistent ledger; after
+    // the last batch the ledger must equal the batch lineFrequencies and
+    // re-scrubbing against it must equal the batch verdicts exactly
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "home | about\nunique one\ncopyright X"),
+      (2L, "copyright X\nhome | about\nbody two"),
+      (3L, "opening three\nhome | about\nclosing three"),
+      (4L, "home | about\nhome | about"))
+    val maxDocs = 2L
+
+    var ledger = Seq.empty[(Long, Long)].toDF("h", "n_docs")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // read-merge-swap, the parquet-table shape of a real ledger
+        ledger.synchronized {
+          ledger = Streaming.mergeLineLedger(ledger, batch,
+            col("doc_id"), col("text")).cache()
+          ledger.count() // materialize before the source frame is reused
+        }
+        ()
+      }.start()
+    // three uneven micro-batches — doc 4's within-doc repeat must count
+    // once, and the (1,2) vs (3) split puts "home | about" over maxDocs
+    // only after the LAST batch
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(Seq(docs(2))); q.processAllAvailable()
+    ms.addData(Seq(docs(3))); q.processAllAvailable()
+    q.stop()
+
+    val all = docs.toDF("doc_id", "text")
+    val batchFreqs = graft.llm.Dedup.lineFrequencies(
+      graft.llm.Dedup.explodeLines(all, col("doc_id"), col("text")))
+      .as[(Long, Long)].collect().toSet
+    assert(ledger.as[(Long, Long)].collect().toSet == batchFreqs,
+      "streamed ledger must equal batch line frequencies")
+
+    val streamed = Streaming.lineVerdictsAgainstLedger(all, col("doc_id"),
+        col("text"), ledger, maxDocs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = graft.llm.Dedup.lineDedup(all, col("doc_id"), col("text"), maxDocs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    graft.llm.Dedup.releaseCaches()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // and the boilerplate actually fired: doc 4 is all nav bar
+    assert(streamed.find(_._1 == 4L).get._2 == "")
+  }
+
   test("claimsToVerdicts in foreachBatch equals the chained-aggregation verdicts") {
     // the documented lake-scale path: per-batch stateless verdict
     // aggregation over the claims stream (no doc-level state) must yield
