@@ -145,6 +145,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
 
+  test("url family: parse/canon are shuffle-free projections; blocklist is a broadcast anti-join") {
+    // step-zero web curation must run at scan speed: host/domain/canon
+    // are pure regex projections (zero exchanges), and the blocklist —
+    // kilobytes against a fact side of billions — rides broadcast so the
+    // docs never shuffle
+    val pp = plan(SparkEntry.queries("q_url_parse")(spark, sf))
+    assert(!pp.contains("Exchange"), s"url parse must not shuffle:\n$pp")
+    val pc = plan(SparkEntry.queries("q_url_canon")(spark, sf))
+    assert(!pc.contains("Exchange"), s"url canonicalize must not shuffle:\n$pc")
+    val pf = plan(SparkEntry.queries("q_url_filter")(spark, sf))
+    assert(pf.contains("BroadcastHashJoin") && pf.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti-join:\n$pf")
+    assert(!pf.contains("SortMergeJoin") && !pf.contains("ShuffledHashJoin"),
+      s"the doc side must not shuffle for a kilobyte blocklist:\n$pf")
+  }
+
   test("metadata-only scan over a STORED media table never reads the blob") {
     // the pruning claim is about storage: meta lives beside (not inside)
     // the payload so a metadata query prunes the blob at the reader
