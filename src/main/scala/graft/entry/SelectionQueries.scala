@@ -1,0 +1,134 @@
+package graft.entry
+
+import graft.llm.{Bloom, Selection}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based data-selection queries: the hashed linear quality
+  * classifier (GPT-3/CCNet shape), DSIR importance weighting (Xie et
+  * al. 2023), and the Bloom-filter membership gate (broadcast-state
+  * prefilter for cross-corpus dedup). Operators live in
+  * [[graft.llm.Selection]] and [[graft.llm.Bloom]]; every quantization
+  * and hash below embeds identically in the DuckDB twins.
+  */
+object SelectionQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Bloom width for q_bloom_gate: 4096 bits / k=4. Sized so sf0.01's
+    * ~46-key reference slice leaves the filter sparse (FP ~ 1e-5) while
+    * sf0.1's ~10× slice pushes occupancy to ~0.36 and makes genuine
+    * false positives appear — both regimes of the accounting ledger get
+    * exercised without changing the query. */
+  private val BloomBits = 4096
+
+  val queries: Map[String, Q] = Map(
+    // fastText-style hashed linear scorer — zero-shuffle codegen
+    // projection over the token array
+    "q_quality_classifier" -> ((s, d) =>
+      Selection.qualityClassifier(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
+    // DSIR: importance log-weights against the lang='en' target slice;
+    // one explode, 256-key counts, broadcast weight join, one doc shuffle
+    "q_dsir" -> ((s, d) =>
+      Selection.dsirScore(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("lang") === "en")),
+
+    // Bloom membership gate: reference slice doc_id % 11 == 0 folds
+    // into broadcast bit-array state; the probe side is a projection;
+    // exact is_dup rides along as the false-positive ledger
+    "q_bloom_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Bloom.gate(docs.filter(col("doc_id") % 11 === 0),
+        docs.filter(col("doc_id") % 11 =!= 0),
+        col("doc_id"), col("text"), BloomBits)
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracle twins — hash/quantization formulas mirror the Scala
+  // operator constants term for term (md5Long = first 15 md5 hex digits;
+  // Scale = 1e9; weight mix = Weyl constant 2654435761).
+  // ======================================================================
+
+  private val SqlToks =
+    "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  private def sqlMd5Long(x: String): String =
+    s"CAST('0x'||substring(md5($x),1,15) AS BIGINT)"
+
+  /** The 4 bloom positions of an md5 hex column — offsets 1/9/17/25,
+    * 7 hex digits (28 bits) each, mod [[BloomBits]]. */
+  private def sqlBloomPos(h: String): String =
+    Seq(1, 9, 17, 25).map(o =>
+      s"CAST('0x'||substring($h,$o,7) AS BIGINT) % $BloomBits")
+      .mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "q_quality_classifier" ->
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
+         |    CAST(coalesce(list_sum(list_transform(tk, t ->
+         |      ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
+         |      AS BIGINT) AS q_margin
+         |  FROM toks)
+         |SELECT doc_id, n_toks, q_margin,
+         |  CASE WHEN n_toks = 0 THEN 0.0
+         |       ELSE CAST(q_margin AS DOUBLE) / (CAST(n_toks AS DOUBLE) * 1000.0)
+         |  END AS q_score,
+         |  (n_toks > 0 AND q_margin > 0) AS keep
+         |FROM m""".stripMargin,
+
+    "q_dsir" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $SqlToks AS tk FROM documents),
+         |tw AS (SELECT doc_id, (lang = 'en') AS is_tgt, unnest(tk) AS w FROM toks),
+         |bw AS (SELECT doc_id, is_tgt, ${sqlMd5Long("w")} % 256 AS b FROM tw),
+         |cnt AS (
+         |  SELECT b, CAST(count(*) AS BIGINT) AS rawc,
+         |         CAST(count(*) FILTER (WHERE is_tgt) AS BIGINT) AS tgtc
+         |  FROM bw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(rawc) AS BIGINT) AS raw_tot,
+         |               CAST(sum(tgtc) AS BIGINT) AS tgt_tot FROM cnt),
+         |bk AS (SELECT unnest(range(0, 256)) AS b),
+         |wt AS (
+         |  SELECT bk.b,
+         |    CAST(floor(ln(
+         |      ((coalesce(cnt.tgtc, 0) + 1.0) * (tot.raw_tot + 256.0)) /
+         |      ((coalesce(cnt.rawc, 0) + 1.0) * (tot.tgt_tot + 256.0)))
+         |      * 1000000000.0) AS BIGINT) AS lwq
+         |  FROM bk LEFT JOIN cnt USING (b) CROSS JOIN tot),
+         |sc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |         CAST(sum(lwq) AS BIGINT) AS swq
+         |  FROM bw JOIN wt USING (b) GROUP BY 1)
+         |SELECT doc_id, n_toks,
+         |  CAST(swq AS DOUBLE) / 1000000000.0 AS dsir_logw,
+         |  (swq > 0) AS selected
+         |FROM sc""".stripMargin,
+
+    "q_bloom_gate" ->
+      s"""WITH ref AS (
+         |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 11 = 0),
+         |rp AS (SELECT unnest(${sqlBloomPos("h")}) AS pos FROM ref),
+         |bloom AS (
+         |  SELECT pos // 32 AS word,
+         |         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS wbits
+         |  FROM rp GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0),
+         |pp AS (SELECT doc_id, h, unnest(${sqlBloomPos("h")}) AS pos FROM probe),
+         |ph AS (
+         |  SELECT doc_id, h, pos // 32 AS word,
+         |         CAST(1 AS BIGINT) << CAST(pos % 32 AS INT) AS mask
+         |  FROM pp),
+         |hits AS (
+         |  SELECT doc_id, h,
+         |    bool_and(coalesce((b.wbits & ph.mask) = ph.mask, false)) AS maybe_dup
+         |  FROM ph LEFT JOIN bloom b USING (word) GROUP BY 1, 2)
+         |SELECT doc_id, maybe_dup,
+         |       (h IN (SELECT h FROM ref)) AS is_dup
+         |FROM hits""".stripMargin
+  )
+}

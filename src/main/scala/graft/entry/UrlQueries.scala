@@ -83,7 +83,12 @@ object UrlQueries {
     // canonicalize-then-dedup: distinct raw variants collapse to one
     // canonical URL; keep lowest id, count the collapse
     "q_url_dedup" -> ((s, d) =>
-      Urls.urlDedup(docsWithUrl(s, d), col("doc_id"), col("url")))
+      Urls.urlDedup(docsWithUrl(s, d), col("doc_id"), col("url"))),
+
+    // structural quality gates (path depth, query params, media
+    // extension, length) — pure projection, zero shuffles
+    "q_url_quality" -> ((s, d) =>
+      Urls.urlQuality(docsWithUrl(s, d), col("doc_id"), col("url")))
   )
 
   // ====================================================================
@@ -194,6 +199,23 @@ object UrlQueries {
          |$CanonCte
          |SELECT url_canon, min(doc_id) AS keep_id,
          |       CAST(count(*) AS BIGINT) AS n_dups
-         |FROM canon GROUP BY url_canon""".stripMargin
+         |FROM canon GROUP BY url_canon""".stripMargin,
+
+    "q_url_quality" ->
+      s"""$UrlCte,
+         |pq AS (
+         |  SELECT doc_id, url,
+         |    regexp_extract(url, '^[^/?#]*//[^/?#]*([^?#]*)', 1) AS path,
+         |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+         |  FROM u)
+         |SELECT doc_id, url,
+         |  CAST(len(list_filter(string_split(path, '/'), s -> len(s) > 0))
+         |       AS BIGINT) AS path_depth,
+         |  CAST(CASE WHEN query = '' THEN 0
+         |       ELSE len(string_split(query, '&')) END AS BIGINT) AS n_params,
+         |  regexp_matches(lower(path),
+         |    '\\.(jpe?g|png|gif|svg|ico|css|js|mp4|webm)$$') AS is_media,
+         |  CAST(len(url) AS BIGINT) AS url_len
+         |FROM pq""".stripMargin
   )
 }

@@ -1,0 +1,142 @@
+package graft.llm
+
+import graft.functions.GraftFunctions.{md5Long, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based data selection — the two standard "which docs make the
+  * training cut" scorers a curation stack runs after rule filters:
+  *
+  *  - [[qualityClassifier]]: a fastText-style hashed linear classifier
+  *    (GPT-3 §2.2 / CCNet run exactly this shape: hash tokens into
+  *    buckets, dot with a weight vector, threshold). Weights here are a
+  *    deterministic function of the bucket id so the operator and its
+  *    DuckDB oracle share them without a model artifact; a real
+  *    deployment swaps in trained weights as a broadcast lookup — the
+  *    plan shape (zero-shuffle codegen projection) is identical.
+  *
+  *  - [[dsirScore]]: Data Selection via Importance Resampling (Xie et
+  *    al. 2023, arXiv:2302.03169): hashed-unigram importance weights
+  *    log p_target(b)/p_raw(b), Laplace-smoothed, summed per doc. The
+  *    target distribution trains on an in-corpus slice (the paper uses
+  *    Wikipedia; the query uses the `lang='en'` slice) and every raw
+  *    doc is scored against it.
+  *
+  * The reference engine has no model surface (its pipeline vocabulary
+  * is transducers over keyed records — reference:
+  * src/kafka_streams_clojure/api.clj:157-159), so this family is
+  * driver-mandated extension surface.
+  *
+  * 100 TB posture: the classifier is a pure projection (runs at scan
+  * speed, fuses into whatever pipeline precedes it). DSIR is one
+  * token-explode feeding a 256-key count aggregate (map-side combine
+  * collapses it to 256 rows per task), a 256-row broadcast weight
+  * table, and one (doc_id) hash shuffle for the per-doc sum — the
+  * exploded token stream is deliberately NOT persisted between its two
+  * consumers (it is larger than the columnar scan it derives from; the
+  * measured bigramLmScore trade, Retrieval.scala:178).
+  *
+  * All floating-point leaves quantize through floor(x * [[Scale]]) into
+  * exact longs before any aggregation (the lm-score discipline,
+  * Retrieval.scala:150), so the DuckDB twins hash-match bit-for-bit.
+  */
+object Selection {
+
+  /** Fixed-point quantization scale — shared with the retrieval family. */
+  val Scale: Double = Retrieval.Bm25Scale
+
+  /** Hash-bucket counts for the classifier weight vector. */
+  val ClfBuckets = 64
+
+  /** Hash-bucket count for the DSIR feature space (the paper's hashed
+    * n-gram dimensionality, sized down so sf0.01 occupies every bucket). */
+  val DsirBuckets = 256
+
+  /** Deterministic per-bucket classifier weight in integer milliunits,
+    * range [-1000, 1000]: a Weyl-style mix of the bucket id (the
+    * minhashCoeffs constant family). Stands in for trained weights;
+    * identical arithmetic embeds in the SQL oracle. */
+  private def clfWeightQ(bucket: Column): Column =
+    (bucket * lit(2654435761L)) % 2001L - 1000L
+
+  /** Hashed-linear quality score per doc: tokens hash into
+    * [[ClfBuckets]] buckets, per-bucket weights accumulate in exact
+    * integer milliunits, and the margin normalizes by token count.
+    * `keep` thresholds at margin > 0.
+    *
+    * Zero shuffles: the whole scorer is one codegen'd projection
+    * (higher-order `aggregate` over the token array — no explode, no
+    * UDF), so it composes into any scan at scan speed.
+    *
+    * Returns (doc_id, n_toks, q_margin, q_score, keep). */
+  def qualityClassifier(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = tokens(text)
+    val marginQ = aggregate(tk, lit(0L),
+      (acc, t) => acc + clfWeightQ(md5Long(t) % ClfBuckets))
+    docs.select(id.as("doc_id"), size(tk).cast("long").as("n_toks"),
+        marginQ.as("q_margin"))
+      .withColumn("q_score",
+        when(col("n_toks") === 0, lit(0.0))
+          .otherwise(col("q_margin").cast("double") /
+            (col("n_toks").cast("double") * 1000.0)))
+      .withColumn("keep", col("n_toks") > 0 && col("q_margin") > 0)
+  }
+
+  /** DSIR importance log-weight per doc: every token hashes into
+    * [[DsirBuckets]] buckets; bucket b carries
+    * lw(b) = ln( ((tgt_c+1)·(raw_tot+D)) / ((raw_c+1)·(tgt_tot+D)) )
+    * (Laplace-smoothed importance ratio, quantized); a doc's log-weight
+    * is the sum over its tokens. `selected` keeps docs whose weight is
+    * positive — more target-like than raw-like.
+    *
+    * One token explode feeds BOTH corpus counts in a single 256-key
+    * aggregate (`isTarget` rides as a flag — no second scan); the 256
+    * count rows collapse to driver-side state (the bounded-broadcast
+    * centroid discipline, Similarity.scala:277 — NOT a data-path
+    * collect), where totals and the quantized log-weights derive in
+    * plain arithmetic; the weight table re-enters the plan as a
+    * 256-row literal broadcast into the per-token join. Building
+    * weights lazily from the count DataFrame instead would recompute
+    * the corpus explode once per weight consumer (measured: the `tot`
+    * aggregate re-ran the whole count subtree). The only fact-sized
+    * shuffles are the 256-key count aggregate and the final per-doc
+    * sum. floor-quantization happens in JVM Math.log — the identical
+    * function Spark's `log` expression calls, so driver-side weight
+    * math is bit-equal to the in-plan form. Docs with zero tokens emit
+    * no row (nothing to weigh), mirroring bigramLmScore.
+    *
+    * Returns (doc_id, n_toks, dsir_logw, selected). */
+  def dsirScore(docs: DataFrame, id: Column, text: Column,
+                isTarget: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tw = docs
+      .select(id.as("doc_id"), isTarget.as("is_tgt"),
+        explode(tokens(text)).as("w"))
+      .select(col("doc_id"), col("is_tgt"),
+        (md5Long(col("w")) % DsirBuckets).as("b"))
+    val rawc = Array.fill(DsirBuckets)(0L)
+    val tgtc = Array.fill(DsirBuckets)(0L)
+    tw.groupBy(col("b")).agg(
+        count(lit(1)).as("rawc"),
+        sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgtc"))
+      .collect().foreach { r =>
+        rawc(r.getLong(0).toInt) = r.getLong(1)
+        tgtc(r.getLong(0).toInt) = r.getLong(2)
+      }
+    val d = DsirBuckets.toDouble
+    val rawTot = rawc.sum.toDouble
+    val tgtTot = tgtc.sum.toDouble
+    val weights = (0 until DsirBuckets).map { b =>
+      val lw = math.log(((tgtc(b) + 1.0) * (rawTot + d)) /
+        ((rawc(b) + 1.0) * (tgtTot + d)))
+      (b.toLong, math.floor(lw * Scale).toLong)
+    }
+    tw.join(broadcast(weights.toDF("b", "lwq")), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("lwq")).as("swq"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("swq").cast("double") / lit(Scale)).as("dsir_logw"),
+        (col("swq") > 0).as("selected"))
+  }
+}

@@ -79,6 +79,33 @@ object Urls {
     concat(cPrefix, regexp_replace(q3, "/$", ""))
   }
 
+  /** Path component of a URL (between authority and ?/#): '' when the
+    * input has no `scheme://` authority or no path. */
+  def pathOf(url: Column): Column =
+    regexp_extract(url, "^[^/?#]*//[^/?#]*([^?#]*)", 1)
+
+  /** Per-URL quality signals — the cheap structural gates C4/RefinedWeb
+    * apply alongside the domain blocklist (media assets, deep crawl
+    * artifacts, parameter-heavy search pages are dropped before any
+    * text runs). Pure codegen projection, zero shuffles:
+    *   - path_depth: count of non-empty /-separated path segments;
+    *   - n_params: &-separated query parameters (0 when no query);
+    *   - is_media: path ends in a static-asset extension;
+    *   - url_len: total URL length.
+    * Returns (doc_id, url, path_depth, n_params, is_media, url_len). */
+  def urlQuality(docs: DataFrame, id: Column, url: Column): DataFrame = {
+    val path = pathOf(url)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    docs.select(id.as("doc_id"), url.as("url"),
+      size(filter(split(path, "/"), s => length(s) > 0))
+        .cast("long").as("path_depth"),
+      when(query === "", lit(0L))
+        .otherwise(size(split(query, "&")).cast("long")).as("n_params"),
+      lower(path).rlike("\\.(jpe?g|png|gif|svg|ico|css|js|mp4|webm)$")
+        .as("is_media"),
+      length(url).cast("long").as("url_len"))
+  }
+
   /** Per-registered-domain rollup — the table a curation run eyeballs
     * (and thresholds) before admitting a crawl slice: URL count,
     * distinct hosts, distinct languages, first doc id. One hash shuffle

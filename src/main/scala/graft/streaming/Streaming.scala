@@ -463,6 +463,35 @@ object Streaming {
       graft.llm.Dedup.explodeLines(docs, id, text),
       ledger.filter(col("n_docs") > maxDocs).select(col("h")))
 
+  /** Merge one micro-batch's keys into a persistent Bloom word ledger —
+    * the ingest-time build half of [[graft.llm.Bloom.gate]] (the
+    * mergeLineLedger discipline). bit_or is associative, commutative
+    * AND idempotent, so batch boundaries, merge order and re-delivered
+    * keys (at-least-once replay!) all leave the ledger equal to the
+    * one-shot batch build bit for bit — strictly stronger than the
+    * line ledger's additivity, which needs each doc in exactly one
+    * batch. Ledger is (word, wbits): at most bits/32 rows of state,
+    * stored as a table. */
+  def mergeBloomLedger(ledger: DataFrame, batchDocs: DataFrame,
+                       key: Column, bits: Int): DataFrame =
+    ledger.select(col("word"), col("wbits"))
+      .unionByName(graft.llm.Bloom.wordBits(
+        batchDocs.select(md5(key).as("__h")), col("__h"), bits))
+      .groupBy(col("word")).agg(bit_or(col("wbits")).as("wbits"))
+
+  /** Gate docs against a Bloom word ledger: per-doc `maybe_dup`
+    * verdicts as the zero-shuffle literal-state projection of
+    * [[graft.llm.Bloom.probeWith]]. Run per micro-batch against
+    * yesterday's ledger (admit-if-unseen ingest), or against the final
+    * ledger, where it equals the batch [[graft.llm.Bloom.gate]]
+    * membership verdicts exactly — StreamingSpec pins both the ledger
+    * and verdict equalities. */
+  def bloomVerdictsAgainstLedger(docs: DataFrame, id: Column, key: Column,
+                                 ledger: DataFrame, bits: Int): DataFrame =
+    graft.llm.Bloom.probeWith(
+      graft.llm.Bloom.toBitArray(ledger, bits), docs, id, key, bits)
+      .select(col("doc_id"), col("maybe_dup"))
+
   /** Per-doc SimHash dedup verdicts over [[streamingSimHashClaims]]: a
     * doc is a duplicate only of a band owner VERIFIED within `maxDist`
     * hamming (the batch `simhashPairs` precision rule — an unverified

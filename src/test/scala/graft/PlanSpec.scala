@@ -394,4 +394,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"),
       s"ranked cluster table must be cached for the self-join:\n$p")
   }
+
+  test("classifier and URL-signal scorers are zero-shuffle projections") {
+    // the whole point of the hashed-linear classifier and the URL
+    // structural gates is that they fuse into the scan — any Exchange
+    // here would serialize the corpus for a per-row computation
+    for (q <- Seq("q_quality_classifier", "q_url_quality", "q_url_parse",
+        "q_url_canon")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("bloom gate: probe side is a projection — its only join is the broadcast exact check") {
+    val p = plan(SparkEntry.queries("q_bloom_gate")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"probe must not shuffle-join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
+      s"exactly one broadcast join (the is_dup ledger):\n$p")
+    // the only hash shuffle permitted is the reference-side distinct
+    // (dedup of ref keys before broadcast); the probe fact never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"probe side must stay shuffle-free:\n$p")
+  }
+
+  test("dsir: literal weight table broadcasts; only the per-doc sum shuffles") {
+    // the 256-key counts collapse to driver state at construction (the
+    // centroid discipline), so the LIVE plan is: explode → broadcast-join
+    // the literal weight table → partial/final per-doc aggregate around
+    // exactly one exchange. A second exchange would mean the weight
+    // build leaked back into the scoring plan.
+    val p = plan(SparkEntry.queries("q_dsir")(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"dsir joins must broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"weights must broadcast:\n$p")
+    assert(p.contains("LocalTableScan"), s"weights must enter as a literal table:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"dsir must shuffle only for the per-doc sum:\n$p")
+  }
 }

@@ -1,0 +1,146 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions.{md5Long, tokens}
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the data-selection family (llm/Selection.scala,
+  * llm/Bloom.scala): classifier margin parity with an explode-based
+  * recomputation, DSIR sign behavior and reshard invariance, and the
+  * Bloom gate's no-false-negative guarantee plus a forced-saturation
+  * false-positive case proving the ledger distinguishes the two. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "alpha beta gamma delta epsilon", "en"),
+    (1L, "zeta eta theta iota kappa", "en"),
+    (2L, "", "en"),                       // zero tokens
+    (3L, "alpha beta gamma delta epsilon", "de"), // exact dup of 0
+    (4L, "unter anders zwischen wegen", "de"),
+    (5L, "solo una frase corta aqui", "es"),
+    (6L, "alpha alpha alpha alpha", "en") // repeated single token
+  ).toDF("doc_id", "text", "lang")
+
+  // ---------------------------------------------------------------- classifier
+
+  test("qualityClassifier: margin matches an explode-based recomputation") {
+    val got = Selection.qualityClassifier(docs, col("doc_id"), col("text"))
+      .select("doc_id", "q_margin").as[(Long, Long)].collect().toMap
+    // independent computation: explode tokens, weight each, sum per doc
+    val expected = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"),
+        ((md5Long(col("t")) % 64) * lit(2654435761L) % 2001L - 1000L).as("w"))
+      .groupBy("doc_id").agg(sum("w").as("m"))
+      .as[(Long, Long)].collect().toMap
+    expected.foreach { case (id, m) => assert(got(id) == m, s"doc $id") }
+  }
+
+  test("qualityClassifier: empty doc scores 0 and is not kept; keep = margin>0") {
+    val rows = Selection.qualityClassifier(docs, col("doc_id"), col("text"))
+      .select("doc_id", "n_toks", "q_margin", "q_score", "keep")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(2L)._2 == 0L && byId(2L)._3 == 0L && byId(2L)._4 == 0.0 &&
+      !byId(2L)._5, "empty doc must score 0 / keep=false")
+    rows.foreach { case (id, n, m, s, keep) =>
+      assert(keep == (n > 0 && m > 0), s"keep rule broken for doc $id")
+      if (n > 0)
+        assert(math.abs(s - m.toDouble / (n * 1000.0)) < 1e-15,
+          s"score normalization broken for doc $id")
+    }
+    // identical text => identical margin regardless of other columns
+    assert(byId(0L)._3 == byId(3L)._3)
+  }
+
+  // ---------------------------------------------------------------- DSIR
+
+  /** DSIR corpus where counts dominate the Laplace smoothing: with only
+    * a handful of tokens against D=256 buckets, the +1 priors swamp the
+    * ratio and every weight collapses toward ln(raw_tot/tgt_tot) — so
+    * each doc repeats its vocabulary 30×, putting per-bucket counts on
+    * the same order as D. */
+  private val dsirDocs = {
+    def rep(s: String) = Array.fill(30)(s).mkString(" ")
+    Seq(
+      (0L, rep("alpha beta gamma delta"), "en"),
+      (1L, rep("epsilon zeta eta theta"), "en"),
+      (2L, "", "en"),                                  // zero tokens
+      (3L, rep("alpha beta gamma delta"), "en"),       // dup of 0
+      (4L, rep("unter anders zwischen wegen"), "de"),
+      (5L, rep("solo una frase corta"), "es")
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("dsirScore: target-vocabulary docs score positive, disjoint raw vocab negative") {
+    // target slice speaks vocab A; the raw-only slice speaks vocab B.
+    // A doc of pure A-tokens must be more target-like (positive log
+    // weight), pure B-tokens less (negative); zero-token docs emit no row.
+    val out = Selection.dsirScore(dsirDocs, col("doc_id"), col("text"),
+      col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(!out.contains(2L), "zero-token doc must emit no row")
+    assert(out(0L)._1 > 0 && out(0L)._2, "pure target vocab must select")
+    assert(out(1L)._1 > 0 && out(1L)._2, "pure target vocab must select")
+    assert(out(4L)._1 < 0 && !out(4L)._2, "raw-only vocab must not select")
+    assert(out(5L)._1 < 0 && !out(5L)._2, "raw-only vocab must not select")
+    // doc 3 duplicates doc 0's text: identical weight
+    assert(math.abs(out(3L)._1 - out(0L)._1) < 1e-12)
+  }
+
+  test("dsirScore: selected set is invariant under resharding") {
+    val base = Selection.dsirScore(dsirDocs, col("doc_id"), col("text"),
+      col("lang") === "en")
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toSet
+    val reshard = Selection.dsirScore(dsirDocs.repartition(7, col("lang")),
+      col("doc_id"), col("text"), col("lang") === "en")
+      .select("doc_id", "selected").as[(Long, Boolean)].collect().toSet
+    assert(base == reshard)
+  }
+
+  // ---------------------------------------------------------------- Bloom
+
+  test("bloom gate: zero false negatives — every exact dup is flagged maybe_dup") {
+    val ref = docs.filter(col("doc_id") <= 3)
+    val probe = docs.filter(col("doc_id") > 3)
+      .union(Seq((7L, "alpha beta gamma delta epsilon", "en")).toDF(
+        "doc_id", "text", "lang")) // planted exact dup of ref doc 0
+    val out = Bloom.gate(ref, probe, col("doc_id"), col("text"), bits = 4096)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.length == 4)
+    out.foreach { case (id, maybe, isDup) =>
+      assert(!isDup || maybe, s"false negative on doc $id")
+    }
+    assert(out.find(_._1 == 7L).exists(r => r._2 && r._3),
+      "planted dup must be caught by both the filter and the exact check")
+  }
+
+  test("bloom gate: a saturated filter produces false positives the ledger exposes") {
+    // 64-bit filter + 40 keys * 4 positions => essentially every bit set:
+    // non-member probes pass the filter (maybe_dup) but fail the exact
+    // check (is_dup=false) — the accounting distinguishes the two.
+    val ref = (0 until 40).map(i => (i.toLong, s"ref document number $i"))
+      .toDF("doc_id", "text")
+    val probe = (100 until 110).map(i => (i.toLong, s"novel probe text $i"))
+      .toDF("doc_id", "text")
+    val out = Bloom.gate(ref, probe, col("doc_id"), col("text"), bits = 64)
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.forall(!_._3), "no probe text is actually in ref")
+    assert(out.exists(_._2), "saturated filter must show false positives")
+  }
+
+  test("bloom buildBits: bounded population, deterministic across builds") {
+    val keys = docs.select(md5(col("text")).as("h")).distinct()
+    val a = Bloom.buildBits(keys, col("h"), bits = 4096)
+    val b = Bloom.buildBits(keys, col("h"), bits = 4096)
+    assert(a.toSeq == b.toSeq, "filter must be deterministic")
+    assert(a.length == 4096 / 32)
+    val popcount = a.map(java.lang.Long.bitCount).sum
+    val nKeys = keys.count()
+    assert(popcount > 0 && popcount <= 4 * nKeys,
+      s"at most k bits per key may be set (got $popcount for $nKeys keys)")
+    // 32-bit packing: no bit above 31 is ever set (the DuckDB-parity cap)
+    assert(a.forall(w => (w >>> 32) == 0L), "words must pack only 32 low bits")
+  }
+}

@@ -494,6 +494,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 4L).get._2 == "")
   }
 
+  test("bloom ledger in foreachBatch: merged words and verdicts equal the batch gate") {
+    // ingest-time twin of Bloom.gate: micro-batches fold keys into a
+    // (word, wbits) ledger; bit_or idempotence means even a REPLAYED
+    // batch (at-least-once delivery) leaves the ledger equal to the
+    // one-shot build, and final-ledger verdicts equal the batch gate's
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val bits = 1024
+    val refDocs = Seq(
+      (1L, "shared boilerplate text"),
+      (2L, "reference body two"),
+      (3L, "reference body three"),
+      (4L, "reference body four"))
+
+    var ledger = Seq.empty[(Int, Long)].toDF("word", "wbits")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeBloomLedger(ledger, batch,
+            col("text"), bits).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(refDocs.take(2)); q.processAllAvailable()
+    ms.addData(Seq(refDocs(2))); q.processAllAvailable()
+    ms.addData(Seq(refDocs(2), refDocs(3))); q.processAllAvailable() // doc 3 replayed
+    q.stop()
+
+    val all = refDocs.toDF("doc_id", "text")
+    val oneShot = graft.llm.Bloom.buildBits(
+      all.select(md5(col("text")).as("h")).distinct(), col("h"), bits)
+    val streamed = graft.llm.Bloom.toBitArray(ledger, bits)
+    assert(streamed.toSeq == oneShot.toSeq,
+      "replay-folded ledger must equal the one-shot filter bit for bit")
+
+    // verdicts against the final ledger == the batch gate's maybe_dup
+    val probe = Seq((10L, "shared boilerplate text"), (11L, "novel text"))
+      .toDF("doc_id", "text")
+    val viaLedger = Streaming.bloomVerdictsAgainstLedger(probe,
+        col("doc_id"), col("text"), ledger, bits)
+      .as[(Long, Boolean)].collect().toMap
+    val viaBatch = graft.llm.Bloom.gate(all, probe, col("doc_id"),
+        col("text"), bits)
+      .select("doc_id", "maybe_dup").as[(Long, Boolean)].collect().toMap
+    ledger.unpersist()
+    assert(viaLedger == viaBatch, s"ledger=$viaLedger batch=$viaBatch")
+    assert(viaLedger(10L), "exact dup must be flagged (no false negatives)")
+  }
+
   test("claimsToVerdicts in foreachBatch equals the chained-aggregation verdicts") {
     // the documented lake-scale path: per-batch stateless verdict
     // aggregation over the claims stream (no doc-level state) must yield
