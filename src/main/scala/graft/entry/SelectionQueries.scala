@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.llm.{Bloom, Selection}
+import graft.llm.{Bloom, Selection, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,11 @@ object SelectionQueries {
     * exercised without changing the query. */
   private val BloomBits = 4096
 
+  /** Word blocklist for q_word_filter: two tokens that occur in the
+    * synthetic corpus ("slow" ~2%/doc) and two that never do, so both
+    * the hit and miss paths run on real data. */
+  private val BlockedWords = Seq("slow", "broken", "spam", "casino")
+
   val queries: Map[String, Q] = Map(
     // fastText-style hashed linear scorer — zero-shuffle codegen
     // projection over the token array
@@ -34,6 +39,12 @@ object SelectionQueries {
     "q_dsir" -> ((s, d) =>
       Selection.dsirScore(Tables.documents(s, d), col("doc_id"),
         col("text"), col("lang") === "en")),
+
+    // C4-style word-blocklist gate — case-insensitive token match,
+    // zero-shuffle projection
+    "q_word_filter" -> ((s, d) =>
+      TextAnalysis.wordBlocklist(Tables.documents(s, d), col("doc_id"),
+        col("text"), BlockedWords)),
 
     // Bloom membership gate: reference slice doc_id % 11 == 0 folds
     // into broadcast bit-array state; the probe side is a projection;
@@ -107,6 +118,15 @@ object SelectionQueries {
          |  CAST(swq AS DOUBLE) / 1000000000.0 AS dsir_logw,
          |  (swq > 0) AS selected
          |FROM sc""".stripMargin,
+
+    "q_word_filter" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter($SqlToks,
+         |      t -> lower(t) IN (${BlockedWords.map(w => s"'$w'").mkString(", ")})))
+         |      AS BIGINT) AS n_blocked
+         |  FROM documents)
+         |SELECT doc_id, n_blocked, (n_blocked = 0) AS keep FROM m""".stripMargin,
 
     "q_bloom_gate" ->
       s"""WITH ref AS (

@@ -234,6 +234,23 @@ object TextAnalysis {
     when(n === 0, lit(0.0)).otherwise(sw / n)
   }
 
+  /** C4-style word-blocklist gate (C4 §2.2 drops any doc containing a
+    * blocklisted word; the text-side counterpart of the URL domain
+    * blocklist, Urls.blocklistFilter). Case-insensitive exact token
+    * match over the folded whitespace tokens — the stopwordRatio
+    * matching discipline, so the oracle twin shares it. Zero-shuffle
+    * codegen projection: the list rides inline in the `isin` (a real
+    * deployment's list is still only thousands of literals — far under
+    * codegen limits; beyond that it becomes a broadcast semi-join).
+    * Returns (doc_id, n_blocked, keep). */
+  def wordBlocklist(docs: DataFrame, id: Column, text: Column,
+                    blocked: Seq[String]): DataFrame = {
+    val hits = size(filter(tokens(foldLower(text)),
+      t => t.isin(blocked: _*)))
+    docs.select(id.as("doc_id"), hits.cast("long").as("n_blocked"),
+      (hits === 0).as("keep"))
+  }
+
   /** Mean word length. */
   def meanWordLen(text: Column): Column = {
     val toks = tokens(text)
@@ -358,48 +375,85 @@ object TextAnalysis {
     *    longer gram) over the doc's characters.
     *
     * Shapes for 100 TB: line/paragraph/gram text is never a shuffle key —
-    * groups key on (doc_id, md5-hash) with the length as a value (the
+    * groups key on (doc_id, hash) with the length as a value (the
     * lineDedup discipline; a same-doc hash collision is the accepted
-    * ~2^-60 trade documented there). All three gram widths ride ONE
-    * explode (width-tagged structs concatenated from a shared token
-    * array), so the battery costs one scan for grams + one each for
-    * lines and paragraphs, then conditional aggregation — no pivot, no
-    * per-width scans. Thresholding is the caller's business: this emits
-    * the fractions. */
+    * negligible trade documented there). ALL FIVE unit kinds (lines,
+    * paragraphs, three gram widths) ride ONE kind-tagged explode from a
+    * single text scan, and both duplicate fractions and top-gram
+    * coverages come out of one conditional aggregate — the whole
+    * battery is 2 scans and 2 exchanges, no pivot, no per-kind
+    * branches. Thresholding is the caller's business: this emits the
+    * fractions. */
   def qualityRules(df: DataFrame, id: Column, text: Column): DataFrame = {
     val docs = df.select(id.as("doc_id"), text.as("text"),
       length(text).cast("long").as("n_chars"))
-    val base = docs.select(col("doc_id"), col("n_chars"))
-
-    // duplicate-structure stats for one splitter (lines or paragraphs)
-    def dupStats(sep: String, frac: String, chars: String): DataFrame =
-      docs.select(col("doc_id"), explode(split(col("text"), sep, -1)).as("u"))
-        .groupBy(col("doc_id"), md5Long(col("u")).as("h"))
-        .agg(count(lit(1)).as("c"), max(length(col("u"))).cast("long").as("len"))
-        .groupBy(col("doc_id"))
-        .agg(
-          (sum(col("c") - 1).cast("double") / sum(col("c")).cast("double")).as(frac),
-          sum((col("c") - 1) * col("len")).as(chars))
-
-    val lineStats = dupStats("\n", "dup_line_frac", "dup_line_chars")
-    val paraStats = dupStats("\n\n", "dup_para_frac", "dup_para_chars")
 
     // (count, len) packed into one long so a single max() picks the top
     // gram by count, then length — decoded after the aggregate
     val Pack = 1000000L
-    val tagged = docs.select(col("doc_id"), explode(concat(
-      Seq(2, 3, 4).map(w => transform(shingles(col("text"), w),
-        g => struct(lit(w).as("w"), g.as("g")))): _*)).as("t"))
-      .select(col("doc_id"), col("t.w").as("w"), col("t.g").as("g"))
-    val topGrams = tagged
-      .groupBy(col("doc_id"), col("w"), md5Long(col("g")).as("h"))
-      .agg(count(lit(1)).as("c"), max(length(col("g"))).cast("long").as("len"))
+    // Gram identity is a bounded polynomial combine of per-TOKEN hashes
+    // instead of md5 over materialized gram strings: one md5 per token
+    // (not per gram), no string concat, and the exploded stream carries
+    // three longs per gram instead of the gram text. Gram length
+    // reconstructs exactly as Σ token lens + (w-1) separators. The
+    // per-step mod keeps acc < 2^42, so acc*K + tok < 2^63 — no Java
+    // wraparound. The ORACLE's gram CTE still groups by the literal
+    // gram string (the semantic definition); the two agree absent hash
+    // collisions (~hundreds of grams per doc against a 2^42 space).
+    val GramP = 4398042316799L // prime < 2^42
+    val GramK = 1048573L       // prime < 2^20
+    // ONE kind-tagged unit stream carries all six signals: kind 0 =
+    // lines, 1 = paragraphs, 2/3/4 = gram widths. The whole battery is
+    // a single text scan → explode → (doc_id, kind, h) count → per-doc
+    // conditional aggregate: 2 exchanges and 2 scans total, where the
+    // per-branch form paid 8 scans / 12 exchanges and three joins for
+    // identical results. Local CPU-bound timing moves modestly
+    // (fresh-plan A/B at sf0.1: ~2.7 s → ~2.35 s; the residual cost is
+    // the honest ~1.7 M-unit explode+count volume), but at cluster
+    // scale the 4× fewer text-column scans and 6× fewer shuffles are
+    // the difference that matters.
+    def splitUnits(sep: String, kind: Int): Column =
+      transform(split(col("text"), sep, -1), u =>
+        struct(lit(kind).as("w"), md5Long(u).as("h"),
+          length(u).cast("long").as("len")))
+    def gramArr(w: Int): Column =
+      // the guard matters: sequence(1, 0) is a DESCENDING [1, 0] in
+      // Spark, which would fabricate grams (and index element_at at 0)
+      // on docs shorter than w tokens
+      when(size(col("th")) >= w,
+        transform(sequence(lit(1), size(col("th")) - (w - 1)), i => {
+          val h = (1 until w).foldLeft(element_at(col("th"), i) % GramP)(
+            (acc, j) => (acc * GramK + element_at(col("th"), i + j) % GramP) % GramP)
+          val len = (1 until w).foldLeft(element_at(col("tl"), i))(
+            (acc, j) => acc + element_at(col("tl"), i + j)) + (w - 1)
+          struct(lit(w).as("w"), h.as("h"), len.as("len"))
+        }))
+        .otherwise(array().cast("array<struct<w:int,h:bigint,len:bigint>>"))
+    val units = docs
+      .select(col("doc_id"), col("text"),
+        transform(tokens(col("text")), t => md5Long(t)).as("th"),
+        transform(tokens(col("text")), t => length(t).cast("long")).as("tl"))
+      .select(col("doc_id"), explode(concat(
+        splitUnits("\n", 0), splitUnits("\n\n", 1),
+        gramArr(2), gramArr(3), gramArr(4))).as("t"))
+      .select(col("doc_id"), col("t.w").as("w"), col("t.h").as("h"),
+        col("t.len").as("len"))
+    def ifKind(k: Int, v: Column): Column = when(col("w") === k, v)
+    val perDoc = units
+      .groupBy(col("doc_id"), col("w"), col("h"))
+      .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
       .withColumn("v", col("c") * Pack + col("len"))
       .groupBy(col("doc_id"))
       .agg(
-        max(when(col("w") === 2, col("v"))).as("v2"),
-        max(when(col("w") === 3, col("v"))).as("v3"),
-        max(when(col("w") === 4, col("v"))).as("v4"))
+        (sum(ifKind(0, col("c") - 1)).cast("double") /
+          sum(ifKind(0, col("c"))).cast("double")).as("dup_line_frac"),
+        sum(ifKind(0, (col("c") - 1) * col("len"))).as("dup_line_chars"),
+        (sum(ifKind(1, col("c") - 1)).cast("double") /
+          sum(ifKind(1, col("c"))).cast("double")).as("dup_para_frac"),
+        sum(ifKind(1, (col("c") - 1) * col("len"))).as("dup_para_chars"),
+        max(ifKind(2, col("v"))).as("v2"),
+        max(ifKind(3, col("v"))).as("v3"),
+        max(ifKind(4, col("v"))).as("v4"))
 
     def cover(v: Column): Column =
       when(col("n_chars") === 0 || v.isNull, lit(0.0))
@@ -409,10 +463,8 @@ object TextAnalysis {
       when(col("n_chars") === 0, lit(0.0))
         .otherwise(chars.cast("double") / col("n_chars").cast("double"))
 
-    base
-      .join(lineStats, Seq("doc_id"), "left")
-      .join(paraStats, Seq("doc_id"), "left")
-      .join(topGrams, Seq("doc_id"), "left")
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         col("dup_line_frac"),
         charFrac(col("dup_line_chars")).as("dup_line_char_frac"),

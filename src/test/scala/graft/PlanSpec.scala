@@ -399,8 +399,8 @@ class PlanSpec extends SparkSpec {
     // the whole point of the hashed-linear classifier and the URL
     // structural gates is that they fuse into the scan — any Exchange
     // here would serialize the corpus for a per-row computation
-    for (q <- Seq("q_quality_classifier", "q_url_quality", "q_url_parse",
-        "q_url_canon")) {
+    for (q <- Seq("q_quality_classifier", "q_word_filter", "q_url_quality",
+        "q_url_parse", "q_url_canon")) {
       val p = plan(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
     }

@@ -54,6 +54,24 @@ class SelectionSpec extends SparkSpec {
     assert(byId(0L)._3 == byId(3L)._3)
   }
 
+  test("wordBlocklist: case-insensitive token hits; empty and clean docs keep") {
+    val in = Seq(
+      (0L, "this text is clean"),
+      (1L, "SPAM and more Spam here"),     // 2 case-folded hits
+      (2L, ""),                            // empty → keep
+      (3L, "spamlike but not exact"),      // substring must NOT match
+      (4L, "casino")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.wordBlocklist(in, col("doc_id"), col("text"),
+      Seq("spam", "casino")).as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L) == (0L, true))
+    assert(out(1L) == (2L, false), "case-folded exact tokens must count")
+    assert(out(2L) == (0L, true), "empty doc has nothing blocked")
+    assert(out(3L) == (0L, true), "substring containment must not match")
+    assert(out(4L) == (1L, false))
+  }
+
   // ---------------------------------------------------------------- DSIR
 
   /** DSIR corpus where counts dominate the Laplace smoothing: with only
