@@ -1,7 +1,7 @@
 package graft.entry
 
 import graft.functions.{CosineSimilarity, GraftFunctions}
-import graft.llm.{Contamination, Dedup, Multimodal, Retrieval, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -688,6 +688,40 @@ object LlmQueries {
       (GraftFunctions.md5Long(col("text")) % 20).as("bucket"),
       when(GraftFunctions.md5Long(col("text")) % 20 === 0, lit("val"))
         .otherwise(lit("train")).as("split"))),
+
+    // leakage-proof split: near-dup COMPONENTS are the split unit, so a
+    // doc and its paraphrases can never straddle train/val (the leak
+    // q_split_assign's per-doc hash permits). Docs outside any near-dup
+    // pair key on themselves; hashing the component key keeps the
+    // assignment reshard-stable.
+    "q_split_leakproof" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, col("doc_id"), col("text"),
+        threshold = 0.4, ShingleW, PairBands, PairRows)
+      val comps = Dedup.nearDupComponents(pairs, col("doc_a"), col("doc_b"),
+        iters = 5)
+      docs.select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("leak_key"))
+        .select(col("doc_id"), col("leak_key"),
+          when(GraftFunctions.md5Long(col("leak_key").cast("string")) % 20 === 0,
+            lit("val")).otherwise(lit("train")).as("split"))
+    }),
+
+    // token-budget mixture cut: per source, admit docs in quality order
+    // until the source's cumulative BPE-token estimate passes the
+    // budget — how a training mix is actually assembled under a token
+    // target (the budgeted counterpart of the rate-based q_mix_sample)
+    "q_token_budget" -> ((s, d) =>
+      Selection.tokenBudgetCut(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          coalesce(TextAnalysis.bpeTokenEstimate(col("text")), lit(0L))
+            .as("n_tokens"),
+          TextAnalysis.qualityFrom(TextAnalysis.counts(col("text")))
+            .as("quality")),
+        col("source"), col("doc_id"), col("n_tokens"), col("quality"),
+        budget = 2000L)),
 
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, d) => Multimodal.metaScan(media(s, d))),
@@ -1815,6 +1849,35 @@ object LlmQueries {
       s"""SELECT doc_id, ${sqlMd5Long("text")} % 20 AS bucket,
          |       CASE WHEN ${sqlMd5Long("text")} % 20 = 0 THEN 'val' ELSE 'train' END AS split
          |FROM documents""".stripMargin,
+
+    "q_split_leakproof" ->
+      s"""WITH $componentsCte,
+         |lk AS (
+         |  SELECT d.doc_id,
+         |         COALESCE(l5.label, d.doc_id) AS leak_key
+         |  FROM documents d LEFT JOIN l5 ON d.doc_id = l5.node)
+         |SELECT doc_id, leak_key,
+         |       CASE WHEN ${sqlMd5Long("CAST(leak_key AS VARCHAR)")} % 20 = 0
+         |            THEN 'val' ELSE 'train' END AS split
+         |FROM lk""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source AS grp, doc_id,
+         |         CAST(COALESCE(list_sum(list_transform($sqlAlnumToks,
+         |           t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens,
+         |         $sqlQuality AS quality
+         |  FROM documents),
+         |c AS (
+         |  SELECT grp, doc_id, n_tokens, quality,
+         |         SUM(n_tokens) OVER (PARTITION BY grp
+         |           ORDER BY quality DESC, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT grp, doc_id, n_tokens, quality,
+         |       CAST(cum AS BIGINT) AS cum_tokens,
+         |       (cum <= 2000) AS kept
+         |FROM c""".stripMargin,
 
     // media oracles are BYTE-based (encode/octet_length + hex slicing):
     // the Spark side crops the UTF-8 payload by bytes, so a char-based

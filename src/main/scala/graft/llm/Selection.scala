@@ -82,6 +82,37 @@ object Selection {
       .withColumn("keep", col("n_toks") > 0 && col("q_margin") > 0)
   }
 
+  /** Token-budget mixture cut — the step that turns per-doc quality
+    * scores into an actual training mix: within each group (source,
+    * language, shard), admit docs in quality order until the group's
+    * cumulative token estimate exceeds `budget`. This is how training
+    * sets are assembled under a token target ("x B tokens of web, y B
+    * of books"), the budgeted counterpart of the rate-based
+    * mixtureSample.
+    *
+    * One hash shuffle on the group key, then a running sum over
+    * (quality DESC, id) — the per-group prefix is the operator's
+    * SEMANTIC requirement, the packSequences per-shard discipline: a
+    * group's cut point depends on its full quality order, so groups are
+    * the parallelism unit (salting would change the answer). ROWS
+    * frame + unique-id tie-break keep the window total-ordered, so the
+    * running sum is deterministic on both engines.
+    *
+    * Returns (grp, doc_id, n_tokens, quality, cum_tokens, kept). */
+  def tokenBudgetCut(docs: DataFrame, group: Column, id: Column,
+                     nTokens: Column, quality: Column,
+                     budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(group.as("grp"), id.as("doc_id"),
+        nTokens.cast("long").as("n_tokens"), quality.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
   /** DSIR importance log-weight per doc: every token hashes into
     * [[DsirBuckets]] buckets; bucket b carries
     * lw(b) = ln( ((tgt_c+1)·(raw_tot+D)) / ((raw_c+1)·(tgt_tot+D)) )
