@@ -161,11 +161,17 @@ object Bench {
       val best = samples(name).map(_._1).min
       name -> (if (best.isInfinity) -1.0 else best) // -1 = all runs failed
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Total over SUCCESSFUL queries only: summing the -1 failure sentinels
+    // would subtract a second per failure and fabricate a speedup exactly
+    // when the suite is most broken. Failures are reported as an explicit
+    // count instead (and still visible per-query as -1 entries).
+    val nFailed = results.count(_._2 < 0)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def fmt(v: Double): String = f"$v%.3f"
     def jsonLine(qs: String, omitted: Int): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
         (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
+        (if (nFailed > 0) s""","n_failed":$nFailed""" else "") +
         s""","n_queries":${results.size},"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -29,15 +29,35 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    // Record every throwing query by name → error so missing coverage can
+    // never masquerade as a pass: a query that crashes leaves no parquet
+    // dir, and a correctness report built only from the dirs that exist
+    // would read green while a third of the suite is broken (round 9: 41
+    // events-table queries vanished from CORRECTNESS_r09 this way).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selected = SparkEntry.queries.filter(_._1.startsWith(prefix))
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
       finally graft.llm.Dedup.releaseCaches()
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }
+        .mkString("{", ",", "}"))
+    // Coverage self-check on stdout: entry count must equal query count.
+    println(s"[verify] ${selected.size - errors.size}/${selected.size} " +
+      s"queries succeeded" +
+      (if (errors.nonEmpty) s"; FAILED: ${errors.keys.mkString(", ")}" else ""))
+    // Deliberately exit 0 even on per-query failures: the driver compares
+    // whatever parquet dirs exist, and a nonzero exit could discard the
+    // queries that DID succeed. errors.json + the stdout summary are the
+    // loud, machine-readable failure signal.
     spark.stop()
   }
 

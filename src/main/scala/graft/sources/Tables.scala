@@ -29,16 +29,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read as
-    * a timestamp. Read it as a long (legacy conf) and truncate to micros
-    * with integer division (`div` — a double division would lose precision
-    * above 2^53 ns). DuckDB performs the same ns→us truncation when it
-    * reads the file, so the two engines see identical timestamps. */
+  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver data generations, so adapt to the
+    * loaded schema instead of assuming one physical type.
+    *
+    * TIMESTAMP(NANOS) is unreadable as a timestamp by Spark 4: with the
+    * legacy conf it arrives as a raw nanosecond LongType, which we truncate
+    * to micros with integer division (`div` — a double division would lose
+    * precision above 2^53 ns). DuckDB performs the same ns→us truncation,
+    * so the two engines see identical timestamps. TIMESTAMP(MICROS/MILLIS)
+    * already arrives as a native TimestampType and passes through unchanged
+    * (applying `ts div 1000` to it would throw). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
