@@ -32,9 +32,24 @@ import org.apache.spark.sql.functions._
   * Returns (k, bucket, v_fill, observed 0/1). */
 object TimeSeries {
 
+  /** Hard per-key grid bound: observations past `b0 + maxBuckets - 1`
+    * are DISCARDED before the span explode. One junk far-future
+    * timestamp (the adversarial corpus plants year-2255 events) would
+    * otherwise turn a key's hourly grid into millions of rows — the
+    * only unbounded construct the round-10 audit found in the whole
+    * engine. 100 000 hourly buckets ≈ 11.4 years, far beyond any sane
+    * metrics span. Dropping the observation (rather than only capping
+    * the sequence) keeps the invariant "the grid ends at an observed
+    * bucket" — forward fill has no trailing synthetic stretch and every
+    * lerp gap stays interior — and is mirrored bit-for-bit in the
+    * DuckDB oracle (window `min(bucket) OVER (PARTITION BY k)` +
+    * the same filter), so parity is exact whether or not it fires. */
+  val DefaultMaxBuckets = 100000L
+
   def resampleForwardFill(df: DataFrame, key: Column, ts: Column,
-                          value: Column, bucketMicros: Long): DataFrame = {
-    val (obs, grid) = observationsAndGrid(df, key, ts, value, bucketMicros)
+                          value: Column, bucketMicros: Long,
+                          maxBuckets: Long = DefaultMaxBuckets): DataFrame = {
+    val (obs, grid) = observationsAndGrid(df, key, ts, value, bucketMicros, maxBuckets)
     val w = Window.partitionBy(col("k")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(obs, Seq("k", "bucket"), "left")
@@ -58,8 +73,9 @@ object TimeSeries {
     * with observations, not grid size (an earlier form ran two full
     * IGNORE-NULLS window passes over the dense grid, 2× slower). */
   def resampleInterpolate(df: DataFrame, key: Column, ts: Column,
-                          value: Column, bucketMicros: Long): DataFrame = {
-    val (obs, grid) = observationsAndGrid(df, key, ts, value, bucketMicros)
+                          value: Column, bucketMicros: Long,
+                          maxBuckets: Long = DefaultMaxBuckets): DataFrame = {
+    val (obs, grid) = observationsAndGrid(df, key, ts, value, bucketMicros, maxBuckets)
     val wLead = Window.partitionBy(col("k")).orderBy(col("bucket"))
     val seg = obs.select(col("k"), col("bucket").as("bp"), col("v_obs").as("vp"),
       lead(col("bucket"), 1).over(wLead).as("bn"),
@@ -81,8 +97,8 @@ object TimeSeries {
   /** Shared core: per-(key, bucket) last observations and the dense
     * per-key grid. */
   private def observationsAndGrid(df: DataFrame, key: Column, ts: Column,
-                                  value: Column,
-                                  bucketMicros: Long): (DataFrame, DataFrame) = {
+                                  value: Column, bucketMicros: Long,
+                                  maxBuckets: Long): (DataFrame, DataFrame) = {
     // exact integral division: (u - u mod w) div w stays in LONG end to
     // end (the numerator is an exact multiple of w, so truncating
     // division IS floor division for any sign). An earlier form divided
@@ -97,12 +113,19 @@ object TimeSeries {
     // segment window and the grid join (2-3 consumers) and is small
     // (one row per observed bucket) — the posting-list trade, opposite
     // of an exploded stream
+    // clamp window: an unordered min-over-k window rides the same
+    // per-key co-location the grid/fill steps need anyway; observations
+    // past the window are junk by definition (see DefaultMaxBuckets)
+    val wk = Window.partitionBy(col("k"))
     val obs = graft.core.Caches.track(df
       .filter(value.isNotNull && key.isNotNull && ts.isNotNull)
       .select(key.as("k"), bucketOf(unix_micros(ts)).as("bucket"),
         unix_micros(ts).as("tsu"), value.as("v"))
       .groupBy(col("k"), col("bucket"))
-      .agg(max_by(col("v"), struct(col("tsu"), col("v"))).as("v_obs")))
+      .agg(max_by(col("v"), struct(col("tsu"), col("v"))).as("v_obs"))
+      .withColumn("b0k", min(col("bucket")).over(wk))
+      .filter(col("bucket") <= col("b0k") + lit(maxBuckets - 1))
+      .drop("b0k"))
     val grid = obs.groupBy(col("k"))
       .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))

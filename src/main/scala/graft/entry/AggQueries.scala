@@ -282,12 +282,16 @@ object AggQueries {
         |         epoch_us(ts) AS tsu, value AS v
         |  FROM events
         |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
-        |ob AS (
+        |ob0 AS (
         |  SELECT k, bucket, v AS v_obs FROM (
         |    SELECT k, bucket, v,
         |           row_number() OVER (PARTITION BY k, bucket
         |                              ORDER BY tsu DESC, v DESC) AS rn
         |    FROM o) WHERE rn = 1),
+        |ob AS (
+        |  SELECT k, bucket, v_obs FROM (
+        |    SELECT *, min(bucket) OVER (PARTITION BY k) AS b0k FROM ob0)
+        |  WHERE bucket <= b0k + 99999),
         |span AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM ob GROUP BY 1),
         |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket FROM span),
         |j AS (SELECT g.k, g.bucket, ob.v_obs
@@ -308,12 +312,16 @@ object AggQueries {
         |         epoch_us(ts) AS tsu, value AS v
         |  FROM events
         |  WHERE value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL),
-        |ob AS (
+        |ob0 AS (
         |  SELECT k, bucket, v AS v_obs FROM (
         |    SELECT k, bucket, v,
         |           row_number() OVER (PARTITION BY k, bucket
         |                              ORDER BY tsu DESC, v DESC) AS rn
         |    FROM o) WHERE rn = 1),
+        |ob AS (
+        |  SELECT k, bucket, v_obs FROM (
+        |    SELECT *, min(bucket) OVER (PARTITION BY k) AS b0k FROM ob0)
+        |  WHERE bucket <= b0k + 99999),
         |span AS (SELECT k, min(bucket) AS b0, max(bucket) AS b1 FROM ob GROUP BY 1),
         |grid AS (SELECT k, unnest(generate_series(b0, b1)) AS bucket FROM span),
         |j AS (SELECT g.k, g.bucket, ob.v_obs

@@ -29,17 +29,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and
-    * TIMESTAMP(MICROS) across driver data generations, so adapt to the
-    * loaded schema instead of assuming one physical type.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) and TIMESTAMP(MICROS, UTC)
+    * across driver data generations, so adapt to the loaded schema instead
+    * of assuming one physical type. The contract: callers always see a
+    * native `TimestampType` `ts` whose epoch micros equal what DuckDB
+    * reads from the same file.
     *
     * TIMESTAMP(NANOS) is unreadable as a timestamp by Spark 4: with the
     * legacy conf it arrives as a raw nanosecond LongType, which we truncate
     * to micros with integer division (`div` — a double division would lose
     * precision above 2^53 ns). DuckDB performs the same ns→us truncation,
-    * so the two engines see identical timestamps. TIMESTAMP(MICROS/MILLIS)
-    * already arrives as a native TimestampType and passes through unchanged
-    * (applying `ts div 1000` to it would throw). */
+    * so the two engines see identical timestamps.
+    *
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false arrives as
+    * TIMESTAMP_NTZ, which event-time functions (`unix_micros`,
+    * `window`-adjacent arithmetic) reject with DATATYPE_MISMATCH. Under
+    * the UTC session timezone every entrypoint sets, casting NTZ →
+    * TimestampType is a bit-identical reinterpretation of the stored
+    * micros — and DuckDB's naive read of the same column yields the same
+    * values, so oracle parity is exact. (Round 10 shipped the NANOS
+    * branch only; the NTZ passthrough crashed q_resample/q_resample_lerp
+    * on every dataset.)
+    *
+    * TIMESTAMP(MICROS/MILLIS, UTC) already arrives as a native
+    * TimestampType and passes through unchanged. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
@@ -47,6 +61,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -73,4 +73,27 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 0L, 2.0, 1L)))
   }
+
+  test("observations past b0 + maxBuckets - 1 are discarded — junk ts can't explode the grid") {
+    // obs at buckets 0, 5 and 1,000,000 (a junk timestamp ~114 years
+    // out): unclamped, the grid would be 1,000,001 rows for this key;
+    // clamped, the junk observation is dropped and the grid still ends
+    // at an OBSERVED bucket (no trailing synthetic stretch)
+    val df = Seq(
+      (1L, ts(0), 2.0),
+      (1L, ts(5), 4.0),
+      (1L, new java.sql.Timestamp(1000000L * 3600 * 1000), 9.0))
+      .toDF("k", "t", "v")
+    val out = TimeSeries.resampleForwardFill(df, col("k"), col("t"), col("v"), H,
+      maxBuckets = 10L)
+      .orderBy("bucket")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.length == 6, "grid must end at the last kept observation")
+    assert(out.head == ((0L, 2.0, 1L)) && out.last == ((5L, 4.0, 1L)))
+    // lerp stays total: every grid bucket has both neighbors
+    val lerp = TimeSeries.resampleInterpolate(df, col("k"), col("t"), col("v"), H,
+      maxBuckets = 10L)
+      .orderBy("bucket").collect().map(r => r.getDouble(2))
+    assert(lerp.toSeq == Seq(2.0, 2.4, 2.8, 3.2, 3.6, 4.0))
+  }
 }

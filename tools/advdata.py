@@ -133,6 +133,11 @@ def write_events(out_dir):
         (16, t(16), 5, "view", 2.0, '{"k": 16}'),
         (17, t(17), 5, "click", 3.0, '{"k": 17}'),
         (18, t(18), 5, "view", 4.0, '{"k": 18}'),
+        # far-future junk timestamp (year 2255): without the resample
+        # grid clamp this single row explodes user 5's hourly grid into
+        # ~2M buckets; with the clamp (mirrored in the oracle) the grid
+        # stops at b0+99999 and the row only serves as a lerp neighbor
+        (19, dt.datetime(2255, 6, 1, 0, 0, 0), 5, "view", 9.0, '{"k": 19}'),
     ]
     cols = list(zip(*rows))
     tbl = pa.table({
