@@ -152,9 +152,17 @@ object Bench {
     // Divergence tie-break: two finite samples >3x apart mean at least
     // one was load-polluted — take a third and keep the min. Bounded to
     // one extra run per divergent query, so a quiet machine adds zero.
+    // The second arm (min above an absolute floor) covers the blind spot
+    // BENCH_r10 exposed: a query whose pass 1 is legitimately slow
+    // (one-time k-means/PQ artifact training) AND whose pass 2 lands in
+    // a machine-load spike shows <3x divergence while both samples are
+    // wrong (q_semdedup recorded [6.95, 3.40] when the isolated
+    // steady-state is 0.66 — a fabricated 4.6x "regression"). Queries
+    // that are genuinely >1.5s get one confirming sample; cost is
+    // bounded by the handful of heavy queries.
     selected.foreach { case (name, fn) =>
       val ss = samples(name).map(_._1).filter(_.isFinite)
-      if (ss.size == 2 && ss.max / math.max(ss.min, 1e-9) > 3.0)
+      if (ss.size == 2 && (ss.max / math.max(ss.min, 1e-9) > 3.0 || ss.min > 1.5))
         samples(name) = samples(name) :+ once(fn)
     }
     val results = selected.map { case (name, _) =>
@@ -168,10 +176,13 @@ object Bench {
     val nFailed = results.count(_._2 < 0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     def fmt(v: Double): String = f"$v%.3f"
+    // n_failed emitted unconditionally (including 0): rounds 1-9 summed
+    // -1 sentinels into the total, so consumers need an always-present
+    // marker to know which accounting a given BENCH file uses
     def jsonLine(qs: String, omitted: Int): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
         (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
-        (if (nFailed > 0) s""","n_failed":$nFailed""" else "") +
+        s""","n_failed":$nFailed""" +
         s""","n_queries":${results.size},"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -43,6 +43,24 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
+        // a mid-write crash leaves a partial dir (often only
+        // _temporary); a comparator that keys on dir existence would
+        // read it as output, and an empty parquet glob aborts the
+        // whole DuckDB compare — clean it, then write an explicit
+        // one-row `err` sentinel parquet in its place. The driver's
+        // correctness report is built from the dirs that exist, so a
+        // crashed query now surfaces as a loud schema/hash-mismatch
+        // row under its own name instead of silently vanishing
+        // (round 9: 41 crashed queries were absent and read as green).
+        try {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(new java.io.File(s"$outDir/$name"))
+          import spark.implicits._
+          Seq(msg.take(500)).toDF("err").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
       finally graft.llm.Dedup.releaseCaches()
     }

@@ -385,8 +385,15 @@ object TextAnalysis {
     * branches. Thresholding is the caller's business: this emits the
     * fractions. */
   def qualityRules(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val docs = df.select(id.as("doc_id"), text.as("text"),
-      length(text).cast("long").as("n_chars"))
+    // the per-token md5 + five-kind explode below is the most
+    // CPU-expensive projection in the engine; a small/single-file
+    // source scans as one split and would run it single-task
+    // (documents.parquet at bench scale is exactly that: one row
+    // group). spreadToCores round-robins the RAW docs (pre-expansion
+    // bytes) and is a no-op at lake scale where scans already split.
+    val docs = graft.core.Xform.spreadToCores(
+      df.select(id.as("doc_id"), text.as("text"),
+        length(text).cast("long").as("n_chars")))
 
     // (count, len) packed into one long so a single max() picks the top
     // gram by count, then length — decoded after the aggregate

@@ -35,6 +35,19 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noora = 0
+    # crashed queries leave an `err` sentinel parquet (and an errors.json
+    # entry) — count them as failures here and skip the value compare, so
+    # a crash can never masquerade as green OR as a mere value mismatch
+    # (round 9: 41 crashed queries silently vanished from the report)
+    errs = {}
+    err_path = os.path.join(out_dir, "errors.json")
+    if os.path.exists(err_path):
+        with open(err_path) as f:
+            errs = json.load(f)
+    for name, msg in sorted(errs.items()):
+        n_fail += 1
+        print(f"  ✗ {name}: CRASHED: {msg[:200]}")
+    names = [n for n in names if n not in errs]
     for name in names:
         spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         s_cols = [c for c in spark_rel.columns]
@@ -77,7 +90,8 @@ def main(sf_dir, out_dir):
                 print(f"      spark-only:  {r}")
             for r in list(oset - sset)[:3]:
                 print(f"      oracle-only: {r}")
-    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noora} TOTAL={len(names)}")
+    print(f"PASS={n_pass} FAIL={n_fail} NO_ORACLE={n_noora} "
+          f"TOTAL={len(names) + len(errs)}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
