@@ -45,6 +45,9 @@ object LlmQueries {
   // cosine range (within-cluster pairs top out near 0.55) so the screen
   // provably drops rows rather than vacuously keeping everything.
   private val SemK = 8; private val SemEps = 0.3
+  // D4 prototypicality: fraction of each cluster's DEDUPED survivors
+  // pruned from the most-central end (the paper's R_proto knob)
+  private val ProtoFrac = 0.25
   // BM25 query-term bag shared by query + oracle (k1/b/topK are the
   // Retrieval.bm25 defaults: 1.2 / 0.75 / 10).
   private val BmQueryTerms = Seq("the", "of", "and")
@@ -288,6 +291,17 @@ object LlmQueries {
         .toDF("cid", "cv")
       Dedup.semDedup(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), cents, eps = SemEps)
+    }),
+
+    // D4 (Tirumala et al. 2308.12284): SemDeDup then prototypicality —
+    // after the near-dup screen, also drop the protoFrac most central
+    // survivors of each cluster (the densest = most redundant region)
+    "q_d4" -> ((s, d) => {
+      import s.implicits._
+      val cents = semCentroids(s, d).map { case (cid, cv, _) => (cid, cv) }
+        .toDF("cid", "cv")
+      Dedup.d4(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), cents, eps = SemEps, protoFrac = ProtoFrac)
     }),
 
     "q_minhash_by_source" -> ((s, d) => {
@@ -643,6 +657,12 @@ object LlmQueries {
     "q_lm_score" -> ((s, d) =>
       Retrieval.bigramLmScore(Tables.documents(s, d), col("doc_id"),
         col("text"))),
+
+    // CCNet head/middle/tail: per-language LM-score terciles via pure
+    // integer bucket math over a deterministic (score DESC, id) rank
+    "q_ccnet_buckets" -> ((s, d) =>
+      Retrieval.perplexityBuckets(Tables.documents(s, d), col("doc_id"),
+        col("text"), col("lang"))),
 
     // true-CCNet cross-corpus form: counts train on the REFERENCE slice
     // (doc_id % 97 == 0 — the "Wikipedia"), the rest of the corpus is
@@ -1214,6 +1234,38 @@ object LlmQueries {
          |       (d.vec_id IS NULL) AS kept
          |FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id""".stripMargin,
 
+    // D4: the q_semdedup chain, then re-rank the KEPT rows per cluster
+    // by centrality (sem rnk order) and drop the first
+    // floor(ProtoFrac · n_kept) — same IEEE floor on both engines
+    "q_d4" ->
+      s"""WITH ${sqlKmeansCte(SemK, IvfIters, pfx = "sd_")},
+         |assigned AS (
+         |  SELECT vec_id, v, cid, ccos FROM (
+         |    SELECT e.vec_id, e.bv AS v, c.cid, ${sqlCos("e.bv", "c.cv")} AS ccos,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM sd_base e CROSS JOIN sd_c$IvfIters c) t WHERE rn = 1),
+         |ranked AS (
+         |  SELECT vec_id, v, cid,
+         |         row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS rnk
+         |  FROM assigned),
+         |dropped AS (
+         |  SELECT DISTINCT x.vec_id
+         |  FROM ranked x JOIN ranked y ON x.cid = y.cid AND y.rnk < x.rnk
+         |  WHERE ${sqlCos("x.v", "y.v")} >= $SemEps),
+         |proto AS (
+         |  SELECT vec_id,
+         |         row_number() OVER (PARTITION BY cid ORDER BY rnk) AS pr,
+         |         count(*) OVER (PARTITION BY cid) AS n_c
+         |  FROM ranked r
+         |  WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = r.vec_id))
+         |SELECT r.vec_id, r.cid, (d.vec_id IS NULL) AS kept_sem,
+         |       coalesce(p.pr > CAST(floor($ProtoFrac * p.n_c) AS BIGINT), FALSE)
+         |         AS kept
+         |FROM ranked r
+         |LEFT JOIN dropped d ON r.vec_id = d.vec_id
+         |LEFT JOIN proto p ON r.vec_id = p.vec_id""".stripMargin,
+
     "q_ann_bruteforce" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
@@ -1774,6 +1826,45 @@ object LlmQueries {
          |       (CAST(sum(q) AS DOUBLE) / 1.0E9) / CAST(count(*) AS DOUBLE)
          |         AS lm_score
          |FROM q GROUP BY 1""".stripMargin,
+
+    // CCNet terciles: the q_lm_score chain joined back to lang, then
+    // bucket = (3*(rn-1)) // n per language — integer math, not ntile
+    // (whose remainder rule would have to be trusted across engines)
+    "q_ccnet_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS w FROM toks),
+         |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM c1),
+         |bg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(tk) >= 2
+         |         THEN list_transform(range(0, len(tk) - 1),
+         |                i -> array_to_string(tk[i+1:i+2], ' '))
+         |         ELSE [] END) AS bg
+         |  FROM toks),
+         |bgw AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM bg),
+         |c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY 1),
+         |q AS (
+         |  SELECT bgw.doc_id,
+         |         CAST(floor(ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+         |                       / (CAST(c1.c1 AS DOUBLE) + vv.v))
+         |                    * 1.0E9) AS BIGINT) AS q
+         |  FROM bgw JOIN c2 USING (bg) JOIN c1 ON bgw.w1 = c1.w CROSS JOIN vv),
+         |scored AS (
+         |  SELECT doc_id,
+         |         (CAST(sum(q) AS DOUBLE) / 1.0E9) / CAST(count(*) AS DOUBLE)
+         |           AS lm_score
+         |  FROM q GROUP BY 1),
+         |rnk AS (
+         |  SELECT d.doc_id, d.lang, s.lm_score,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY s.lm_score DESC, d.doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+         |  WHERE d.lang IS NOT NULL)
+         |SELECT doc_id, lang, lm_score,
+         |       CASE (3*(rn-1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM rnk""".stripMargin,
 
     // cross-corpus twin: counts + vocab from the REFERENCE slice
     // (doc_id % 97 = 0), target bigrams LEFT-join them (unseen → the

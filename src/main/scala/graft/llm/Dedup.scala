@@ -457,4 +457,42 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("rnk").cast("long").as("rnk"),
         col("__d").isNull.as("kept"))
   }
+
+  /** D4 (Tirumala et al., arXiv:2308.12284): SemDeDup THEN
+    * prototypicality pruning — after dropping near-duplicate
+    * paraphrases, also drop the `protoFrac` MOST prototypical
+    * (closest-to-centroid) survivors of each cluster. The paper's
+    * observation: the densest region of a semantic cluster is the most
+    * redundant training signal even when no pair crosses the dedup
+    * threshold, so pruning it diversifies the corpus (the SSL-prototypes
+    * rule of Sorscher et al. 2206.14486 composed with SemDeDup).
+    *
+    * Prototypicality NEEDS no new score: [[semDedup]]'s within-cluster
+    * rank IS the centrality order (rnk 1 = most central), so the filter
+    * is a pure window over the dedup output — re-ranked among KEPT rows
+    * only, as the paper applies it to the deduplicated subset. The drop
+    * count is `floor(protoFrac · n_kept_c)` in IEEE double, mirrored
+    * bit-for-bit by the oracle.
+    *
+    * Plan shape: semDedup's shapes plus one window shuffle on cid over
+    * the kept rows and a final left join on vec_id — still no all-pairs
+    * anywhere. Returns (vec_id, cid, kept_sem, kept) where `kept` is
+    * the final D4 selection. */
+  def d4(df: DataFrame, id: Column, vec: Column, centroids: DataFrame,
+         eps: Double, protoFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the dedup verdict (whose self-join is the expensive
+    // subtree) feeds both the proto re-rank and the final join
+    val sem = persistTracked(semDedup(df, id, vec, centroids, eps))
+    val proto = sem.filter(col("kept"))
+      .withColumn("pr",
+        row_number().over(Window.partitionBy(col("cid")).orderBy(col("rnk"))))
+      .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col("vec_id"),
+        (col("pr") > floor(lit(protoFrac) * col("n_c"))).as("__kd"))
+    sem.select(col("vec_id"), col("cid"), col("kept").as("kept_sem"))
+      .join(proto, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("kept_sem"),
+        coalesce(col("__kd"), lit(false)).as("kept"))
+  }
 }

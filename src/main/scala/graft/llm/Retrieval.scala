@@ -208,6 +208,38 @@ object Retrieval {
           count(lit(1)).cast("double")).as("lm_score"))
   }
 
+  /** CCNet perplexity buckets (Wenzek et al., arXiv:1911.00359 §4.3):
+    * per LANGUAGE, split the corpus into head / middle / tail terciles
+    * by LM score — CCNet's standard quality strata (head = lowest
+    * perplexity ≙ highest mean log-prob here; downstream pipelines
+    * train on head+middle and sample the tail). Buckets come from pure
+    * integer math over a deterministic ranking — `(3·(rn−1)) div n`
+    * with rn ordered by (lm_score DESC, doc_id) — NOT ntile(), whose
+    * remainder-distribution rule would have to be trusted to match
+    * across engines; the div form is the same integer op on both.
+    *
+    * Plan shape: [[bigramLmScore]]'s two count aggregates + score
+    * shuffle, one broadcast-sized join back to (doc_id, lang), and one
+    * window shuffle on lang. Docs with a NULL language or < 2 tokens
+    * carry no signal and emit no row (mirrored by the oracle's joins).
+    * Returns (doc_id, lang, lm_score, bucket). */
+  def perplexityBuckets(df: DataFrame, id: Column, text: Column,
+                        lang: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(df, id, text)
+    val w = Window.partitionBy(col("lang"))
+    val wO = w.orderBy(col("lm_score").desc, col("doc_id"))
+    df.select(id.as("doc_id"), lang.as("lang"))
+      .filter(col("lang").isNotNull)
+      .join(scored, "doc_id")
+      .withColumn("rn", row_number().over(wO))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(expr("(3*(rn-1)) div n") === 0, lit("head"))
+          .when(expr("(3*(rn-1)) div n") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Bigram shingles over a pre-tokenized array (w = 2). */
   private def Shingles2(tk: Column): Column =
     graft.functions.Shingles(tk, 2)

@@ -243,6 +243,56 @@ class AnalyticsSpec extends SparkSpec {
     Dedup.releaseCaches()
   }
 
+  test("d4: prototypicality pruning drops the most-central survivors AFTER the dedup screen") {
+    def v(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
+      math.sin(math.toRadians(a)).toFloat)
+    // cluster 0 (centroid 0°): 0°/40°/80°/−40° are pairwise > 25° apart
+    // (all survive dedup); 1° is a near-dup of 0° (sem-dropped). The
+    // four survivors re-rank 1,2,4,3 by centrality; floor(0.25·4) = 1
+    // prunes exactly the rank-1 exemplar (the densest-region pick).
+    val df = Seq((1L, v(0)), (2L, v(40)), (3L, v(80)), (4L, v(-40)),
+      (5L, v(1))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, v(0))).toDF("cid", "cv")
+    val out = Dedup.d4(df, col("vec_id"), col("embedding"), cents,
+      eps = math.cos(math.toRadians(25)), protoFrac = 0.25)
+      .orderBy("vec_id").as[(Long, Long, Boolean, Boolean)].collect()
+    assert(out(0) == ((1L, 0L, true, false)),
+      "most prototypical survivor must be pruned")
+    assert(out(1) == ((2L, 0L, true, true)))
+    assert(out(2) == ((3L, 0L, true, true)))
+    assert(out(3) == ((4L, 0L, true, true)))
+    assert(out(4) == ((5L, 0L, false, false)),
+      "a sem-dropped row stays dropped and never re-enters the proto rank")
+    Dedup.releaseCaches()
+  }
+
+  test("perplexityBuckets: per-language terciles by LM score, integer bucket math") {
+    // six docs in one language, graded bigram repetitiveness so scores
+    // are distinct; a null-lang doc and a one-token doc carry no signal
+    val docs = Seq(
+      (1L, "a a a a a a a a", "en"),
+      (2L, "a a a a b b b b", "en"),
+      (3L, "a a b b c c d d", "en"),
+      (4L, "a b c d e f g h", "en"),
+      (5L, "h g f e d c b a", "en"),
+      (6L, "x y z w q r s t", "en"),
+      (7L, "a a a a", null),
+      (8L, "solo", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Retrieval.perplexityBuckets(docs, col("doc_id"), col("text"),
+      col("lang")).as[(Long, String, Double, String)].collect()
+    assert(out.length == 6, "null-lang and bigram-free docs emit no row")
+    val byBucket = out.groupBy(_._4).view.mapValues(_.map(_._3).toSeq).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head").size == 2 && byBucket("middle").size == 2 &&
+      byBucket("tail").size == 2)
+    // strata are ordered: every head score >= every middle >= every tail
+    assert(byBucket("head").min >= byBucket("middle").max)
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // the all-one-bigram doc is the definitional head pick
+    assert(out.find(_._1 == 1L).get._4 == "head")
+  }
+
   test("semDedup tractability: keep-set repartition-invariant; pair work linear when k grows with N") {
     import org.apache.spark.sql.DataFrame
     def ring(n: Int): DataFrame =
