@@ -126,6 +126,12 @@ object LlmQueries {
         .select(col("embedding")).as[Array[Float]].head()
     }
 
+  /** SQ8 per-dimension [min,max] calibration (dim-row artifact). */
+  private def sqStats(s: SparkSession, d: String): Seq[(Int, Double, Double)] =
+    artifact(s"sq8|$d|${dirFingerprint(d)}") {
+      Similarity.sqTrain(Tables.embeddings(s, d), col("embedding"))
+    }
+
   /** Shared by q_contamination / q_decontaminate: 3-gram overlap of the
     * training slice (doc_id % 97 != 0) against the benchmark slice
     * (doc_id % 97 == 0) of `documents`, minShared = 2. */
@@ -329,6 +335,13 @@ object LlmQueries {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
     }),
+
+    // SQ8 scalar quantization: per-dim [min,max] calibration (train-once
+    // artifact), byte codes, ADC dot against the full-precision query —
+    // the int8-embedding-store discipline beside the PQ family
+    "q_ann_sq8" -> ((s, d) =>
+      Similarity.sq8TopK(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), sqStats(s, d), queryVec0(s, d).toSeq, k = 10)),
 
     "q_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -698,6 +711,14 @@ object LlmQueries {
       TextAnalysis.mixtureSample(Tables.documents(s, d), col("text"),
         col("lang"), Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25),
         default = 0.1, salt = 7)
+        .select(col("doc_id"), col("lang"))),
+
+    // temperature mixing (α = 0.5): per-language keep rates DERIVED from
+    // corpus counts — √n_g shares flatten the language distribution,
+    // scaled to a 50% overall budget
+    "q_temperature_sample" -> ((s, d) =>
+      TextAnalysis.temperatureSample(Tables.documents(s, d), col("text"),
+        col("lang"), budgetFrac = 0.5, salt = 13)
         .select(col("doc_id"), col("lang"))),
 
     // deterministic train/val assignment by CONTENT hash: stable under
@@ -1271,6 +1292,31 @@ object LlmQueries {
          |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
          |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // SQ8: per-dim [min,max] from the same positional unnest, byte code
+    // via floor+clamp into 256 bins, bin-center reconstruction, and
+    // fixed-point (floor(term·1e9) BIGINT) score partials so the
+    // per-vector sum is order-independent integer math on both engines
+    "q_ann_sq8" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, u.d AS d, u.x AS x FROM (
+         |    SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+         |             i -> {'d': i, 'x': CAST(embedding[i+1] AS DOUBLE)})) AS u
+         |    FROM embeddings)),
+         |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         |qv AS (SELECT d, x AS qd FROM ex WHERE vec_id = 0),
+         |tq AS (
+         |  SELECT e.vec_id,
+         |         CAST(floor(qv.qd * (mm.mn +
+         |           (CAST(CASE WHEN mm.mx = mm.mn THEN 0
+         |                 ELSE least(255, greatest(0,
+         |                   CAST(floor((e.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
+         |                        AS BIGINT))) END AS DOUBLE) + 0.5)
+         |             * (mm.mx - mm.mn) / 256.0) * 1.0E9) AS BIGINT) AS tq
+         |  FROM ex e JOIN mm USING (d) JOIN qv USING (d))
+         |SELECT vec_id, CAST(sum(tq) AS DOUBLE) / 1.0E9 AS sq_score
+         |FROM tq GROUP BY 1
+         |ORDER BY sq_score DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH idx AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
@@ -1935,6 +1981,25 @@ object LlmQueries {
          |           WHEN lang = 'en' THEN 500000
          |           WHEN lang = 'fr' THEN 250000
          |           ELSE 100000 END""".stripMargin,
+
+    // temperature mixing: fixed-point √n partials (floor(√n·1e9) longs)
+    // make the cross-group sum integer math; the rate chain mirrors the
+    // engine operand-for-operand (each double op correctly rounded)
+    "q_temperature_sample" ->
+      s"""WITH cnt AS (
+         |  SELECT lang AS g, count(*) AS n,
+         |         CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000000) AS BIGINT) AS wq
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT sum(wq) AS sw, sum(n) AS nn FROM cnt),
+         |rates AS (
+         |  SELECT g,
+         |         CAST(floor(least(1.0,
+         |           CAST(wq AS DOUBLE) / CAST(sw AS DOUBLE) * 0.5
+         |             * CAST(nn AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000)
+         |           AS BIGINT) AS th
+         |  FROM cnt CROSS JOIN tot)
+         |SELECT d.doc_id, d.lang FROM documents d JOIN rates r ON d.lang = r.g
+         |WHERE ${sqlMd5Long("'13|' || d.text")} % 1000000 < r.th""".stripMargin,
 
     "q_split_assign" ->
       s"""SELECT doc_id, ${sqlMd5Long("text")} % 20 AS bucket,

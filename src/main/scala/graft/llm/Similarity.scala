@@ -39,6 +39,62 @@ object Similarity {
     * 64-dim; extra components are simply unused for shorter vectors). */
   val PlaneDim = 64
 
+  /** Scalar-quantization (SQ8) training: per-DIMENSION [min, max] over
+    * the corpus — the scalar counterpart of [[pqTrain]]'s per-subspace
+    * codebooks, and the calibration every int8 embedding store runs.
+    * One posexplode + dim-keyed aggregate collapsing to a dim-row
+    * artifact (the centroid discipline: bounded by dimensionality,
+    * never corpus size). Returns (d, min_d, max_d) sorted by d. */
+  def sqTrain(df: DataFrame, vec: Column): Seq[(Int, Double, Double)] = {
+    df.select(posexplode(vec).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** SQ8 ADC top-k: each dimension quantizes to a byte code
+    * (256 uniform bins over the trained [min, max]; the code round-trips
+    * through `floor` + clamp so quantization error is REAL), the
+    * candidate score is Σ_d q_d · recon_d with recon at the bin center —
+    * the query stays full precision, the classic asymmetric distance.
+    * At 100 TB the stored index is dim BYTES per vector (4× smaller
+    * than float32) and scoring is a scan + broadcast join against the
+    * dim-row stats table.
+    *
+    * Determinism: per-dimension score terms quantize to fixed-point
+    * longs (floor(term·10^9) — the bm25/lm discipline) so the cross-
+    * dimension sum is integer math, order-independent and bit-equal to
+    * the oracle's ungrouped SQL aggregate. */
+  def sq8TopK(df: DataFrame, id: Column, vec: Column,
+              stats: Seq[(Int, Double, Double)], query: Seq[Float],
+              k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val statsDf = stats.map { case (d, mn, mx) =>
+      (d, mn, mx, query(d).toDouble)
+    }.toDF("d", "mn", "mx", "qd")
+    df.select(id.as("vec_id"), posexplode(vec).as(Seq("d", "x")))
+      .join(broadcast(statsDf), "d")
+      .select(col("vec_id"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((col("x").cast("double") - col("mn")) /
+              (col("mx") - col("mn")) * lit(256.0)).cast("long"))))
+          .as("c"),
+        col("mn"), col("mx"), col("qd"))
+      .select(col("vec_id"),
+        floor(col("qd") * (col("mn") +
+          (col("c").cast("double") + lit(0.5)) * (col("mx") - col("mn")) /
+            lit(256.0)) * lit(1e9)).cast("long").as("tq"))
+      .groupBy(col("vec_id"))
+      .agg((sum(col("tq")).cast("double") / lit(1e9)).as("sq_score"))
+      .orderBy(col("sq_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic hyperplane component j of plane h: first 4 bytes of
     * md5("plane{h}|{j}") as unsigned, mapped to [-0.5, 0.5). Computed ONCE
     * at plan-authoring time and embedded as array literals — the md5

@@ -71,6 +71,49 @@ object TextAnalysis {
     df.filter(md5Long(content, salt) % scale < threshold)
   }
 
+  /** Temperature-scaled mixture sampling (the GPT-3 / UniMax-family
+    * multinomial mixing rule, α = 0.5): where [[mixtureSample]] takes
+    * CALLER-fixed rates, this DERIVES them from the corpus — group g's
+    * target share is √n_g / Σ√n_h (temperature flattening: big groups
+    * shrink relatively, small languages/domains are boosted), scaled to
+    * an overall `budgetFrac` of the corpus, capped at keeping a whole
+    * group. √ is the one temperature exponent that is IEEE-exact on
+    * both engines (sqrt is correctly rounded; pow(x, α) is libm-drift
+    * territory), which is why α is fixed rather than a parameter.
+    *
+    * Determinism discipline: per-group √n_g is quantized to
+    * fixed-point longs (floor(√n_g · 10^9)) BEFORE the cross-group sum
+    * so the denominator is integer math (order-independent); the final
+    * keep-rate chain is a fixed sequence of correctly-rounded double
+    * ops mirrored operand-for-operand in the oracle; the keep decision
+    * is the md5-threshold gate (reshard-stable, RNG-free).
+    *
+    * Plan shape: one count aggregate on the group key collapses to a
+    * per-group rate table (|groups| rows — broadcast back), plus the
+    * zero-shuffle hash-gate projection; the corpus itself shuffles
+    * nowhere. Emits the input columns. */
+  def temperatureSample(df: DataFrame, content: Column, group: Column,
+                        budgetFrac: Double, salt: Int = 13): DataFrame = {
+    val scale = 1000000L
+    val q = 1000000000L // fixed-point quantum for √n partials
+    val counts = df.filter(group.isNotNull)
+      .groupBy(group.as("__g")).agg(count(lit(1)).as("__n"))
+      .withColumn("__wq", floor(sqrt(col("__n").cast("double")) * q).cast("long"))
+    val tot = counts.agg(sum(col("__wq")).as("__sw"),
+      sum(col("__n")).as("__nn"))
+    // rate_g = min(1, budgetFrac · (wq_g/Σwq) · N / n_g), evaluated in
+    // this exact operand order on both engines
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("__g"),
+        floor(least(lit(1.0),
+          col("__wq").cast("double") / col("__sw").cast("double") *
+            lit(budgetFrac) * col("__nn").cast("double") /
+            col("__n").cast("double")) * scale).cast("long").as("__th"))
+    df.join(broadcast(rates), group === col("__g"))
+      .filter(md5Long(content, salt) % scale < col("__th"))
+      .drop("__g", "__th")
+  }
+
   /** Deterministic stratified sampling: EXACTLY min(n, |group|) rows per
     * group, chosen by content-hash order — the "balanced eval slice per
     * language/source" op. Where [[mixtureSample]] keeps an expected

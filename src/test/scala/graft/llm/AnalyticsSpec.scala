@@ -340,6 +340,57 @@ class AnalyticsSpec extends SparkSpec {
       s"per-cluster screen degenerated toward all-pairs: $pairs256")
   }
 
+  test("temperatureSample: √-flattened data-derived rates, reshard-stable, budget-shaped") {
+    // 4096 'en' docs vs 64 'de' docs: √-temperature boosts the small
+    // group's keep RATE above the big group's (4096:64 = 64:1 by count,
+    // 8:1 by √ weight → de's per-doc rate is 8x en's)
+    val docs = ((0 until 4096).map(i => (i.toLong, s"en doc $i", "en")) ++
+      (0 until 64).map(i => (10000L + i, s"de doc $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.temperatureSample(docs, col("text"), col("lang"),
+      budgetFrac = 0.5)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val en = out.count(_._2 == "en").toDouble / 4096
+    val de = out.count(_._2 == "de").toDouble / 64
+    assert(de > en, s"small group must keep a higher rate (en=$en de=$de)")
+    // derived rates: en ≈ 0.5·(8/9)·(4160/4096) ≈ 0.451, de = 1 (capped:
+    // 0.5·(1/9)·(4160/64) ≈ 3.6 > 1) — the md5 gate realizes them within
+    // sampling noise, and the whole-group cap keeps every de doc
+    assert(de == 1.0, "a group whose target exceeds its size is kept whole")
+    assert(math.abs(en - 0.451) < 0.05)
+    // reshard invariance: the kept SET is a pure content-hash function
+    val out2 = TextAnalysis.temperatureSample(docs.repartition(7), col("text"),
+      col("lang"), budgetFrac = 0.5)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    assert(out.toSet == out2.toSet)
+  }
+
+  test("sq8: per-dim calibration, byte round-trip error bounded, constant dims safe") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 5.0f)),   // query; dim 2 is constant
+      (1L, Array(0.9f, 0.1f, 5.0f)),
+      (2L, Array(-1.0f, 1.0f, 5.0f)),
+      (3L, Array(0.5f, 0.5f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val stats = Similarity.sqTrain(vecs, col("embedding"))
+    assert(stats.map(_._1) == Seq(0, 1, 2))
+    assert(stats(0) == ((0, -1.0, 1.0)) && stats(2) == ((2, 5.0, 5.0)))
+    val out = Similarity.sq8TopK(vecs, col("vec_id"), col("embedding"),
+      stats, Seq(1.0f, 0.0f, 5.0f), k = 4)
+      .as[(Long, Double)].collect()
+    // ranking matches exact dot order (0: ~1+25, 1: ~0.9+25, 3: 0.5+25,
+    // 2: -1+25) — quantization noise (≤ bin/2 per dim) can't reorder
+    // gaps this wide; the constant dim reconstructs to code 0's bin
+    // center without dividing by zero
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 3L, 2L))
+    // score error vs exact dot bounded by Σ_d |q_d|·(range_d/512) + lsb
+    val exact = Map(0L -> 26.0, 1L -> (0.9 + 25.0), 3L -> (0.5 + 25.0), 2L -> 24.0)
+    out.foreach { case (id, s) =>
+      // dim0 range 2/512 ≈ 0.004, dim1 range 1/512 ≈ 0.002, dim2 exact0
+      assert(math.abs(s - exact(id)) < 0.01, s"id=$id score=$s")
+    }
+  }
+
   test("piiScrub masks email→phone→IP sequentially with per-doc counts") {
     val docs = Seq(
       (1L, "mail a.b@c.org call 555-123-4567 host 10.0.0.1"),
