@@ -721,6 +721,13 @@ object LlmQueries {
         col("lang"), budgetFrac = 0.5, salt = 13)
         .select(col("doc_id"), col("lang"))),
 
+    // corpus drift monitor: per-source unigram KL against the corpus-wide
+    // distribution over 256 hashed buckets, Laplace-smoothed
+    "q_kl_drift" -> ((s, d) =>
+      TextAnalysis.unigramKlDrift(Tables.documents(s, d), col("text"),
+        col("source"))
+        .select(col("g").as("source"), col("kl_drift"))),
+
     // deterministic train/val assignment by CONTENT hash: stable under
     // re-sharding/re-ids, reproducible across runs and engines — the only
     // split discipline that survives a distributed rebuild of the corpus
@@ -1981,6 +1988,33 @@ object LlmQueries {
          |           WHEN lang = 'en' THEN 500000
          |           WHEN lang = 'fr' THEN 250000
          |           ELSE 100000 END""".stripMargin,
+
+    // KL drift: the hashed-bucket (g,b) count is the shared base; p/q
+    // division chains and the floor(p·ln(p/q)·1e9) fixed-point partials
+    // mirror the engine operand-for-operand; the dense g×256 grid makes
+    // unseen buckets contribute their smoothed mass on both sides
+    "q_kl_drift" ->
+      s"""WITH tk AS (
+         |  SELECT source AS g, unnest($sqlToks) AS t
+         |  FROM documents WHERE source IS NOT NULL),
+         |tb AS (SELECT g, ${sqlMd5Long("'17|' || t")} % 256 AS b FROM tk),
+         |gb AS (SELECT g, b, count(*) AS n_gb FROM tb GROUP BY 1, 2),
+         |bt AS (SELECT b, sum(n_gb) AS n_b FROM gb GROUP BY 1),
+         |gt AS (SELECT g, sum(n_gb) AS n_g FROM gb GROUP BY 1),
+         |nt AS (SELECT sum(n_gb) AS n_all FROM gb),
+         |grid AS (SELECT g, n_g, unnest(range(0, 256)) AS b FROM gt),
+         |pq AS (
+         |  SELECT grid.g,
+         |         CAST(coalesce(gb.n_gb, 0) + 1 AS DOUBLE)
+         |           / CAST(grid.n_g + 256 AS DOUBLE) AS p,
+         |         CAST(bt.n_b + 1 AS DOUBLE)
+         |           / CAST(nt.n_all + 256 AS DOUBLE) AS q
+         |  FROM grid LEFT JOIN gb ON grid.g = gb.g AND grid.b = gb.b
+         |  JOIN bt ON grid.b = bt.b CROSS JOIN nt),
+         |t AS (SELECT g, CAST(floor(p * ln(p / q) * 1.0E9) AS BIGINT) AS tq
+         |      FROM pq)
+         |SELECT g AS source, CAST(sum(tq) AS DOUBLE) / 1.0E9 AS kl_drift
+         |FROM t GROUP BY 1""".stripMargin,
 
     // temperature mixing: fixed-point √n partials (floor(√n·1e9) longs)
     // make the cross-group sum integer math; the rate chain mirrors the

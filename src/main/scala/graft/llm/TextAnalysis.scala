@@ -71,6 +71,54 @@ object TextAnalysis {
     df.filter(md5Long(content, salt) % scale < threshold)
   }
 
+  /** Per-group unigram KL drift — the corpus-monitoring op every
+    * continuously-ingested training pipeline runs: how far has each
+    * source/slice's token distribution drifted from the corpus-wide
+    * one? KL(P_g ‖ Q) over HASHED unigram buckets (B = 256, the DSIR
+    * discipline: bounded state regardless of vocabulary size, hot
+    * tokens spread by hash), Laplace-smoothed on both sides so unseen
+    * buckets contribute finitely. A drifting source (new spam
+    * campaign, scraper gone wrong, language shift) spikes its KL and
+    * pages a human before the data trains anything.
+    *
+    * Determinism: per-bucket terms p·ln(p/q) quantize to fixed-point
+    * longs (floor(term·10^9), the lm-score discipline) so the
+    * 256-bucket sum is order-independent integer math; p and q are
+    * single correctly-rounded division chains mirrored
+    * operand-for-operand in the oracle.
+    *
+    * Plan shape: one (group, bucket) count aggregate (map-side
+    * combined) is the ONLY corpus shuffle; bucket totals, group totals
+    * and the dense group×256 grid all derive from that ≤ |groups|·256
+    * row table, and the bucket/corpus totals ride back as broadcasts.
+    * Returns (g, kl_drift). */
+  def unigramKlDrift(df: DataFrame, text: Column, group: Column,
+                     salt: Int = 17): DataFrame = {
+    val B = 256L
+    val gb = graft.core.Caches.track(df.filter(group.isNotNull)
+      .select(group.as("g"), explode(tokens(text)).as("t"))
+      .select(col("g"), (md5Long(col("t"), salt) % B).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb")))
+    val bTot = gb.groupBy(col("b")).agg(sum(col("n_gb")).as("n_b"))
+    val gTot = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
+    val nTot = gb.agg(sum(col("n_gb")).as("n_all"))
+    val grid = gTot.select(col("g"), col("n_g"),
+      explode(sequence(lit(0L), lit(B - 1))).as("b"))
+    grid.join(gb, Seq("g", "b"), "left")
+      .join(broadcast(bTot), Seq("b"))
+      .crossJoin(broadcast(nTot))
+      .select(col("g"),
+        ((coalesce(col("n_gb"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_g") + lit(B)).cast("double")).as("p"),
+        ((col("n_b") + lit(1L)).cast("double") /
+          (col("n_all") + lit(B)).cast("double")).as("q"))
+      .select(col("g"),
+        floor(col("p") * log(col("p") / col("q")) * lit(1e9))
+          .cast("long").as("tq"))
+      .groupBy(col("g"))
+      .agg((sum(col("tq")).cast("double") / lit(1e9)).as("kl_drift"))
+  }
+
   /** Temperature-scaled mixture sampling (the GPT-3 / UniMax-family
     * multinomial mixing rule, α = 0.5): where [[mixtureSample]] takes
     * CALLER-fixed rates, this DERIVES them from the corpus — group g's

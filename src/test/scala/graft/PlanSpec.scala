@@ -395,6 +395,46 @@ class PlanSpec extends SparkSpec {
       s"ranked cluster table must be cached for the self-join:\n$p")
   }
 
+  test("d4: inherits the semDedup no-all-pairs shape; proto re-rank adds no new nested loop") {
+    val p = plan(SparkEntry.queries("q_d4")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"d4 must not enumerate corpus pairs:\n$p")
+    // same discipline as semDedup: every nested loop is the centroid
+    // literal broadcast inside the cached assignment subtree
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size ==
+      "LocalTableScan \\[cid".r.findAllIn(p).size,
+      s"only the centroid broadcast may nested-loop:\n$p")
+    // the dedup verdict is cached and re-read (proto rank + final join),
+    // not recomputed per consumer
+    assert(p.contains("InMemoryTableScan"),
+      s"sem verdict must be cached for the proto re-rank:\n$p")
+  }
+
+  test("sq8: stats join broadcasts the dim-row table; corpus shuffles only for the per-vector sum") {
+    val p = plan(SparkEntry.queries("q_ann_sq8")(spark, sf))
+    // the dim-row stats table rides as a broadcast; the corpus side must
+    // never be the built (broadcast) side
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-dim stats must broadcast-join the exploded scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a shuffled join here means the corpus was treated as a dim table:\n$p")
+    // exactly the aggregation exchanges (partial→final on vec_id), plus
+    // the top-k which is TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("temperatureSample: rate table broadcasts back; the corpus never shuffles") {
+    val p = plan(SparkEntry.queries("q_temperature_sample")(spark, sf))
+    // the only exchanges allowed are the per-group count aggregate (and
+    // its tiny downstream artifacts); the DOCUMENTS side of the gate
+    // join must be broadcast-joined, not shuffled
+    assert(p.contains("BroadcastHashJoin"),
+      s"derived rates must broadcast back onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle for the rate join:\n$p")
+  }
+
   test("classifier and URL-signal scorers are zero-shuffle projections") {
     // the whole point of the hashed-linear classifier and the URL
     // structural gates is that they fuse into the scan — any Exchange

@@ -391,6 +391,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("unigramKlDrift: a drifted source scores higher; a corpus-like one near zero") {
+    // 'steady' matches the corpus-wide distribution almost exactly (it
+    // IS most of the corpus); 'drifted' is a disjoint vocabulary
+    val base = (0 until 200).map(i =>
+      (i.toLong, s"alpha beta gamma delta epsilon tok$i", "steady"))
+    val drift = (0 until 20).map(i =>
+      (1000L + i, "zzz qqq xxx www vvv", "drifted"))
+    val docs = (base ++ drift).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.unigramKlDrift(docs, col("text"), col("source"))
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("steady", "drifted"))
+    assert(out("drifted") > 5 * math.max(out("steady"), 1e-6),
+      s"disjoint vocabulary must dominate: $out")
+    assert(out("steady") >= -1e-6 && out("drifted") > 0.0,
+      s"KL is non-negative up to quantization lsb: $out")
+  }
+
   test("piiScrub masks email→phone→IP sequentially with per-doc counts") {
     val docs = Seq(
       (1L, "mail a.b@c.org call 555-123-4567 host 10.0.0.1"),
