@@ -93,12 +93,26 @@ object TextAnalysis {
     * row table, and the bucket/corpus totals ride back as broadcasts.
     * Returns (g, kl_drift). */
   def unigramKlDrift(df: DataFrame, text: Column, group: Column,
-                     salt: Int = 17): DataFrame = {
-    val B = 256L
-    val gb = graft.core.Caches.track(df.filter(group.isNotNull)
+                     salt: Int = 17): DataFrame =
+    klFromBucketCounts(graft.core.Caches.track(
+      klBucketCounts(df, text, group, salt)))
+
+  /** The (g, b, n_gb) hashed-bucket count table [[unigramKlDrift]] is
+    * built from — exposed separately because it is ADDITIVE: each token
+    * occurrence lives in exactly one micro-batch, so per-batch counts
+    * sum to the corpus table (the line-ledger discipline), which is
+    * what [[graft.streaming.Streaming.mergeKlLedger]] exploits. */
+  def klBucketCounts(df: DataFrame, text: Column, group: Column,
+                     salt: Int = 17): DataFrame =
+    df.filter(group.isNotNull)
       .select(group.as("g"), explode(tokens(text)).as("t"))
-      .select(col("g"), (md5Long(col("t"), salt) % B).as("b"))
-      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb")))
+      .select(col("g"), (md5Long(col("t"), salt) % lit(256L)).as("b"))
+      .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb"))
+
+  /** KL from a (g, b, n_gb) count table (corpus-built or ledger-built —
+    * identical results either way, StreamingSpec pins it). */
+  def klFromBucketCounts(gb: DataFrame): DataFrame = {
+    val B = 256L
     val bTot = gb.groupBy(col("b")).agg(sum(col("n_gb")).as("n_b"))
     val gTot = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
     val nTot = gb.agg(sum(col("n_gb")).as("n_all"))

@@ -463,6 +463,22 @@ object Streaming {
       graft.llm.Dedup.explodeLines(docs, id, text),
       ledger.filter(col("n_docs") > maxDocs).select(col("h")))
 
+  /** Merge one micro-batch's docs into a persistent KL bucket ledger —
+    * the ingest half of [[graft.llm.TextAnalysis.unigramKlDrift]]. Each
+    * token occurrence lives in exactly one micro-batch, so per-batch
+    * (group, bucket) counts are additive (the mergeLineLedger
+    * discipline); after the last batch
+    * [[graft.llm.TextAnalysis.klFromBucketCounts]] over the ledger
+    * equals the one-shot batch drift bit for bit (StreamingSpec pins
+    * it). Ledger is (g, b, n_gb): ≤ |groups|·256 rows of state — the
+    * drift monitor every STREAMING ingest wants, recomputable per
+    * batch window at constant cost. */
+  def mergeKlLedger(ledger: DataFrame, batchDocs: DataFrame,
+                    text: Column, group: Column): DataFrame =
+    ledger.select(col("g"), col("b"), col("n_gb"))
+      .unionByName(graft.llm.TextAnalysis.klBucketCounts(batchDocs, text, group))
+      .groupBy(col("g"), col("b")).agg(sum(col("n_gb")).cast("long").as("n_gb"))
+
   /** Merge one micro-batch's keys into a persistent Bloom word ledger —
     * the ingest-time build half of [[graft.llm.Bloom.gate]] (the
     * mergeLineLedger discipline). bit_or is associative, commutative

@@ -494,6 +494,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.find(_._1 == 4L).get._2 == "")
   }
 
+  test("kl ledger in foreachBatch: merged bucket counts and drift equal the batch monitor") {
+    // ingest-time twin of TextAnalysis.unigramKlDrift: micro-batches fold
+    // (group, bucket) token counts into a ledger (additive — each token
+    // occurrence lives in exactly one batch); drift over the final
+    // ledger must equal the one-shot batch computation bit for bit
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "steady"),
+      (2L, "alpha beta gamma epsilon", "steady"),
+      (3L, "zzz qqq xxx www", "drifted"),
+      (4L, "alpha beta zeta eta", "steady"),
+      (5L, "vvv zzz qqq uuu", "drifted"))
+
+    var ledger = Seq.empty[(String, Long, Long)].toDF("g", "b", "n_gb")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeKlLedger(ledger, batch,
+            col("text"), col("source")).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    // uneven batches split the 'steady' group across all three
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(Seq(docs(2), docs(3))); q.processAllAvailable()
+    ms.addData(Seq(docs(4))); q.processAllAvailable()
+    q.stop()
+
+    val all = docs.toDF("doc_id", "text", "source")
+    val batchCounts = graft.llm.TextAnalysis.klBucketCounts(
+      all, col("text"), col("source"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(ledger.as[(String, Long, Long)].collect().toSet == batchCounts,
+      "streamed ledger must equal batch bucket counts")
+
+    val streamed = graft.llm.TextAnalysis.klFromBucketCounts(ledger)
+      .as[(String, Double)].collect().toSet
+    val batch = graft.llm.TextAnalysis.unigramKlDrift(all, col("text"),
+      col("source")).as[(String, Double)].collect().toSet
+    graft.core.Caches.release()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("bloom ledger in foreachBatch: merged words and verdicts equal the batch gate") {
     // ingest-time twin of Bloom.gate: micro-batches fold keys into a
     // (word, wbits) ledger; bit_or idempotence means even a REPLAYED
