@@ -222,7 +222,14 @@ object Retrieval {
     * shuffle, one broadcast-sized join back to (doc_id, lang), and one
     * window shuffle on lang. Docs with a NULL language or < 2 tokens
     * carry no signal and emit no row (mirrored by the oracle's joins).
-    * Returns (doc_id, lang, lm_score, bucket). */
+    * Returns (doc_id, lang, lm_score, bucket).
+    *
+    * SCALE caveat: the per-language row_number is a total sort of each
+    * language partition — exact (and oracle-mirrorable), but a 100 TB
+    * corpus with a dominant language makes that one sorted partition
+    * the straggler. At lake scale use [[perplexityBucketsApprox]]:
+    * same strata from mergeable quantile-sketch cut points, no
+    * per-language sort anywhere. */
   def perplexityBuckets(df: DataFrame, id: Column, text: Column,
                         lang: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -237,6 +244,30 @@ object Retrieval {
       .select(col("doc_id"), col("lang"), col("lm_score"),
         when(expr("(3*(rn-1)) div n") === 0, lit("head"))
           .when(expr("(3*(rn-1)) div n") === 1, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** The 100 TB form of [[perplexityBuckets]]: tercile CUT POINTS from
+    * `percentile_approx` (a mergeable quantile sketch — map-side
+    * combined, one small aggregate, NO per-language sort), broadcast
+    * back onto the scored stream as a threshold projection. Strata
+    * boundaries are approximate (sketch `accuracy` trades memory for
+    * rank error — the CCNet use case only needs "roughly thirds"), so
+    * this is the library scale path, not an oracle-matched query; the
+    * exact windowed form remains the correctness-gated twin. */
+  def perplexityBucketsApprox(df: DataFrame, id: Column, text: Column,
+                              lang: Column,
+                              accuracy: Int = 10000): DataFrame = {
+    val scored = df.select(id.as("doc_id"), lang.as("lang"))
+      .filter(col("lang").isNotNull)
+      .join(bigramLmScore(df, id, text), "doc_id")
+    val cuts = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("lm_score"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("cuts"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") >= element_at(col("cuts"), 2), lit("head"))
+          .when(col("lm_score") >= element_at(col("cuts"), 1), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
 

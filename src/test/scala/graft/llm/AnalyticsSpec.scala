@@ -391,6 +391,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBucketsApprox agrees with the exact terciles away from cut points") {
+    // 90 docs, one language, STRICTLY increasing repetitiveness (one
+    // more repeated bigram per doc) → strictly graded scores; the
+    // sketch at high accuracy should label ≈ everything like the exact
+    // row_number form (disagreement only AT a cut point)
+    val docs = (0 until 90).map { i =>
+      val rep = "a a " * i
+      (i.toLong, s"${rep}w$i x$i y$i z$i", "en")
+    }.toDF("doc_id", "text", "lang")
+    val ex = Retrieval.perplexityBuckets(docs, col("doc_id"), col("text"),
+      col("lang")).select("doc_id", "bucket")
+      .as[(Long, String)].collect().toMap
+    val ap = Retrieval.perplexityBucketsApprox(docs, col("doc_id"), col("text"),
+      col("lang")).select("doc_id", "bucket")
+      .as[(Long, String)].collect().toMap
+    assert(ap.keySet == ex.keySet)
+    val agree = ex.count { case (id, b) => ap(id) == b }
+    assert(agree >= ex.size - 4,
+      s"sketch strata must match exact terciles away from boundaries: $agree/${ex.size}")
+    // and the approx form emits all three strata in roughly thirds
+    val sizes = ap.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set("head", "middle", "tail"))
+    assert(sizes.values.forall(s => s >= 20 && s <= 40), sizes.toString)
+  }
+
   test("unigramKlDrift: a drifted source scores higher; a corpus-like one near zero") {
     // 'steady' matches the corpus-wide distribution almost exactly (it
     // IS most of the corpus); 'drifted' is a disjoint vocabulary
