@@ -307,6 +307,49 @@ class PropertiesSpec extends SparkSpec {
     assert(cached(ok)); okScope.close(); assert(!cached(ok))
   }
 
+  test("resample grid is bounded by maxBuckets per key for ARBITRARY timestamp junk") {
+    // adversarial generator: epoch micros anywhere in ±10^16 (±300 years)
+    // including clustered + isolated extremes — the grid must never
+    // exceed maxBuckets rows per key no matter what the data does
+    val tsGen = Gen.listOfN(20, Gen.oneOf(
+      Gen.choose(-1000000000000000L, 1000000000000000L),
+      Gen.choose(0L, 100L).map(_ * 3600000000L),      // clustered hours
+      Gen.const(9000000000000000L)))                  // far-future junk
+    val maxB = 16L
+    for (i <- 0 until Cases) {
+      val micros = sample(tsGen, 400 + i)
+      val df = micros.zipWithIndex
+        .map { case (u, j) => (j.toLong % 3, new java.sql.Timestamp(u / 1000), j.toDouble) }
+        .toDF("k", "t", "v")
+      val out = graft.agg.TimeSeries.resampleForwardFill(
+        df, col("k"), col("t"), col("v"), 3600000000L, maxBuckets = maxB)
+      val perKey = out.groupBy("k").count().as[(Long, Long)].collect()
+      assert(perKey.forall(_._2 <= maxB),
+        s"case $i: grid exceeded maxBuckets: ${perKey.toList}")
+      // and the fill is total: no null v_fill anywhere (grid ends at an
+      // observed bucket, first bucket per key is observed)
+      assert(out.filter(col("v_fill").isNull).count() == 0, s"case $i")
+    }
+  }
+
+  test("sq8 codes stay in [0,255] and scores are finite for arbitrary vectors") {
+    val vecGen = Gen.listOfN(12, Gen.listOfN(4,
+      Gen.oneOf(Gen.choose(-100.0, 100.0), Gen.const(0.0), Gen.const(7.5))))
+    for (i <- 0 until Cases) {
+      val vs = sample(vecGen, 500 + i).zipWithIndex
+        .map { case (v, j) => (j.toLong, v.map(_.toFloat).toArray) }
+      val df = vs.toDF("vec_id", "embedding")
+      val stats = graft.llm.Similarity.sqTrain(df, col("embedding"))
+      assert(stats.forall { case (_, mn, mx) => mn <= mx })
+      val out = graft.llm.Similarity.sq8TopK(df, col("vec_id"),
+        col("embedding"), stats, vs.head._2.toSeq, k = vs.size)
+        .as[(Long, Double)].collect()
+      assert(out.length == vs.size)
+      assert(out.forall { case (_, s) => !s.isNaN && !s.isInfinite },
+        s"case $i: non-finite sq scores")
+    }
+  }
+
   test("rebind routes worker-thread tracking into the owning scope") {
     import graft.core.Caches
     import org.apache.spark.storage.StorageLevel
