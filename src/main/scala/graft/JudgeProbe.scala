@@ -25,6 +25,10 @@ object JudgeProbe {
       }
       val a = once(); val b = once()
       println(f"PROBE $n%-24s best=${math.min(a,b)}%.3f  runs=[$a%.3f, $b%.3f]")
+      // GRAFT_PROBE_PLAN=1: dump the executed plan after the timed runs
+      // (post-AQE, post-reuse — the plan the timings actually paid for)
+      if (sys.env.get("GRAFT_PROBE_PLAN").contains("1"))
+        println(fn(spark, sfDir).queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
