@@ -728,6 +728,13 @@ object LlmQueries {
         col("source"))
         .select(col("g").as("source"), col("kl_drift"))),
 
+    // C4 §2.2 line-level cleaning: terminal-punctuation line filter,
+    // >=3 words/line, javascript-line drop, lorem-ipsum / curly-brace /
+    // min-5-sentences page gates — one zero-shuffle projection
+    "q_c4_clean" -> ((s, d) =>
+      TextAnalysis.c4Clean(Tables.documents(s, d), col("doc_id"),
+        col("text"))),
+
     // deterministic train/val assignment by CONTENT hash: stable under
     // re-sharding/re-ids, reproducible across runs and engines — the only
     // split discipline that survives a distributed rebuild of the corpus
@@ -1988,6 +1995,38 @@ object LlmQueries {
          |           WHEN lang = 'en' THEN 500000
          |           WHEN lang = 'fr' THEN 250000
          |           ELSE 100000 END""".stripMargin,
+
+    // C4 cleaning: list_filter mirrors the line predicate (rtrim →
+    // terminal punct regex → single-space word count → javascript
+    // contains), page gates and sentence counts off the SAME cleaned
+    // join — string ops only, no locale, no \s classes
+    "q_c4_clean" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split(text, chr(10)), x ->
+         |           regexp_matches(rtrim(x), '[.!?"]$$')
+         |           AND len(list_filter(string_split(rtrim(x), ' '),
+         |                               w -> len(w) > 0)) >= 3
+         |           AND NOT contains(lower(rtrim(x)), 'javascript')) AS k
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, text, k,
+         |         -- array_to_string([]) is NULL in DuckDB (string_agg
+         |         -- semantics) where Spark's array_join([]) is '' —
+         |         -- coalesce to the Spark behavior
+         |         coalesce(array_to_string(k, chr(10)), '') AS clean_text,
+         |         CAST(len(regexp_replace(coalesce(array_to_string(k, chr(10)), ''),
+         |                                 '[^.!?]', '', 'g')) AS BIGINT)
+         |           AS n_sentences
+         |  FROM l)
+         |SELECT doc_id, clean_text,
+         |       CAST(len(k) AS BIGINT) AS n_kept_lines,
+         |       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |       n_sentences,
+         |       (NOT contains(lower(text), 'lorem ipsum')
+         |        AND NOT contains(text, '{')
+         |        AND n_sentences >= 5) AS kept
+         |FROM c""".stripMargin,
 
     // KL drift: the hashed-bucket (g,b) count is the shared base; p/q
     // division chains and the floor(p·ln(p/q)·1e9) fixed-point partials

@@ -71,6 +71,46 @@ object TextAnalysis {
     df.filter(md5Long(content, salt) % scale < threshold)
   }
 
+  /** C4 line-level cleaning (Raffel et al., arXiv:1910.10683 §2.2) —
+    * the rule pack the original C4 build applied BEFORE any model-based
+    * scoring, reproduced as a single zero-shuffle projection:
+    *
+    *  - keep only lines that (after trailing-space trim) end in a
+    *    terminal punctuation mark (`.` `!` `?` `"`);
+    *  - keep only lines with ≥ 3 space-separated words;
+    *  - drop any line containing "javascript" (case-folded);
+    *  - gate the whole PAGE: dropped if the text contains "lorem ipsum"
+    *    (case-folded) or a curly brace, or if the cleaned text has
+    *    fewer than 5 sentence marks (`.` `!` `?`).
+    *
+    * All string ops live in the Java∩RE2 regex subset and are
+    * mirrored operand-for-operand in the oracle (split on single
+    * space, rtrim, contains — no locale, no \\s classes whose Unicode
+    * width differs between engines). Emits (doc_id, clean_text,
+    * n_kept_lines, n_lines, n_sentences, kept) — the cleaned text for
+    * survivors, the stats for audit either way. */
+  def c4Clean(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = split(text, "\n", -1)
+    def keep(l: Column): Column = {
+      val t = rtrim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, " ", -1), w => length(w) > 0)) >= 3 &&
+        !contains(lower(t), lit("javascript"))
+    }
+    val keptArr = filter(lines, keep _)
+    df.select(id.as("doc_id"), text.as("__t"), keptArr.as("__k"))
+      .select(col("doc_id"),
+        array_join(col("__k"), "\n").as("clean_text"),
+        size(col("__k")).cast("long").as("n_kept_lines"),
+        size(split(col("__t"), "\n", -1)).cast("long").as("n_lines"),
+        length(regexp_replace(array_join(col("__k"), "\n"), "[^.!?]", ""))
+          .cast("long").as("n_sentences"),
+        (!contains(lower(col("__t")), lit("lorem ipsum")) &&
+          !contains(col("__t"), lit("{")) &&
+          length(regexp_replace(array_join(col("__k"), "\n"), "[^.!?]", ""))
+            .cast("long") >= 5).as("kept"))
+  }
+
   /** Per-group unigram KL drift — the corpus-monitoring op every
     * continuously-ingested training pipeline runs: how far has each
     * source/slice's token distribution drifted from the corpus-wide

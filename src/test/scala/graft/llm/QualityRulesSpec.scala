@@ -57,4 +57,31 @@ class QualityRulesSpec extends SparkSpec {
     assert(m1("top2_char_frac") === 0.0)
     assert(m1("dup_line_frac") === 0.0)
   }
+
+  test("c4Clean: line rules (terminal punct after rtrim, >=3 words, javascript) and page gates") {
+    val docs = Seq(
+      // survivor: 5 sentence marks exactly; one line saved by rtrim,
+      // one dropped per rule
+      (1L, "Good sentence one. Good sentence two! Three here? Four now. \n" +
+        "no punct line\nTwo words.\nRuns on JAVASCRIPT everywhere.\n" +
+        "Fifth good sentence. "),
+      (2L, "Only four sentences. Right here! Three now? And four."), // < 5 → gate
+      (3L, "Fine sentence one. But lorem IPSUM appears. More words here. " +
+        "Another one follows. Fifth sentence closes."),            // lorem ipsum
+      (4L, ""))                                                    // empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.c4Clean(docs, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+    val d1 = out(0)
+    assert(d1._6, "doc 1 must survive at the 5-sentence boundary")
+    assert(d1._3 == 2L && d1._4 == 5L, s"kept/total lines: $d1")
+    assert(d1._5 == 5L, s"sentence marks: $d1")
+    assert(d1._2 == "Good sentence one. Good sentence two! Three here? Four now. \n" +
+      "Fifth good sentence. ", "kept lines keep their ORIGINAL text (rtrim is only a test)")
+    assert(!out(1)._6 && out(1)._5 == 4L, "four sentences fails the page gate")
+    assert(!out(2)._6, "lorem ipsum page gate (case-folded)")
+    assert(!out(3)._6 && out(3)._2 == "" && out(3)._3 == 0L,
+      "empty doc: empty clean text, not null")
+  }
 }

@@ -98,6 +98,30 @@ def write_documents(out_dir):
         # 168.100.2000) before the IP pass ever sees it — proves the two
         # engines agree on pass ORDER, not just per-pattern spans
         (22, "ip 10.20.30.4055 mail x1@y2.org at 127.0.0.1 and 192.168.100.2000", "en", "web", 0),
+        # --- C4 LINE-CLEANING BOUNDARIES (q_c4_clean) ---
+        # 25: a SURVIVOR — five kept sentences (exactly the minimum),
+        # one line dropped for no terminal punct, one dropped as a
+        # 2-word line, one dropped for 'JavaScript' (case-folded), and
+        # a trailing-space line that only passes because rtrim runs
+        # before the terminal-punct check
+        (25, "This page has real sentences. It keeps enough of them! "
+             "Does it pass? Yes it does. Final sentence here. \n"
+             "no terminal punctuation line\n"
+             "Two words.\n"
+             "Enable JavaScript to continue.\n"
+             "Trailing space sentence stays. ", "en", "web", 0),
+        # 26: four sentence marks after cleaning → page gate rejects
+        # (boundary: one below the 5-sentence minimum)
+        (26, "One good sentence. Two good sentences! Three good ones? "
+             "And a fourth one.", "en", "web", 0),
+        # 27/28: page poisons — lorem ipsum (case-folded) and a curly
+        # brace inside otherwise-clean text
+        (27, "Proper sentence one. Lorem Ipsum dolor sit amet here. "
+             "Three more words follow. Four in this one. Five to finish.",
+         "en", "web", 0),
+        (28, "Valid sentence one. Object literal {like this} appears. "
+             "Three more words here. Keep counting to four. Five closes it.",
+         "en", "web", 0),
     ]
     # keep n_chars honest for the new rows (oracle-side len() parity)
     rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
