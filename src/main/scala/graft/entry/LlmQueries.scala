@@ -450,6 +450,24 @@ object LlmQueries {
       Similarity.ivfTopKProbes(assigned, cents, queryId = 0L, k = 10, nProbes = 3)
     }),
 
+    // ANN index QUALITY measurement: recall@10 of the 3-probe IVF
+    // against the exact brute-force top-10 — the tuning metric every
+    // production vector index reports (probes/k trade recall for scan
+    // fraction). One row out; both sides reuse the pinned ANN plans.
+    "q_ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssignWith(e, col("vec_id"), col("embedding"), cents)
+      val approx = Similarity.ivfTopKProbes(assigned, cents, queryId = 0L,
+        k = 10, nProbes = 3).select(col("vec_id"))
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), queryVec0(s, d).toSeq, k = 10)
+        .select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
     // IVF with TRAINED centroids: deterministic distributed k-means
     // (lowest-k seeds, fixed-point recentering) feeds the assignment —
     // the full production path train→index→probe, all reproducible.
@@ -1489,6 +1507,32 @@ object LlmQueries {
          |FROM assigned a JOIN probes p ON a.cid = p.cid
          |WHERE a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    // recall@10: both sides reuse the q_ann_ivf_probes / brute CTEs and
+    // intersect the ID SETS (rounding-free — membership, not scores)
+    "q_ann_recall" ->
+      s"""WITH assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.vec_id AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid, qv FROM (
+         |    SELECT c.vec_id AS cid, q.qv, ${sqlCos("c.embedding", "q.qv")} AS qcos
+         |    FROM embeddings c CROSS JOIN q WHERE c.vec_id < 16
+         |    ORDER BY qcos DESC, cid LIMIT 3) p),
+         |approx AS (
+         |  SELECT a.vec_id FROM assigned a JOIN probes p ON a.cid = p.cid
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY ${sqlCos("a.v", "p.qv")} DESC, a.vec_id LIMIT 10),
+         |brute AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10)
+         |SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+         |FROM approx JOIN brute USING (vec_id)""".stripMargin,
 
     "q_ann_ivf_trained" ->
       s"""WITH ${sqlKmeansCte(IvfK, IvfIters)},
