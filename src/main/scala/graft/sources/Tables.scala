@@ -59,13 +59,49 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // a LongType ts is EITHER TIMESTAMP(NANOS) surfaced by the
+        // legacy conf OR a plain INT64 with no logical type at all —
+        // the loaded Spark type can't distinguish them, and dividing
+        // micros by 1000 would silently shift every event by 1000x.
+        // Read the parquet footer's logical-type annotation and only
+        // apply the ns→us truncation when the file really says NANOS;
+        // a bare INT64 is taken as epoch micros (the only convention
+        // a logical-type-free writer plausibly means here).
+        val divisor = if (tsAnnotatedNanos(s, s"$d/events.parquet")) "1000" else "1"
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+          org.apache.spark.sql.functions.expr(s"ts div $divisor")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
           .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+  }
+
+  /** Does the parquet footer annotate column `ts` as TIMESTAMP(NANOS)?
+    * Reads ONE footer (the first parquet file if `path` is a
+    * directory) — a metadata-only driver-side read, no data scan. */
+  private def tsAnnotatedNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet")).getOrElse(p)
+      else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFileMetaData.getSchema
+      schema.containsField("ts") &&
+        (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        })
+    } finally reader.close()
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

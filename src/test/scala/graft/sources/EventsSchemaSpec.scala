@@ -20,7 +20,11 @@ class EventsSchemaSpec extends SparkSpec {
   private def flavorDir(name: String): String =
     getClass.getResource(s"/events_flavors/$name").getPath
 
-  for (flavor <- Seq("nanos", "micros_ntz", "micros_utc")) {
+  // int64_micros: a bare INT64 ts with NO parquet logical annotation —
+  // Tables.events must read the footer and NOT apply the ns→us
+  // truncation (blindly dividing micros by 1000 would shift every
+  // event by 1000x with no error)
+  for (flavor <- Seq("nanos", "micros_ntz", "micros_utc", "int64_micros")) {
     test(s"events ts normalizes to TimestampType with exact micros [$flavor]") {
       val df = Tables.events(spark, flavorDir(flavor))
       assert(df.schema("ts").dataType == TimestampType,
@@ -37,7 +41,7 @@ class EventsSchemaSpec extends SparkSpec {
 
   test("event-time ops run on every physical flavor (resample smoke)") {
     import org.apache.spark.sql.functions.col
-    for (flavor <- Seq("nanos", "micros_ntz", "micros_utc")) {
+    for (flavor <- Seq("nanos", "micros_ntz", "micros_utc", "int64_micros")) {
       val out = graft.agg.TimeSeries.resampleForwardFill(
         Tables.events(spark, flavorDir(flavor)),
         col("user_id"), col("ts"), col("value"), 3600000000L)
