@@ -140,14 +140,23 @@ object Bench {
     // "regressions" on 8 consecutive sorted-order queries this way.
     // Interleaving puts ~half the suite's wall-clock between a query's
     // two samples, so a localized spike can hit at most one of them.
+    // PASS 2 is DERANGED (rotated by half the suite) so a heavy query's
+    // GC/memory wake stains different successors in each pass: with
+    // identical alphabetical order, q_substr_dedup's pressure poisoned
+    // the SAME q_take_* neighbors in both passes (BENCH_r11: 1.33 s /
+    // 1.44 s vs 0.30 s / 0.32 s for their identical-plan q_drop_* twins)
+    // and best-of-2 could never discard it. Deterministic shift — no RNG.
     interPass()
     val pass1 = selected.map { case (name, fn) => name -> once(fn) }
     interPass()
-    val pass2 = selected.map { case (name, fn) => name -> once(fn) }
+    val rot = selected.size / 2
+    val pass2 = (selected.drop(rot) ++ selected.take(rot))
+      .map { case (name, fn) => name -> once(fn) }
     interPass()
+    val pass2ByName = pass2.toMap
     val samples = scala.collection.mutable.LinkedHashMap[String, List[(Double, Long)]]()
-    pass1.zip(pass2).foreach { case ((name, s1), (_, s2)) =>
-      samples(name) = List(s1, s2)
+    pass1.foreach { case (name, s1) =>
+      samples(name) = List(s1, pass2ByName(name))
     }
     // Divergence tie-break: two finite samples >3x apart mean at least
     // one was load-polluted — take a third and keep the min. Bounded to

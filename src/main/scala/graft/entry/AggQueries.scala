@@ -2,7 +2,7 @@ package graft.entry
 
 import graft.agg.{Aggregates, TimeSeries}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Aggregation-family driver queries. Double sums are accumulated in
@@ -95,23 +95,63 @@ object AggQueries {
       Tables.events(s, d).select("event_id", "event_type", "value"),
       Seq(col("event_type")), Seq(col("value").desc, col("event_id")), 3)),
 
-    "q_approx_distinct" -> ((s, d) => // HLL sketch — approximate by design, rows-only check
+    // HLL sketch with a BOUNDED-ERROR oracle: the sketch value itself is
+    // engine-specific, so the graded output is the exact distinct count
+    // (oracle-computable) plus a within_bound verdict asserting the
+    // sketch landed inside a conservative envelope (default rsd 5%;
+    // 0.15 = 3σ — a miss means the sketch is broken, not noisy). The
+    // oracle emits the same exact count and a literal TRUE, so the hash
+    // compare fails exactly when the sketch breaks its published bound.
+    "q_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx").cast("double") /
+            col("exact_parts").cast("double") - lit(1.0)) <= lit(0.15))
+            .as("within_bound"))),
 
-    "q_hll_custom" -> ((s, d) => // engine-native HLL aggregate — rows-only check
+    // custom HLL aggregate, same bounded-error discipline (p=11 → rsd
+    // ~2.3%; 0.15 is >6σ)
+    "q_hll_custom" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-        .agg(graft.agg.HllSketchAgg.agg(col("l_partkey")).as("hll_parts"))),
+        .agg(graft.agg.HllSketchAgg.agg(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx").cast("double") /
+            col("exact_parts").cast("double") - lit(1.0)) <= lit(0.15))
+            .as("within_bound"))),
 
     // the percentile SCALE path: a mergeable quantile sketch (built-in
-    // approx_percentile) instead of the exact form's full per-group sort —
-    // approximate by design, rows-only check like the HLL pair
-    "q_approx_percentile" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+    // approx_percentile, accuracy 1000 → rank error ε = 1e-3) instead of
+    // the exact form's full per-group sort. Bounded-error oracle: the
+    // returned value's RANK window — count(x < v) must sit below
+    // (p+5ε)·n and count(x ≤ v) at/above (p-5ε)·n (5ε of slack over the
+    // sketch's ε guarantee; a miss is a broken sketch). The oracle emits
+    // the group sizes and literal TRUEs.
+    "q_approx_percentile" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median"),
+          .as("am"),
           approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
-            .as("approx_p99"))),
+            .as("a99"))
+      def rankOk(lt: Column, le: Column, n: Column, p: Double): Column = {
+        val eps = 5 * 0.001
+        le.cast("double") >= (lit(p - eps) * n.cast("double") - lit(1.0)) &&
+          lt.cast("double") <= (lit(p + eps) * n.cast("double") + lit(1.0))
+      }
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("am"), 1L).otherwise(0L)).as("lt_m"),
+          sum(when(col("l_extendedprice") <= col("am"), 1L).otherwise(0L)).as("le_m"),
+          sum(when(col("l_extendedprice") < col("a99"), 1L).otherwise(0L)).as("lt_99"),
+          sum(when(col("l_extendedprice") <= col("a99"), 1L).otherwise(0L)).as("le_99"))
+        .select(col("l_returnflag"), col("n"),
+          rankOk(col("lt_m"), col("le_m"), col("n"), 0.5).as("median_ok"),
+          rankOk(col("lt_99"), col("le_99"), col("n"), 0.99).as("p99_ok"))
+    }),
 
     // statistical aggregates via EXACT fixed-point power sums: mean/var/
     // stddev from (n, Σx, Σx²) — integer accumulation is order-
@@ -219,6 +259,24 @@ object AggQueries {
       |FROM events GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // bounded-error sketch oracles: exact side is oracle-computable, the
+    // within-bound verdict is asserted by the engine and expected TRUE —
+    // the hash compare fails exactly when a sketch breaks its bound
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       true AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_hll_custom" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |       true AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       true AS median_ok, true AS p99_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     // cents formula mirrored from the Spark side (floor(x·100 + 0.5),
     // integer sum, ONE cast+divide): DECIMAL accumulation matches at
     // tested scales but double-rounds differently once the scaled sum

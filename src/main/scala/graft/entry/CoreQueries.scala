@@ -48,8 +48,21 @@ object CoreQueries {
     "q_distinct" -> ((s, d) => (Xform.xmap(col("l_returnflag"), col("l_linestatus")) andThen
       Xform.xdistinct())(Tables.lineitem(s, d))),
 
-    "q_sample" -> ((s, d) => // seeded Bernoulli sample — no SQL oracle (rows-only check)
-      Xform.xsample(0.1, 42L)(Tables.events(s, d))),
+    // seeded Bernoulli sample with a BOUNDED-ERROR oracle: the sampled
+    // row set is engine-RNG-specific, so the graded output is a single
+    // Chernoff-style verdict — |#sampled − p·n| within 6σ of the
+    // Binomial(n, p) mean (a miss means the sampler is broken, not
+    // unlucky: P < 1e-8). The oracle emits a literal TRUE.
+    "q_sample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Xform.xsample(0.1, 42L)(ev).agg(count(lit(1)).as("n_sampled"))
+        .crossJoin(ev.agg(count(lit(1)).as("n_total")))
+        .select(
+          (abs(col("n_sampled").cast("double") -
+            lit(0.1) * col("n_total").cast("double")) <=
+            lit(6.0) * sqrt(lit(0.09) * col("n_total").cast("double")) + lit(1.0))
+            .as("within_bound"))
+    }),
 
     // `through` (reference TODO api.clj:55): explicit hash repartition on
     // the key — semantics-free, so the oracle is the PLAIN aggregate; a
@@ -227,6 +240,10 @@ object CoreQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // bounded-error sampler oracle: verdict asserted by the engine,
+    // expected TRUE — see the q_sample query comment
+    "q_sample" -> "SELECT true AS within_bound",
+
     "flagship_pipeline" ->
       "SELECT event_type AS key, CAST(event_id AS VARCHAR) AS value FROM events WHERE event_type IS NOT NULL AND CAST(event_id AS VARCHAR) = '7'",
 

@@ -339,9 +339,12 @@ object LlmQueries {
     // SQ8 scalar quantization: per-dim [min,max] calibration (train-once
     // artifact), byte codes, ADC dot against the full-precision query —
     // the int8-embedding-store discipline beside the PQ family
+    // the query vector (vec_id 0) is excluded from CANDIDATES, matching
+    // every other ANN query; calibration stats stay corpus-wide
     "q_ann_sq8" -> ((s, d) =>
-      Similarity.sq8TopK(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), sqStats(s, d), queryVec0(s, d).toSeq, k = 10)),
+      Similarity.sq8TopK(Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), sqStats(s, d),
+        queryVec0(s, d).toSeq, k = 10)),
 
     "q_ann_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -466,6 +469,26 @@ object LlmQueries {
         .select(col("vec_id"))
       approx.join(exact, "vec_id")
         .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
+    // SQ8 quantization-QUALITY guardrail: recall@10 of the SQ8 ADC
+    // top-10 against the exact brute-force top-10, with a pinned floor.
+    // Without this row a calibration bug that tanks recall while staying
+    // deterministic would pass the q_ann_sq8 oracle silently (both
+    // engines would compute the same wrong ranking). The oracle mirrors
+    // the recall computation exactly but emits a LITERAL true for
+    // floor_ok, so a recall collapse below the floor fails the hash
+    // compare on the Spark side.
+    "q_ann_sq8_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+      val approx = Similarity.sq8TopK(e, col("vec_id"), col("embedding"),
+        sqStats(s, d), queryVec0(s, d).toSeq, k = 10).select(col("vec_id"))
+      val exact = Similarity.bruteForceTopK(e, col("vec_id"),
+        col("embedding"), queryVec0(s, d).toSeq, k = 10).select(col("vec_id"))
+      approx.join(exact, "vec_id")
+        .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .select(col("recall_at_10"),
+          (col("recall_at_10") >= lit(0.8)).as("floor_ok"))
     }),
 
     // IVF with TRAINED centroids: deterministic distributed k-means
@@ -1345,10 +1368,45 @@ object LlmQueries {
          |                   CAST(floor((e.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
          |                        AS BIGINT))) END AS DOUBLE) + 0.5)
          |             * (mm.mx - mm.mn) / 256.0) * 1.0E9) AS BIGINT) AS tq
-         |  FROM ex e JOIN mm USING (d) JOIN qv USING (d))
+         |  FROM ex e JOIN mm USING (d) JOIN qv USING (d)
+         |  WHERE e.vec_id <> 0)
          |SELECT vec_id, CAST(sum(tq) AS DOUBLE) / 1.0E9 AS sq_score
          |FROM tq GROUP BY 1
          |ORDER BY sq_score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // SQ8 recall guardrail: recall computed identically (rounding-free
+    // ID-set intersection), floor_ok emitted as LITERAL true — a recall
+    // collapse below the Spark-side floor breaks the hash compare
+    "q_ann_sq8_recall" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, u.d AS d, u.x AS x FROM (
+         |    SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+         |             i -> {'d': i, 'x': CAST(embedding[i+1] AS DOUBLE)})) AS u
+         |    FROM embeddings)),
+         |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         |qv AS (SELECT d, x AS qd FROM ex WHERE vec_id = 0),
+         |tq AS (
+         |  SELECT e.vec_id,
+         |         CAST(floor(qv.qd * (mm.mn +
+         |           (CAST(CASE WHEN mm.mx = mm.mn THEN 0
+         |                 ELSE least(255, greatest(0,
+         |                   CAST(floor((e.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
+         |                        AS BIGINT))) END AS DOUBLE) + 0.5)
+         |             * (mm.mx - mm.mn) / 256.0) * 1.0E9) AS BIGINT) AS tq
+         |  FROM ex e JOIN mm USING (d) JOIN qv USING (d)
+         |  WHERE e.vec_id <> 0),
+         |approx AS (
+         |  SELECT vec_id, CAST(sum(tq) AS DOUBLE) / 1.0E9 AS sq_score
+         |  FROM tq GROUP BY 1
+         |  ORDER BY sq_score DESC, vec_id LIMIT 10),
+         |qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN qe
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY ${sqlCos("e.embedding", "qe.qv")} DESC, e.vec_id LIMIT 10)
+         |SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10,
+         |       true AS floor_ok
+         |FROM approx JOIN brute USING (vec_id)""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH idx AS (SELECT vec_id, embedding, ${sqlBucket("embedding")} AS bucket FROM embeddings),
@@ -2048,7 +2106,7 @@ object LlmQueries {
       s"""WITH l AS (
          |  SELECT doc_id, text,
          |         list_filter(string_split(text, chr(10)), x ->
-         |           regexp_matches(rtrim(x), '[.!?"]$$')
+         |           right(rtrim(x), 1) IN ('.', '!', '?', '"')
          |           AND len(list_filter(string_split(rtrim(x), ' '),
          |                               w -> len(w) > 0)) >= 3
          |           AND NOT contains(lower(rtrim(x)), 'javascript')) AS k
@@ -2082,7 +2140,9 @@ object LlmQueries {
          |  FROM documents WHERE source IS NOT NULL),
          |tb AS (SELECT g, ${sqlMd5Long("'17|' || t")} % 256 AS b FROM tk),
          |gb AS (SELECT g, b, count(*) AS n_gb FROM tb GROUP BY 1, 2),
-         |bt AS (SELECT b, sum(n_gb) AS n_b FROM gb GROUP BY 1),
+         |bt AS (SELECT r.b, coalesce(sum(gb.n_gb), 0) AS n_b
+         |       FROM (SELECT unnest(range(0, 256)) AS b) r
+         |       LEFT JOIN gb ON r.b = gb.b GROUP BY 1),
          |gt AS (SELECT g, sum(n_gb) AS n_g FROM gb GROUP BY 1),
          |nt AS (SELECT sum(n_gb) AS n_all FROM gb),
          |grid AS (SELECT g, n_g, unnest(range(0, 256)) AS b FROM gt),

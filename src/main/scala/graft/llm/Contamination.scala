@@ -112,12 +112,22 @@ object Contamination {
   /** INGEST-TIME contamination gate, streaming-safe: flag each arriving
     * doc against the benchmark set with NO state, watermark, or
     * aggregation — a stateless cross join against the broadcast
-    * benchmark n-gram arrays plus a per-pair `array_intersect`. The
-    * per-doc cost is |bench| array intersections (the benchmark set is
-    * small by definition — the same premise as [[ngramOverlap]]'s
-    * broadcast), and because no shuffle or state is involved the same
-    * plan runs identically over a batch frame or a `readStream` micro
-    * batch (used from `foreachBatch` or directly in append mode).
+    * benchmark n-gram arrays plus a per-pair `array_intersect`.
+    *
+    * ==SMALL-BENCH ONLY — not the default path==
+    * The per-doc cost constant is |bench| array intersections, so this
+    * form is appropriate ONLY for benchmark sets of at most a few
+    * thousand docs where the true append-mode (zero-aggregation) shape
+    * is required. For every other use — and for ALL batch
+    * decontamination — use [[streamingFlagsPostings]], whose per-doc
+    * work is independent of |bench| (that is the 100 TB scale path, and
+    * the one the q_contam_postings driver row pins). Kept as a library
+    * alternative because no aggregation at all is sometimes worth the
+    * |bench| constant in a genuinely unbounded append-mode sink.
+    *
+    * Because no shuffle or state is involved the same plan runs
+    * identically over a batch frame or a `readStream` micro batch (used
+    * from `foreachBatch` or directly in append mode).
     * Returns (train_id, bench_id, n_shared) for pairs ≥ minShared. */
   def streamingFlags(docs: DataFrame, id: Column, text: Column,
                      benchNg: DataFrame, w: Int, minShared: Long): DataFrame =

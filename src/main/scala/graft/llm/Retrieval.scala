@@ -242,8 +242,11 @@ object Retrieval {
       .withColumn("rn", row_number().over(wO))
       .withColumn("n", count(lit(1)).over(w))
       .select(col("doc_id"), col("lang"), col("lm_score"),
-        when(expr("(3*(rn-1)) div n") === 0, lit("head"))
-          .when(expr("(3*(rn-1)) div n") === 1, lit("middle"))
+        // 64-bit multiply: row_number is IntegerType, and 3*(rn-1) wraps
+        // 32-bit for a language partition above ~715M docs — the oracle
+        // computes the same expression in BIGINT, so match its width
+        when(expr("(3 * cast(rn - 1 as bigint)) div n") === 0, lit("head"))
+          .when(expr("(3 * cast(rn - 1 as bigint)) div n") === 1, lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
   }
 

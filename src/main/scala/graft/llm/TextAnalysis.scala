@@ -93,7 +93,13 @@ object TextAnalysis {
     val lines = split(text, "\n", -1)
     def keep(l: Column): Column = {
       val t = rtrim(l)
-      t.rlike("[.!?\"]$") &&
+      // explicit last-char compare, NOT a `$`-anchored regex: Java's `$`
+      // also matches before a final CR / NEL / LINE-SEP (so a line ending
+      // "sentence." + CR would rlike-pass here) while RE2's `$` anchors at true end-of-string —
+      // the one regex-subset divergence rtrim doesn't mask (it only
+      // strips spaces). substring(-1) sidesteps the anchor entirely on
+      // both engines.
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(filter(split(t, " ", -1), w => length(w) > 0)) >= 3 &&
         !contains(lower(t), lit("javascript"))
     }
@@ -150,10 +156,21 @@ object TextAnalysis {
       .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb"))
 
   /** KL from a (g, b, n_gb) count table (corpus-built or ledger-built —
-    * identical results either way, StreamingSpec pins it). */
-  def klFromBucketCounts(gb: DataFrame): DataFrame = {
+    * identical results either way, StreamingSpec pins it). Null-group
+    * rows are dropped first: groups are non-null by construction
+    * ([[klBucketCounts]] filters them), so the only null-g row a caller
+    * can hand us is the streaming ledger's batchId sentinel
+    * ([[graft.streaming.Streaming.mergeKlLedgerIdempotent]]). Bucket
+    * totals are built over the DENSE 0..255 range (empty buckets
+    * coalesce to 0) so a globally-unseen bucket still contributes its
+    * Laplace-smoothed mass — the oracle mirrors the dense build. */
+  def klFromBucketCounts(gb0: DataFrame): DataFrame = {
     val B = 256L
-    val bTot = gb.groupBy(col("b")).agg(sum(col("n_gb")).as("n_b"))
+    val gb = gb0.filter(col("g").isNotNull)
+    val bTot = gb.sparkSession.range(0, B).select(col("id").as("b"))
+      .join(gb.groupBy(col("b")).agg(sum(col("n_gb")).as("n_b0")),
+        Seq("b"), "left")
+      .select(col("b"), coalesce(col("n_b0"), lit(0L)).as("n_b"))
     val gTot = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
     val nTot = gb.agg(sum(col("n_gb")).as("n_all"))
     val grid = gTot.select(col("g"), col("n_g"),

@@ -78,30 +78,48 @@ object Tables {
   }
 
   /** Does the parquet footer annotate column `ts` as TIMESTAMP(NANOS)?
-    * Reads ONE footer (the first parquet file if `path` is a
-    * directory) — a metadata-only driver-side read, no data scan. */
+    * Walks EVERY `.parquet` file under `path` (recursively, in sorted
+    * order for determinism) and requires the footers to AGREE — a
+    * dataset whose part files mix ts annotations would otherwise be
+    * classified by whichever file listed first, applying or skipping
+    * the ns→us division for the whole table. Metadata-only driver-side
+    * footer reads, no data scan. */
   private def tsAnnotatedNanos(s: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = s.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet")).getOrElse(p)
-      else p
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFileMetaData.getSchema
-      schema.containsField("ts") &&
-        (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-          case _ => false
-        })
-    } finally reader.close()
+    val files: Seq[Path] =
+      if (fs.getFileStatus(p).isDirectory) {
+        val it = fs.listFiles(p, /* recursive = */ true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+            buf += st.getPath
+        }
+        buf.sortBy(_.toString).toSeq
+      } else Seq(p)
+    def footerNanos(file: Path): Boolean = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        schema.containsField("ts") &&
+          (schema.getType(Seq("ts"): _*).getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+      } finally reader.close()
+    }
+    val verdicts = files.map(f => f -> footerNanos(f))
+    require(verdicts.map(_._2).distinct.size <= 1,
+      s"mixed ts logical-type annotations across parquet files under $path: " +
+        verdicts.map { case (f, n) => s"${f.getName}=${if (n) "NANOS" else "other"}" }
+          .mkString(", "))
+    verdicts.headOption.exists(_._2)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

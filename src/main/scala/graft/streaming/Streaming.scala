@@ -451,6 +451,46 @@ object Streaming {
         graft.llm.Dedup.explodeLines(batchDocs, id, text)))
       .groupBy(col("h")).agg(sum(col("n_docs")).cast("long").as("n_docs"))
 
+  /** Read the `foreachBatch` batchId high-water mark carried in a
+    * ledger's null-keyed sentinel row; -1 when the ledger has never
+    * been merged through an idempotent merge. One bounded 1-row driver
+    * read — the price of replay safety for the count-additive ledgers. */
+  def ledgerHighWaterMark(ledger: DataFrame, key: Column,
+                          value: Column): Long =
+    ledger.filter(key.isNull).select(value.cast("long").as("v"))
+      .collect().headOption.map(_.getLong(0)).getOrElse(-1L)
+
+  /** One-row (null-key, batchId) sentinel frame carrying the ledger's
+    * high-water mark. Null keys cannot collide with real rows: line
+    * hashes and KL groups are non-null by construction, and `groupBy`
+    * keeps the null key in its own group. */
+  private def hwmSentinel(spark: SparkSession, keyName: String,
+                          keyType: String, valName: String,
+                          batchId: Long): DataFrame =
+    spark.range(1).select(lit(null).cast(keyType).as(keyName),
+      lit(batchId).cast("long").as(valName))
+
+  /** Replay-proof [[mergeLineLedger]]: gate the count-additive merge on
+    * the `foreachBatch` batchId high-water mark, so a redelivered batch
+    * (at-least-once failure recovery) is a no-op instead of
+    * double-counting — the same guarantee [[mergeBloomLedger]] gets for
+    * free from bit_or idempotence, bought here with one 1-row state
+    * read. The HWM rides in the ledger itself as a null-keyed sentinel
+    * row, so the caller's single atomic table swap commits data and
+    * mark together; [[lineVerdictsAgainstLedger]] ignores the sentinel
+    * (a null hash matches nothing). foreachBatch batchIds are
+    * monotonically increasing and stable across retries, which is
+    * exactly what makes `batchId <= hwm` the correct skip test. */
+  def mergeLineLedgerIdempotent(ledger: DataFrame, batchDocs: DataFrame,
+                                id: Column, text: Column,
+                                batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("h"), col("n_docs"))
+    if (batchId <= hwm) ledger.select(col("h"), col("n_docs"))
+    else mergeLineLedger(ledger.filter(col("h").isNotNull), batchDocs, id, text)
+      .unionByName(hwmSentinel(batchDocs.sparkSession, "h", "long",
+        "n_docs", batchId))
+  }
+
   /** Scrub docs against a line ledger: lines whose cumulative distinct
     * doc count exceeds `maxDocs` are boilerplate. Run per micro-batch
     * from `foreachBatch` (gate new docs against yesterday's ledger) or
@@ -478,6 +518,26 @@ object Streaming {
     ledger.select(col("g"), col("b"), col("n_gb"))
       .unionByName(graft.llm.TextAnalysis.klBucketCounts(batchDocs, text, group))
       .groupBy(col("g"), col("b")).agg(sum(col("n_gb")).cast("long").as("n_gb"))
+
+  /** Replay-proof [[mergeKlLedger]] — the [[mergeLineLedgerIdempotent]]
+    * discipline for the (g, b, n_gb) bucket ledger: a redelivered
+    * `foreachBatch` batch is a no-op instead of double-counting token
+    * occurrences. Sentinel is (g=null, b=0, n_gb=batchId); real groups
+    * are non-null by construction ([[graft.llm.TextAnalysis
+    * .klBucketCounts]] filters them) and
+    * [[graft.llm.TextAnalysis.klFromBucketCounts]] drops null groups,
+    * so drift over the gated ledger equals the one-shot batch monitor
+    * bit for bit even under replay (StreamingSpec pins it). */
+  def mergeKlLedgerIdempotent(ledger: DataFrame, batchDocs: DataFrame,
+                              text: Column, group: Column,
+                              batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("g"), col("n_gb"))
+    if (batchId <= hwm) ledger.select(col("g"), col("b"), col("n_gb"))
+    else mergeKlLedger(ledger.filter(col("g").isNotNull), batchDocs, text, group)
+      .unionByName(hwmSentinel(batchDocs.sparkSession, "g", "string",
+        "n_gb", batchId).withColumn("b", lit(0L))
+        .select(col("g"), col("b"), col("n_gb")))
+  }
 
   /** Merge one micro-batch's keys into a persistent Bloom word ledger —
     * the ingest-time build half of [[graft.llm.Bloom.gate]] (the

@@ -540,6 +540,114 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("idempotent line ledger: a replayed batch is a no-op (batchId high-water mark)") {
+    // at-least-once failure recovery redelivers a whole foreachBatch
+    // batch with the SAME batchId; the gated merge must make that a
+    // no-op so the final ledger still equals the one-shot batch
+    // lineFrequencies bit for bit — the guarantee the bloom ledger gets
+    // from bit_or idempotence, bought here with the HWM sentinel
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "home | about\nunique one\ncopyright X"),
+      (2L, "copyright X\nhome | about\nbody two"),
+      (3L, "opening three\nhome | about\nclosing three"),
+      (4L, "home | about\nhome | about"))
+    val maxDocs = 2L
+
+    var ledger = Seq.empty[(Long, Long)].toDF("h", "n_docs")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          // merge, then REPLAY the same batch under the same batchId —
+          // exactly what a foreachBatch retry after a sink failure does
+          ledger = Streaming.mergeLineLedgerIdempotent(ledger, batch,
+            col("doc_id"), col("text"), bid).cache()
+          ledger.count()
+          ledger = Streaming.mergeLineLedgerIdempotent(ledger, batch,
+            col("doc_id"), col("text"), bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(Seq(docs(2))); q.processAllAvailable()
+    ms.addData(Seq(docs(3))); q.processAllAvailable()
+    q.stop()
+
+    // HWM sentinel reflects the last merged batch
+    assert(Streaming.ledgerHighWaterMark(ledger, col("h"), col("n_docs")) == 2L)
+
+    val all = docs.toDF("doc_id", "text")
+    val batchFreqs = graft.llm.Dedup.lineFrequencies(
+      graft.llm.Dedup.explodeLines(all, col("doc_id"), col("text")))
+      .as[(Long, Long)].collect().toSet
+    val dataRows = ledger.filter(col("h").isNotNull)
+      .as[(Long, Long)].collect().toSet
+    assert(dataRows == batchFreqs,
+      "replay-gated ledger must equal batch line frequencies despite redelivery")
+
+    // verdicts against the gated ledger (sentinel included — a null hash
+    // matches nothing) equal the batch lineDedup verdicts
+    val streamed = Streaming.lineVerdictsAgainstLedger(all, col("doc_id"),
+        col("text"), ledger, maxDocs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = graft.llm.Dedup.lineDedup(all, col("doc_id"), col("text"), maxDocs)
+      .as[(Long, String, Long, Long)].collect().toSet
+    graft.llm.Dedup.releaseCaches()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("idempotent kl ledger: a replayed batch is a no-op and drift matches the batch monitor") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "steady"),
+      (2L, "alpha beta gamma epsilon", "steady"),
+      (3L, "zzz qqq xxx www", "drifted"),
+      (4L, "alpha beta zeta eta", "steady"),
+      (5L, "vvv zzz qqq uuu", "drifted"))
+
+    var ledger = Seq.empty[(String, Long, Long)].toDF("g", "b", "n_gb")
+    val ms = MemoryStream[(Long, String, String)]
+    val q = ms.toDF().toDF("doc_id", "text", "source").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeKlLedgerIdempotent(ledger, batch,
+            col("text"), col("source"), bid).cache()
+          ledger.count()
+          // redelivery of the same batchId must not double token counts
+          ledger = Streaming.mergeKlLedgerIdempotent(ledger, batch,
+            col("text"), col("source"), bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(Seq(docs(2), docs(3))); q.processAllAvailable()
+    ms.addData(Seq(docs(4))); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("g"), col("n_gb")) == 2L)
+
+    val all = docs.toDF("doc_id", "text", "source")
+    val batchCounts = graft.llm.TextAnalysis.klBucketCounts(
+      all, col("text"), col("source"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(ledger.filter(col("g").isNotNull)
+      .as[(String, Long, Long)].collect().toSet == batchCounts,
+      "replay-gated ledger must equal batch bucket counts despite redelivery")
+
+    // klFromBucketCounts drops the sentinel itself — feed it the raw ledger
+    val streamed = graft.llm.TextAnalysis.klFromBucketCounts(ledger)
+      .as[(String, Double)].collect().toSet
+    val batch = graft.llm.TextAnalysis.unigramKlDrift(all, col("text"),
+      col("source")).as[(String, Double)].collect().toSet
+    graft.core.Caches.release()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("bloom ledger in foreachBatch: merged words and verdicts equal the batch gate") {
     // ingest-time twin of Bloom.gate: micro-batches fold keys into a
     // (word, wbits) ledger; bit_or idempotence means even a REPLAYED
