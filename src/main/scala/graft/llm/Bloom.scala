@@ -106,19 +106,53 @@ object Bloom {
     * negatives by construction) alongside the exact `is_dup` (broadcast
     * membership join), so the query doubles as the filter's
     * false-positive ledger. In deployment only `maybe_dup` survivors
-    * reach the exact check; both columns here keep the operator
-    * oracle-verifiable end-to-end.
+    * reach the exact check (an anti-join on the survivors — the exact
+    * side is NOT broadcastable when the ref set is lake-scale, which is
+    * the filter's whole premise); both columns here keep the operator
+    * oracle-verifiable end-to-end at bench scale.
     *
-    * The probe side is a zero-shuffle projection: the filter rides as a
-    * literal long-array, each of the 4 probes is an element_at + mask
-    * test. Plan: scan → project (+ one broadcast hash join for the
-    * exact column). */
+    * The filter is built IN-ACTION and fused into the probe plan: the
+    * (word, wbits) aggregate densifies to a single-row bits/32-long
+    * ARRAY (position-indexed `element_at` is O(1); a word→bits MAP
+    * lookup would be a linear scan — measured ~20% slower) that rides
+    * to the probe scan as a 1-row broadcast. No work happens at
+    * query-construction time, the filter never transits the driver,
+    * and build + probe share one action (same-window A/B at sf0.1:
+    * fused 0.84-1.05 s vs driver-literal 1.23-1.34 s best-of-2, and a
+    * second faster cold). The probe side stays a zero-shuffle
+    * projection: 4 array lookups + mask tests per row, plus one
+    * broadcast hash join for the exact column.
+    *
+    * [[buildBits]]/[[probeWith]] keep the driver-literal two-action
+    * form for the DEPLOYMENT shape — build once against the reference
+    * corpus, persist ([[toBitArray]]), probe many batches against the
+    * materialized filter (the streaming-ledger path uses exactly
+    * that). */
   def gate(ref: DataFrame, probe: DataFrame, id: Column, key: Column,
            bits: Int): DataFrame = {
-    val filt = buildBits(ref.select(md5(key).as("h")).distinct(), col("h"), bits)
+    // ONE distinct over the ref keys feeds both the filter build and the
+    // exact-membership set — identical subplans, so ReuseExchange
+    // collapses the second distinct into the first
+    val refH = ref.select(md5(key).as("h")).distinct()
+    val words = wordBits(refH, col("h"), bits)
+    val filt = words
+      .agg(map_from_entries(collect_list(struct(col("word"), col("wbits"))))
+        .as("__m"))
+      .select(transform(sequence(lit(0), lit(bits / 32 - 1)),
+        w => coalesce(element_at(col("__m"), w.cast("int")), lit(0L)))
+        .as("__bf"))
     val refSet = broadcast(
-      ref.select(md5(key).as("rh")).distinct().withColumn("m", lit(true)))
-    probeWith(filt, probe, id, key, bits)
+      refH.select(col("h").as("rh")).withColumn("m", lit(true)))
+    val withPos = probe.withColumn("__h", md5(key))
+      .withColumn("__pos", positions(col("__h"), bits))
+    val maybe = Offsets.indices.map { i =>
+      val w = shiftright(element_at(col("__pos"), i + 1), 5).cast("int")
+      val mask = expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(element_at(__pos, ${i + 1}) & 31 AS INT))")
+      element_at(col("__bf"), w + lit(1)).bitwiseAND(mask) === mask
+    }.reduce(_ && _)
+    withPos.crossJoin(broadcast(filt))
+      .withColumn("maybe_dup", maybe)
       .join(refSet, col("__h") === col("rh"), "left")
       .select(col("doc_id"), col("maybe_dup"),
         coalesce(col("m"), lit(false)).as("is_dup"))

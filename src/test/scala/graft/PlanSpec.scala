@@ -451,11 +451,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"probe must not shuffle-join:\n$p")
     assert("BroadcastHashJoin".r.findAllIn(p).size == 1,
-      s"exactly one broadcast join (the is_dup ledger):\n$p")
-    // the only hash shuffle permitted is the reference-side distinct
-    // (dedup of ref keys before broadcast); the probe fact never shuffles
-    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
-      s"probe side must stay shuffle-free:\n$p")
+      s"exactly one broadcast hash join (the is_dup ledger):\n$p")
+    // the in-action filter build rides to the probe as a SINGLE-ROW
+    // broadcast (nested-loop against one row = a projection in cost
+    // terms); more than one would mean state stopped being fused
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      s"the 1-row filter state is the only nested-loop side:\n$p")
+    // permitted hash shuffles, all on the TINY ref side: the shared ref
+    // distinct (one subtree feeding both filter build and exact set —
+    // ReuseExchange may or may not merge the pair depending on alias
+    // canonicalization) and the word-level bit_or aggregate of the
+    // in-action filter build; the probe fact itself never shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"only ref-side shuffles allowed:\n$p")
+    // and none of those exchanges sits above the probe fact scan: the
+    // probe branch (filter %11 <> 0) is exchange-free
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") &&
+        l.contains("doc_id") && l.contains("NOT")),
+      s"probe fact branch must be exchange-free:\n$p")
   }
 
   test("dsir: literal weight table broadcasts; only the per-doc sum shuffles") {
