@@ -131,17 +131,21 @@ object AggQueries {
     // the group sizes and literal TRUEs.
     "q_approx_percentile" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
+      // NULL-SAFE group join: a NULL l_returnflag group (adversarial
+      // corpus) must keep its bound-check row — plain equi-join keys
+      // drop it
       val sk = li.groupBy(col("l_returnflag"))
         .agg(approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("am"),
           approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000))
             .as("a99"))
+        .withColumnRenamed("l_returnflag", "rf")
       def rankOk(lt: Column, le: Column, n: Column, p: Double): Column = {
         val eps = 5 * 0.001
         le.cast("double") >= (lit(p - eps) * n.cast("double") - lit(1.0)) &&
           lt.cast("double") <= (lit(p + eps) * n.cast("double") + lit(1.0))
       }
-      li.join(broadcast(sk), "l_returnflag")
+      li.join(broadcast(sk), col("l_returnflag") <=> col("rf"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(when(col("l_extendedprice") < col("am"), 1L).otherwise(0L)).as("lt_m"),
