@@ -102,21 +102,30 @@ object AggQueries {
     // 0.15 = 3σ — a miss means the sketch is broken, not noisy). The
     // oracle emits the same exact count and a literal TRUE, so the hash
     // compare fails exactly when the sketch breaks its published bound.
+    // Both the sketch and the exact count run over the PRE-DISTINCTED
+    // (group, key) pairs: HLL is duplicate-insensitive (identical
+    // estimate over set or multiset), and mixing count(DISTINCT) with
+    // another aggregate in one agg forces Spark's expand-based distinct
+    // plan (measured 2.0 s vs 0.5 s for the linear two-stage form).
     "q_approx_distinct" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx").cast("double") /
             col("exact_parts").cast("double") - lit(1.0)) <= lit(0.15))
             .as("within_bound"))),
 
     // custom HLL aggregate, same bounded-error discipline (p=11 → rsd
-    // ~2.3%; 0.15 is >6σ)
+    // ~2.3%; 0.15 is >6σ) and the same pre-distinct shape
     "q_hll_custom" -> ((s, d) =>
-      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag"))
         .agg(graft.agg.HllSketchAgg.agg(col("l_partkey")).as("approx"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+          count(lit(1)).as("exact_parts"))
         .select(col("l_returnflag"), col("exact_parts"),
           (abs(col("approx").cast("double") /
             col("exact_parts").cast("double") - lit(1.0)) <= lit(0.15))
