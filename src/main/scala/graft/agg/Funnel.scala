@@ -19,32 +19,47 @@ object Funnel {
     * don't count). Emits (user_id, t1..tN, stage) where stage = number
     * of steps completed; users who never reach step 1 are absent.
     *
-    * Plan shape: one filtered min-aggregation per step (filters push to
-    * the scan) chained by equi-joins on the user key — N small
-    * aggregations beat a collect_list fold because no per-user event
-    * array is ever materialized (hot users would blow executor memory at
-    * lake scale). Determinism: min(ts) and strict > are order-free.
-    * Users with NULL keys survive step 1 (grouping keeps a NULL group on
-    * both engines) but never advance (equi-joins drop NULL keys on both
-    * engines) — the join/window NULL discipline SURVEY §8 documents. */
+    * Plan shape: ONE hash shuffle on the user key, then every step time
+    * is a chained window min over the same partition spec — step i+1's
+    * min(ts WHERE type=step ∧ ts > t_i) can reference t_i because the
+    * previous window pass made it constant across the partition. All N
+    * window passes and the final per-user collapse share the single
+    * exchange (consecutive WindowExecs over one partitioning run in one
+    * stage; the grouping key equals the window key, so the aggregate
+    * adds no shuffle). This replaced a join-chained form (one filtered
+    * aggregation per step joined back on user) that planned N broadcast
+    * exchanges — 7 jobs → 1 measured at sf0.1, and at lake scale the
+    * per-user aggregates are corpus-sized so those joins would have
+    * been real shuffles, not broadcasts: the window form is strictly
+    * better at both ends. No per-user event array is ever materialized
+    * (the collect_list fold would blow executor memory on hot users).
+    * Determinism: min(ts) and strict > are order-free.
+    * Users with NULL keys survive step 1 (the NULL window partition is
+    * a group on both engines) but never advance — the explicit
+    * isNotNull guard mirrors what equi-joins did in the join form (the
+    * join/window NULL discipline SURVEY §8 documents). */
   def funnel(events: DataFrame, user: Column, ts: Column, etype: Column,
              steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val first = events.filter(etype === steps.head)
-      .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
-    val stages = steps.zipWithIndex.tail.foldLeft(first) { case (prev, (st, i)) =>
-      val cur = events.filter(etype === st)
-        .select(user.as("user_id"), ts.as("__ts"))
-        .join(prev.select(col("user_id"), col(s"t$i")), Seq("user_id"))
-        .filter(col("__ts") > col(s"t$i"))
-        .groupBy(col("user_id")).agg(min(col("__ts")).as(s"t${i + 1}"))
-      prev.join(cur, Seq("user_id"), "left")
+    val w = Window.partitionBy(col("user_id"))
+    val base = events.select(user.as("user_id"), ts.as("__ts"),
+      etype.as("__et"))
+    var df = base.withColumn("t1",
+      min(when(col("__et") === steps.head, col("__ts"))).over(w))
+    steps.zipWithIndex.tail.foreach { case (st, i) =>
+      df = df.withColumn(s"t${i + 1}",
+        min(when(col("user_id").isNotNull && col("__et") === st &&
+          col("__ts") > col(s"t$i"), col("__ts"))).over(w))
     }
     val stage = steps.indices.tail.foldLeft(lit(1)) { (acc, i) =>
       acc + when(col(s"t${i + 1}").isNotNull, 1).otherwise(0)
     }
-    stages.select(col("user_id") +:
-      steps.indices.map(i => col(s"t${i + 1}")) :+ stage.as("stage"): _*)
+    val aggs = steps.indices.map(i => min(col(s"t${i + 1}")).as(s"t${i + 1}"))
+    df.filter(col("t1").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*) // constant per partition; min = pick
+      .select(col("user_id") +:
+        steps.indices.map(i => col(s"t${i + 1}")) :+ stage.as("stage"): _*)
   }
 
   /** Gap-based sessionization: assigns every event a per-user session
