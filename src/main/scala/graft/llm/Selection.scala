@@ -129,7 +129,12 @@ object Selection {
     * 256-row literal broadcast into the per-token join. Building
     * weights lazily from the count DataFrame instead would recompute
     * the corpus explode once per weight consumer (measured: the `tot`
-    * aggregate re-ran the whole count subtree). The only fact-sized
+    * aggregate re-ran the whole count subtree); a dense-grid
+    * window-sum in-plan build (the klFromBucketCounts discipline) was
+    * also A/B-measured and REJECTED — same 4-job count either way, and
+    * best-of-2 ~10% slower than this collect form, because here the
+    * weight subtree rides inside a broadcast whose sub-job re-scans the
+    * corpus anyway. The only fact-sized
     * shuffles are the 256-key count aggregate and the final per-doc
     * sum. floor-quantization happens in JVM Math.log — the identical
     * function Spark's `log` expression calls, so driver-side weight
