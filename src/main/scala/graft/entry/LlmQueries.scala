@@ -844,7 +844,32 @@ object LlmQueries {
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.bit_depth").as("bit_depth"),
           col("meta.n_bytes").as("n_bytes"),
-          md5(lower(hex(col("payload")))).as("payload_md5")))
+          md5(lower(hex(col("payload")))).as("payload_md5"))),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-20 and the dense hash-embed cosine top-20 against the same
+    // query bag — the RAG-serving merge (Cormack et al. 2009, k=60).
+    // Each retriever keeps its own scale path (BM25's two-job scan
+    // form, the ANN family for the dense side at lake scale); the
+    // fusion itself is a join of two top-K slices and never touches
+    // the corpus.
+    "q_rrf_fusion" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lex = Retrieval.withRank(
+        Retrieval.bm25(docs, col("doc_id"), col("text"), BmQueryTerms,
+          topK = 20),
+        col("bm25"))
+      val dense = Retrieval.withRank(
+        docs.select(col("doc_id"),
+          CosineSimilarity(TextAnalysis.hashEmbed(col("text"), 16),
+            TextAnalysis.hashEmbed(lit(BmQueryTerms.mkString(" ")), 16))
+            .as("cos"))
+          .orderBy(col("cos").desc, col("doc_id")).limit(20),
+        col("cos"))
+      // raw doubles, no round(): both engines compute the identical
+      // two-division sum, and round() half-way behavior differs
+      Retrieval.rrfFuse(lex, dense, kConst = 60, topK = 10)
+    })
   )
 
   // ======================================================================
@@ -1961,6 +1986,65 @@ object LlmQueries {
          |g AS (SELECT u.s AS ngram, count(*) AS cnt
          |      FROM sh CROSS JOIN LATERAL unnest(sg) AS u(s) GROUP BY 1)
          |SELECT ngram, cnt FROM g ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    // RRF fusion: the q_bm25 oracle (LIMIT 20) as the lexical arm, the
+    // hashEmbed-cosine scan as the dense arm, 1/(60+rank) fused. Ranks
+    // are BIGINT row_numbers on both engines; the two divisions are
+    // single IEEE ops of small-integer operands, so the fused double
+    // matches bit-for-bit with no rounding.
+    "q_rrf_fusion" -> {
+      val folded = BmQueryTerms.map(Retrieval.foldLowerStr).distinct
+      val terms = folded.map(t => s"'$t'").mkString(", ")
+      val partials = folded.map(t =>
+        s"COALESCE(max(CASE WHEN term = '$t' THEN sq END), 0)")
+        .mkString("\n        |       + ")
+      val qstr = BmQueryTerms.mkString(" ")
+      val emb = (x: String) =>
+        s"""list_transform(range(0, 16), i ->
+           |  CAST(((CAST('0x'||substring(md5($x), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
+           |         + i * 17) % 256) / 255.0 - 0.5 AS FLOAT))""".stripMargin
+      s"""WITH toksrc AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM toksrc),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 CAST(sum(dl) AS DOUBLE) AS sum_dl FROM dl),
+         |tok AS (SELECT doc_id, lower(u.t) AS term
+         |        FROM toksrc CROSS JOIN LATERAL unnest(tk) AS u(t)
+         |        WHERE lower(u.t) IN ($terms)),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT t.doc_id, t.term,
+         |         CAST(floor(
+         |           ln(1.0 + (s.n_docs - CAST(d.df AS DOUBLE) + 0.5)
+         |              / (CAST(d.df AS DOUBLE) + 0.5))
+         |           * (CAST(t.tf AS DOUBLE) * ${1.2 + 1.0})
+         |           / (CAST(t.tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
+         |              + (${0.75} * CAST(l.dl AS DOUBLE)) / (s.sum_dl / s.n_docs)))
+         |           * ${Retrieval.Bm25Scale}) AS BIGINT) AS sq
+         |  FROM tf t JOIN dfreq d ON t.term = d.term
+         |       JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN stats s),
+         |lextop AS (
+         |  SELECT doc_id,
+         |         CAST($partials AS DOUBLE) / ${Retrieval.Bm25Scale} AS bm25
+         |  FROM scored GROUP BY doc_id
+         |  ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |               AS rank_lex FROM lextop),
+         |demb AS (
+         |  SELECT doc_id, ${sqlCos(emb("text"), emb(s"'$qstr'"))} AS cos
+         |  FROM documents),
+         |densetop AS (SELECT doc_id, cos FROM demb
+         |             ORDER BY cos DESC, doc_id LIMIT 20),
+         |dense AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
+         |                 AS rank_dense FROM densetop),
+         |fused AS (
+         |  SELECT doc_id, rank_lex, rank_dense,
+         |         COALESCE(1.0 / CAST(60 + rank_lex AS DOUBLE), 0.0)
+         |         + COALESCE(1.0 / CAST(60 + rank_dense AS DOUBLE), 0.0) AS rrf
+         |  FROM lex FULL JOIN dense USING (doc_id))
+         |SELECT doc_id, rank_lex, rank_dense, rrf
+         |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // bigram LM score: Laplace-smoothed ln((c2+1)/(c1+V)) per bigram,
     // quantized to fixed-point LONGs before the per-doc sum (integer

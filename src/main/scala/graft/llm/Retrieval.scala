@@ -274,6 +274,43 @@ object Retrieval {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * two ranked retrieval lists — THE standard hybrid-retrieval merge
+    * (lexical BM25 + dense ANN) for RAG corpora: score(d) =
+    * Σ_lists 1/(k + rank_d), absent-list membership contributes 0.
+    *
+    * Inputs are (doc_id, rank) frames with 1-based ranks. Both are
+    * top-K slices (tens of rows), so the fusion is a broadcast-sized
+    * full-outer join and a TakeOrderedAndProject — no corpus shuffle
+    * anywhere; the expensive work stays inside the two upstream
+    * retrievers, which at lake scale are the already-indexed BM25
+    * postings and ANN probes. Determinism: 1.0/(k+rank) is a single
+    * IEEE division of small-integer operands (bit-identical across
+    * engines), the two-term sum has fixed literal order, ties break on
+    * doc_id. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame,
+              kConst: Int = 60, topK: Int = 10): DataFrame = {
+    val a = lex.select(col("doc_id"), col("rank").cast("long").as("rank_lex"))
+    val b = dense.select(col("doc_id"), col("rank").cast("long").as("rank_dense"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_dense"),
+        (coalesce(lit(1.0) / (lit(kConst.toLong) + col("rank_lex")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kConst.toLong) + col("rank_dense")).cast("double"), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Attach a 1-based dense rank column to a ranked top-K slice:
+    * row_number over (score desc, doc_id) — the slice is already
+    * top-K-sized, so the single-partition window is bounded by K, not
+    * the corpus. */
+  def withRank(topk: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    topk.withColumn("rank",
+      row_number().over(Window.orderBy(score.desc, col("doc_id"))).cast("long"))
+  }
+
   /** Bigram shingles over a pre-tokenized array (w = 2). */
   private def Shingles2(tk: Column): Column =
     graft.functions.Shingles(tk, 2)

@@ -70,6 +70,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(Retrieval.foldLowerStr("İstanbul ΟΔΥΣΣΕΥΣ") == "istanbul οδυσσευσ")
   }
 
+  test("rrfFuse: union membership, 1/(k+rank) sum, single-list docs, topK cut") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val out = Retrieval.rrfFuse(lex, dense, kConst = 60, topK = 10)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    // doc 20 appears in both lists and must lead; docs 10/30/40 carry a
+    // single-list score with the absent arm contributing exactly 0
+    assert(out.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    val m = out.map(r => r._1 -> r._4).toMap
+    assert(m(20L) == 1.0 / 62 + 1.0 / 61)
+    assert(m(10L) == 1.0 / 61 && m(40L) == 1.0 / 62 && m(30L) == 1.0 / 63)
+    assert(out.find(_._1 == 40L).get._2.isEmpty) // no lexical rank
+    // topK truncates after the fused ordering
+    val top2 = Retrieval.rrfFuse(lex, dense, kConst = 60, topK = 2)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    assert(top2.map(_._1) == Seq(20L, 10L))
+  }
+
   test("ngramCounts returns top bigrams with deterministic ties") {
     val docs = Seq("a b a b c", "a b x").toDF("text")
     val out = Retrieval.ngramCounts(docs, col("text"), n = 2, topK = 3)
