@@ -178,6 +178,15 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         threshold = 0.4, ShingleW, PairBands, PairRows)),
 
+    // EXACT Jaccard self-join (PPJoin prefix filtering) at the same 2/5
+    // threshold as the LSH-verified q_neardup_jaccard — recall 1 by
+    // construction, and the oracle is the NAIVE all-pairs computation,
+    // so a prefix-filter completeness bug fails the gate, not just a
+    // spec. Pure integer threshold math on both engines.
+    "q_jaccard_join" -> ((s, d) =>
+      Dedup.jaccardJoinPrefix(Tables.documents(s, d), col("doc_id"),
+        col("text"), thetaNum = 2, thetaDen = 5, ShingleW)),
+
     // Transitive near-dup groups: min-label propagation (5 rounds) over
     // the Jaccard-verified pair graph — A≈B≈C collapses to one component
     // even when A and C don't pair directly.
@@ -1132,6 +1141,25 @@ object LlmQueries {
          |FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
+
+    // exact Jaccard join: the oracle is the NAIVE all-pairs posting
+    // join — no prefix filter — so the Spark side's candidate pruning
+    // must lose nothing to match. Integer threshold arithmetic:
+    // J ≥ 2/5 ⇔ 7·inter ≥ 2·(s_a + s_b).
+    "q_jaccard_join" ->
+      s"""WITH $shingleCte,
+         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
+         |posts AS (SELECT doc_id, unnest(sh) AS tok FROM shd),
+         |pair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS s FROM shd)
+         |SELECT doc_a, doc_b, inter, sa.s + sb.s - inter AS union_sz
+         |FROM pair JOIN sz sa ON doc_a = sa.doc_id
+         |          JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE inter * 7 >= (sa.s + sb.s) * 2""".stripMargin,
 
     // min-label propagation as a chained CTE (l0..l5), one CTE per round
     // — the bounded recurrence is deterministic so both engines replay it

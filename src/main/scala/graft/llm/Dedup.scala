@@ -124,6 +124,66 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
   }
 
+  /** EXACT Jaccard similarity self-join via prefix filtering (Chaudhuri
+    * et al. ICDE'06; Xiao et al. WWW'08 "PPJoin") — the zero-false-
+    * negative complement of [[nearDupPairs]]: LSH banding trades recall
+    * for candidate volume, prefix filtering keeps recall 1 and still
+    * prunes the quadratic. Elements are the doc's distinct w-shingles;
+    * the threshold is a RATIONAL n/m so the final predicate is exact
+    * integer arithmetic ((m+n)·|A∩B| ≥ n·(|A|+|B|)) — no double
+    * compare anywhere.
+    *
+    * Candidate generation: order the element universe by global
+    * (document-frequency asc, element asc) — rare shingles first — and
+    * keep each doc's first p = s − ⌈θ·s⌉ + 1 elements under that
+    * order. Any pair with J ≥ θ must share a PREFIX element (pigeonhole
+    * on the ⌈θ·s⌉-element overlap J ≥ θ forces), so the equi-join on
+    * prefix postings is complete; a symmetric size gate (m·s_b ≥ n·s_a
+    * both ways) prunes length-incompatible pairs before the join.
+    *
+    * Scale posture: NO global rank table — the order is applied per
+    * doc (window partitioned by doc_id) after a posting⋈df join, so
+    * the only corpus-wide aggregates are the df count and the final
+    * verify; prefix postings shrink with θ (θ=0.8 keeps ~20% of
+    * postings). Verification joins the bounded candidate set back to
+    * the full shingle arrays — the [[nearDupPairs]] verify pattern.
+    * Emits (doc_a, doc_b, inter, union_sz) for pairs with J ≥ n/m. */
+  def jaccardJoinPrefix(df: DataFrame, id: Column, text: Column,
+                        thetaNum: Int, thetaDen: Int,
+                        shingleWidth: Int = 3): DataFrame = {
+    require(thetaNum > 0 && thetaDen >= thetaNum,
+      s"threshold $thetaNum/$thetaDen must sit in (0, 1]")
+    val (n, m) = (thetaNum.toLong, thetaDen.toLong)
+    import org.apache.spark.sql.expressions.Window
+    val withSh = persistTracked(df.select(id.as("doc_id"),
+      array_distinct(shingles(text, shingleWidth)).as("sh")))
+    val posts = withSh.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-doc (df asc, tok asc) rank and set size — windows partitioned
+    // by doc_id, never a global sort
+    val w = Window.partitionBy(col("doc_id"))
+    val ordered = posts.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w.orderBy(col("df"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(w))
+    // p = s − ⌈n·s/m⌉ + 1 without any division: rn ≤ p ⇔ ⌈ns/m⌉ ≤
+    // s − rn + 1 ⇔ n·s ≤ m·(s − rn + 1) — exact integer multiplies
+    val prefix = persistTracked(ordered
+      .filter(col("s") * n <= (col("s") - col("rn") + 1) * m)
+      .select(col("doc_id"), col("tok"), col("s")))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.s") * n <= col("y.s") * m && col("y.s") * n <= col("x.s") * m)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("inter"),
+        size(array_union(col("sa.sh"), col("sb.sh"))).cast("long").as("union_sz"))
+      .filter(col("inter") * (m + n) >= (col("inter") + col("union_sz")) * n)
+  }
+
   /** SimHash near-dup pairs, Manku-style banding (WWW'07 "Detecting
     * near-duplicates for web crawling"): a `width`-bit simhash split into
     * `bands` disjoint sub-bands of width/bands bits; candidates are pairs

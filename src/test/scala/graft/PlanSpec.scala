@@ -120,6 +120,21 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), s"expected an equi-join on the band key:\n$p")
   }
 
+  test("exact jaccard join: prefix-posting equi-join, per-doc windows, no cross product") {
+    // the PPJoin shape: candidates come from an equi-join on the
+    // prefix token, never an all-pairs compare; the (df, tok) ordering
+    // is applied per doc (window PARTITION BY doc_id), so no global
+    // rank sort exists anywhere in the plan
+    val df = SparkEntry.queries("q_jaccard_join")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix-filter join degenerated to a cross product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"expected an equi-join on the prefix token:\n$p")
+    assert("windowspecdefinition\\(doc_id#".r.findFirstIn(p).isDefined,
+      s"token ordering must window per doc, not globally:\n$p")
+  }
+
   test("ranked multi-probe LSH plans as a joinless bucket-IN filter") {
     // the probe set is a driver-side literal, so the corpus side needs no
     // join at all — a scan filter + TakeOrdered; against a stored index

@@ -88,6 +88,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2.map(_._1) == Seq(20L, 10L))
   }
 
+  test("jaccardJoinPrefix: exact integer threshold, boundary pair kept, below-threshold cut") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // shingles: abc bcd cde def
+      (2L, "a b c d e x"), // inter 3, union 5 → J = 3/5 exactly
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val at35 = Dedup.jaccardJoinPrefix(docs, col("doc_id"), col("text"), 3, 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // the boundary pair (J exactly = θ) must be KEPT — ≥, not >
+    assert(at35 == Seq((1L, 2L, 3L, 5L)))
+    // a strictly tighter threshold drops it
+    val at23 = Dedup.jaccardJoinPrefix(docs, col("doc_id"), col("text"), 2, 3)
+      .collect()
+    assert(at23.isEmpty)
+  }
+
+  test("jaccardJoinPrefix recall 1: matches the naive all-pairs join on a shared-vocab corpus") {
+    // overlapping sliding windows of one token stream — adjacent docs
+    // share most shingles, distant docs share few: pairs at every J
+    val stream = (0 until 60).map(i => s"t${i % 17}")
+    val docs = (0L until 30L).map { d =>
+      (d, stream.slice(d.toInt, d.toInt + 12).mkString(" "))
+    }.toDF("doc_id", "text")
+    val pref = Dedup.jaccardJoinPrefix(docs, col("doc_id"), col("text"), 2, 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // naive truth: exact Jaccard over every pair, same integer predicate
+    val withSh = docs.select(col("doc_id"),
+      array_distinct(graft.functions.GraftFunctions.shingles(col("text"), 3)).as("sh"))
+    val naive = withSh.as("a").join(withSh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("i"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("u"))
+      .filter(col("i") * 7 >= (col("i") + col("u")) * 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty && pref == naive)
+    // and the LSH-banded variant can only ever be a subset (recall < 1)
+    val lsh = Dedup.nearDupPairs(docs, col("doc_id"), col("text"), 0.4)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(pref.map(p => (p._1, p._2))))
+  }
+
   test("ngramCounts returns top bigrams with deterministic ties") {
     val docs = Seq("a b a b c", "a b x").toDF("text")
     val out = Retrieval.ngramCounts(docs, col("text"), n = 2, topK = 3)
