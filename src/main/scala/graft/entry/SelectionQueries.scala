@@ -54,7 +54,14 @@ object SelectionQueries {
       Bloom.gate(docs.filter(col("doc_id") % 11 === 0),
         docs.filter(col("doc_id") % 11 =!= 0),
         col("doc_id"), col("text"), BloomBits)
-    })
+    }),
+
+    // priority sampling: k=100 weight-proportional docs (weight =
+    // n_chars) via hash-uniform u div w priorities — all integer, heap
+    // top-k, no shuffle
+    "q_priority_sample" -> ((s, d) =>
+      Selection.prioritySample(Tables.documents(s, d), col("doc_id"),
+        col("n_chars"), k = 100))
   )
 
   // ======================================================================
@@ -149,6 +156,17 @@ object SelectionQueries {
          |  FROM ph LEFT JOIN bloom b USING (word) GROUP BY 1, 2)
          |SELECT doc_id, maybe_dup,
          |       (h IN (SELECT h FROM ref)) AS is_dup
-         |FROM hits""".stripMargin
+         |FROM hits""".stripMargin,
+
+    // priority sampling: same md5-uniform, same integer floor-division
+    // (DuckDB // on positive BIGINTs ⇔ Spark div), same (priority,
+    // doc_id) order
+    "q_priority_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |         ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} + 1 AS u
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, weight, u // weight AS priority
+         |FROM w ORDER BY priority, doc_id LIMIT 100""".stripMargin
   )
 }

@@ -113,6 +113,36 @@ object Selection {
       .withColumn("kept", col("cum_tokens") <= budget)
   }
 
+  /** Deterministic weighted sampling without replacement — priority
+    * sampling (Duffield, Lund & Thorup, JACM 2007): each row draws a
+    * uniform u and gets priority q = u/w; the k SMALLEST priorities
+    * form a weight-proportional sample with the scheme's
+    * variance-optimal subset-sum guarantees. The uniform is the
+    * content-hash md5Long(id) (the engine's reshard-stable RNG
+    * replacement), so the sample is a pure function of (ids, weights,
+    * salt): identical across runs, partitionings and engines.
+    *
+    * All math is integer: priority = u div w (60-bit u over a positive
+    * long weight keeps ~2^40 resolution at w ≈ 10^6 — collision ties
+    * break on doc_id, identically on both engines; no doubles, no libm
+    * anywhere). The k-smallest is a TakeOrderedAndProject heap — one
+    * scan, no global sort, no shuffle of the corpus. Rows with w ≤ 0
+    * or null are excluded (they carry no sampling mass).
+    *
+    * Weighted cousins each cover a different contract:
+    * [[graft.llm.TextAnalysis.temperatureSample]] reweights GROUP
+    * rates, this samples ROWS by per-row weight with exact budget k.
+    * Returns (doc_id, weight, priority) — the k sampled rows. */
+  def prioritySample(docs: DataFrame, id: Column, weight: Column, k: Int,
+                     salt: Int = 0): DataFrame =
+    docs.select(id.as("doc_id"), weight.cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("u", md5Long(col("doc_id").cast("string"), salt) + lit(1L))
+      .withColumn("priority", expr("u div weight"))
+      .select(col("doc_id"), col("weight"), col("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(k)
+
   /** DSIR importance log-weight per doc: every token hashes into
     * [[DsirBuckets]] buckets; bucket b carries
     * lw(b) = ln( ((tgt_c+1)·(raw_tot+D)) / ((raw_c+1)·(tgt_tot+D)) )

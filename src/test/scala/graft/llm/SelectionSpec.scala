@@ -117,6 +117,39 @@ class SelectionSpec extends SparkSpec {
     assert(base == reshard)
   }
 
+  // ------------------------------------------------------- prioritySample
+
+  test("prioritySample: weight-proportional, exact k, reshard-stable, w<=0 excluded") {
+    val rows = (0L until 1000L).map { i =>
+      (i, if (i >= 900) 100L else 1L) // 10% of rows carry 100x weight
+    } :+ (2000L, 0L) :+ (2001L, -5L)
+    val df = rows.toDF("doc_id", "w")
+    val out = Selection.prioritySample(df, col("doc_id"), col("w"), k = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 50)
+    // zero/negative-weight rows carry no sampling mass
+    assert(!out.exists(r => r._1 >= 2000L))
+    // the heavy 10% of rows (~92% of total mass) must dominate the
+    // sample — deterministic given the md5 uniforms
+    val heavy = out.count(_._2 == 100L)
+    assert(heavy > 35, s"heavy rows under-sampled: $heavy/50")
+    // priority = u div w exactly, u = md5Long(id)+1 — recomputed with
+    // driver-side Long division (floor for positives), not Spark's div
+    val uw = df.filter(col("w") > 0)
+      .select(col("doc_id"), col("w"),
+        md5Long(col("doc_id").cast("string")) + lit(1L))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (id, _, p) =>
+      val (w, u) = uw(id); assert(p == u / w)
+    }
+    // reshard invariance: the sample is a pure function of content
+    val reshard = Selection.prioritySample(df.repartition(13, col("w")),
+      col("doc_id"), col("w"), k = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(reshard == out)
+  }
+
   // ---------------------------------------------------------------- Bloom
 
   test("bloom gate: zero false negatives — every exact dup is flagged maybe_dup") {
