@@ -570,6 +570,26 @@ object LlmQueries {
     "q_pii_scrub" -> ((s, d) =>
       TextAnalysis.piiScrub(Tables.documents(s, d), col("doc_id"), col("text"))),
 
+    // markup strip + mojibake battery. The synthetic corpus carries no
+    // markup, so the query PLANTS it deterministically from doc_id —
+    // tags, entities (incl. the &amp;lt; double-decode trap), cp1252
+    // mojibake and U+FFFD — then strips and counts; the oracle plants
+    // the identical damage. Exercises every branch on real data.
+    "q_markup_strip" -> ((s, d) => {
+      val marked = concat(
+        lit("<p class=\"x\">"),
+        when(col("doc_id") % 3 === 0, lit("<b>key</b> ")).otherwise(lit("")),
+        replace(col("text"), lit(" fast "), lit(" &lt;fast&gt; ")),
+        lit("</p>"),
+        when(col("doc_id") % 5 === 0, lit(" <br/>&nbsp;&amp;lt;raw"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" cafÃ©")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" bad�char")).otherwise(lit("")))
+      TextAnalysis.markupStats(
+        Tables.documents(s, d).select(col("doc_id"), marked.as("text")),
+        col("doc_id"), col("text"))
+    }),
+
     // within-document repetition: 1 - distinct/total shingles — the
     // Gopher-style "repetitive doc" curation gate (high ratio = the same
     // n-grams loop). Pure projection: runs at scan speed, no shuffle.
@@ -1739,6 +1759,38 @@ object LlmQueries {
 
     // sequential email→phone→IP passes: each count runs on the text with
     // the PRIOR categories already masked, mirroring piiScrub exactly
+    // markup battery: identical planted damage, identical strip chain —
+    // tag regex is RE2∩Java, entity decodes applied in the same order
+    // (&amp; LAST: the &amp;lt;raw plant must decode to &lt;raw, ONE
+    // level), mojibake counted by exact-substring deletion
+    "q_markup_strip" ->
+      s"""WITH marked AS (
+         |  SELECT doc_id,
+         |         '<p class="x">' ||
+         |         CASE WHEN doc_id % 3 = 0 THEN '<b>key</b> ' ELSE '' END ||
+         |         replace(text, ' fast ', ' &lt;fast&gt; ') || '</p>' ||
+         |         CASE WHEN doc_id % 5 = 0 THEN ' <br/>&nbsp;&amp;lt;raw'
+         |              ELSE '' END ||
+         |         CASE WHEN doc_id % 7 = 0 THEN ' cafÃ©' ELSE '' END ||
+         |         CASE WHEN doc_id % 11 = 0 THEN ' bad�char' ELSE '' END AS t
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, t,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(replace(replace(replace(
+         |        regexp_replace(t, '<[^<>]*>', ' ', 'g'),
+         |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |        '&#39;', ''''), '&amp;', '&'),
+         |      '[ \\t\\r\\n]+', ' ', 'g')) AS clean_text,
+         |    CAST(len(regexp_extract_all(t, '<[^<>]*>')) AS BIGINT) AS n_tags,
+         |    CAST((length(t) - length(replace(t, 'Ã', '')))
+         |       + (length(t) - length(replace(t, 'â€', ''))) / 2
+         |       + (length(t) - length(replace(t, 'Â', '')))
+         |       + (length(t) - length(replace(t, '�', ''))) AS BIGINT) AS n_moji
+         |  FROM marked)
+         |SELECT doc_id, clean_text, n_tags, n_moji, (n_moji > 0) AS mojibake
+         |FROM m""".stripMargin,
+
     "q_pii_scrub" ->
       s"""WITH p AS (
          |  SELECT doc_id, text AS t0,

@@ -535,6 +535,62 @@ object TextAnalysis {
       regexp_count(t2, lit(Ipv4Re)).cast("long").as("n_ips"))
   }
 
+  /** Markup-removal constants, shared verbatim with the DuckDB oracle.
+    * The tag pattern deliberately uses an explicit char class (no
+    * lazy quantifiers, no lookarounds) so it sits in the RE2∩Java
+    * subset — same match set on both engines. */
+  val TagRe = "<[^<>]*>"
+
+  /** Fixed entity decode table, applied IN ORDER with `&amp;` last —
+    * decoding `&amp;` first would turn the literal text `&amp;lt;`
+    * into `&lt;` and then double-decode it to `<`. */
+  val EntityDecodes: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Mojibake signature substrings: the UTF-8-decoded-as-cp1252 lead
+    * sequences (`Ã` for 2-byte, `â€` for the E2-80 punctuation family,
+    * `Â` for stray NBSP halves) plus U+FFFD, the decoder's explicit
+    * replacement character. Heuristic by design — these sequences are
+    * vanishingly rare in clean text and dominant in double-decoded
+    * text (ftfy's core observation). */
+  val MojibakeSigs: Seq[String] =
+    Seq("Ã", "â€", "Â", "�")
+
+  /** Strip HTML-ish markup from a text column: drop tags (replaced by a
+    * space so `a<br>b` keeps its word boundary), decode the fixed
+    * entity set, collapse runs of whitespace, trim. A real ingest
+    * pipeline runs this before every tokenizer-derived signal —
+    * tags/entities otherwise pollute shingles, LM scores and dedup
+    * hashes. Pure per-row projection: codegen'd regexp_replace +
+    * chained exact-substring replaces, zero shuffle, one text pass per
+    * stage. The whitespace class is the explicit [ \t\r\n] (Java and
+    * RE2 disagree on \s's vertical-tab membership). */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, TagRe, " ")
+    val decoded = EntityDecodes.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\r\\n]+", " "))
+  }
+
+  /** Markup + encoding-damage battery over a document table:
+    * clean_text = [[stripMarkup]], n_tags = tag count on the RAW text,
+    * n_moji = total [[MojibakeSigs]] occurrences (counted per
+    * signature by exact-substring deletion — (len(t) − len(remove))
+    * / len(sig) — no regex alternation-order semantics to align), and
+    * the mojibake flag. Zero shuffle; the whole battery is one scan. */
+  def markupStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val nMoji = MojibakeSigs.map { sig =>
+      (length(text) - length(replace(text, lit(sig), lit(""))))
+        .cast("long") / lit(sig.length.toLong)
+    }.reduce(_ + _)
+    df.select(id.as("doc_id"), stripMarkup(text).as("clean_text"),
+      regexp_count(text, lit(TagRe)).cast("long").as("n_tags"),
+      nMoji.cast("long").as("n_moji"))
+      .withColumn("mojibake", col("n_moji") > 0)
+  }
+
   /** Gopher/Rae-style repetition rule pack (Rae et al. 2112.11446,
     * Table A1): per doc, the six structural-repetition signals the
     * standard quality battery thresholds on —

@@ -88,6 +88,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2.map(_._1) == Seq(20L, 10L))
   }
 
+  test("stripMarkup: tag word-boundary, one-level entity decode, whitespace collapse") {
+    val docs = Seq(
+      (1L, "a<br>b <p class=\"x\">c</p>"),  // tags become word boundaries
+      (2L, "x &amp;lt;raw&gt; &quot;q&quot; &#39;s&#39;"), // &amp;lt; decodes ONE level
+      (3L, "w1 \t w2 \r\n w3"),
+      (4L, "cafÃ© says â€™okâ€™ �")) // mojibake
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.markupStats(docs, col("doc_id"), col("text"))
+      .as[(Long, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "a b c" && out(1L)._3 == 3) // <br>, <p ...>, </p>
+    // &amp;lt; must yield the literal text &lt;, NOT a second decode to <
+    assert(out(2L)._2 == "x &lt;raw> \"q\" 's'")
+    assert(out(3L)._2 == "w1 w2 w3")
+    assert(out(4L)._4 == 4 && out(4L)._5) // Ã, â€ ×2, � (Ã inside café's Ã©)
+    assert(out(1L)._4 == 0 && !out(1L)._5)
+  }
+
   test("jaccardJoinPrefix: exact integer threshold, boundary pair kept, below-threshold cut") {
     val docs = Seq(
       (1L, "a b c d e f"), // shingles: abc bcd cde def
