@@ -131,6 +131,25 @@ object AggQueries {
             col("exact_parts").cast("double") - lit(1.0)) <= lit(0.15))
             .as("within_bound"))),
 
+    // Count-Min heavy hitters with a FULL-PARITY oracle: the sketch's
+    // md5-salted cells are deterministic, so DuckDB replays the entire
+    // counter table and the min-over-rows estimate hash-matches —
+    // stronger than the HLL family's bounded-error envelope. The top-20
+    // candidate set here comes from the exact count (the oracle needs
+    // it anyway); at lake scale candidates come from the sketch itself
+    // and only the final estimates are exact-checked.
+    "q_heavy_hitters" -> ((s, d) => {
+      val t = graft.core.Caches.track(Tables.documents(s, d)
+        .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok")))
+      val sketch = t.agg(graft.agg.CountMinAgg.agg(col("tok"), 4, 256).as("cm"))
+      t.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        .crossJoin(broadcast(sketch))
+        .select(col("tok"), col("exact_cnt"),
+          graft.agg.CountMinAgg.estimate(col("cm"), col("tok"), 4, 256)
+            .as("cm_est"))
+    }),
+
     // the percentile SCALE path: a mergeable quantile sketch (built-in
     // approx_percentile, accuracy 1000 → rank error ε = 1e-3) instead of
     // the exact form's full per-group sort. Bounded-error oracle: the
@@ -289,6 +308,32 @@ object AggQueries {
       """SELECT l_returnflag, count(*) AS n,
         |       true AS median_ok, true AS p99_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // full Count-Min replay: bucket every token occurrence per salt row
+    // with the identical 60-bit salted md5, min over the probed cells —
+    // bit-exact parity with the Spark sketch, not an error envelope
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '),
+        |                t -> len(t) > 0)) AS tok
+        |  FROM documents),
+        |rs AS (SELECT unnest([1, 2, 3, 4]) AS r),
+        |cells AS (
+        |  SELECT r, CAST('0x'||substring(md5(CAST(r AS VARCHAR)||'|'||tok),1,15)
+        |              AS BIGINT) % 256 AS cell,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM toks CROSS JOIN rs GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM toks GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT 20),
+        |probe AS (
+        |  SELECT tok, exact_cnt, r,
+        |         CAST('0x'||substring(md5(CAST(r AS VARCHAR)||'|'||tok),1,15)
+        |           AS BIGINT) % 256 AS cell
+        |  FROM top CROSS JOIN rs)
+        |SELECT p.tok, p.exact_cnt, min(c.c) AS cm_est
+        |FROM probe p JOIN cells c USING (r, cell)
+        |GROUP BY 1, 2""".stripMargin,
 
     // cents formula mirrored from the Spark side (floor(x·100 + 0.5),
     // integer sum, ONE cast+divide): DECIMAL accumulation matches at

@@ -88,6 +88,37 @@ class FunctionsSpec extends SparkSpec {
     grouped.values.foreach(e => assert(math.abs(e - 500.0) / 500.0 < 0.1))
   }
 
+  test("CountMinAgg: one-sided bound, exact when collision-free, partitioning-independent") {
+    import graft.agg.CountMinAgg
+    // 50 distinct keys, zipf-ish counts; w=512 across 4 rows makes a
+    // 50-key universe collision-free in at least one row with near
+    // certainty — but assert only the guarantees, not the luck
+    val df = spark.range(5000).select(concat(lit("k"), col("id") % 50).as("v"))
+    val exact = df.groupBy("v").count().as[(String, Long)].collect().toMap
+    val cm = df.agg(CountMinAgg.agg(col("v"), 4, 512).as("cm"))
+    val est = df.select(col("v")).distinct()
+      .crossJoin(broadcast(cm))
+      .select(col("v"), CountMinAgg.estimate(col("cm"), col("v"), 4, 512))
+      .as[(String, Long)].collect().toMap
+    // CM never underestimates; total over-mass per row is bounded by n
+    est.foreach { case (k, e) =>
+      assert(e >= exact(k), s"$k: est $e < exact ${exact(k)}")
+      assert(e <= exact(k) + 5000 / 512 * 4 + 1, s"$k: est $e implausibly high")
+    }
+    // forced collisions (w=2): still never below exact
+    val tiny = df.agg(CountMinAgg.agg(col("v"), 2, 2).as("cm"))
+    val estTiny = df.select(col("v")).distinct().crossJoin(broadcast(tiny))
+      .select(col("v"), CountMinAgg.estimate(col("cm"), col("v"), 2, 2))
+      .as[(String, Long)].collect().toMap
+    estTiny.foreach { case (k, e) => assert(e >= exact(k)) }
+    // elementwise-sum merge is associative+commutative → the whole
+    // counter array is EXACTLY partition-independent
+    val a1 = df.agg(CountMinAgg.agg(col("v"), 4, 512)).as[Seq[Long]].head()
+    val a32 = df.repartition(32).agg(CountMinAgg.agg(col("v"), 4, 512)).as[Seq[Long]].head()
+    assert(a1 == a32)
+    assert(a1.sum == 4L * 5000) // every occurrence lands once per row
+  }
+
   test("TextCounts matches the HOF metrics on edge cases") {
     import graft.llm.TextAnalysis
     val df = Seq(
