@@ -61,7 +61,13 @@ object SelectionQueries {
     // top-k, no shuffle
     "q_priority_sample" -> ((s, d) =>
       Selection.prioritySample(Tables.documents(s, d), col("doc_id"),
-        col("n_chars"), k = 100))
+        col("n_chars"), k = 100)),
+
+    // stratified twin: 20 weight-proportional docs per language — one
+    // windowed shuffle on the group key, no global order
+    "q_priority_sample_group" -> ((s, d) =>
+      Selection.prioritySamplePerGroup(Tables.documents(s, d), col("lang"),
+        col("doc_id"), col("n_chars"), k = 20))
   )
 
   // ======================================================================
@@ -167,6 +173,18 @@ object SelectionQueries {
          |         ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} + 1 AS u
          |  FROM documents WHERE n_chars > 0)
          |SELECT doc_id, weight, u // weight AS priority
-         |FROM w ORDER BY priority, doc_id LIMIT 100""".stripMargin
+         |FROM w ORDER BY priority, doc_id LIMIT 100""".stripMargin,
+
+    "q_priority_sample_group" ->
+      s"""WITH w AS (
+         |  SELECT lang AS grp, doc_id, CAST(n_chars AS BIGINT) AS weight,
+         |         ${sqlMd5Long("CAST(doc_id AS VARCHAR)")} + 1 AS u
+         |  FROM documents WHERE n_chars > 0),
+         |p AS (
+         |  SELECT grp, doc_id, weight, u // weight AS priority,
+         |         row_number() OVER (PARTITION BY grp
+         |           ORDER BY u // weight, doc_id) AS rn
+         |  FROM w)
+         |SELECT grp, doc_id, weight, priority FROM p WHERE rn <= 20""".stripMargin
   )
 }

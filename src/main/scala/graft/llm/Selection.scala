@@ -143,6 +143,29 @@ object Selection {
       .orderBy(col("priority"), col("doc_id"))
       .limit(k)
 
+  /** Per-group [[prioritySample]]: k weight-proportional rows from EACH
+    * group — the stratified twin, e.g. "100 docs per language, biased
+    * by length" for balanced eval slices. Same integer priorities; the
+    * k-smallest-per-group is a row_number window partitioned by the
+    * group key, so each group is one shuffle partition's work and no
+    * global ordering exists anywhere (the [[stratifiedSample]]
+    * discipline — groups are the parallelism unit).
+    * Returns (grp, doc_id, weight, priority). */
+  def prioritySamplePerGroup(docs: DataFrame, group: Column, id: Column,
+                             weight: Column, k: Int,
+                             salt: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("priority"), col("doc_id"))
+    docs.select(group.as("grp"), id.as("doc_id"),
+        weight.cast("long").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("u", md5Long(col("doc_id").cast("string"), salt) + lit(1L))
+      .withColumn("priority", expr("u div weight"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("grp"), col("doc_id"), col("weight"), col("priority"))
+  }
+
   /** DSIR importance log-weight per doc: every token hashes into
     * [[DsirBuckets]] buckets; bucket b carries
     * lw(b) = ln( ((tgt_c+1)·(raw_tot+D)) / ((raw_c+1)·(tgt_tot+D)) )

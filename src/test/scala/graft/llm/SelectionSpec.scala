@@ -150,6 +150,24 @@ class SelectionSpec extends SparkSpec {
     assert(reshard == out)
   }
 
+  test("prioritySamplePerGroup: exact k per group, same priorities as the global form") {
+    val df = (0L until 300L).map(i => (s"g${i % 3}", i, (i % 9) + 1L))
+      .toDF("g", "doc_id", "w")
+    val out = Selection.prioritySamplePerGroup(df, col("g"), col("doc_id"),
+      col("w"), k = 10).as[(String, Long, Long, Long)].collect().toSeq
+    assert(out.groupBy(_._1).view.mapValues(_.size).toMap ==
+      Map("g0" -> 10, "g1" -> 10, "g2" -> 10))
+    // group membership never changes a row's priority: the per-group
+    // sample of a single-group frame equals the global k-smallest
+    val solo = Selection.prioritySamplePerGroup(
+      df.filter(col("g") === "g1"), col("g"), col("doc_id"), col("w"), k = 10)
+      .select(col("doc_id"), col("priority")).as[(Long, Long)].collect().toSet
+    val global = Selection.prioritySample(
+      df.filter(col("g") === "g1"), col("doc_id"), col("w"), k = 10)
+      .select(col("doc_id"), col("priority")).as[(Long, Long)].collect().toSet
+    assert(solo == global)
+  }
+
   // ---------------------------------------------------------------- Bloom
 
   test("bloom gate: zero false negatives — every exact dup is flagged maybe_dup") {
