@@ -86,4 +86,32 @@ object Funnel {
           Window.currentRow)).cast("long"))
       .drop("__new")
   }
+
+  /** Cohort retention matrix: users cohorted by the period of their
+    * FIRST event; cell (cohort, offset) counts distinct users from
+    * that cohort active `offset` periods later — the week-over-week
+    * retention table every product/engagement dashboard renders.
+    * Periods are integer epoch-microsecond buckets (`div` of the
+    * period length), so bucketing is exact integer floor-division on
+    * both engines — no calendar/timezone semantics to align.
+    *
+    * Shape: ONE shuffle on the user key collapses each user to
+    * (first period, active-period set) — collect_set is bounded by
+    * periods-per-user (calendar-bounded, not activity-bounded), and
+    * its order nondeterminism is irrelevant because the set is
+    * immediately exploded into rows. The matrix itself is a second,
+    * cohort-keyed aggregation of user-distinct rows, so no
+    * count(DISTINCT) expand plan exists anywhere. */
+  def retention(events: DataFrame, user: Column, ts: Column,
+                periodMicros: Long = 604800000000L): DataFrame = {
+    val byUser = events
+      .select(user.as("user_id"), ts.as("ts"))
+      .select(col("user_id"), expr(s"unix_micros(ts) div $periodMicros").as("wk"))
+      .groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
+    byUser.select(col("cohort"), explode(col("wks")).as("wk"))
+      .select(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

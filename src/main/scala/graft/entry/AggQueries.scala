@@ -273,7 +273,13 @@ object AggQueries {
     // single-pass column profiling (completeness / cardinality / ranges)
     "q_profile" -> ((s, d) => graft.agg.Profile.profile(Tables.events(s, d),
       Seq("user_id", "event_type", "value", "props"),
-      numeric = Set("user_id", "value")))
+      numeric = Set("user_id", "value"))),
+
+    // cohort retention matrix: users cohorted by first-event week
+    // (integer epoch-µs buckets), distinct-user counts per (cohort,
+    // offset) — one user-keyed shuffle, no count(DISTINCT) expand
+    "q_retention" -> ((s, d) => graft.agg.Funnel.retention(
+      Tables.events(s, d), col("user_id"), col("ts")))
   )
 
   /** The materialized store: per-user running aggregate (the topology
@@ -583,6 +589,18 @@ object AggQueries {
         |UNION ALL
         |SELECT 'props', count(*), count(*) - count(props),
         |       count(DISTINCT props), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    // retention: epoch_us // N floor-divides like Spark's div on the
+    // non-negative microsecond clock; the user-distinct (cohort, wk)
+    // rows make the final count a plain count(*)
+    "q_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |u AS (SELECT DISTINCT user_id, wk FROM e),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+        |SELECT c.cohort, u.wk - c.cohort AS offset,
+        |       CAST(count(*) AS BIGINT) AS n_users
+        |FROM u JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
   )
 }

@@ -178,6 +178,19 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         threshold = 0.4, ShingleW, PairBands, PairRows)),
 
+    // snapshot diff between two corpus versions, with the damage
+    // planted in-query: 10% of docs new in cur, doc_id%17 slice
+    // removed, doc_id%13 slice edited — the crawl-over-crawl audit
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val prev = docs.filter(col("doc_id") % 10 =!= 0)
+      val cur = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(prev, cur, col("doc_id"), col("text"))
+    }),
+
     // EXACT Jaccard self-join (PPJoin prefix filtering) at the same 2/5
     // threshold as the LSH-verified q_neardup_jaccard — recall 1 by
     // construction, and the oracle is the NAIVE all-pairs computation,
@@ -1161,6 +1174,25 @@ object LlmQueries {
          |FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
+
+    // snapshot diff: identical planted slices; status from join
+    // membership (doc_id is non-null), hash compare null-safe
+    "q_corpus_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id, md5(text) AS h_prev
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |cur AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS h_cur
+        |  FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |       CASE WHEN p.doc_id IS NULL THEN 'added'
+        |            WHEN c.doc_id IS NULL THEN 'removed'
+        |            WHEN p.h_prev IS NOT DISTINCT FROM c.h_cur THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       p.h_prev, c.h_cur
+        |FROM prev p FULL JOIN cur c ON p.doc_id = c.doc_id""".stripMargin,
 
     // exact Jaccard join: the oracle is the NAIVE all-pairs posting
     // join — no prefix filter — so the Spark side's candidate pruning

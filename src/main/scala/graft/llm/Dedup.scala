@@ -51,6 +51,34 @@ object Dedup {
           .filter(col("content_hash").isNotNull).distinct(),
         Seq("content_hash"), "left_anti")
 
+  /** Corpus snapshot diff: per-document added / removed / changed /
+    * unchanged status between two corpus versions — the audit step
+    * between crawls that tells a pipeline what to re-process (changed ∪
+    * added), what to tombstone (removed), and what to skip. Compares
+    * md5 content hashes under a full-outer id join, so full documents
+    * never shuffle — only (id, hash); at lake scale both snapshots are
+    * stored bucketed by id and the join co-locates with zero exchanges
+    * (the exactIncrement ledger discipline). NULL content hashes to
+    * NULL and compares with null-safe equality: NULL→NULL is
+    * `unchanged`, NULL→text is `changed`.
+    * Returns (doc_id, status, h_prev, h_cur). */
+  def corpusDiff(prev: DataFrame, cur: DataFrame, id: Column,
+                 content: Column): DataFrame = {
+    // presence rides as literal flags, NOT hash nullness: a NULL-content
+    // doc dropped from `cur` is removed, not "unchanged NULL<=>NULL"
+    val p = prev.select(id.as("doc_id"), md5(content).as("h_prev"),
+      lit(true).as("__in_prev"))
+    val c = cur.select(id.as("doc_id"), md5(content).as("h_cur"),
+      lit(true).as("__in_cur"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("__in_prev").isNull, lit("added"))
+          .when(col("__in_cur").isNull, lit("removed"))
+          .when(col("h_prev") <=> col("h_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("h_prev"), col("h_cur"))
+  }
+
   /** Exact dedup retaining full rows: hash-partitioned top-1 per content
     * hash (no full-row shuffle beyond the one exchange). */
   def exactRows(df: DataFrame, content: Column, id: Column): DataFrame = {

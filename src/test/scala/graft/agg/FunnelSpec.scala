@@ -63,4 +63,22 @@ class FunnelSpec extends SparkSpec {
     assert(u1._2(0).get.contains("00:01") && u1._2(1).get.contains("00:04")
       && u1._3 == 2, s"$u1")
   }
+
+  test("retention: cohort by first period, distinct users per offset, multi-event weeks dedup") {
+    // period = 100 minutes (6e9 µs). user 1 active p0, p1, p1, p3;
+    // user 2 active p0, p1; user 3 joins at p1, active p1 only
+    val p = 6000000000L
+    def at(period: Int, min: Int) = ts(period * 100 + min)
+    val ev = Seq(
+      (1L, at(0, 1)), (1L, at(1, 2)), (1L, at(1, 50)), (1L, at(3, 0)),
+      (2L, at(0, 5)), (2L, at(1, 9)),
+      (3L, at(1, 7))).toDF("user_id", "ts")
+    val out = Funnel.retention(ev, col("user_id"), col("ts"), periodMicros = p)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 0L, 2L),  // cohort p0: users 1,2 at offset 0
+      (0L, 1L, 2L),  // both return in p1 (user 1's two p1 events count once)
+      (0L, 3L, 1L),  // only user 1 reaches offset 3
+      (1L, 0L, 1L))) // user 3's cohort starts at p1
+  }
 }

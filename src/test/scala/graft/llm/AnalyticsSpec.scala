@@ -88,6 +88,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2.map(_._1) == Seq(20L, 10L))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged, NULL content by presence not hash") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
+      (4L, "d")).toDF("doc_id", "text")
+    val cur = Seq((1L, "a"), (2L, "B2"), (5L, "e"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(prev, cur, col("doc_id"), col("text"))
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed",  // NULL content + absent from cur is REMOVED
+      4L -> "removed", 5L -> "added",
+      6L -> "added"))   // NULL content + absent from prev is ADDED
+  }
+
   test("stripMarkup: tag word-boundary, one-level entity decode, whitespace collapse") {
     val docs = Seq(
       (1L, "a<br>b <p class=\"x\">c</p>"),  // tags become word boundaries
