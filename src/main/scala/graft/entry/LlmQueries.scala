@@ -178,6 +178,49 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         threshold = 0.4, ShingleW, PairBands, PairRows)),
 
+    // MinHash calibration guardrail (the dedup family's q_ann_recall):
+    // mean |signature-estimate − exact Jaccard| over the LSH candidate
+    // pairs, with a pinned 0.15 ceiling — k=16 gives σ ≈ 0.12 per
+    // pair, so a broken permutation family or band layout blows the
+    // bound while healthy noise stays inside it. Signatures are
+    // deterministic, so the oracle replays the estimator bit-for-bit.
+    "q_minhash_accuracy" -> ((s, d) => {
+      val k = PairBands * PairRows
+      val docs = Tables.documents(s, d)
+      val base = graft.core.Caches.track(docs
+        .filter(size(GraftFunctions.tokens(col("text"))) >= ShingleW)
+        .select(col("doc_id"),
+          array_distinct(GraftFunctions.shingles(col("text"), ShingleW)).as("sh"),
+          GraftFunctions.minhashSignature(
+            GraftFunctions.shingles(col("text"), ShingleW), k).as("sig")))
+      val bands = graft.core.Caches.track(Dedup.minhashBands(
+        docs, col("doc_id"), col("text"), ShingleW, PairBands, PairRows))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val est = aggregate(
+        zip_with(col("siga"), col("sigb"),
+          (a, b) => when(a === b, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v).cast("double") / lit(k)
+      val errQ = floor(
+        abs(est - GraftFunctions.jaccard(col("sha"), col("shb"))) * lit(1e9))
+        .cast("long")
+      cand
+        .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+          col("sig").as("siga")), "doc_a")
+        .join(base.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+          col("sig").as("sigb")), "doc_b")
+        .select(errQ.as("eq"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("eq")).as("s"))
+        .select(col("n_pairs"),
+          (col("s").cast("double") / col("n_pairs").cast("double") / lit(1e9))
+            .as("mean_abs_err"),
+          ((col("s").cast("double") / col("n_pairs").cast("double") / lit(1e9))
+            <= 0.15).as("within_bound"))
+    }),
+
     // snapshot diff between two corpus versions, with the damage
     // planted in-query: 10% of docs new in cur, doc_id%17 slice
     // removed, doc_id%13 slice edited — the crawl-over-crawl audit
@@ -1174,6 +1217,42 @@ object LlmQueries {
          |FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
+
+    // minhash calibration: bandCte supplies the identical signatures —
+    // the estimate (matching components / 16), the exact Jaccard, the
+    // quantized abs error and the mean all replay term for term
+    "q_minhash_accuracy" -> {
+      val k = PairBands * PairRows
+      s"""WITH ${bandCte(PairBands, PairRows)},
+         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh
+         |        WHERE len(sg) > 0),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsrc a JOIN bandsrc b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |pr AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(list_sum(list_transform(range(0, $k), i ->
+         |      CASE WHEN ga.sig[i+1] = gb.sig[i+1] THEN 1 ELSE 0 END))
+         |      AS DOUBLE) / $k AS est,
+         |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |      AS exact
+         |  FROM cand c
+         |  JOIN sig ga ON c.doc_a = ga.doc_id
+         |  JOIN sig gb ON c.doc_b = gb.doc_id
+         |  JOIN shd sa ON c.doc_a = sa.doc_id
+         |  JOIN shd sb ON c.doc_b = sb.doc_id),
+         |eqs AS (
+         |  SELECT CAST(floor(abs(est - exact) * 1.0E9) AS BIGINT) AS eq
+         |  FROM pr)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(eq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1.0E9
+         |         AS mean_abs_err,
+         |       (CAST(sum(eq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1.0E9
+         |         <= 0.15) AS within_bound
+         |FROM eqs""".stripMargin
+    },
 
     // snapshot diff: identical planted slices; status from join
     // membership (doc_id is non-null), hash compare null-safe

@@ -120,6 +120,31 @@ class PlanSpec extends SparkSpec {
       || p.contains("ShuffledHashJoin"), s"expected an equi-join on the band key:\n$p")
   }
 
+  test("priority sample: heap top-k, no global sort, no shuffle of the corpus") {
+    val df = SparkEntry.queries("q_priority_sample")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), s"k-smallest must be heap-based:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"row sampling must not shuffle the corpus:\n$p")
+  }
+
+  test("retention: set-collapse then explode — no count(DISTINCT) expand plan") {
+    val df = SparkEntry.queries("q_retention")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Expand"), s"distinct-user count fell into an expand plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly two shuffles (user collapse, matrix agg):\n$p")
+  }
+
+  test("count-min probe: estimate is a projection against the broadcast 1-row sketch") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"sketch must broadcast to the probe side:\n$p")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the sketch build must be the imperative-buffer aggregate:\n$p")
+  }
+
   test("exact jaccard join: prefix-posting equi-join, per-doc windows, no cross product") {
     // the PPJoin shape: candidates come from an equi-join on the
     // prefix token, never an all-pairs compare; the (df, tok) ordering
