@@ -593,7 +593,9 @@ object AggQueries {
 
     // retention: epoch_us // N floor-divides like Spark's div on the
     // non-negative microsecond clock; the user-distinct (cohort, wk)
-    // rows make the final count a plain count(*)
+    // rows make the final count a plain count(*). NULL-SAFE user join:
+    // Spark's groupBy keeps the NULL-user group, a plain equi-join here
+    // would silently drop it (adversarial corpus plants NULL users)
     "q_retention" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
@@ -601,6 +603,7 @@ object AggQueries {
         |c AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
         |SELECT c.cohort, u.wk - c.cohort AS offset,
         |       CAST(count(*) AS BIGINT) AS n_users
-        |FROM u JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin
+        |FROM u JOIN c ON u.user_id IS NOT DISTINCT FROM c.user_id
+        |GROUP BY 1, 2""".stripMargin
   )
 }
