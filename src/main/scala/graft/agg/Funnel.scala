@@ -103,11 +103,23 @@ object Funnel {
     * cohort-keyed aggregation of user-distinct rows, so no
     * count(DISTINCT) expand plan exists anywhere. */
   def retention(events: DataFrame, user: Column, ts: Column,
-                periodMicros: Long = 604800000000L): DataFrame = {
-    val byUser = events
-      .select(user.as("user_id"), ts.as("ts"))
+                periodMicros: Long = 604800000000L): DataFrame =
+    retentionFromPeriods(activityPeriods(events, user, ts, periodMicros))
+
+  /** (user_id, wk) activity periods of an event stream — integer
+    * epoch-µs buckets. The SET of these rows is [[retention]]'s whole
+    * input state: distinct-union merging batches of them is idempotent
+    * (the streaming retention ledger,
+    * [[graft.streaming.Streaming.mergeActivityLedger]]). */
+  def activityPeriods(events: DataFrame, user: Column, ts: Column,
+                      periodMicros: Long): DataFrame =
+    events.select(user.as("user_id"), ts.as("ts"))
       .select(col("user_id"), expr(s"unix_micros(ts) div $periodMicros").as("wk"))
-      .groupBy(col("user_id"))
+
+  /** [[retention]] over pre-bucketed (user_id, wk) rows — the form a
+    * stored activity ledger feeds directly. */
+  def retentionFromPeriods(periods: DataFrame): DataFrame = {
+    val byUser = periods.groupBy(col("user_id"))
       .agg(min(col("wk")).as("cohort"), collect_set(col("wk")).as("wks"))
     byUser.select(col("cohort"), explode(col("wks")).as("wk"))
       .select(col("cohort"), (col("wk") - col("cohort")).as("offset"))

@@ -539,6 +539,28 @@ object Streaming {
         .select(col("g"), col("b"), col("n_gb")))
   }
 
+  /** Merge one micro-batch's (user, period) activity rows into a
+    * persistent retention ledger — the streaming half of
+    * [[graft.agg.Funnel.retention]], whose two-level aggregation
+    * Structured Streaming cannot run directly. The ledger is the
+    * DISTINCT set of (user_id, wk) rows, so the merge is a set union:
+    * associative, commutative AND idempotent — a redelivered
+    * `foreachBatch` batch is a no-op with no batchId high-water mark
+    * needed (the bloom-ledger class, strictly stronger than the
+    * count-additive line/KL ledgers). State is ≤ |users|·|periods|
+    * rows — calendar-bounded, not event-bounded — and
+    * [[graft.agg.Funnel.retentionFromPeriods]] over the final ledger
+    * equals the one-shot batch retention bit for bit (StreamingSpec
+    * pins it, replay included). Bucket by user_id at lake scale for a
+    * co-located merge. */
+  def mergeActivityLedger(ledger: DataFrame, batchEvents: DataFrame,
+                          user: Column, ts: Column,
+                          periodMicros: Long = 604800000000L): DataFrame =
+    ledger.select(col("user_id"), col("wk"))
+      .unionByName(graft.agg.Funnel.activityPeriods(
+        batchEvents, user, ts, periodMicros))
+      .distinct()
+
   /** Merge one micro-batch's keys into a persistent Bloom word ledger —
     * the ingest-time build half of [[graft.llm.Bloom.gate]] (the
     * mergeLineLedger discipline). bit_or is associative, commutative

@@ -182,6 +182,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("jaccardJoinPrefix == naive all-pairs join, for arbitrary corpora and thresholds") {
+    import graft.llm.Dedup
+    import graft.functions.GraftFunctions
+    // dense-overlap docs (6-word alphabet) hit the filter's every edge:
+    // boundary-J pairs, size-gate cuts, short docs with no shingles
+    val thetas = Seq((1, 4), (2, 5), (3, 5), (4, 5), (1, 1))
+    for (i <- 0 until Cases) {
+      val docs = (0 until 12).map(j => (j.toLong, sample(docGen, 9000 + 31 * i + j)))
+      val df = docs.toDF("doc_id", "text")
+      val (tn, td) = thetas(i % thetas.length)
+      val pref = Dedup.jaccardJoinPrefix(df, col("doc_id"), col("text"), tn, td, 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val withSh = df.select(col("doc_id"),
+        array_distinct(GraftFunctions.shingles(col("text"), 2)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val naive = withSh.as("a").join(withSh.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("i"),
+          size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("u"))
+        .filter(col("i") * (td + tn) >= (col("i") + col("u")) * tn)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(pref == naive, s"case $i θ=$tn/$td: pref=$pref naive=$naive docs=$docs")
+    }
+  }
+
   test("bigramLmScore is invariant under repartitioning (fixed-point sums)") {
     import graft.llm.Retrieval
     for (i <- 0 until 3) {

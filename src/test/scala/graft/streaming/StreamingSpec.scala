@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.agg.Funnel
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -492,6 +493,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
     // and the boilerplate actually fired: doc 4 is all nav bar
     assert(streamed.find(_._1 == 4L).get._2 == "")
+  }
+
+  test("activity ledger in foreachBatch: retention equals batch; replay is a no-op (set union)") {
+    // streaming half of Funnel.retention: the (user, period) ledger is
+    // a distinct set union — idempotent, so unlike the count-additive
+    // line/KL ledgers a REPLAYED batch needs no high-water mark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = 6000000000L // 100-minute periods
+    def at(period: Int, min: Int) = new Timestamp((period * 100 + min) * 60000L)
+    val b1 = Seq((1L, at(0, 1)), (2L, at(0, 5)), (1L, at(1, 2)))
+    val b2 = Seq((1L, at(1, 50)), (2L, at(1, 9)), (3L, at(1, 7)), (1L, at(3, 0)))
+
+    var ledger = Seq.empty[(Long, Long)].toDF("user_id", "wk")
+    def mergeBatch(rows: Seq[(Long, Timestamp)]): Unit = ledger.synchronized {
+      ledger = Streaming.mergeActivityLedger(ledger,
+        rows.toDF("user_id", "ts"), col("user_id"), col("ts"), p).cache()
+      ledger.count()
+      ()
+    }
+    val ms = MemoryStream[(Long, Timestamp)]
+    val q = ms.toDF().toDF("user_id", "ts").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeActivityLedger(ledger, batch,
+            col("user_id"), col("ts"), p).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val all = (b1 ++ b2).toDF("user_id", "ts")
+    val batchRet = Funnel.retention(all, col("user_id"), col("ts"), p)
+      .as[(Long, Long, Long)].collect().toSet
+    val streamRet = Funnel.retentionFromPeriods(ledger)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamRet == batchRet, s"stream=$streamRet batch=$batchRet")
+    // at-least-once redelivery: merging batch 2 AGAIN changes nothing
+    val before = ledger.as[(Long, Long)].collect().toSet
+    mergeBatch(b2)
+    assert(ledger.as[(Long, Long)].collect().toSet == before,
+      "replayed batch must be a set-union no-op")
+    assert(Funnel.retentionFromPeriods(ledger)
+      .as[(Long, Long, Long)].collect().toSet == batchRet)
   }
 
   test("kl ledger in foreachBatch: merged bucket counts and drift equal the batch monitor") {
