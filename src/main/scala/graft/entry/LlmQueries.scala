@@ -618,6 +618,25 @@ object LlmQueries {
     "q_lang_id" -> ((s, d) => Tables.documents(s, d).select(
       col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))),
 
+    // language-ID confusion matrix: declared label × prediction counts —
+    // the eval table a lang classifier ships with; one extra aggregation
+    // over the q_lang_id scorer
+    "q_lang_confusion" -> ((s, d) => Tables.documents(s, d)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))),
+
+    // n-gram novelty vs the doc_id%7 reference slice: how much of each
+    // scored doc is NEW relative to what the reference already covers —
+    // the incremental-value weight for ranking fresh crawls (inverse of
+    // the contamination overlap signal)
+    "q_ngram_novelty" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Contamination.ngramNovelty(
+        docs.filter(col("doc_id") % 7 =!= 0), col("doc_id"), col("text"),
+        docs.filter(col("doc_id") % 7 === 0), col("text"), ShingleW)
+    }),
+
     // PII redaction: sequential email→phone→IPv4 mask passes with
     // per-doc counts; patterns live in the Java∩RE2 regex subset so
     // Spark and the DuckDB oracle match the same spans. Zero-shuffle
@@ -1867,6 +1886,48 @@ object LlmQueries {
          |SELECT doc_id, c AS lang_guess FROM (
          |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
          |WHERE rn = 1""".stripMargin,
+
+    // lang-confusion: the q_lang_id scorer grouped against the declared
+    // label — same score CTE, one extra aggregation
+    "q_lang_confusion" ->
+      s"""WITH toks AS (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
+         |sc AS (
+         |  SELECT doc_id, 'de' AS c, CAST(len(list_filter(tk, t -> lower(t) IN ('der','die','und','das','ist'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS s FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'en', CAST(len(list_filter(tk, t -> lower(t) IN ('the','and','of','to','is'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'es', CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','que','los','es'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks),
+         |g AS (
+         |  SELECT doc_id, c AS lang_guess FROM (
+         |    SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
+         |  WHERE rn = 1)
+         |SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
+         |FROM documents d JOIN g USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    // novelty: hashes on both sides, LEFT join to the reference hash
+    // set, unseen = null match — identical hash, identical division
+    "q_ngram_novelty" ->
+      s"""WITH $shingleCte,
+         |ref AS (
+         |  SELECT DISTINCT ${sqlMd5Long("u.s")} AS h
+         |  FROM sh CROSS JOIN LATERAL unnest(list_distinct(sg)) AS u(s)
+         |  WHERE doc_id % 7 = 0),
+         |dg AS (
+         |  SELECT doc_id, ${sqlMd5Long("u.s")} AS h
+         |  FROM sh CROSS JOIN LATERAL unnest(list_distinct(sg)) AS u(s)
+         |  WHERE doc_id % 7 <> 0),
+         |j AS (
+         |  SELECT dg.doc_id,
+         |         CASE WHEN r.h IS NULL THEN 1 ELSE 0 END AS unseen
+         |  FROM dg LEFT JOIN ref r USING (h))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(unseen) AS BIGINT) AS n_unseen,
+         |       CAST(sum(unseen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |         AS novelty
+         |FROM j GROUP BY 1""".stripMargin,
 
     // sequential email→phone→IP passes: each count runs on the text with
     // the PRIOR categories already masked, mirroring piiScrub exactly

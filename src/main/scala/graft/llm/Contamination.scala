@@ -89,6 +89,39 @@ object Contamination {
         max(col("n_shared")).as("max_shared"),
         count(lit(1)).as("n_bench_hit"))
 
+  /** Per-doc n-gram NOVELTY against a reference corpus: the fraction of
+    * a doc's distinct w-grams never seen in the reference — the inverse
+    * signal of [[ngramOverlap]] (overlap says "too close to the
+    * benchmark, drop it"; novelty says "how much of this is new
+    * relative to what we already trained on" — the memorization /
+    * incremental-value weight a curation pass ranks fresh crawls by).
+    *
+    * Shape: both sides reduce to 60-bit md5 hashes before any join, so
+    * the reference set is a single-column integer table — broadcast at
+    * small reference sizes, a plain hash equi-join at lake scale (the
+    * decision is Catalyst/AQE's; nothing here forces either). One
+    * explode over the scored side, one distinct over the reference, one
+    * (doc_id) aggregation. Docs with no w-grams emit no row (nothing to
+    * measure — the bigramLmScore rule).
+    * Returns (doc_id, n_grams, n_unseen, novelty). */
+  def ngramNovelty(docs: DataFrame, id: Column, text: Column,
+                   ref: DataFrame, refText: Column, w: Int): DataFrame = {
+    val refSet = ref
+      .select(explode(array_distinct(shingles(refText, w))).as("g"))
+      .select(md5Long(col("g")).as("h")).distinct()
+      .withColumn("__seen", lit(true))
+    docs
+      .select(id.as("doc_id"),
+        explode(array_distinct(shingles(text, w))).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("h"))
+      .join(refSet, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty",
+        col("n_unseen").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** The benchmark's per-doc distinct n-gram HASH arrays (60-bit md5
     * longs — the shared oracle-parity hash) — the static side
     * [[streamingFlags]] broadcasts; build once, reuse per batch.

@@ -88,6 +88,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(top2.map(_._1) == Seq(20L, 10L))
   }
 
+  test("ngramNovelty: seen fraction zero, unseen one, mixed exact, short docs absent") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text") // grams: abc bcd
+    val docs = Seq(
+      (1L, "a b c d"),     // both grams seen → novelty 0
+      (2L, "x y z w"),     // grams xyz, yzw — none seen → novelty 1
+      (3L, "a b c q r"),   // abc seen; bcq, cqr unseen → 2/3
+      (4L, "t u")          // no 3-grams → no row
+    ).toDF("doc_id", "text")
+    val out = Contamination.ngramNovelty(docs, col("doc_id"), col("text"),
+        ref, col("text"), w = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) == ((1L, 2L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 2L, 2L, 1.0)))
+    assert(out(3L) == ((3L, 3L, 2L, 2.0 / 3.0)))
+  }
+
   test("corpusDiff: added/removed/changed/unchanged, NULL content by presence not hash") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]),
       (4L, "d")).toDF("doc_id", "text")
