@@ -561,6 +561,31 @@ object Streaming {
         batchEvents, user, ts, periodMicros))
       .distinct()
 
+  /** Merge one micro-batch into a per-group priority-sample ledger —
+    * the streaming half of
+    * [[graft.llm.Selection.prioritySamplePerGroup]]. k-smallest-by-
+    * priority is a MONOID: minK(A ∪ B) = minK(minK(A) ∪ minK(B)), so
+    * the ledger only ever holds k rows per group, the merge is one
+    * window pass over (ledger ∪ batch-sample), and — because
+    * priorities are pure content hashes — re-merging a redelivered
+    * batch reproduces identical (id, priority) rows that the distinct
+    * k-cut collapses: idempotent with no batchId mark (the
+    * bloom-ledger class). After the last batch the ledger equals the
+    * one-shot batch sample bit for bit (StreamingSpec pins it, replay
+    * included). State: k·|groups| rows, weight-stream independent. */
+  def mergePrioritySampleLedger(ledger: DataFrame, batchDocs: DataFrame,
+                                group: Column, id: Column, weight: Column,
+                                k: Int, salt: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("priority"), col("doc_id"))
+    ledger.select(col("grp"), col("doc_id"), col("weight"), col("priority"))
+      .unionByName(graft.llm.Selection.prioritySamplePerGroup(
+        batchDocs, group, id, weight, k, salt))
+      .distinct() // replayed batch rows are bit-identical — collapse them
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Merge one micro-batch's keys into a persistent Bloom word ledger —
     * the ingest-time build half of [[graft.llm.Bloom.gate]] (the
     * mergeLineLedger discipline). bit_or is associative, commutative

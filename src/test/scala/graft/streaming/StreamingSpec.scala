@@ -542,6 +542,32 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet == batchRet)
   }
 
+  test("priority-sample ledger: streamed k-smallest equals batch sample; replay is a no-op") {
+    // top-k-by-priority is a monoid, so batch boundaries and replays
+    // cannot change the final sample
+    import spark.implicits._
+    val all = (0L until 200L).map(i => (s"g${i % 2}", i, (i % 7) + 1L))
+    val batches = all.grouped(70).toSeq
+    var ledger = Seq.empty[(String, Long, Long, Long)]
+      .toDF("grp", "doc_id", "weight", "priority")
+    def merge(rows: Seq[(String, Long, Long)]): Unit = {
+      ledger = Streaming.mergePrioritySampleLedger(ledger,
+        rows.toDF("g", "doc_id", "w"), col("g"), col("doc_id"), col("w"),
+        k = 15).cache()
+      ledger.count()
+      ()
+    }
+    batches.foreach(merge)
+    val batchSample = graft.llm.Selection.prioritySamplePerGroup(
+      all.toDF("g", "doc_id", "w"), col("g"), col("doc_id"), col("w"), k = 15)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(ledger.as[(String, Long, Long, Long)].collect().toSet == batchSample)
+    // redeliver the middle batch: bit-identical rows collapse in the
+    // distinct k-cut — the ledger must not move
+    merge(batches(1))
+    assert(ledger.as[(String, Long, Long, Long)].collect().toSet == batchSample)
+  }
+
   test("kl ledger in foreachBatch: merged bucket counts and drift equal the batch monitor") {
     // ingest-time twin of TextAnalysis.unigramKlDrift: micro-batches fold
     // (group, bucket) token counts into a ledger (additive — each token
