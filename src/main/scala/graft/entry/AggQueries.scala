@@ -139,8 +139,11 @@ object AggQueries {
     // it anyway); at lake scale candidates come from the sketch itself
     // and only the final estimates are exact-checked.
     "q_heavy_hitters" -> ((s, d) => {
-      val t = graft.core.Caches.track(Tables.documents(s, d)
-        .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok")))
+      // spread the raw docs first: a single-split source would run the
+      // tokenize+md5 sketch update in one task (the qualityRules lesson)
+      val t = graft.core.Caches.track(
+        graft.core.Xform.spreadToCores(Tables.documents(s, d))
+          .select(explode(graft.functions.GraftFunctions.tokens(col("text"))).as("tok")))
       val sketch = t.agg(graft.agg.CountMinAgg.agg(col("tok"), 4, 256).as("cm"))
       t.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
         .orderBy(col("exact_cnt").desc, col("tok")).limit(20)

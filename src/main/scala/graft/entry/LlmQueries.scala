@@ -187,7 +187,11 @@ object LlmQueries {
     "q_minhash_accuracy" -> ((s, d) => {
       val k = PairBands * PairRows
       val docs = Tables.documents(s, d)
-      val base = graft.core.Caches.track(docs
+      // spread before the signature compute (md5-per-shingle is the
+      // expensive stage); sf1 A/B on this one is noise-dominated
+      // (5.7-14 s across identical binaries), the spread is kept on
+      // principle — no-op at lake scale, single-split insurance here
+      val base = graft.core.Caches.track(graft.core.Xform.spreadToCores(docs)
         .filter(size(GraftFunctions.tokens(col("text"))) >= ShingleW)
         .select(col("doc_id"),
           array_distinct(GraftFunctions.shingles(col("text"), ShingleW)).as("sh"),
@@ -963,8 +967,10 @@ object LlmQueries {
         Retrieval.bm25(docs, col("doc_id"), col("text"), BmQueryTerms,
           topK = 20),
         col("bm25"))
+      // spread before the per-doc hash-embed (md5 is the expensive
+      // stage; a single-split source would run it in one task)
       val dense = Retrieval.withRank(
-        docs.select(col("doc_id"),
+        graft.core.Xform.spreadToCores(docs).select(col("doc_id"),
           CosineSimilarity(TextAnalysis.hashEmbed(col("text"), 16),
             TextAnalysis.hashEmbed(lit(BmQueryTerms.mkString(" ")), 16))
             .as("cos"))

@@ -110,7 +110,9 @@ object Contamination {
       .select(explode(array_distinct(shingles(refText, w))).as("g"))
       .select(md5Long(col("g")).as("h")).distinct()
       .withColumn("__seen", lit(true))
-    docs
+    // spread the scored side before its shingle explode (single-split
+    // sources would tokenize+hash in one task; no-op at lake scale)
+    graft.core.Xform.spreadToCores(docs)
       .select(id.as("doc_id"),
         explode(array_distinct(shingles(text, w))).as("g"))
       .select(col("doc_id"), md5Long(col("g")).as("h"))

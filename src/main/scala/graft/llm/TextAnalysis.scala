@@ -585,9 +585,13 @@ object TextAnalysis {
       (length(text) - length(replace(text, lit(sig), lit(""))))
         .cast("long") / lit(sig.length.toLong)
     }.reduce(_ + _)
-    df.select(id.as("doc_id"), stripMarkup(text).as("clean_text"),
-      regexp_count(text, lit(TagRe)).cast("long").as("n_tags"),
-      nMoji.cast("long").as("n_moji"))
+    // spread first: the regex strip chain is the expensive stage, and a
+    // single-split source would run it in one task (qualityRules lesson;
+    // no-op at lake scale where scans already split)
+    graft.core.Xform.spreadToCores(df)
+      .select(id.as("doc_id"), stripMarkup(text).as("clean_text"),
+        regexp_count(text, lit(TagRe)).cast("long").as("n_tags"),
+        nMoji.cast("long").as("n_moji"))
       .withColumn("mojibake", col("n_moji") > 0)
   }
 
