@@ -247,6 +247,28 @@ object LlmQueries {
       Dedup.jaccardJoinPrefix(Tables.documents(s, d), col("doc_id"),
         col("text"), thetaNum = 2, thetaDen = 5, ShingleW)),
 
+    // DIRECTIONAL containment |A∩B|/|A| ≥ 3/5 — the superset-dup
+    // relation Jaccard misses (snippet inside a 100× page). Oracle is
+    // the naive all-ordered-pairs posting join, so the asymmetric
+    // prefix filter's completeness is gate-checked, not just spec'd.
+    "q_containment_join" -> ((s, d) =>
+      Dedup.containmentJoin(Tables.documents(s, d), col("doc_id"),
+        col("text"), thetaNum = 3, thetaDen = 5, ShingleW)),
+
+    // Winnowing (SIGMOD'03 / MOSS) fingerprint selection: per-doc gram
+    // count + selected-fingerprint count. Window w=4 ⇒ expected density
+    // 2/(w+1) = 0.4 of the gram postings.
+    "q_winnow" -> ((s, d) =>
+      Dedup.winnowStats(Tables.documents(s, d), col("doc_id"), col("text"),
+        window = 4, shingleWidth = ShingleW)),
+
+    // cross-doc matching over the winnowed (sparsified) posting lists —
+    // the plagiarism-candidate join at 40% of the exact-substring cost,
+    // recall guaranteed for runs ≥ window+w−1 tokens
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(Tables.documents(s, d), col("doc_id"), col("text"),
+        minShared = 2, window = 4, shingleWidth = ShingleW, maxDf = 64)),
+
     // Transitive near-dup groups: min-label propagation (5 rounds) over
     // the Jaccard-verified pair graph — A≈B≈C collapses to one component
     // even when A and C don't pair directly.
@@ -1316,6 +1338,76 @@ object LlmQueries {
          |FROM pair JOIN sz sa ON doc_a = sa.doc_id
          |          JOIN sz sb ON doc_b = sb.doc_id
          |WHERE inter * 7 >= (sa.s + sb.s) * 2""".stripMargin,
+
+    // containment: naive ordered-pairs posting join — every (a,b) with
+    // a shared shingle, kept when inter·5 ≥ s_a·3 (denominator is |A|
+    // alone; both directions may appear independently)
+    "q_containment_join" ->
+      s"""WITH $shingleCte,
+         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
+         |posts AS (SELECT doc_id, unnest(sh) AS tok FROM shd),
+         |pair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS inter
+         |  FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS s FROM shd)
+         |SELECT doc_a, doc_b, inter, sa.s AS s_a, sb.s AS s_b
+         |FROM pair JOIN sz sa ON doc_a = sa.doc_id
+         |          JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE inter * 5 >= sa.s * 3""".stripMargin,
+
+    // winnowing: right-anchored ROWS BETWEEN 3 PRECEDING window min per
+    // position ≥ 3; docs shorter than one window keep every hash (the
+    // SWA boundary rule) — selection mirrored clause for clause
+    "q_winnow" ->
+      s"""WITH $shingleCte,
+         |pos AS (
+         |  SELECT doc_id, i AS p, ${sqlMd5Long("sg[i+1]")} AS h
+         |  FROM sh, unnest(range(0, len(sg))) AS u(i)),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |      FROM pos GROUP BY 1),
+         |wm AS (
+         |  SELECT doc_id, p, h,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+         |  FROM pos),
+         |sel AS (
+         |  SELECT DISTINCT wm.doc_id,
+         |         CASE WHEN n.n_grams < 4 THEN wm.h ELSE wm.wmin END AS h
+         |  FROM wm JOIN n USING (doc_id)
+         |  WHERE p >= 3 OR n.n_grams < 4)
+         |SELECT s.doc_id, n.n_grams,
+         |       CAST(count(DISTINCT s.h) AS BIGINT) AS n_selected
+         |FROM sel s JOIN n USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
+
+    // winnowed posting self-join with the substr_dedup df-cap (2..64);
+    // shared ≥ 2 selected fingerprints ⇒ candidate pair
+    "q_winnow_pairs" ->
+      s"""WITH $shingleCte,
+         |pos AS (
+         |  SELECT doc_id, i AS p, ${sqlMd5Long("sg[i+1]")} AS h
+         |  FROM sh, unnest(range(0, len(sg))) AS u(i)),
+         |n AS (SELECT doc_id, count(*) AS n_grams FROM pos GROUP BY 1),
+         |wm AS (
+         |  SELECT doc_id, p, h,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY p
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+         |  FROM pos),
+         |sel AS (
+         |  SELECT DISTINCT wm.doc_id,
+         |         CASE WHEN n.n_grams < 4 THEN wm.h ELSE wm.wmin END AS h
+         |  FROM wm JOIN n USING (doc_id)
+         |  WHERE p >= 3 OR n.n_grams < 4),
+         |capped AS (
+         |  SELECT h FROM (SELECT h, count(*) AS df FROM sel GROUP BY 1)
+         |  WHERE df >= 2 AND df <= 64),
+         |g AS (SELECT sel.* FROM sel JOIN capped USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(count(*) AS BIGINT) AS shared
+         |FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     // min-label propagation as a chained CTE (l0..l5), one CTE per round
     // — the bounded recurrence is deterministic so both engines replay it

@@ -237,6 +237,145 @@ object Dedup {
       .filter(col("inter") * (m + n) >= (col("inter") + col("union_sz")) * n)
   }
 
+  /** Exact CONTAINMENT self-join: pairs (a, b) with
+    * |A∩B| / |A| ≥ n/m (directional — a is the contained side). This is
+    * the near-dup relation symmetric Jaccard cannot see: a snippet
+    * pasted into a 100× larger page has J ≈ |A|/|B| ≈ 0 but containment
+    * ≈ 1, and containment-dedup (drop the contained member) is the
+    * standard superset-dup rule crawl curation applies after Jaccard
+    * dedup (reference's dedup charter, README.md:30-34; prefix scheme
+    * per Chaudhuri et al., ICDE'06 "A primitive operator for similarity
+    * joins").
+    *
+    * Prefix filter, asymmetric form: order tokens globally by
+    * (df asc, tok asc); A must match B inside A's first
+    * p = s_a − ⌈t·s_a⌉ + 1 tokens (missing all of them caps the
+    * overlap below t·s_a), but B CANNOT be pruned to a prefix — the
+    * denominator is |A| alone, so any token of B may witness. Candidate
+    * stream is therefore prefix(A) ⋈ postings(B), with the size gate
+    * m·s_b ≥ n·s_a (inter ≤ s_b must reach t·s_a) applied inside the
+    * join. Integer threshold math throughout; rn ≤ p without division:
+    * n·s_a ≤ m·(s_a − rn + 1).
+    *
+    * Scale posture: same as [[jaccardJoinPrefix]] — df-ordered prefixes
+    * put the RAREST tokens in the probe side, candidate volume is
+    * Σ_tok df_prefix(tok)·df(tok), never all-pairs; verification joins
+    * the candidate set back to the persisted shingle arrays. Emits
+    * (doc_a, doc_b, inter, s_a, s_b) with doc_a ≠ doc_b (both
+    * directions can appear when each side clears its own threshold). */
+  def containmentJoin(df: DataFrame, id: Column, text: Column,
+                      thetaNum: Int, thetaDen: Int,
+                      shingleWidth: Int = 3): DataFrame = {
+    require(thetaNum > 0 && thetaDen >= thetaNum,
+      s"threshold $thetaNum/$thetaDen must sit in (0, 1]")
+    val (n, m) = (thetaNum.toLong, thetaDen.toLong)
+    import org.apache.spark.sql.expressions.Window
+    val withSh = persistTracked(graft.core.Xform.spreadToCores(df)
+      .select(id.as("doc_id"),
+        array_distinct(shingles(text, shingleWidth)).as("sh")))
+    val posts = withSh.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+    val ordered = persistTracked(posts.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w.orderBy(col("df"), col("tok"))))
+      .withColumn("s", count(lit(1)).over(w)))
+    // probe side: A's containment prefix only (rarest tokens); build
+    // side: every posting of B — the asymmetry of the predicate
+    val prefix = ordered.filter(col("s") * n <= (col("s") - col("rn") + 1) * m)
+      .select(col("doc_id").as("doc_a"), col("tok"), col("s").as("s_a"))
+    val cand = prefix.join(ordered.select(col("doc_id").as("doc_b"),
+        col("tok"), col("s").as("s_b")),
+        Seq("tok"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("s_b") * m >= col("s_a") * n)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("inter"),
+        size(col("sa.sh")).cast("long").as("s_a"),
+        size(col("sb.sh")).cast("long").as("s_b"))
+      .filter(col("inter") * m >= col("s_a") * n)
+  }
+
+  /** Winnowing fingerprint selection (Schleimer-Wilkerson-Aiken,
+    * SIGMOD'03 "Winnowing: local algorithms for document
+    * fingerprinting" — the MOSS algorithm): over the positional
+    * sequence of `shingleWidth`-gram hashes, slide a window of
+    * `window` consecutive hashes and keep each window's MINIMUM;
+    * the distinct kept hashes are the document's fingerprints.
+    * Guarantee: any shared run of window+shingleWidth−1 tokens
+    * between two documents yields at least one shared fingerprint
+    * (every full window inside the run picks the same minimum), at
+    * expected density 2/(window+1) — a tunable, recall-guaranteed
+    * sparsification the flat posting join of exact-substring dedup
+    * doesn't have.
+    *
+    * Emits one row per doc: (doc_id, n_grams, n_selected) — integer
+    * outputs only, the parity-safe surface. [[winnowPairs]] consumes
+    * the selected set for cross-doc matching. Plan shape: one
+    * posexplode, one doc-partitioned window min (rides a single
+    * doc-keyed exchange), one hash aggregate — linear, no global
+    * sort. */
+  def winnowStats(df: DataFrame, id: Column, text: Column,
+                  window: Int = 4, shingleWidth: Int = 3): DataFrame =
+    winnowSelected(df, id, text, window, shingleWidth)
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count_distinct(col("h")).as("n_selected"))
+
+  /** The selected-fingerprint relation behind [[winnowStats]] /
+    * [[winnowPairs]]: (doc_id, h, n_grams) — h DISTINCT per doc.
+    * Right-anchored windows (each position p ≥ window−1 looks BACK
+    * window hashes) so every emitted window is full; docs shorter
+    * than one window keep every hash (the SWA boundary rule —
+    * otherwise short docs would have no fingerprint at all). */
+  private def winnowSelected(df: DataFrame, id: Column, text: Column,
+                             window: Int, shingleWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.core.Xform.spreadToCores(df)
+      .select(id.as("doc_id"),
+        posexplode(shingles(text, shingleWidth)).as(Seq("pos", "sg")))
+      .select(col("doc_id"), col("pos"), md5Long(col("sg")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(window - 1), 0)
+    val wn = Window.partitionBy(col("doc_id"))
+    grams
+      .withColumn("wmin", min(col("h")).over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("pos") >= lit(window - 1) || col("n") < lit(window))
+      .select(col("doc_id"),
+        when(col("n") < lit(window), col("h")).otherwise(col("wmin")).as("h"),
+        col("n").as("n_grams"))
+      .distinct()
+  }
+
+  /** Cross-doc fingerprint matching over the winnowed sets: pairs
+    * (a < b) sharing ≥ `minShared` selected fingerprints. The posting
+    * join runs over the SPARSIFIED relation — expected 2/(window+1) of
+    * the gram postings — with the same df-cap discipline as
+    * exact-substring dedup: fingerprints appearing in > `maxDf` docs
+    * are boilerplate, dropped before the self-join so no bucket goes
+    * quadratic. Emits (doc_a, doc_b, shared). */
+  def winnowPairs(df: DataFrame, id: Column, text: Column,
+                  minShared: Int = 2, window: Int = 4,
+                  shingleWidth: Int = 3, maxDf: Int = 64): DataFrame = {
+    val sel = persistTracked(
+      winnowSelected(df, id, text, window, shingleWidth)
+        .select(col("doc_id"), col("h")))
+    val capped = sel.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+      .select(col("h"))
+    val posts = sel.join(capped, Seq("h"))
+    posts.as("x").join(posts.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs, Manku-style banding (WWW'07 "Detecting
     * near-duplicates for web crawling"): a `width`-bit simhash split into
     * `bands` disjoint sub-bands of width/bands bits; candidates are pairs

@@ -368,6 +368,29 @@ class PlanSpec extends SparkSpec {
       s"expected hash-join pairing:\n$p")
   }
 
+  test("containment join: asymmetric prefix⋈postings candidate stream, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_containment_join")(spark, sf))
+    // A's df-ordered prefix equi-joins B's full posting list on the
+    // token; the size gate (m·s_b ≥ n·s_a) rides the join filter —
+    // a loop/cartesian would be the all-pairs plan the prefix avoids
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment join must not enumerate doc pairs:\n$p")
+    assert(p.contains("Join") && p.contains("hash"),
+      s"expected hash-join candidate generation:\n$p")
+  }
+
+  test("winnow pairs: df-capped self-join over the SPARSIFIED fingerprint relation") {
+    val p = plan(SparkEntry.queries("q_winnow_pairs")(spark, sf))
+    // the posting self-join keys on the selected fingerprint hash —
+    // equi, df-capped, and over ~2/(w+1) of the gram postings; the
+    // window min that sparsifies must be doc-partitioned (no global sort)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"winnow pairing must not enumerate doc pairs:\n$p")
+    assert(!p.toLowerCase.contains("window operation! moving all data") &&
+      p.contains("Window"),
+      s"winnow selection must keep the doc-partitioned window:\n$p")
+  }
+
   test("posting-list ingest gate hash-joins the broadcast postings — no cross join") {
     val p = plan(SparkEntry.queries("q_contam_postings")(spark, sf))
     // doc n-gram hashes equi-join the broadcast (hash → bench_id)

@@ -554,6 +554,58 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2) == ((3L, "no pii at all", 0L, 0L, 0L)))
   }
 
+  test("containmentJoin is directional: snippet⊂page found, reverse and Jaccard miss it") {
+    val page = (0 until 40).map(i => s"w$i").mkString(" ")
+    val snippet = (10 until 20).map(i => s"w$i").mkString(" ") // fully inside
+    val docs = Seq((1L, snippet), (2L, page), (3L, "x y z q r s"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(docs, col("doc_id"), col("text"), 3, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // snippet (8 shingles, all shared) is contained in page (38 shingles):
+    // C(1→2) = 8/8 = 1 ≥ 3/5; C(2→1) = 8/38 < 3/5 — one direction only
+    assert(out == Seq((1L, 2L, 8L, 8L, 38L)))
+    // symmetric Jaccard at the same threshold sees nothing: J = 8/38
+    assert(Dedup.jaccardJoinPrefix(docs, col("doc_id"), col("text"), 3, 5)
+      .collect().isEmpty)
+  }
+
+  test("containmentJoin boundary: inter·m ≥ s_a·n kept at exact equality") {
+    // A = 5 shingles, 3 shared with B ⇒ C = 3/5 exactly — must be kept
+    val a = "a b c d e f g"            // 5 shingles: abc..efg
+    val b = "a b c d e x1 x2 p q r s"  // shares abc bcd cde (3)
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val rows = Dedup.containmentJoin(docs, col("doc_id"), col("text"), 3, 5)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.contains((1L, 2L, 3L, 5L, 9L)))
+    // and 2/3 (stricter) drops it
+    assert(!Dedup.containmentJoin(docs, col("doc_id"), col("text"), 2, 3)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .contains((1L, 2L, 3L, 5L, 9L)))
+  }
+
+  test("winnowing guarantee: shared run of window+w-1 tokens ⇒ shared fingerprint") {
+    // SWA: any common substring of length ≥ window + shingleW − 1 = 6
+    // tokens must produce ≥1 common selected fingerprint
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8")).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, col("doc_id"), col("text"),
+      minShared = 1, window = 4, shingleWidth = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    // density: selected ≤ grams, and short docs keep every hash
+    val stats = Dedup.winnowStats(docs, col("doc_id"), col("text"),
+      window = 4, shingleWidth = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stats.values.forall(s => s._3 <= s._2 && s._3 > 0))
+    val tiny = Seq((9L, "t1 t2 t3 t4")).toDF("doc_id", "text") // 2 grams < window
+    val ts = Dedup.winnowStats(tiny, col("doc_id"), col("text"), 4, 3)
+      .as[(Long, Long, Long)].head()
+    assert(ts == ((9L, 2L, 2L))) // below one window: all hashes kept
+  }
+
   test("pq subvector slicing raises on dim not divisible by m") {
     val bad = Seq((1L, Array(1f, 2f, 3f, 4f, 5f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
