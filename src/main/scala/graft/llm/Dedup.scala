@@ -282,13 +282,28 @@ object Dedup {
     // probe side: A's containment prefix only (rarest tokens); build
     // side: every posting of B — the asymmetry of the predicate
     val prefix = ordered.filter(col("s") * n <= (col("s") - col("rn") + 1) * m)
-      .select(col("doc_id").as("doc_a"), col("tok"), col("s").as("s_a"))
+      .select(col("doc_id").as("doc_a"), col("tok"),
+        col("s").as("s_a"), col("rn").as("rn_a"))
+    // positional filter (the jaccardJoinPrefix argument, containment
+    // denominator): common tokens sort identically by (df, tok) in both
+    // docs, so the globally-first common token — always inside A's
+    // prefix when the pair is a candidate at all — bounds the overlap
+    // by 1 + min(s_a − rn_a, s_b − rn_b); max() over candidate rows is
+    // therefore a SOUND per-pair bound, and the groupBy rides the same
+    // shuffle the bare pair-distinct paid
     val cand = prefix.join(ordered.select(col("doc_id").as("doc_b"),
-        col("tok"), col("s").as("s_b")),
+        col("tok"), col("s").as("s_b"), col("rn").as("rn_b")),
         Seq("tok"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("s_b") * m >= col("s_a") * n)
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .select(col("doc_a"), col("doc_b"),
+        (lit(1L) + least(col("s_a") - col("rn_a"), col("s_b") - col("rn_b")))
+          .as("ub"),
+        col("s_a"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("ub")).as("ub"), max(col("s_a")).as("s_a"))
+      .filter(col("ub") * m >= col("s_a") * n)
+      .select(col("doc_a"), col("doc_b"))
     cand
       .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))
