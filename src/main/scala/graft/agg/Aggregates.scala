@@ -73,4 +73,46 @@ object Aggregates {
     val w = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** SCD2 (slowly-changing-dimension type-2) history: collapse an event
+    * log into per-key validity intervals of `attr` — the warehouse twin
+    * of [[latestByKey]] (which keeps only each key's LAST state, this
+    * keeps ALL states with their lifetimes). Kimball's type-2 dimension
+    * build, expressed as the changelog compaction the reference's
+    * KTable family implies (README.md:33-34) but never materializes.
+    *
+    * Per key, ordered by (ts, tieBreak): a run starts where attr
+    * differs (null-safe) from its predecessor; runs become rows
+    * (key, version, attr, valid_from, valid_to, n_events) with
+    * valid_to = next run's valid_from and NULL on the open (current)
+    * run. Consecutive-duplicate events collapse into their run — the
+    * `dedupe` discipline keyed per entity.
+    *
+    * Plan: one key-partitioned window pass (lag + running sum — no
+    * global sort), a (key, version) hash aggregate, and a second
+    * key-partitioned window for the interval close. Scale-safe: every
+    * exchange is keyed by the entity key; version counts are bounded by
+    * each key's event count. */
+  def scd2(df: DataFrame, key: Column, ts: Column, attr: Column,
+           tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts"), col("__tb"))
+    val runs = df.select(key.as("__k"), ts.as("__ts"), attr.as("__a"),
+        tieBreak.as("__tb"))
+      .withColumn("__chg",
+        when(row_number().over(w) === 1, lit(1))
+          .when(!(col("__a") <=> lag(col("__a"), 1).over(w)), lit(1))
+          .otherwise(lit(0)))
+      .withColumn("__ver", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val iv = Window.partitionBy(col("key")).orderBy(col("version"))
+    runs.groupBy(col("__k").as("key"), col("__ver").as("version"))
+      .agg(min(col("__ts")).as("valid_from"),
+        // attr is constant within a run by construction — min() is the
+        // engine-neutral way to surface it (NULL runs stay NULL)
+        min(col("__a")).as("attr"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(iv))
+      .select(col("key"), col("version"), col("attr"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
 }

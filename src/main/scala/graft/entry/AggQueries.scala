@@ -83,6 +83,44 @@ object AggQueries {
       Seq(col("user_id")), col("ts"), Seq(col("event_id")))
       .select("user_id", "event_id", "event_type", "value")),
 
+    // SCD2 history: the changelog compacted to validity intervals —
+    // latest_by_key keeps each user's LAST event_type, this keeps every
+    // type transition with [valid_from, valid_to) lifetimes
+    "q_scd2" -> ((s, d) => Aggregates.scd2(
+      Tables.events(s, d), col("user_id"), col("ts"), col("event_type"),
+      col("event_id"))
+      .select(col("key").as("user_id"), col("version"),
+        col("attr").as("event_type"), col("valid_from"), col("valid_to"),
+        col("n_events"))),
+
+    // bivariate statistics from EXACT integer power sums (the q_stats
+    // discipline, two variables): n, Σx, Σy, Σxy, Σx², Σy² accumulate
+    // as integers (Σxy in DECIMAL — 1e7-cent prices × 5e3-cent
+    // quantities × 6e5 rows overflow a long at sf1), then the
+    // covariance/correlation doubles are computed once, post-agg, in
+    // the same op order on both engines
+    "q_corr" -> ((s, d) => {
+      val x = cents(col("l_quantity"))
+      val y = cents(col("l_extendedprice"))
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * y).cast("decimal(38,0)")).as("sxy"),
+          sum((x * x).cast("decimal(38,0)")).as("sxx"),
+          sum((y * y).cast("decimal(38,0)")).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+            col("n") / lit(10000.0)).as("covar_pop"),
+          ((col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+            (sqrt(col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+             sqrt(col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double") / col("n"))))
+            .as("corr"))
+    }),
+
     "q_rollup" -> ((s, d) => Aggregates.rollupAgg(Tables.lineitem(s, d),
       Seq(col("l_returnflag"), col("l_linestatus")),
       Seq(count(lit(1)).as("n"), dsum("l_quantity").as("sum_qty")))),
@@ -503,6 +541,55 @@ object AggQueries {
         |  SELECT user_id, event_id, event_type, value,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    // run detection (rn=1 or null-safe attr change), running-sum version
+    // number, per-run min(ts)/count, interval close via lead — mirrored
+    // window for window
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pa
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN rn = 1 OR pa IS DISTINCT FROM event_type
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |r AS (
+        |  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS BIGINT) AS ver
+        |  FROM m),
+        |g AS (
+        |  SELECT user_id, ver AS version, min(ts) AS valid_from,
+        |         min(event_type) AS event_type,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, version, event_type, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        |       n_events
+        |FROM g""".stripMargin,
+
+    // exact integer power sums (HUGEINT on this side, DECIMAL(38) on
+    // Spark's), then the identical double expression tree
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+        |         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy,
+        |         sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+        |             * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+        |         sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |         / n / 10000.0 AS covar_pop,
+        |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |         / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |            * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+        |         AS corr
+        |FROM s""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -112,7 +112,21 @@ object JoinQueries {
         .groupBy(purchases("user_id"), col("purchase_id"))
         .agg(count(col("click_id")).as("n_clicks"))
         .select(col("user_id"), col("purchase_id"), col("n_clicks"))
-    })
+    }),
+
+    // record-linkage blocking join over the CANONICALIZED name
+    // dictionary (distinct names, min-partkey representative — the
+    // dictionary, not the row instances, is what entity resolution
+    // matches; it's also what keeps the pair space tiny as rows grow):
+    // candidates share the last name token (the noun), only blocked
+    // pairs pay the levenshtein refine (dist ≤ 2) — never the naive
+    // |names|² matrix
+    "q_fuzzy_join" -> ((s, d) => Joins.blockedFuzzyJoin(
+      Tables.part(s, d).groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("rep_id")),
+      col("rep_id"), col("p_name"),
+      element_at(split(col("p_name"), " ", -1), -1),
+      maxDist = 2))
   )
 
   // asOf needs a shared key column name on both sides; wrap:
@@ -182,6 +196,18 @@ object JoinQueries {
         |LEFT JOIN LATERAL (
         |  SELECT o_orderkey, o_totalprice FROM orders o
         |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
-        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) o ON true""".stripMargin
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) o ON true""".stripMargin,
+
+    // identical blocking key (noun|first-char) and the same classic
+    // levenshtein metric — the oracle verifies the blocked candidate set
+    "q_fuzzy_join" ->
+      """WITH p AS (
+        |  SELECT min(p_partkey) AS id, p_name AS name,
+        |         string_split(p_name, ' ')[-1] AS blk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin
   )
 }

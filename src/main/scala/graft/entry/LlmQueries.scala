@@ -652,6 +652,17 @@ object LlmQueries {
       .groupBy(col("lang"), col("lang_guess"))
       .agg(count(lit(1)).as("n"))),
 
+    // tokenizer-coverage audit: OOV rate against the corpus's own
+    // top-1000 token vocabulary (distributed top-k + broadcast-back —
+    // the corpus never shuffles)
+    "q_oov_rate" -> ((s, d) => TextAnalysis.oovRate(
+      Tables.documents(s, d), col("doc_id"), col("text"), vocabSize = 1000)),
+
+    // per-source language-mixture entropy (nats, fixed-point-quantized
+    // terms): the crawl-drift monitor over the declared lang labels
+    "q_source_entropy" -> ((s, d) => TextAnalysis.sourceLangEntropy(
+      Tables.documents(s, d), col("source"), col("lang"))),
+
     // n-gram novelty vs the doc_id%7 reference slice: how much of each
     // scored doc is NEW relative to what the reference already covers —
     // the incremental-value weight for ranking fresh crawls (inverse of
@@ -2004,6 +2015,34 @@ object LlmQueries {
          |SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
          |FROM documents d JOIN g USING (doc_id)
          |GROUP BY 1, 2""".stripMargin,
+
+    // vocab = top-1000 by (count DESC, token ASC) — ORDER BY + LIMIT on
+    // both engines; OOV = left-join miss; one long/long division
+    "q_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+         |tc AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+         |v AS (SELECT tok FROM tc ORDER BY n DESC, tok LIMIT 1000)
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS oov_rate
+         |FROM t LEFT JOIN v ON t.tok = v.tok
+         |GROUP BY 1""".stripMargin,
+
+    // entropy terms quantized to nanonats (floor(term*1e9) AS BIGINT)
+    // before the per-source sum — the kl_drift fixed-point discipline
+    "q_source_entropy" ->
+      """WITH sl AS (SELECT source, lang, count(*) AS n_sl FROM documents GROUP BY 1, 2),
+        |s AS (SELECT *, sum(n_sl) OVER (PARTITION BY source) AS n_s FROM sl),
+        |t AS (
+        |  SELECT source, n_s,
+        |         CAST(floor(-(CAST(n_sl AS DOUBLE) / CAST(n_s AS DOUBLE))
+        |              * ln(CAST(n_sl AS DOUBLE) / CAST(n_s AS DOUBLE)) * 1e9) AS BIGINT) AS tq
+        |  FROM s)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_langs,
+        |       CAST(sum(tq) AS DOUBLE) / 1e9 AS entropy
+        |FROM t GROUP BY 1""".stripMargin,
 
     // novelty: hashes on both sides, LEFT join to the reference hash
     // set, unseen = null match — identical hash, identical division

@@ -123,4 +123,25 @@ object Joins {
     payload.foldLeft(out)((d, c) => d.withColumn(c, col("__last").getField(c)))
       .drop("__t", "__side", "__p", "__tb", "__last")
   }
+
+  /** Record-linkage blocking join (Fellegi-Sunter blocking discipline):
+    * candidate pairs must agree on a cheap high-recall blocking key;
+    * only candidates pay the edit-distance refine. The equi-join on the
+    * block key is what makes fuzzy matching survive scale — the naive
+    * form is |R|² levenshtein calls, the blocked form is
+    * Σ_blocks |b|², bounded by keeping blocks small (compose more
+    * signals into `blockKey` as the table grows; salting applies if one
+    * block dominates). Emits (id_a, id_b, name_a, name_b, dist) with
+    * id_a < id_b, dist ≤ maxDist — dist by the classic Levenshtein
+    * metric, identical on both engines. */
+  def blockedFuzzyJoin(df: DataFrame, id: Column, name: Column,
+                       blockKey: Column, maxDist: Int): DataFrame = {
+    val side = df.select(id.as("id"), name.as("name"), blockKey.as("blk"))
+    side.as("a").join(side.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }

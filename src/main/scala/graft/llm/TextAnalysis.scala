@@ -716,6 +716,60 @@ object TextAnalysis {
         cover(col("v4")).as("top4_char_frac"))
   }
 
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * token vocabulary — the tokenizer-coverage audit run before
+    * committing a tokenizer/vocab to a corpus (high OOV ⇒ the vocab
+    * fragments this slice into bytes/unks). Vocabulary = top tokens by
+    * (count DESC, token ASC) — the deterministic tie-break makes the
+    * boundary reproducible.
+    *
+    * Scale: the vocab build is a token hash-aggregate followed by a
+    * DISTRIBUTED top-k (TakeOrdered: per-partition heaps merged on the
+    * driver — k rows, never a single-partition global sort), and the
+    * k-row vocab broadcast-joins back; the corpus itself never
+    * shuffles. Emits (doc_id, n_tokens, n_oov, oov_rate) — rate is one
+    * long/long division, identical IEEE op on both engines. */
+  def oovRate(df: DataFrame, id: Column, text: Column,
+              vocabSize: Int): DataFrame = {
+    val toks = graft.core.Xform.spreadToCores(df)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"))
+    toks.join(broadcast(vocab).withColumn("__in", lit(1)), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  /** Per-source Shannon entropy (nats) of the language distribution —
+    * the mixture-health monitor for a multi-source corpus: entropy 0 ⇒
+    * the source is monolingual; rising entropy flags crawl drift or
+    * mislabeled ingest. Terms are quantized to fixed-point nanonats
+    * (floor(term·1e9) as long) before the per-source sum — the
+    * [[klFromBucketCounts]] discipline that makes a transcendental
+    * aggregate order-independent and therefore bit-stable under any
+    * partitioning. Plan: two hash aggregates on (source, lang) then
+    * (source) — no window, no sort. */
+  def sourceLangEntropy(df: DataFrame, source: Column,
+                        lang: Column): DataFrame =
+    df.select(source.as("source"), lang.as("lang"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_sl"))
+      .withColumn("n_s", sum(col("n_sl"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .select(col("source"), col("n_s"),
+        floor(-(col("n_sl").cast("double") / col("n_s").cast("double")) *
+          log(col("n_sl").cast("double") / col("n_s").cast("double")) *
+          lit(1e9)).cast("long").as("tq"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        (sum(col("tq")).cast("double") / lit(1e9)).as("entropy"))
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

@@ -56,4 +56,15 @@ class JoinsSpec extends SparkSpec {
       .select("p").as[Int].collect().toSeq
     assert(out == Seq(9))
   }
+
+  test("blockedFuzzyJoin: only same-block pairs matched, dist threshold inclusive") {
+    val names = Seq((1L, "cold ring"), (2L, "old ring"), (3L, "red ring"),
+      (4L, "red bolt"), (5L, "colossal ring")).toDF("id", "name")
+    val blk = element_at(split(col("name"), " ", -1), -1)
+    val out = Joins.blockedFuzzyJoin(names, col("id"), col("name"), blk, 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    // cold~old dist 1; old~red dist 2 (boundary kept); cold~red dist 3 cut;
+    // red bolt blocks apart from every ring; colossal~cold dist 5 cut
+    assert(out == Set((1L, 2L, 1L), (2L, 3L, 2L)))
+  }
 }
