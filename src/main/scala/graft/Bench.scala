@@ -146,12 +146,25 @@ object Bench {
     // the SAME q_take_* neighbors in both passes (BENCH_r11: 1.33 s /
     // 1.44 s vs 0.30 s / 0.32 s for their identical-plan q_drop_* twins)
     // and best-of-2 could never discard it. Deterministic shift — no RNG.
+    // In-pass hygiene: with 160+ queries per pass, promoted-heap garbage
+    // accumulates faster than pass boundaries can reset it — measured
+    // q_jaccard_join at 5.6 s in-suite vs 2.85 s isolated on the same
+    // build. A periodic GC every 16 queries (~10 pauses/pass, well under
+    // 1% of suite wall-clock) keeps heavy queries from inheriting their
+    // predecessors' heap pressure; cache clearing stays at pass
+    // boundaries only (per-query relations are already released by
+    // releaseCaches in `once`).
+    def runPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, (Double, Long))] =
+      qs.zipWithIndex.map { case ((name, fn), i) =>
+        if (i > 0 && i % 16 == 0) System.gc()
+        name -> once(fn)
+      }
     interPass()
-    val pass1 = selected.map { case (name, fn) => name -> once(fn) }
+    val pass1 = runPass(selected)
     interPass()
     val rot = selected.size / 2
-    val pass2 = (selected.drop(rot) ++ selected.take(rot))
-      .map { case (name, fn) => name -> once(fn) }
+    val pass2 = runPass(selected.drop(rot) ++ selected.take(rot))
     interPass()
     val pass2ByName = pass2.toMap
     val samples = scala.collection.mutable.LinkedHashMap[String, List[(Double, Long)]]()

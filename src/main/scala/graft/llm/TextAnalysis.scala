@@ -736,14 +736,27 @@ object TextAnalysis {
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
       .select(col("tok"))
-    toks.join(broadcast(vocab).withColumn("__in", lit(1)), Seq("tok"), "left")
+    oovAgainstVocab(df, id, text, vocab)
+  }
+
+  /** [[oovRate]] against a CALLER-supplied vocabulary — `vocab` is one
+    * `tok` column, typically the top-k cut of a persisted token ledger
+    * ([[graft.streaming.Streaming.mergeVocabLedgerIdempotent]]'s
+    * streaming build, or yesterday's corpus vocab for drift audits).
+    * The vocab broadcasts; the corpus never shuffles before its per-doc
+    * aggregate. */
+  def oovAgainstVocab(df: DataFrame, id: Column, text: Column,
+                      vocab: DataFrame): DataFrame =
+    graft.core.Xform.spreadToCores(df)
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .join(broadcast(vocab.select(col("tok")).withColumn("__in", lit(1))),
+        Seq("tok"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
-  }
 
   /** Per-source Shannon entropy (nats) of the language distribution —
     * the mixture-health monitor for a multi-source corpus: entropy 0 ⇒

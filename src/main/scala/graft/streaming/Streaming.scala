@@ -561,6 +561,52 @@ object Streaming {
         batchEvents, user, ts, periodMicros))
       .distinct()
 
+  /** Merge one micro-batch's token counts into a persistent vocabulary
+    * ledger (tok, n) — the ingest half of a streaming tokenizer-coverage
+    * audit ([[graft.llm.TextAnalysis.oovRate]]'s vocabulary, built
+    * incrementally). Count-additive, so the mergeLineLedger discipline
+    * applies: each token occurrence must live in exactly one micro-batch;
+    * use [[mergeVocabLedgerIdempotent]] under at-least-once
+    * `foreachBatch` delivery. State: O(distinct tokens) rows — bucket by
+    * tok at lake scale for a co-located merge. */
+  def mergeVocabLedger(ledger: DataFrame, batchDocs: DataFrame,
+                       text: Column): DataFrame =
+    ledger.select(col("tok"), col("n"))
+      .unionByName(batchDocs
+        .select(explode(graft.functions.GraftFunctions.tokens(text)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n")))
+      .groupBy(col("tok")).agg(sum(col("n")).cast("long").as("n"))
+
+  /** Replay-proof [[mergeVocabLedger]] — the
+    * [[mergeLineLedgerIdempotent]] batchId high-water-mark gate for the
+    * token-count ledger (sentinel: tok=null, n=batchId; real tokens are
+    * non-empty strings, and the null-keyed row joins nothing in
+    * [[oovAgainstVocabLedger]]). A redelivered `foreachBatch` batch is
+    * a no-op instead of double-counting occurrences. */
+  def mergeVocabLedgerIdempotent(ledger: DataFrame, batchDocs: DataFrame,
+                                 text: Column, batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("tok"), col("n"))
+    if (batchId <= hwm) ledger.select(col("tok"), col("n"))
+    else mergeVocabLedger(ledger.filter(col("tok").isNotNull), batchDocs, text)
+      .unionByName(hwmSentinel(batchDocs.sparkSession, "tok", "string",
+        "n", batchId))
+  }
+
+  /** OOV audit of incoming docs against the ledger's top-`vocabSize`
+    * vocabulary — the gate half of the streaming coverage audit: score
+    * today's stream against YESTERDAY's accumulated vocab (per batch
+    * from `foreachBatch`, or once per ingest window). Against a ledger
+    * holding the full corpus it reproduces the batch
+    * [[graft.llm.TextAnalysis.oovRate]] verdicts bit for bit
+    * (StreamingSpec pins it). The top-k cut is (n DESC, tok ASC) —
+    * the same deterministic boundary as the batch build. */
+  def oovAgainstVocabLedger(docs: DataFrame, id: Column, text: Column,
+                            ledger: DataFrame, vocabSize: Int): DataFrame =
+    graft.llm.TextAnalysis.oovAgainstVocab(docs, id, text,
+      ledger.filter(col("tok").isNotNull)
+        .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
+        .select(col("tok")))
+
   /** Merge one micro-batch into a per-group priority-sample ledger —
     * the streaming half of
     * [[graft.llm.Selection.prioritySamplePerGroup]]. k-smallest-by-

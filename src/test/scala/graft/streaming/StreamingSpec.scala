@@ -802,4 +802,56 @@ class StreamingSpec extends SparkSpec {
     assert(!got(2L)._2 && got(2L)._1.contains(1L), s"doc 2 dup of 1: $got")
     assert(!got(3L)._2 && got(3L)._1.contains(1L), s"doc 3 dup of 1: $got")
   }
+
+  test("idempotent vocab ledger: replay is a no-op; streamed OOV equals the batch audit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "xylophone quetzal obelisk the"),
+      (4L, "the the cat dog"))
+
+    var ledger = Seq.empty[(String, Long)].toDF("tok", "n")
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          // merge, then replay the same batch under the same batchId —
+          // the at-least-once redelivery the HWM gate exists for
+          ledger = Streaming.mergeVocabLedgerIdempotent(ledger, batch,
+            col("text"), bid).cache()
+          ledger.count()
+          ledger = Streaming.mergeVocabLedgerIdempotent(ledger, batch,
+            col("text"), bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(docs.take(2)); q.processAllAvailable()
+    ms.addData(docs.drop(2)); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("tok"), col("n")) == 1L)
+
+    val all = docs.toDF("doc_id", "text")
+    // ledger counts equal the one-shot batch token counts despite replay
+    val batchCounts = all.select(explode(
+        graft.functions.GraftFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count()
+      .as[(String, Long)].collect().toSet
+    val ledgerRows = ledger.filter(col("tok").isNotNull)
+      .as[(String, Long)].collect().toSet
+    assert(ledgerRows == batchCounts,
+      "replay-gated vocab ledger must equal batch token counts")
+
+    // OOV against the full-corpus ledger top-5 == the batch oovRate top-5
+    val streamed = Streaming.oovAgainstVocabLedger(all, col("doc_id"),
+        col("text"), ledger, vocabSize = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = graft.llm.TextAnalysis.oovRate(all, col("doc_id"),
+        col("text"), vocabSize = 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
