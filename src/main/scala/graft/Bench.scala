@@ -25,6 +25,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, must precede session creation: the default Janino
+      // class cache holds 100 generated classes, but a 160+-query suite
+      // compiles SEVERAL codegen units per query — pass 2 found nothing
+      // cached and re-paid every Janino compile (~50-150 ms each),
+      // exactly the samples best-of-2 keeps. Sized to hold both passes.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

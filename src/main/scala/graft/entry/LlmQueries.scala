@@ -766,6 +766,29 @@ object LlmQueries {
         col("doc_id"), frac = 0.5)
     }),
 
+    // top-64 PMI bigram collocations (stop-gram candidate inventory) —
+    // ranking is ln-free (exact ratio of longs), only the emitted pmi
+    // quantizes a log (TextAnalysis.pmiTop)
+    "q_pmi" -> ((s, d) =>
+      TextAnalysis.pmiTop(Tables.documents(s, d), col("text"))),
+
+    // Zipf's-law slope per language over the top-512 tokens — the
+    // one-number corpus-drift fingerprint. Quantized-log integer
+    // moments, shared final-math SQL text (see TextAnalysis.zipfFit).
+    "q_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), col("lang"), col("text"))),
+
+    // Wilson lower-bound source ranking: order sources by the 95%
+    // lower confidence bound of their quality-pass rate, not the raw
+    // fraction — small high-scoring sources rank below large
+    // consistently-good ones. One |sources|-sized shuffle.
+    "q_source_rank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"),
+        (TextAnalysis.qualityFrom(TextAnalysis.counts(col("text"))) >= 0.5)
+          .as("pass"))
+      Selection.wilsonSourceRank(docs, col("source"), col("pass"))
+    }),
+
     // The full training-data pipeline as ONE declarative plan: quality
     // gate (single-pass TextCounts) → deterministic mixture re-weighting
     // → exact content dedup → per-shard sequence packing → corpus stats.
@@ -2247,6 +2270,25 @@ object LlmQueries {
          |           ORDER BY quality DESC, doc_id) AS pr
          |  FROM (SELECT doc_id, lang, $sqlQuality AS quality FROM documents) t) s
          |WHERE pr <= 0.5""".stripMargin,
+
+    "q_zipf" -> TextAnalysis.zipfOracleSql(sqlToks),
+
+    "q_pmi" -> TextAnalysis.pmiOracleSql(sqlToks),
+
+    // Wilson bound text comes from the SAME Selection.wilsonLbSql the
+    // Spark plan evaluates — shared text, bit-equal doubles
+    "q_source_rank" ->
+      s"""WITH ps AS (
+         |  SELECT source,
+         |         CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(*) FILTER (WHERE $sqlQuality >= 0.5) AS BIGINT) AS n_pass
+         |  FROM documents GROUP BY 1)
+         |SELECT source, n_docs, n_pass,
+         |       ${Selection.wilsonLbSql("n_pass", "n_docs")} AS wilson_lb,
+         |       CAST(row_number() OVER (
+         |         ORDER BY ${Selection.wilsonLbSql("n_pass", "n_docs")} DESC, source)
+         |         AS BIGINT) AS rnk
+         |FROM ps""".stripMargin,
 
     // the composed pipeline: quality gate -> mixture threshold -> dedup
     // rn=1 -> per-shard stats (n_seqs = ceil(total/budget), the packed

@@ -1,5 +1,6 @@
 package graft.entry
 
+import graft.functions.GraftFunctions.tokens
 import graft.llm.{Bloom, Selection, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -67,7 +68,16 @@ object SelectionQueries {
     // windowed shuffle on the group key, no global order
     "q_priority_sample_group" -> ((s, d) =>
       Selection.prioritySamplePerGroup(Tables.documents(s, d), col("lang"),
-        col("doc_id"), col("n_chars"), k = 20))
+        col("doc_id"), col("n_chars"), k = 20)),
+
+    // Cohen's kappa between the model gate (classifier keep) and the
+    // rule gate (blocklist keep): both evaluate inside the scan
+    // projection, one 5-long reduce — calibration at parquet-read speed
+    "q_scorer_kappa" -> ((s, d) =>
+      Selection.agreementKappa(Tables.documents(s, d),
+        Selection.clfKeep(col("text")),
+        size(filter(tokens(TextAnalysis.foldLower(col("text"))),
+          t => t.isin(BlockedWords: _*))) === 0))
   )
 
   // ======================================================================
@@ -185,6 +195,32 @@ object SelectionQueries {
          |         row_number() OVER (PARTITION BY grp
          |           ORDER BY u // weight, doc_id) AS rn
          |  FROM w)
-         |SELECT grp, doc_id, weight, priority FROM p WHERE rn <= 20""".stripMargin
+         |SELECT grp, doc_id, weight, priority FROM p WHERE rn <= 20""".stripMargin,
+
+    // contingency table from one conditional aggregate; po/pe/kappa are
+    // the SAME SQL text the Spark plan evaluates (Selection.kappaSql)
+    "q_scorer_kappa" ->
+      s"""WITH toks AS (SELECT $SqlToks AS tk FROM documents),
+         |g AS (
+         |  SELECT
+         |    (len(tk) > 0 AND
+         |     CAST(coalesce(list_sum(list_transform(tk, t ->
+         |       ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
+         |       AS BIGINT) > 0) AS a,
+         |    (len(list_filter(tk,
+         |      t -> lower(t) IN (${BlockedWords.map(w => s"'$w'").mkString(", ")}))) = 0) AS b
+         |  FROM toks),
+         |ct AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(*) FILTER (WHERE a AND b) AS BIGINT) AS n11,
+         |         CAST(count(*) FILTER (WHERE a AND NOT b) AS BIGINT) AS n10,
+         |         CAST(count(*) FILTER (WHERE NOT a AND b) AS BIGINT) AS n01,
+         |         CAST(count(*) FILTER (WHERE NOT a AND NOT b) AS BIGINT) AS n00
+         |  FROM g)
+         |SELECT n, n11, n10, n01, n00,
+         |       ${Selection.poSql("n", "n11", "n00")} AS po,
+         |       ${Selection.peSql("n", "n11", "n10", "n01", "n00")} AS pe,
+         |       ${Selection.kappaSql("n", "n11", "n10", "n01", "n00")} AS kappa
+         |FROM ct""".stripMargin
   )
 }

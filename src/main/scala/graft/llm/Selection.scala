@@ -59,6 +59,20 @@ object Selection {
   private def clfWeightQ(bucket: Column): Column =
     (bucket * lit(2654435761L)) % 2001L - 1000L
 
+  /** Exact integer classifier margin over a token array — the
+    * [[qualityClassifier]] accumulator as a composable Column, so other
+    * operators (e.g. [[agreementKappa]]'s query) can evaluate the gate
+    * in THEIR scan projection without a per-doc join. */
+  private def clfMarginQ(tk: Column): Column =
+    aggregate(tk, lit(0L), (acc, t) => acc + clfWeightQ(md5Long(t) % ClfBuckets))
+
+  /** The classifier keep gate as one composable Column: n_toks > 0 and
+    * positive margin — identical to [[qualityClassifier]]'s `keep`. */
+  def clfKeep(text: Column): Column = {
+    val tk = tokens(text)
+    size(tk) > 0 && clfMarginQ(tk) > 0L
+  }
+
   /** Hashed-linear quality score per doc: tokens hash into
     * [[ClfBuckets]] buckets, per-bucket weights accumulate in exact
     * integer milliunits, and the margin normalizes by token count.
@@ -71,8 +85,7 @@ object Selection {
     * Returns (doc_id, n_toks, q_margin, q_score, keep). */
   def qualityClassifier(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val tk = tokens(text)
-    val marginQ = aggregate(tk, lit(0L),
-      (acc, t) => acc + clfWeightQ(md5Long(t) % ClfBuckets))
+    val marginQ = clfMarginQ(tk)
     docs.select(id.as("doc_id"), size(tk).cast("long").as("n_toks"),
         marginQ.as("q_margin"))
       .withColumn("q_score",
@@ -228,4 +241,105 @@ object Selection {
         (col("swq").cast("double") / lit(Scale)).as("dsir_logw"),
         (col("swq") > 0).as("selected"))
   }
+
+  /** SQL text of the Wilson score interval LOWER bound (z = 1.96, 95%
+    * two-sided) for the pass fraction `nPass / nDocs`. Shared VERBATIM
+    * by the Spark plan (via `expr`) and the DuckDB oracle: same decimal
+    * literals, same parenthesization, and every op (+ - * / sqrt) is
+    * IEEE-754 correctly rounded on both engines, so the doubles match
+    * bit-for-bit. Algebraically-equal rearrangements of the margin term
+    * do NOT match in floating point — the single shared text is what
+    * keeps the hash gate meaningful. z² is written `(1.96 * 1.96)` (not
+    * a 3.8416 literal) so it is exactly the square of the z used in the
+    * margin on both sides. */
+  def wilsonLbSql(nPass: String, nDocs: String): String = {
+    val n = s"CAST($nDocs AS DOUBLE)"
+    val p = s"(CAST($nPass AS DOUBLE) / $n)"
+    s"(($p + (1.96 * 1.96) / (2.0 * $n)" +
+      s" - 1.96 * sqrt(($p * (1.0 - $p) + (1.96 * 1.96) / (4.0 * $n)) / $n))" +
+      s" / (1.0 + (1.96 * 1.96) / $n))"
+  }
+
+  /** Rank sources by the Wilson lower confidence bound of their
+    * quality-pass rate — the "how not to sort by average rating"
+    * estimator. A source with 3/3 passing docs must NOT outrank one
+    * with 9500/10000: the raw fraction ignores sample size, the lower
+    * bound prices it in, and a curation pipeline allocating sampling
+    * weight (or audit attention) per source wants exactly this
+    * uncertainty-penalized ordering. `pass` is any boolean gate (the
+    * queries use the shared quality ≥ 0.5 rule).
+    *
+    * 100 TB posture: ONE hash shuffle on `source` with map-side partial
+    * aggregation — each task contributes two longs per source, so the
+    * exchange is |sources|-sized regardless of corpus bytes. The bound
+    * and the rank are computed on the AGGREGATED per-source table
+    * (~10⁵ rows at lake scale); the unpartitioned row_number window is
+    * a deliberate single-partition pass over that tiny table, never
+    * over the corpus. Ties on the double bound break by source name,
+    * so the rank is fully deterministic.
+    *
+    * Returns (source, n_docs, n_pass, wilson_lb, rnk). */
+  def wilsonSourceRank(docs: DataFrame, source: Column, pass: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(source.as("source"), pass.cast("long").as("p"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass"))
+      .select(col("source"), col("n_docs"), col("n_pass"),
+        expr(wilsonLbSql("n_pass", "n_docs")).as("wilson_lb"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("wilson_lb").desc, col("source")))
+        .cast("long"))
+  }
+
+  /** Shared SQL text of observed agreement (n11+n00)/n. */
+  def poSql(n: String, n11: String, n00: String): String =
+    s"((CAST($n11 AS DOUBLE) + CAST($n00 AS DOUBLE)) / CAST($n AS DOUBLE))"
+
+  /** Shared SQL text of chance agreement: the product of the marginal
+    * positive rates plus the product of the marginal negative rates. */
+  def peSql(n: String, n11: String, n10: String, n01: String, n00: String): String = {
+    val nd = s"CAST($n AS DOUBLE)"
+    s"(((CAST($n11 AS DOUBLE) + CAST($n10 AS DOUBLE)) / $nd)" +
+      s" * ((CAST($n11 AS DOUBLE) + CAST($n01 AS DOUBLE)) / $nd)" +
+      s" + ((CAST($n01 AS DOUBLE) + CAST($n00 AS DOUBLE)) / $nd)" +
+      s" * ((CAST($n10 AS DOUBLE) + CAST($n00 AS DOUBLE)) / $nd))"
+  }
+
+  /** Cohen's kappa text: (po − pe) / (1 − pe), po/pe inlined verbatim. */
+  def kappaSql(n: String, n11: String, n10: String, n01: String, n00: String): String = {
+    val po = poSql(n, n11, n00)
+    val pe = peSql(n, n11, n10, n01, n00)
+    s"(($po - $pe) / (1.0 - $pe))"
+  }
+
+  /** Cohen's-kappa agreement between two boolean document gates — the
+    * standard calibration check a curation stack runs when a cheap rule
+    * filter and a model-based scorer are both in production: raw
+    * agreement (po) overstates consensus when one gate passes almost
+    * everything, kappa subtracts the chance-agreement floor (pe). Kappa
+    * near 1 = redundant gates; near 0 = independent signals (run both);
+    * negative = systematic disagreement (a miscalibrated scorer).
+    *
+    * Determinism: the contingency table is four exact long counts from
+    * one conditional aggregate; po/pe/kappa evaluate SHARED SQL text on
+    * both engines (the wilsonLbSql discipline).
+    *
+    * 100 TB posture: both gates evaluate inside the scan projection
+    * (the caller passes Columns, not pre-joined frames — no per-doc
+    * join), and the only exchange is the 5-long partial-aggregate
+    * reduce to one row. Runs at parquet-read speed.
+    *
+    * Returns 1 row: (n, n11, n10, n01, n00, po, pe, kappa). */
+  def agreementKappa(docs: DataFrame, a: Column, b: Column): DataFrame =
+    docs.select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        expr(poSql("n", "n11", "n00")).as("po"),
+        expr(peSql("n", "n11", "n10", "n01", "n00")).as("pe"),
+        expr(kappaSql("n", "n11", "n10", "n01", "n00")).as("kappa"))
 }

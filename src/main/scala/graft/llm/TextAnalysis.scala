@@ -783,6 +783,198 @@ object TextAnalysis {
         count(lit(1)).as("n_langs"),
         (sum(col("tq")).cast("double") / lit(1e9)).as("entropy"))
 
+  /** Fixed-point scale for the Zipf log quantization: 1e6 keeps the
+    * per-row quantized logs small enough that the exact integer moment
+    * sums (Σxy, Σx²) stay far inside Long even at lake scale — x ≤
+    * ln(topK)·10⁶ ≈ 6.2e6, y ≤ ln(10¹² tokens)·10⁶ ≈ 2.8e7, so a
+    * 512-row product sum tops out near 9e16 ≪ 2⁶³. */
+  private val ZipfScale = "1000000.0"
+
+  /** Shared SQL text of the least-squares slope over quantized log-log
+    * points — evaluated VERBATIM by both engines (the wilsonLbSql
+    * discipline: identical parse tree + IEEE-correctly-rounded ops =
+    * bit-equal doubles). The quantization scale cancels in the slope. */
+  private def zipfSlopeSql(n: String, sx: String, sy: String,
+                           sxy: String, sxx: String): String =
+    s"((CAST($n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))" +
+      s" / (CAST($n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)))"
+
+  /** Intercept text: mean_y − slope·mean_x, un-quantized once at the
+    * end (both means carry the same 10⁶ factor). */
+  private def zipfInterceptSql(n: String, sx: String, sy: String,
+                               sxy: String, sxx: String): String =
+    s"((CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)" +
+      s" - ${zipfSlopeSql(n, sx, sy, sxy, sxx)} * (CAST($sx AS DOUBLE) / CAST($n AS DOUBLE)))" +
+      s" / $ZipfScale)"
+
+  /** SQL (both dialects) for the quantized log of a BIGINT column:
+    * floor(ln(v)·10⁶) as BIGINT. libm vs Math.log can differ in the
+    * last ulp; the floor quantization is the documented tolerance (the
+    * bm25 discipline, Retrieval.scala:51). */
+  private def qlogSql(v: String): String =
+    s"CAST(floor(ln(CAST($v AS DOUBLE)) * $ZipfScale) AS BIGINT)"
+
+  /** Zipf's-law fit per language: regress ln(freq) on ln(rank) over the
+    * top `topK` tokens (by frequency, ties broken by token) with
+    * corpus frequency ≥ `minFreq`, reporting the fitted slope (a healthy
+    * natural-language corpus sits near −1; machine-generated or
+    * boilerplate-heavy text flattens or steepens it), the intercept,
+    * and the fitted mass. A curation stack runs this as a corpus-drift
+    * alarm: the slope is a one-number fingerprint of the token
+    * frequency distribution that survives resharding and sampling.
+    *
+    * Determinism: the per-row logs quantize through floor(·10⁶) into
+    * exact longs (see [[qlogSql]]) and all five regression moments are
+    * INTEGER sums — order-independent, so the cross-engine hash gate
+    * holds; the final slope/intercept doubles evaluate the SHARED SQL
+    * text on both engines.
+    *
+    * 100 TB posture: one (lang, token) hash shuffle with map-side
+    * combine builds the frequency table; the `minFreq` gate cuts the
+    * hapax tail BEFORE the per-lang window (at lake scale the surviving
+    * vocabulary is ~10⁶ rows per language — the window sorts that, never
+    * the corpus); the regression itself aggregates topK rows per lang.
+    * Returns (lang, n_fit, slope, intercept). */
+  def zipfFit(df: DataFrame, lang: Column, text: Column,
+              topK: Int = 512, minFreq: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(lang.as("lang"), explode(tokens(text)).as("w"))
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val ranked = tf
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("w"))))
+      .filter(col("rnk") <= topK)
+      .select(col("lang"),
+        expr(qlogSql("rnk")).as("xq"),
+        expr(qlogSql("freq")).as("yq"))
+    ranked
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_fit"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .select(col("lang"), col("n_fit"),
+        expr(zipfSlopeSql("n_fit", "sx", "sy", "sxy", "sxx")).as("slope"),
+        expr(zipfInterceptSql("n_fit", "sx", "sy", "sxy", "sxx")).as("intercept"))
+  }
+
+  /** DuckDB oracle fragment for [[zipfFit]] — the SAME slope/intercept
+    * text the Spark plan evaluates, over the same quantized moments.
+    * `toksExpr` is the caller's token-list SQL over `documents.text`. */
+  def zipfOracleSql(toksExpr: String, topK: Int = 512, minFreq: Long = 5L): String =
+    s"""WITH tf AS (
+       |  SELECT lang, w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT lang, unnest($toksExpr) AS w FROM documents) t
+       |  GROUP BY 1, 2 HAVING count(*) >= $minFreq),
+       |rk AS (
+       |  SELECT lang, ${qlogSql("rnk")} AS xq, ${qlogSql("freq")} AS yq
+       |  FROM (SELECT lang, freq, row_number() OVER (
+       |          PARTITION BY lang ORDER BY freq DESC, w) AS rnk FROM tf) r
+       |  WHERE rnk <= $topK),
+       |mo AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_fit,
+       |         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+       |         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+       |         CAST(sum(xq * xq) AS BIGINT) AS sxx
+       |  FROM rk GROUP BY 1)
+       |SELECT lang, n_fit,
+       |       ${zipfSlopeSql("n_fit", "sx", "sy", "sxy", "sxx")} AS slope,
+       |       ${zipfInterceptSql("n_fit", "sx", "sy", "sxy", "sxx")} AS intercept
+       |FROM mo""".stripMargin
+
+  /** Shared SQL text of the PMI ratio p(xy)/(p(x)p(y)) =
+    * (c2·N·N)/(B·c1a·c1b) — pure double arithmetic over exact longs,
+    * no transcendental, so it is bit-equal across engines AND a
+    * monotone stand-in for PMI itself: the top-k ORDER BY runs on this
+    * ratio, keeping the ranking ln-free (libm-vs-JVM ulp drift cannot
+    * reorder it). */
+  private def pmiRatioSql(c2: String, c1a: String, c1b: String,
+                          n: String, b: String): String =
+    s"((CAST($c2 AS DOUBLE) * CAST($n AS DOUBLE) * CAST($n AS DOUBLE))" +
+      s" / (CAST($b AS DOUBLE) * CAST($c1a AS DOUBLE) * CAST($c1b AS DOUBLE)))"
+
+  /** Pointwise mutual information over corpus bigrams: PMI(x,y) =
+    * ln p(xy)/(p(x)p(y)) with p from exact occurrence counts (N
+    * unigram tokens, B bigram tokens). High-PMI pairs are the corpus's
+    * collocations — boilerplate phrases, templated navigation, code
+    * idioms — and a curation stack reads the top of this list as a
+    * stop-gram candidate inventory (the n-gram analogue of a stopword
+    * list). `minCount` cuts the unstable low-count tail (hapax bigrams
+    * of hapax words have maximal PMI and zero signal — the standard
+    * Church-Hanks caveat).
+    *
+    * Determinism: the RANKING orders by the ln-free ratio (see
+    * [[pmiRatioSql]], bit-equal doubles from longs), ties broken by
+    * (w1, w2); only the EMITTED pmi value takes a log, quantized
+    * through floor(·10⁹) (the bm25 tolerance, Retrieval.scala:51).
+    *
+    * 100 TB posture: two explode→hash-agg count tables (map-side
+    * combine collapses each task to its distinct grams), two
+    * vocab-sized hash joins (c2 ⋈ c1 on each side word — never a
+    * corpus-row join), broadcast 1-row totals, and a TakeOrdered top-k
+    * (per-partition heaps, no global sort).
+    * Returns (w1, w2, c2, c1a, c1b, pmi), topK rows. */
+  def pmiTop(df: DataFrame, text: Column, minCount: Long = 5L,
+             topK: Int = 64): DataFrame = {
+    val tks = df.select(tokens(text).as("tk"))
+    val c1 = tks.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val totals = tks.select(
+        size(col("tk")).cast("long").as("nt"),
+        greatest(size(col("tk")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum(col("nt")).as("n"), sum(col("nb")).as("b"))
+    val c2 = tks.select(explode(graft.functions.Shingles(col("tk"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"), col("c2"))
+    val ratio = pmiRatioSql("c2", "c1a", "c1b", "n", "b")
+    c2.join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c2"), col("c1a"), col("c1b"),
+        (expr(s"CAST(floor(ln($ratio) * 1.0E9) AS BIGINT)").cast("double") /
+          lit(1.0e9)).as("pmi"),
+        expr(ratio).as("r"))
+      .orderBy(col("r").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .drop("r")
+  }
+
+  /** DuckDB oracle for [[pmiTop]] — same count tables, same ratio and
+    * quantized-ln text. `toksExpr` is the token-list SQL over
+    * documents.text. */
+  def pmiOracleSql(toksExpr: String, minCount: Long = 5L,
+                   topK: Int = 64): String = {
+    val ratio = pmiRatioSql("c2", "c1a", "c1b", "n", "b")
+    s"""WITH toks AS (SELECT $toksExpr AS tk FROM documents),
+       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |       FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n,
+       |               CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS b
+       |        FROM toks),
+       |bg AS (
+       |  SELECT unnest(CASE WHEN len(tk) >= 2
+       |         THEN list_transform(range(0, len(tk) - 1),
+       |                i -> array_to_string(tk[i+1:i+2], ' '))
+       |         ELSE [] END) AS bg
+       |  FROM toks),
+       |c2 AS (
+       |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       |         CAST(count(*) AS BIGINT) AS c2
+       |  FROM bg GROUP BY 1, 2 HAVING count(*) >= $minCount)
+       |SELECT w1, w2, c2, c1a, c1b,
+       |       CAST(floor(ln($ratio) * 1.0E9) AS BIGINT) / 1.0E9 AS pmi
+       |FROM (
+       |  SELECT c2.w1, c2.w2, c2.c2, a.c1 AS c1a, bb.c1 AS c1b, tot.n, tot.b
+       |  FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 bb ON c2.w2 = bb.w
+       |  CROSS JOIN tot) j
+       |ORDER BY $ratio DESC, w1, w2 LIMIT $topK""".stripMargin
+  }
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

@@ -615,4 +615,65 @@ class AnalyticsSpec extends SparkSpec {
     assert(ex.getMessage.contains("not divisible") ||
       Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
   }
+
+  // ------------------------------------------------------------------- zipf
+
+  test("zipfFit recovers the slope of an exact power-law corpus") {
+    // token t_r appears floor(4096 / r^1) times, r = 1..16: slope ≈ -1
+    val words = (1 to 16).flatMap { r =>
+      Seq.fill(4096 / r)(s"t$r")
+    }
+    // pack into docs of 64 tokens so the tokenizer sees realistic rows
+    val docs = words.grouped(64).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.zipfFit(docs, col("lang"), col("text"),
+        topK = 16, minFreq = 1L)
+      .select("lang", "n_fit", "slope")
+      .as[(String, Long, Double)].collect()
+    assert(got.length == 1 && got.head._1 == "en")
+    assert(got.head._2 == 16L)
+    // floor(4096/r) and the 1e-6 log quantization both perturb slightly
+    assert(math.abs(got.head._3 - (-1.0)) < 0.01, s"slope ${got.head._3}")
+  }
+
+  test("pmiTop: hand-computed PMI, minCount cuts hapax pairs, deterministic order") {
+    // tokens: x y x y x y a b c a — N=10, B=9
+    // c2(x y)=3, c2(y x)=2; hapax bigrams (y a, a b, b c, c a) die at minCount=2
+    val docs = Seq((0L, "x y x y x y a b c a")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiTop(docs, col("text"), minCount = 2L, topK = 10)
+      .select("w1", "w2", "c2", "pmi")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("x", "y", 3L), ("y", "x", 2L)))
+    // PMI(x,y) = ln(3·10·10 / (9·3·3)) = ln(300/81)
+    assert(math.abs(got(0)._4 - math.log(300.0 / 81.0)) < 1e-6)
+    assert(math.abs(got(1)._4 - math.log(200.0 / 81.0)) < 1e-6)
+    val reshard = TextAnalysis.pmiTop(
+      docs.union(docs.limit(0)).repartition(5), col("text"),
+      minCount = 2L, topK = 10).select("pmi").as[Double].collect()
+    assert(reshard.toSeq == got.map(_._4).toSeq, "reshard-invariant")
+  }
+
+  test("zipfFit: minFreq gates the tail, topK caps the fit, reshard-invariant") {
+    val words = Seq.fill(40)("common") ++ Seq.fill(12)("mid") ++
+      Seq.fill(9)("low") ++ Seq("hapax1", "hapax2")
+    val docs = words.grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, "en", ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "lang", "text")
+    val fit = TextAnalysis.zipfFit(docs, col("lang"), col("text"),
+      topK = 2, minFreq = 5L)
+    val row = fit.select("n_fit", "slope")
+      .as[(Long, Double)].collect().head
+    // hapaxes (freq 1 < 5) cut by minFreq; low (9) survives but topK=2
+    // keeps only common(40), mid(12)
+    assert(row._1 == 2L)
+    // two-point fit: slope = ln(12/40)/ln(2/1), up to quantization
+    val expected = math.log(12.0 / 40.0) / math.log(2.0)
+    assert(math.abs(row._2 - expected) < 0.01, s"slope ${row._2}")
+    val reshard = TextAnalysis.zipfFit(docs.repartition(7), col("lang"),
+      col("text"), topK = 2, minFreq = 5L)
+      .select("slope").as[Double].collect().head
+    assert(reshard == row._2, "slope must be reshard-invariant")
+  }
 }

@@ -212,4 +212,79 @@ class SelectionSpec extends SparkSpec {
     // 32-bit packing: no bit above 31 is ever set (the DuckDB-parity cap)
     assert(a.forall(w => (w >>> 32) == 0L), "words must pack only 32 low bits")
   }
+
+  // ---------------------------------------------------------- wilson ranking
+
+  /** Reference Wilson lower bound in the same operation order as
+    * Selection.wilsonLbSql. */
+  private def wilsonRef(nPass: Long, nDocs: Long): Double = {
+    val n = nDocs.toDouble
+    val p = nPass.toDouble / n
+    (p + (1.96 * 1.96) / (2.0 * n) -
+      1.96 * math.sqrt((p * (1.0 - p) + (1.96 * 1.96) / (4.0 * n)) / n)) /
+      (1.0 + (1.96 * 1.96) / n)
+  }
+
+  test("wilsonSourceRank: big consistent source outranks tiny perfect one; bounds match reference") {
+    // tiny: 3/3 pass (raw fraction 1.0); big: 95/100 pass (raw 0.95)
+    val rows = (1 to 3).map(i => (s"d$i", "tiny", true)) ++
+      (1 to 100).map(i => (s"b$i", "big", i <= 95))
+    val df = rows.toDF("doc_id", "source", "pass")
+    val got = Selection.wilsonSourceRank(df, col("source"), col("pass"))
+      .select("source", "n_docs", "n_pass", "wilson_lb", "rnk")
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("tiny")._2 == 3L && got("tiny")._3 == 3L)
+    assert(got("big")._2 == 100L && got("big")._3 == 95L)
+    assert(got("big")._4 == wilsonRef(95, 100))
+    assert(got("tiny")._4 == wilsonRef(3, 3))
+    // the whole point: uncertainty-penalized ordering
+    assert(got("big")._4 > got("tiny")._4)
+    assert(got("big")._5 == 1L && got("tiny")._5 == 2L)
+  }
+
+  test("wilsonSourceRank: zero passes bound to exactly 0; ties rank by source name") {
+    val df = (
+      (1 to 4).map(i => (s"z$i", "none", false)) ++
+      (1 to 5).map(i => (s"x$i", "beta", i <= 2)) ++
+      (1 to 5).map(i => (s"y$i", "alpha", i <= 2))).toDF("doc_id", "source", "pass")
+    val got = Selection.wilsonSourceRank(df, col("source"), col("pass"))
+      .select("source", "wilson_lb", "rnk")
+      .as[(String, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // at p=0 the margin z·sqrt(z²/(4n²)) equals the center z²/(2n) only
+    // algebraically — the computed forms differ by ~1 ulp of residue
+    assert(math.abs(got("none")._2) < 1e-15, "0/n must bound to ~0")
+    // alpha and beta are identical (2/5): same bound, name breaks the tie
+    assert(got("alpha")._2 == got("beta")._2)
+    assert(got("alpha")._3 == 1L && got("beta")._3 == 2L && got("none")._3 == 3L)
+  }
+
+  // ------------------------------------------------------------------ kappa
+
+  test("agreementKappa: known contingency table, po/pe/kappa textbook values") {
+    // n=8: n11=3, n10=1, n01=2, n00=2
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(1)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(2)((false, false))
+    val got = Selection.agreementKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == 8L && got._2 == 3L && got._3 == 1L &&
+      got._4 == 2L && got._5 == 2L)
+    assert(math.abs(got._6 - 0.625) < 1e-12)  // (3+2)/8
+    assert(math.abs(got._7 - 0.5) < 1e-12)    // 0.5*0.625 + 0.5*0.375
+    assert(math.abs(got._8 - 0.25) < 1e-12)   // (0.625-0.5)/(1-0.5)
+  }
+
+  test("agreementKappa: perfect agreement gives kappa 1; clfKeep matches qualityClassifier") {
+    val rows = Seq((true, true), (false, false), (true, true), (false, false),
+      (true, true))
+    val k = Selection.agreementKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .select("kappa").as[Double].collect().head
+    assert(math.abs(k - 1.0) < 1e-12)
+    val viaCol = docs.select(col("doc_id"),
+      Selection.clfKeep(col("text")).as("k")).as[(Long, Boolean)].collect().toMap
+    val viaDf = Selection.qualityClassifier(docs, col("doc_id"), col("text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(viaCol == viaDf, "clfKeep column must equal the classifier's keep")
+  }
 }
