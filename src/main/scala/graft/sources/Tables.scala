@@ -84,7 +84,20 @@ object Tables {
     * classified by whichever file listed first, applying or skipping
     * the ns→us division for the whole table. Metadata-only driver-side
     * footer reads, no data scan. */
-  private def tsAnnotatedNanos(s: SparkSession, path: String): Boolean = {
+  /** Footer-walk verdicts memoized per path: the annotation is a
+    * property of the written files, so one walk per dataset per JVM —
+    * a lake-scale events table has thousands of part footers, and
+    * re-opening them on every `events()` call would put a
+    * footer-listing storm in front of each query. (Test fixtures that
+    * overwrite a path in place within one JVM are not a production
+    * shape; they can clear this map if they ever exist.) */
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def tsAnnotatedNanos(s: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, p => tsAnnotatedNanosUncached(s, p))
+
+  private def tsAnnotatedNanosUncached(s: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = s.sparkContext.hadoopConfiguration

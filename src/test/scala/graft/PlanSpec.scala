@@ -548,4 +548,56 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"dsir must shuffle only for the per-doc sum:\n$p")
   }
+
+  test("scorer kappa: both gates ride the scan projection — one reduce, no join") {
+    // both boolean gates are higher-order-function projections; the only
+    // exchange is the 5-long partial→final reduce to one row
+    val p = plan(SparkEntry.queries("q_scorer_kappa")(spark, sf))
+    assert(!p.contains("Join"), s"gates must not join per-doc frames:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"contingency must partial-aggregate:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"kappa is one reduce — a second exchange means a leaked join:\n$p")
+  }
+
+  test("wilson source rank: corpus shuffles once; rank windows the aggregate only") {
+    val p = plan(SparkEntry.queries("q_source_rank")(spark, sf))
+    // one hash exchange (per-source counts), one single-partition
+    // exchange feeding the |sources|-row rank window — never the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"per-source counts are the only corpus shuffle:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pass counts must partial-aggregate before the exchange:\n$p")
+    // the window's sort input is the aggregated table: the Sort node
+    // must sit ABOVE the final HashAggregate in the plan tree (appear
+    // before it in the printed top-down plan), not over the scan
+    val sortIdx = p.indexOf("Sort ")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(sortIdx >= 0 && sortIdx < aggIdx,
+      s"rank sort must consume the aggregate, not the corpus:\n$p")
+  }
+
+  test("zipf: lang-partitioned window over the minFreq-gated vocab, not the corpus") {
+    val p = plan(SparkEntry.queries("q_zipf")(spark, sf))
+    // the row_number window must be partitioned (an empty partition spec
+    // would single-partition the whole vocabulary)
+    assert(p.contains("windowspecdefinition(lang"),
+      s"rank window must partition by lang:\n$p")
+    // minFreq gate (freq >= 5) runs between the count aggregate and the
+    // window: the printed tree shows Filter above the final aggregate
+    val filtIdx = p.indexOf("(freq")
+    assert(filtIdx >= 0, s"minFreq gate missing from the plan:\n$p")
+    // token-count aggregate is partial (map-side combine collapses each
+    // task to its distinct (lang, token) grams before the exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"tf and regression aggregates must both be partial:\n$p")
+  }
+
+  test("pmi: heap-based top-k, no cartesian, totals broadcast") {
+    val p = plan(SparkEntry.queries("q_pmi")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pmi top-64 must be heap-based, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row totals must nest-loop-broadcast, never cartesian:\n$p")
+  }
 }
