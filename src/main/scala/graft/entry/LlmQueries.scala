@@ -766,6 +766,15 @@ object LlmQueries {
         col("doc_id"), frac = 0.5)
     }),
 
+    // triangle census of the LSH candidate graph — dedup-cluster QA:
+    // high clustering = tight replica cliques, low = borderline chains.
+    // Degree-ordered node-iterator, O(m^1.5) wedge bound (Graph.scala)
+    "q_triangles" -> ((s, d) =>
+      graft.graph.Graph.triangleStats(
+        Dedup.lshCandidatePairs(Tables.documents(s, d), col("doc_id"),
+          col("text"), ShingleW, PairBands, PairRows),
+        col("doc_a"), col("doc_b"))),
+
     // top-64 PMI bigram collocations (stop-gram candidate inventory) —
     // ranking is ln-free (exact ratio of longs), only the emitted pmi
     // quantizes a log (TextAnalysis.pmiTop)
@@ -2274,6 +2283,40 @@ object LlmQueries {
     "q_zipf" -> TextAnalysis.zipfOracleSql(sqlToks),
 
     "q_pmi" -> TextAnalysis.pmiOracleSql(sqlToks),
+
+    // same degree-ordered orientation as Graph.triangleStats; the cand
+    // CTE is the canonical (a<b, distinct) LSH pair set, so no re-canon
+    "q_triangles" ->
+      s"""WITH ${bandCte(PairBands, PairRows)},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsrc a JOIN bandsrc b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS n FROM cand
+         |    UNION ALL SELECT doc_b FROM cand) u GROUP BY 1),
+         |o AS (
+         |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND doc_a < doc_b)
+         |              THEN doc_a ELSE doc_b END AS s,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND doc_a < doc_b)
+         |              THEN doc_b ELSE doc_a END AS t,
+         |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND doc_a < doc_b)
+         |              THEN db.deg ELSE da.deg END AS dt
+         |  FROM cand JOIN deg da ON doc_a = da.n JOIN deg db ON doc_b = db.n),
+         |w AS (
+         |  SELECT e1.t AS t1, e2.t AS t2
+         |  FROM o e1 JOIN o e2 ON e1.s = e2.s
+         |    AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |        FROM w JOIN o e3 ON w.t1 = e3.s AND w.t2 = e3.t),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM cand),
+         |dd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |              CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         |       FROM deg)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |       ${graft.graph.Graph.ccSql("n_triangles", "n_wedges")} AS global_cc
+         |FROM base CROSS JOIN dd CROSS JOIN tri""".stripMargin,
 
     // Wilson bound text comes from the SAME Selection.wilsonLbSql the
     // Spark plan evaluates — shared text, bit-equal doubles

@@ -252,4 +252,78 @@ object Graph {
     }
     Iterator.tabulate(n)(i => (ids.id(i), pr(i)))
   }
+
+  /** Shared SQL text of the global clustering coefficient 3T/W —
+    * evaluated verbatim by both engines (the wilsonLbSql discipline). */
+  def ccSql(t: String, w: String): String =
+    s"((3.0 * CAST($t AS DOUBLE)) / CAST($w AS DOUBLE))"
+
+  /** Triangle census of an undirected graph via the degree-ordered
+    * node-iterator (Schank & Wagner 2005; the MapReduce form is Suri &
+    * Vassilvitskii WWW'11): orient every edge from its lower-rank to
+    * its higher-rank endpoint with rank = (degree, node id), build
+    * wedges from each source's oriented out-pairs, and close them
+    * against the oriented edge set. Degree ordering bounds every
+    * out-degree by O(√m), so wedge volume is O(m^1.5) worst-case
+    * instead of Σ deg² — the difference between a hub node generating
+    * C(deg,2) wedges and generating almost none. Each triangle is
+    * counted exactly once (its rank-minimal vertex owns it).
+    *
+    * On the near-dup candidate graph this is cluster-quality QA: a
+    * high clustering coefficient means candidates form tight cliques
+    * (replica families — safe to collapse to one representative); a
+    * low one means chains of borderline pairs (review the threshold
+    * before transitive dedup merges distinct documents).
+    *
+    * Determinism: every count is an exact integer; the only double is
+    * the coefficient, from shared SQL text. Scale posture: canonical
+    * edges, degrees, orientation, wedges and closures are all keyed
+    * hash joins/aggregates on node ids — no all-pairs, no driver
+    * state; the oriented edge set persists once and feeds the wedge
+    * build and the closure probe.
+    *
+    * Returns 1 row: (n_nodes, n_edges, n_wedges, n_triangles,
+    * global_cc) — n_wedges = Σ C(deg,2), the coefficient denominator. */
+  def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val canon = edges.select(src.as("u"), dst.as("v"))
+      .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = canon.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg_a, a) < (deg_b, b); carry the head's rank key
+    // so the wedge join can order its two heads without re-joining deg
+    val oriented = graft.core.Caches.track(canon
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+          .otherwise(
+            struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt")))
+    // wedges at each source: unordered head pairs, canonicalized by the
+    // SAME rank order the orientation used, so the closing edge (if the
+    // triangle exists) is oriented t1→t2 and one equi-join probes it
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("t1"), col("e2.t").as("t2"))
+    val triangles = wedges.join(oriented.as("e3"),
+        col("t1") === col("e3.s") && col("t2") === col("e3.t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = canon.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        // deg·(deg−1) is even, so the integer div is exact; Spark's `/`
+        // on longs would silently go double
+        sum(expr("(deg * (deg - 1)) div 2")).as("n_wedges")))
+    base.crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        expr(ccSql("n_triangles", "n_wedges")).as("global_cc"))
+  }
 }

@@ -133,17 +133,28 @@ object Dedup {
       .join(dominated, Seq("doc_id"), "left_anti")
   }
 
+  /** LSH candidate pair set: docs sharing ≥1 MinHash band, canonical
+    * (doc_a < doc_b), deduplicated across bands. The bucketed self-join
+    * on band_key is the no-all-pairs discipline every near-dup consumer
+    * shares; the band table persists so the self-join does not
+    * recompute scan→shingle→signature per side (at lake scale: write
+    * the band table once, join the materialization). */
+  def lshCandidatePairs(df: DataFrame, id: Column, text: Column,
+                        shingleWidth: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val b = persistTracked(minhashBands(df, id, text, shingleWidth, bands, rowsPerBand))
+    b.as("x").join(b.as("y"),
+        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+  }
+
   /** Jaccard-verified near-dup pairs: LSH candidates filtered by exact
     * n-gram Jaccard ≥ threshold. The verify step only touches candidate
     * pairs (bucket-bounded). Emits (doc_a, doc_b, jaccard_sim). */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, threshold: Double,
                    shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val withSh = df.select(id.as("doc_id"), array_distinct(shingles(text, shingleWidth)).as("sh"))
-    // persist: the self-join would otherwise recompute scan→shingle→sig per side
-    val b = persistTracked(minhashBands(df, id, text, shingleWidth, bands, rowsPerBand))
-    val cand = b.as("x").join(b.as("y"),
-        col("x.band_key") === col("y.band_key") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val cand = lshCandidatePairs(df, id, text, shingleWidth, bands, rowsPerBand)
     cand
       .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(withSh.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -593,6 +593,18 @@ class PlanSpec extends SparkSpec {
       s"tf and regression aggregates must both be partial:\n$p")
   }
 
+  test("triangles: equi-joins only (wedge join keys on the source node), oriented set cached") {
+    val p = plan(SparkEntry.queries("q_triangles")(spark, sf))
+    // the rank-order inequality rides a hash join on s as a post-join
+    // filter — a CartesianProduct would mean the equi-key was lost
+    assert(!p.contains("CartesianProduct"),
+      s"wedge/closure joins must stay equi-keyed:\n$p")
+    // the oriented edge set feeds wedge-build twice and the closure
+    // probe once — all three must read the persisted copy
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3,
+      s"oriented edges must persist across their three consumers:\n$p")
+  }
+
   test("pmi: heap-based top-k, no cartesian, totals broadcast") {
     val p = plan(SparkEntry.queries("q_pmi")(spark, sf))
     assert(p.contains("TakeOrderedAndProject"),

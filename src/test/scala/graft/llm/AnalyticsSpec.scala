@@ -616,6 +616,32 @@ class AnalyticsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
   }
 
+  // -------------------------------------------------------------- triangles
+
+  test("triangleStats: known census; self-loops, dups and reversals canonicalized") {
+    // triangle {1,2,3} + pendant 3-4 + a 4-cycle {5,6,7,8} (no diagonal)
+    // degrees: 3→3; 4→1; everyone else 2  ⇒  W = 6·C(2,2) + C(3,2) = 9
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),          // duplicate + reversal → one edge
+      (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 4L),                    // self-loop → dropped
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)
+    ).toDF("x", "y")
+    val got = graft.graph.Graph.triangleStats(edges, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got._1 == 8L, s"nodes ${got._1}")
+    assert(got._2 == 8L, s"edges ${got._2}")
+    assert(got._3 == 9L, s"wedges ${got._3}")
+    assert(got._4 == 1L, s"triangles ${got._4}")
+    assert(math.abs(got._5 - 1.0 / 3.0) < 1e-15, s"cc ${got._5}")
+    // clique K4 has C(4,3)=4 triangles, W = 4·C(3,2) = 12, cc = 1
+    val k4 = (for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (i.toLong, j.toLong))
+      .toDF("x", "y")
+    val gk = graft.graph.Graph.triangleStats(k4, col("x"), col("y"))
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(gk._4 == 4L && gk._3 == 12L && math.abs(gk._5 - 1.0) < 1e-15)
+  }
+
   // ------------------------------------------------------------------- zipf
 
   test("zipfFit recovers the slope of an exact power-law corpus") {
