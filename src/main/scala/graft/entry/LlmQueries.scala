@@ -766,6 +766,13 @@ object LlmQueries {
         col("doc_id"), frac = 0.5)
     }),
 
+    // per-cluster cohesion/separation audit of the SemDeDup k-means —
+    // literal centroid array, zero-shuffle projection, one cid reduce
+    "q_cluster_quality" -> ((s, d) =>
+      Similarity.clusterQuality(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"),
+        semCentroids(s, d).map { case (cid, cv, _) => (cid, cv) })),
+
     // triangle census of the LSH candidate graph — dedup-cluster QA:
     // high clustering = tight replica cliques, low = borderline chains.
     // Degree-ordered node-iterator, O(m^1.5) wedge bound (Graph.scala)
@@ -2283,6 +2290,35 @@ object LlmQueries {
     "q_zipf" -> TextAnalysis.zipfOracleSql(sqlToks),
 
     "q_pmi" -> TextAnalysis.pmiOracleSql(sqlToks),
+
+    // rn=1/rn=2 over (ccos DESC, cid) = own and runner-up centroid —
+    // the arr[0]/arr[1] pick of the literal-array projection; quantized
+    // sums and meanQSql shared text keep the doubles bit-equal
+    "q_cluster_quality" ->
+      s"""WITH ${sqlKmeansCte(SemK, IvfIters, pfx = "cq_")},
+         |sc AS (
+         |  SELECT e.vec_id, c.cid, ${sqlCos("e.bv", "c.cv")} AS ccos,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${sqlCos("e.bv", "c.cv")} DESC, c.cid) AS rn
+         |  FROM cq_base e CROSS JOIN cq_c$IvfIters c),
+         |own AS (SELECT vec_id, cid, ccos FROM sc WHERE rn = 1),
+         |sec AS (SELECT vec_id, ccos AS ccos2 FROM sc WHERE rn = 2),
+         |q AS (
+         |  SELECT o.cid,
+         |         CAST(floor(o.ccos * 1.0E9) AS BIGINT) AS mq,
+         |         CAST(floor((o.ccos - s2.ccos2) * 1.0E9) AS BIGINT) AS gq
+         |  FROM own o JOIN sec s2 USING (vec_id)),
+         |g AS (
+         |  SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(mq) AS BIGINT) AS smq,
+         |         CAST(sum(gq) AS BIGINT) AS sgq,
+         |         CAST(min(gq) AS BIGINT) AS mingq
+         |  FROM q GROUP BY 1)
+         |SELECT cid, n,
+         |       ${Similarity.meanQSql("smq", "n")} AS mean_cos,
+         |       ${Similarity.meanQSql("sgq", "n")} AS mean_margin,
+         |       CAST(mingq AS DOUBLE) / 1.0E9 AS min_margin
+         |FROM g""".stripMargin,
 
     // same degree-ordered orientation as Graph.triangleStats; the cand
     // CTE is the canonical (a<b, distinct) LSH pair set, so no re-canon

@@ -530,4 +530,58 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Shared SQL text of a quantized-sum mean: (Σ floor(x·10⁹)) / n,
+    * un-quantized once — both engines evaluate it verbatim. */
+  def meanQSql(sum: String, n: String): String =
+    s"((CAST($sum AS DOUBLE) / CAST($n AS DOUBLE)) / 1.0E9)"
+
+  /** Per-cluster assignment-quality audit — the silhouette-lite check a
+    * clustering-backed stage (IVF index, SemDeDup/D4 screens) runs
+    * before trusting its partition of the corpus. Per vector: cosine to
+    * its own (argmax) centroid = COHESION, and the margin over the
+    * runner-up centroid = SEPARATION (≥ 0 by construction; near-zero
+    * margins are boundary vectors whose assignment a re-train could
+    * flip — a cluster full of them is not a real cluster). Per cluster:
+    * n, mean cohesion, mean margin, min margin (the worst boundary
+    * case). Tie rule matches every assigner in this file: equal
+    * cosines go to the LOWER centroid id.
+    *
+    * Determinism: per-vector doubles quantize through floor(·10⁹) into
+    * longs before the cross-row sums (the lm-score discipline); means
+    * divide once via [[meanQSql]]'s shared text.
+    *
+    * 100 TB posture: centroids are a driver artifact (k·dim floats —
+    * the centroid discipline), embedded as one LITERAL array column, so
+    * the whole per-vector stage (k cosines, sort, quantize) is a
+    * ZERO-SHUFFLE codegen projection at scan speed; the only exchange
+    * is the k-row cid aggregate. No per-vector explode, no k-way join.
+    *
+    * Returns (cid, n, mean_cos, mean_margin, min_margin); clusters
+    * that hold no vectors emit no row. Requires ≥ 2 centroids. */
+  def clusterQuality(df: DataFrame, id: Column, vec: Column,
+                     centroids: Seq[(Long, Array[Float])]): DataFrame = {
+    require(centroids.size >= 2, "margin needs >= 2 centroids")
+    val centArr = array(centroids.sortBy(_._1).map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedLit(cv).as("cv"))
+    }: _*)
+    df.select(id.as("vec_id"), vec.as("v"))
+      .select(col("vec_id"),
+        // (ccos desc, cid asc) via struct sort on (ccos, -cid) desc —
+        // the max_by(struct(ccos, -cid)) rule of every assigner here
+        sort_array(transform(centArr, c =>
+          struct(CosineSimilarity(col("v"), c.getField("cv")).as("ccos"),
+            (-c.getField("cid")).as("ncid"))), asc = false).as("arr"))
+      .select(
+        (-col("arr")(0).getField("ncid")).as("cid"),
+        expr("CAST(floor(arr[0].ccos * 1.0E9) AS BIGINT)").as("mq"),
+        expr("CAST(floor((arr[0].ccos - arr[1].ccos) * 1.0E9) AS BIGINT)").as("gq"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("mq")).as("smq"),
+        sum(col("gq")).as("sgq"), min(col("gq")).as("mingq"))
+      .select(col("cid"), col("n"),
+        expr(meanQSql("smq", "n")).as("mean_cos"),
+        expr(meanQSql("sgq", "n")).as("mean_margin"),
+        (col("mingq").cast("double") / lit(1.0e9)).as("min_margin"))
+  }
 }

@@ -593,6 +593,15 @@ class PlanSpec extends SparkSpec {
       s"tf and regression aggregates must both be partial:\n$p")
   }
 
+  test("cluster quality: literal-centroid projection — no join, one cid reduce") {
+    val p = plan(SparkEntry.queries("q_cluster_quality")(spark, sf))
+    assert(!p.contains("Join"), s"centroids must embed as a literal array, not a join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"the cid aggregate is the only exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"cid stats must partial-aggregate:\n$p")
+  }
+
   test("triangles: equi-joins only (wedge join keys on the source node), oriented set cached") {
     val p = plan(SparkEntry.queries("q_triangles")(spark, sf))
     // the rank-order inequality rides a hash join on s as a post-join

@@ -616,6 +616,35 @@ class AnalyticsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
   }
 
+  // ------------------------------------------------------- cluster quality
+
+  test("clusterQuality: cohesion, runner-up margin, tie to lower cid") {
+    val cents = Seq(0L -> Array(1f, 0f), 1L -> Array(0f, 1f))
+    val vecs = Seq(
+      (10L, Array(1f, 0f)),      // c0: own 1.0, margin 1.0
+      (11L, Array(0.6f, 0.8f)),  // c1: own 0.8, margin 0.2
+      (12L, Array(1f, 1f))       // exact tie -> lower cid 0, margin 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.clusterQuality(vecs, col("vec_id"),
+        col("embedding"), cents)
+      .select("cid", "n", "mean_cos", "mean_margin", "min_margin")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._2 == 2L && got(1L)._2 == 1L)
+    // c0 holds {10 (own 1, margin 1), 12 (own ~.7071, margin 0)}
+    val c0own = (1.0 + math.sqrt(2.0) / 2.0) / 2.0
+    assert(math.abs(got(0L)._3 - c0own) < 1e-6, s"c0 cohesion ${got(0L)._3}")
+    assert(math.abs(got(0L)._4 - 0.5) < 1e-6, s"c0 margin ${got(0L)._4}")
+    assert(math.abs(got(0L)._5 - 0.0) < 1e-9, s"tie margin must be 0")
+    assert(math.abs(got(1L)._3 - 0.8) < 1e-6)
+    assert(math.abs(got(1L)._4 - 0.2) < 1e-6)
+    // reshard invariance of the quantized means
+    val re = Similarity.clusterQuality(vecs.repartition(5), col("vec_id"),
+      col("embedding"), cents).select("cid", "mean_cos")
+      .as[(Long, Double)].collect().toMap
+    assert(re == got.map { case (k, v) => k -> v._3 })
+  }
+
   // -------------------------------------------------------------- triangles
 
   test("triangleStats: known census; self-loops, dups and reversals canonicalized") {
