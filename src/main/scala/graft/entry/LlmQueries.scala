@@ -766,6 +766,16 @@ object LlmQueries {
         col("doc_id"), frac = 0.5)
     }),
 
+    // cross-source content-overlap matrix: distinct shared w-shingles
+    // per source pair (the lexical syndication map); C(k,2) fan-out
+    // bounded by #sources per shingle
+    "q_cross_source_dup" -> ((s, d) =>
+      Dedup.crossSourceDup(
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("source"),
+            explode(GraftFunctions.shingles(col("text"), ShingleW)).as("g")),
+        col("source"), col("g"))),
+
     // per-cluster cohesion/separation audit of the SemDeDup k-means —
     // literal centroid array, zero-shuffle projection, one cid reduce
     "q_cluster_quality" -> ((s, d) =>
@@ -2290,6 +2300,23 @@ object LlmQueries {
     "q_zipf" -> TextAnalysis.zipfOracleSql(sqlToks),
 
     "q_pmi" -> TextAnalysis.pmiOracleSql(sqlToks),
+
+    "q_cross_source_dup" ->
+      s"""WITH toks AS (
+         |  SELECT source, $sqlToks AS tk FROM documents WHERE text IS NOT NULL),
+         |gr AS (
+         |  SELECT source, unnest(CASE WHEN len(tk) >= $ShingleW
+         |         THEN list_transform(range(0, len(tk) - $ShingleW + 1),
+         |                i -> array_to_string(tk[i+1:i+$ShingleW], ' '))
+         |         ELSE [] END) AS g
+         |  FROM toks),
+         |sh AS (SELECT DISTINCT source AS src, md5(g) AS h FROM gr),
+         |p AS (
+         |  SELECT a.src AS src_a, b.src AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared FROM p""".stripMargin,
 
     // rn=1/rn=2 over (ccos DESC, cid) = own and runner-up centroid —
     // the arr[0]/arr[1] pick of the literal-array projection; quantized

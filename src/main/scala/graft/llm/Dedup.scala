@@ -35,6 +35,33 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("keep_id")).as("keep_id"))
 
+  /** Cross-source duplication matrix — "which sources carry the same
+    * content": for every source pair, the number of DISTINCT content
+    * units both publish. The unit is the caller's `content` column:
+    * full document text gives the syndication/mirror map (a
+    * high-overlap pair means one source mirrors the other and its
+    * sampling weight double-counts); exploded w-shingles give the
+    * lexical-overlap map (the softer boilerplate/affiliation signal —
+    * the driver query's choice, so the matrix is non-vacuous on
+    * corpora whose exact dups happen to stay within one source).
+    *
+    * Scale posture: the corpus collapses to DISTINCT (source, hash)
+    * rows first (one hash shuffle with map-side distinct), so the
+    * hash-keyed self-join fans out at most #sources rows per content
+    * hash — C(k,2) pairs for a unit carried by k sources, bounded by
+    * #sources² per unit, never corpus-quadratic; the pair aggregate
+    * partial-combines to a |sources|²-row table. NULL content drops
+    * (no identity to share). Emits (src_a, src_b, n_shared) with
+    * src_a < src_b. */
+  def crossSourceDup(df: DataFrame, source: Column, content: Column): DataFrame = {
+    val sh = df.filter(content.isNotNull)
+      .select(source.as("src"), md5(content).as("h")).distinct()
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental exact dedup: dedupe INCOMING docs against an already-
     * ingested corpus — the every-day shape of a continuously-fed lake
     * (yesterday's corpus is fixed; today's drop must not re-add seen

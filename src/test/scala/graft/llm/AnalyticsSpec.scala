@@ -616,6 +616,22 @@ class AnalyticsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
   }
 
+  // ----------------------------------------------------- cross-source dup
+
+  test("crossSourceDup: distinct shared units per pair, canonical order, nulls drop") {
+    val rows = Seq(
+      ("s1", "alpha"), ("s1", "alpha"),       // in-source dup counts once
+      ("s2", "alpha"), ("s3", "alpha"),       // alpha spans 3 sources
+      ("s1", "beta"), ("s2", "beta"),
+      ("s2", "gamma"),                        // unshared
+      ("s3", null.asInstanceOf[String])       // null drops
+    ).toDF("source", "content")
+    val got = Dedup.crossSourceDup(rows, col("source"), col("content"))
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // alpha -> C(3,2) pairs; beta adds to (s1,s2)
+    assert(got == Map(("s1", "s2") -> 2L, ("s1", "s3") -> 1L, ("s2", "s3") -> 1L))
+  }
+
   // ------------------------------------------------------- cluster quality
 
   test("clusterQuality: cohesion, runner-up margin, tie to lower cid") {
