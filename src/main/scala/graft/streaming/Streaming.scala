@@ -561,6 +561,33 @@ object Streaming {
         batchEvents, user, ts, periodMicros))
       .distinct()
 
+  /** Merge one micro-batch's (source, content-hash) sightings into the
+    * persistent overlap ledger behind a streaming
+    * [[graft.llm.Dedup.crossSourceDup]]: the ledger is the DISTINCT
+    * (src, h) set, so the merge is a set union — IDEMPOTENT by
+    * construction (a redelivered batch re-unions rows already present),
+    * no batchId high-water mark needed (the mergeActivityLedger class
+    * of ledger, not the count-additive mergeLineLedger class). The
+    * cross-source matrix of everything seen so far is one
+    * crossSourceDup-shaped self-join over the ledger. State: O(distinct
+    * (source, unit)) rows — bucket by h at lake scale so both the merge
+    * and the pair join co-locate. */
+  def mergeOverlapLedger(ledger: DataFrame, batchDocs: DataFrame,
+                         source: Column, content: Column): DataFrame =
+    ledger.select(col("src"), col("h"))
+      .unionByName(batchDocs.filter(content.isNotNull)
+        .select(source.as("src"), md5(content).as("h")))
+      .distinct()
+
+  /** The cross-source matrix over an overlap ledger — identical output
+    * contract to [[graft.llm.Dedup.crossSourceDup]] on the batch union
+    * of every micro-batch (StreamingSpec pins the equality). */
+  def overlapMatrixFromLedger(ledger: DataFrame): DataFrame =
+    ledger.as("a").join(ledger.as("b"),
+        col("a.h") === col("b.h") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
   /** Merge one micro-batch's token counts into a persistent vocabulary
     * ledger (tok, n) — the ingest half of a streaming tokenizer-coverage
     * audit ([[graft.llm.TextAnalysis.oovRate]]'s vocabulary, built

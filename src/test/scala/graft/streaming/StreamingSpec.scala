@@ -854,4 +854,48 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("overlap ledger in foreachBatch: matrix equals batch crossSourceDup; replay is a no-op") {
+    // the (src, h) ledger is a distinct set union — idempotent like the
+    // activity ledger, so a redelivered batch needs no high-water mark
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val b1 = Seq(("s1", "alpha"), ("s2", "alpha"), ("s1", "beta"))
+    val b2 = Seq(("s3", "alpha"), ("s2", "beta"), ("s2", "gamma"), ("s1", "beta"))
+
+    var ledger = Seq.empty[(String, String)].toDF("src", "h")
+    def mergeBatch(rows: Seq[(String, String)]): Unit = ledger.synchronized {
+      ledger = Streaming.mergeOverlapLedger(ledger,
+        rows.toDF("source", "content"), col("source"), col("content")).cache()
+      ledger.count()
+      ()
+    }
+    val ms = MemoryStream[(String, String)]
+    val q = ms.toDF().toDF("source", "content").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeOverlapLedger(ledger, batch,
+            col("source"), col("content")).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    val streamed = Streaming.overlapMatrixFromLedger(ledger)
+      .as[(String, String, Long)].collect().toSet
+    val batchM = graft.llm.Dedup.crossSourceDup(
+        (b1 ++ b2).toDF("source", "content"), col("source"), col("content"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batchM, s"stream=$streamed batch=$batchM")
+    // at-least-once redelivery: merging batch 2 AGAIN changes nothing
+    val before = ledger.as[(String, String)].collect().toSet
+    mergeBatch(b2)
+    assert(ledger.as[(String, String)].collect().toSet == before,
+      "replayed batch must be a set-union no-op")
+    assert(Streaming.overlapMatrixFromLedger(ledger)
+      .as[(String, String, Long)].collect().toSet == batchM)
+  }
 }
