@@ -798,6 +798,12 @@ object LlmQueries {
     "q_pmi" -> ((s, d) =>
       TextAnalysis.pmiTop(Tables.documents(s, d), col("text"))),
 
+    // Heaps'-law vocabulary-growth exponent over 10 doc-id-range
+    // prefixes — the growth-curve drift alarm beside q_zipf's
+    // frequency fingerprint; no doc-order sort (TextAnalysis.heapsFit)
+    "q_heaps" -> ((s, d) =>
+      TextAnalysis.heapsFit(Tables.documents(s, d), col("doc_id"), col("text"))),
+
     // Zipf's-law slope per language over the top-512 tokens — the
     // one-number corpus-drift fingerprint. Quantized-log integer
     // moments, shared final-math SQL text (see TextAnalysis.zipfFit).
@@ -2298,6 +2304,8 @@ object LlmQueries {
          |WHERE pr <= 0.5""".stripMargin,
 
     "q_zipf" -> TextAnalysis.zipfOracleSql(sqlToks),
+
+    "q_heaps" -> TextAnalysis.heapsOracleSql(sqlToks),
 
     "q_pmi" -> TextAnalysis.pmiOracleSql(sqlToks),
 

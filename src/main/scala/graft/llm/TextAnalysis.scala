@@ -885,6 +885,108 @@ object TextAnalysis {
        |       ${zipfInterceptSql("n_fit", "sx", "sy", "sxy", "sxx")} AS intercept
        |FROM mo""".stripMargin
 
+  /** Heaps'-law fit: vocabulary growth V(N) ≈ K·N^β over a fixed
+    * corpus-prefix order. β near 0.4–0.6 is healthy natural text;
+    * β falling toward 0 means the crawl has stopped finding new
+    * vocabulary (saturation — more data adds tokens but no types), and
+    * an anomalously high β flags OCR noise or mangled encodings
+    * minting endless fake types. The companion drift alarm to
+    * [[zipfFit]]: zipf reads the FREQUENCY distribution, Heaps reads
+    * the GROWTH curve.
+    *
+    * Prefix construction without a global sort: docs bucket by id
+    * value into `buckets` fixed ranges (floor(B·doc_id/(max+1)) — one
+    * 1-row max broadcast, deterministic, order-preserving), each
+    * token's contribution to V lands in the bucket of its FIRST-seen
+    * doc (min doc_id per token — one token-keyed shuffle), and
+    * cumulative sums over the B-row bucket table give the (N_i, V_i)
+    * growth points. The regression is [[zipfFit]]'s quantized-moment
+    * least squares over (ln N_i, ln V_i) — exact integer sums, shared
+    * final-math SQL text.
+    *
+    * 100 TB posture: one explode→(tok) shuffle for first-seen, one for
+    * per-bucket token counts (map-side combined), then everything is
+    * B rows. No doc-order sort anywhere.
+    *
+    * Returns 1 row: (n_points, n_tokens, n_types, beta, log_k). */
+  def heapsFit(df: DataFrame, id: Column, text: Column,
+               buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val mx = df.agg(max(id).cast("long").as("mx"))
+    // `div`, not `/`: Spark's `/` on longs goes double and its long cast
+    // truncates, while DuckDB's double→BIGINT cast ROUNDS — integer
+    // division on both engines sidesteps the mismatch entirely
+    def bucketOf(c: String): String =
+      s"(CAST($c AS BIGINT) * $buckets) div (mx + 1)"
+    // per-bucket occurrence mass
+    val occ = toks.crossJoin(broadcast(mx))
+      .select(expr(bucketOf("doc_id")).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("occ"))
+    // per-bucket NEW types (token's first-seen doc decides its bucket)
+    val newTypes = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("d0"))
+      .crossJoin(broadcast(mx))
+      .select(expr(bucketOf("d0")).as("bk"))
+      .groupBy(col("bk")).agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = occ.join(newTypes, Seq("bk"), "full")
+      .select(col("bk"), coalesce(col("occ"), lit(0L)).as("occ"),
+        coalesce(col("nt"), lit(0L)).as("nt"))
+      .withColumn("n_cum", sum(col("occ")).over(w))
+      .withColumn("v_cum", sum(col("nt")).over(w))
+      .filter(col("n_cum") > 0L && col("v_cum") > 0L)
+      .select(expr(qlogSql("n_cum")).as("xq"), expr(qlogSql("v_cum")).as("yq"),
+        col("n_cum"), col("v_cum"))
+    pts.agg(count(lit(1)).as("n_points"),
+        max(col("n_cum")).as("n_tokens"), max(col("v_cum")).as("n_types"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+      .select(col("n_points"), col("n_tokens"), col("n_types"),
+        expr(zipfSlopeSql("n_points", "sx", "sy", "sxy", "sxx")).as("beta"),
+        expr(zipfInterceptSql("n_points", "sx", "sy", "sxy", "sxx")).as("log_k"))
+  }
+
+  /** DuckDB oracle for [[heapsFit]] — same buckets, same cumulative
+    * sums, same quantized regression text. */
+  def heapsOracleSql(toksExpr: String, buckets: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($toksExpr) AS tok FROM documents),
+       |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents),
+       |occ AS (
+       |  SELECT (CAST(doc_id AS BIGINT) * $buckets) // (mx + 1) AS bk,
+       |         CAST(count(*) AS BIGINT) AS occ
+       |  FROM toks CROSS JOIN mx GROUP BY 1),
+       |nt AS (
+       |  SELECT (CAST(d0 AS BIGINT) * $buckets) // (mx + 1) AS bk,
+       |         CAST(count(*) AS BIGINT) AS nt
+       |  FROM (SELECT tok, min(doc_id) AS d0 FROM toks GROUP BY 1) f
+       |  CROSS JOIN mx GROUP BY 1),
+       |pts AS (
+       |  SELECT ${qlogSql("n_cum")} AS xq, ${qlogSql("v_cum")} AS yq,
+       |         n_cum, v_cum
+       |  FROM (
+       |    SELECT bk,
+       |           CAST(sum(coalesce(occ, 0)) OVER (ORDER BY bk
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+       |           CAST(sum(coalesce(nt, 0)) OVER (ORDER BY bk
+       |             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v_cum
+       |    FROM occ FULL JOIN nt USING (bk)) c
+       |  WHERE n_cum > 0 AND v_cum > 0),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |         CAST(max(n_cum) AS BIGINT) AS n_tokens,
+       |         CAST(max(v_cum) AS BIGINT) AS n_types,
+       |         CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+       |         CAST(sum(xq * yq) AS BIGINT) AS sxy,
+       |         CAST(sum(xq * xq) AS BIGINT) AS sxx
+       |  FROM pts)
+       |SELECT n_points, n_tokens, n_types,
+       |       ${zipfSlopeSql("n_points", "sx", "sy", "sxy", "sxx")} AS beta,
+       |       ${zipfInterceptSql("n_points", "sx", "sy", "sxy", "sxx")} AS log_k
+       |FROM mo""".stripMargin
+
   /** Shared SQL text of the PMI ratio p(xy)/(p(x)p(y)) =
     * (c2·N·N)/(B·c1a·c1b) — pure double arithmetic over exact longs,
     * no transcendental, so it is bit-equal across engines AND a

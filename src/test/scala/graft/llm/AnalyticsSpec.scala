@@ -708,6 +708,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got.head._3 - (-1.0)) < 0.01, s"slope ${got.head._3}")
   }
 
+  test("heapsFit: linear vocab growth fits beta~1; saturated corpus fits beta 0") {
+    // doc i = one fresh token + 9 repeats of "c": V(N) = n+1 at N = 10n
+    val growing = (0 until 100).map(i =>
+      (i.toLong, (Seq(s"u$i") ++ Seq.fill(9)("c")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.heapsFit(growing, col("doc_id"), col("text"))
+      .select("n_points", "n_tokens", "n_types", "beta")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(g._1 == 10L && g._2 == 1000L && g._3 == 101L)
+    // V = n+1 (not n) bends the early points: the true LS slope over
+    // (ln 10n, ln(n+1)) at these 10 points is ~0.966, not 1.0
+    assert(math.abs(g._4 - 1.0) < 0.05, s"beta ${g._4}")
+    // saturation: one token everywhere -> V constant -> beta exactly 0
+    val flat = (0 until 50).map(i => (i.toLong, "c c c c"))
+      .toDF("doc_id", "text")
+    val f = TextAnalysis.heapsFit(flat, col("doc_id"), col("text"))
+      .select("n_types", "beta").as[(Long, Double)].collect().head
+    assert(f._1 == 1L && f._2 == 0.0, s"saturated beta ${f._2}")
+    // reshard invariance
+    val re = TextAnalysis.heapsFit(growing.repartition(7), col("doc_id"),
+      col("text")).select("beta").as[Double].collect().head
+    assert(re == g._4)
+  }
+
   test("pmiTop: hand-computed PMI, minCount cuts hapax pairs, deterministic order") {
     // tokens: x y x y x y a b c a — N=10, B=9
     // c2(x y)=3, c2(y x)=2; hapax bigrams (y a, a b, b c, c a) die at minCount=2
