@@ -593,6 +593,40 @@ class PlanSpec extends SparkSpec {
       s"tf and regression aggregates must both be partial:\n$p")
   }
 
+  test("scd2: every window/exchange keys on the entity — no global sort") {
+    val p = plan(SparkEntry.queries("q_scd2")(spark, sf))
+    assert(!p.contains("Exchange SinglePartition") &&
+      !p.contains("Exchange rangepartitioning"),
+      s"scd2 must never funnel or range-sort the event stream:\n$p")
+    assert(p.contains("windowspecdefinition("),
+      s"run detection must be window-based:\n$p")
+  }
+
+  test("fuzzy join blocks on the equi-key — levenshtein refines, never gates the join") {
+    val p = plan(SparkEntry.queries("q_fuzzy_join")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking key must keep the join equi-keyed:\n$p")
+    assert(p.contains("levenshtein"),
+      s"the refine predicate must ride the join, not a later stage:\n$p")
+  }
+
+  test("cross-source overlap: distinct collapses before the hash-keyed pair join") {
+    val p = plan(SparkEntry.queries("q_cross_source_dup")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must stay hash-keyed:\n$p")
+    // (src, h) distinct = partial+final aggregate pair BEFORE the join
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"distinct and the pair aggregate must both partial-combine:\n$p")
+  }
+
+  test("heaps: token shuffles only — the growth points are B rows, totals broadcast") {
+    val p = plan(SparkEntry.queries("q_heaps")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row max must nest-loop-broadcast:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no doc-order sort anywhere:\n$p")
+  }
+
   test("cluster quality: literal-centroid projection — no join, one cid reduce") {
     val p = plan(SparkEntry.queries("q_cluster_quality")(spark, sf))
     assert(!p.contains("Join"), s"centroids must embed as a literal array, not a join:\n$p")
