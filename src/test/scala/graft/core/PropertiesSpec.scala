@@ -403,4 +403,69 @@ class PropertiesSpec extends SparkSpec {
     s.close()
     assert(!cached(workerFrame))
   }
+
+  test("wilson bound laws on random contingencies: in [0,1), below p-hat, monotone in evidence") {
+    val nGen = Gen.choose(1L, 2000L)
+    for (i <- 0 until Cases) {
+      val n = sample(nGen, 500 + i)
+      val k = sample(Gen.choose(0L, n), 600 + i)
+      // expanding n=2000 docs per case through the public API would be
+      // slow; the law lives in the shared SQL text, so test that directly
+      val v = spark.sql(
+        s"SELECT ${graft.llm.Selection.wilsonLbSql(k.toString, n.toString)} AS lb")
+        .as[Double].collect().head
+      val phat = k.toDouble / n
+      assert(v >= -1e-15 && v < 1.0, s"case $i: lb=$v out of range (n=$n k=$k)")
+      assert(v <= phat + 1e-15, s"case $i: lb=$v must not exceed p-hat=$phat")
+      // 10x the evidence at the same fraction -> bound tightens upward
+      val v10 = spark.sql(
+        s"SELECT ${graft.llm.Selection.wilsonLbSql((k * 10).toString, (n * 10).toString)} AS lb")
+        .as[Double].collect().head
+      assert(v10 >= v - 1e-12, s"case $i: more evidence must not loosen the bound")
+    }
+  }
+
+  test("kappa is symmetric in the two raters and bounded by 1 on random tables") {
+    val cGen = Gen.choose(0L, 50L)
+    for (i <- 0 until Cases) {
+      val Seq(n11, n10, n01, n00) =
+        Seq(0, 1, 2, 3).map(j => sample(cGen, 700 + 4 * i + j))
+      if (n11 + n10 + n01 + n00 > 0) {
+        val rows =
+          Seq.fill(n11.toInt)((true, true)) ++ Seq.fill(n10.toInt)((true, false)) ++
+          Seq.fill(n01.toInt)((false, true)) ++ Seq.fill(n00.toInt)((false, false))
+        val df = rows.toDF("a", "b")
+        val k1 = graft.llm.Selection.agreementKappa(df, col("a"), col("b"))
+          .select("kappa").as[Double].collect().head
+        val k2 = graft.llm.Selection.agreementKappa(df, col("b"), col("a"))
+          .select("kappa").as[Double].collect().head
+        // swapping raters transposes the table (n10 <-> n01): po and pe
+        // are both invariant, so kappa must agree to the last ulp-ish
+        if (!k1.isNaN || !k2.isNaN)
+          assert(k1.isNaN == k2.isNaN ||
+            math.abs(k1 - k2) < 1e-12, s"case $i: $k1 vs $k2")
+        if (!k1.isNaN) assert(k1 <= 1.0 + 1e-12, s"case $i: kappa=$k1 > 1")
+      }
+    }
+  }
+
+  test("triangle census laws: direction/reshard invariant; count bounded by wedges/3") {
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    for (i <- 0 until Cases) {
+      val es = sample(edgeGen, 900 + i)
+      val df = es.toDF("x", "y")
+      val a = graft.graph.Graph.triangleStats(df, col("x"), col("y"))
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      // flipping every edge's direction changes nothing (undirected)
+      val b = graft.graph.Graph.triangleStats(df, col("y"), col("x"))
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      assert(a == b, s"case $i: direction must not matter")
+      val c = graft.graph.Graph.triangleStats(df.repartition(7), col("x"), col("y"))
+        .as[(Long, Long, Long, Long, Double)].collect().head
+      assert(a == c, s"case $i: reshard must not matter")
+      // every triangle consumes 3 wedges
+      assert(3 * a._4 <= a._3, s"case $i: 3T=${3 * a._4} > W=${a._3}")
+    }
+  }
 }
