@@ -112,13 +112,21 @@ object AggQueries {
           ((col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double") / col("n")) /
             col("n") / lit(10000.0)).as("covar_pop"),
-          ((col("sxy").cast("double") -
-            col("sx").cast("double") * col("sy").cast("double") / col("n")) /
-            (sqrt(col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double") / col("n")) *
-             sqrt(col("syy").cast("double") -
-              col("sy").cast("double") * col("sy").cast("double") / col("n"))))
-            .as("corr"))
+          {
+            // a zero-variance group (n=1, or a constant column) makes the
+            // denominator exactly 0.0: corr is undefined there, and Spark
+            // 4 ANSI raises DIVIDE_BY_ZERO even on DOUBLE division — NULL
+            // on both engines (oracle carries the mirrored CASE)
+            val den =
+              sqrt(col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+              sqrt(col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double") / col("n"))
+            when(den === 0.0, lit(null).cast("double"))
+              .otherwise((col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double") / col("n")) / den)
+              .as("corr")
+          })
     }),
 
     "q_rollup" -> ((s, d) => Aggregates.rollupAgg(Tables.lineitem(s, d),
@@ -585,10 +593,13 @@ object AggQueries {
         |SELECT l_returnflag, n,
         |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
         |         / n / 10000.0 AS covar_pop,
-        |       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
-        |         / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-        |            * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
-        |         AS corr
+        |       CASE WHEN (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |                  * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)) = 0.0
+        |            THEN NULL
+        |            ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |              / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |                 * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+        |       END AS corr
         |FROM s""".stripMargin,
 
     "q_rollup" ->

@@ -254,9 +254,13 @@ object Graph {
   }
 
   /** Shared SQL text of the global clustering coefficient 3T/W —
-    * evaluated verbatim by both engines (the wilsonLbSql discipline). */
+    * evaluated verbatim by both engines (the wilsonLbSql discipline).
+    * A wedge-free graph (isolated edges only) leaves the coefficient
+    * undefined — NULL via shared CASE text, since Spark 4 ANSI raises
+    * DIVIDE_BY_ZERO even on DOUBLE division. */
   def ccSql(t: String, w: String): String =
-    s"((3.0 * CAST($t AS DOUBLE)) / CAST($w AS DOUBLE))"
+    s"(CASE WHEN CAST($w AS DOUBLE) = 0.0 THEN NULL" +
+      s" ELSE (3.0 * CAST($t AS DOUBLE)) / CAST($w AS DOUBLE) END)"
 
   /** Triangle census of an undirected graph via the degree-ordered
     * node-iterator (Schank & Wagner 2005; the MapReduce form is Suri &

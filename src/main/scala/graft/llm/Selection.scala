@@ -292,25 +292,32 @@ object Selection {
         .cast("long"))
   }
 
-  /** Shared SQL text of observed agreement (n11+n00)/n. */
+  /** Shared SQL text of observed agreement (n11+n00)/n; NULL on an
+    * empty table (n=0 — ANSI DOUBLE division would raise). */
   def poSql(n: String, n11: String, n00: String): String =
-    s"((CAST($n11 AS DOUBLE) + CAST($n00 AS DOUBLE)) / CAST($n AS DOUBLE))"
+    s"(CASE WHEN CAST($n AS DOUBLE) = 0.0 THEN NULL" +
+      s" ELSE (CAST($n11 AS DOUBLE) + CAST($n00 AS DOUBLE)) / CAST($n AS DOUBLE) END)"
 
   /** Shared SQL text of chance agreement: the product of the marginal
-    * positive rates plus the product of the marginal negative rates. */
+    * positive rates plus the product of the marginal negative rates;
+    * NULL on an empty table. */
   def peSql(n: String, n11: String, n10: String, n01: String, n00: String): String = {
     val nd = s"CAST($n AS DOUBLE)"
-    s"(((CAST($n11 AS DOUBLE) + CAST($n10 AS DOUBLE)) / $nd)" +
+    s"(CASE WHEN $nd = 0.0 THEN NULL" +
+      s" ELSE ((CAST($n11 AS DOUBLE) + CAST($n10 AS DOUBLE)) / $nd)" +
       s" * ((CAST($n11 AS DOUBLE) + CAST($n01 AS DOUBLE)) / $nd)" +
       s" + ((CAST($n01 AS DOUBLE) + CAST($n00 AS DOUBLE)) / $nd)" +
-      s" * ((CAST($n10 AS DOUBLE) + CAST($n00 AS DOUBLE)) / $nd))"
+      s" * ((CAST($n10 AS DOUBLE) + CAST($n00 AS DOUBLE)) / $nd) END)"
   }
 
-  /** Cohen's kappa text: (po − pe) / (1 − pe), po/pe inlined verbatim. */
+  /** Cohen's kappa text: (po − pe) / (1 − pe), po/pe inlined verbatim.
+    * pe = 1 (both raters constant in the same direction) leaves kappa
+    * undefined — NULL via shared CASE text, since Spark 4 ANSI raises
+    * DIVIDE_BY_ZERO even on DOUBLE division. */
   def kappaSql(n: String, n11: String, n10: String, n01: String, n00: String): String = {
     val po = poSql(n, n11, n00)
     val pe = peSql(n, n11, n10, n01, n00)
-    s"(($po - $pe) / (1.0 - $pe))"
+    s"(CASE WHEN (1.0 - $pe) = 0.0 THEN NULL ELSE ($po - $pe) / (1.0 - $pe) END)"
   }
 
   /** Cohen's-kappa agreement between two boolean document gates — the

@@ -795,17 +795,23 @@ object TextAnalysis {
     * discipline: identical parse tree + IEEE-correctly-rounded ops =
     * bit-equal doubles). The quantization scale cancels in the slope. */
   private def zipfSlopeSql(n: String, sx: String, sy: String,
-                           sxy: String, sxx: String): String =
-    s"((CAST($n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))" +
-      s" / (CAST($n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE)))"
+                           sxy: String, sxx: String): String = {
+    val den = s"(CAST($n AS DOUBLE) * CAST($sxx AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sx AS DOUBLE))"
+    val num = s"(CAST($n AS DOUBLE) * CAST($sxy AS DOUBLE) - CAST($sx AS DOUBLE) * CAST($sy AS DOUBLE))"
+    // Spark 4 ANSI raises DIVIDE_BY_ZERO even for DOUBLE division, so a
+    // single-point fit (x-variance 0) must short-circuit to NULL — the
+    // CASE text is shared, so DuckDB agrees instead of emitting inf/nan
+    s"(CASE WHEN $den = 0.0 THEN NULL ELSE $num / $den END)"
+  }
 
   /** Intercept text: mean_y − slope·mean_x, un-quantized once at the
     * end (both means carry the same 10⁶ factor). */
   private def zipfInterceptSql(n: String, sx: String, sy: String,
                                sxy: String, sxx: String): String =
-    s"((CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)" +
+    s"(CASE WHEN CAST($n AS DOUBLE) = 0.0 THEN NULL" +
+      s" ELSE (CAST($sy AS DOUBLE) / CAST($n AS DOUBLE)" +
       s" - ${zipfSlopeSql(n, sx, sy, sxy, sxx)} * (CAST($sx AS DOUBLE) / CAST($n AS DOUBLE)))" +
-      s" / $ZipfScale)"
+      s" / $ZipfScale END)"
 
   /** SQL (both dialects) for the quantized log of a BIGINT column:
     * floor(ln(v)·10⁶) as BIGINT. libm vs Math.log can differ in the

@@ -685,6 +685,13 @@ class AnalyticsSpec extends SparkSpec {
     val gk = graft.graph.Graph.triangleStats(k4, col("x"), col("y"))
       .as[(Long, Long, Long, Long, Double)].collect().head
     assert(gk._4 == 4L && gk._3 == 12L && math.abs(gk._5 - 1.0) < 1e-15)
+    // isolated edges: zero wedges -> coefficient NULL, not a crash
+    // (Spark 4 ANSI raises on double division by zero without the guard)
+    val iso = Seq((1L, 2L), (3L, 4L)).toDF("x", "y")
+    val gi = graft.graph.Graph.triangleStats(iso, col("x"), col("y"))
+      .select("n_wedges", "n_triangles", "global_cc")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(gi._1 == 0L && gi._2 == 0L && gi._3.isEmpty)
   }
 
   // ------------------------------------------------------------------- zipf
@@ -770,5 +777,14 @@ class AnalyticsSpec extends SparkSpec {
       col("text"), topK = 2, minFreq = 5L)
       .select("slope").as[Double].collect().head
     assert(reshard == row._2, "slope must be reshard-invariant")
+    // a single-point fit has zero x-variance: slope/intercept NULL, not
+    // an ANSI DIVIDE_BY_ZERO crash
+    val one = Seq((0L, "en", "solo solo solo solo solo"))
+      .toDF("doc_id", "lang", "text")
+    val deg = TextAnalysis.zipfFit(one, col("lang"), col("text"),
+        topK = 8, minFreq = 1L)
+      .select("n_fit", "slope", "intercept")
+      .as[(Long, Option[Double], Option[Double])].collect().head
+    assert(deg._1 == 1L && deg._2.isEmpty && deg._3.isEmpty)
   }
 }

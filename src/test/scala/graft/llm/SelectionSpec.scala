@@ -275,6 +275,17 @@ class SelectionSpec extends SparkSpec {
     assert(math.abs(got._8 - 0.25) < 1e-12)   // (0.625-0.5)/(1-0.5)
   }
 
+  test("agreementKappa: pe=1 (both raters constant, same direction) yields NULL kappa, no crash") {
+    // all four docs are (true, true): po = 1, pe = 1 — kappa undefined;
+    // Spark 4 ANSI would raise DIVIDE_BY_ZERO without the CASE guard
+    val rows = Seq.fill(4)((true, true)).toDF("a", "b")
+    val got = Selection.agreementKappa(rows, col("a"), col("b"))
+      .select("po", "pe", "kappa")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    assert(got._1.contains(1.0) && got._2.contains(1.0))
+    assert(got._3.isEmpty, s"kappa must be NULL at pe=1, got ${got._3}")
+  }
+
   test("agreementKappa: perfect agreement gives kappa 1; clfKeep matches qualityClassifier") {
     val rows = Seq((true, true), (false, false), (true, true), (false, false),
       (true, true))
