@@ -289,13 +289,19 @@ object Graph {
     * Returns 1 row: (n_nodes, n_edges, n_wedges, n_triangles,
     * global_cc) — n_wedges = Σ C(deg,2), the coefficient denominator. */
   def triangleStats(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val canon = edges.select(src.as("u"), dst.as("v"))
+    // canon feeds THREE consumers (degrees, orientation join, edge
+    // count) and typically sits on an expensive upstream (the LSH
+    // candidate join) — persist it or the whole edge derivation runs
+    // once per consumer; deg likewise feeds both orientation sides and
+    // the wedge total. Both are released by the harness's releaseCaches.
+    val canon = graft.core.Caches.track(edges.select(src.as("u"), dst.as("v"))
       .filter(col("u") =!= col("v") && col("u").isNotNull && col("v").isNotNull)
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
-      .distinct()
-    val deg = canon.select(explode(array(col("a"), col("b"))).as("n"))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .distinct())
+    val deg = graft.core.Caches.track(
+      canon.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg")))
     // orient a→b iff (deg_a, a) < (deg_b, b); carry the head's rank key
     // so the wedge join can order its two heads without re-joining deg
     val oriented = graft.core.Caches.track(canon
