@@ -54,8 +54,10 @@ object Dedup {
     * (no identity to share). Emits (src_a, src_b, n_shared) with
     * src_a < src_b. */
   def crossSourceDup(df: DataFrame, source: Column, content: Column): DataFrame = {
-    val sh = df.filter(content.isNotNull)
-      .select(source.as("src"), md5(content).as("h")).distinct()
+    // persisted: the self-join would otherwise recompute the (explode→)
+    // hash→distinct chain once per side (the minhashBands discipline)
+    val sh = persistTracked(df.filter(content.isNotNull)
+      .select(source.as("src"), md5(content).as("h")).distinct())
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
