@@ -1018,6 +1018,10 @@ object LlmQueries {
     // ---- multimodal plumbing --------------------------------------------
     "q_media_meta" -> ((s, d) => Multimodal.metaScan(media(s, d))),
 
+    // content-defined chunking dedup over the binary payloads — the
+    // alignment-robust storage-dedup primitive (Multimodal.cdcChunkStats)
+    "q_cdc_chunks" -> ((s, d) => Multimodal.cdcChunkStats(media(s, d))),
+
     // frame fingerprint = md5 over the LOWERCASE HEX of the frame BYTES:
     // byte semantics on both engines (DuckDB cannot md5 a BLOB, but both
     // engines hex-render bytes identically) — a char-based oracle would
@@ -2851,6 +2855,41 @@ object LlmQueries {
     // header bytes (by doc_id residue) + utf-8 text; q_media_meta's
     // expected dims come from the residue FORMULA, independent of the
     // byte-parsing path under test (functions/MediaDims).
+    // CDC chunking on the hex rendering: window-hash boundaries
+    // (md5Long % 32 = 0 over the 8-byte window), cuts -> chunk slices,
+    // (hash, len) share counts — mirrors Multimodal.cdcChunkStats
+    "q_cdc_chunks" ->
+      s"""$MediaPayloadCte,
+         |src AS (SELECT CAST(doc_id AS BIGINT) AS media_id, ph, n_bytes
+         |        FROM pl WHERE n_bytes > 0),
+         |bpos AS (
+         |  SELECT media_id, i
+         |  FROM src, unnest(range(8, n_bytes)) AS u(i)
+         |  WHERE CAST('0x'||substring(md5(substring(ph, CAST(2*(i-8)+1 AS INT), 16)), 1, 15)
+         |          AS BIGINT) % 32 = 0),
+         |bl AS (SELECT media_id, list_sort(list(i)) AS bs FROM bpos GROUP BY 1),
+         |cut AS (
+         |  SELECT s.media_id, s.ph,
+         |         list_concat(list_concat([CAST(0 AS BIGINT)], coalesce(bl.bs, [])),
+         |                     [s.n_bytes]) AS cuts
+         |  FROM src s LEFT JOIN bl USING (media_id)),
+         |ch AS (
+         |  SELECT media_id,
+         |         md5(substring(ph, CAST(2*cuts[k+1] + 1 AS INT),
+         |                       CAST(2*(cuts[k+2] - cuts[k+1]) AS INT))) AS ch,
+         |         cuts[k+2] - cuts[k+1] AS clen
+         |  FROM cut, unnest(range(0, len(cuts) - 1)) AS u(k)
+         |  WHERE cuts[k+2] - cuts[k+1] > 0),
+         |sh2 AS (SELECT ch, clen, count(DISTINCT media_id) AS n_media
+         |        FROM ch GROUP BY 1, 2)
+         |SELECT media_id,
+         |       CAST(sum(clen) AS BIGINT) AS n_bytes,
+         |       CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(count(*) FILTER (WHERE n_media >= 2) AS BIGINT) AS n_shared,
+         |       CAST(coalesce(sum(clen) FILTER (WHERE n_media >= 2), 0) AS BIGINT)
+         |         AS shared_bytes
+         |FROM ch JOIN sh2 USING (ch, clen) GROUP BY 1""".stripMargin,
+
     "q_media_meta" ->
       s"""$MediaPayloadCte
          |SELECT CAST(doc_id AS BIGINT) AS media_id,

@@ -192,4 +192,82 @@ object Multimodal {
     media.select(col("media_id"), col("meta.mime").as("mime"),
       col("meta.width").as("width"), col("meta.height").as("height"),
       col("meta.bit_depth").as("bit_depth"), col("meta.n_bytes").as("n_bytes"))
+
+  /** Content-defined chunking dedup over binary payloads — the
+    * storage-dedup primitive (LBFS/Rabin lineage; FastCDC is the
+    * production variant): a chunk boundary falls after byte i wherever
+    * the hash of the `window`-byte window ending at i is ≡ 0 mod
+    * `divisor`, so boundaries are ALIGNMENT-ROBUST — inserting one byte
+    * near the front of a payload shifts every fixed-size block but
+    * leaves all content-defined chunks after the edit identical, which
+    * is exactly why shared-chunk mass detects duplicated media content
+    * that offset-based blocking misses. Average chunk ≈ `divisor`
+    * bytes; a payload shorter than `window` is one chunk.
+    *
+    * Byte semantics ride the LOWERCASE HEX rendering of the payload on
+    * both engines (DuckDB cannot md5/substring a BLOB — the
+    * q_media_frames discipline), so window and chunk hashes are
+    * hex-string md5s, bit-identical across engines for ANY bytes.
+    *
+    * Emits per media: (media_id, n_bytes, n_chunks, n_shared,
+    * shared_bytes) where a chunk is SHARED when its (hash, length)
+    * occurs in ≥ 2 distinct media — per-media shared mass is the
+    * storage-dedup yield estimate, and Σ shared_bytes/Σ n_bytes the
+    * corpus figure.
+    *
+    * Plan shape: boundary detection and chunk slicing are per-payload
+    * projections (posexplode over byte positions feeding one
+    * collect_list back on the SAME media key — one media-keyed
+    * exchange); chunk sharing is one (hash, len) aggregate plus a
+    * broadcast-size join back. SEAM note: the per-position explode
+    * materializes n rows per payload, fine for the KB-scale payloads
+    * here; MB-scale media wants the boundary scan fused into one
+    * native Expression pass (the MediaDims pattern) — the plumbing
+    * (hex semantics, chunk table, share join) stays identical. */
+  def cdcChunkStats(media: DataFrame, window: Int = 8,
+                    divisor: Int = 32): DataFrame = {
+    import graft.functions.GraftFunctions.md5Long
+    val ph = media
+      .filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
+      .select(col("media_id"), lower(hex(col("payload"))).as("ph"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+    // boundary positions: i in [window, n_bytes-1], window = bytes
+    // (i-window, i]; the hex slice for byte j (1-based) starts at 2j-1
+    val bounds = ph
+      .select(col("media_id"), col("ph"), col("n_bytes"),
+        // guarded: Spark's sequence(a, b) auto-steps DOWNWARD when
+        // b < a, which would mint phantom positions past the payload
+        // end on sub-window payloads — emit no candidates instead
+        explode(expr(s"CASE WHEN n_bytes - 1 >= $window" +
+          s" THEN sequence(CAST($window AS BIGINT), n_bytes - 1)" +
+          " ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("i"))
+      .filter(md5Long(expr(s"substring(ph, CAST(2*(i-$window)+1 AS INT), ${2 * window})"))
+        % divisor === 0L)
+      .groupBy(col("media_id"))
+      .agg(sort_array(collect_list(col("i"))).as("bs"))
+    // persisted: the chunk table feeds both the share aggregate and the
+    // join back (untracked, the hex explode chain would run twice)
+    val chunks = graft.core.Caches.track(ph.join(bounds, Seq("media_id"), "left")
+      .select(col("media_id"), col("ph"), col("n_bytes"),
+        // cut points: 0, boundaries..., n_bytes
+        concat(array(lit(0L)),
+          coalesce(col("bs"), array().cast("array<long>")),
+          array(col("n_bytes"))).as("cuts"))
+      .select(col("media_id"), col("ph"),
+        explode(expr(
+          "transform(sequence(0, size(cuts) - 2), " +
+            "k -> named_struct('s', cuts[k], 'l', cuts[k+1] - cuts[k]))")).as("c"))
+      .filter(col("c.l") > 0L)
+      .select(col("media_id"),
+        md5(expr("substring(ph, CAST(2*c.s + 1 AS INT), CAST(2*c.l AS INT))")).as("ch"),
+        col("c.l").as("clen")))
+    val share = chunks.groupBy(col("ch"), col("clen"))
+      .agg(countDistinct(col("media_id")).as("n_media"))
+    chunks.join(share, Seq("ch", "clen"))
+      .groupBy(col("media_id"))
+      .agg(sum(col("clen")).as("n_bytes"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_media") >= 2L, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("n_media") >= 2L, col("clen")).otherwise(0L)).as("shared_bytes"))
+  }
 }

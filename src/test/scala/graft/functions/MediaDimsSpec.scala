@@ -101,4 +101,24 @@ class MediaDimsSpec extends SparkSpec {
       }
     }
   }
+
+  test("cdcChunkStats: partition exact, alignment-robust sharing, sub-window single chunk") {
+    // deterministic pseudo-random 200-byte payload; B = A with one byte
+    // prepended — fixed-size blocking would share NOTHING, CDC must
+    // share every chunk after the first boundary
+    val a = Array.tabulate(200)(i => ((i * 131 + 7) % 251).toByte)
+    val b = (0x55.toByte +: a.toSeq).toArray
+    val tiny = Array[Byte](1, 2, 3) // shorter than the 8-byte window
+    val media = Seq((1L, a), (2L, b), (3L, tiny)).toDF("media_id", "payload")
+    val got = graft.llm.Multimodal.cdcChunkStats(media)
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // chunk lengths partition the payload exactly
+    assert(got(1L)._2 == 200L && got(2L)._2 == 201L && got(3L)._2 == 3L)
+    assert(got(3L)._3 == 1L && got(3L)._4 == 0L, "sub-window payload is one unshared chunk")
+    // alignment robustness: most of A's mass is shared with B despite
+    // the 1-byte shift (only the prefix before the first boundary differs)
+    assert(got(1L)._4 > 0L, "shifted twin must share chunks")
+    assert(got(1L)._5 >= got(1L)._2 / 2,
+      s"CDC must share most of the shifted payload, got ${got(1L)._5} of ${got(1L)._2}")
+  }
 }
