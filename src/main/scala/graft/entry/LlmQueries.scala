@@ -2855,24 +2855,28 @@ object LlmQueries {
     // header bytes (by doc_id residue) + utf-8 text; q_media_meta's
     // expected dims come from the residue FORMULA, independent of the
     // byte-parsing path under test (functions/MediaDims).
-    // CDC chunking on the hex rendering: window-hash boundaries
-    // (md5Long % 32 = 0 over the 8-byte window), cuts -> chunk slices,
-    // (hash, len) share counts — mirrors Multimodal.cdcChunkStats
+    // CDC chunking on the hex rendering: polynomial window-hash
+    // boundaries ((fold (a*K + b) % P over the 8-byte window) % 32 = 0,
+    // the qualityRules GramP discipline), cuts -> chunk slices,
+    // (hash, len) share counts — mirrors Multimodal.cdcChunkStats.
+    // list_reduce seeds with the first element = Spark's aggregate
+    // from 0 here, since (0*K + b0) % P = b0.
     "q_cdc_chunks" ->
       s"""$MediaPayloadCte,
-         |src AS (SELECT CAST(doc_id AS BIGINT) AS media_id, ph, n_bytes
+         |src AS (SELECT CAST(doc_id AS BIGINT) AS media_id, ph, n_bytes,
+         |               list_transform(range(1, n_bytes + 1), j ->
+         |                 CAST('0x'||substring(ph, CAST(2*j-1 AS INT), 2) AS BIGINT)) AS bytes
          |        FROM pl WHERE n_bytes > 0),
-         |bpos AS (
-         |  SELECT media_id, i
-         |  FROM src, unnest(range(8, n_bytes)) AS u(i)
-         |  WHERE CAST('0x'||substring(md5(substring(ph, CAST(2*(i-8)+1 AS INT), 16)), 1, 15)
-         |          AS BIGINT) % 32 = 0),
-         |bl AS (SELECT media_id, list_sort(list(i)) AS bs FROM bpos GROUP BY 1),
          |cut AS (
-         |  SELECT s.media_id, s.ph,
-         |         list_concat(list_concat([CAST(0 AS BIGINT)], coalesce(bl.bs, [])),
-         |                     [s.n_bytes]) AS cuts
-         |  FROM src s LEFT JOIN bl USING (media_id)),
+         |  SELECT media_id, ph,
+         |         list_concat(list_concat(
+         |           [CAST(0 AS BIGINT)],
+         |           list_filter(CASE WHEN n_bytes - 1 >= 8
+         |                            THEN range(8, n_bytes) ELSE [] END,
+         |             i -> list_reduce(bytes[i-8+1:i],
+         |                    (a, b) -> (a * 1000003 + b) % 4398042316799) % 32 = 0)),
+         |           [n_bytes]) AS cuts
+         |  FROM src),
          |ch AS (
          |  SELECT media_id,
          |         md5(substring(ph, CAST(2*cuts[k+1] + 1 AS INT),

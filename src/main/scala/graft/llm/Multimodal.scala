@@ -224,43 +224,71 @@ object Multimodal {
     * here; MB-scale media wants the boundary scan fused into one
     * native Expression pass (the MediaDims pattern) — the plumbing
     * (hex semantics, chunk table, share join) stays identical. */
+  /** Boundary-hash fold constants: the qualityRules bounded-polynomial
+    * discipline (TextAnalysis GramP) — per-step mod keeps the
+    * accumulator < 2⁴², so acc·K + byte < 2⁶³, no Java wraparound; K
+    * is small enough that every byte still perturbs all divisor
+    * residues. */
+  private val ChunkK = 1000003L
+  private val ChunkP = 4398042316799L // prime < 2^42
+
   def cdcChunkStats(media: DataFrame, window: Int = 8,
                     divisor: Int = 32): DataFrame = {
-    import graft.functions.GraftFunctions.md5Long
-    val ph = media
+    // spread first: documents.parquet is a single split at bench scale
+    // and the per-byte fold below is the expensive projection (the
+    // qualityRules spreadToCores lesson; no-op at lake scale)
+    val ph = graft.core.Xform.spreadToCores(media
       .filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
       .select(col("media_id"), lower(hex(col("payload"))).as("ph"),
-        octet_length(col("payload")).cast("long").as("n_bytes"))
-    // boundary positions: i in [window, n_bytes-1], window = bytes
-    // (i-window, i]; the hex slice for byte j (1-based) starts at 2j-1
-    val bounds = ph
-      .select(col("media_id"), col("ph"), col("n_bytes"),
-        // guarded: Spark's sequence(a, b) auto-steps DOWNWARD when
-        // b < a, which would mint phantom positions past the payload
-        // end on sub-window payloads — emit no candidates instead
-        explode(expr(s"CASE WHEN n_bytes - 1 >= $window" +
-          s" THEN sequence(CAST($window AS BIGINT), n_bytes - 1)" +
-          " ELSE CAST(array() AS ARRAY<BIGINT>) END")).as("i"))
-      .filter(md5Long(expr(s"substring(ph, CAST(2*(i-$window)+1 AS INT), ${2 * window})"))
-        % divisor === 0L)
-      .groupBy(col("media_id"))
-      .agg(sort_array(collect_list(col("i"))).as("bs"))
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+    // Window hash = 8-step integer polynomial fold reading the hex
+    // DIRECTLY per position. Two rejected forms: md5-per-window paid a
+    // 32-char digest + parse per position (~1.6M windows at sf0.1:
+    // 6.1 s); a pre-decoded bytes-array column gets INLINED into the
+    // position lambda by CollapseProject (the transform is
+    // single-referenced, so the rule collapses it into the consuming
+    // projection), re-decoding the whole payload once per position —
+    // O(bytes²) per payload, minutes at sf0.1. Reading `ph` (a plain
+    // scan attribute, nothing to inline) keeps the fold linear.
+    // DuckDB's list_reduce has no explicit zero but seeds with the
+    // first element — identical to Spark's aggregate from 0 here,
+    // since (0·K + b₀) % P = b₀.
+    def winHash(i: Column): Column = aggregate(
+      sequence(lit(0L), lit(window - 1L)),
+      lit(0L),
+      (a, j) => (a * ChunkK +
+        conv(col("ph").substr(((i - window + 1L + j) * 2L - 1L).cast("int"),
+          lit(2)), 16, 10).cast("long")) % ChunkP)
+    // Boundary positions: i in [window, n_bytes-1], window = bytes
+    // (i-window, i]. Everything stays INSIDE one projection as
+    // higher-order lambdas over the position array — an explode would
+    // carry the payload once per position (O(bytes²) row volume). The
+    // candidate array is guarded empty when n_bytes-1 < window:
+    // Spark's sequence(a, b) auto-steps DOWNWARD for b < a and would
+    // mint phantom positions past the payload end.
+    val cuts = concat(
+      array(lit(0L)),
+      filter(
+        when(col("n_bytes") - 1L >= window,
+          sequence(lit(window.toLong), col("n_bytes") - 1L))
+          .otherwise(array().cast("array<long>")),
+        i => winHash(i) % divisor === 0L),
+      array(col("n_bytes")))
     // persisted: the chunk table feeds both the share aggregate and the
-    // join back (untracked, the hex explode chain would run twice)
-    val chunks = graft.core.Caches.track(ph.join(bounds, Seq("media_id"), "left")
-      .select(col("media_id"), col("ph"), col("n_bytes"),
-        // cut points: 0, boundaries..., n_bytes
-        concat(array(lit(0L)),
-          coalesce(col("bs"), array().cast("array<long>")),
-          array(col("n_bytes"))).as("cuts"))
-      .select(col("media_id"), col("ph"),
+    // join back (untracked, the hex chunk chain would run twice)
+    val chunks = graft.core.Caches.track(ph
+      .select(col("media_id"), col("ph"), cuts.as("cuts"))
+      .select(col("media_id"),
+        // chunks hash inside the transform so the hex string never
+        // rides the explode — only (hash, len) pairs leave the row
         explode(expr(
           "transform(sequence(0, size(cuts) - 2), " +
-            "k -> named_struct('s', cuts[k], 'l', cuts[k+1] - cuts[k]))")).as("c"))
+            "k -> named_struct(" +
+            "'ch', md5(substring(ph, CAST(2*cuts[k] + 1 AS INT), " +
+            "CAST(2*(cuts[k+1] - cuts[k]) AS INT))), " +
+            "'l', cuts[k+1] - cuts[k]))")).as("c"))
       .filter(col("c.l") > 0L)
-      .select(col("media_id"),
-        md5(expr("substring(ph, CAST(2*c.s + 1 AS INT), CAST(2*c.l AS INT))")).as("ch"),
-        col("c.l").as("clen")))
+      .select(col("media_id"), col("c.ch").as("ch"), col("c.l").as("clen")))
     val share = chunks.groupBy(col("ch"), col("clen"))
       .agg(countDistinct(col("media_id")).as("n_media"))
     chunks.join(share, Seq("ch", "clen"))
