@@ -627,6 +627,15 @@ class PlanSpec extends SparkSpec {
       s"no doc-order sort anywhere:\n$p")
   }
 
+  test("cdc chunks: boundary fold rides the projection; chunk table persists for both consumers") {
+    val p = plan(SparkEntry.queries("q_cdc_chunks")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"share join must stay equi-keyed:\n$p")
+    // chunk table feeds the share aggregate AND the join back — both
+    // must read the persisted copy, not re-run the hex fold chain
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"chunk table must persist across its two consumers:\n$p")
+  }
+
   test("cluster quality: literal-centroid projection — no join, one cid reduce") {
     val p = plan(SparkEntry.queries("q_cluster_quality")(spark, sf))
     assert(!p.contains("Join"), s"centroids must embed as a literal array, not a join:\n$p")
