@@ -1,0 +1,184 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape statistics for corpus/feed QA — the tests a data
+  * platform runs to answer "does this batch look like the last one?":
+  * Benford first-digit conformance (fabricated-number screen on money
+  * columns), median/MAD robust outlier flags (the z-score that a few
+  * junk rows cannot drag), a two-sample Kolmogorov–Smirnov drift
+  * statistic (distribution-level diff between two slices), and the
+  * Gini concentration coefficient (is one source dominating the token
+  * mass?).
+  *
+  * Numeric discipline (the q_corr/q_stats house rules): every input
+  * double is integerized to LONG cents up front, all accumulation and
+  * comparison is exact integer arithmetic (order-independent, so a
+  * 32-way partial agg hash-matches a single-threaded oracle), and each
+  * emitted double is produced by ONE final expression whose operation
+  * order is mirrored token-for-token in the DuckDB twin. No log/sqrt
+  * runs before the last step; Benford's log10 expectations are baked
+  * in as shared 17-digit literals so neither engine's libm is ever
+  * consulted.
+  *
+  * Reference lineage: the reference exposes grouped aggregation only
+  * through transducer folds (api.clj:49-55) and declares richer
+  * aggregates as roadmap (README.md:30-34); these are the
+  * fleet-monitoring members of that family.
+  */
+object RobustStats {
+
+  /** floor(x*100 + 0.5) — exact LONG cents of a 2dp-clean double. */
+  private def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+
+  /** Benford's-law first-digit audit of a positive money column.
+    *
+    * Per leading digit d∈1..9: observed count, expected count
+    * N·log10(1+1/d), and the Pearson chi² term. The digit is read off
+    * the decimal rendering of the exact cents integer — no float log
+    * anywhere; the nine expectation probabilities are shared literal
+    * doubles (emitted identically in the oracle SQL), so `expected`
+    * and `chi2_term` are bit-identical across engines. The chi² TOTAL
+    * is deliberately not emitted: a 9-term double sum is
+    * association-order-dependent and the per-term rows carry the same
+    * information; tests fold the total on one engine.
+    *
+    * Shape: one map-side-combined groupBy on ≤9 keys plus a broadcast
+    * of the 1-row total — scan-bound at any scale. */
+  def benford(df: DataFrame, amount: Column): DataFrame = {
+    val c = df.select(cents(amount).cast("long").as("c")).filter(col("c") > 0)
+    val g = c.select(substring(col("c").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val t = g.agg(sum(col("n_obs")).as("n_total"))
+    val p = element_at(BenfordP, col("digit").cast("int"))
+    val expected = col("n_total").cast("double") * p
+    g.crossJoin(broadcast(t))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        p.as("p_expected"), expected.as("expected"),
+        ((col("n_obs").cast("double") - expected) *
+          (col("n_obs").cast("double") - expected) / expected).as("chi2_term"))
+  }
+
+  /** log10(1 + 1/d), d = 1..9, as shortest-round-trip double literals
+    * (python `repr`) — the oracle embeds the same nine texts, so both
+    * engines parse to the same 64-bit values and never call log10. */
+  private val BenfordP: Column = array(
+    lit(0.3010299956639812), lit(0.17609125905568124),
+    lit(0.12493873660829992), lit(0.09691001300805642),
+    lit(0.07918124604762482), lit(0.06694678963061322),
+    lit(0.05799194697768673), lit(0.05115252244738129),
+    lit(0.04575749056067514))
+
+  /** Per-group robust outlier profile: lower median, lower MAD (median
+    * absolute deviation), and the count of observations beyond
+    * median ± 3·MAD.
+    *
+    * Both medians are LOWER medians — the element at row_number
+    * (n+1) div 2 under a deterministic (value, id) order — pure rank
+    * selection, no interpolation, so the cut is an exact integer and
+    * the outlier test `|x−med| > 3·MAD` is an integer compare.
+    * (Interpolated medians would force an (a+b)/2 double whose
+    * engine-specific rounding could flip boundary rows.)
+    *
+    * Shape: two rank windows partitioned by the SAME group key (one
+    * shuffle, sort reused) + two broadcast joins of the tiny per-group
+    * median tables. For a lake-scale group count swap the rank windows
+    * for `approx_percentile` — the flags stop being exact, which is
+    * why the exact form is the default. */
+  def madOutliers(df: DataFrame, group: Column, id: Column,
+                  value: Column): DataFrame = {
+    // a NULL measurement is not an observation — and Spark sorts NULLs
+    // FIRST where DuckDB sorts them LAST, so an unfiltered NULL would
+    // silently shift the median rank (adversarial-gate find)
+    val v = df.filter(value.isNotNull).select(group.as("g"), id.as("id"),
+      cents(value).cast("long").as("c"))
+    val wg = Window.partitionBy(col("g"))
+    val med = v
+      .withColumn("rn", row_number().over(wg.orderBy(col("c"), col("id"))))
+      .withColumn("n", count(lit(1)).over(wg))
+      .filter(col("rn") === call_function("div", col("n") + lit(1L), lit(2L)))
+      .select(col("g"), col("c").as("med_c"))
+    val dev = v.join(broadcast(med), "g")
+      .select(col("g"), col("id"), abs(col("c") - col("med_c")).as("ad"),
+        col("med_c"))
+    val mad = dev
+      .withColumn("rn2", row_number().over(wg.orderBy(col("ad"), col("id"))))
+      .withColumn("n2", count(lit(1)).over(wg))
+      .filter(col("rn2") === call_function("div", col("n2") + lit(1L), lit(2L)))
+      .select(col("g"), col("ad").as("mad_c"))
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        (min(col("med_c")).cast("double") / lit(100.0)).as("median_value"),
+        (min(col("mad_c")).cast("double") / lit(100.0)).as("mad_value"),
+        sum(when(col("ad") > lit(3) * col("mad_c"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        (max(col("ad")).cast("double") / lit(100.0)).as("max_abs_dev"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic over an integer
+    * metric column: D = max_x |F₁(x) − F₂(x)|, with the argmax x.
+    *
+    * Exactness: the ECDF difference at x is |c₁·n₂ − c₂·n₁| / (n₁·n₂);
+    * the numerator stays a LONG through the max (cumulative counts are
+    * integer window sums — associative, partition-proof), and the one
+    * division happens after the argmax row is chosen. Ties on the max
+    * break to the smallest x. n₁·n₂ overflows LONG past ~3×10⁹ rows a
+    * side — at that scale quantize x into bounded buckets first (the
+    * ECDF is then over buckets and counts shrink accordingly).
+    *
+    * Shape: groupBy on the value domain, then one cumulative window
+    * over the DISTINCT VALUES — single-partition but domain-sized
+    * (thousands of rows after the groupBy, not corpus-sized); the
+    * totals row is a broadcast. */
+  def ksTwoSample(df: DataFrame, x: Column, inFirst: Column): DataFrame = {
+    // NULL metric rows carry no distribution mass, and the engines'
+    // NULL sort orders differ — drop them on both sides
+    val s = df.filter(x.isNotNull).select(x.as("x"),
+      when(inFirst, lit(1L)).otherwise(lit(0L)).as("f"))
+    val g = s.groupBy(col("x"))
+      .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+    g.select(col("x"), sum(col("a")).over(w).as("c1"),
+        sum(col("b")).over(w).as("c2"))
+      .crossJoin(broadcast(t))
+      .select(col("n1"), col("n2"), col("x").as("x_at"),
+        abs(col("c1") * col("n2") - col("c2") * col("n1")).as("d_num"))
+      .orderBy(col("d_num").desc, col("x_at").asc).limit(1)
+      .select(col("n1"), col("n2"), col("x_at"),
+        (col("d_num").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))).as("d_stat"))
+  }
+
+  /** Per-group Gini concentration of a non-negative integer mass
+    * column: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending sort.
+    *
+    * Σᵢ i·xᵢ is invariant under tie permutations (equal x contribute
+    * equally at any rank), so the (x, id) rank order is deterministic
+    * AND the value is tie-robust. All sums are LONG; the two-term
+    * double expression runs once per group. Zero total mass → NULL
+    * (undefined concentration; ANSI division guard on both engines).
+    *
+    * Shape: one rank window + one agg on the same partition key. */
+  def gini(df: DataFrame, group: Column, id: Column, x: Column): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("x"), col("id"))
+    // NULL mass rows would count in n but not in Σx — drop them
+    df.filter(x.isNotNull)
+      .select(group.as("g"), id.as("id"), x.cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
+        sum(col("i") * col("x")).as("sw"))
+      .select(col("g"), col("n"), col("total").as("total_chars"),
+        when(col("total") === 0L, lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("sw").cast("double") /
+            (col("n").cast("double") * col("total").cast("double")) -
+            (col("n").cast("double") + lit(1.0)) / col("n").cast("double"))
+          .as("gini"))
+  }
+}

@@ -131,4 +131,97 @@ object TimeSeries {
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
     (obs, grid)
   }
+
+  /** Per-key lag-1 autocorrelation of an event stream ordered by
+    * (ts, id) — the "is this metric trending or white noise?" probe.
+    *
+    * The value is integerized to LONG cents, lag pairs come from one
+    * window pass, and the Pearson correlation over (xₜ, xₜ₊₁) follows
+    * the q_corr exact-power-sum discipline: n, Σx, Σy as LONG,
+    * Σxy/Σx²/Σy² in DECIMAL(38,0) (overflow headroom at lake scale),
+    * with the covariance/denominator doubles computed once post-agg in
+    * a fixed operation order. A zero-variance side (constant series)
+    * short-circuits to NULL — Spark 4 ANSI raises DIVIDE_BY_ZERO even
+    * on DOUBLE division where DuckDB yields NULL, so the guard is
+    * shared CASE text on both engines.
+    *
+    * Shape: the lag window and the aggregation share the key
+    * partitioning — one shuffle total. */
+  def autocorrLag1(df: DataFrame, key: Column, ts: Column, id: Column,
+                   value: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("tsu"), col("id"))
+    // a null observation is not an observation (house rule, see
+    // observationsAndGrid) — unfiltered it would pair with neighbors
+    // and inflate n while the sums skip it
+    val pairs = df
+      .filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("tsu"), id.as("id"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("y"))
+      .withColumn("x", lag(col("y"), 1).over(w))
+      .filter(col("x").isNotNull)
+    val a = pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val den =
+      sqrt(col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")) *
+      sqrt(col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / col("n"))
+    a.select(col("k"), col("n"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / col("n")) / den)
+        .as("corr_lag1"))
+  }
+
+  /** SAX (symbolic aggregate approximation, Lin et al. DMKD'07) word
+    * per key: the series' time span is cut into `frames` equal frames
+    * (PAA), each frame's mean level is rank-quantized into `alpha`
+    * symbols a.., and the symbols concatenate in time order into one
+    * short word — the shape signature that makes time series
+    * groupable/joinable like strings.
+    *
+    * Exactness: frame assignment is pure integer µs math
+    * ((t−t₀)·frames div (t₁−t₀+1)); symbols come from the RANK of the
+    * frame mean (ntile-style (alpha·(rk−1)) div n_frames), not from
+    * z-normalized breakpoints, so no sqrt/σ enters. The rank orders by
+    * the double mean Σc/cnt — both engines compute that one division
+    * identically — with frame index as the tie-break.
+    *
+    * Shape: two shuffles (key windows for the span, (key, frame)
+    * hash-agg), then a per-key collect of ≤`frames` structs. */
+  def saxWord(df: DataFrame, key: Column, ts: Column, value: Column,
+              frames: Int = 16, alpha: Int = 4): DataFrame = {
+    val wk = Window.partitionBy(col("k"))
+    // a null observation is not an observation — it would count in the
+    // frame's cnt while its value skips the sum, diluting the mean
+    val framed = df
+      .filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("t"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+      .withColumn("t0", min(col("t")).over(wk))
+      .withColumn("t1", max(col("t")).over(wk))
+      .select(col("k"),
+        call_function("div", (col("t") - col("t0")) * lit(frames.toLong),
+          col("t1") - col("t0") + lit(1L)).as("frame"),
+        col("c"))
+    val means = framed.groupBy(col("k"), col("frame"))
+      .agg(sum(col("c")).as("s"), count(lit(1)).as("cnt"))
+    val ranked = means
+      .withColumn("rk", row_number().over(Window.partitionBy(col("k"))
+        .orderBy(col("s").cast("double") / col("cnt"), col("frame"))))
+      .withColumn("nb", count(lit(1)).over(wk))
+      .select(col("k"), col("frame"),
+        call_function("chr", lit(97L) + call_function("div",
+          lit(alpha.toLong) * (col("rk").cast("long") - lit(1L)),
+          col("nb"))).as("sym"))
+    ranked.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_buckets"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("frame"), col("sym")))),
+          e => e.getField("sym")), "").as("sax_word"))
+  }
 }

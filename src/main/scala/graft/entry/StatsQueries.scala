@@ -1,0 +1,299 @@
+package graft.entry
+
+import graft.agg.{RobustStats, TimeSeries}
+import graft.llm.{Dedup, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape QA + corpus-maintenance wave: Benford
+  * first-digit audit, median/MAD robust outliers, two-sample KS drift,
+  * Gini source concentration, lag-1 autocorrelation, SAX shape words,
+  * BPE merge-pair scoring, edit-distance near-dup pairs, and CDC
+  * changelog apply. Operators live in [[graft.agg.RobustStats]],
+  * [[graft.agg.TimeSeries]], [[graft.llm.TextAnalysis]] and
+  * [[graft.llm.Dedup]]; every hash/quantization/guard below embeds
+  * token-identically in the DuckDB twins.
+  */
+object StatsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Edit-distance family knobs (shared with the oracle texts). */
+  private val EditBucket  = 8
+  private val EditMaxDist = 8
+
+  val queries: Map[String, Q] = Map(
+    // Benford first-digit conformance of order totals — ≤9-key
+    // map-combined groupBy + a broadcast 1-row total; the nine log10
+    // expectations are shared literals, no libm call on either engine
+    "q_benford" -> ((s, d) =>
+      RobustStats.benford(Tables.orders(s, d), col("o_totalprice"))),
+
+    // per-type robust outlier profile: lower median / lower MAD by
+    // exact rank selection, integer |x-med| > 3·MAD flags — one window
+    // shuffle (reused sort) + two broadcast median joins
+    "q_mad_outliers" -> ((s, d) =>
+      RobustStats.madOutliers(Tables.events(s, d), col("event_type"),
+        col("event_id"), col("value"))
+        .withColumnsRenamed(Map("g" -> "event_type"))),
+
+    // KS drift between en and non-en length distributions: integer
+    // ECDF numerators, one division after the argmax
+    "q_ks_drift" -> ((s, d) =>
+      RobustStats.ksTwoSample(Tables.documents(s, d), col("n_chars"),
+        col("lang") === "en")),
+
+    // per-source Gini concentration of the char mass — rank window +
+    // agg on one partitioning
+    "q_gini" -> ((s, d) =>
+      RobustStats.gini(Tables.documents(s, d), col("source"),
+        col("doc_id"), col("n_chars"))
+        .withColumnsRenamed(Map("g" -> "source"))),
+
+    // lag-1 autocorrelation per event type — lag window + the q_corr
+    // exact-power-sum discipline, one shuffle
+    "q_autocorr" -> ((s, d) =>
+      TimeSeries.autocorrLag1(Tables.events(s, d), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // SAX shape word per event type: 16 PAA frames, 4-symbol rank
+    // quantization — integer frame math, one division for the rank key
+    "q_sax" -> ((s, d) =>
+      TimeSeries.saxWord(Tables.events(s, d), col("event_type"),
+        col("ts"), col("value"))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // BPE merge-pair scoring over the folded token vocabulary —
+    // explode runs on the vocab, never the token stream
+    "q_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, d), col("text"))
+        .select(col("pair"), col("n"), col("rank"))),
+
+    // edit-distance near-dup pairs: (lang, len-bucket) blocking →
+    // char-histogram L1 gate → banded levenshtein (oracle runs the
+    // full DP — identical kept rows)
+    "q_edit_dedup" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.documents(s, d), col("doc_id"),
+        col("lang"), col("text"), col("n_chars"), EditBucket, EditMaxDist)
+        .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))),
+
+    // CDC changelog apply (MERGE as one full-outer join): the
+    // changelog derives deterministically from doc_id so both engines
+    // build the identical delete/update/insert set
+    "q_merge_apply" -> ((s, d) => {
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        col("lang"))
+      val deletes = base.filter(col("doc_id") % 11 === 3)
+        .select(col("doc_id"), lit("D").as("op"),
+          lit(null).cast("string").as("new_text"),
+          lit(null).cast("string").as("new_lang"))
+      val updates = base.filter(col("doc_id") % 7 === 0 &&
+          col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"), lit("U").as("op"),
+          upper(substring(col("text"), 1, 40)).as("new_text"),
+          col("lang").as("new_lang"))
+      val inserts = base.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+          concat(lit("INS:"), substring(col("text"), 1, 40)).as("new_text"),
+          col("lang").as("new_lang"))
+      Dedup.applyChangelog(base, deletes.unionByName(updates)
+        .unionByName(inserts), "doc_id")
+    })
+  )
+
+  // ======================================================================
+  // DuckDB oracle twins. Sums are CAST to BIGINT (HUGEINT is
+  // pandas-lossy in the driver), every emitted double's expression
+  // mirrors the Spark op order token-for-token, and the Benford
+  // expectations are the same nine shortest-round-trip literals.
+  // ======================================================================
+
+  /** log10(1+1/d) d=1..9 — identical literal texts to RobustStats. */
+  private val BenfordPSql =
+    Seq("0.3010299956639812", "0.17609125905568124", "0.12493873660829992",
+      "0.09691001300805642", "0.07918124604762482", "0.06694678963061322",
+      "0.05799194697768673", "0.05115252244738129", "0.04575749056067514")
+      .map(p => s"CAST($p AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** 26-letter frequency histogram of a folded text column `p`. */
+  private val HistSql = ('a' to 'z')
+    .map(c => s"len(p) - len(replace(p, '$c', ''))")
+    .mkString("[", ", ", "]")
+
+  private val FoldSql = "lower(translate(text, 'İΣ', 'iσ'))"
+
+  val oracle: Map[String, String] = Map(
+    "q_benford" ->
+      s"""WITH c AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS c
+         |           FROM orders),
+         |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+         |        AS digit FROM c WHERE c > 0),
+         |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g)
+         |SELECT g.digit, g.n_obs, t.n_total,
+         |  ($BenfordPSql)[CAST(g.digit AS INTEGER)] AS p_expected,
+         |  CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)]
+         |    AS expected,
+         |  (CAST(g.n_obs AS DOUBLE)
+         |     - CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)])
+         |  * (CAST(g.n_obs AS DOUBLE)
+         |     - CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)])
+         |  / (CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)])
+         |    AS chi2_term
+         |FROM g CROSS JOIN t""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH v AS (SELECT event_type AS g, event_id AS id,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |m AS (SELECT g, id, c,
+        |        row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n FROM v),
+        |med AS (SELECT g, c AS med_c FROM m WHERE rn = (n + 1) // 2),
+        |dev AS (SELECT v.g, v.id, abs(v.c - med.med_c) AS ad, med.med_c
+        |        FROM v JOIN med USING (g)),
+        |m2 AS (SELECT g, ad,
+        |         row_number() OVER (PARTITION BY g ORDER BY ad, id) AS rn2,
+        |         count(*) OVER (PARTITION BY g) AS n2 FROM dev),
+        |mad AS (SELECT g, ad AS mad_c FROM m2 WHERE rn2 = (n2 + 1) // 2)
+        |SELECT d.g AS event_type, count(*) AS n,
+        |  CAST(min(d.med_c) AS DOUBLE) / 100.0 AS median_value,
+        |  CAST(min(mad.mad_c) AS DOUBLE) / 100.0 AS mad_value,
+        |  CAST(sum(CASE WHEN d.ad > 3 * mad.mad_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(max(d.ad) AS DOUBLE) / 100.0 AS max_abs_dev
+        |FROM dev d JOIN mad USING (g)
+        |GROUP BY d.g""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH s AS (SELECT n_chars AS x,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f
+        |           FROM documents),
+        |g AS (SELECT x, CAST(sum(f) AS BIGINT) AS a,
+        |        CAST(sum(1 - f) AS BIGINT) AS b FROM s GROUP BY x),
+        |c AS (SELECT x, CAST(sum(a) OVER (ORDER BY x) AS BIGINT) AS c1,
+        |        CAST(sum(b) OVER (ORDER BY x) AS BIGINT) AS c2 FROM g),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |        CAST(sum(b) AS BIGINT) AS n2 FROM g),
+        |d AS (SELECT c.x, abs(c.c1 * t.n2 - c.c2 * t.n1) AS d_num,
+        |        t.n1, t.n2 FROM c CROSS JOIN t)
+        |SELECT n1, n2, x AS x_at,
+        |  CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    AS d_stat
+        |FROM d ORDER BY d_num DESC, x ASC LIMIT 1""".stripMargin,
+
+    "q_gini" ->
+      """WITH r AS (SELECT source AS g, n_chars AS x,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |          AS i FROM documents)
+        |SELECT g AS source, count(*) AS n, CAST(sum(x) AS BIGINT) AS total_chars,
+        |  CASE WHEN sum(x) = 0 THEN NULL
+        |       ELSE 2.0 * CAST(sum(i * x) AS DOUBLE)
+        |              / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |            - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
+        |  END AS gini
+        |FROM r GROUP BY g""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH v AS (SELECT event_type, event_id, ts,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |p AS (SELECT event_type, c AS y,
+        |        lag(c) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |          AS x FROM v),
+        |a AS (SELECT event_type, count(*) AS n,
+        |        sum(x) AS sx, sum(y) AS sy,
+        |        sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+        |        sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |        sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+        |      FROM p WHERE x IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |          * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) = 0.0
+        |       THEN NULL
+        |       ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |            / (sqrt(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |             * sqrt(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n))
+        |  END AS corr_lag1
+        |FROM a""".stripMargin,
+
+    "q_sax" ->
+      """WITH v AS (SELECT event_type, epoch_us(ts) AS t,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |w AS (SELECT event_type, t, c,
+        |        min(t) OVER (PARTITION BY event_type) AS t0,
+        |        max(t) OVER (PARTITION BY event_type) AS t1 FROM v),
+        |b AS (SELECT event_type, ((t - t0) * 16) // (t1 - t0 + 1) AS frame, c
+        |      FROM w),
+        |g AS (SELECT event_type, frame, CAST(sum(c) AS BIGINT) AS s,
+        |        count(*) AS cnt FROM b GROUP BY event_type, frame),
+        |r AS (SELECT event_type, frame,
+        |        row_number() OVER (PARTITION BY event_type
+        |          ORDER BY CAST(s AS DOUBLE) / cnt, frame) AS rk,
+        |        count(*) OVER (PARTITION BY event_type) AS nb FROM g),
+        |sym AS (SELECT event_type, frame,
+        |          chr(CAST(97 + (4 * (rk - 1)) // nb AS INTEGER)) AS sym FROM r)
+        |SELECT event_type, count(*) AS n_buckets,
+        |  string_agg(sym, '' ORDER BY frame) AS sax_word
+        |FROM sym GROUP BY event_type""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH toks AS (SELECT unnest(list_filter(
+         |        string_split($FoldSql, ' '), t -> len(t) > 0)) AS w
+         |      FROM documents),
+         |wc AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |pairs AS (SELECT unnest(list_transform(range(1, len(w)),
+         |            i -> substring(w, CAST(i AS INTEGER), 2))) AS pair, cnt
+         |          FROM wc WHERE len(w) >= 2),
+         |pc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n FROM pairs
+         |       GROUP BY pair),
+         |top AS (SELECT pair, n FROM pc ORDER BY n DESC, pair LIMIT 32)
+         |SELECT pair, n,
+         |  CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+         |FROM top""".stripMargin,
+
+    "q_edit_dedup" ->
+      s"""WITH d AS (SELECT doc_id, lang, $FoldSql AS p,
+         |             n_chars // $EditBucket AS b FROM documents),
+         |h AS (SELECT doc_id, lang, p, b, $HistSql AS hist FROM d),
+         |c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS pa, b.p AS pb,
+         |        a.hist AS ha, b.hist AS hb
+         |      FROM h a JOIN h b ON a.lang = b.lang AND a.b = b.b
+         |        AND a.doc_id < b.doc_id
+         |      UNION ALL
+         |      SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id),
+         |        CASE WHEN a.doc_id < b.doc_id THEN a.p ELSE b.p END,
+         |        CASE WHEN a.doc_id < b.doc_id THEN b.p ELSE a.p END,
+         |        CASE WHEN a.doc_id < b.doc_id THEN a.hist ELSE b.hist END,
+         |        CASE WHEN a.doc_id < b.doc_id THEN b.hist ELSE a.hist END
+         |      FROM h a JOIN h b ON a.lang = b.lang AND a.b + 1 = b.b),
+         |f AS (SELECT id1, id2, CAST(levenshtein(pa, pb) AS BIGINT) AS dist
+         |      FROM c
+         |      WHERE list_sum(list_transform(range(1, 27),
+         |        k -> abs(ha[CAST(k AS INTEGER)] - hb[CAST(k AS INTEGER)])))
+         |        <= ${2 * EditMaxDist})
+         |SELECT id1, id2, dist FROM f WHERE dist <= $EditMaxDist""".stripMargin,
+
+    "q_merge_apply" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        |changes AS (
+        |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS new_text,
+        |         CAST(NULL AS VARCHAR) AS new_lang
+        |    FROM base WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 'U', upper(substring(text, 1, 40)), lang
+        |    FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'I', 'INS:' || substring(text, 1, 40), lang
+        |    FROM base WHERE doc_id % 13 = 1),
+        |m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.text AS old_text,
+        |        b.lang AS old_lang, c.op, c.new_text, c.new_lang
+        |      FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN op = 'U' THEN 'update' WHEN op = 'I' THEN 'insert'
+        |       ELSE 'keep' END AS op_applied,
+        |  md5(CASE WHEN op IS NULL THEN old_text ELSE new_text END)
+        |    AS content_hash,
+        |  coalesce(new_lang, old_lang) AS lang_final
+        |FROM m WHERE op IS NULL OR op <> 'D'""".stripMargin
+  )
+}

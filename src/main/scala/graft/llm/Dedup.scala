@@ -802,4 +802,99 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("kept_sem"),
         coalesce(col("__kd"), lit(false)).as("kept"))
   }
+
+  /** Edit-distance near-dup pairs: (id1 < id2, levenshtein) for every
+    * same-language pair within `maxDist` unit edits — the
+    * typo/OCR-variant dedup that token-set methods (MinHash/SimHash)
+    * miss because a character edit rewrites whole shingles.
+    *
+    * Candidate bounding, in order of cheapness:
+    * 1. BLOCK on (lang, n_chars div `bucketWidth`): d ≤ maxDist implies
+    *    a length difference ≤ maxDist, so with bucketWidth > maxDist
+    *    every qualifying pair lands in the same or adjacent bucket —
+    *    two equi-joins (b = b, b+1 = b), disjoint by construction, no
+    *    pair dedup needed. Never all-pairs: the quadratic term is per
+    *    (lang, bucket) cell, the knob a 100 TB run tightens by adding
+    *    a coarse content key to the block.
+    * 2. CHAR-FREQUENCY L1 GATE: one unit edit moves the 26-letter
+    *    frequency histogram by at most 2 in L1, so
+    *    Σ|hist₁−hist₂| > 2·maxDist refutes a pair for ~26 integer ops
+    *    — 3 orders of magnitude cheaper than the O(n·m) DP it skips
+    *    (sf0.1: 151k candidates → 100 survivors).
+    * 3. BANDED LEVENSHTEIN on survivors: Spark's 3-arg levenshtein
+    *    computes only the ±maxDist diagonal band (O(n·d), -1 when
+    *    exceeded); the oracle runs the full DP and filters — identical
+    *    kept rows, honest engine-side asymmetry.
+    *
+    * Reference lineage: dedup itself is the `distinct` transducer
+    * family (api.clj:157-159 composes arbitrary clojure.core steps);
+    * the near-dup extension is the LLM-pipeline mandate. */
+  def editDistancePairs(df: DataFrame, id: Column, lang: Column,
+                        text: Column, nChars: Column,
+                        bucketWidth: Int = 8, maxDist: Int = 8): DataFrame = {
+    // |len₁−len₂| ≤ maxDist ≤ bucketWidth ⇒ floor-bucket indices differ
+    // by at most 1 (floor((x+w)/w) = floor(x/w)+1), so same+adjacent
+    // probing is lossless
+    require(bucketWidth >= maxDist,
+      s"bucketWidth ($bucketWidth) must be >= maxDist ($maxDist) for recall")
+    val hist = array(('a' to 'z').map(c =>
+      length(col("p")) - length(translate(col("p"), c.toString, ""))): _*)
+    val h = df.select(id.as("id"), lang.as("lng"),
+        TextAnalysis.foldLower(text).as("p"),
+        call_function("div", nChars.cast("long"), lit(bucketWidth.toLong))
+          .as("b"))
+      .withColumn("hist", hist)
+    val a = h.select(col("id").as("id_a"), col("lng"), col("b"),
+      col("p").as("pa"), col("hist").as("ha"))
+    val bb = h.select(col("id").as("id_b"), col("lng").as("lng_b"),
+      col("b").as("b_b"), col("p").as("pb"), col("hist").as("hb"))
+    val same = a.join(bb,
+      col("lng") === col("lng_b") && col("b") === col("b_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a").as("id1"), col("id_b").as("id2"),
+        col("pa"), col("pb"), col("ha"), col("hb"))
+    val adj = a.join(bb,
+      col("lng") === col("lng_b") && col("b") + lit(1L) === col("b_b"))
+      .select(least(col("id_a"), col("id_b")).as("id1"),
+        greatest(col("id_a"), col("id_b")).as("id2"),
+        when(col("id_a") < col("id_b"), col("pa")).otherwise(col("pb")).as("pa"),
+        when(col("id_a") < col("id_b"), col("pb")).otherwise(col("pa")).as("pb"),
+        when(col("id_a") < col("id_b"), col("ha")).otherwise(col("hb")).as("ha"),
+        when(col("id_a") < col("id_b"), col("hb")).otherwise(col("ha")).as("hb"))
+    same.unionByName(adj)
+      .filter(aggregate(zip_with(col("ha"), col("hb"),
+        (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
+        <= lit(2 * maxDist))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** Apply a CDC changelog to a base snapshot — MERGE semantics
+    * (WHEN MATCHED AND op='U' → update, op='D' → delete, WHEN NOT
+    * MATCHED AND op='I' → insert) as ONE full-outer join, the
+    * distributed form of an upsert a changelog consumer runs per
+    * batch. Inverse of [[corpusDiff]]: `applyChangelog(prev,
+    * diff(prev, cur)) = cur`.
+    *
+    * `changes` carries (id, op ∈ {'U','D','I'}, new value columns);
+    * rows absent from the changelog pass through, 'D' rows vanish,
+    * 'U' rows take the changelog values, 'I' rows materialize. Emits
+    * (id, op_applied, content_hash, lang) — the hash is the compact
+    * proof of which text won.
+    *
+    * Shape: one shuffle on the id for the full-outer join (or zero
+    * with co-bucketed snapshots); changelogs small enough to
+    * broadcast degrade to a broadcast outer join automatically. */
+  def applyChangelog(base: DataFrame, changes: DataFrame, id: String)
+      : DataFrame =
+    base.join(changes, Seq(id), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col(id),
+        when(col("op") === "U", lit("update"))
+          .when(col("op") === "I", lit("insert"))
+          .otherwise(lit("keep")).as("op_applied"),
+        md5(when(col("op").isNull, col("text")).otherwise(col("new_text")))
+          .as("content_hash"),
+        coalesce(col("new_lang"), col("lang")).as("lang_final"))
 }

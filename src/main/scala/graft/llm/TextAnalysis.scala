@@ -1083,6 +1083,39 @@ object TextAnalysis {
        |ORDER BY $ratio DESC, w1, w2 LIMIT $topK""".stripMargin
   }
 
+  /** Top-k adjacent character-pair frequencies over the case-folded
+    * token vocabulary — the scoring pass of one BPE merge step (Sennrich
+    * et al. ACL'16): the rank-1 pair is the merge a tokenizer trainer
+    * would apply next, and the full table is the corpus's byte-pair
+    * affinity profile.
+    *
+    * Counting is vocabulary-weighted, not corpus-exploded: tokens
+    * collapse to (word, count) FIRST (one shuffle on the word — the
+    * same cardinality a tokenizer trainer holds), then each distinct
+    * word explodes into its len−1 overlapping 2-grams exactly once —
+    * at 100 TB the pair explode runs over the ~10⁷-row vocabulary, not
+    * the ~10¹²-token stream. Ranks break ties on the pair string, so
+    * the top-k cut is total-order deterministic.
+    *
+    * Returns (pair, n, rank), rank 1..k. */
+  def bpePairCounts(df: DataFrame, text: Column, topK: Int = 32): DataFrame = {
+    val wc = df
+      .select(explode(graft.functions.GraftFunctions.tokensFolded(text))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+    val top = wc
+      .select(explode(transform(
+          sequence(lit(1), length(col("w")) - lit(1)),
+          i => col("w").substr(i, lit(2)))).as("pair"),
+        col("cnt"))
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(topK)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("pair").asc)).cast("long"))
+  }
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(
