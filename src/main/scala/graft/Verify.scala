@@ -16,10 +16,12 @@ object Verify {
       Files.writeString(Paths.get(args(1)), oracleJson)
       return
     }
-    // optional 3rd arg: only run queries whose name starts with the given
-    // prefix (local iteration aid; the driver always passes 2 args)
+    // optional 3rd arg: only run queries whose name starts with any of
+    // the comma-separated prefixes (local iteration aid; the driver
+    // always passes 2 args)
     val (sfDir, outDir) = (args(0), args(1))
-    val prefix = if (args.length > 2) args(2) else ""
+    val prefixes =
+      (if (args.length > 2) args(2) else "").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,7 +37,8 @@ object Verify {
     // would read green while a third of the suite is broken (round 9: 41
     // events-table queries vanished from CORRECTNESS_r09 this way).
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val selected = SparkEntry.queries.filter(_._1.startsWith(prefix))
+    val selected =
+      SparkEntry.queries.filter(q => prefixes.exists(q._1.startsWith))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -45,21 +45,34 @@ object RobustStats {
     * association-order-dependent and the per-term rows carry the same
     * information; tests fold the total on one engine.
     *
+    * Every digit 1..9 gets a row even at zero observations (left join
+    * against a literal digit spine, count coalesced to 0): an absent
+    * digit is the STRONGEST Benford violation — its chi² term equals
+    * the full expected count — and dropping the row would silently
+    * under-count any total folded from the per-term rows.
+    *
     * Shape: one map-side-combined groupBy on ≤9 keys plus a broadcast
     * of the 1-row total — scan-bound at any scale. */
   def benford(df: DataFrame, amount: Column): DataFrame = {
     val c = df.select(cents(amount).cast("long").as("c")).filter(col("c") > 0)
-    val g = c.select(substring(col("c").cast("string"), 1, 1).cast("long")
+    val counts = c.select(substring(col("c").cast("string"), 1, 1).cast("long")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val spine = df.sparkSession.range(1, 10).toDF("digit")
+    val g = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
     val t = g.agg(sum(col("n_obs")).as("n_total"))
     val p = element_at(BenfordP, col("digit").cast("int"))
     val expected = col("n_total").cast("double") * p
     g.crossJoin(broadcast(t))
       .select(col("digit"), col("n_obs"), col("n_total"),
         p.as("p_expected"), expected.as("expected"),
-        ((col("n_obs").cast("double") - expected) *
-          (col("n_obs").cast("double") - expected) / expected).as("chi2_term"))
+        // empty input ⇒ expected = 0 and the χ² ratio is undefined —
+        // NULL through the shared CASE (ANSI raises on double 0/0)
+        when(col("n_total") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_obs").cast("double") - expected) *
+            (col("n_obs").cast("double") - expected) / expected)
+          .as("chi2_term"))
   }
 
   /** log10(1 + 1/d), d = 1..9, as shortest-round-trip double literals
@@ -160,9 +173,14 @@ object RobustStats {
     *
     * Σᵢ i·xᵢ is invariant under tie permutations (equal x contribute
     * equally at any rank), so the (x, id) rank order is deterministic
-    * AND the value is tie-robust. All sums are LONG; the two-term
-    * double expression runs once per group. Zero total mass → NULL
-    * (undefined concentration; ANSI division guard on both engines).
+    * AND the value is tie-robust. The rank·mass products are cast to
+    * DECIMAL(38,0) before summation (the autocorrLag1 power-sum
+    * discipline): with i up to group size and x a char mass, a LONG
+    * accumulator overflows silently at lake scale while the DuckDB
+    * twin keeps exact HUGEINT — the decimal sum keeps both engines
+    * exact and identical. The two-term double expression runs once per
+    * group. Zero total mass → NULL (undefined concentration; ANSI
+    * division guard on both engines).
     *
     * Shape: one rank window + one agg on the same partition key. */
   def gini(df: DataFrame, group: Column, id: Column, x: Column): DataFrame = {
@@ -173,7 +191,7 @@ object RobustStats {
       .withColumn("i", row_number().over(w).cast("long"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("total"),
-        sum(col("i") * col("x")).as("sw"))
+        sum((col("i") * col("x")).cast("decimal(38,0)")).as("sw"))
       .select(col("g"), col("n"), col("total").as("total_chars"),
         when(col("total") === 0L, lit(null).cast("double"))
           .otherwise(lit(2.0) * col("sw").cast("double") /

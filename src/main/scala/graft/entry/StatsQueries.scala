@@ -80,7 +80,10 @@ object StatsQueries {
 
     // CDC changelog apply (MERGE as one full-outer join): the
     // changelog derives deterministically from doc_id so both engines
-    // build the identical delete/update/insert set
+    // build the identical delete/update/insert set. Insert ids live in
+    // the disjoint (max_id, max_id + doc_id + 1] namespace — a fixed
+    // offset would collide with an existing base row on any corpus
+    // whose ids reach it, silently overwriting the base row
     "q_merge_apply" -> ((s, d) => {
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
         col("lang"))
@@ -93,8 +96,11 @@ object StatsQueries {
         .select(col("doc_id"), lit("U").as("op"),
           upper(substring(col("text"), 1, 40)).as("new_text"),
           col("lang").as("new_lang"))
+      val maxId = base.agg(max(col("doc_id")).as("max_id"))
       val inserts = base.filter(col("doc_id") % 13 === 1)
-        .select((col("doc_id") + 1000000L).as("doc_id"), lit("I").as("op"),
+        .crossJoin(broadcast(maxId))
+        .select((col("doc_id") + col("max_id") + lit(1L)).as("doc_id"),
+          lit("I").as("op"),
           concat(lit("INS:"), substring(col("text"), 1, 40)).as("new_text"),
           col("lang").as("new_lang"))
       Dedup.applyChangelog(base, deletes.unionByName(updates)
@@ -129,23 +135,28 @@ object StatsQueries {
          |           FROM orders),
          |d AS (SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
          |        AS digit FROM c WHERE c > 0),
-         |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         |cnt AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         |spine AS (SELECT unnest(range(1, 10)) AS digit),
+         |g AS (SELECT s.digit, coalesce(cnt.n_obs, 0) AS n_obs
+         |      FROM spine s LEFT JOIN cnt USING (digit)),
          |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM g)
          |SELECT g.digit, g.n_obs, t.n_total,
          |  ($BenfordPSql)[CAST(g.digit AS INTEGER)] AS p_expected,
          |  CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)]
          |    AS expected,
-         |  (CAST(g.n_obs AS DOUBLE)
+         |  CASE WHEN t.n_total = 0 THEN NULL
+         |    ELSE (CAST(g.n_obs AS DOUBLE)
          |     - CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)])
          |  * (CAST(g.n_obs AS DOUBLE)
          |     - CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)])
          |  / (CAST(t.n_total AS DOUBLE) * ($BenfordPSql)[CAST(g.digit AS INTEGER)])
-         |    AS chi2_term
+         |  END AS chi2_term
          |FROM g CROSS JOIN t""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH v AS (SELECT event_type AS g, event_id AS id,
-        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |           WHERE value IS NOT NULL),
         |m AS (SELECT g, id, c,
         |        row_number() OVER (PARTITION BY g ORDER BY c, id) AS rn,
         |        count(*) OVER (PARTITION BY g) AS n FROM v),
@@ -168,7 +179,7 @@ object StatsQueries {
     "q_ks_drift" ->
       """WITH s AS (SELECT n_chars AS x,
         |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f
-        |           FROM documents),
+        |           FROM documents WHERE n_chars IS NOT NULL),
         |g AS (SELECT x, CAST(sum(f) AS BIGINT) AS a,
         |        CAST(sum(1 - f) AS BIGINT) AS b FROM s GROUP BY x),
         |c AS (SELECT x, CAST(sum(a) OVER (ORDER BY x) AS BIGINT) AS c1,
@@ -185,10 +196,10 @@ object StatsQueries {
     "q_gini" ->
       """WITH r AS (SELECT source AS g, n_chars AS x,
         |        row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
-        |          AS i FROM documents)
+        |          AS i FROM documents WHERE n_chars IS NOT NULL)
         |SELECT g AS source, count(*) AS n, CAST(sum(x) AS BIGINT) AS total_chars,
         |  CASE WHEN sum(x) = 0 THEN NULL
-        |       ELSE 2.0 * CAST(sum(i * x) AS DOUBLE)
+        |       ELSE 2.0 * CAST(sum(CAST(i * x AS DECIMAL(38,0))) AS DOUBLE)
         |              / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
         |            - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE)
         |  END AS gini
@@ -196,7 +207,8 @@ object StatsQueries {
 
     "q_autocorr" ->
       """WITH v AS (SELECT event_type, event_id, ts,
-        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
         |p AS (SELECT event_type, c AS y,
         |        lag(c) OVER (PARTITION BY event_type ORDER BY ts, event_id)
         |          AS x FROM v),
@@ -218,7 +230,8 @@ object StatsQueries {
 
     "q_sax" ->
       """WITH v AS (SELECT event_type, epoch_us(ts) AS t,
-        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events),
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
         |w AS (SELECT event_type, t, c,
         |        min(t) OVER (PARTITION BY event_type) AS t0,
         |        max(t) OVER (PARTITION BY event_type) AS t1 FROM v),
@@ -275,6 +288,7 @@ object StatsQueries {
 
     "q_merge_apply" ->
       """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        |mx AS (SELECT max(doc_id) AS max_id FROM base),
         |changes AS (
         |  SELECT doc_id, 'D' AS op, CAST(NULL AS VARCHAR) AS new_text,
         |         CAST(NULL AS VARCHAR) AS new_lang
@@ -283,8 +297,9 @@ object StatsQueries {
         |  SELECT doc_id, 'U', upper(substring(text, 1, 40)), lang
         |    FROM base WHERE doc_id % 7 = 0 AND doc_id % 11 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'I', 'INS:' || substring(text, 1, 40), lang
-        |    FROM base WHERE doc_id % 13 = 1),
+        |  SELECT b.doc_id + mx.max_id + 1, 'I',
+        |         'INS:' || substring(b.text, 1, 40), b.lang
+        |    FROM base b CROSS JOIN mx WHERE b.doc_id % 13 = 1),
         |m AS (SELECT coalesce(b.doc_id, c.doc_id) AS doc_id, b.text AS old_text,
         |        b.lang AS old_lang, c.op, c.new_text, c.new_lang
         |      FROM base b FULL OUTER JOIN changes c ON b.doc_id = c.doc_id)

@@ -874,27 +874,38 @@ object Dedup {
     * (WHEN MATCHED AND op='U' → update, op='D' → delete, WHEN NOT
     * MATCHED AND op='I' → insert) as ONE full-outer join, the
     * distributed form of an upsert a changelog consumer runs per
-    * batch. Inverse of [[corpusDiff]]: `applyChangelog(prev,
-    * diff(prev, cur)) = cur`.
+    * batch. Companion of [[corpusDiff]]: applying `diff(prev, cur)` to
+    * `prev` reproduces cur's surviving id set, with each row's winning
+    * content attested by its hash (the output is a verdict/hash
+    * changelog, not the full row payload — hashes travel, texts
+    * don't).
     *
-    * `changes` carries (id, op ∈ {'U','D','I'}, new value columns);
+    * `changes` carries (id, op ∈ {'U','D','I'}, replacement payload);
     * rows absent from the changelog pass through, 'D' rows vanish,
-    * 'U' rows take the changelog values, 'I' rows materialize. Emits
-    * (id, op_applied, content_hash, lang) — the hash is the compact
-    * proof of which text won.
+    * 'U' rows take the changelog values, 'I' rows materialize. Payload
+    * columns are parameters, not hard-coded names: `hashed` is the
+    * (baseCol, changeCol) pair whose winning value is md5'd into
+    * `content_hash`; each `carried` (baseCol, changeCol) pair is
+    * coalesced change-first into `<baseCol>_final`. Defaults match the
+    * (text, lang) document snapshot shape. Emits
+    * (id, op_applied, content_hash, carried…_final).
     *
     * Shape: one shuffle on the id for the full-outer join (or zero
     * with co-bucketed snapshots); changelogs small enough to
     * broadcast degrade to a broadcast outer join automatically. */
-  def applyChangelog(base: DataFrame, changes: DataFrame, id: String)
+  def applyChangelog(base: DataFrame, changes: DataFrame, id: String,
+                     hashed: (String, String) = ("text", "new_text"),
+                     carried: Seq[(String, String)] = Seq(("lang", "new_lang")))
       : DataFrame =
     base.join(changes, Seq(id), "full_outer")
       .filter(col("op").isNull || col("op") =!= "D")
-      .select(col(id),
+      .select(col(id) +:
         when(col("op") === "U", lit("update"))
           .when(col("op") === "I", lit("insert"))
-          .otherwise(lit("keep")).as("op_applied"),
-        md5(when(col("op").isNull, col("text")).otherwise(col("new_text")))
-          .as("content_hash"),
-        coalesce(col("new_lang"), col("lang")).as("lang_final"))
+          .otherwise(lit("keep")).as("op_applied") +:
+        md5(when(col("op").isNull, col(hashed._1)).otherwise(col(hashed._2)))
+          .as("content_hash") +:
+        carried.map { case (baseCol, changeCol) =>
+          coalesce(col(changeCol), col(baseCol)).as(s"${baseCol}_final")
+        }: _*)
 }
