@@ -839,32 +839,47 @@ object Dedup {
       s"bucketWidth ($bucketWidth) must be >= maxDist ($maxDist) for recall")
     val hist = array(('a' to 'z').map(c =>
       length(col("p")) - length(translate(col("p"), c.toString, ""))): _*)
-    val h = df.select(id.as("id"), lang.as("lng"),
+    // the candidate join ships ONLY (id, lang, bucket, 26-int hist) —
+    // never the text: pre-gate candidates outnumber survivors ~1500:1
+    // (sf0.1: 151k → 100), so carrying the folded text through the
+    // pair join would shuffle kilobytes per pair to discard 99.9% of
+    // it at the histogram gate. Texts re-attach AFTER the gate via a
+    // broadcast-small survivor join against a fresh corpus scan. The
+    // light table is persisted so the 26-translate histogram pass runs
+    // once, not once per join side
+    val hLight = persistTracked(df.select(id.as("id"), lang.as("lng"),
         TextAnalysis.foldLower(text).as("p"),
         call_function("div", nChars.cast("long"), lit(bucketWidth.toLong))
           .as("b"))
       .withColumn("hist", hist)
-    val a = h.select(col("id").as("id_a"), col("lng"), col("b"),
-      col("p").as("pa"), col("hist").as("ha"))
-    val bb = h.select(col("id").as("id_b"), col("lng").as("lng_b"),
-      col("b").as("b_b"), col("p").as("pb"), col("hist").as("hb"))
+      .select(col("id"), col("lng"), col("b"), col("hist")))
+    val a = hLight.select(col("id").as("id_a"), col("lng"), col("b"),
+      col("hist").as("ha"))
+    val bb = hLight.select(col("id").as("id_b"), col("lng").as("lng_b"),
+      col("b").as("b_b"), col("hist").as("hb"))
     val same = a.join(bb,
       col("lng") === col("lng_b") && col("b") === col("b_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a").as("id1"), col("id_b").as("id2"),
-        col("pa"), col("pb"), col("ha"), col("hb"))
+        col("ha"), col("hb"))
     val adj = a.join(bb,
       col("lng") === col("lng_b") && col("b") + lit(1L) === col("b_b"))
       .select(least(col("id_a"), col("id_b")).as("id1"),
         greatest(col("id_a"), col("id_b")).as("id2"),
-        when(col("id_a") < col("id_b"), col("pa")).otherwise(col("pb")).as("pa"),
-        when(col("id_a") < col("id_b"), col("pb")).otherwise(col("pa")).as("pb"),
         when(col("id_a") < col("id_b"), col("ha")).otherwise(col("hb")).as("ha"),
         when(col("id_a") < col("id_b"), col("hb")).otherwise(col("ha")).as("hb"))
-    same.unionByName(adj)
+    val survivors = same.unionByName(adj)
       .filter(aggregate(zip_with(col("ha"), col("hb"),
         (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v)
         <= lit(2 * maxDist))
+      .select(col("id1"), col("id2"))
+    // survivor-side text fetch: the tiny pair set broadcasts, the
+    // corpus streams past it un-shuffled — one extra scan per side,
+    // paid only on the post-gate residue
+    val texts = df.select(id.as("tid"), TextAnalysis.foldLower(text).as("p"))
+    survivors
+      .join(texts.select(col("tid").as("id1"), col("p").as("pa")), Seq("id1"))
+      .join(texts.select(col("tid").as("id2"), col("p").as("pb")), Seq("id2"))
       .select(col("id1"), col("id2"),
         levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)

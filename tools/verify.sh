@@ -13,5 +13,5 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens j
 rm -rf "$OUT"
 java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$SF_DIR" "$OUT"
+  graft.Verify "$SF_DIR" "$OUT" ${3:+"$3"}
 python3 /root/repo/tools/check.py "$SF_DIR" "$OUT"
