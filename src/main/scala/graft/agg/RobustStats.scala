@@ -168,6 +168,76 @@ object RobustStats {
           (col("n1").cast("double") * col("n2").cast("double"))).as("d_stat"))
   }
 
+  /** Population Stability Index between a reference slice and a
+    * current slice of one integer metric column — the score-drift
+    * monitor deployed beside [[ksTwoSample]]: KS reports the WORST
+    * single point of divergence, PSI the total mass reallocation
+    * across reference-decile buckets (the industry alarm thresholds:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted).
+    *
+    * Determinism: bucket boundaries are exact order statistics of the
+    * REFERENCE slice — boundary i is the smallest x whose reference
+    * ECDF count satisfies ca·buckets ≥ i·n_ref (the exact rational
+    * compare; no percentile double) — and a row's bucket is the count
+    * of boundaries ≤ x. Laplace-smoothed shares (+1 / +buckets) make
+    * every log argument positive; each bucket's
+    * (p_ref − p_cur)·ln(p_ref/p_cur) term is quantized to
+    * floor(·10⁹) LONG (the KL fixed-point discipline) so the total is
+    * an exact integer sum in any accumulation order.
+    *
+    * Shape: like KS, the ECDF cumulates over DISTINCT metric values —
+    * one domain-sized single-partition window (thousands of rows, not
+    * corpus) — boundaries collapse to a broadcast ≤9-element array,
+    * and the bucket counts are one map-combined ≤buckets-key agg. At
+    * a larger domain, pre-quantize x into bounded buckets first.
+    *
+    * Returns one row per bucket: (bucket, n_ref_b, n_cur_b, psi_term)
+    * plus the constant psi total (window-summed over the ≤buckets
+    * rows). */
+  def psi(df: DataFrame, x: Column, inRef: Column,
+          nBuckets: Int = 10): DataFrame = {
+    val nb = nBuckets.toLong
+    val s = df.filter(x.isNotNull).select(x.cast("long").as("x"),
+      when(inRef, lit(1L)).otherwise(lit(0L)).as("f"))
+    val g = s.groupBy(col("x"))
+      .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
+    val cum = g.select(col("x"), sum(col("a")).over(w).as("ca"))
+    // boundary i (1..nb-1): min x with ca >= ceil(i*n_ref/nb); the
+    // spine×cum cross join is (nb-1)·|domain| rows — bounded
+    val bounds = cum.crossJoin(broadcast(t))
+      .select(col("x"), col("ca"), col("n_ref"),
+        explode(sequence(lit(1L), lit(nb - 1L))).as("i"))
+      .filter(col("ca") * lit(nb) >= col("i") * col("n_ref"))
+      .groupBy(col("i")).agg(min(col("x")).as("bound"))
+    val barr = bounds
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("bound")))),
+        e => e.getField("bound")).as("barr"))
+    val counts = s.crossJoin(broadcast(barr))
+      .select(size(filter(col("barr"), v => v <= col("x"))).cast("long")
+        .as("bucket"), col("f"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("f")).as("na"), sum(lit(1L) - col("f")).as("nb"))
+    val spine = df.sparkSession.range(0, nBuckets).toDF("bucket")
+    val dense = spine.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("na"), lit(0L)).as("n_ref_b"),
+        coalesce(col("nb"), lit(0L)).as("n_cur_b"))
+      .crossJoin(broadcast(t))
+    val p = (col("n_ref_b") + lit(1L)).cast("double") /
+      (col("n_ref") + lit(nb)).cast("double")
+    val q = (col("n_cur_b") + lit(1L)).cast("double") /
+      (col("n_cur") + lit(nb)).cast("double")
+    dense
+      .select(col("bucket"), col("n_ref_b"), col("n_cur_b"),
+        floor((p - q) * log(p / q) * lit(1.0e9)).cast("long").as("tq"))
+      .select(col("bucket"), col("n_ref_b"), col("n_cur_b"),
+        (col("tq").cast("double") / lit(1.0e9)).as("psi_term"),
+        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+          lit(1.0e9)).as("psi"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer mass
     * column: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending sort.
     *

@@ -336,4 +336,44 @@ object Graph {
         col("n_triangles"),
         expr(ccSql("n_triangles", "n_wedges")).as("global_cc"))
   }
+
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop
+    * every node with degree < k, keep only edges between survivors" on
+    * the canonical undirected edge set. The fixpoint of this process
+    * is the k-core — the maximal subgraph of minimum degree k — and
+    * fixing the round count (the [[pageRank]] determinism rule) makes
+    * the SQL oracle an unrolled CTE chain of the same rounds. On the
+    * near-dup candidate graph the surviving cores are template farms /
+    * mirror rings (dense mutual-similarity clusters); chains and
+    * stars — borderline pairs — peel away.
+    *
+    * Shape per round: one degree agg (explode both endpoints,
+    * map-combined count) + two LEFT SEMI joins on the survivor set —
+    * each round's edge set is persisted (it feeds the round's degree
+    * agg AND the next round's semi joins; releaseCaches frees them).
+    * Synchronous peeling is monotone (edge sets only shrink), so at
+    * lake scale each round is cheaper than the last.
+    *
+    * Returns (node, deg): every surviving node with its
+    * residual-subgraph degree after `rounds` peels. */
+  def kCore(edges: DataFrame, src: Column, dst: Column,
+            k: Int, rounds: Int): DataFrame = {
+    def degrees(es: DataFrame): DataFrame =
+      es.select(explode(array(col("a"), col("b"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    var cur = graft.core.Caches.track(
+      edges.select(src.as("u"), dst.as("v"))
+        .filter(col("u") =!= col("v") && col("u").isNotNull &&
+          col("v").isNotNull)
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct())
+    for (_ <- 1 to rounds) {
+      val keep = degrees(cur).filter(col("deg") >= k).select(col("n"))
+      cur = graft.core.Caches.track(
+        cur.join(keep.select(col("n").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("n").as("b")), Seq("b"), "left_semi"))
+    }
+    degrees(cur).select(col("n").as("node"), col("deg"))
+  }
 }

@@ -923,4 +923,71 @@ object Dedup {
         carried.map { case (baseCol, changeCol) =>
           coalesce(col(changeCol), col(baseCol)).as(s"${baseCol}_final")
         }: _*)
+
+  /** Per-group duplication-inflation factor: how much of each source's
+    * character mass survives exact dedup. Each doc's mass is discounted
+    * by its GLOBAL exact-hash cluster size (a doc copied 5× across the
+    * corpus contributes 1/5 of its chars to every copy's source), so
+    * effective mass sums to the deduped corpus mass and
+    * inflation = raw/effective is the per-source over-counting factor —
+    * the number a mixture designer divides by before allocating a token
+    * budget (a source that is 3× self-syndicated is 3× smaller than it
+    * looks).
+    *
+    * Exactness: the per-doc discount is the INTEGER div
+    * (chars·10⁹) div csize, summed in DECIMAL(38,0) (order-independent
+    * and overflow-safe at lake scale — 10⁵ chars · 10⁹ · 10¹² docs
+    * blows a LONG); the two emitted doubles are single mirrored
+    * expressions, NULL-guarded for an all-empty-text group.
+    *
+    * Shape: one content-hash shuffle for cluster sizes, one hash join
+    * back (both sides pre-hashed on h), one ≤|groups|-key agg. */
+  def dupInflation(df: DataFrame, id: Column, text: Column,
+                   group: Column): DataFrame = {
+    val d = df.filter(text.isNotNull && group.isNotNull)
+      .select(group.as("g"), id.as("id"), md5(text).as("h"),
+        length(text).cast("long").as("m"))
+    val cs = d.groupBy(col("h")).agg(count(lit(1)).as("csize"))
+    val effq = col("effq").cast("double") / lit(1.0e9)
+    d.join(cs, Seq("h"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("m")).as("n_chars_total"),
+        sum(call_function("div", col("m") * lit(1000000000L), col("csize"))
+          .cast("decimal(38,0)")).as("effq"),
+        sum(when(col("csize") === 1L, lit(1L)).otherwise(lit(0L)))
+          .as("n_unique"))
+      .select(col("g").as("source"), col("n_docs"), col("n_chars_total"),
+        col("n_unique"), effq.as("effective_chars"),
+        when(col("effq") === 0, lit(null).cast("double"))
+          .otherwise(col("n_chars_total").cast("double") / effq)
+          .as("inflation"))
+  }
+
+  /** Templated-document detection — the page-level verdict on top of
+    * [[lineDedup]]'s line-level one: a doc whose line set is mostly
+    * corpus boilerplate (each line shared by > `maxDocs` distinct docs)
+    * is a navigation shell / listing template with no novel content,
+    * and curation drops the whole page rather than stitching together
+    * the few residual lines. Emits per doc: total lines, boilerplate
+    * lines, and `templated` = n_boiler·den ≥ n_lines·num (the
+    * `frac` = num/den threshold as an exact integer cross-product — no
+    * ratio double ever exists to diverge).
+    *
+    * Shape: reuses [[explodeLines]]/[[lineFrequencies]] (distinct-pair
+    * shuffle, skew-proof), one broadcast-friendly join of the
+    * boilerplate hash set, one doc-keyed count agg. */
+  def templateDocs(df: DataFrame, id: Column, text: Column,
+                   maxDocs: Long, num: Int = 1, den: Int = 2): DataFrame = {
+    val lines = persistTracked(explodeLines(df, id, text))
+    val bp = lineFrequencies(lines).filter(col("n_docs") > maxDocs)
+      .select(col("h"), lit(true).as("bp"))
+    lines.join(bp, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("bp"), lit(1L)).otherwise(lit(0L))).as("n_boiler"))
+      .select(col("doc_id"), col("n_lines"), col("n_boiler"),
+        (col("n_boiler") * lit(den.toLong) >= col("n_lines") * lit(num.toLong))
+          .as("templated"))
+  }
 }

@@ -584,4 +584,81 @@ object Similarity {
         expr(meanQSql("sgq", "n")).as("mean_margin"),
         (col("mingq").cast("double") / lit(1.0e9)).as("min_margin"))
   }
+
+  /** Per-dimension health profile of an embedding column — the
+    * feature-store check run before trusting a vector corpus: a
+    * collapsed dimension (variance ≈ 0) contributes nothing to any
+    * distance and usually marks an encoder bug or a truncated export;
+    * a runaway min/max marks unnormalized or corrupted rows.
+    *
+    * Exactness (the q_corr power-sum discipline): each float is
+    * quantized to floor(v·10⁶ + 0.5) LONG once, the variance power sum
+    * accumulates in DECIMAL(38,0) (order-independent, overflow-safe),
+    * and every emitted double is ONE final expression mirrored
+    * token-for-token in the oracle. `collapsed` compares the identical
+    * variance expression on both engines, so the boolean can't diverge
+    * on an ulp.
+    *
+    * Shape: posexplode fans each row into `dim` (pos, value) pairs,
+    * then ONE map-side-combined hash aggregate on ≤`dim` keys — the
+    * shuffle carries dim·partitions partial rows, not the corpus. At
+    * 100 TB this is scan-bound, like any columnar profile. */
+  def dimStats(df: DataFrame, vec: Column, eps: Double = 1e-6): DataFrame = {
+    val q = df.select(posexplode(vec).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").as("q"))
+    val varExpr = (col("sqq").cast("double") -
+      col("sq").cast("double") * col("sq").cast("double") /
+        col("n").cast("double")) / col("n").cast("double") / lit(1.0e12)
+    q.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"),
+        sum((col("q") * col("q")).cast("decimal(38,0)")).as("sqq"),
+        min(col("q")).as("mnq"), max(col("q")).as("mxq"))
+      .select(col("dim"), col("n"),
+        (col("sq").cast("double") / col("n").cast("double") / lit(1000000.0))
+          .as("mean_v"),
+        varExpr.as("var_v"),
+        (col("mnq").cast("double") / lit(1000000.0)).as("min_v"),
+        (col("mxq").cast("double") / lit(1000000.0)).as("max_v"),
+        (varExpr < lit(eps)).as("collapsed"))
+  }
+
+  /** k-occurrence hubness audit (Radovanović et al., JMLR'10): for each
+    * vector, how many OTHER vectors' exact top-k neighbor lists it
+    * appears in. High-dimensional corpora concentrate: a few "hub"
+    * vectors show up in a large fraction of neighbor lists (distorting
+    * kNN-graph dedup and RAG retrieval) while "antihubs" (n_hits = 0)
+    * are never retrieved at all. The skew of this distribution is the
+    * standard embedding-space pathology check before shipping an ANN
+    * index.
+    *
+    * Exact by construction — brute-force top-k per query with the
+    * (cos DESC, vec_id) tie rule every retriever in this file uses;
+    * hubs flagged at the conventional n_hits ≥ 2k threshold, antihubs
+    * at 0 (dense: vectors in nobody's list still emit a row).
+    *
+    * Shape: the corpus crossJoins a BROADCAST copy of itself (this is
+    * the brute-force audit — run it on the ≤10⁶-row probe sample, not
+    * the lake; the scale path reuses the IVF/LSH retrievers and
+    * accepts approximate counts), one window per query, one ≤n-key
+    * hash agg. */
+  def hubness(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val topk = v.crossJoin(broadcast(
+        v.select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        CosineSimilarity(col("v"), col("qv")).as("cos"))
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+    v.select(col("vec_id"))
+      .join(topk.groupBy(col("vec_id")).agg(count(lit(1)).as("hits")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("hits"), lit(0L)) >= lit(2L * k)).as("hub"),
+        (coalesce(col("hits"), lit(0L)) === lit(0L)).as("antihub"))
+  }
 }

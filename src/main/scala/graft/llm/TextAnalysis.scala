@@ -202,6 +202,87 @@ object TextAnalysis {
       .agg((sum(col("tq")).cast("double") / lit(1e9)).as("kl_drift"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between every two groups'
+    * hashed-unigram distributions — the symmetric, bounded (≤ ln 2)
+    * companion of [[unigramKlDrift]]: KL monitors each source against
+    * the corpus mix, JSD maps which sources resemble EACH OTHER (the
+    * syndication/registry-merge question "are these two crawls the
+    * same distribution?") without either side playing "reference".
+    *
+    * Same machinery as KL: 256 hashed token buckets
+    * ([[klBucketCounts]]), dense per-group grids (empty buckets
+    * coalesce to 0), Laplace smoothing so every log argument is
+    * positive, and the per-bucket term
+    * 0.5·p·ln(p/m) + 0.5·q·ln(q/m) (m the midpoint) quantized to
+    * floor(·10⁹) LONG — the total is an exact integer sum in any
+    * order, mirrored token-for-token in the oracle.
+    *
+    * Shape: the |G|·256 dense grid self-joins on the bucket index —
+    * |G|²/2·256 term rows. Built for the governance scale where
+    * groups are sources/languages (dozens): at |G| ≳ 10³ switch to
+    * sketch-based pair screening first. */
+  def jsSourcePairs(df: DataFrame, text: Column, group: Column): DataFrame = {
+    val B = 256L
+    val gb = klBucketCounts(df, text, group)
+    val grid = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
+      .select(col("g"), col("n_g"),
+        explode(sequence(lit(0L), lit(B - 1))).as("b"))
+      .join(gb, Seq("g", "b"), "left")
+      .select(col("g"), col("b"), col("n_g"),
+        coalesce(col("n_gb"), lit(0L)).as("c"))
+    val l = grid.select(col("g").as("g1"), col("b"),
+      col("n_g").as("ng1"), col("c").as("c1"))
+    val r = grid.select(col("g").as("g2"), col("b"),
+      col("n_g").as("ng2"), col("c").as("c2"))
+    l.join(r, l("b") === r("b") && col("g1") < col("g2"))
+      .select(col("g1"), col("g2"),
+        ((col("c1") + lit(1L)).cast("double") /
+          (col("ng1") + lit(B)).cast("double")).as("p"),
+        ((col("c2") + lit(1L)).cast("double") /
+          (col("ng2") + lit(B)).cast("double")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0))
+      .select(col("g1"), col("g2"),
+        floor((lit(0.5) * col("p") * log(col("p") / col("m")) +
+          lit(0.5) * col("q") * log(col("q") / col("m"))) * lit(1.0e9))
+          .cast("long").as("tq"))
+      .groupBy(col("g1"), col("g2"))
+      .agg((sum(col("tq")).cast("double") / lit(1.0e9)).as("jsd"))
+      .select(col("g1").as("source_a"), col("g2").as("source_b"), col("jsd"))
+  }
+
+  /** Windowed token co-occurrence counts — the word2vec/GloVe-style
+    * corpus statistic generalizing [[pmiTop]]'s adjacent bigrams: an
+    * unordered token pair is counted once for every occurrence within
+    * `window` positions (self-pairs from a repeated token count too).
+    * Top-`topK` pairs by (count DESC, pair) — the collocation
+    * inventory an embedding-training or stop-pair-mining stage reads.
+    *
+    * Shape: positions explode once, each token emits `window` probe
+    * rows ((doc, pos+δ) keys), and ONE equi-join on (doc, pos) closes
+    * the pairs — fan-out is window·|tokens|, never quadratic in doc
+    * length. One hash agg on the pair key (map-combined), then the
+    * global top-K heap (TakeOrderedAndProject). */
+  def cooccurWindow(df: DataFrame, id: Column, text: Column,
+                    window: Int = 4, topK: Int = 64): DataFrame = {
+    val t = df.select(id.as("doc"), posexplode(tokens(text))
+      .as(Seq("pos", "tok")))
+    val probe = t.select(col("doc"),
+        explode(sequence(lit(1), lit(window))).as("d"),
+        col("pos"), col("tok").as("t1"))
+      .select(col("doc"), (col("pos") + col("d")).as("pos"), col("t1"))
+    val pairs = probe
+      .join(t.select(col("doc"), col("pos"), col("tok").as("t2")),
+        Seq("doc", "pos"))
+      .select(least(col("t1"), col("t2")).as("ta"),
+        greatest(col("t1"), col("t2")).as("tb"))
+    val top = pairs.groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ta"), col("tb")).limit(topK)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("ta"), col("tb"))).cast("long"))
+  }
+
   /** Temperature-scaled mixture sampling (the GPT-3 / UniMax-family
     * multinomial mixing rule, α = 0.5): where [[mixtureSample]] takes
     * CALLER-fixed rates, this DERIVES them from the corpus — group g's

@@ -1,0 +1,158 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.agg.RobustStats
+import graft.graph.Graph
+import org.apache.spark.sql.functions._
+
+/** Round-13 corpus/embedding QA wave: per-dimension embedding stats,
+  * kNN hubness, duplication inflation, templated pages, PSI drift,
+  * Jensen–Shannon pairs, windowed co-occurrence, k-core peeling. */
+class CorpusQaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dimStats: exact per-dimension moments; collapsed flags a constant dim") {
+    // dim 0 varies, dim 1 constant (collapsed), dim 2 symmetric around 0
+    val df = Seq(
+      (1L, Array(1.0f, 0.5f, -2.0f)),
+      (2L, Array(3.0f, 0.5f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.dimStats(df, col("embedding"))
+      .orderBy("dim").collect()
+    assert(out.length == 3)
+    val d0 = out(0); val d1 = out(1); val d2 = out(2)
+    assert(d0.getAs[Double]("mean_v") == 2.0 &&
+      d0.getAs[Double]("var_v") == 1.0 && !d0.getAs[Boolean]("collapsed"))
+    assert(d1.getAs[Double]("var_v") == 0.0 && d1.getAs[Boolean]("collapsed"))
+    assert(d2.getAs[Double]("mean_v") == 0.0 &&
+      d2.getAs[Double]("min_v") == -2.0 && d2.getAs[Double]("max_v") == 2.0)
+  }
+
+  test("hubness: dense zero rows; hub/antihub flags from k-occurrence") {
+    // a and b point the same way; c is orthogonal. k=1: a's top-1 is b,
+    // b's top-1 is a, c's top-1 is a (tie on cos 0 broken by id).
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hubness(df, col("vec_id"), col("embedding"), k = 1)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("n_hits")).toSeq == Seq(2L, 1L, 0L))
+    assert(out.map(_.getAs[Boolean]("hub")).toSeq ==
+      Seq(true, false, false)) // 2 >= 2k with k=1
+    assert(out.map(_.getAs[Boolean]("antihub")).toSeq ==
+      Seq(false, false, true))
+  }
+
+  test("dupInflation: global cluster sizes discount each copy's mass") {
+    // "xx" appears 3x across two sources; "yyyy" unique
+    val df = Seq(
+      (1L, "xx", "s1"), (2L, "xx", "s1"), (3L, "xx", "s2"),
+      (4L, "yyyy", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.dupInflation(df, col("doc_id"), col("text"),
+      col("source")).orderBy("source").collect()
+    val s1 = out(0); val s2 = out(1)
+    // s1: two copies of a size-3 cluster -> effective 2*(2/3)
+    assert(s1.getAs[Long]("n_chars_total") == 4L)
+    assert(math.abs(s1.getAs[Double]("effective_chars") - 4.0 / 3.0) < 1e-8)
+    assert(math.abs(s1.getAs[Double]("inflation") - 3.0) < 1e-8)
+    assert(s1.getAs[Long]("n_unique") == 0L)
+    // s2: one copy (2/3 of 2 chars) + unique 4 chars
+    assert(s2.getAs[Long]("n_chars_total") == 6L)
+    assert(math.abs(s2.getAs[Double]("effective_chars") -
+      (2.0 / 3.0 + 4.0)) < 1e-8)
+    assert(s2.getAs[Long]("n_unique") == 1L)
+  }
+
+  test("templateDocs: boilerplate-majority pages flagged by exact integer compare") {
+    val nav = "home\nabout\ncontact"
+    val df = Seq(
+      (1L, nav),                      // 3/3 boilerplate
+      (2L, nav + "\nunique two"),     // 3/4 boilerplate
+      (3L, nav + "\na\nb\nc\nd"),     // 3/7 boilerplate -> not templated
+      (4L, nav)                       // lines shared by docs 1,2,3,4 (> 2)
+    ).toDF("doc_id", "text")
+    val out = Dedup.templateDocs(df, col("doc_id"), col("text"),
+        maxDocs = 2L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_boiler")).toSeq == Seq(3L, 3L, 3L, 3L))
+    assert(out.map(_.getAs[Boolean]("templated")).toSeq ==
+      Seq(true, true, false, true))
+  }
+
+  test("psi: identical slices give ~0; disjoint slices give a large index") {
+    val same = (1 to 100).flatMap(i => Seq((i.toLong, true), (i.toLong, false)))
+      .toDF("x", "r")
+    val psiSame = RobustStats.psi(same, col("x"), col("r"))
+      .select(col("psi")).head().getDouble(0)
+    assert(math.abs(psiSame) < 1e-6)
+    // reference in 1..100, current in 1001..1100: total reallocation
+    val shifted = ((1 to 100).map(i => (i.toLong, true)) ++
+      (1001 to 1100).map(i => (i.toLong, false))).toDF("x", "r")
+    val outS = RobustStats.psi(shifted, col("x"), col("r")).collect()
+    assert(outS.length == 10)
+    val psiS = outS.head.getAs[Double]("psi")
+    assert(psiS > 0.25) // the "shifted" alarm band
+    // per-bucket terms fold to the window total (exact long sum / 1e9;
+    // round, not floor — the /1e9 round-trip is only ulp-exact)
+    val folded = outS.map(r => math.round(r.getAs[Double]("psi_term") * 1e9))
+      .sum
+    assert(math.abs(folded.toDouble / 1e9 - psiS) < 1e-9)
+  }
+
+  test("jsSourcePairs: symmetric in input order, 0 for identical sources, <= ln 2") {
+    val df = Seq(
+      (1L, "a a b c", "s1"), (2L, "a a b c", "s2"),
+      (3L, "x y z w q r", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.jsSourcePairs(df, col("text"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Double]("jsd"))).sortBy(p => (p._1, p._2))
+    assert(out.map(p => (p._1, p._2)).toSeq ==
+      Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    val m = out.map(p => (p._1, p._2) -> p._3).toMap
+    assert(math.abs(m(("s1", "s2"))) < 1e-6) // identical distributions
+    assert(m(("s1", "s3")) > m(("s1", "s2")))
+    assert(out.forall(_._3 <= math.log(2.0) + 1e-9))
+    // s1 vs s3 == s2 vs s3: same distribution on the left
+    assert(math.abs(m(("s1", "s3")) - m(("s2", "s3"))) < 1e-9)
+  }
+
+  test("cooccurWindow: counts unordered pairs within the window, not beyond") {
+    val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurWindow(df, col("doc_id"), col("text"),
+        window = 2, topK = 100)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n"))).toMap
+    // adjacent and distance-2 pairs only
+    assert(out(("a", "b")) == 1L && out(("a", "c")) == 1L)
+    assert(!out.contains(("a", "d"))) // distance 3 > window
+    assert(out.size == 5 + 4) // 5 adjacent + 4 distance-2 pairs
+  }
+
+  test("cooccurWindow: repeated token yields a canonical self/cross pair count") {
+    val df = Seq((1L, "a a b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.cooccurWindow(df, col("doc_id"), col("text"),
+        window = 1, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("n"))).toMap
+    assert(out(("a", "a")) == 1L) // positions (0,1)
+    assert(out(("a", "b")) == 2L) // (1,2) and (2,3), both canonical (a,b)
+  }
+
+  test("kCore: peels below-k nodes and cascades; fixpoint within rounds") {
+    // triangle {1,2,3} plus a pendant chain 3-4-5: k=2 peels 5, then 4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("s", "t")
+    val out = Graph.kCore(edges, col("s"), col("t"), k = 2, rounds = 3)
+      .orderBy("node").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("deg")).toSeq == Seq(2L, 2L, 2L))
+    // one round is NOT enough: the chain peels one hop per round
+    val r1 = Graph.kCore(edges, col("s"), col("t"), k = 2, rounds = 1)
+      .orderBy("node").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+}
