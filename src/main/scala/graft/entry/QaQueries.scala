@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
 object QaQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Hubness neighbor-list size (shared with the oracle text). */
-  private val HubK = 10
+  /** Hubness neighbor-list size / query-panel modulus / hub threshold
+    * (2k/mod — the panel-scaled convention; shared with the oracle). */
+  private val HubK = 10; private val HubMod = 4L
+  private val HubAt = 2L * HubK / HubMod
   /** Line-boilerplate doc threshold (same value as q_line_dedup). */
   private val TemplMaxDocs = 2L
   /** PSI reference-quantile bucket count. */
@@ -37,11 +39,12 @@ object QaQueries {
     "q_embed_dim_stats" -> ((s, d) =>
       Similarity.dimStats(Tables.embeddings(s, d), col("embedding"))),
 
-    // exact k-occurrence hubness of the embedding corpus — brute-force
-    // top-10 per vector (broadcast self-crossJoin), dense zero rows
+    // k-occurrence hubness of the embedding corpus — exact top-10
+    // lists for a deterministic 1-in-4 query panel (the rate
+    // estimator; panel-scaled hub threshold), dense zero rows
     "q_hubness" -> ((s, d) =>
       Similarity.hubness(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), HubK)),
+        col("embedding"), HubK, HubMod, HubAt)),
 
     // per-source duplication inflation: global exact-hash cluster
     // sizes discount each doc's char mass; integer-div fixed point,
@@ -135,11 +138,11 @@ object QaQueries {
          |             ORDER BY ${sqlCos("c.embedding", "q.embedding")} DESC,
          |                      c.vec_id) AS rn
          |    FROM embeddings c CROSS JOIN embeddings q
-         |    WHERE c.vec_id <> q.vec_id) t
+         |    WHERE q.vec_id % $HubMod = 0 AND c.vec_id <> q.vec_id) t
          |  WHERE rn <= $HubK),
          |hits AS (SELECT vec_id, count(*) AS hits FROM topk GROUP BY 1)
          |SELECT e.vec_id, coalesce(h.hits, 0) AS n_hits,
-         |  coalesce(h.hits, 0) >= ${2 * HubK} AS hub,
+         |  coalesce(h.hits, 0) >= $HubAt AS hub,
          |  coalesce(h.hits, 0) = 0 AS antihub
          |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.vec_id""".stripMargin,
 

@@ -638,17 +638,29 @@ object Similarity {
     * hubs flagged at the conventional n_hits ≥ 2k threshold, antihubs
     * at 0 (dense: vectors in nobody's list still emit a row).
     *
-    * Shape: the corpus crossJoins a BROADCAST copy of itself (this is
+    * `queryMod` > 1 runs the audit against a deterministic 1-in-mod
+    * QUERY PANEL (vec_id % mod == 0) — the standard way to estimate
+    * k-occurrence rates without the full quadratic pass: counts are
+    * exact w.r.t. the panel and ~1/mod of the full-audit counts, so
+    * `hubAt` (default 2k, the full-audit convention) should scale to
+    * 2k/mod. The distribution's SHAPE — the skew that diagnoses the
+    * pathology — is what the audit reads, and a fixed panel preserves
+    * it.
+    *
+    * Shape: the corpus crossJoins a BROADCAST query panel (this is
     * the brute-force audit — run it on the ≤10⁶-row probe sample, not
     * the lake; the scale path reuses the IVF/LSH retrievers and
     * accepts approximate counts), one window per query, one ≤n-key
     * hash agg. */
-  def hubness(df: DataFrame, id: Column, vec: Column, k: Int): DataFrame = {
+  def hubness(df: DataFrame, id: Column, vec: Column, k: Int,
+              queryMod: Long = 1L, hubAt: Long = -1L): DataFrame = {
+    val ha = if (hubAt >= 0L) hubAt else 2L * k
     val v = df.select(id.as("vec_id"), vec.as("v"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val topk = v.crossJoin(broadcast(
-        v.select(col("vec_id").as("query_id"), col("v").as("qv"))))
+        v.filter(col("vec_id") % lit(queryMod) === 0L)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         CosineSimilarity(col("v"), col("qv")).as("cos"))
@@ -658,7 +670,7 @@ object Similarity {
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("hits"), lit(0L)) >= lit(2L * k)).as("hub"),
+        (coalesce(col("hits"), lit(0L)) >= lit(ha)).as("hub"),
         (coalesce(col("hits"), lit(0L)) === lit(0L)).as("antihub"))
   }
 }

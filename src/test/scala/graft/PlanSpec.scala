@@ -664,4 +664,75 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"the 1-row totals must nest-loop-broadcast, never cartesian:\n$p")
   }
+
+  test("dimStats: one exchange (the <=dim-key agg), scan prunes to the vector") {
+    val p = plan(SparkEntry.queries("q_embed_dim_stats")(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"per-dim profile must shuffle once, on the dim key:\n$p")
+    val e = explained(SparkEntry.queries("q_embed_dim_stats")(spark, sf))
+    assert(e.contains("ReadSchema: struct<embedding:array<float>>"),
+      s"scan must read only the vector column:\n$e")
+  }
+
+  test("hubness: corpus streams past a broadcast self-copy; dense rows via one outer join") {
+    val p = plan(SparkEntry.queries("q_hubness")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the query copy must broadcast (brute-force audit contract):\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"self-pairing must ride the broadcast, never a cartesian:\n$p")
+  }
+
+  test("dupInflation: cluster sizes and mass agg share the content-hash shuffle") {
+    val p = plan(SparkEntry.queries("q_dup_inflation")(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"the csize join must stay hash-keyed (broadcast or SHJ):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("psi: boundary array and totals broadcast back — the slice never re-shuffles for bucketing") {
+    val df = SparkEntry.queries("q_psi")(spark, sf)
+    val p = plan(df)
+    // bucketing = size(filter(barr, ...)) against broadcast 1-row frames:
+    // any SortMergeJoin means the corpus shuffled to meet the bounds
+    assert(!p.contains("SortMergeJoin"),
+      s"bounds/totals must broadcast, never co-shuffle the slice:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("jsSourcePairs: the pair join keys on the bucket index — equi, never all-pairs") {
+    val p = plan(SparkEntry.queries("q_js_sources")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"grid self-join must stay equi-keyed on b:\n$p")
+  }
+
+  test("cooccur: window-bounded probe explode closes pairs with ONE equi-join; heap top-k") {
+    val p = plan(SparkEntry.queries("q_cooccur")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-64 collocations must be heap-based:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair closure must be the (doc,pos) equi-join:\n$p")
+  }
+
+  test("kCore small regime: one exchange of raw pairs into one imperative task") {
+    val p = plan(SparkEntry.queries("q_kcore")(spark, sf))
+    assert(p.contains("MapPartitions"),
+      s"small graph must take the imperative one-task path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in peeling:\n$p")
+  }
+
+  test("kCore cluster regime: per-round edge sets persist; survivor joins stay equi-keyed") {
+    val e = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+    val p = plan(graph.Graph.kCore(e, col("src"), col("dst"), 8, 3,
+      smallGraphThreshold = 0L))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in peeling:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"survivor semi joins must hash, not sort (shuffle_hash hint):\n$p")
+    // each round's edge set feeds its degree agg AND the next round's
+    // semi joins — the final plan must read persisted copies
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"round edge sets must persist across their consumers:\n$p")
+  }
 }

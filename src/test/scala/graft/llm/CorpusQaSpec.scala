@@ -142,14 +142,20 @@ class CorpusQaSpec extends SparkSpec {
     assert(out(("a", "b")) == 2L) // (1,2) and (2,3), both canonical (a,b)
   }
 
-  test("kCore: peels below-k nodes and cascades; fixpoint within rounds") {
-    // triangle {1,2,3} plus a pendant chain 3-4-5: k=2 peels 5, then 4
-    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
-      .toDF("s", "t")
-    val out = Graph.kCore(edges, col("s"), col("t"), k = 2, rounds = 3)
+  test("kCore: peels below-k nodes and cascades; both regimes agree") {
+    // triangle {1,2,3} plus a pendant chain 3-4-5: k=2 peels 5, then 4.
+    // Duplicate and reversed edges must dedup to one canonical edge.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (3L, 4L)).toDF("s", "t")
+    val small = Graph.kCore(edges, col("s"), col("t"), k = 2, rounds = 3)
       .orderBy("node").collect()
-    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
-    assert(out.map(_.getAs[Long]("deg")).toSeq == Seq(2L, 2L, 2L))
+    assert(small.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(small.map(_.getAs[Long]("deg")).toSeq == Seq(2L, 2L, 2L))
+    // cluster regime (threshold 0 forces it) computes the same rows
+    val big = Graph.kCore(edges, col("s"), col("t"), k = 2, rounds = 3,
+        smallGraphThreshold = 0L)
+      .orderBy("node").collect()
+    assert(big.map(_.toSeq).toSeq == small.map(_.toSeq).toSeq)
     // one round is NOT enough: the chain peels one hop per round
     val r1 = Graph.kCore(edges, col("s"), col("t"), k = 2, rounds = 1)
       .orderBy("node").collect()
