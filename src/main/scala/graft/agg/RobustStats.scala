@@ -195,17 +195,33 @@ object RobustStats {
     * plus the constant psi total (window-summed over the ≤buckets
     * rows). */
   def psi(df: DataFrame, x: Column, inRef: Column,
-          nBuckets: Int = 10): DataFrame = {
-    val nb = nBuckets.toLong
-    val s = df.filter(x.isNotNull).select(x.cast("long").as("x"),
-      when(inRef, lit(1L)).otherwise(lit(0L)).as("f"))
-    val g = s.groupBy(col("x"))
+          nBuckets: Int = 10): DataFrame =
+    psiFromValueCounts(psiValueCounts(df, x, inRef), nBuckets)
+
+  /** The grouped (x, a, b) value-count relation [[psi]] folds — public
+    * so the streaming ledger twin
+    * ([[graft.streaming.Streaming.mergePsiLedgerIdempotent]]) shares
+    * the exact slice/grouping semantics. a = reference-slice count of
+    * metric value x, b = current-slice count; NULL metric rows carry
+    * no distribution mass and are dropped (house rule, see
+    * [[ksTwoSample]]). Additive across disjoint row sets — what makes
+    * the streaming merge exact. */
+  def psiValueCounts(df: DataFrame, x: Column, inRef: Column): DataFrame =
+    df.filter(x.isNotNull).select(x.cast("long").as("x"),
+        when(inRef, lit(1L)).otherwise(lit(0L)).as("f"))
+      .groupBy(col("x"))
       .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
+
+  /** PSI from a (x, a, b) value-count table (corpus-built or
+    * ledger-built — identical results either way). */
+  def psiFromValueCounts(g0: DataFrame, nBuckets: Int): DataFrame = {
+    val nb = nBuckets.toLong
+    val g = g0.filter(col("x").isNotNull)
     val w = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
     val cum = g.select(col("x"), sum(col("a")).over(w).as("ca"))
-    // boundary i (1..nb-1): min x with ca >= ceil(i*n_ref/nb); the
+    // boundary i (1..nb-1): min x with ca·nb >= i·n_ref; the
     // spine×cum cross join is (nb-1)·|domain| rows — bounded
     val bounds = cum.crossJoin(broadcast(t))
       .select(col("x"), col("ca"), col("n_ref"),
@@ -215,12 +231,12 @@ object RobustStats {
     val barr = bounds
       .agg(transform(array_sort(collect_list(struct(col("i"), col("bound")))),
         e => e.getField("bound")).as("barr"))
-    val counts = s.crossJoin(broadcast(barr))
+    val counts = g.crossJoin(broadcast(barr))
       .select(size(filter(col("barr"), v => v <= col("x"))).cast("long")
-        .as("bucket"), col("f"))
+        .as("bucket"), col("a"), col("b"))
       .groupBy(col("bucket"))
-      .agg(sum(col("f")).as("na"), sum(lit(1L) - col("f")).as("nb"))
-    val spine = df.sparkSession.range(0, nBuckets).toDF("bucket")
+      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+    val spine = g0.sparkSession.range(0, nBuckets).toDF("bucket")
     val dense = spine.join(counts, Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("na"), lit(0L)).as("n_ref_b"),
         coalesce(col("nb"), lit(0L)).as("n_cur_b"))

@@ -539,6 +539,44 @@ object Streaming {
         .select(col("g"), col("b"), col("n_gb")))
   }
 
+  /** Merge one micro-batch's docs into a persistent PSI value-count
+    * ledger — the ingest half of [[graft.agg.RobustStats.psi]]. Each
+    * row lives in exactly one micro-batch, so per-batch (x, a, b)
+    * value counts are additive (the mergeLineLedger discipline);
+    * after the last batch
+    * [[graft.agg.RobustStats.psiFromValueCounts]] over the ledger
+    * equals the one-shot batch index bit for bit (StreamingSpec pins
+    * it). State is the metric's VALUE DOMAIN — bounded for scores/
+    * lengths; pre-quantize a continuous metric before ingest. */
+  def mergePsiLedger(ledger: DataFrame, batchRows: DataFrame,
+                     x: Column, inRef: Column): DataFrame =
+    ledger.select(col("x"), col("a"), col("b"))
+      .unionByName(graft.agg.RobustStats.psiValueCounts(batchRows, x, inRef))
+      .groupBy(col("x"))
+      .agg(sum(col("a")).cast("long").as("a"),
+        sum(col("b")).cast("long").as("b"))
+
+  /** Replay-proof [[mergePsiLedger]] — the
+    * [[mergeLineLedgerIdempotent]] discipline for the (x, a, b)
+    * value-count ledger: a redelivered `foreachBatch` batch is a
+    * no-op instead of double-counting. Sentinel is (x=null,
+    * a=batchId, b=0); real metric values are non-null by construction
+    * ([[graft.agg.RobustStats.psiValueCounts]] filters them) and
+    * [[graft.agg.RobustStats.psiFromValueCounts]] drops null x, so
+    * the index over the gated ledger equals the one-shot batch
+    * monitor bit for bit even under replay (StreamingSpec pins it). */
+  def mergePsiLedgerIdempotent(ledger: DataFrame, batchRows: DataFrame,
+                               x: Column, inRef: Column,
+                               batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("x"), col("a"))
+    if (batchId <= hwm) ledger.select(col("x"), col("a"), col("b"))
+    else mergePsiLedger(ledger.filter(col("x").isNotNull), batchRows,
+      x, inRef)
+      .unionByName(hwmSentinel(batchRows.sparkSession, "x", "long",
+        "a", batchId).withColumn("b", lit(0L))
+        .select(col("x"), col("a"), col("b")))
+  }
+
   /** Merge one micro-batch's (user, period) activity rows into a
     * persistent retention ledger — the streaming half of
     * [[graft.agg.Funnel.retention]], whose two-level aggregation

@@ -898,4 +898,51 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.overlapMatrixFromLedger(ledger)
       .as[(String, String, Long)].collect().toSet == batchM)
   }
+
+  test("idempotent psi ledger: replay is a no-op; streamed PSI equals the batch index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, 120L, "en"), (2L, 340L, "en"), (3L, 95L, "de"),
+      (4L, 120L, "de"), (5L, 800L, "en"), (6L, 95L, "en"),
+      (7L, 2100L, "de"), (8L, 340L, "de"), (9L, 55L, "en"))
+
+    var ledger = Seq.empty[(Long, Long, Long)].toDF("x", "a", "b")
+    val ms = MemoryStream[(Long, Long, String)]
+    val q = ms.toDF().toDF("doc_id", "n_chars", "lang").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergePsiLedgerIdempotent(ledger, batch,
+            col("n_chars"), col("lang") === "en", bid).cache()
+          ledger.count()
+          // redelivery of the same batchId must not double value counts
+          ledger = Streaming.mergePsiLedgerIdempotent(ledger, batch,
+            col("n_chars"), col("lang") === "en", bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(rows.take(3)); q.processAllAvailable()
+    ms.addData(rows.slice(3, 7)); q.processAllAvailable()
+    ms.addData(rows.drop(7)); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("x"), col("a")) == 2L)
+
+    val all = rows.toDF("doc_id", "n_chars", "lang")
+    val batchCounts = graft.agg.RobustStats.psiValueCounts(
+      all, col("n_chars"), col("lang") === "en")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ledger.filter(col("x").isNotNull)
+      .as[(Long, Long, Long)].collect().toSet == batchCounts,
+      "replay-gated ledger must equal batch value counts despite redelivery")
+
+    // psiFromValueCounts drops the sentinel itself — feed the raw ledger
+    val streamed = graft.agg.RobustStats.psiFromValueCounts(ledger, 10)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.agg.RobustStats.psi(all, col("n_chars"),
+      col("lang") === "en").collect().map(_.toSeq).toSet
+    graft.core.Caches.release()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
