@@ -223,13 +223,20 @@ object TextAnalysis {
     * sketch-based pair screening first. */
   def jsSourcePairs(df: DataFrame, text: Column, group: Column): DataFrame = {
     val B = 256L
-    val gb = klBucketCounts(df, text, group)
-    val grid = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
-      .select(col("g"), col("n_g"),
-        explode(sequence(lit(0L), lit(B - 1))).as("b"))
-      .join(gb, Seq("g", "b"), "left")
-      .select(col("g"), col("b"), col("n_g"),
-        coalesce(col("n_gb"), lit(0L)).as("c"))
+    // gb is the corpus-sized work (token explode + hash + agg) and
+    // feeds BOTH the per-group totals and the dense-grid join; the
+    // grid feeds BOTH sides of the pair join. Untracked, the explode
+    // subtree would run four times per action (measured 11 -> 131 s
+    // at sf1 under memory pressure). Both persists are |G|·256-row
+    // artifacts; releaseCaches frees them.
+    val gb = graft.core.Caches.track(klBucketCounts(df, text, group))
+    val grid = graft.core.Caches.track(
+      gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
+        .select(col("g"), col("n_g"),
+          explode(sequence(lit(0L), lit(B - 1))).as("b"))
+        .join(gb, Seq("g", "b"), "left")
+        .select(col("g"), col("b"), col("n_g"),
+          coalesce(col("n_gb"), lit(0L)).as("c")))
     val l = grid.select(col("g").as("g1"), col("b"),
       col("n_g").as("ng1"), col("c").as("c1"))
     val r = grid.select(col("g").as("g2"), col("b"),
@@ -257,24 +264,24 @@ object TextAnalysis {
     * Top-`topK` pairs by (count DESC, pair) — the collocation
     * inventory an embedding-training or stop-pair-mining stage reads.
     *
-    * Shape: positions explode once, each token emits `window` probe
-    * rows ((doc, pos+δ) keys), and ONE equi-join on (doc, pos) closes
-    * the pairs — fan-out is window·|tokens|, never quadratic in doc
-    * length. One hash agg on the pair key (map-combined), then the
-    * global top-K heap (TakeOrderedAndProject). */
+    * Shape: pairs are generated ARRAY-LOCALLY inside the scan
+    * projection — each token slices its ≤`window` successors out of
+    * the same token array (indexed lambda + slice, window-bounded
+    * fan-out, never quadratic in doc length) — so the only shuffle in
+    * the whole plan is the map-combined hash agg on the pair key,
+    * followed by the global top-K heap (TakeOrderedAndProject). An
+    * earlier (doc, pos)-join formulation shuffled window·|tokens| +
+    * |tokens| rows of token strings to close the same pairs (measured
+    * 23 s vs this form at sf1; join-side spill under pressure took it
+    * to 250 s). */
   def cooccurWindow(df: DataFrame, id: Column, text: Column,
                     window: Int = 4, topK: Int = 64): DataFrame = {
-    val t = df.select(id.as("doc"), posexplode(tokens(text))
-      .as(Seq("pos", "tok")))
-    val probe = t.select(col("doc"),
-        explode(sequence(lit(1), lit(window))).as("d"),
-        col("pos"), col("tok").as("t1"))
-      .select(col("doc"), (col("pos") + col("d")).as("pos"), col("t1"))
-    val pairs = probe
-      .join(t.select(col("doc"), col("pos"), col("tok").as("t2")),
-        Seq("doc", "pos"))
-      .select(least(col("t1"), col("t2")).as("ta"),
-        greatest(col("t1"), col("t2")).as("tb"))
+    val pairs = df.select(tokens(text).as("tk"))
+      .select(explode(flatten(transform(col("tk"), (t, i) =>
+        transform(slice(col("tk"), i + lit(2), lit(window)), u =>
+          struct(least(t, u).as("ta"), greatest(t, u).as("tb"))))))
+        .as("p"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
     val top = pairs.groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ta"), col("tb")).limit(topK)
