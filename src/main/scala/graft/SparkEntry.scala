@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.entry.{AggQueries, CoreQueries, GraphQueries, JoinQueries, LlmQueries, QaQueries, SelectionQueries, StatsQueries, UrlQueries}
+import graft.entry.{AggQueries, CoreQueries, EvalQueries, GraphQueries, JoinQueries, LlmQueries, QaQueries, SelectionQueries, StatsQueries, UrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ AggQueries.queries ++ JoinQueries.queries ++
       LlmQueries.queries ++ GraphQueries.queries ++ UrlQueries.queries ++
-      SelectionQueries.queries ++ StatsQueries.queries ++ QaQueries.queries
+      SelectionQueries.queries ++ StatsQueries.queries ++ QaQueries.queries ++
+      EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
       LlmQueries.oracle ++ GraphQueries.oracle ++ UrlQueries.oracle ++
-      SelectionQueries.oracle ++ StatsQueries.oracle ++ QaQueries.oracle
+      SelectionQueries.oracle ++ StatsQueries.oracle ++ QaQueries.oracle ++
+      EvalQueries.oracle
 }

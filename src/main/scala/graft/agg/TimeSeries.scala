@@ -177,6 +177,61 @@ object TimeSeries {
         .as("corr_lag1"))
   }
 
+  /** CUSUM changepoint per key (Page 1954 / the offline max-drift
+    * form): the single most likely level-shift point of each series —
+    * the monitor a continuously-ingested pipeline runs per source to
+    * answer "WHEN did this metric move", the companion of the
+    * which-distribution alarms (PSI, KS, KL).
+    *
+    * Statistic: over the (ts, id)-ordered series, the cumulative sum
+    * C_i drifts from the global trend line i·S/n by
+    * D_i = C_i − i·S/n; the changepoint is argmax |D_i| (earliest
+    * (ts, id) on ties) and max|D_i| estimates the shift mass. All
+    * comparisons run on the EXACT integer numerator
+    * |C_i·n − i·S| (values quantized to cents; products in
+    * DECIMAL(38,0) — with C_i ~ n·10⁴ cents the LONG product
+    * overflows at lake scale, the gini/autocorr lesson), so the
+    * argmax is engine-exact; the emitted drift and the left/right
+    * segment means divide once at the end. Single-observation
+    * segments make mean_right NULL at i = n (ANSI guard, both
+    * engines).
+    *
+    * Shape: one key-partitioned sort carries the row number and both
+    * cumulative/total sums; the argmax is a second window ORDER on
+    * the same partitioning (sort, no extra exchange) — two sorts, one
+    * shuffle, O(1) state per key. */
+  def cusumChangepoint(df: DataFrame, key: Column, ts: Column, id: Column,
+                       value: Column): DataFrame = {
+    val wcum = Window.partitionBy(col("k")).orderBy(col("t"), col("id"))
+    val wall = Window.partitionBy(col("k"))
+    val v = df
+      .filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("t"), id.as("id"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+      .withColumn("i", row_number().over(wcum).cast("long"))
+      .withColumn("ci", sum(col("c")).over(wcum))
+      .withColumn("n", count(lit(1)).over(wall))
+      .withColumn("s", sum(col("c")).over(wall))
+    val drift =
+      abs(col("ci").cast("decimal(38,0)") * col("n") -
+        col("i").cast("decimal(38,0)") * col("s"))
+    val wmax = Window.partitionBy(col("k"))
+      .orderBy(col("dnum").desc, col("t"), col("id"))
+    v.withColumn("dnum", drift)
+      .withColumn("rk", row_number().over(wmax))
+      .filter(col("rk") === 1)
+      .select(col("k"), col("n"), col("t").as("cp_t"),
+        col("i").as("cp_index"),
+        (col("dnum").cast("double") /
+          (col("n").cast("double") * lit(100.0))).as("max_drift"),
+        (col("ci").cast("double") / col("i").cast("double") / lit(100.0))
+          .as("mean_left"),
+        when(col("i") === col("n"), lit(null).cast("double"))
+          .otherwise((col("s") - col("ci")).cast("double") /
+            (col("n") - col("i")).cast("double") / lit(100.0))
+          .as("mean_right"))
+  }
+
   /** SAX (symbolic aggregate approximation, Lin et al. DMKD'07) word
     * per key: the series' time span is cut into `frames` equal frames
     * (PAA), each frame's mean level is rank-quantized into `alpha`

@@ -1204,6 +1204,87 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair").asc)).cast("long"))
   }
 
+  /** Flesch reading-ease + Flesch–Kincaid grade per document — the
+    * classic readability gate a curation pipeline runs beside the
+    * Gopher/C4 batteries (docs far outside the human-prose band are
+    * OCR junk, code, or word salad).
+    *
+    * All three raw counts are exact integers from one pass over the
+    * text: words = whitespace tokens, sentences = maximal runs of
+    * `[.!?]`, syllables = maximal vowel-group runs (`[aeiouy]+`) of
+    * the case-folded text — vowel runs cannot span whitespace, so
+    * folding the whole document equals folding per word. The two
+    * score formulas divide exact integers in a fixed order (IEEE
+    * division is correctly rounded, so both engines agree bit-wise);
+    * zero words or zero sentences short-circuits to NULL through the
+    * same CASE on both engines (ANSI divide guard). Zero-shuffle
+    * codegen projection — runs at parquet-scan speed.
+    */
+  def readability(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val w = size(tokens(text)).cast("long")
+    val s = size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long")
+    val y = size(regexp_extract_all(foldLower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    df.select(id.as("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        y.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") === 0L || col("n_sentences") === 0L,
+          lit(null).cast("double"))
+          .otherwise(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)
+          .as("flesch"),
+        when(col("n_words") === 0L || col("n_sentences") === 0L,
+          lit(null).cast("double"))
+          .otherwise(lit(0.39) * wps + lit(11.8) * spw - lit(15.59))
+          .as("fk_grade"))
+  }
+
+  /** Conditional bigram entropy H(next | current) per document — the
+    * repetitiveness signal the unigram batteries miss: templated or
+    * machine-looped text repeats TRANSITIONS, so its conditional
+    * entropy collapses even when its unigram distribution looks
+    * healthy. H = Σ_{uv} (c_uv/N)·ln(c_u/c_uv) over the document's
+    * folded-token bigrams (N = token count − 1, c_u counts u as a
+    * bigram HEAD, i.e. over the first n−1 positions).
+    *
+    * Shape: N rides the row from the scan (size(tokens)−1, no
+    * document-level window needed), one (doc, u, v) hash count, one
+    * (doc, u) window for the head counts, one doc-level fold. Each
+    * ln term is fixed-point quantized (floor(term·1e9) AS BIGINT —
+    * the PSI/JS discipline) before the per-doc sum, so libm ulp
+    * drift cannot leak into the hash compare. Documents with fewer
+    * than 2 tokens have no transitions and are absent from the
+    * output (mirrored WHERE on both engines).
+    */
+  def bigramEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val tk = tokensFolded(text)
+    val b = df
+      .select(id.as("doc"), tk.as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc"), (size(col("tk")) - 1).cast("long").as("n"),
+        explode(transform(sequence(lit(0), size(col("tk")) - 2), i =>
+          struct(element_at(col("tk"), i + 1).as("u"),
+            element_at(col("tk"), i + 2).as("v")))).as("bg"))
+      .select(col("doc"), col("n"), col("bg.u").as("u"), col("bg.v").as("v"))
+    val cnt = b.groupBy(col("doc"), col("u"), col("v"))
+      .agg(count(lit(1)).as("c_uv"), min(col("n")).as("n"))
+    val wcu = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"), col("u"))
+    cnt
+      .withColumn("c_u", sum(col("c_uv")).over(wcu))
+      .select(col("doc"), col("n"), col("c_uv"),
+        floor(col("c_uv").cast("double") / col("n").cast("double") *
+          log(col("c_u").cast("double") / col("c_uv").cast("double")) *
+          lit(1.0e9)).cast("long").as("tq"))
+      .groupBy(col("doc"))
+      .agg(min(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        (sum(col("tq")).cast("double") / lit(1.0e9)).as("bigram_entropy"))
+      .withColumnRenamed("doc", "doc_id")
+  }
+
   /** Full per-document stats frame. */
   def docStats(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(

@@ -96,4 +96,42 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("bucket").collect().map(r => r.getDouble(2))
     assert(lerp.toSeq == Seq(2.0, 2.4, 2.8, 3.2, 3.6, 4.0))
   }
+
+  test("cusum finds the level-shift boundary with exact integer drift") {
+    // 0,0,0,10,10,10 — the max |C_i·n − i·S| lands on the last
+    // pre-shift point (i = 3); drift mass = 3·3/6·Δ = 15.0
+    val df = (0 until 6).map(h => (1L, ts(h), if (h < 3) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val r = TimeSeries.cusumChangepoint(df, col("k"), col("t"),
+      monotonically_increasing_id(), col("v")).collect().head
+    assert(r.getLong(1) == 6L)                  // n
+    assert(r.getLong(2) == 2L * 3600000000L)    // cp_t = third point
+    assert(r.getLong(3) == 3L)                  // cp_index
+    assert(r.getDouble(4) == 15.0)              // max_drift
+    assert(r.getDouble(5) == 0.0)               // mean_left
+    assert(r.getDouble(6) == 10.0)              // mean_right
+  }
+
+  test("cusum: null value/ts rows are not observations; a 1-point series has NULL mean_right") {
+    val df = Seq(
+      (1L, Some(ts(0)), Some(5.0)),
+      (1L, Some(ts(1)), None),      // null value dropped
+      (1L, None, Some(7.0)))        // null ts dropped
+      .toDF("k", "t", "v")
+    val r = TimeSeries.cusumChangepoint(df, col("k"), col("t"),
+      monotonically_increasing_id(), col("v")).collect().head
+    assert(r.getLong(1) == 1L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 5.0)
+    assert(r.isNullAt(6)) // i = n — no right segment
+  }
+
+  test("cusum argmax ties break to the earliest (ts, id)") {
+    // symmetric series: drift numerator ties at i=1 and i=3 — the
+    // earlier timestamp must win deterministically
+    val df = Seq((1L, ts(0), 0.0), (1L, ts(1), 10.0), (1L, ts(2), 0.0),
+      (1L, ts(3), 10.0)).toDF("k", "t", "v")
+    val r = TimeSeries.cusumChangepoint(df, col("k"), col("t"),
+      monotonically_increasing_id(), col("v")).collect().head
+    assert(r.getLong(3) == 1L, "tie must break to the earliest point")
+  }
 }
