@@ -1,7 +1,7 @@
 package graft.entry
 
 import graft.agg.TimeSeries
-import graft.llm.TextAnalysis
+import graft.llm.{Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,7 +17,40 @@ import org.apache.spark.sql.functions._
 object EvalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Ranking-eval panel modulus / list depth (shared with the oracle). */
+  private val RankMod = 8L; private val RankK = 10
+  /** JL target dim / pair-panel modulus. */
+  private val JlK = 16; private val JlMod = 23L
+  /** Mahalanobis outlier threshold (mean z² per live dimension). */
+  private val OutlierThresh = 4.0
+
+  /** SQ8 [min,max] calibration artifact (same build as LlmQueries'
+    * sqStats — content-keyed, so the two memoize independently but
+    * bit-identically). */
+  private def sqStats(s: SparkSession, d: String): Seq[(Int, Double, Double)] =
+    Similarity.sqTrain(Tables.embeddings(s, d), col("embedding"))
+
   val queries: Map[String, Q] = Map(
+    // NDCG@10 / MRR / hits@10 of the SQ8 quantized retriever against
+    // exact-cosine graded relevance, per 1-in-8 panel query — the
+    // ORDER-quality eval beside q_ann_sq8_recall's set-quality floor
+    "q_rank_eval" -> ((s, d) =>
+      Similarity.rankingMetrics(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), sqStats(s, d), RankK, RankMod)),
+
+    // diagonal-Mahalanobis embedding outliers from the dimStats
+    // calibration — zero-shuffle projection against literal μ/σ state
+    "q_embed_outliers" -> ((s, d) =>
+      Similarity.embedOutliers(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"),
+        Similarity.embedOutlierStats(Tables.embeddings(s, d),
+          col("embedding")), OutlierThresh)),
+
+    // JL ±1 random projection to 16 dims + distance-preservation audit
+    // on adjacent-id pairs — exact integer squared distances
+    "q_random_projection" -> ((s, d) =>
+      Similarity.jlPairCheck(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), JlK, JlMod)),
     // Flesch reading ease + FK grade — zero-shuffle codegen
     // projection; exact integer word/sentence/vowel-run counts
     "q_readability" -> ((s, d) =>
@@ -43,7 +76,157 @@ object EvalQueries {
   private val FoldToksSql =
     s"list_filter(string_split($FoldSql, ' '), t -> len(t) > 0)"
 
+  /** Cosine in DOUBLE, index order, 0 on zero norm — the LlmQueries
+    * sqlCos twin of the CosineSimilarity expression. */
+  private def sqlCos(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |            * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(range(0, least(len($a), len($b))), i ->
+       |              CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+       |            / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |               * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) END)""".stripMargin
+
+  /** dimStats population variance over the 10⁻⁶-quantized grid — the
+    * QaQueries VarSql (per-dim integer power sums in n/sq/sqq). */
+  private val VarSql =
+    """(CAST(sqq AS DOUBLE)
+      |     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / CAST(n AS DOUBLE) / 1.0E12""".stripMargin
+
+  /** The shared 1/log2(r+1) discount literals (ranks 1..RankK). */
+  private val DiscSql = Similarity.ndcgDiscounts(RankK)
+    .map(d => s"CAST($d AS DOUBLE)").mkString("[", ", ", "]")
+
+  /** ±1 JL sign for output dim `k`, input dim `j` — md5 parity, twin
+    * of Similarity.jlSigns. */
+  private def sqlJlSign(k: String, j: String): String =
+    s"""(CASE WHEN CAST('0x'||substring(md5('rp'||CAST($k AS VARCHAR)||'|'||CAST($j AS VARCHAR)),1,8) AS BIGINT) % 2 = 0
+       |  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin
+
+  /** The SQ8 ADC fixed-point term — twin of the rankingMetrics lambda
+    * (and of the q_ann_sq8 oracle's tq). */
+  private val Sq8TermSql =
+    """CAST(floor(q.qd * (mm.mn +
+      |  (CAST(CASE WHEN mm.mx = mm.mn THEN 0
+      |        ELSE least(255, greatest(0,
+      |          CAST(floor((e.x - mm.mn) / (mm.mx - mm.mn) * 256.0)
+      |               AS BIGINT))) END AS DOUBLE) + 0.5)
+      |    * (mm.mx - mm.mn) / 256.0) * 1.0E9) AS BIGINT)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_rank_eval" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, u.d AS d, u.x AS x FROM (
+         |    SELECT vec_id, unnest(list_transform(range(0, len(embedding)),
+         |             i -> {'d': i, 'x': CAST(embedding[i+1] AS DOUBLE)})) AS u
+         |    FROM embeddings)),
+         |mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY 1),
+         |panel AS (SELECT vec_id AS query_id, embedding AS qv
+         |          FROM embeddings WHERE vec_id % $RankMod = 0),
+         |tq AS (
+         |  SELECT e.vec_id, q.query_id, $Sq8TermSql AS tq
+         |  FROM ex e JOIN mm USING (d)
+         |  JOIN (SELECT vec_id AS query_id, d, x AS qd FROM ex
+         |        WHERE vec_id % $RankMod = 0) q USING (d)
+         |  WHERE e.vec_id <> q.query_id),
+         |sys AS (SELECT vec_id, query_id, CAST(sum(tq) AS BIGINT) AS sqq
+         |        FROM tq GROUP BY 1, 2),
+         |cosp AS (SELECT e.vec_id, p.query_id,
+         |           ${sqlCos("e.embedding", "p.qv")} AS cos
+         |         FROM embeddings e JOIN panel p ON e.vec_id <> p.query_id),
+         |r AS (SELECT c.query_id, c.vec_id,
+         |        CAST(row_number() OVER (PARTITION BY c.query_id
+         |          ORDER BY c.cos DESC, c.vec_id) AS BIGINT) AS exact_rank,
+         |        CAST(row_number() OVER (PARTITION BY c.query_id
+         |          ORDER BY s.sqq DESC, c.vec_id) AS BIGINT) AS sys_rank
+         |      FROM cosp c JOIN sys s
+         |        ON c.vec_id = s.vec_id AND c.query_id = s.query_id),
+         |rr AS (SELECT query_id, vec_id, exact_rank, sys_rank,
+         |        CASE WHEN exact_rank <= $RankK
+         |          THEN ${RankK + 1} - exact_rank ELSE 0 END AS rel
+         |       FROM r),
+         |g AS (SELECT query_id, count(*) AS n_cands,
+         |        CAST(sum(CASE WHEN exact_rank <= $RankK
+         |          THEN CAST(floor(CAST(rel AS DOUBLE)
+         |            * ($DiscSql)[CAST(exact_rank AS INT)] * 1.0E9) AS BIGINT)
+         |          ELSE 0 END) AS BIGINT) AS idcg_q,
+         |        CAST(sum(CASE WHEN sys_rank <= $RankK
+         |          THEN CAST(floor(CAST(rel AS DOUBLE)
+         |            * ($DiscSql)[CAST(sys_rank AS INT)] * 1.0E9) AS BIGINT)
+         |          ELSE 0 END) AS BIGINT) AS dcg_q,
+         |        min(CASE WHEN rel > 0 THEN sys_rank END) AS first_rel,
+         |        CAST(sum(CASE WHEN sys_rank <= $RankK AND rel > 0
+         |          THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |      FROM rr GROUP BY query_id)
+         |SELECT query_id, n_cands,
+         |  CAST(dcg_q AS DOUBLE) / 1.0E9 AS dcg,
+         |  CAST(idcg_q AS DOUBLE) / 1.0E9 AS idcg,
+         |  CASE WHEN idcg_q = 0 THEN NULL
+         |    ELSE CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) END AS ndcg,
+         |  1.0 / CAST(first_rel AS DOUBLE) AS mrr,
+         |  hits AS hits_at_k
+         |FROM g""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH q AS (
+         |  SELECT vec_id, i AS dim,
+         |    CAST(floor(CAST(e.embedding[i+1] AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS q
+         |  FROM embeddings e, unnest(range(0, len(e.embedding))) AS u(i)),
+         |g AS (SELECT dim, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+         |        sum(CAST(q * q AS DECIMAL(38,0))) AS sqq FROM q GROUP BY dim),
+         |st AS (SELECT dim,
+         |         CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS m,
+         |         sqrt(CASE WHEN $VarSql < 0 THEN 0.0 ELSE $VarSql END) AS s
+         |       FROM g),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_live FROM st WHERE s > 0),
+         |tq AS (
+         |  SELECT q.vec_id,
+         |    CASE WHEN st.s > 0 THEN CAST(floor(
+         |      ((CAST(q.q AS DOUBLE) / 1000000.0 - st.m) / st.s)
+         |      * ((CAST(q.q AS DOUBLE) / 1000000.0 - st.m) / st.s)
+         |      * 1000000.0) AS BIGINT) ELSE 0 END AS tq
+         |  FROM q JOIN st USING (dim)),
+         |sc AS (SELECT vec_id,
+         |         CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1000000.0 AS score
+         |       FROM tq GROUP BY vec_id)
+         |SELECT vec_id, score, nl.n_live AS n_live_dims,
+         |  score > $OutlierThresh * CAST(nl.n_live AS DOUBLE) AS outlier
+         |FROM sc CROSS JOIN nl""".stripMargin,
+
+    "q_random_projection" ->
+      s"""WITH xq AS (
+         |  SELECT vec_id, u.d AS d,
+         |    CAST(floor(CAST(e.embedding[u.d+1] AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT) AS xq,
+         |    len(e.embedding) AS dim
+         |  FROM embeddings e, unnest(range(0, len(e.embedding))) AS u(d)),
+         |y AS (SELECT vec_id, kk.k AS k, CAST(sum(xq *
+         |          ${sqlJlSign("kk.k", "d")}) AS BIGINT) AS y
+         |      FROM xq CROSS JOIN (SELECT unnest(range(0, $JlK)) AS k) kk
+         |      GROUP BY 1, 2),
+         |pa AS (SELECT vec_id AS id_a FROM embeddings WHERE vec_id % $JlMod = 0),
+         |pb AS (SELECT p.id_a, e.vec_id AS id_b FROM pa p
+         |       JOIN embeddings e ON e.vec_id = p.id_a + 1),
+         |o2 AS (SELECT p.id_a, p.id_b,
+         |         CAST(sum((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS o2,
+         |         CAST(min(a.dim) AS BIGINT) AS dim
+         |       FROM pb p JOIN xq a ON a.vec_id = p.id_a
+         |       JOIN xq b ON b.vec_id = p.id_b AND b.d = a.d
+         |       GROUP BY 1, 2),
+         |p2 AS (SELECT p.id_a, p.id_b,
+         |         CAST(sum((ya.y - yb.y) * (ya.y - yb.y)) AS BIGINT) AS p2
+         |       FROM pb p JOIN y ya ON ya.vec_id = p.id_a
+         |       JOIN y yb ON yb.vec_id = p.id_b AND yb.k = ya.k
+         |       GROUP BY 1, 2)
+         |SELECT o2.id_a, o2.id_b,
+         |  CAST(o2.o2 AS DOUBLE) / 1.0E12 AS orig_d2,
+         |  CAST(p2.p2 AS DOUBLE) / 1.0E12 AS proj_d2,
+         |  CASE WHEN o2.o2 = 0 THEN NULL
+         |    ELSE (CAST(p2.p2 AS DOUBLE) * CAST(o2.dim AS DOUBLE))
+         |      / (CAST(o2.o2 AS DOUBLE) * $JlK.0) END AS jl_ratio
+         |FROM o2 JOIN p2 USING (id_a, id_b)""".stripMargin,
+
     "q_readability" ->
       s"""WITH c AS (SELECT doc_id,
          |  CAST(len($ToksSql) AS BIGINT) AS n_words,

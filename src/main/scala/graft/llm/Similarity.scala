@@ -652,6 +652,224 @@ object Similarity {
     * the lake; the scale path reuses the IVF/LSH retrievers and
     * accepts approximate counts), one window per query, one ≤n-key
     * hash agg. */
+  /** Per-dimension (mean, sd) calibration for [[embedOutliers]] — the
+    * [[dimStats]] aggregate collapsed to a dim-row driver artifact
+    * (centroid discipline: bounded by dimensionality, never corpus
+    * size). mean/sd are exact functions of the integer power sums, so
+    * the artifact is bit-identical wherever it's built. */
+  def embedOutlierStats(df: DataFrame, vec: Column): Seq[(Int, Double, Double)] =
+    dimStats(df, vec)
+      .select(col("dim"), col("mean_v"), col("var_v"))
+      .collect()
+      .map(r => (r.getAs[Number](0).intValue, r.getDouble(1),
+        math.sqrt(math.max(r.getDouble(2), 0.0))))
+      .sortBy(_._1).toSeq
+
+  /** Diagonal-covariance Mahalanobis outlier score per vector: score =
+    * Σ_d ((x_d − μ_d)/σ_d)² over the dimensions with σ_d > 0 — the
+    * embedding-corpus anomaly gate (dead encoders, wrong-model rows,
+    * corrupted floats) that closes the QA loop [[dimStats]] opens at
+    * the per-dimension level.
+    *
+    * μ/σ enter as dim-length LITERAL arrays (broadcast state, the
+    * bloom/DSIR discipline), so the score is a ZERO-shuffle codegen
+    * projection over the scan. Per-dimension z² terms are fixed-point
+    * quantized (floor(z²·10⁶) AS BIGINT) before the cross-dimension
+    * sum — integer math, order-independent, bit-equal to the oracle's
+    * ungrouped aggregate. x quantizes to the same 10⁻⁶ grid
+    * [[dimStats]] calibrated on, so a vector exactly AT the mean
+    * scores exactly 0. Collapsed dimensions (σ = 0) contribute 0
+    * rather than NaN. `outlier` flags score > threshold · n_live_dims
+    * (mean z² of `threshold` ≈ a threshold·σ band per dimension). */
+  def embedOutliers(df: DataFrame, id: Column, vec: Column,
+                    stats: Seq[(Int, Double, Double)],
+                    threshold: Double = 4.0): DataFrame = {
+    val mu = lit(stats.map(_._2).toArray)
+    val sd = lit(stats.map(_._3).toArray)
+    val nLive = stats.count(_._3 > 0.0).toLong
+    val score = aggregate(
+      sequence(lit(0), least(size(vec), lit(stats.size)) - 1),
+      lit(0L),
+      (acc, i) => {
+        val x = floor(element_at(vec, i + 1).cast("double") * lit(1000000.0) +
+          lit(0.5)).cast("double") / lit(1000000.0)
+        val m = element_at(mu, i + 1)
+        val s = element_at(sd, i + 1)
+        val z = (x - m) / s
+        acc + when(s > 0.0, floor(z * z * lit(1000000.0)).cast("long"))
+          .otherwise(lit(0L))
+      })
+    df.select(id.as("vec_id"),
+        (score.cast("double") / lit(1000000.0)).as("score"))
+      .select(col("vec_id"), col("score"), lit(nLive).as("n_live_dims"),
+        (col("score") > lit(threshold) * lit(nLive.toDouble)).as("outlier"))
+  }
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign for output dim `k`,
+    * input dim `j` — parity of the first-4-byte u32 of md5("rp{k}|{j}"),
+    * the [[planeComponents]] derivation family. Computed at
+    * plan-authoring time and embedded as literals; the SQL oracle
+    * derives the identical constants with the identical formula. */
+  def jlSigns(k: Int, dim: Int = PlaneDim): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { j =>
+      md.reset()
+      val d = md.digest(s"rp$k|$j".getBytes("UTF-8"))
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      if (v % 2 == 0) 1.0 else -1.0
+    }.toArray
+  }
+
+  /** JL random projection to `k` dims: y_k = Σ_j s_kj·x_j with
+    * deterministic ±1 signs (Achlioptas 2001 — the database-friendly
+    * JL family; sparse/±1 entries preserve pairwise distances like
+    * Gaussians do). Inputs quantize to the 10⁻⁶ grid first, so each
+    * output component is an EXACT integer sum (|x_q| ≤ 10⁶·max|x|,
+    * dims ≤ 64 — no overflow), bit-equal across engines and reshard-
+    * stable. Returns array<long> at 10⁻⁶ scale. */
+  def jlProject(vec: Column, k: Int): Column = {
+    // the k index inside transform is a Column, not a Scala value, so
+    // the signs for ALL k stack into one 2-D literal indexed [k][j]
+    val signs = typedLit((0 until k).map(i => jlSigns(i).toSeq))
+    transform(sequence(lit(0), lit(k - 1)), kk =>
+      aggregate(
+        sequence(lit(0), size(vec) - 1),
+        lit(0L),
+        (acc, j) => {
+          val xq = floor(element_at(vec, j + 1).cast("double") *
+            lit(1000000.0) + lit(0.5)).cast("long")
+          acc + xq * element_at(element_at(signs, kk + 1), j + 1).cast("long")
+        }))
+  }
+
+  /** Distance-preservation audit of [[jlProject]]: for a deterministic
+    * panel of adjacent-id pairs, the squared L2 distance before and
+    * after projection and the JL ratio (proj/k) / (orig/d). Exact
+    * integer squared distances at the 10⁻¹² scale; one small
+    * self-join on the panel — the corpus is touched once for the
+    * projection, the audit never goes quadratic. */
+  def jlPairCheck(df: DataFrame, id: Column, vec: Column, k: Int,
+                  panelMod: Long = 23L): DataFrame = {
+    val v = df.select(id.as("vec_id"), vec.as("v"),
+      jlProject(vec, k).as("y"))
+    val a = v.filter(col("vec_id") % lit(panelMod) === 0L)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("y").as("ya"))
+    val b = v.select((col("vec_id") - 1L).as("id_a"),
+      col("vec_id").as("id_b"), col("v").as("vb"), col("y").as("yb"))
+    val origD2 = aggregate(
+      sequence(lit(0), least(size(col("va")), size(col("vb"))) - 1),
+      lit(0L),
+      (acc, j) => {
+        val xa = floor(element_at(col("va"), j + 1).cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long")
+        val xb = floor(element_at(col("vb"), j + 1).cast("double") *
+          lit(1000000.0) + lit(0.5)).cast("long")
+        acc + (xa - xb) * (xa - xb)
+      })
+    val projD2 = aggregate(
+      sequence(lit(0), lit(k - 1)),
+      lit(0L),
+      (acc, j) => {
+        val d = element_at(col("ya"), j + 1) - element_at(col("yb"), j + 1)
+        acc + d * d
+      })
+    a.join(b, Seq("id_a"))
+      .select(col("id_a"), col("id_b"), origD2.as("o2"), projD2.as("p2"),
+        size(col("va")).cast("long").as("dim"))
+      .select(col("id_a"), col("id_b"),
+        (col("o2").cast("double") / lit(1.0e12)).as("orig_d2"),
+        (col("p2").cast("double") / lit(1.0e12)).as("proj_d2"),
+        when(col("o2") === 0L, lit(null).cast("double"))
+          .otherwise((col("p2").cast("double") * col("dim").cast("double")) /
+            (col("o2").cast("double") * lit(k.toDouble))).as("jl_ratio"))
+  }
+
+  /** 1/log2(r+1) discount literals for ranks 1..k — computed once at
+    * plan-authoring time (the Benford shared-literal discipline: both
+    * engines embed the identical shortest-round-trip doubles, so no
+    * libm log call runs on either side). */
+  def ndcgDiscounts(k: Int): Array[Double] =
+    (1 to k).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0))).toArray
+
+  /** Ranking-quality evaluation of the SQ8 quantized retriever against
+    * exact-cosine relevance: NDCG@k, MRR and hits@k per panel query —
+    * the eval harness that closes the ANN family's loop ("recall says
+    * WHAT came back; NDCG says whether it came back in the right
+    * ORDER"). Relevance is graded from the exact ranking (rel =
+    * k+1−exact_rank for the exact top-k, 0 below), so IDCG is the
+    * data's own ideal ordering and a calibration bug that scrambles
+    * the quantized ORDER — not just the candidate set — now fails the
+    * gate.
+    *
+    * Exactness: both rankings tie-break on vec_id; DCG/IDCG terms are
+    * rel·disc[rank] with disc a shared literal array, fixed-point
+    * quantized (floor(·10⁹)) before the per-query sum; NDCG divides
+    * the two integer sums once. MRR = 1/first-relevant-system-rank
+    * (over the full ranking, so it always exists).
+    *
+    * Shape: the corpus crossJoins a BROADCAST 1-in-`queryMod` panel
+    * (the hubness audit shape — run it on the probe sample at lake
+    * scale), two window sorts on the same query partitioning, one
+    * ≤panel-key agg. */
+  def rankingMetrics(df: DataFrame, id: Column, vec: Column,
+                     stats: Seq[(Int, Double, Double)], k: Int,
+                     queryMod: Long): DataFrame = {
+    val mn = lit(stats.map(_._2).toArray)
+    val mx = lit(stats.map(_._3).toArray)
+    val disc = lit(ndcgDiscounts(k))
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+    val sqq = aggregate(
+      sequence(lit(0), least(size(col("v")), lit(stats.size)) - 1),
+      lit(0L),
+      (acc, d) => {
+        val x = element_at(col("v"), d + 1).cast("double")
+        val qd = element_at(col("qv"), d + 1).cast("double")
+        val mnd = element_at(mn, d + 1)
+        val mxd = element_at(mx, d + 1)
+        val c = when(mxd === mnd, lit(0L))
+          .otherwise(least(lit(255L), greatest(lit(0L),
+            floor((x - mnd) / (mxd - mnd) * lit(256.0)).cast("long"))))
+        acc + floor(qd * (mnd + (c.cast("double") + lit(0.5)) *
+          (mxd - mnd) / lit(256.0)) * lit(1e9)).cast("long")
+      })
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val wSys = Window.partitionBy(col("query_id"))
+      .orderBy(col("sqq").desc, col("vec_id"))
+    val pairs = v.crossJoin(broadcast(
+        v.filter(col("vec_id") % lit(queryMod) === 0L)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        CosineSimilarity(col("v"), col("qv")).as("cos"), sqq.as("sqq"))
+      .withColumn("exact_rank", row_number().over(wExact).cast("long"))
+      .withColumn("sys_rank", row_number().over(wSys).cast("long"))
+      .withColumn("rel",
+        when(col("exact_rank") <= k, lit(k + 1L) - col("exact_rank"))
+          .otherwise(lit(0L)))
+    def dcgTerm(rank: Column): Column =
+      floor(col("rel").cast("double") * element_at(disc, rank.cast("int")) *
+        lit(1.0e9)).cast("long")
+    pairs.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum(when(col("exact_rank") <= k, dcgTerm(col("exact_rank")))
+          .otherwise(lit(0L))).as("idcg_q"),
+        sum(when(col("sys_rank") <= k, dcgTerm(col("sys_rank")))
+          .otherwise(lit(0L))).as("dcg_q"),
+        min(when(col("rel") > 0L, col("sys_rank"))).as("first_rel"),
+        sum(when(col("sys_rank") <= k && col("rel") > 0L, lit(1L))
+          .otherwise(lit(0L))).as("hits"))
+      .select(col("query_id"), col("n_cands"),
+        (col("dcg_q").cast("double") / lit(1.0e9)).as("dcg"),
+        (col("idcg_q").cast("double") / lit(1.0e9)).as("idcg"),
+        when(col("idcg_q") === 0L, lit(null).cast("double"))
+          .otherwise(col("dcg_q").cast("double") /
+            col("idcg_q").cast("double")).as("ndcg"),
+        (lit(1.0) / col("first_rel").cast("double")).as("mrr"),
+        col("hits").as("hits_at_k"))
+  }
+
   def hubness(df: DataFrame, id: Column, vec: Column, k: Int,
               queryMod: Long = 1L, hubAt: Long = -1L): DataFrame = {
     val ha = if (hubAt >= 0L) hubAt else 2L * k

@@ -735,4 +735,49 @@ class PlanSpec extends SparkSpec {
     assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
       s"round edge sets must persist across their consumers:\n$p")
   }
+
+  test("readability: zero-shuffle codegen projection, scan pruned to (doc_id, text)") {
+    val df = SparkEntry.queries("q_readability")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"readability must not shuffle:\n$p")
+    val e = explained(df)
+    assert(e.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must read only id+text:\n$e")
+  }
+
+  test("bigram entropy: doc-keyed aggs and head-count window, no joins") {
+    val p = plan(SparkEntry.queries("q_bigram_entropy")(spark, sf))
+    assert(!p.contains("Join"), s"head counts ride a window, never a join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 3,
+      s"(doc,u,v) agg + (doc,u) window + doc fold — at most 3 shuffles:\n$p")
+  }
+
+  test("cusum: ONE key shuffle; the argmax is a second sort on the same partitioning") {
+    val p = plan(SparkEntry.queries("q_cusum")(spark, sf))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"both window passes must share the per-key partitioning:\n$p")
+    assert(!p.contains("Join"), s"no join in the changepoint scan:\n$p")
+  }
+
+  test("embed outliers: literal μ/σ state — zero-shuffle, zero-join projection") {
+    val df = SparkEntry.queries("q_embed_outliers")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"score must be a pure projection:\n$p")
+    assert(!p.contains("Join"), s"stats must embed as literals, not join:\n$p")
+  }
+
+  test("random projection: pair audit joins hash- or broadcast-keyed, never cartesian") {
+    val p = plan(SparkEntry.queries("q_random_projection")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the panel join must broadcast/hash:\n$p")
+  }
+
+  test("rank eval: corpus streams past the broadcast query panel (hubness shape)") {
+    val p = plan(SparkEntry.queries("q_rank_eval")(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the panel must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must ride the broadcast, never a cartesian:\n$p")
+  }
 }

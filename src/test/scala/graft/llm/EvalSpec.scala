@@ -51,4 +51,57 @@ class EvalSpec extends SparkSpec {
     assert(r.getLong(2) == 1L) // one distinct folded bigram (the,the)
     assert(r.getDouble(3) == 0.0)
   }
+
+  test("embedOutliers: score 0 at the mean, exact z² mass off it, σ=0 dims contribute 0") {
+    // dim 0: values ±1 around mean 0 (σ = 1); dim 1: constant (σ = 0)
+    val df = Seq((0L, Array(1.0f, 5.0f)), (1L, Array(-1.0f, 5.0f)),
+      (2L, Array(0.0f, 5.0f))).toDF("id", "v")
+    val stats = Similarity.embedOutlierStats(df, col("v"))
+    assert(stats(1)._3 == 0.0, "constant dim must calibrate to σ = 0")
+    val out = Similarity.embedOutliers(df, col("id"), col("v"), stats)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getDouble(1) == 0.0) // exactly at the mean
+    assert(out(0L).getLong(2) == 1L)    // one live dimension
+    // z = (1 - 0)/σ with σ² = 2/3 → z² = 1.5, term-quantized
+    val sd = math.sqrt(2.0 / 3.0)
+    val want = math.floor((1.0 / sd) * (1.0 / sd) * 1e6) / 1e6
+    assert(out(0L).getDouble(1) == want && out(1L).getDouble(1) == want)
+  }
+
+  test("jlProject is an exact ±1 integer combination of the quantized inputs") {
+    val df = Seq((0L, Array(0.25f, -0.5f, 0.125f))).toDF("id", "v")
+    val y = df.select(Similarity.jlProject(col("v"), 4).as("y"))
+      .collect().head.getSeq[Long](0)
+    val xq = Seq(250000L, -500000L, 125000L)
+    val want = (0 until 4).map { k =>
+      val s = Similarity.jlSigns(k)
+      xq.zipWithIndex.map { case (x, j) => x * s(j).toLong }.sum
+    }
+    assert(y == want)
+  }
+
+  test("rankingMetrics: a faithful quantizer scores ndcg=mrr=1; relevance grades follow the exact ranking") {
+    // UNIT vectors at well-separated angles: ADC ranks by dot product,
+    // so constant norms make dot order = cosine order, and 256-bin
+    // recon error (≤ range/512 per dim) stays far below the ~0.02
+    // neighbor score gaps — the system ranking IS the ideal ranking
+    val vecs = (0L until 12L).map { i =>
+      val th = i * 0.12
+      (i, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val df = vecs.toDF("id", "v")
+    val stats = Similarity.sqTrain(df, col("v"))
+    // query 0 only: a mid-corpus query would have two EQUIDISTANT
+    // neighbors (±0.12 rad) whose exact-cosine tie breaks by id while
+    // ADC may order them oppositely — a legitimate ndcg < 1
+    val out = Similarity.rankingMetrics(df, col("id"), col("v"), stats,
+      k = 5, queryMod = 100L).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L))
+    val r = out(0L)
+    assert(r.getLong(1) == 11L)          // n_cands = 12 - 1
+    assert(r.getDouble(4) == 1.0, "ndcg") // perfect order
+    assert(r.getDouble(5) == 1.0, "mrr")
+    assert(r.getLong(6) == 5L)           // all top-5 relevant
+    assert(r.getDouble(2) == r.getDouble(3)) // dcg = idcg
+  }
 }
