@@ -1,7 +1,7 @@
 package graft.entry
 
 import graft.agg.TimeSeries
-import graft.llm.{Similarity, TextAnalysis}
+import graft.llm.{Selection, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -23,6 +23,8 @@ object EvalQueries {
   private val JlK = 16; private val JlMod = 23L
   /** Mahalanobis outlier threshold (mean z² per live dimension). */
   private val OutlierThresh = 4.0
+  /** Neyman allocation budget (docs). */
+  private val NeymanBudget = 100L
 
   /** SQ8 [min,max] calibration artifact (same build as LlmQueries'
     * sqStats — content-keyed, so the two memoize independently but
@@ -68,8 +70,70 @@ object EvalQueries {
     "q_cusum" -> ((s, d) =>
       TimeSeries.cusumChangepoint(Tables.events(s, d), col("event_type"),
         col("ts"), col("event_id"), col("value"))
-        .withColumnsRenamed(Map("k" -> "event_type")))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // cross-source quantile normalization of doc length — within-source
+    // rank maps to the global value at the same (midpoint) quantile
+    "q_quantile_norm" -> ((s, d) =>
+      Selection.quantileNormalize(Tables.documents(s, d), col("source"),
+        col("doc_id"), col("n_chars"))
+        .withColumnsRenamed(Map("g" -> "source", "x" -> "n_chars"))),
+
+    // Neyman-optimal stratified allocation of a 100-doc eval budget
+    // across sources — exact largest-remainder integer split
+    "q_neyman_alloc" -> ((s, d) =>
+      Selection.neymanAllocation(Tables.documents(s, d), col("source"),
+        col("n_chars"), NeymanBudget)
+        .withColumnsRenamed(Map("g" -> "source"))),
+
+    // incremental IVF maintenance: per-cell composition of the merged
+    // (base + delta − tombstones) index under frozen centroids
+    "q_ann_upsert_cells" -> ((s, d) =>
+      upsertMerged(s, d).groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("vec_id") % 10 === 7, lit(1L)).otherwise(lit(0L)))
+            .as("n_delta"))),
+
+    // 2-probe top-10 against the merged incremental index — the query
+    // path is identical to a freshly rebuilt index (spec-pinned)
+    "q_ann_upsert_topk" -> ((s, d) =>
+      Similarity.ivfTopKProbes(upsertMerged(s, d), upsertCents(s, d),
+        queryId = 0L, k = 10, nProbes = 2)),
+
+    // top principal direction by 3-round power iteration + explained
+    // variance — the embedding-anisotropy probe; each round is one
+    // corpus job collapsing to a dim-row driver artifact
+    "q_pca_power" -> ((s, d) =>
+      Similarity.pcaPower(Tables.embeddings(s, d), col("embedding"),
+        dim = PcaDim, iters = PcaIters))
   )
+
+  /** PCA dimensionality / power-iteration rounds (shared with the
+    * oracle generator). */
+  private val PcaDim = 64; private val PcaIters = 3
+
+  /** Frozen coarse centroids for the upsert family: BASE corpus ids
+    * < 16 (base = vec_id % 10 ≠ 7, so 15 cells). */
+  private def upsertCents(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 =!= 7 && col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+
+  /** The merged incremental index: stored base assignment ∪ delta
+    * assignment (vec_id % 10 = 7), minus tombstones (vec_id % 13 = 3),
+    * all under [[upsertCents]]. Bit-identical to a full rebuild —
+    * SimilaritySpec pins the invariant; the ORACLE exercises it by
+    * replaying the rebuild form. */
+  private def upsertMerged(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val base = e.filter(col("vec_id") % 10 =!= 7)
+    val delta = e.filter(col("vec_id") % 10 === 7)
+    val assignedBase = Similarity.ivfAssignWith(base, col("vec_id"),
+      col("embedding"), upsertCents(s, d))
+    Similarity.ivfUpsert(assignedBase, delta, col("vec_id"),
+      col("embedding"), upsertCents(s, d),
+      e.filter(col("vec_id") % 13 === 3).select(col("vec_id")))
+  }
 
   private val FoldSql = "lower(translate(text, 'İΣ', 'iσ'))"
   private val ToksSql = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
@@ -268,6 +332,102 @@ object EvalQueries {
          |  count(*) AS n_distinct_bigrams,
          |  CAST(CAST(sum(tq) AS BIGINT) AS DOUBLE) / 1.0E9 AS bigram_entropy
          |FROM tt GROUP BY doc""".stripMargin,
+
+    "q_pca_power" -> Similarity.pcaPowerOracleSql(PcaDim, PcaIters),
+
+    "q_ann_upsert_cells" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 10 <> 7 AND vec_id < 16),
+         |av AS (SELECT vec_id, embedding AS v FROM embeddings
+         |       WHERE vec_id % 13 <> 3),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT a.vec_id, a.v, c.cid,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqlCos("a.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM av a CROSS JOIN cents c) t WHERE rn = 1)
+         |SELECT cid, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN vec_id % 10 = 7 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_delta
+         |FROM assigned GROUP BY cid""".stripMargin,
+
+    "q_ann_upsert_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 10 <> 7 AND vec_id < 16),
+         |av AS (SELECT vec_id, embedding AS v FROM embeddings
+         |       WHERE vec_id % 13 <> 3),
+         |assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT a.vec_id, a.v, c.cid,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY ${sqlCos("a.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM av a CROSS JOIN cents c) t WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+         |pc AS (SELECT c.cid FROM cents c CROSS JOIN q
+         |       ORDER BY ${sqlCos("c.cv", "q.qv")} DESC, c.cid LIMIT 2)
+         |SELECT a.vec_id, ${sqlCos("a.v", "q.qv")} AS cos
+         |FROM assigned a JOIN pc ON a.cid = pc.cid CROSS JOIN q
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 10""".stripMargin,
+
+    "q_quantile_norm" ->
+      """WITH v AS (SELECT source AS g, doc_id, n_chars AS x
+        |           FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT g, doc_id, x,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY x, doc_id)
+        |          AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        |      FROM v),
+        |gi AS (SELECT x AS gval,
+        |         CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT)
+        |           AS gidx
+        |       FROM v),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM v)
+        |SELECT r.doc_id, r.g AS source, r.x AS n_chars, gi.gval AS norm_x
+        |FROM r CROSS JOIN t
+        |JOIN gi ON ((2 * r.r - 1) * t.n_total + r.n_g) // (2 * r.n_g)
+        |  = gi.gidx""".stripMargin,
+
+    "q_neyman_alloc" -> {
+      val varSql =
+        """(CAST(sqq AS DOUBLE)
+          |  - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |  / CAST(n_docs AS DOUBLE)""".stripMargin
+      s"""WITH v AS (SELECT source AS g, n_chars AS x FROM documents
+         |           WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         |gg AS (SELECT g, count(*) AS n_docs, CAST(sum(x) AS BIGINT) AS sq,
+         |         sum(CAST(x * x AS DECIMAL(38,0))) AS sqq
+         |       FROM v GROUP BY g),
+         |s AS (SELECT g, n_docs,
+         |        sqrt(CASE WHEN $varSql < 0 THEN 0.0 ELSE $varSql END) AS sd
+         |      FROM gg),
+         |w AS (SELECT g, n_docs, sd,
+         |        CAST(floor(CAST(n_docs AS DOUBLE) * sd * 1.0E6) AS BIGINT)
+         |          AS wq
+         |      FROM s),
+         |w2 AS (SELECT *, CAST(sum(wq) OVER () AS BIGINT) AS wtot FROM w),
+         |w3 AS (SELECT *,
+         |        CASE WHEN wtot = 0 THEN NULL
+         |          ELSE ($NeymanBudget * wq) // wtot END AS base,
+         |        CASE WHEN wtot = 0 THEN NULL
+         |          ELSE ($NeymanBudget * wq) % wtot END AS rem
+         |       FROM w2),
+         |w4 AS (SELECT *,
+         |        $NeymanBudget - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+         |        CAST(row_number() OVER (ORDER BY rem DESC, g) AS BIGINT)
+         |          AS rrk
+         |       FROM w3),
+         |f AS (SELECT g, n_docs, sd,
+         |        CAST(wq AS DOUBLE) / 1.0E6 AS weight,
+         |        CASE WHEN wtot = 0 THEN NULL
+         |          ELSE base + CASE WHEN rrk <= leftover THEN 1 ELSE 0 END
+         |        END AS alloc_uncapped
+         |      FROM w4)
+         |SELECT g AS source, n_docs, sd, weight, alloc_uncapped,
+         |  CASE WHEN alloc_uncapped IS NULL THEN NULL
+         |    ELSE least(alloc_uncapped, n_docs) END AS n_alloc
+         |FROM f""".stripMargin
+    },
 
     "q_cusum" ->
       """WITH v AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id AS id,

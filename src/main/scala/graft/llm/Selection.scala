@@ -349,4 +349,104 @@ object Selection {
         expr(poSql("n", "n11", "n00")).as("po"),
         expr(peSql("n", "n11", "n10", "n01", "n00")).as("pe"),
         expr(kappaSql("n", "n11", "n10", "n01", "n00")).as("kappa"))
+
+  /** Cross-group quantile normalization of a metric column: each row's
+    * within-group rank maps to the GLOBAL value at the same quantile
+    * (midpoint convention), so per-source score distributions become
+    * directly comparable — the standard fix before mixing
+    * heterogeneous quality scores into one training-cut threshold
+    * (each source's scorer has its own scale; ranks are the only
+    * shared currency).
+    *
+    * Exactness: target index = ((2r−1)·N + n_g) div (2·n_g) — pure
+    * integer midpoint math, deterministic (x, id) rank tie-breaks on
+    * both sides, and the normalized value is an EXISTING global value
+    * (no interpolation, no doubles until the emitted copy).
+    *
+    * Shape: one group-keyed window, one global rank (this is the
+    * EXACT form — a single-partition sort, the ccnetBuckets trade;
+    * the 100 TB path swaps the global rank table for
+    * percentile_approx cut points, same join), one hash join on the
+    * target index. NULL metrics carry no rank and are dropped. */
+  def quantileNormalize(docs: DataFrame, group: Column, id: Column,
+                        x: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val v = docs.filter(x.isNotNull)
+      .select(group.as("g"), id.as("doc_id"), x.cast("long").as("x"))
+    val wg = W.partitionBy(col("g")).orderBy(col("x"), col("doc_id"))
+    val ranked = v
+      .withColumn("r", row_number().over(wg).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(W.partitionBy(col("g"))))
+    val globalIdx = v
+      .select(col("x").as("gval"),
+        row_number().over(W.orderBy(col("x"), col("doc_id"))).cast("long")
+          .as("gidx"))
+    val total = v.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("tidx", expr("((2 * r - 1) * n_total + n_g) div (2 * n_g)"))
+      .join(globalIdx, col("tidx") === col("gidx"))
+      .select(col("doc_id"), col("g"), col("x"), col("gval").as("norm_x"))
+  }
+
+  /** Neyman-optimal stratified allocation (Neyman 1934): split a
+    * sampling budget across strata proportionally to N_h·σ_h — the
+    * minimum-variance allocation for estimating a corpus mean, and
+    * the principled answer to "how many docs should the eval slice
+    * take from each source" (uniform over-samples homogeneous strata,
+    * proportional over-samples low-variance giants).
+    *
+    * Exactness: σ_h comes from exact integer power sums (DECIMAL(38,0)
+    * squares — the autocorr discipline); weights quantize to
+    * floor(N_h·σ_h·10⁶) longs; the budget splits by exact
+    * integer largest-remainder rounding (floor shares + the `leftover`
+    * largest fractional remainders get +1, remainder ties break on the
+    * group key), so allocations are integers that sum EXACTLY to the
+    * budget. `n_alloc` caps at the stratum size (no redistribution
+    * pass — the uncapped share is emitted beside it for auditing).
+    * All-zero variance (W = 0) degenerates to NULL allocations (the
+    * corr/kappa NULL discipline).
+    *
+    * Shape: one map-combined group aggregate collapses the corpus to
+    * ≤|strata| rows; every window after that runs on the tiny stratum
+    * table. */
+  def neymanAllocation(docs: DataFrame, group: Column, x: Column,
+                       budget: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = docs.filter(x.isNotNull && group.isNotNull)
+      .select(group.as("g"), x.cast("long").as("x"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("sq"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sqq"))
+    val varH = (col("sqq").cast("double") -
+      col("sq").cast("double") * col("sq").cast("double") /
+        col("n_docs").cast("double")) / col("n_docs").cast("double")
+    val sdH = sqrt(when(varH < 0.0, lit(0.0)).otherwise(varH))
+    val w = g.withColumn("sd", sdH)
+      .withColumn("wq",
+        floor(col("n_docs").cast("double") * col("sd") * lit(1.0e6))
+          .cast("long"))
+      .withColumn("wtot", sum(col("wq")).over(W.partitionBy()))
+      .withColumn("base",
+        when(col("wtot") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"($budget * wq) div wtot")))
+      .withColumn("rem",
+        when(col("wtot") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"($budget * wq) % wtot")))
+      .withColumn("leftover",
+        lit(budget) - sum(col("base")).over(W.partitionBy()))
+      .withColumn("rrk",
+        row_number().over(W.orderBy(col("rem").desc, col("g"))).cast("long"))
+    w.select(col("g"), col("n_docs"), col("sd"),
+      (col("wq").cast("double") / lit(1.0e6)).as("weight"),
+      when(col("wtot") === 0L, lit(null).cast("long"))
+        .otherwise(col("base") +
+          when(col("rrk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+        .as("alloc_uncapped"))
+      // explicit NULL guard: least() IGNORES nulls on both engines, so
+      // a bare least(alloc, n) would resurrect the W = 0 degenerate
+      // case as n_docs instead of propagating NULL
+      .withColumn("n_alloc",
+        when(col("alloc_uncapped").isNull, lit(null).cast("long"))
+          .otherwise(least(col("alloc_uncapped"), col("n_docs"))))
+  }
 }

@@ -243,6 +243,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Incremental IVF index maintenance (upsert + tombstone): assign
+    * ONLY the delta batch against the FROZEN centroids, union it with
+    * the stored assignment, and anti-join the tombstoned ids away —
+    * the production discipline for a continuously-ingested vector
+    * store (re-training centroids per batch would re-shuffle the
+    * whole index; freezing them keeps the merge O(|delta|)).
+    *
+    * Invariant (spec-pinned): because assignment is a pure per-vector
+    * function of the centroids, the merged index is BIT-IDENTICAL to
+    * a full rebuild over (base ∪ delta) − tombstones. Centroid drift
+    * from a skewed delta is the operational trade — the monitor for
+    * it is the per-cell composition this feeds ([[ivfAssignWith]]
+    * re-train cadence is a policy knob, not an engine concern).
+    *
+    * Shape: one broadcast-assign scan of the delta only; the stored
+    * base never recomputes; tombstones broadcast into a left-anti
+    * hash join. */
+  def ivfUpsert(assignedBase: DataFrame, delta: DataFrame, deltaId: Column,
+                deltaVec: Column, centroids: DataFrame,
+                tombstones: DataFrame): DataFrame =
+    assignedBase
+      .unionByName(ivfAssignWith(delta, deltaId, deltaVec, centroids))
+      .join(broadcast(tombstones.select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+
   /** IVF probe: top-k by exact cosine within the query vector's cell. */
   def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = assigned.filter(col("vec_id") === queryId)
@@ -783,6 +808,131 @@ object Similarity {
         when(col("o2") === 0L, lit(null).cast("double"))
           .otherwise((col("p2").cast("double") * col("dim").cast("double")) /
             (col("o2").cast("double") * lit(k.toDouble))).as("jl_ratio"))
+  }
+
+  /** Top principal direction of the (uncentered) embedding
+    * second-moment matrix by POWER ITERATION — v ← normalize(Xᵀ(Xv))
+    * for a fixed number of rounds — plus the eigenvalue estimate
+    * λ = mean((x·v)²) and the explained-variance fraction λ/mean‖x‖².
+    * The spectral-health probe of an embedding corpus (one direction
+    * hoarding most of the mass = anisotropic/collapsed embeddings —
+    * Mu & Viswanath ICLR'18's dominant-direction pathology) and the
+    * first step of any whitening/low-rank pass.
+    *
+    * Distributed shape (the pageRank discipline for linear algebra):
+    * each round is ONE corpus job — per-row dot xq·vq rides the scan,
+    * a posexplode feeds a ≤dim-key map-combined agg, and the dim-row
+    * result collapses to a DRIVER artifact that re-enters the next
+    * round as a literal (centroid discipline — driver state is
+    * O(dim), never O(corpus)). T rounds = T jobs; the returned plan
+    * is one final scan against the converged literal.
+    *
+    * Exactness: inputs quantize to the 10⁻³ grid and v to 10⁻⁶, so
+    * every dot and accumulation is EXACT integer math (bounds: |xq| ≤
+    * 10³, dim ≤ 64 ⇒ |sq| ≤ 6.4·10¹⁰; |w| ≤ n·10³·|sq| — long-exact
+    * to n ≈ 10⁵ rows, the probe-sample regime; the lake path swaps
+    * the w accumulator to DECIMAL(38,0)). Between rounds the only
+    * double math is norm + rescale — identical literal expression
+    * text on both engines, re-quantized to integers immediately
+    * (the kmeans fixed-point recentering discipline).
+    *
+    * Returns dim rows: (dim, v, lambda, explained). */
+  def pcaPower(df: DataFrame, vec: Column, dim: Int,
+               iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    def xq(x: Column): Column =
+      floor(x.cast("double") * lit(1000.0) + lit(0.5)).cast("long")
+    def dotQ(v: Column, vq: Seq[Long]): Column =
+      aggregate(sequence(lit(0), least(size(v), lit(dim)) - 1), lit(0L),
+        (acc, d) => acc + xq(element_at(v, d + 1)) *
+          element_at(lit(vq.toArray), d + 1))
+    // v₀ = the uniform direction, quantized — any vector not
+    // orthogonal to the principal direction converges
+    var vq: Seq[Long] = Seq.fill(dim)(
+      math.floor(1.0e6 / math.sqrt(dim.toDouble)).toLong)
+    for (_ <- 1 to iters) {
+      val w = df.select(vec.as("v"))
+        .select(col("v"), dotQ(col("v"), vq).as("sq"))
+        .select(posexplode(col("v")).as(Seq("d", "x")), col("sq"))
+        .groupBy(col("d"))
+        .agg(sum(xq(col("x")) * col("sq")).as("w"))
+        .collect().map(r => (r.getAs[Number](0).intValue, r.getLong(1)))
+        .toMap
+      val wd = (0 until dim).map(d => w.getOrElse(d, 0L).toDouble)
+      val nq = wd.map(v => math.floor(v * v / 1.0e20).toLong).sum
+      val norm = math.sqrt(nq.toDouble * 1.0e20)
+      vq = wd.map(v =>
+        if (norm == 0.0) 0L else math.floor(v / norm * 1.0e6 + 0.5).toLong)
+    }
+    val agg1 = df.select(vec.as("v"))
+      .select(dotQ(col("v"), vq).as("sq"),
+        aggregate(sequence(lit(0), least(size(col("v")), lit(dim)) - 1),
+          lit(0L),
+          (acc, d) => {
+            val q = xq(element_at(col("v"), d + 1)); acc + q * q
+          }).as("tq"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sq").cast("double") * col("sq").cast("double") /
+          lit(1.0e12)).cast("long")).as("sl"),
+        sum(col("tq")).as("st"))
+    spark.range(0, dim).toDF("dim")
+      .crossJoin(broadcast(agg1))
+      .select(col("dim"),
+        (element_at(lit(vq.toArray), col("dim").cast("int") + 1)
+          .cast("double") / lit(1.0e6)).as("v"),
+        (col("sl").cast("double") / lit(1.0e6) / col("n").cast("double"))
+          .as("lambda"),
+        when(col("st") === 0L, lit(null).cast("double"))
+          .otherwise(col("sl").cast("double") / col("st").cast("double"))
+          .as("explained"))
+  }
+
+  /** The [[pcaPower]] DuckDB twin — T unrolled iteration CTEs over the
+    * identical integer/fixed-point pipeline (the sqlKmeansCte
+    * pattern: the oracle replays the training loop, so a drifted
+    * driver round fails the hash compare, not just a spec). */
+  def pcaPowerOracleSql(dim: Int, iters: Int): String = {
+    val v0 = math.floor(1.0e6 / math.sqrt(dim.toDouble)).toLong
+    val steps = (1 to iters).map { t =>
+      s"""s$t AS (SELECT x.vec_id, x.xq,
+         |  CAST(coalesce(list_sum(list_transform(range(0, least(len(x.xq), $dim)),
+         |    i -> x.xq[i+1] * v${t - 1}.vq[i+1])), 0) AS BIGINT) AS sq
+         |  FROM x CROSS JOIN v${t - 1}),
+         |w$t AS (SELECT i.d AS d,
+         |  CAST(coalesce(sum(s.xq[i.d+1] * s.sq), 0) AS BIGINT) AS w
+         |  FROM s$t s CROSS JOIN (SELECT unnest(range(0, $dim)) AS d) i
+         |  GROUP BY 1),
+         |n$t AS (SELECT sqrt(CAST(CAST(sum(CAST(floor(
+         |    CAST(w AS DOUBLE) * CAST(w AS DOUBLE) / 1.0E20) AS BIGINT))
+         |    AS BIGINT) AS DOUBLE) * 1.0E20) AS norm FROM w$t),
+         |v$t AS (SELECT list(CASE WHEN n.norm = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(CAST(w.w AS DOUBLE) / n.norm * 1.0E6 + 0.5)
+         |      AS BIGINT) END ORDER BY w.d) AS vq
+         |  FROM w$t w CROSS JOIN n$t n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (SELECT vec_id, list_transform(embedding,
+       |    e -> CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+       |    AS xq FROM embeddings),
+       |v0 AS (SELECT list_transform(range(0, $dim),
+       |    i -> CAST($v0 AS BIGINT)) AS vq),
+       |$steps,
+       |f AS (SELECT
+       |  CAST(coalesce(list_sum(list_transform(range(0, least(len(x.xq), $dim)),
+       |    i -> x.xq[i+1] * v.vq[i+1])), 0) AS BIGINT) AS sq,
+       |  CAST(coalesce(list_sum(list_transform(range(0,
+       |    least(len(x.xq), $dim)), i -> x.xq[i+1] * x.xq[i+1])), 0)
+       |    AS BIGINT) AS tq
+       |  FROM x CROSS JOIN v$iters v),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CAST(floor(CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+       |    / 1.0E12) AS BIGINT)) AS BIGINT) AS sl,
+       |  CAST(sum(tq) AS BIGINT) AS st FROM f)
+       |SELECT d.d AS dim, CAST(v.vq[d.d+1] AS DOUBLE) / 1.0E6 AS v,
+       |  CAST(sl AS DOUBLE) / 1.0E6 / CAST(n AS DOUBLE) AS lambda,
+       |  CASE WHEN st = 0 THEN NULL
+       |    ELSE CAST(sl AS DOUBLE) / CAST(st AS DOUBLE) END AS explained
+       |FROM (SELECT unnest(range(0, $dim)) AS d) d
+       |CROSS JOIN v$iters v CROSS JOIN a""".stripMargin
   }
 
   /** 1/log2(r+1) discount literals for ranks 1..k — computed once at

@@ -773,6 +773,42 @@ class PlanSpec extends SparkSpec {
       s"the panel join must broadcast/hash:\n$p")
   }
 
+  test("quantile norm: broadcast total, equi-keyed index join, no cartesian") {
+    val p = plan(SparkEntry.queries("q_quantile_norm")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
+  test("neyman allocation: corpus collapses in ONE map-combined agg; windows run on the stratum table") {
+    val p = plan(SparkEntry.queries("q_neyman_alloc")(spark, sf))
+    assert(!p.contains("Join"), s"no join anywhere:\n$p")
+    // partial + final HashAggregate pair: the corpus-sized work is the
+    // one group agg; everything after operates on ≤|strata| rows
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"group agg must map-side combine:\n$p")
+  }
+
+  test("ivf upsert: centroids and tombstones broadcast; the stored base never sort-merges") {
+    for (q <- Seq("q_ann_upsert_cells", "q_ann_upsert_topk")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("SortMergeJoin"), s"$q: assignment/anti joins must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q: centroid/tombstone side must broadcast:\n$p")
+    }
+  }
+
+  test("pca power: the returned plan is ONE scan against the converged literal direction") {
+    val df = SparkEntry.queries("q_pca_power")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the 1-row moment agg must broadcast into the dim spine:\n$p")
+    // exactly one parquet scan: the T iteration jobs already ran at
+    // plan-authoring time and re-enter as literals
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"converged v must be literal state, not a recomputed subtree:\n$p")
+  }
+
   test("rank eval: corpus streams past the broadcast query panel (hubness shape)") {
     val p = plan(SparkEntry.queries("q_rank_eval")(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -104,4 +104,57 @@ class EvalSpec extends SparkSpec {
     assert(r.getLong(6) == 5L)           // all top-5 relevant
     assert(r.getDouble(2) == r.getDouble(3)) // dcg = idcg
   }
+
+  test("pcaPower recovers a planted dominant direction with ~all variance explained") {
+    // mass along (0.6, 0.8); tiny orthogonal jitter — the principal
+    // direction is ±(0.6, 0.8) and explained ≈ 1
+    val vecs = (0 until 40).map { i =>
+      val a = (i % 5 + 1) * 0.1f
+      val eps = (i % 3 - 1) * 0.001f
+      (i.toLong, Array(0.6f * a + 0.8f * eps, 0.8f * a - 0.6f * eps))
+    }
+    val out = Similarity.pcaPower(vecs.toDF("id", "v"), col("v"),
+      dim = 2, iters = 3)
+      .orderBy("dim").collect()
+    val v = out.map(_.getDouble(1))
+    val sign = if (v(0) < 0) -1.0 else 1.0
+    assert(math.abs(sign * v(0) - 0.6) < 0.01, s"v0 = ${v(0)}")
+    assert(math.abs(sign * v(1) - 0.8) < 0.01, s"v1 = ${v(1)}")
+    assert(out.head.getDouble(3) > 0.999, "explained variance ~ 1")
+    assert(out.head.getDouble(2) > 0.0, "positive eigenvalue")
+  }
+
+  test("pcaPower: zero corpus degenerates to zero vector, NULL explained") {
+    val df = Seq((1L, Array(0.0f, 0.0f))).toDF("id", "v")
+    val out = Similarity.pcaPower(df, col("v"), dim = 2, iters = 2)
+      .orderBy("dim").collect()
+    assert(out.forall(r => r.getDouble(1) == 0.0))
+    assert(out.forall(_.isNullAt(3)), "0/0 variance must be NULL")
+  }
+
+  test("ivfUpsert: merged incremental index is BIT-IDENTICAL to a full rebuild") {
+    val vecs = (0L until 40L).map { i =>
+      val th = i * 0.07
+      (i, Array(math.cos(th).toFloat, math.sin(th).toFloat))
+    }
+    val e = vecs.toDF("id", "v")
+    val cents = e.filter(col("id") < 4)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val base = e.filter(col("id") % 5 =!= 2)
+    val delta = e.filter(col("id") % 5 === 2)
+    val tombs = e.filter(col("id") % 7 === 3)
+      .select(col("id").as("vec_id"))
+    val assignedBase = Similarity.ivfAssignWith(base, col("id"), col("v"), cents)
+    val merged = Similarity.ivfUpsert(assignedBase, delta, col("id"),
+      col("v"), cents, tombs)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuild = Similarity.ivfAssignWith(
+        e.filter(col("id") % 7 =!= 3), col("id"), col("v"), cents)
+      .select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(merged == rebuild, "frozen-centroid merge must equal rebuild")
+    assert(!merged.exists(p => p._1 % 7 == 3), "tombstoned ids must be gone")
+    assert(merged.exists(p => p._1 % 5 == 2), "delta ids must be present")
+  }
 }

@@ -298,4 +298,43 @@ class SelectionSpec extends SparkSpec {
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(viaCol == viaDf, "clfKeep column must equal the classifier's keep")
   }
+
+  test("quantileNormalize maps both groups onto the SAME global quantile values") {
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L),
+      ("B", 4L, 10L), ("B", 5L, 20L), ("B", 6L, 30L)).toDF("g", "id", "x")
+    val out = Selection.quantileNormalize(df, col("g"), col("id"), col("x"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // global sorted [1,2,3,10,20,30]; midpoint indices per rank 1..3 of
+    // a 3-group: ((2r-1)·6+3) div 6 = 1, 3, 5 → values 1, 3, 20
+    val aNorms = out.filter(_._1 == "A").sortBy(_._2).map(_._3).toSeq
+    val bNorms = out.filter(_._1 == "B").sortBy(_._2).map(_._3).toSeq
+    assert(aNorms == Seq(1L, 3L, 20L))
+    assert(bNorms == aNorms, "normalized distributions must coincide")
+  }
+
+  test("neymanAllocation: exact largest-remainder split, zero-variance strata get zero weight, caps at stratum size") {
+    val rows = Seq.fill(1)(("A", 0L)) ++ Seq(("A", 200L)) ++
+      (0 until 8).map(i => ("B", if (i % 2 == 0) 0L else 100L)) ++
+      Seq.fill(5)(("C", 42L)) // constant → σ = 0
+    val df = rows.toDF("g", "x")
+    val out = Selection.neymanAllocation(df, col("g"), col("x"), budget = 6L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // w_A = 2·100 = 200, w_B = 8·50 = 400, w_C = 0 → alloc 2/4/0
+    assert(out("A").getLong(4) == 2L && out("A").getLong(5) == 2L)
+    assert(out("B").getLong(4) == 4L && out("B").getLong(5) == 4L)
+    assert(out("C").getDouble(3) == 0.0 && out("C").getLong(5) == 0L)
+    assert(out.values.map(_.getLong(5)).sum == 6L, "allocations sum to budget")
+    // cap: budget 30 gives A an uncapped 10 but only 2 docs exist
+    val capped = Selection.neymanAllocation(df, col("g"), col("x"), budget = 30L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(capped("A").getLong(4) == 10L && capped("A").getLong(5) == 2L)
+  }
+
+  test("neymanAllocation degenerates to NULL on an all-constant corpus (W = 0)") {
+    val df = (Seq.fill(3)(("A", 7L)) ++ Seq.fill(4)(("B", 9L))).toDF("g", "x")
+    val out = Selection.neymanAllocation(df, col("g"), col("x"), budget = 5L)
+      .collect()
+    assert(out.forall(r => r.isNullAt(4) && r.isNullAt(5)),
+      "zero total weight must yield NULL allocations, not a silent split")
+  }
 }
