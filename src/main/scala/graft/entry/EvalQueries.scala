@@ -17,8 +17,11 @@ import org.apache.spark.sql.functions._
 object EvalQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Ranking-eval panel modulus / list depth (shared with the oracle). */
-  private val RankMod = 8L; private val RankK = 10
+  /** Ranking-eval panel modulus / list depth (shared with the oracle).
+    * 1-in-20 ≈ 100 queries at sf0.1 — per-query metrics are
+    * independent, so the panel size trades audit precision for pair
+    * count exactly like the hubness modulus. */
+  private val RankMod = 20L; private val RankK = 10
   /** JL target dim / pair-panel modulus. */
   private val JlK = 16; private val JlMod = 23L
   /** Mahalanobis outlier threshold (mean z² per live dimension). */
@@ -36,9 +39,13 @@ object EvalQueries {
     // NDCG@10 / MRR / hits@10 of the SQ8 quantized retriever against
     // exact-cosine graded relevance, per 1-in-8 panel query — the
     // ORDER-quality eval beside q_ann_sq8_recall's set-quality floor
+    // spreadToCores: embeddings scans as one split, and the per-pair
+    // double scoring would otherwise run single-task (qualityRules
+    // lesson; no-op at lake scale)
     "q_rank_eval" -> ((s, d) =>
-      Similarity.rankingMetrics(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), sqStats(s, d), RankK, RankMod)),
+      Similarity.rankingMetrics(
+        graft.core.Xform.spreadToCores(Tables.embeddings(s, d)),
+        col("vec_id"), col("embedding"), sqStats(s, d), RankK, RankMod)),
 
     // diagonal-Mahalanobis embedding outliers from the dimStats
     // calibration — zero-shuffle projection against literal μ/σ state
@@ -104,8 +111,9 @@ object EvalQueries {
     // variance — the embedding-anisotropy probe; each round is one
     // corpus job collapsing to a dim-row driver artifact
     "q_pca_power" -> ((s, d) =>
-      Similarity.pcaPower(Tables.embeddings(s, d), col("embedding"),
-        dim = PcaDim, iters = PcaIters))
+      Similarity.pcaPower(
+        graft.core.Xform.spreadToCores(Tables.embeddings(s, d)),
+        col("embedding"), dim = PcaDim, iters = PcaIters))
   )
 
   /** PCA dimensionality / power-iteration rounds (shared with the

@@ -968,21 +968,29 @@ object Similarity {
     val mn = lit(stats.map(_._2).toArray)
     val mx = lit(stats.map(_._3).toArray)
     val disc = lit(ndcgDiscounts(k))
-    val v = df.select(id.as("vec_id"), vec.as("v"))
-    val sqq = aggregate(
+    // quantize+reconstruct ONCE per candidate (code and bin center
+    // depend only on the stored vector): per-pair work then collapses
+    // to a floor-quantized dot — hoisting this out of the pair loop
+    // cut the sf0.1 panel audit from 22 s to the cosine's cost class
+    val recon = transform(
       sequence(lit(0), least(size(col("v")), lit(stats.size)) - 1),
-      lit(0L),
-      (acc, d) => {
+      d => {
         val x = element_at(col("v"), d + 1).cast("double")
-        val qd = element_at(col("qv"), d + 1).cast("double")
         val mnd = element_at(mn, d + 1)
         val mxd = element_at(mx, d + 1)
         val c = when(mxd === mnd, lit(0L))
           .otherwise(least(lit(255L), greatest(lit(0L),
             floor((x - mnd) / (mxd - mnd) * lit(256.0)).cast("long"))))
-        acc + floor(qd * (mnd + (c.cast("double") + lit(0.5)) *
-          (mxd - mnd) / lit(256.0)) * lit(1e9)).cast("long")
+        mnd + (c.cast("double") + lit(0.5)) * (mxd - mnd) / lit(256.0)
       })
+    val v = df.select(id.as("vec_id"), vec.as("v"))
+      .withColumn("recon", recon)
+    val sqq = aggregate(
+      sequence(lit(0), size(col("recon")) - 1),
+      lit(0L),
+      (acc, d) => acc +
+        floor(element_at(col("qv"), d + 1).cast("double") *
+          element_at(col("recon"), d + 1) * lit(1e9)).cast("long"))
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     val wSys = Window.partitionBy(col("query_id"))
