@@ -37,6 +37,9 @@ object LlmQueries {
   // docs is boilerplate (nav bars hit thousands; 2 keeps legitimate
   // two-doc quotes)
   private val LineDedupMaxDocs = 2L
+  // frequent-n-gram mask: a w-gram in MORE than this many distinct docs
+  // marks its tokens memorization-prone (PaLM-style span policy)
+  private val MaskNgramMaxDf = 2L
   // kmeans-trained IVF: k centroids, fixed iteration count (deterministic
   // by construction — the oracle unrolls the same iterations).
   private val IvfK = 4; private val IvfIters = 2
@@ -756,6 +759,13 @@ object LlmQueries {
     "q_line_dedup" -> ((s, d) =>
       Dedup.lineDedup(Tables.documents(s, d), col("doc_id"), col("text"),
         maxDocs = LineDedupMaxDocs)),
+
+    // Frequent-n-gram mask accounting: tokens covered by a w-gram seen
+    // in > MaskNgramMaxDf distinct docs are masked; per-doc coverage
+    // fraction. Linear in token count — no pair joins.
+    "q_mask_ngrams" -> ((s, d) =>
+      Dedup.maskFrequentNgrams(Tables.documents(s, d), col("doc_id"),
+        col("text"), w = ShingleW, maxDf = MaskNgramMaxDf)),
 
     // Percentile quality cut: top 50% by quality per language — the
     // drift-proof way to pick curation thresholds.
@@ -2298,6 +2308,45 @@ object LlmQueries {
          |       CAST(count(*) FILTER (WHERE NOT is_bp) AS BIGINT) AS n_kept,
          |       CAST(count(*) AS BIGINT) AS n_total
          |FROM j GROUP BY 1""".stripMargin,
+
+    // frequent-n-gram mask: folded w-shingles (fold whole text then
+    // split — translate/lower never mints or eats a 0x20, so it equals
+    // the per-token fold), 60-bit md5 gram hash, distinct-doc df,
+    // [pos, pos+w) index-span union per doc
+    "q_mask_ngrams" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |         CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |         list_filter(string_split(
+         |           lower(translate(text, 'İΣ', 'iσ')), ' '),
+         |           t -> len(t) > 0) AS ftk
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(ftk) >= $ShingleW
+         |              THEN list_transform(range(0, len(ftk) - $ShingleW + 1),
+         |                     i -> array_to_string(ftk[i+1:i+$ShingleW], ' '))
+         |              ELSE [] END AS sg
+         |  FROM tk),
+         |pos AS (
+         |  SELECT doc_id, i AS pos, ${sqlMd5Long("sg[i+1]")} AS h
+         |  FROM sh, unnest(range(0, len(sg))) AS u(i)),
+         |fr AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1) f
+         |  WHERE df > $MaskNgramMaxDf),
+         |cov AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked FROM (
+         |    SELECT DISTINCT p.doc_id, p.pos + j AS idx
+         |    FROM pos p JOIN fr USING (h),
+         |         unnest(range(0, $ShingleW)) AS v(j)) q
+         |  GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |       COALESCE(c.n_masked, CAST(0 AS BIGINT)) AS n_masked,
+         |       CASE WHEN t.n_tokens = 0 THEN NULL
+         |            ELSE CAST(COALESCE(c.n_masked, 0) AS DOUBLE) /
+         |                 CAST(t.n_tokens AS DOUBLE) END AS mask_frac
+         |FROM tk t LEFT JOIN cov c USING (doc_id)""".stripMargin,
 
     "q_quality_cut" ->
       s"""SELECT doc_id, lang, quality FROM (

@@ -990,4 +990,51 @@ object Dedup {
         (col("n_boiler") * lit(den.toLong) >= col("n_lines") * lit(num.toLong))
           .as("templated"))
   }
+
+  /** Frequent-n-gram mask accounting (the PaLM / Lee et al.
+    * "memorization-prone span" policy): any token covered by a w-gram
+    * occurring in more than `maxDf` documents is MASKED, and each doc
+    * reports its coverage — the token-level companion of
+    * [[lineDedup]] (lines) and the df-capped ExactSubstr pair scan
+    * (spans shared by few docs): this one targets spans shared by
+    * MANY docs, the license-header/disclaimer mass that near-dup
+    * screens deliberately skip.
+    *
+    * Exactness: gram identity is the md5Long of the FOLDED w-shingle
+    * (the line-hash discipline); coverage is the distinct union of
+    * [pos, pos+w) index spans — integer set math, engine-exact.
+    *
+    * Shape: one posexplode of the shingle stream, a (h, doc)-distinct
+    * + ≤|grams|-key df count, an equi-join back (frequent-gram side
+    * only — df > maxDf keeps it the boilerplate slice, naturally
+    * small), a w-bounded span explode, one (doc, idx)-distinct and a
+    * doc-keyed fold; docs with nothing masked re-enter by left join.
+    * No pair joins anywhere — cost is linear in token count. */
+  def maskFrequentNgrams(df: DataFrame, id: Column, text: Column,
+                         w: Int = 8, maxDf: Long = 2L): DataFrame = {
+    val base = persistTracked(graft.core.Xform.spreadToCores(df)
+      .select(id.as("doc_id"),
+        size(tokens(text)).cast("long").as("n_tokens"),
+        graft.functions.Shingles(tokensFolded(text), w).as("shs")))
+    val pos = base
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "sg")))
+      .select(col("doc_id"), col("pos"), md5Long(col("sg")).as("h"))
+    val freq = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("h"))
+    val covered = pos.join(freq, Seq("h"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_masked"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+      .withColumn("mask_frac",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_masked").cast("double") /
+            col("n_tokens").cast("double")))
+  }
 }

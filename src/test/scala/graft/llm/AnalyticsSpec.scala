@@ -331,6 +331,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(3) == ((4L, "", 0L, 2L))) // survives as an empty row
   }
 
+  test("maskFrequentNgrams masks span-union of over-df grams, zero-mask docs survive") {
+    // w=2, maxDf=1: a bigram in MORE than 1 distinct doc is masked.
+    // "the cat" appears in docs 1,2 (doc 2 twice — df counts docs, not
+    // occurrences); "sat down" only in doc 1; doc 3 shares nothing.
+    val docs = Seq(
+      (1L, "the cat sat down"),            // "the cat" masks idx {0,1}
+      (2L, "I saw the cat the cat"),       // grams at pos 2 and 4 → idx {2,3,4,5}
+      (3L, "totally unrelated words"),     // nothing masked
+      (4L, "one")) // shorter than w → no grams, n_masked 0
+      .toDF("doc_id", "text")
+    val out = Dedup.maskFrequentNgrams(docs, col("doc_id"), col("text"),
+      w = 2, maxDf = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_masked", "mask_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    // doc 2: "the cat" at pos 2 AND pos 4, plus "cat the" at pos 3 is
+    // single-doc → spans [2,4)∪[4,6) = 4 masked of 6
+    assert(out(0) == ((1L, 4L, 2L, 0.5)))
+    assert(out(1) == ((2L, 6L, 4L, 4.0 / 6.0)))
+    assert(out(2) == ((3L, 3L, 0L, 0.0)))
+    assert(out(3) == ((4L, 1L, 0L, 0.0)))
+    Dedup.releaseCaches()
+  }
+
   test("semDedup: centrality-ranked eps-screen within clusters, exists not closure") {
     def v(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
       math.sin(math.toRadians(a)).toFloat)
