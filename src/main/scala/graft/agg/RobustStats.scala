@@ -254,6 +254,110 @@ object RobustStats {
           lit(1.0e9)).as("psi"))
   }
 
+  /** Mann–Whitney U rank-sum test between two slices of one metric
+    * column — the rank-based companion of [[ksTwoSample]]: KS reports
+    * the worst single ECDF gap, U asks the location question ("does
+    * one slice stochastically dominate?") and is the standard
+    * nonparametric drift test when the metric is heavy-tailed enough
+    * that mean-based tests mislead.
+    *
+    * Exactness: ranks never materialize per row. Grouping by distinct
+    * value gives tie-block sizes t; a block's 2×midrank is the exact
+    * integer 2·cum_before + t + 1, so twice the rank sum
+    * 2R₁ = Σ a·(2·cum_before + t + 1) is an exact integer
+    * (DECIMAL(38,0) — a·m2 ~ n² overflows LONG at lake scale), as is
+    * the tie correction ΣT = Σ(t³ − t). U₁, the mean n₁n₂/2, the
+    * tie-corrected variance and the z-score are ONE final double
+    * expression mirrored token-for-token in the oracle. All-tied input
+    * makes the variance 0 → NULL z (ANSI guard); an empty slice →
+    * NULL z.
+    *
+    * Shape: one domain-sized groupBy + the KS single-partition window
+    * over DISTINCT values (thousands of rows, not corpus) + a 1-row
+    * agg — scan-bound. NULL metric rows carry no rank; dropped on
+    * both sides. */
+  def mannWhitney(df: DataFrame, x: Column, inFirst: Column): DataFrame = {
+    val s = df.filter(x.isNotNull).select(x.as("x"),
+      when(inFirst, lit(1L)).otherwise(lit(0L)).as("f"))
+    val g = s.groupBy(col("x"))
+      .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
+      .withColumn("t", col("a") + col("b"))
+    val w = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val folded = g
+      .withColumn("cum", sum(col("t")).over(w))
+      .select(col("a"), col("b"), col("t"),
+        (lit(2L) * (col("cum") - col("t")) + col("t") + lit(1L)).as("m2"))
+      .agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"),
+        sum((col("a").cast("decimal(38,0)") * col("m2")).cast("decimal(38,0)"))
+          .as("r1x2"),
+        sum((col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("tie_t"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val u1 = (col("r1x2").cast("double") - n1d * (n1d + lit(1.0))) / lit(2.0)
+    val varU = n1d * n2d / lit(12.0) *
+      ((nd + lit(1.0)) - col("tie_t").cast("double") / (nd * (nd - lit(1.0))))
+    folded.select(col("n1"), col("n2"),
+      col("r1x2").cast("long").as("r1_times2"),
+      when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("double"))
+        .otherwise(u1).as("u1"),
+      when(col("n1") === 0L || col("n2") === 0L, lit(null).cast("double"))
+        .otherwise(when(varU <= lit(0.0), lit(null).cast("double"))
+          .otherwise((u1 - n1d * n2d / lit(2.0)) / sqrt(varU))).as("z"))
+  }
+
+  /** Pearson chi-square independence test + Cramér's V over a
+    * two-column contingency (e.g. source × lang) — "is the label mix
+    * independent of the source?", the categorical companion of the
+    * numeric drift tests. V is the [0,1] effect size that stays
+    * comparable across table shapes.
+    *
+    * Exactness: cell/marginal counts are exact integers; the full
+    * r×c spine (distinct rows × distinct cols, zero cells coalesced —
+    * the Benford spine rule: an EMPTY cell is evidence, its term is
+    * the whole expected count) means no mass is silently dropped.
+    * Each cell's expected count and chi² term are one shared double
+    * expression; terms are quantized to floor(·10⁹) LONG (the PSI
+    * fixed-point discipline) so the chi² TOTAL — and V derived from
+    * it — is an exact integer sum in any accumulation order.
+    * Degenerate tables (one row or one col → dof 0) emit NULL V.
+    *
+    * Shape: one (r,c) groupBy + two marginal re-aggs of the CELL
+    * table (never the corpus), a broadcast spine cross join and a
+    * window over the ≤ r·c cells — scan-bound at any scale. */
+  def chi2Independence(df: DataFrame, rowc: Column, colc: Column): DataFrame = {
+    val s = df.filter(rowc.isNotNull && colc.isNotNull)
+      .select(rowc.as("r"), colc.as("c"))
+    val cells = s.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_obs"))
+    val rm = cells.groupBy(col("r")).agg(sum(col("n_obs")).as("n_r"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("n_obs")).as("n_c"))
+    val tot = rm.agg(count(lit(1)).as("r_card"), sum(col("n_r")).as("n_total"))
+      .crossJoin(cm.agg(count(lit(1)).as("c_card")))
+    val spine = rm.crossJoin(broadcast(cm))
+    val expected = col("n_r").cast("double") * col("n_c").cast("double") /
+      col("n_total").cast("double")
+    val term = (col("n_obs").cast("double") - expected) *
+      (col("n_obs").cast("double") - expected) / expected
+    val dof = least(col("r_card") - lit(1L), col("c_card") - lit(1L))
+    spine.join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("n_r"), col("n_c"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("tq", floor(term * lit(1.0e9)).cast("long"))
+      .select(col("r"), col("c"), col("n_obs"), col("n_r"), col("n_c"),
+        col("n_total"), expected.as("expected"),
+        (col("tq").cast("double") / lit(1.0e9)).as("chi2_term"),
+        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+          lit(1.0e9)).as("chi2"),
+        when(dof === 0L, lit(null).cast("double"))
+          .otherwise(sqrt(
+            (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+              lit(1.0e9)) /
+            (col("n_total").cast("double") * dof.cast("double"))))
+          .as("cramers_v"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer mass
     * column: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending sort.
     *

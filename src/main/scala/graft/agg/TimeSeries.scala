@@ -232,6 +232,84 @@ object TimeSeries {
           .as("mean_right"))
   }
 
+  /** Exponentially-weighted moving average per key — the smoothed
+    * "current level" of each series, the estimator behind every
+    * alerting baseline ("is the latest reading far from where the
+    * series has settled?"). Emits the final EWMA beside the last raw
+    * observation so the residual is one subtraction away.
+    *
+    * Determinism: EWMA is inherently sequential (y_i depends on
+    * y_{i-1}), so both engines run the IDENTICAL left fold
+    * y ← y + (x − y)/alphaDen over the (ts, id)-ordered series,
+    * seeded with the first observation — same op sequence on doubles
+    * ⇒ bit-equal results, no closed-form reordering. alphaDen = 4
+    * (α = 0.25) keeps every step a dyadic-rational op.
+    *
+    * Shape: one key-partitioned collect of the series (the saxWord
+    * regime: per-key series must be BOUNDED — at lake scale feed this
+    * windowed slices, e.g. per (key, day), not an unbounded history;
+    * the fold itself is O(n) with O(1) state and is exactly what
+    * `flatMapGroupsWithState` carries in the streaming twin). */
+  def ewma(df: DataFrame, key: Column, ts: Column, id: Column,
+           value: Column, alphaDen: Int = 4): DataFrame = {
+    val v = df.filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("t"), id.as("id"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+    v.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("t"), col("id"), col("c"))))
+          .as("arr"))
+      .select(col("k"), col("n"),
+        (element_at(col("arr"), -1).getField("c").cast("double") /
+          lit(100.0)).as("last_value"),
+        (aggregate(
+          slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+          element_at(col("arr"), 1).getField("c").cast("double"),
+          (acc, e) => acc +
+            (e.getField("c").cast("double") - acc) / lit(alphaDen.toDouble))
+          / lit(100.0)).as("ewma"))
+  }
+
+  /** Theil–Sen robust trend slope per key over the DAILY event-count
+    * series — "is this source's volume trending, and how fast?", with
+    * the estimator that shrugs off outlier days (up to ~29% corrupted
+    * points) where an OLS fit would chase them. The volume-trend
+    * member of the drift family (PSI/KS ask distribution, CUSUM asks
+    * when, this asks how fast).
+    *
+    * Exactness: the daily counts are exact integers on an integer
+    * epoch-day axis; each pairwise slope (c₂−c₁)/(d₂−d₁) is ONE
+    * double division both engines compute identically, and the median
+    * is (min+max)/2.0 over the one or two exact middle order
+    * statistics — no percentile interpolation, no double summation.
+    *
+    * Shape: the pair join runs on the per-key DAY table — O(days²)
+    * per key, bounded by the time range, NOT the corpus (a year is
+    * ~66k pairs); the corpus only feeds one (key, day) count agg.
+    * Keys with a single active day have no pair and drop out. */
+  def theilSen(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val days = df.filter(ts.isNotNull)
+      .select(key.as("k"),
+        call_function("div", unix_micros(ts), lit(86400000000L)).as("d"))
+      .groupBy(col("k"), col("d")).agg(count(lit(1)).as("c"))
+    val slopes = days.as("l").join(days.as("r"),
+        col("l.k") === col("r.k") && col("l.d") < col("r.d"))
+      .select(col("l.k").as("k"),
+        ((col("r.c") - col("l.c")).cast("double") /
+          (col("r.d") - col("l.d")).cast("double")).as("slope"))
+    val wk = Window.partitionBy(col("k"))
+    val wo = Window.partitionBy(col("k")).orderBy(col("slope"))
+    slopes
+      .withColumn("rn", row_number().over(wo).cast("long"))
+      .withColumn("np", count(lit(1)).over(wk).cast("long"))
+      .filter(col("rn") === call_function("div", col("np") + lit(1L), lit(2L)) ||
+        col("rn") === call_function("div", col("np") + lit(2L), lit(2L)))
+      .groupBy(col("k"))
+      .agg(max(col("np")).as("n_pairs"),
+        ((min(col("slope")) + max(col("slope"))) / lit(2.0))
+          .as("slope_per_day"))
+  }
+
   /** SAX (symbolic aggregate approximation, Lin et al. DMKD'07) word
     * per key: the series' time span is cut into `frames` equal frames
     * (PAA), each frame's mean level is rank-quantized into `alpha`

@@ -105,7 +105,35 @@ object StatsQueries {
           col("lang").as("new_lang"))
       Dedup.applyChangelog(base, deletes.unionByName(updates)
         .unionByName(inserts), "doc_id")
-    })
+    }),
+
+    // Mann–Whitney U rank drift between en and non-en length
+    // distributions — the location question KS doesn't ask; integer
+    // 2×midrank algebra, one domain window, tie-corrected z
+    "q_rank_drift" -> ((s, d) =>
+      RobustStats.mannWhitney(Tables.documents(s, d), col("n_chars"),
+        col("lang") === "en")),
+
+    // chi-square independence of source × lang + Cramér's V — full
+    // r×c spine, PSI fixed-point term quantization so the total is an
+    // exact integer sum
+    "q_chi2_indep" -> ((s, d) =>
+      RobustStats.chi2Independence(Tables.documents(s, d), col("source"),
+        col("lang"))
+        .withColumnsRenamed(Map("r" -> "source", "c" -> "lang"))),
+
+    // per-type EWMA level (α=1/4): identical sequential fold on both
+    // engines — the one estimator where op ORDER is the spec
+    "q_ewma" -> ((s, d) =>
+      TimeSeries.ewma(Tables.events(s, d), col("event_type"), col("ts"),
+        col("event_id"), col("value"))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // Theil–Sen robust volume trend per type over daily counts —
+    // exact middle order statistics, pair join on the DAY table only
+    "q_theil_sen" -> ((s, d) =>
+      TimeSeries.theilSen(Tables.events(s, d), col("event_type"), col("ts"))
+        .withColumnsRenamed(Map("k" -> "event_type")))
   )
 
   // ======================================================================
@@ -309,6 +337,107 @@ object StatsQueries {
         |  md5(CASE WHEN op IS NULL THEN old_text ELSE new_text END)
         |    AS content_hash,
         |  coalesce(new_lang, old_lang) AS lang_final
-        |FROM m WHERE op IS NULL OR op <> 'D'""".stripMargin
+        |FROM m WHERE op IS NULL OR op <> 'D'""".stripMargin,
+
+    // 2×midrank integer rank algebra; u1/z single shared double
+    // expressions; tie cubes in HUGEINT (Spark: DECIMAL(38,0))
+    "q_rank_drift" -> {
+      val nd = "CAST(n1 + n2 AS DOUBLE)"
+      val u1 = "((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0)"
+      val varU = s"(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
+        s"(($nd + 1.0) - CAST(tie_t AS DOUBLE) / ($nd * ($nd - 1.0))))"
+      s"""WITH s AS (
+         |  SELECT n_chars AS x,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |g AS (SELECT x, CAST(sum(f) AS BIGINT) AS a,
+         |             CAST(sum(1 - f) AS BIGINT) AS b,
+         |             CAST(sum(f) + sum(1 - f) AS BIGINT) AS t
+         |      FROM s GROUP BY x),
+         |c AS (SELECT a, b, t,
+         |        2 * (sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+         |          PRECEDING AND CURRENT ROW) - t) + t + 1 AS m2
+         |      FROM g),
+         |f2 AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+         |              CAST(sum(b) AS BIGINT) AS n2,
+         |              sum(CAST(a AS HUGEINT) * m2) AS r1x2,
+         |              sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+         |       FROM c)
+         |SELECT n1, n2, CAST(r1x2 AS BIGINT) AS r1_times2,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE $u1 END AS u1,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |       ELSE CASE WHEN $varU <= 0.0 THEN NULL
+         |            ELSE ($u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+         |                 / sqrt($varU) END END AS z
+         |FROM f2""".stripMargin
+    },
+
+    // full r×c spine with coalesced zero cells; chi² terms quantized
+    // floor(·10⁹) LONG so total and V are accumulation-order-exact
+    "q_chi2_indep" -> {
+      val exp = "CAST(n_r AS DOUBLE) * CAST(n_c AS DOUBLE) / CAST(n_total AS DOUBLE)"
+      s"""WITH s AS (SELECT source AS r, lang AS c FROM documents
+         |           WHERE source IS NOT NULL AND lang IS NOT NULL),
+         |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS n_obs
+         |          FROM s GROUP BY 1, 2),
+         |rm AS (SELECT r, CAST(sum(n_obs) AS BIGINT) AS n_r
+         |       FROM cells GROUP BY 1),
+         |cm AS (SELECT c, CAST(sum(n_obs) AS BIGINT) AS n_c
+         |       FROM cells GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rm) AS r_card,
+         |               (SELECT CAST(count(*) AS BIGINT) FROM cm) AS c_card,
+         |               (SELECT CAST(sum(n_r) AS BIGINT) FROM rm) AS n_total),
+         |g AS (SELECT rm.r, cm.c, rm.n_r, cm.n_c,
+         |             COALESCE(cells.n_obs, 0) AS n_obs
+         |      FROM rm CROSS JOIN cm
+         |      LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c),
+         |e AS (SELECT g.*, t.n_total, t.r_card, t.c_card, $exp AS expected
+         |      FROM g CROSS JOIN tot t),
+         |q AS (SELECT *, CAST(floor((CAST(n_obs AS DOUBLE) - expected)
+         |        * (CAST(n_obs AS DOUBLE) - expected) / expected
+         |        * 1000000000.0) AS BIGINT) AS tq FROM e)
+         |SELECT r AS source, c AS lang, n_obs, n_r, n_c, n_total, expected,
+         |  CAST(tq AS DOUBLE) / 1000000000.0 AS chi2_term,
+         |  CAST(sum(tq) OVER () AS DOUBLE) / 1000000000.0 AS chi2,
+         |  CASE WHEN least(r_card - 1, c_card - 1) = 0 THEN NULL
+         |       ELSE sqrt((CAST(sum(tq) OVER () AS DOUBLE) / 1000000000.0)
+         |            / (CAST(n_total AS DOUBLE)
+         |               * CAST(least(r_card - 1, c_card - 1) AS DOUBLE)))
+         |  END AS cramers_v
+         |FROM q""".stripMargin
+    },
+
+    // identical sequential left fold over the (ts, id)-ordered series
+    // (list_reduce seeds with the first element, as the Spark
+    // aggregate() over slice(arr, 2, n-1) does)
+    "q_ewma" ->
+      """WITH v AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id AS id,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |           WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |             list(CAST(c AS DOUBLE) ORDER BY t, id) AS xs
+        |      FROM v GROUP BY 1)
+        |SELECT k AS event_type, n,
+        |       xs[len(xs)] / 100.0 AS last_value,
+        |       list_reduce(xs, (a, b) -> a + (b - a) / 4.0) / 100.0 AS ewma
+        |FROM g""".stripMargin,
+
+    // pairwise slopes on the per-type DAY table; median is
+    // (min+max)/2.0 over the exact middle order statistics
+    "q_theil_sen" ->
+      """WITH days AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT l.k,
+        |        CAST(r.c - l.c AS DOUBLE) / CAST(r.d - l.d AS DOUBLE) AS slope
+        |      FROM days l JOIN days r ON l.k = r.k AND l.d < r.d),
+        |w AS (SELECT k, slope,
+        |        row_number() OVER (PARTITION BY k ORDER BY slope) AS rn,
+        |        count(*) OVER (PARTITION BY k) AS np FROM p)
+        |SELECT k AS event_type, CAST(max(np) AS BIGINT) AS n_pairs,
+        |       (min(slope) + max(slope)) / 2.0 AS slope_per_day
+        |FROM w WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |GROUP BY 1""".stripMargin
   )
 }

@@ -134,4 +134,36 @@ class TimeSeriesSpec extends SparkSpec {
       monotonically_increasing_id(), col("v")).collect().head
     assert(r.getLong(3) == 1L, "tie must break to the earliest point")
   }
+
+  test("ewma: sequential dyadic fold in (ts, id) order; single point = itself") {
+    // 1, 2, 3 in cents: 100 -> 125 -> 168.75 -> 1.6875
+    val df = Seq((1L, ts(0), 1.0), (1L, ts(1), 2.0), (1L, ts(2), 3.0),
+      (2L, ts(0), 7.0)).toDF("k", "t", "v")
+    val out = TimeSeries.ewma(df, col("k"), col("t"),
+      monotonically_increasing_id(), col("v"))
+      .orderBy("k").collect()
+    assert(out(0).getLong(1) == 3L)
+    assert(out(0).getDouble(2) == 3.0)      // last_value
+    assert(out(0).getDouble(3) == 1.6875)   // exact dyadic fold
+    assert(out(1).getDouble(3) == 7.0)      // seed = sole observation
+  }
+
+  test("theilSen: exact median of pairwise daily-count slopes; 1-day keys drop") {
+    // key 1: days 0/1/2 with 1/3/5 events — all slopes = 2.0
+    // key 2: a single active day — no pair, no row
+    val rows =
+      Seq.fill(1)((1L, ts(0))) ++ Seq.fill(3)((1L, ts(24))) ++
+      Seq.fill(5)((1L, ts(48))) ++ Seq.fill(4)((2L, ts(0)))
+    val out = TimeSeries.theilSen(rows.toDF("k", "t"), col("k"), col("t"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    assert(out.head.getLong(1) == 3L)         // pairs
+    assert(out.head.getDouble(2) == 2.0)
+    // even pair count averages the two middles: days 0/1/2/3 with
+    // counts 1/3/5/100 -> sorted slopes [2,2,2,33,48.5,95] -> 17.5
+    val rows2 = rows.filter(_._1 == 1L) ++ Seq.fill(100)((1L, ts(72)))
+    val o2 = TimeSeries.theilSen(rows2.toDF("k", "t"), col("k"), col("t"))
+      .head()
+    assert(o2.getLong(1) == 6L && o2.getDouble(2) == 17.5)
+  }
 }

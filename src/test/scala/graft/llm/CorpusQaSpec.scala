@@ -102,6 +102,40 @@ class CorpusQaSpec extends SparkSpec {
     assert(math.abs(folded.toDouble / 1e9 - psiS) < 1e-9)
   }
 
+  test("mannWhitney: tie midranks exact, tie-corrected z, all-tied input -> NULL z") {
+    // sample1 = {1,2}, sample2 = {2,3}: ranks 1, 2.5 | 2.5, 4
+    // R1 = 3.5 (r1x2 = 7), U1 = 0.5, tie T = 6, var = 1.5
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false))
+      .toDF("x", "f")
+    val r = RobustStats.mannWhitney(df, col("x"), col("f")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 7L)                        // 2×R1
+    assert(r.getDouble(3) == 0.5)                     // U1
+    assert(math.abs(r.getDouble(4) - (-1.5 / math.sqrt(1.5))) < 1e-12)
+    // every observation the same value: variance 0 -> NULL z
+    val tied = Seq((5L, true), (5L, false), (5L, false)).toDF("x", "f")
+    val rt = RobustStats.mannWhitney(tied, col("x"), col("f")).head()
+    assert(rt.getDouble(3) == 1.0 && rt.isNullAt(4))  // U1 = 2 - 1
+  }
+
+  test("chi2Independence: zero cells enter via the spine; perfect association gives V = 1") {
+    // 10×(A,X) + 10×(B,Y): the two EMPTY cells (A,Y)/(B,X) each
+    // contribute their full expected count 5 -> chi2 = 20, V = 1
+    val df = (Seq.fill(10)(("A", "X")) ++ Seq.fill(10)(("B", "Y")))
+      .toDF("s", "l")
+    val out = RobustStats.chi2Independence(df, col("s"), col("l")).collect()
+    assert(out.length == 4) // full 2×2 spine, not just 2 observed cells
+    val byCell = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byCell(("A", "Y")).getAs[Long]("n_obs") == 0L)
+    assert(byCell(("A", "Y")).getAs[Double]("chi2_term") == 5.0)
+    assert(out.forall(_.getAs[Double]("chi2") == 20.0))
+    assert(out.forall(_.getAs[Double]("cramers_v") == 1.0))
+    // one distinct column value -> dof 0 -> NULL V
+    val deg = Seq(("A", "X"), ("B", "X")).toDF("s", "l")
+    val dout = RobustStats.chi2Independence(deg, col("s"), col("l")).collect()
+    assert(dout.forall(_.isNullAt(dout.head.fieldIndex("cramers_v"))))
+  }
+
   test("jsSourcePairs: symmetric in input order, 0 for identical sources, <= ln 2") {
     val df = Seq(
       (1L, "a a b c", "s1"), (2L, "a a b c", "s2"),
