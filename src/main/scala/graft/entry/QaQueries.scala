@@ -31,6 +31,8 @@ object QaQueries {
   private val CoWin = 4; private val CoTopK = 64
   /** k-core threshold and synchronous peel rounds. */
   private val KcK = 8; private val KcRounds = 3
+  private val LpaRounds = 3
+  private val LofK = 5; private val LofMod = 4L; private val LofAt = 1.5
 
   val queries: Map[String, Q] = Map(
     // per-dimension embedding profile: one posexplode + one <=dim-key
@@ -86,7 +88,25 @@ object QaQueries {
         .select((col("o_custkey").cast("long") * 2).as("src"),
           (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       Graph.kCore(e, col("src"), col("dst"), KcK, KcRounds)
-    })
+    }),
+
+    // synchronous LPA communities of the same purchase graph — dense
+    // trading groups INSIDE components; ties pinned to min label,
+    // rounds unrolled identically in the oracle
+    "q_lpa" -> ((s, d) => {
+      val e = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+      Graph.lpaCommunities(e, col("src"), col("dst"), LpaRounds)
+    }),
+
+    // Local Outlier Factor over the vec_id % 4 panel — density-
+    // RELATIVE outliers (the Mahalanobis screen's local companion);
+    // both LOF double sums are fixed-point LONG, panel² audit cost
+    "q_lof" -> ((s, d) =>
+      Similarity.lofOutliers(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), LofK, LofMod, LofAt))
   )
 
   /** Cosine similarity in DOUBLE, index order, 0 on zero norm — the
@@ -283,6 +303,68 @@ object QaQueries {
          |SELECT n AS node, CAST(count(*) AS BIGINT) AS deg FROM (
          |  SELECT a AS n FROM e$KcRounds UNION ALL SELECT b FROM e$KcRounds) u
          |GROUP BY 1""".stripMargin
-    }
+    },
+
+    "q_lpa" -> {
+      val steps = (1 to LpaRounds).map { i =>
+        s"""c$i AS (SELECT u.n AS node, l.label, count(*) AS cnt
+           |        FROM und u JOIN l${i - 1} l ON u.m = l.node GROUP BY 1, 2),
+           |l$i AS (SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (PARTITION BY node
+           |      ORDER BY cnt DESC, label) AS rn FROM c$i) r
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT CAST(o_custkey AS BIGINT) * 2 AS src,
+         |         CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+         |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |       FROM raw WHERE src <> dst),
+         |und AS (SELECT a AS n, b AS m FROM e0
+         |        UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT n AS node, n AS label FROM und),
+         |$steps,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+         |       FROM l$LpaRounds GROUP BY 1)
+         |SELECT l.node, l.label AS community, sz.community_size
+         |FROM l$LpaRounds l JOIN sz USING (label)""".stripMargin
+    },
+
+    "q_lof" ->
+      s"""WITH p AS (SELECT vec_id, embedding AS v FROM embeddings
+         |           WHERE vec_id % $LofMod = 0),
+         |pr AS (SELECT pa.vec_id AS a, pb.vec_id AS b,
+         |         1.0 - ${sqlCos("pa.v", "pb.v")} AS dist
+         |       FROM p pa JOIN p pb ON pa.vec_id <> pb.vec_id),
+         |knn AS (SELECT a, b, dist FROM (
+         |    SELECT a, b, dist,
+         |      row_number() OVER (PARTITION BY a ORDER BY dist, b) AS rn
+         |    FROM pr) r WHERE rn <= $LofK),
+         |kd AS (SELECT a, max(dist) AS kdist FROM knn GROUP BY 1),
+         |reach AS (SELECT k1.a, k1.b, greatest(k1.dist, kd.kdist) AS reach
+         |          FROM knn k1 JOIN kd ON kd.a = k1.b),
+         |lr AS (SELECT a, CAST(count(*) AS BIGINT) AS n_nn,
+         |         CAST(sum(CAST(floor(reach * 1.0E9) AS BIGINT)) AS BIGINT)
+         |           AS rq
+         |       FROM reach GROUP BY 1),
+         |l2 AS (SELECT a, n_nn,
+         |         CASE WHEN rq = 0 THEN NULL
+         |              ELSE CAST(n_nn AS DOUBLE) / (CAST(rq AS DOUBLE) / 1.0E9)
+         |         END AS lrd
+         |       FROM lr),
+         |num AS (SELECT k1.a,
+         |          CAST(sum(CAST(floor(l.lrd * 1.0E9) AS BIGINT)) AS BIGINT)
+         |            AS lq,
+         |          CAST(count(*) AS BIGINT) AS nn2
+         |        FROM knn k1 JOIN l2 l ON l.a = k1.b GROUP BY 1)
+         |SELECT l2.a AS vec_id, l2.n_nn, l2.lrd,
+         |  CASE WHEN l2.lrd IS NULL OR num.lq IS NULL THEN NULL
+         |       ELSE (CAST(num.lq AS DOUBLE) / 1.0E9 / CAST(nn2 AS DOUBLE))
+         |            / l2.lrd END AS lof,
+         |  (CASE WHEN l2.lrd IS NULL OR num.lq IS NULL THEN NULL
+         |        ELSE (CAST(num.lq AS DOUBLE) / 1.0E9 / CAST(nn2 AS DOUBLE))
+         |             / l2.lrd END) >= $LofAt AS outlier
+         |FROM l2 JOIN num ON num.a = l2.a""".stripMargin
   )
 }

@@ -459,4 +459,61 @@ object Graph {
     Iterator.tabulate(n)(identity).filter(deg(_) > 0)
       .map(i => (ids.id(i), deg(i).toLong))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for `rounds`
+    * rounds — community detection over an undirected graph, the
+    * modularity-style companion of [[kCore]] (core strength) and the
+    * connected-components labeling (reachability): LPA finds DENSE
+    * groups inside one component, which is exactly what reachability
+    * can't see.
+    *
+    * Determinism (classic LPA is run-order-dependent; this variant is
+    * fully pinned): labels start as node ids, EVERY node updates
+    * simultaneously each round to the most frequent label among its
+    * neighbors' previous-round labels (its own label does not vote),
+    * ties break to the smallest label. Fixed rounds, no convergence
+    * test — the oracle unrolls the identical rounds as CTEs (the
+    * kCore discipline), so both engines and any partitioning agree
+    * exactly.
+    *
+    * Shape: per round, one equi-join of the direction-doubled edge
+    * list against the ≤|V| label vector (shuffle_hash — the label
+    * vector never becomes a sort side), one (node, label) count agg
+    * and one node-partitioned top-1 window; edge and label relations
+    * are persisted via the tracked-cache discipline. Plan depth is
+    * linear in `rounds` (small fixed constants here; checkpoint the
+    * label vector for long horizons). */
+  def lpaCommunities(edges: DataFrame, src: Column, dst: Column,
+                     rounds: Int): DataFrame = {
+    import graft.core.Caches
+    import org.apache.spark.sql.expressions.Window
+    val e0 = edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val und = Caches.track(
+      e0.select(col("a").as("n"), col("b").as("m"))
+        .union(e0.select(col("b").as("n"), col("a").as("m"))))
+    var labels = und.select(col("n").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val msgs = und.join(labels.hint("shuffle_hash")
+          .withColumnsRenamed(Map("node" -> "m")), Seq("m"))
+        .select(col("n").as("node"), col("label"))
+      labels = Caches.track(
+        msgs.groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("node"), col("label")))
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(sizes.hint("shuffle_hash"), Seq("label"))
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
+  }
 }

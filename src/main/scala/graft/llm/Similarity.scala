@@ -1028,6 +1028,68 @@ object Similarity {
         col("hits").as("hits_at_k"))
   }
 
+  /** Local Outlier Factor (Breunig et al. SIGMOD'00) over a
+    * deterministic embedding panel — the DENSITY-relative outlier
+    * audit: a point is anomalous not because it is far from the
+    * centroid (that's the Mahalanobis screen) but because its local
+    * density is far below its neighbors' — the lens that catches
+    * outliers hiding near a dense cluster's edge and clears points in
+    * legitimately sparse regions.
+    *
+    * Scope: the panel is `vec_id % panelMod == 0` and neighborhoods
+    * are computed WITHIN the panel (the hubness audit-rate pattern) —
+    * the quadratic is panel², a fixed audit cost; at lake scale the
+    * panel rate holds the work constant while the corpus grows.
+    *
+    * Exactness: distances are 1 − cos (the shared CosineSimilarity /
+    * sqlCos text); kNN ranks order by (dist, id). The two double SUMS
+    * LOF needs (Σ reach-dist for lrd, Σ lrd for the ratio) are
+    * quantized floor(·10⁹) LONG before summation (the PSI fixed-point
+    * discipline) so both are accumulation-order-exact; lrd and lof
+    * are each ONE final double expression mirrored in the oracle.
+    * A point whose k neighborhood is all exact duplicates (reach sum
+    * 0 — infinite density) gets NULL lrd, and NULL propagates through
+    * its neighbors' lof via the shared CASE text. */
+  def lofOutliers(df: DataFrame, id: Column, vec: Column, k: Int,
+                  panelMod: Long, outlierAt: Double = 1.5): DataFrame = {
+    val p = df.filter(id % lit(panelMod) === 0L)
+      .select(id.as("vec_id"), vec.as("v"))
+    val w = Window.partitionBy(col("a")).orderBy(col("dist"), col("b"))
+    val knn = p.select(col("vec_id").as("a"), col("v").as("va"))
+      .crossJoin(broadcast(p.select(col("vec_id").as("b"), col("v").as("vb"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (lit(1.0) - CosineSimilarity(col("va"), col("vb"))).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a"), col("b"), col("dist"))
+    val tracked = graft.core.Caches.track(knn)
+    val kd = tracked.groupBy(col("a")).agg(max(col("dist")).as("kdist"))
+    val reach = tracked
+      .join(kd.withColumnsRenamed(Map("a" -> "b", "kdist" -> "kdist_b")),
+        Seq("b"))
+      .select(col("a"), col("b"),
+        greatest(col("dist"), col("kdist_b")).as("reach"))
+    val lrd = graft.core.Caches.track(reach.groupBy(col("a"))
+      .agg(count(lit(1)).as("n_nn"),
+        sum(floor(col("reach") * lit(1.0e9)).cast("long")).as("rq"))
+      .select(col("a"), col("n_nn"),
+        when(col("rq") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_nn").cast("double") /
+            (col("rq").cast("double") / lit(1.0e9))).as("lrd")))
+    val num = tracked
+      .join(lrd.select(col("a").as("b"), col("lrd").as("lrd_b")), Seq("b"))
+      .groupBy(col("a"))
+      .agg(sum(floor(col("lrd_b") * lit(1.0e9)).cast("long")).as("lq"),
+        count(lit(1)).as("nn2"))
+    val lof = when(col("lrd").isNull || col("lq").isNull,
+        lit(null).cast("double"))
+      .otherwise((col("lq").cast("double") / lit(1.0e9) /
+        col("nn2").cast("double")) / col("lrd"))
+    lrd.join(num, Seq("a"))
+      .select(col("a").as("vec_id"), col("n_nn"), col("lrd"),
+        lof.as("lof"), (lof >= lit(outlierAt)).as("outlier"))
+  }
+
   def hubness(df: DataFrame, id: Column, vec: Column, k: Int,
               queryMod: Long = 1L, hubAt: Long = -1L): DataFrame = {
     val ha = if (hubAt >= 0L) hubAt else 2L * k

@@ -195,4 +195,48 @@ class CorpusQaSpec extends SparkSpec {
       .orderBy("node").collect()
     assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("lofOutliers: density-relative flags; duplicate-only neighborhoods go NULL") {
+    def v(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
+      math.sin(math.toRadians(a)).toFloat)
+    // tight fan at 0..20 degrees + one point at 90: the far point's
+    // local density is orders below its neighbors' -> LOF >> 1.5;
+    // in-cluster points sit near 1
+    // outlierAt = 3: the fan ENDS legitimately sit near LOF 1.75 at
+    // k=2 (their second neighbor is two steps out) — LOF's boundary
+    // effect, not a defect — while the far point lands near 74
+    val df = Seq((0L, v(0)), (1L, v(5)), (2L, v(10)), (3L, v(15)),
+      (4L, v(20)), (5L, v(90))).toDF("vec_id", "embedding")
+    val out = graft.llm.Similarity.lofOutliers(df, col("vec_id"),
+        col("embedding"), k = 2, panelMod = 1L, outlierAt = 3.0)
+      .orderBy("vec_id").collect()
+    assert(out.length == 6)
+    val lofs = out.map(r => r.getLong(0) -> r.getAs[Double]("lof")).toMap
+    assert(lofs(5L) > 10.0 && out(5).getAs[Boolean]("outlier"))
+    assert((0L to 4L).forall(i => lofs(i) < 2.0 && !out(i.toInt)
+      .getAs[Boolean]("outlier")))
+    // three exact copies, k=2: every neighborhood is duplicates only,
+    // reach sums are 0 -> NULL lrd, NULL lof (infinite-density guard)
+    val dup = Seq((0L, v(0)), (1L, v(0)), (2L, v(0)))
+      .toDF("vec_id", "embedding")
+    val od = graft.llm.Similarity.lofOutliers(dup, col("vec_id"),
+      col("embedding"), k = 2, panelMod = 1L).collect()
+    assert(od.forall(r => r.isNullAt(r.fieldIndex("lrd")) &&
+      r.isNullAt(r.fieldIndex("lof"))))
+  }
+
+  test("lpaCommunities: bridged triangles split into two dense communities") {
+    // triangles {1,2,3} and {4,5,6} joined by bridge 3-4 form ONE
+    // component, but three synchronous rounds (ties -> min label)
+    // settle on two communities — hand-traced: after r3 the labels
+    // are 1,1,1 | 3,3,3. Reversed/duplicate edges must dedup.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L), (4L, 3L), (1L, 2L)).toDF("s", "t")
+    val out = Graph.lpaCommunities(edges, col("s"), col("t"), rounds = 3)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq == (1L to 6L).toSeq)
+    assert(out.map(_._2).toSeq == Seq(1L, 1L, 1L, 3L, 3L, 3L))
+    assert(out.forall(_._3 == 3L))
+  }
 }
