@@ -329,7 +329,10 @@ object RobustStats {
   def chi2Independence(df: DataFrame, rowc: Column, colc: Column): DataFrame = {
     val s = df.filter(rowc.isNotNull && colc.isNotNull)
       .select(rowc.as("r"), colc.as("c"))
-    val cells = s.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_obs"))
+    // the ≤ r·c cell table feeds three consumers (marginals ×2, the
+    // spine join) — tracked persist so the corpus scans once
+    val cells = graft.core.Caches.track(
+      s.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_obs")))
     val rm = cells.groupBy(col("r")).agg(sum(col("n_obs")).as("n_r"))
     val cm = cells.groupBy(col("c")).agg(sum(col("n_obs")).as("n_c"))
     val tot = rm.agg(count(lit(1)).as("r_card"), sum(col("n_r")).as("n_total"))

@@ -484,12 +484,31 @@ object Graph {
     * linear in `rounds` (small fixed constants here; checkpoint the
     * label vector for long horizons). */
   def lpaCommunities(edges: DataFrame, src: Column, dst: Column,
-                     rounds: Int): DataFrame = {
+                     rounds: Int,
+                     smallGraphThreshold: Long = 67108864L): DataFrame = {
     import graft.core.Caches
-    import org.apache.spark.sql.expressions.Window
-    val e0 = edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
+    val eRaw = edges.select(src.cast("long").as("u"), dst.cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
+    // regime decision by summed input-leaf bytes at plan time — the
+    // pageRank/kCore discipline (see pageRank for the rationale)
+    val inputBytes = edges.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+    if (inputBytes <= BigInt(smallGraphThreshold)) {
+      // SMALL-GRAPH REGIME: raw pairs shuffle once to one task; dedup,
+      // CSR adjacency and all `rounds` synchronous updates run in
+      // primitive open-addressed structures. Identical values to the
+      // cluster branch: same canonical dedup, same
+      // most-frequent-then-min-label vote over the PREVIOUS round's
+      // labels, own label abstains.
+      val session = edges.sparkSession
+      import session.implicits._
+      return eRaw.as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions(it => smallLpa(it, rounds))
+        .toDF("node", "community", "community_size")
+    }
+    val e0 = eRaw
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct()
@@ -498,22 +517,114 @@ object Graph {
         .union(e0.select(col("b").as("n"), col("a").as("m"))))
     var labels = und.select(col("n").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-    val w = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("label"))
     for (_ <- 1 to rounds) {
       val msgs = und.join(labels.hint("shuffle_hash")
           .withColumnsRenamed(Map("node" -> "m")), Seq("m"))
         .select(col("n").as("node"), col("label"))
+      // argmax by (cnt desc, label asc) as max(struct(cnt, -label)) —
+      // a map-combinable hash agg instead of a top-1 sort window
+      // (same shuffle key, no sort, partial agg shrinks the exchange)
       labels = Caches.track(
         msgs.groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("node"), col("label")))
+          .groupBy(col("node"))
+          .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+          .select(col("node"), (-col("top.nl")).as("label")))
     }
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("community_size"))
     labels.join(sizes.hint("shuffle_hash"), Seq("label"))
       .select(col("node"), col("label").as("community"),
         col("community_size"))
+  }
+
+  /** The small-regime LPA body: canonical-edge dedup + CSR adjacency +
+    * `rounds` synchronous votes in one task, mirroring the declarative
+    * branch exactly — labels are the ORIGINAL node ids (the min-label
+    * tie-break compares id values, never dense indices), every node
+    * updates from the previous round's labels, own label abstains.
+    * The per-node label-frequency table is one open-addressed array
+    * pair reused across nodes via stamping (capacity 2·maxDegree —
+    * a node sees at most degree distinct labels). Memory: ~16 bytes
+    * per node + ~24 per distinct edge, bounded by the input-leaf
+    * threshold. */
+  private def smallLpa(pairsIt: Iterator[(Long, Long)],
+                       rounds: Int): Iterator[(Long, Long, Long)] = {
+    import graft.core.LongIndex
+    val ids = new LongIndex()
+    val eset = new java.util.HashSet[java.lang.Long]()
+    var xs = new Array[Int](1 << 16)
+    var ys = new Array[Int](1 << 16)
+    var m = 0
+    pairsIt.foreach { case (u, v) =>
+      val ui = ids.intern(u); val vi = ids.intern(v)
+      val lo = math.min(ui, vi); val hi = math.max(ui, vi)
+      if (eset.add((lo.toLong << 32) | hi)) {
+        if (m == xs.length) {
+          xs = java.util.Arrays.copyOf(xs, m << 1)
+          ys = java.util.Arrays.copyOf(ys, m << 1)
+        }
+        xs(m) = lo; ys(m) = hi; m += 1
+      }
+    }
+    val n = ids.size
+    if (n == 0) return Iterator.empty
+    val deg = new Array[Int](n)
+    var r = 0
+    while (r < m) { deg(xs(r)) += 1; deg(ys(r)) += 1; r += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val adj = new Array[Int](2 * m)
+    val cur = java.util.Arrays.copyOf(off, n)
+    r = 0
+    while (r < m) {
+      adj(cur(xs(r))) = ys(r); cur(xs(r)) += 1
+      adj(cur(ys(r))) = xs(r); cur(ys(r)) += 1
+      r += 1
+    }
+    var labels = Array.tabulate(n)(j => ids.id(j))
+    var maxDeg = 0
+    i = 0
+    while (i < n) { if (deg(i) > maxDeg) maxDeg = deg(i); i += 1 }
+    val fcap = java.lang.Integer.highestOneBit(
+      math.max(2 * maxDeg - 1, 8)) << 1
+    val fkeys = new Array[Long](fcap)
+    val fcnt = new Array[Int](fcap)
+    val fstamp = new Array[Int](fcap)
+    var stamp = 0
+    var round = 0
+    while (round < rounds) {
+      val next = new Array[Long](n)
+      var v = 0
+      while (v < n) {
+        stamp += 1
+        var best = 0
+        var bestLabel = Long.MaxValue
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val l = labels(adj(j))
+          var h = LongIndex.mix(l) & (fcap - 1)
+          while (fstamp(h) == stamp && fkeys(h) != l) h = (h + 1) & (fcap - 1)
+          if (fstamp(h) != stamp) { fstamp(h) = stamp; fkeys(h) = l; fcnt(h) = 0 }
+          fcnt(h) += 1
+          val c = fcnt(h)
+          // a label holds the argmax the moment it reaches the max
+          // count; ties resolve to the smaller label value
+          if (c > best || (c == best && l < bestLabel)) {
+            best = c; bestLabel = l
+          }
+          j += 1
+        }
+        next(v) = bestLabel // deg >= 1 always: edges define the node set
+        v += 1
+      }
+      labels = next
+      round += 1
+    }
+    val sizes = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    i = 0
+    while (i < n) { sizes.merge(labels(i), 1L, (a, b) => a + b); i += 1 }
+    Iterator.tabulate(n)(j => (ids.id(j), labels(j),
+      sizes.get(labels(j)).longValue()))
   }
 }

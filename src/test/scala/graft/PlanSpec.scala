@@ -816,4 +816,63 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"pairing must ride the broadcast, never a cartesian:\n$p")
   }
+
+  test("mask ngrams: frequent-slice equi-join, no pair joins anywhere") {
+    val p = plan(SparkEntry.queries("q_mask_ngrams")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage must come from equi-joins, never pairs:\n$p")
+    graft.llm.Dedup.releaseCaches()
+  }
+
+  test("rank drift and ewma: single corpus shuffle, no joins") {
+    for (q <- Seq("q_rank_drift", "q_ewma")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert("Scan parquet".r.findAllIn(p).size == 1,
+        s"$q reads the corpus once:\n$p")
+    }
+  }
+
+  test("chi2: marginals re-aggregate the CELL table; spine rides broadcasts") {
+    val p = plan(SparkEntry.queries("q_chi2_indep")(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      s"spine/total cross joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"every join side is ≤ r·c rows — nothing may sort-merge:\n$p")
+    graft.core.Caches.release()
+  }
+
+  test("theil sen: the pair join runs on the DAY table, not the corpus") {
+    val df = SparkEntry.queries("q_theil_sen")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"day pairing is an equi-join on k:\n$p")
+    // corpus scans feed only the (k, day) count agg — 2 scan subtrees
+    // (one per self-join side), each already aggregated before the join
+    assert("Scan parquet".r.findAllIn(p).size <= 2, s"corpus must pre-aggregate:\n$p")
+  }
+
+  test("lof: panel broadcasts into the half-pair build; knn relation persists") {
+    val df = SparkEntry.queries("q_lof")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the panel side must broadcast (hubness shape):\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the kNN relation feeds kdist/reach/lrd and must persist:\n$p")
+    graft.core.Caches.release()
+  }
+
+  test("lpa below the size threshold runs in one imperative task; above it never broadcasts the label vector") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val small = plan(graph.Graph.lpaCommunities(pairs, col("a"), col("b"), 3))
+    assert(small.contains("MapPartitions") && !small.contains("Join"),
+      s"small-graph LPA should be one imperative task:\n$small")
+    val big = plan(graph.Graph.lpaCommunities(pairs, col("a"), col("b"), 3,
+      smallGraphThreshold = 0L))
+    assert(big.contains("ShuffledHashJoin") && !big.contains("BroadcastHashJoin"),
+      s"cluster LPA must shuffle-hash the label vector:\n$big")
+    graft.core.Caches.release()
+  }
 }

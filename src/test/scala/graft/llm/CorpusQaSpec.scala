@@ -238,5 +238,11 @@ class CorpusQaSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == (1L to 6L).toSeq)
     assert(out.map(_._2).toSeq == Seq(1L, 1L, 1L, 3L, 3L, 3L))
     assert(out.forall(_._3 == 3L))
+    // cluster regime (threshold 0 forces it) computes the same rows
+    val big = Graph.lpaCommunities(edges, col("s"), col("t"), rounds = 3,
+        smallGraphThreshold = 0L)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(big.toSeq == out.toSeq)
   }
 }
