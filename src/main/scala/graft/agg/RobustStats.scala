@@ -361,6 +361,55 @@ object RobustStats {
           .as("cramers_v"))
   }
 
+  /** Per-group trimmed and winsorized means — the location estimates a
+    * fleet dashboard should plot instead of the raw mean, which one
+    * junk row can drag arbitrarily: the trimmed mean DROPS the lowest
+    * and highest ⌊α·n⌋ observations, the winsorized mean CLAMPS them
+    * to the surviving boundary values (keeps n constant, bounds
+    * influence). The aggregate-level counterpart of [[madOutliers]]'s
+    * per-row flags.
+    *
+    * Exactness: values quantize to cents; the trim boundary is the
+    * exact integer ⌊n·alphaNum/alphaDen⌋ (no double α anywhere);
+    * kept-range membership is an integer rank compare; clamping is
+    * least/greatest against the kept range's exact min/max order
+    * statistics; both sums accumulate as integers (DECIMAL(38,0) —
+    * sums of n·10⁴-cent values overflow LONG at lake scale) and each
+    * mean divides ONCE at the end. α ≥ ½ degenerates to an empty kept
+    * range → NULL means (ANSI guard, both engines).
+    *
+    * Shape: one rank window + one agg on the same group partitioning
+    * (the gini shape) — a single shuffle. */
+  def robustMean(df: DataFrame, group: Column, id: Column, value: Column,
+                 alphaNum: Int = 1, alphaDen: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("c"), col("id"))
+    val wg = Window.partitionBy(col("g"))
+    val ranked = df.filter(value.isNotNull)
+      .select(group.as("g"), id.as("id"), cents(value).cast("long").as("c"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("cut", call_function("div",
+        col("n") * lit(alphaNum.toLong), lit(alphaDen.toLong)))
+      .withColumn("kept", col("r") > col("cut") &&
+        col("r") <= col("n") - col("cut"))
+    val bounds = ranked
+      .withColumn("lo", min(when(col("kept"), col("c"))).over(wg))
+      .withColumn("hi", max(when(col("kept"), col("c"))).over(wg))
+    bounds.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), max(col("cut")).as("n_cut"),
+        sum(when(col("kept"), col("c")).cast("decimal(38,0)")).as("ts"),
+        sum(when(col("kept"), lit(1L)).otherwise(lit(0L))).as("tn"),
+        sum(least(greatest(col("c"), col("lo")), col("hi"))
+          .cast("decimal(38,0)")).as("ws"))
+      .select(col("g"), col("n"), col("n_cut"),
+        when(col("tn") === 0L, lit(null).cast("double"))
+          .otherwise(col("ts").cast("double") / col("tn").cast("double") /
+            lit(100.0)).as("trimmed_mean"),
+        when(col("tn") === 0L, lit(null).cast("double"))
+          .otherwise(col("ws").cast("double") / col("n").cast("double") /
+            lit(100.0)).as("winsorized_mean"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer mass
     * column: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending sort.
     *

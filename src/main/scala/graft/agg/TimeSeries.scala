@@ -310,6 +310,39 @@ object TimeSeries {
           .as("slope_per_day"))
   }
 
+  /** First-order Markov transition matrix of event types per user
+    * stream — "after a click, what happens next?": the behavioral
+    * fingerprint behind funnel design, bot screens (machine traffic
+    * has degenerate transition rows) and session simulators. The
+    * event-stream analogue of the text bigram-entropy signal.
+    *
+    * Transitions pair each event with its predecessor in the user's
+    * (ts, id) order (the autocorrLag1 lag discipline; a user's first
+    * event has none). Counts and row marginals are exact integers;
+    * each probability is ONE final division. NULL user/ts/type rows
+    * are not observations.
+    *
+    * Shape: one user-keyed sort window for the lag, then a
+    * map-combined agg on the ≤ |types|² transition keys and a tiny
+    * self-agg for the marginals — the corpus shuffles once. */
+  def markovTransitions(df: DataFrame, user: Column, ts: Column, id: Column,
+                        typ: Column): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("id"))
+    val pairs = df
+      .filter(user.isNotNull && ts.isNotNull && typ.isNotNull)
+      .select(user.as("u"), unix_micros(ts).as("t"), id.as("id"),
+        typ.as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val marginals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(marginals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
   /** SAX (symbolic aggregate approximation, Lin et al. DMKD'07) word
     * per key: the series' time span is cut into `frames` equal frames
     * (PAA), each frame's mean level is rank-quantized into `alpha`

@@ -133,7 +133,20 @@ object StatsQueries {
     // exact middle order statistics, pair join on the DAY table only
     "q_theil_sen" -> ((s, d) =>
       TimeSeries.theilSen(Tables.events(s, d), col("event_type"), col("ts"))
-        .withColumnsRenamed(Map("k" -> "event_type")))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // trimmed + winsorized per-type means — integer trim boundary,
+    // exact kept-range order statistics, one shuffle (gini shape)
+    "q_robust_mean" -> ((s, d) =>
+      RobustStats.robustMean(Tables.events(s, d), col("event_type"),
+        col("event_id"), col("value"))
+        .withColumnsRenamed(Map("g" -> "event_type"))),
+
+    // first-order event-type Markov transitions per user stream —
+    // exact counts/marginals, one probability division per cell
+    "q_markov" -> ((s, d) =>
+      TimeSeries.markovTransitions(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("event_type")))
   )
 
   // ======================================================================
@@ -438,6 +451,52 @@ object StatsQueries {
         |SELECT k AS event_type, CAST(max(np) AS BIGINT) AS n_pairs,
         |       (min(slope) + max(slope)) / 2.0 AS slope_per_day
         |FROM w WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // integer trim cut n//20, kept-range min/max clamp, HUGEINT sums
+    // (Spark: DECIMAL(38,0)), one division per mean
+    "q_robust_mean" ->
+      """WITH v AS (SELECT event_type AS g, event_id AS id,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |           WHERE value IS NOT NULL),
+        |r AS (SELECT g, c,
+        |        CAST(row_number() OVER (PARTITION BY g ORDER BY c, id)
+        |          AS BIGINT) AS r,
+        |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v),
+        |k AS (SELECT g, c, n, (n * 1) // 20 AS cut,
+        |        (r > (n * 1) // 20 AND r <= n - (n * 1) // 20) AS kept
+        |      FROM r),
+        |b AS (SELECT g, c, n, cut, kept,
+        |        min(CASE WHEN kept THEN c END) OVER (PARTITION BY g) AS lo,
+        |        max(CASE WHEN kept THEN c END) OVER (PARTITION BY g) AS hi
+        |      FROM k)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(cut) AS BIGINT) AS n_cut,
+        |  CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN kept THEN CAST(c AS HUGEINT) END)
+        |           AS DOUBLE)
+        |         / CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / 100.0 END AS trimmed_mean,
+        |  CASE WHEN sum(CASE WHEN kept THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(sum(CAST(least(greatest(c, lo), hi) AS HUGEINT))
+        |           AS DOUBLE)
+        |         / CAST(max(n) AS DOUBLE) / 100.0 END AS winsorized_mean
+        |FROM b GROUP BY 1""".stripMargin,
+
+    "q_markov" ->
+      """WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+        |             event_type AS to_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |p AS (SELECT u, to_type,
+        |        lag(to_type) OVER (PARTITION BY u ORDER BY t, id)
+        |          AS from_type FROM v),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |m AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |      FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, m.n_from,
+        |       CAST(c.n AS DOUBLE) / CAST(m.n_from AS DOUBLE) AS p
+        |FROM c JOIN m USING (from_type)""".stripMargin
   )
 }

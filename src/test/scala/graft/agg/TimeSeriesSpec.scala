@@ -166,4 +166,20 @@ class TimeSeriesSpec extends SparkSpec {
       .head()
     assert(o2.getLong(1) == 6L && o2.getDouble(2) == 17.5)
   }
+
+  test("markovTransitions: per-user lag pairs, exact row-conditional probabilities") {
+    // user 1: A B A B -> A->B x2, B->A x1; user 2: B B -> B->B x1;
+    // first events transition from nothing and are excluded
+    val df = Seq((1L, ts(0), "A"), (1L, ts(1), "B"), (1L, ts(2), "A"),
+      (1L, ts(3), "B"), (2L, ts(0), "B"), (2L, ts(1), "B"))
+      .toDF("u", "t", "typ")
+    val out = TimeSeries.markovTransitions(df, col("u"), col("t"),
+        monotonically_increasing_id(), col("typ"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out.size == 3)
+    assert(out(("A", "B")) == ((2L, 2L, 1.0)))
+    assert(out(("B", "A")) == ((1L, 2L, 0.5)))
+    assert(out(("B", "B")) == ((1L, 2L, 0.5)))
+  }
 }

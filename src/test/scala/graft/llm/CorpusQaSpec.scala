@@ -196,6 +196,24 @@ class CorpusQaSpec extends SparkSpec {
     assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("robustMean: integer trim cut, winsorize clamps tails to kept boundaries") {
+    // 1,2..8,20,1000 (dollars), alpha = 1/10 -> cut = 1: drop/clamp the
+    // single lowest (1) and highest (1000) observations
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 20.0, 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("g", "id", "v")
+    val r = RobustStats.robustMean(df, col("g"), col("id"), col("v"),
+      alphaNum = 1, alphaDen = 10).head()
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 6.875) // (2+..+8+20)/8
+    assert(r.getDouble(4) == 7.7)   // (2 + 55 + 20)/10
+    // alpha = 1/2 on two rows empties the kept range -> NULL means
+    val deg = Seq((1L, 0L, 1.0), (1L, 1L, 9.0)).toDF("g", "id", "v")
+    val rd = RobustStats.robustMean(deg, col("g"), col("id"), col("v"),
+      alphaNum = 1, alphaDen = 2).head()
+    assert(rd.isNullAt(3) && rd.isNullAt(4))
+  }
+
   test("lofOutliers: density-relative flags; duplicate-only neighborhoods go NULL") {
     def v(a: Double) = Array(math.cos(math.toRadians(a)).toFloat,
       math.sin(math.toRadians(a)).toFloat)
