@@ -1,0 +1,170 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample / k-sample inference tests — the "is this slice actually
+  * different?" layer on top of the drift monitors in [[RobustStats]]:
+  * Welch's unequal-variance t-test (mean location, the parametric
+  * companion of Mann–Whitney), one-way ANOVA (does the group factor
+  * explain variance at all?), and categorical mutual information
+  * (how much does knowing the source tell you about the label mix —
+  * the information-theoretic effect size beside Cramér's V).
+  *
+  * Numeric discipline (the q_corr/q_chi2 house rules): inputs
+  * integerize up front, every accumulation is an exact integer sum
+  * (LONG / DECIMAL(38,0) — order-independent, so 32-way partial aggs
+  * hash-match a single-threaded oracle), per-group double terms are
+  * quantized floor(·10⁶ or ·10⁹) to LONG before any cross-group sum,
+  * and each emitted double is ONE final expression mirrored
+  * token-for-token in the DuckDB twin.
+  *
+  * Reference lineage: the reference folds aggregates only through
+  * transducers (api.clj:49-55) and declares richer aggregation as
+  * roadmap (README.md:30-34); these are the hypothesis-test members of
+  * that family.
+  */
+object Inference {
+
+  /** Welch's unequal-variance two-sample t-test over an integer metric
+    * column, split by a boolean slice predicate.
+    *
+    * Exactness: per-slice n, Σx (LONG) and Σx² (DECIMAL(38,0)) are
+    * exact integer sums; means, sample variances, the t statistic and
+    * the Welch–Satterthwaite df are each ONE final double expression.
+    * A slice with n ≤ 1 has no sample variance → NULL t/df; zero
+    * pooled standard error (both slices constant) → NULL t/df.
+    *
+    * Shape: one map-side-combined 1-row aggregate — scan-bound. */
+  def welchT(df: DataFrame, x: Column, inFirst: Column): DataFrame = {
+    val s = df.filter(x.isNotNull).select(x.cast("long").as("x"),
+      when(inFirst, lit(1L)).otherwise(lit(0L)).as("f"))
+    val a = s.agg(
+      sum(col("f")).as("n1"), sum(lit(1L) - col("f")).as("n2"),
+      sum(col("f") * col("x")).as("s1"),
+      sum((lit(1L) - col("f")) * col("x")).as("s2"),
+      sum((col("f") * col("x") * col("x")).cast("decimal(38,0)")).as("q1"),
+      sum(((lit(1L) - col("f")) * col("x") * col("x")).cast("decimal(38,0)"))
+        .as("q2"))
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val m1 = col("s1").cast("double") / n1d
+    val m2 = col("s2").cast("double") / n2d
+    val v1 = (col("q1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n1d) /
+      (n1d - lit(1.0))
+    val v2 = (col("q2").cast("double") -
+      col("s2").cast("double") * col("s2").cast("double") / n2d) /
+      (n2d - lit(1.0))
+    val se2 = v1 / n1d + v2 / n2d
+    val degenerate = col("n1") <= 1L || col("n2") <= 1L
+    a.select(col("n1"), col("n2"),
+      when(col("n1") === 0L, lit(null).cast("double")).otherwise(m1)
+        .as("mean1"),
+      when(col("n2") === 0L, lit(null).cast("double")).otherwise(m2)
+        .as("mean2"),
+      when(degenerate, lit(null).cast("double")).otherwise(v1).as("var1"),
+      when(degenerate, lit(null).cast("double")).otherwise(v2).as("var2"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(when(se2 <= lit(0.0), lit(null).cast("double"))
+          .otherwise((m1 - m2) / sqrt(se2))).as("t_stat"),
+      when(degenerate, lit(null).cast("double"))
+        .otherwise(when(se2 <= lit(0.0), lit(null).cast("double"))
+          .otherwise(se2 * se2 /
+            ((v1 / n1d) * (v1 / n1d) / (n1d - lit(1.0)) +
+             (v2 / n2d) * (v2 / n2d) / (n2d - lit(1.0))))).as("df_welch"))
+  }
+
+  /** One-way ANOVA F over a money column grouped by a categorical
+    * factor: SSB/(k−1) over SSW/(N−k).
+    *
+    * Exactness: values quantize to LONG cents; per-group n_g, Σc and
+    * Σc² accumulate as exact integers. The only cross-group DOUBLE sum
+    * — Σ_g (Σc_g)²/n_g — is quantized per group to floor(·10⁶) LONG
+    * first (the chi² term discipline), so SSB and SSW fold from exact
+    * integer totals in any accumulation order, and the final /10⁴
+    * rescale returns value² units. k ≤ 1 or N ≤ k → NULL F (no
+    * between/within df); SSW = 0 (all groups constant) → NULL F.
+    *
+    * Shape: one map-side-combined groupBy on the factor + a 1-row
+    * re-agg of the ≤k group rows — scan-bound at any scale. */
+  def anovaF(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("g"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+    val g = v.groupBy(col("g")).agg(
+      count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("q_g"))
+    val termq = floor(col("s_g").cast("double") * col("s_g").cast("double") /
+      col("n_g").cast("double") * lit(1.0e6)).cast("long")
+    val t = g.select(col("n_g"), col("s_g"), col("q_g"), termq.as("tq"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
+        sum(col("tq")).as("tqs"))
+    val nd = col("n").cast("double")
+    val ssb = (col("tqs").cast("double") / lit(1.0e6) -
+      col("s").cast("double") * col("s").cast("double") / nd) / lit(1.0e4)
+    val ssw = (col("q").cast("double") -
+      col("tqs").cast("double") / lit(1.0e6)) / lit(1.0e4)
+    val kd = col("k").cast("double")
+    val f = (ssb / (kd - lit(1.0))) / (ssw / (nd - kd))
+    t.select(col("k"), col("n"), ssb.as("ss_between"), ssw.as("ss_within"),
+      when(col("k") <= 1L || col("n") <= col("k"),
+        lit(null).cast("double"))
+        .otherwise(when(ssw <= lit(0.0), lit(null).cast("double"))
+          .otherwise(f)).as("f_stat"))
+  }
+
+  /** Mutual information + normalized MI between two categorical
+    * columns — the information-theoretic "how predictive is source of
+    * lang" score beside [[RobustStats.chi2Independence]]'s
+    * significance test. Natural-log nats.
+    *
+    * Exactness: cell and marginal counts are exact integers; each
+    * cell's p·ln(p·n/(p_a·p_b)) term and each marginal's −p·ln(p)
+    * entropy term quantize to floor(·10⁹) LONG before their window
+    * sums (the PSI discipline), so MI, H_a, H_b — and NMI =
+    * MI/√(H_a·H_b) — fold exactly in any order. Zero cells contribute
+    * exactly 0 to MI (lim p→0 p·ln p = 0), so only observed cells get
+    * rows — unlike chi², absence carries no term. A degenerate factor
+    * (single value ⇒ zero entropy) → NULL nmi.
+    *
+    * Shape: one (a,b) groupBy + two marginal re-aggs of the cell table
+    * + broadcast 1-row entropy totals — scan-bound. */
+  def mutualInfo(df: DataFrame, ac: Column, bc: Column): DataFrame = {
+    val s = df.filter(ac.isNotNull && bc.isNotNull)
+      .select(ac.as("a"), bc.as("b"))
+    val cells = graft.core.Caches.track(
+      s.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_obs")))
+    val am = cells.groupBy(col("a")).agg(sum(col("n_obs")).as("n_a"))
+    val bm = cells.groupBy(col("b")).agg(sum(col("n_obs")).as("n_b"))
+    val tot = am.agg(sum(col("n_a")).as("n_total"))
+    def entq(nc: Column, n: Column): Column =
+      floor(-(nc.cast("double") / n.cast("double")) *
+        log(nc.cast("double") / n.cast("double")) * lit(1.0e9)).cast("long")
+    val ha = am.crossJoin(broadcast(tot))
+      .agg(sum(entq(col("n_a"), col("n_total"))).as("haq"))
+    val hb = bm.crossJoin(broadcast(tot))
+      .agg(sum(entq(col("n_b"), col("n_total"))).as("hbq"))
+    val miTermq = floor((col("n_obs").cast("double") /
+        col("n_total").cast("double")) *
+      log(col("n_obs").cast("double") * col("n_total").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double"))) *
+      lit(1.0e9)).cast("long")
+    val withTotals = cells
+      .join(am, "a").join(bm, "b")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb))
+      .withColumn("tq", miTermq)
+    val mi = sum(col("tq")).over(Window.partitionBy()).cast("double") /
+      lit(1.0e9)
+    val hprod = (col("haq").cast("double") / lit(1.0e9)) *
+      (col("hbq").cast("double") / lit(1.0e9))
+    withTotals.select(col("a"), col("b"), col("n_obs"), col("n_a"),
+      col("n_b"), col("n_total"),
+      (col("tq").cast("double") / lit(1.0e9)).as("mi_term"),
+      mi.as("mi"),
+      when(col("haq") <= 0L || col("hbq") <= 0L, lit(null).cast("double"))
+        .otherwise(mi / sqrt(hprod)).as("nmi"))
+  }
+}

@@ -390,4 +390,66 @@ object TimeSeries {
           array_sort(collect_list(struct(col("frame"), col("sym")))),
           e => e.getField("sym")), "").as("sax_word"))
   }
+
+  /** Day-of-week seasonal index per key: for each weekday d, the ratio
+    * of the mean daily event count on d to the overall mean daily
+    * count — the profile a capacity planner reads ("Sundays run at
+    * 40%") and the denominator any deseasonalized anomaly rule needs.
+    *
+    * Exactness: the weekday is pure integer epoch math —
+    * (epoch_days + 4) mod 7 with 0 = Sunday (1970-01-01 was a
+    * Thursday) — NEVER an engine dayofweek() call, whose numbering
+    * conventions differ (Spark 1=Sunday, DuckDB 0=Sunday) and whose
+    * timezone handling can shift boundary events. The index
+    * (s_d/n_d)/(S/N) is computed as the exact integer cross-product
+    * ratio s_d·N / (n_d·S) in ONE final double expression.
+    *
+    * Shape: one (key, day) count, one ≤7-key re-agg per key, one
+    * broadcast of the per-key totals — scan-bound. Days with zero
+    * events carry no row in the daily table; the day COUNT n_d only
+    * counts observed days, which is the honest denominator when the
+    * observation window is unknown. */
+  def seasonality(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val daily = df.filter(key.isNotNull && ts.isNotNull)
+      .select(key.as("k"),
+        call_function("div", unix_micros(ts), lit(86400000000L)).as("d"))
+      .groupBy(col("k"), col("d")).agg(count(lit(1)).as("c"))
+    val byDow = daily
+      .select(col("k"), ((col("d") + lit(4L)) % lit(7L)).as("dow"), col("c"))
+      .groupBy(col("k"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+    val totals = byDow.groupBy(col("k"))
+      .agg(sum(col("n_days")).as("nn"), sum(col("n_events")).as("ss"))
+    byDow.join(broadcast(totals), Seq("k"))
+      .select(col("k"), col("dow"), col("n_days"), col("n_events"),
+        ((col("n_events") * col("nn")).cast("double") /
+          (col("n_days") * col("ss")).cast("double")).as("idx"))
+  }
+
+  /** Inter-arrival gap audit per key: count, max and mean gap between
+    * consecutive events, plus how many gaps exceed `slaMicros` — the
+    * "did the feed stall?" monitor (a max gap over the SLA is a
+    * delivery incident even when volumes look right).
+    *
+    * Exactness: gaps are exact µs integer differences under the
+    * deterministic (ts, id) order; the mean divides once. Keys with a
+    * single event have no gaps → zero row counts and NULL mean/max.
+    *
+    * Shape: one lag window + one agg on the same key partitioning —
+    * a single shuffle. */
+  def gaps(df: DataFrame, key: Column, ts: Column, id: Column,
+           slaMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("id"))
+    df.filter(key.isNotNull && ts.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("t"), id.as("id"))
+      .withColumn("gap", col("t") - lag(col("t"), 1).over(w))
+      .groupBy(col("k"))
+      .agg(count(col("gap")).as("n_gaps"),
+        max(col("gap")).as("max_gap_us"),
+        sum(when(col("gap") > lit(slaMicros), 1L).otherwise(0L))
+          .as("n_over_sla"),
+        when(count(col("gap")) === 0L, lit(null).cast("double"))
+          .otherwise(sum(col("gap")).cast("double") /
+            count(col("gap")).cast("double")).as("mean_gap_us"))
+  }
 }

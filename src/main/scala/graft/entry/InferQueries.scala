@@ -1,0 +1,247 @@
+package graft.entry
+
+import graft.agg.{Inference, Integrity, TimeSeries}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical-inference + pipeline-contract wave: Welch's t,
+  * one-way ANOVA, categorical mutual information, the dbt-style
+  * referential-integrity audit, day-of-week seasonal indices, and
+  * inter-arrival SLA gap monitoring. Operators live in
+  * [[graft.agg.Inference]], [[graft.agg.Integrity]] and
+  * [[graft.agg.TimeSeries]]; every quantization/guard embeds
+  * token-identically in the DuckDB twins.
+  */
+object InferQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Gap SLA: one hour in epoch micros (shared with the oracle). */
+  private val SlaUs = 3600000000L
+
+  val queries: Map[String, Q] = Map(
+    // Welch's unequal-variance t: en vs non-en document length — the
+    // parametric location companion of q_rank_drift; one 1-row agg
+    "q_welch_ttest" -> ((s, d) =>
+      Inference.welchT(Tables.documents(s, d), col("n_chars"),
+        col("lang") === "en")),
+
+    // one-way ANOVA F of event value across event types — "does the
+    // type factor explain variance at all?" before per-pair tests
+    "q_anova_f" -> ((s, d) =>
+      Inference.anovaF(Tables.events(s, d), col("event_type"),
+        col("value"))),
+
+    // mutual information + NMI of source × lang — the effect-size
+    // companion of q_chi2_indep's significance test
+    "q_mutual_info" -> ((s, d) =>
+      Inference.mutualInfo(Tables.documents(s, d), col("source"),
+        col("lang"))
+        .withColumnsRenamed(Map("a" -> "source", "b" -> "lang"))),
+
+    // referential-integrity audit across the star schema: FK orphans,
+    // PK duplicates, null rates, domain predicates — one ok-gated row
+    // per check
+    "q_integrity_check" -> ((s, d) => Integrity.audit(Seq(
+      Integrity.fkOrphans("fk_orders_customer", Tables.orders(s, d),
+        col("o_custkey"), Tables.customer(s, d), col("c_custkey")),
+      Integrity.fkOrphans("fk_lineitem_orders", Tables.lineitem(s, d),
+        col("l_orderkey"), Tables.orders(s, d), col("o_orderkey")),
+      Integrity.dupKeys("pk_documents_doc_id", Tables.documents(s, d),
+        col("doc_id")),
+      Integrity.nullCount("null_events_user", Tables.events(s, d),
+        col("user_id")),
+      Integrity.domainCheck("dom_orders_total_pos", Tables.orders(s, d),
+        col("o_totalprice") > 0)))),
+
+    // day-of-week seasonal index per event type — integer epoch-day
+    // weekday math (no engine dayofweek(), whose numbering differs)
+    "q_seasonality" -> ((s, d) =>
+      TimeSeries.seasonality(Tables.events(s, d), col("event_type"),
+        col("ts"))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // inter-arrival gap audit per event type with a 1-hour SLA — the
+    // feed-stall monitor beside q_seasonality's volume profile
+    "q_gaps" -> ((s, d) =>
+      TimeSeries.gaps(Tables.events(s, d), col("event_type"), col("ts"),
+        col("event_id"), SlaUs)
+        .withColumnsRenamed(Map("k" -> "event_type")))
+  )
+
+  // ======================================================================
+  // DuckDB oracle twins — big sums in HUGEINT (Spark: DECIMAL(38,0)),
+  // per-group double terms quantized to LONG before cross-group sums,
+  // each emitted double ONE expression mirroring the Spark op order.
+  // ======================================================================
+
+  val oracle: Map[String, String] = Map(
+    "q_welch_ttest" -> {
+      val m1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+      val m2 = "(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+      val v1 = "((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0))"
+      val v2 = "((CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))"
+      val se2 = s"($v1 / CAST(n1 AS DOUBLE) + $v2 / CAST(n2 AS DOUBLE))"
+      s"""WITH s AS (SELECT n_chars AS x,
+         |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f
+         |           FROM documents WHERE n_chars IS NOT NULL),
+         |a AS (SELECT CAST(sum(f) AS BIGINT) AS n1,
+         |        CAST(sum(1 - f) AS BIGINT) AS n2,
+         |        CAST(sum(f * x) AS BIGINT) AS s1,
+         |        CAST(sum((1 - f) * x) AS BIGINT) AS s2,
+         |        sum(CAST(f * x * x AS HUGEINT)) AS q1,
+         |        sum(CAST((1 - f) * x * x AS HUGEINT)) AS q2
+         |      FROM s)
+         |SELECT n1, n2,
+         |  CASE WHEN n1 = 0 THEN NULL ELSE $m1 END AS mean1,
+         |  CASE WHEN n2 = 0 THEN NULL ELSE $m2 END AS mean2,
+         |  CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL ELSE $v1 END AS var1,
+         |  CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL ELSE $v2 END AS var2,
+         |  CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL
+         |       ELSE CASE WHEN $se2 <= 0.0 THEN NULL
+         |            ELSE ($m1 - $m2) / sqrt($se2) END END AS t_stat,
+         |  CASE WHEN n1 <= 1 OR n2 <= 1 THEN NULL
+         |       ELSE CASE WHEN $se2 <= 0.0 THEN NULL
+         |            ELSE $se2 * $se2 /
+         |              (($v1 / CAST(n1 AS DOUBLE)) * ($v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) +
+         |               ($v2 / CAST(n2 AS DOUBLE)) * ($v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0))
+         |            END END AS df_welch
+         |FROM a""".stripMargin
+    },
+
+    "q_anova_f" -> {
+      val ssb = "((CAST(tqs AS DOUBLE) / 1000000.0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0)"
+      val ssw = "((CAST(q AS DOUBLE) - CAST(tqs AS DOUBLE) / 1000000.0) / 10000.0)"
+      s"""WITH v AS (SELECT event_type AS g,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+         |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         |g AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+         |        CAST(sum(c) AS BIGINT) AS s_g,
+         |        sum(CAST(c * c AS HUGEINT)) AS q_g FROM v GROUP BY 1),
+         |q2 AS (SELECT *, CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+         |         / CAST(n_g AS DOUBLE) * 1000000.0) AS BIGINT) AS tq FROM g),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |        CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+         |        sum(q_g) AS q, CAST(sum(tq) AS BIGINT) AS tqs FROM q2)
+         |SELECT k, n, $ssb AS ss_between, $ssw AS ss_within,
+         |  CASE WHEN k <= 1 OR n <= k THEN NULL
+         |       ELSE CASE WHEN $ssw <= 0.0 THEN NULL
+         |            ELSE ($ssb / (CAST(k AS DOUBLE) - 1.0))
+         |                 / ($ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+         |            END END AS f_stat
+         |FROM t""".stripMargin
+    },
+
+    "q_mutual_info" -> {
+      val mi = "CAST(sum(tq) OVER () AS DOUBLE) / 1.0E9"
+      s"""WITH s AS (SELECT source AS a, lang AS b FROM documents
+         |           WHERE source IS NOT NULL AND lang IS NOT NULL),
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_obs
+         |          FROM s GROUP BY 1, 2),
+         |am AS (SELECT a, CAST(sum(n_obs) AS BIGINT) AS n_a
+         |       FROM cells GROUP BY 1),
+         |bm AS (SELECT b, CAST(sum(n_obs) AS BIGINT) AS n_b
+         |       FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS n_total FROM am),
+         |ha AS (SELECT CAST(sum(CAST(floor(
+         |           -(CAST(n_a AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |           * ln(CAST(n_a AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |           * 1.0E9) AS BIGINT)) AS BIGINT) AS haq
+         |       FROM am CROSS JOIN tot),
+         |hb AS (SELECT CAST(sum(CAST(floor(
+         |           -(CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |           * ln(CAST(n_b AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |           * 1.0E9) AS BIGINT)) AS BIGINT) AS hbq
+         |       FROM bm CROSS JOIN tot),
+         |wt AS (SELECT cells.a, cells.b, cells.n_obs, am.n_a, bm.n_b,
+         |         tot.n_total, ha.haq, hb.hbq,
+         |         CAST(floor((CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |           * ln(CAST(n_obs AS DOUBLE) * CAST(n_total AS DOUBLE)
+         |               / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+         |           * 1.0E9) AS BIGINT) AS tq
+         |       FROM cells JOIN am USING (a) JOIN bm USING (b)
+         |       CROSS JOIN tot CROSS JOIN ha CROSS JOIN hb)
+         |SELECT a AS source, b AS lang, n_obs, n_a, n_b, n_total,
+         |  CAST(tq AS DOUBLE) / 1.0E9 AS mi_term,
+         |  $mi AS mi,
+         |  CASE WHEN haq <= 0 OR hbq <= 0 THEN NULL
+         |       ELSE ($mi) / sqrt((CAST(haq AS DOUBLE) / 1.0E9)
+         |                         * (CAST(hbq AS DOUBLE) / 1.0E9)) END AS nmi
+         |FROM wt""".stripMargin
+    },
+
+    "q_integrity_check" ->
+      """SELECT 'fk_orders_customer' AS "check",
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL))
+        |    AS n_violations,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+        |     (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) = 0
+        |    AS ok
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |     (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN
+        |     (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) = 0
+        |UNION ALL
+        |SELECT 'pk_documents_doc_id',
+        |  (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |     (SELECT count(*) AS c FROM documents GROUP BY doc_id)),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents),
+        |  (SELECT coalesce(sum(c - 1), 0) FROM
+        |     (SELECT count(*) AS c FROM documents GROUP BY doc_id)) = 0
+        |UNION ALL
+        |SELECT 'null_events_user',
+        |  (SELECT CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |     AS BIGINT) FROM events),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM events),
+        |  (SELECT sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+        |     FROM events) = 0
+        |UNION ALL
+        |SELECT 'dom_orders_total_pos',
+        |  (SELECT CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+        |     AS BIGINT) FROM orders),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders),
+        |  (SELECT sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+        |     FROM orders) = 0""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS d,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT k, (d + 4) % 7 AS dow,
+        |        CAST(count(*) AS BIGINT) AS n_days,
+        |        CAST(sum(c) AS BIGINT) AS n_events
+        |      FROM daily GROUP BY 1, 2),
+        |t AS (SELECT k, CAST(sum(n_days) AS BIGINT) AS nn,
+        |        CAST(sum(n_events) AS BIGINT) AS ss FROM b GROUP BY 1)
+        |SELECT b.k AS event_type, b.dow, b.n_days, b.n_events,
+        |  CAST(b.n_events * t.nn AS DOUBLE)
+        |    / CAST(b.n_days * t.ss AS DOUBLE) AS idx
+        |FROM b JOIN t USING (k)""".stripMargin,
+
+    "q_gaps" ->
+      s"""WITH v AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id AS id
+         |           FROM events
+         |           WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+         |g AS (SELECT k, t - lag(t) OVER (PARTITION BY k ORDER BY t, id)
+         |        AS gap FROM v)
+         |SELECT k AS event_type, CAST(count(gap) AS BIGINT) AS n_gaps,
+         |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+         |  CAST(sum(CASE WHEN gap > $SlaUs THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_over_sla,
+         |  CASE WHEN count(gap) = 0 THEN NULL
+         |       ELSE CAST(sum(gap) AS DOUBLE) / CAST(count(gap) AS DOUBLE)
+         |  END AS mean_gap_us
+         |FROM g GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,114 @@
+package graft.agg
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Hand-computed fixtures for the inference/integrity/seasonality wave
+  * (the sf0.01 oracle gate covers engine parity; these pin the MATH). */
+class InferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welchT matches the hand-computed two-sample statistic") {
+    // slice A = {1,2,3} (mean 2, var 1), slice B = {4,6} (mean 5, var 2)
+    val df = Seq((1L, true), (2L, true), (3L, true), (4L, false),
+      (6L, false)).toDF("x", "a")
+    val r = Inference.welchT(df, col("x"), col("a")).head()
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 2L)
+    assert(math.abs(r.getAs[Double]("mean1") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("var2") - 2.0) < 1e-12)
+    val se2 = 1.0 / 3 + 2.0 / 2
+    assert(math.abs(r.getAs[Double]("t_stat") - (-3.0 / math.sqrt(se2))) < 1e-12)
+    val dfw = se2 * se2 /
+      ((1.0 / 3) * (1.0 / 3) / 2 + (2.0 / 2) * (2.0 / 2) / 1)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfw) < 1e-12)
+  }
+
+  test("welchT degenerate slice yields NULL t") {
+    val df = Seq((1L, true), (4L, false), (6L, false)).toDF("x", "a")
+    val r = Inference.welchT(df, col("x"), col("a")).head()
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    assert(r.isNullAt(r.fieldIndex("df_welch")))
+  }
+
+  test("anovaF matches the hand-computed F") {
+    // groups: a={1,2,3} b={2,4} — cents 100,200,300 / 200,400
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 4.0)).toDF("g", "v")
+    val r = Inference.anovaF(df, col("g"), col("v")).head()
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 5L)
+    // SSB = (600²/3 + 600²/2 − 1200²/5)/1e4 = (120000+180000−288000)/1e4
+    assert(math.abs(r.getAs[Double]("ss_between") - 1.2) < 1e-6)
+    // SSW = (140000+200000 − 300000)/1e4 = 4.0
+    assert(math.abs(r.getAs[Double]("ss_within") - 4.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("f_stat") - (1.2 / 1) / (4.0 / 3)) < 1e-5)
+  }
+
+  test("mutualInfo of independent columns is ~0 and NMI guards zero entropy") {
+    val indep = Seq(("s1", "en"), ("s1", "de"), ("s2", "en"), ("s2", "de"))
+      .toDF("s", "l")
+    val r = Inference.mutualInfo(indep, col("s"), col("l"))
+    assert(math.abs(r.select(max("mi")).head().getDouble(0)) < 1e-6)
+    // single-value b column: Hb = 0 → NULL nmi
+    val degen = Seq(("s1", "en"), ("s2", "en")).toDF("s", "l")
+    val d = Inference.mutualInfo(degen, col("s"), col("l")).head()
+    assert(d.isNullAt(d.fieldIndex("nmi")))
+  }
+
+  test("mutualInfo of perfectly dependent columns equals the entropy") {
+    val dep = Seq(("s1", "en"), ("s1", "en"), ("s2", "de"), ("s2", "de"))
+      .toDF("s", "l")
+    val r = Inference.mutualInfo(dep, col("s"), col("l")).head()
+    assert(math.abs(r.getAs[Double]("mi") - math.log(2)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("nmi") - 1.0) < 1e-6)
+  }
+
+  test("integrity audit flags orphans, dups, nulls and domain breaks") {
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val rows = Integrity.audit(Seq(
+      Integrity.fkOrphans("fk", child, col("fk"), parent, col("pk")),
+      Integrity.dupKeys("pk", Seq(1L, 1L, 2L).toDF("k"), col("k")),
+      Integrity.nullCount("nn",
+        Seq(Some(1L), None, None).toDF("c"), col("c")),
+      Integrity.domainCheck("dom",
+        Seq(Some(5.0), Some(-1.0), None).toDF("v"), col("v") > 0)))
+      .collect().map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Long]("n_total"),
+          r.getAs[Boolean]("ok")))).toMap
+    assert(rows("fk") == ((1L, 3L, false)))
+    assert(rows("pk") == ((1L, 3L, false)))
+    assert(rows("nn") == ((2L, 3L, false)))
+    assert(rows("dom") == ((2L, 3L, false))) // NULL predicate = violation
+  }
+
+  test("seasonality index is the exact cross-product ratio") {
+    // key k: 2 events on epoch day 0 (Thu, dow 4), 1 on day 1 (Fri, dow 5)
+    val df = Seq(("k", 10L), ("k", 20L), ("k", 86400000000L))
+      .toDF("k", "us").select(col("k"),
+        timestamp_micros(col("us")).as("ts"))
+    val m = TimeSeries.seasonality(df, col("k"), col("ts"))
+      .collect().map(r => r.getAs[Long]("dow") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("idx")))).toMap
+    assert(m(4L) == ((1L, 2L, 2.0 * 2 / (1 * 3))))
+    assert(m(5L) == ((1L, 1L, 1.0 * 2 / (1 * 3))))
+  }
+
+  test("gaps counts SLA breaches and handles single-event keys") {
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 1000L), ("a", 3L, 5000L),
+      ("b", 4L, 42L)).toDF("k", "id", "us")
+      .select(col("k"), col("id"), timestamp_micros(col("us")).as("ts"))
+    val m = TimeSeries.gaps(df, col("k"), col("ts"), col("id"), 2000L)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val a = m("a")
+    assert(a.getAs[Long]("n_gaps") == 2L)
+    assert(a.getAs[Long]("max_gap_us") == 4000L)
+    assert(a.getAs[Long]("n_over_sla") == 1L)
+    assert(math.abs(a.getAs[Double]("mean_gap_us") - 2500.0) < 1e-9)
+    val b = m("b")
+    assert(b.getAs[Long]("n_gaps") == 0L)
+    assert(b.isNullAt(b.fieldIndex("max_gap_us")))
+    assert(b.isNullAt(b.fieldIndex("mean_gap_us")))
+  }
+}
