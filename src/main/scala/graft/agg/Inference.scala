@@ -167,4 +167,52 @@ object Inference {
       when(col("haq") <= 0L || col("hbq") <= 0L, lit(null).cast("double"))
         .otherwise(mi / sqrt(hprod)).as("nmi"))
   }
+
+  /** Deterministic half-sampling bootstrap CI for the mean of an
+    * integer metric column: `b` replicates, replicate r containing the
+    * rows whose md5(id|r) is even — content-hash membership, the house
+    * sampling rule ([[graft.llm.TextAnalysis]] mixture/temperature
+    * samplers) that makes every replicate reproducible on any engine,
+    * any partitioning, any row order, where seeded RNG is neither. The
+    * half-samples are a Bag of Little Bootstraps-style subsample
+    * ensemble (m≈n/2 without replacement); the CI is the
+    * [loRank, hiRank] exact order statistics of the replicate means —
+    * default 4/61 of 64, a percentile-bootstrap ~90% interval.
+    *
+    * Exactness: per-replicate sums are exact integers; each mean
+    * divides once; the rank selection compares identical doubles on
+    * both engines. An empty replicate contributes no mean (its row
+    * drops — the rank picks run over `n_reps` actual rows).
+    *
+    * Shape: one b-way explode of the (id, x) projection (b·n rows of
+    * two longs — the bounded blowup is the method), one ≤b-key
+    * map-combined agg, one ≤b-row sort. */
+  def bootstrapCI(df: DataFrame, id: Column, x: Column, b: Int = 64,
+                  loRank: Int = 4, hiRank: Int = 61): DataFrame = {
+    val s = df.filter(id.isNotNull && x.isNotNull)
+      .select(id.cast("long").as("id"), x.cast("long").as("x"))
+    val full = s.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"))
+    val reps = s
+      .withColumn("r", explode(sequence(lit(0L), lit(b.toLong - 1L))))
+      .filter(graft.functions.GraftFunctions.md5Long(
+        concat(col("id").cast("string"), lit("|"), col("r").cast("string")))
+        % 2L === 0L)
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("nr"), sum(col("x")).as("sr"))
+      .select(col("r"),
+        (col("sr").cast("double") / col("nr").cast("double")).as("m"))
+    val ranked = reps
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("m"), col("r"))))
+    val ci = ranked.agg(count(lit(1)).as("n_reps"),
+      max(when(col("rk") === loRank, col("m"))).as("ci_lo"),
+      max(when(col("rk") === hiRank, col("m"))).as("ci_hi"))
+    full.crossJoin(ci)
+      .select(col("n"), col("n_reps"),
+        when(col("n") === 0L, lit(null).cast("double"))
+          .otherwise(col("sx").cast("double") / col("n").cast("double"))
+          .as("mean_full"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

@@ -144,4 +144,44 @@ object Joins {
         levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Interval×interval overlap join — "which sessions ran during which
+    * incidents?" — the two-sided generalization of [[rangeJoin]]'s
+    * point-in-interval form. Both inputs carry closed integer (µs)
+    * intervals in the named start/end columns; emits every
+    * (left, right) pair with `ls ≤ re AND rs ≤ le`, plus the overlap
+    * length `least(le,re) − greatest(ls,rs)`.
+    *
+    * Scale path: a direct theta-join is a cartesian product. Each
+    * interval explodes to the `gridUs`-sized time cells it touches and
+    * the join runs as an EQUI-join on the cell (hash-shuffled on time,
+    * so work distributes across the cluster), with the overlap
+    * predicate as a post-join filter. A pair overlapping several
+    * shared cells would duplicate, so only the cell containing the
+    * overlap START — cell(greatest(ls, rs)) — emits it: an integer
+    * keep-rule that replaces the distinct-shuffle a naive explode
+    * would need. Pick gridUs near the typical interval length: too
+    * fine multiplies replicas (cells per interval = len/gridUs + 1),
+    * too coarse piles intervals into shared cells (per-cell work is
+    * quadratic in occupancy — the skew knob).
+    *
+    * Column contract: callers pre-name disjoint columns; all columns
+    * of both sides pass through plus `overlap_us`. */
+  def intervalOverlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                          right: DataFrame, rStart: String, rEnd: String,
+                          gridUs: Long): DataFrame = {
+    def cells(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+        .withColumn("__cell", explode(sequence(
+          call_function("div", col(s), lit(gridUs)),
+          call_function("div", col(e), lit(gridUs)))))
+    cells(left, lStart, lEnd)
+      .join(cells(right, rStart, rEnd), Seq("__cell"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__cell") === call_function("div",
+          greatest(col(lStart), col(rStart)), lit(gridUs)))
+      .drop("__cell")
+      .withColumn("overlap_us",
+        least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+  }
 }

@@ -1037,4 +1037,49 @@ object Dedup {
           .otherwise(col("n_masked").cast("double") /
             col("n_tokens").cast("double")))
   }
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's SNM):
+    * sort each language block by a folded prefix key and compare each
+    * record only to its next `window` neighbors in sort order — the
+    * sort-based blocking complement of [[editDistancePairs]]'s
+    * (lang, length-bucket) hashing: SNM catches pairs whose LENGTHS
+    * drifted apart (a dropped paragraph) that a length-bucket block
+    * never co-locates, at the price of missing pairs whose PREFIX
+    * diverged. Production pipelines run both and union the candidate
+    * sets.
+    *
+    * Cost model: exactly `window` candidate pairs per record —
+    * linear in the corpus by construction (the reason SNM survives
+    * scale). The sort rank is a per-language window (the blocking key
+    * is the partition key, so ranking distributes); neighbor pairing
+    * is an equi-join on (lang, rank + j), j = 1..window — `window`
+    * shuffle-free probes of the same ranked relation. The distance
+    * gate runs banded levenshtein on the first `distPrefix` folded
+    * chars (bounded per-pair cost on long documents; the oracle runs
+    * the full DP on the same prefix — identical kept rows).
+    *
+    * Emits (id1 < id2, dist ≤ maxDist). */
+  def snmPairs(df: DataFrame, id: Column, lang: Column, text: Column,
+               window: Int = 2, keyPrefix: Int = 40, distPrefix: Int = 64,
+               maxDist: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = persistTracked(df
+      .filter(id.isNotNull && lang.isNotNull && text.isNotNull)
+      .select(id.as("id"), lang.as("lng"),
+        substring(TextAnalysis.foldLower(text), 1, distPrefix).as("p"))
+      .withColumn("key", substring(col("p"), 1, keyPrefix))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lng")).orderBy(col("key"), col("id"))))
+      .select(col("id"), col("lng"), col("p"), col("rn")))
+    val probes = ranked
+      .withColumn("j", explode(sequence(lit(1), lit(window))))
+      .select(col("lng"), (col("rn") + col("j")).as("rn2"),
+        col("id").as("id_a"), col("p").as("pa"))
+    probes.join(ranked.select(col("lng"), col("rn").as("rn2"),
+        col("id").as("id_b"), col("p").as("pb")), Seq("lng", "rn2"))
+      .select(least(col("id_a"), col("id_b")).as("id1"),
+        greatest(col("id_a"), col("id_b")).as("id2"),
+        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
 }

@@ -449,4 +449,39 @@ object Selection {
         when(col("alloc_uncapped").isNull, lit(null).cast("long"))
           .otherwise(least(col("alloc_uncapped"), col("n_docs"))))
   }
+
+  /** 2-D Pareto skyline (maximize both integer axes): the rows no
+    * other row dominates — x' ≥ x ∧ y' ≥ y with one strict — the
+    * "best frontier" selection (cheapest-newest, longest-cleanest)
+    * that no single score column can express.
+    *
+    * Exact rule derived per point p: p survives iff y_p equals the
+    * max y among its own x value AND strictly exceeds the max y over
+    * all x > x_p (ties on both axes survive together — duplicates of
+    * a frontier point are all frontier points).
+    *
+    * Shape discipline: the corpus collapses to ONE row per distinct x
+    * (a map-combined groupBy — the only corpus-sized work), the
+    * running max over x runs on that domain-sized relation (a
+    * single-partition window over |distinct x| rows — thousands for a
+    * price axis, never corpus-sized; pre-bucket x first if the domain
+    * is genuinely unbounded), and survivors re-join the corpus by x
+    * (broadcast — a 2-D frontier is tiny). Emits the point rows plus
+    * their frontier rank by descending x. */
+  def skyline2d(df: DataFrame, id: Column, x: Column, y: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(x.isNotNull && y.isNotNull)
+      .select(id.as("id"), x.cast("long").as("x"), y.cast("long").as("y"))
+    val gx = pts.groupBy(col("x")).agg(max(col("y")).as("maxy"))
+    val prevMax = max(col("maxy")).over(Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1))
+    val skyx = gx.withColumn("pm", prevMax)
+      .filter(col("pm").isNull || col("maxy") > col("pm"))
+      .select(col("x"), col("maxy"),
+        row_number().over(Window.orderBy(col("x").desc)).cast("long")
+          .as("rank"))
+    pts.join(broadcast(skyx), Seq("x"))
+      .filter(col("y") === col("maxy"))
+      .select(col("id"), col("x"), col("y"), col("rank"))
+  }
 }

@@ -1126,4 +1126,61 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)) >= lit(ha)).as("hub"),
         (coalesce(col("hits"), lit(0L)) === lit(0L)).as("antihub"))
   }
+
+  /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL'19 — the
+    * bitext-mining criterion): margin(x, y) = cos(x, y) divided by the
+    * mean of the two directions' average k-NN cosines. Raw cosine
+    * thresholds over-select from dense hubs (their cosines run high to
+    * EVERYTHING); the margin renormalizes each pair by its endpoints'
+    * local similarity level, so a pair only scores high when it is
+    * similar BEYOND its neighborhoods' baseline — the standard mined-
+    * pair filter for parallel-corpus construction.
+    *
+    * Determinism/audit bounds (the LOF conventions): runs over the
+    * `id % queryMod = 0` panel; per-vector k-NN by (cos desc, id);
+    * each neighbor cosine quantizes floor(·10⁹) LONG before the
+    * per-vector sum, so average-similarity denominators fold exactly;
+    * margins rank (margin desc, ids) into a global top-K. Panel² audit
+    * cost — the production path replaces the panel cross join with
+    * [[lshBucketedPairs]]/[[ivfTopKProbes]] candidates, identical
+    * scoring. */
+  def marginScores(df: DataFrame, id: Column, vec: Column, k: Int,
+                   queryMod: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = df.filter(id % lit(queryMod) === 0L)
+      .select(id.as("vec_id"), vec.as("v"))
+    // symmetric-cosine half + mirror (the hubness/LOF pipeline shape)
+    val half = p.select(col("vec_id").as("a"), col("v").as("va"))
+      .crossJoin(broadcast(p.select(col("vec_id").as("b"),
+        col("v").as("vb"))))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        CosineSimilarity(col("va"), col("vb")).as("cos"))
+    val w = Window.partitionBy(col("a")).orderBy(col("cos").desc, col("b"))
+    val knn = graft.core.Caches.track(half
+      .unionByName(half.select(col("b").as("a"), col("a").as("b"),
+        col("cos")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a"), col("b"), col("cos")))
+    val avg = knn.groupBy(col("a"))
+      .agg(sum(floor(col("cos") * lit(1.0e9)).cast("long")).as("sq"),
+        count(lit(1)).as("nk"))
+    val denom = (col("sq").cast("double") / lit(1.0e9) /
+        col("nk").cast("double") +
+      col("sqb").cast("double") / lit(1.0e9) /
+        col("nkb").cast("double")) / lit(2.0)
+    val margin = when(denom <= lit(0.0), lit(null).cast("double"))
+      .otherwise(col("cos") / denom)
+    knn.join(avg, Seq("a"))
+      .join(avg.select(col("a").as("b"), col("sq").as("sqb"),
+        col("nk").as("nkb")), Seq("b"))
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"),
+        col("cos"), margin.as("margin"))
+      .orderBy(col("margin").desc_nulls_last, col("query_id"),
+        col("neighbor_id"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("margin").desc_nulls_last, col("query_id"),
+        col("neighbor_id"))).cast("long"))
+  }
 }
