@@ -649,17 +649,33 @@ object Graph {
     * pair as tie-break. */
   def adamicAdar(edges: DataFrame, src: Column, dst: Column,
                  topK: Int, maxDeg: Long): DataFrame = {
-    val e = edges.filter(src.isNotNull && dst.isNotNull)
-      .select(src.as("s"), dst.as("w")).distinct()
-    val deg = e.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val raw = edges.filter(src.isNotNull && dst.isNotNull)
+      .select(src.as("s"), dst.as("w"))
+    // degree gate FIRST (a map-combined countDistinct — never
+    // collects a hub's neighbor list just to discard it), then the
+    // kept neighbors gather into one sorted set per dst: pair
+    // generation is a per-row index unroll over a ≤maxDeg array —
+    // NO edge-distinct shuffle and NO self-join; the deg join, the
+    // set agg and the unroll all ride the same hash partitioning
+    // on w, leaving the per-pair aggregation as the only
+    // candidate-sized exchange
+    val deg = raw.groupBy(col("w"))
+      .agg(count_distinct(col("s")).as("deg"))
       .filter(col("deg") >= 2L && col("deg") <= lit(maxDeg))
       .withColumn("wq",
         floor(lit(1.0) / log(col("deg").cast("double")) * lit(1.0e9))
           .cast("long"))
-    val ew = e.join(deg, Seq("w"))
-    val pairs = ew.select(col("w"), col("s").as("u"), col("wq"))
-      .join(ew.select(col("w"), col("s").as("v")), Seq("w"))
-      .filter(col("u") < col("v"))
+    // deg is |dst-nodes|-sized (NOT broadcast-bounded at lake scale);
+    // the equi-join on w hash-co-locates with the set aggregation
+    val sets = raw.join(deg, Seq("w"))
+      .groupBy(col("w"))
+      .agg(array_sort(collect_set(col("s"))).as("cs"), max(col("wq")).as("wq"))
+    val pairs = sets.select(col("wq"), explode(
+        flatten(transform(sequence(lit(0), size(col("cs")) - 2), i =>
+          transform(sequence(i + 1, size(col("cs")) - 1), j =>
+            struct(element_at(col("cs"), i + 1).as("u"),
+              element_at(col("cs"), j + 1).as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"), col("wq"))
     pairs.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"), sum(col("wq")).as("sq"))
       .orderBy(col("sq").desc, col("u"), col("v")).limit(topK)
