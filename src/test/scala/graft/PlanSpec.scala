@@ -875,4 +875,72 @@ class PlanSpec extends SparkSpec {
       s"cluster LPA must shuffle-hash the label vector:\n$big")
     graft.core.Caches.release()
   }
+
+  test("interval overlap join is a cell equi-join, never a theta product") {
+    val df = SparkEntry.queries("q_interval_join")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must not theta-join:\n$p")
+    assert(p.contains("__cell"), s"join must key on the grid cell:\n$p")
+  }
+
+  test("adamic-adar: no edge self-join; pair agg is partial; top-k heap-based") {
+    val df = SparkEntry.queries("q_adamic_adar")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the pair set comes from the per-dst array unroll, not a second
+    // self-join of the edge list: the only joins are the edge build
+    // (orders×lineitem) and the deg gate — and nothing downstream of
+    // the collect_set aggregation joins at all
+    assert(p.contains("Generate explode(flatten(transform"),
+      s"pairs must unroll from the per-dst neighbor array:\n$p")
+    val afterAgg = p.substring(0, p.indexOf("ObjectHashAggregate"))
+    assert(!afterAgg.contains("Join"),
+      s"nothing downstream of the set agg may join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be heap-based, not a global sort:\n$p")
+    // per-pair aggregation map-combines before its exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair aggregation must be partial:\n$p")
+  }
+
+  test("snm dedup: ranking windows partition by the language block") {
+    val df = SparkEntry.queries("q_snm_dedup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"neighbor pairing must be an equi-join on (lang, rank):\n$p")
+    assert(p.contains("hashpartitioning(lng"),
+      s"the sort rank must distribute across language blocks:\n$p")
+    graft.core.Caches.release()
+  }
+
+  test("skyline: corpus collapses per distinct x; survivors re-join broadcast") {
+    val df = SparkEntry.queries("q_skyline")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny frontier must broadcast back over the points:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-x max must map-combine before the exchange:\n$p")
+  }
+
+  test("bootstrap CI: replicate means map-combine; no join in the data path") {
+    val df = SparkEntry.queries("q_bootstrap_ci")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Generate explode"),
+      s"replicates come from a bounded explode:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no data-path join — CIs assemble from 1-row aggregates:\n$p")
+  }
+
+  test("margin scoring: panel broadcasts (hubness shape); global top-k is heap-based") {
+    val df = SparkEntry.queries("q_margin_knn")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the panel side must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be heap-based:\n$p")
+    graft.core.Caches.release()
+  }
 }
