@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.entry.{AggQueries, CoreQueries, EvalQueries, GraphQueries, InferQueries, JoinQueries, LinkQueries, LlmQueries, QaQueries, SelectionQueries, StatsQueries, UrlQueries}
+import graft.entry.{AggQueries, CoreQueries, EvalQueries, GraphQueries, InferQueries, JoinQueries, LinkQueries, LlmQueries, QaQueries, SelectionQueries, StatsQueries, TrendQueries, UrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
     CoreQueries.queries ++ AggQueries.queries ++ JoinQueries.queries ++
       LlmQueries.queries ++ GraphQueries.queries ++ UrlQueries.queries ++
       SelectionQueries.queries ++ StatsQueries.queries ++ QaQueries.queries ++
-      EvalQueries.queries ++ InferQueries.queries ++ LinkQueries.queries
+      EvalQueries.queries ++ InferQueries.queries ++ LinkQueries.queries ++
+      TrendQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
       LlmQueries.oracle ++ GraphQueries.oracle ++ UrlQueries.oracle ++
       SelectionQueries.oracle ++ StatsQueries.oracle ++ QaQueries.oracle ++
-      EvalQueries.oracle ++ InferQueries.oracle ++ LinkQueries.oracle
+      EvalQueries.oracle ++ InferQueries.oracle ++ LinkQueries.oracle ++
+      TrendQueries.oracle
 }

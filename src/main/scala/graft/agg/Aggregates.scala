@@ -115,4 +115,44 @@ object Aggregates {
       .select(col("key"), col("version"), col("attr"),
         col("valid_from"), col("valid_to"), col("n_events"))
   }
+
+  /** RFM segmentation: per entity, recency (latest epoch-day),
+    * frequency (order count) and monetary (cents mass), each quantile-
+    * bucketed 1..`buckets` — the classic warehouse customer-value
+    * grid, the three-axis companion of a single quality score.
+    *
+    * Exactness: all three metrics are exact integers; buckets come
+    * from the exact rank formula (buckets·(rank−1)) div n + 1 under
+    * deterministic (metric, entity) order — never ntile(), whose
+    * remainder distribution is engine-defined. Higher metric ⇒ higher
+    * bucket on every axis (recency buckets the DAY, so later = higher
+    * — no inversion step).
+    *
+    * Shape: the corpus collapses in ONE map-combined per-entity agg;
+    * the three rank windows run over the ENTITY table. They are
+    * global sorts of that table — exact quantiles need a total order
+    * (the madOutliers trade); the lake-scale variant swaps the ranks
+    * for approx_percentile cut points at the cost of exactness. */
+  def rfm(df: DataFrame, entity: Column, ts: Column, amount: Column,
+          buckets: Int = 5): DataFrame = {
+    val b = lit(buckets.toLong)
+    val per = df.filter(entity.isNotNull && ts.isNotNull)
+      .select(entity.as("e"),
+        call_function("div", unix_micros(ts), lit(86400000000L)).as("d"),
+        floor(amount * lit(100) + lit(0.5)).cast("long").as("c"))
+      .groupBy(col("e"))
+      .agg(max(col("d")).as("recency_day"), count(lit(1)).as("frequency"),
+        sum(col("c")).as("monetary_c"))
+    def bucket(metric: String): Column =
+      call_function("div",
+        b * (row_number().over(Window.orderBy(col(metric), col("e")))
+          .cast("long") - lit(1L)),
+        count(lit(1)).over(Window.partitionBy())) + lit(1L)
+    per
+      .withColumn("r", bucket("recency_day"))
+      .withColumn("f", bucket("frequency"))
+      .withColumn("m", bucket("monetary_c"))
+      .withColumn("segment", concat(col("r").cast("string"),
+        col("f").cast("string"), col("m").cast("string")))
+  }
 }

@@ -391,6 +391,149 @@ object TimeSeries {
           e => e.getField("sym")), "").as("sax_word"))
   }
 
+  /** Rolling-window volume anomaly per key: for each (key, day), flag
+    * the daily event count against the TRAILING `windowDays`-day
+    * baseline (current day excluded — a spike must not inflate its own
+    * baseline): anomaly iff |c − mean| > k·σ over ≥ 3 baseline days.
+    *
+    * Exactness: the flag never touches a double — (c·n − s)² >
+    * k²·(q·n − s²) is the σ-test cleared of divisions, evaluated in
+    * DECIMAL(38,0)/HUGEINT (daily counts at lake scale square past
+    * LONG); the z-score (c·n − s)/√(q·n − s²) = (c − mean)/σ_pop is
+    * ONE final double expression. Days with no baseline emit NULL
+    * z / false.
+    *
+    * Shape: one (key, day) count agg + one RANGE window on the same
+    * key partitioning — two exchanges over the DAY table, never the
+    * corpus. */
+  def rollingAnomaly(df: DataFrame, key: Column, ts: Column,
+                     windowDays: Int = 7, k: Int = 3): DataFrame = {
+    val daily = df.filter(key.isNotNull && ts.isNotNull)
+      .select(key.as("k"),
+        call_function("div", unix_micros(ts), lit(86400000000L)).as("day"))
+      .groupBy(col("k"), col("day")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rangeBetween(-windowDays.toLong, -1L)
+    val stats = daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s", sum(col("c")).over(w))
+      .withColumn("q", sum((col("c") * col("c")).cast("decimal(38,0)"))
+        .over(w))
+    // decimal-FIRST multiplication: (c·n − s) fits LONG (a window sum
+    // of daily counts) but its square and s² do not at lake scale
+    val lhs = (col("c") * col("n_win") - col("s")).cast("decimal(38,0)") *
+      (col("c") * col("n_win") - col("s")).cast("decimal(38,0)")
+    val rhs = lit(k.toLong * k.toLong) *
+      (col("q") * col("n_win") - col("s").cast("decimal(38,0)") * col("s"))
+    val varNum = (col("q").cast("double") * col("n_win").cast("double") -
+      col("s").cast("double") * col("s").cast("double"))
+    stats.select(col("k"), col("day"), col("c"), col("n_win"),
+      when(col("n_win") === 0L, lit(null).cast("double"))
+        .otherwise(col("s").cast("double") / col("n_win").cast("double"))
+        .as("mean_win"),
+      when(col("n_win") === 0L || varNum <= lit(0.0),
+        lit(null).cast("double"))
+        .otherwise((col("c") * col("n_win") - col("s")).cast("double") /
+          sqrt(varNum)).as("z"),
+      (col("n_win") >= 3L && lhs > rhs).as("anomaly"))
+  }
+
+  /** Cross-correlation between two event types' daily-count series at
+    * lags 0..`maxLag` days — "do purchases follow clicks, and with
+    * what delay?": corr(x_d, y_{d+lag}) over the days where both
+    * series observe, the lead–lag scan that picks the lag for any
+    * downstream regression.
+    *
+    * Exactness: both series are exact integer daily counts sharing ONE
+    * (day) aggregation pass; per-lag power sums accumulate in
+    * DECIMAL(38,0) (the q_corr discipline) and each correlation is
+    * ONE final double expression with the zero-variance NULL guard.
+    *
+    * Shape: one corpus count agg; the lag explode and self-join run on
+    * the DAY table (≤ maxLag+1 replicas of thousands of rows). */
+  def crossCorr(df: DataFrame, typ: Column, ts: Column,
+                typeA: String, typeB: String, maxLag: Int = 7): DataFrame = {
+    val counts = graft.core.Caches.track(df
+      .filter(ts.isNotNull && (typ === typeA || typ === typeB))
+      .select(call_function("div", unix_micros(ts), lit(86400000000L))
+        .as("day"), typ.as("typ"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("typ") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("typ") === typeB, 1L).otherwise(0L)).as("cb")))
+    val probes = counts
+      .withColumn("lag", explode(sequence(lit(0L), lit(maxLag.toLong))))
+      .select(col("lag"), (col("day") + col("lag")).as("day2"),
+        col("ca").as("x"))
+    val joined = probes.join(
+      counts.select(col("day").as("day2"), col("cb").as("y")), Seq("day2"))
+    val a = joined.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    val nd = col("n").cast("double")
+    val den = sqrt(col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / nd) *
+      sqrt(col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / nd)
+    a.select(col("lag"), col("n"),
+      when(den === lit(0.0), lit(null).cast("double"))
+        .otherwise((col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double") / nd) / den)
+        .as("corr"))
+  }
+
+  /** Holt double exponential smoothing (level + trend) per key — the
+    * [[ewma]] companion that tracks a TRENDING series without the
+    * systematic lag a level-only smoother develops: level
+    * l ← α·x + (1−α)(l + b), trend b ← β(l′ − l) + (1−β)b, seeded
+    * l₀ = x₀, b₀ = x₁ − x₀, folded over observations 2..n.
+    *
+    * Determinism: inherently sequential (the EWMA argument) — both
+    * engines run the IDENTICAL left fold over the (ts, id)-ordered
+    * series with dyadic-rational α = β = 1/alphaDen, so every
+    * intermediate double matches bit-for-bit. Keys with fewer than 2
+    * observations have no trend seed → NULL level/trend/forecast.
+    *
+    * Shape: the ewma/saxWord regime — one key-partitioned bounded
+    * collect; at lake scale feed windowed slices. */
+  def holt(df: DataFrame, key: Column, ts: Column, id: Column,
+           value: Column, alphaDen: Int = 4): DataFrame = {
+    val ad = alphaDen.toDouble
+    val v = df.filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("t"), id.as("id"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+    val g = v.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(struct(col("t"), col("id"), col("c"))))
+          .as("arr"))
+    // 0-based get(): NULL (not an ANSI index error) on a 1-element
+    // array — the n < 2 guard below owns that case
+    val x0 = get(col("arr"), lit(0)).getField("c").cast("double")
+    val x1 = get(col("arr"), lit(1)).getField("c").cast("double")
+    def lvl(acc: Column, x: Column): Column =
+      x / lit(ad) + (acc.getField("l") + acc.getField("b")) *
+        (lit(1.0) - lit(1.0) / lit(ad))
+    val folded = aggregate(
+      slice(col("arr"), lit(2), greatest(size(col("arr")) - 1, lit(0))),
+      struct(x0.as("l"), (x1 - x0).as("b")),
+      (acc, e) => {
+        val x = e.getField("c").cast("double")
+        struct(lvl(acc, x).as("l"),
+          ((lvl(acc, x) - acc.getField("l")) / lit(ad) +
+            acc.getField("b") * (lit(1.0) - lit(1.0) / lit(ad))).as("b"))
+      })
+    g.select(col("k"), col("n"),
+      when(col("n") < 2L, lit(null).cast("double"))
+        .otherwise(folded.getField("l") / lit(100.0)).as("level"),
+      when(col("n") < 2L, lit(null).cast("double"))
+        .otherwise(folded.getField("b") / lit(100.0)).as("trend"),
+      when(col("n") < 2L, lit(null).cast("double"))
+        .otherwise((folded.getField("l") + folded.getField("b")) /
+          lit(100.0)).as("forecast1"))
+  }
+
   /** Day-of-week seasonal index per key: for each weekday d, the ratio
     * of the mean daily event count on d to the overall mean daily
     * count — the profile a capacity planner reads ("Sundays run at

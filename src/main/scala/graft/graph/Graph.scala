@@ -628,6 +628,61 @@ object Graph {
       sizes.get(labels(j)).longValue()))
   }
 
+  /** Item-item co-occurrence similarity (the memory-based
+    * collaborative-filtering kernel): for items i, j sharing a
+    * context (basket/user/document), cosine = n_ij / √(n_i·n_j) over
+    * context sets — "customers who bought X also bought Y", ranked
+    * into a global top-K.
+    *
+    * Scale discipline ([[adamicAdar]]'s): contexts gate on distinct-
+    * item degree 2..maxCtx BEFORE any neighbor set materializes (a
+    * mega-basket's deg² pair fan-out is the blowup; capped contexts
+    * are the standard CF mitigation and carry near-zero signal
+    * anyway), pairs unroll from per-context sorted arrays — no edge
+    * self-join — and item supports n_i count only KEPT contexts, so
+    * the cosine is exactly the candidate generator's universe.
+    *
+    * Exactness: all counts are exact integers (set semantics via
+    * collect_set); the cosine is ONE final double shared between
+    * engines; top-K orders by (cosine desc, i, j) — identical doubles
+    * from identical integer triples, deterministic tie-break. */
+  def cooccurrenceTopK(edges: DataFrame, ctx: Column, item: Column,
+                       topK: Int, maxCtx: Long): DataFrame = {
+    val raw = edges.filter(ctx.isNotNull && item.isNotNull)
+      .select(ctx.as("c"), item.as("i"))
+    val deg = raw.groupBy(col("c"))
+      .agg(count_distinct(col("i")).as("deg"))
+      .filter(col("deg") >= 2L && col("deg") <= lit(maxCtx))
+    val sets = graft.core.Caches.track(raw.join(deg, Seq("c"))
+      .groupBy(col("c"))
+      .agg(array_sort(collect_set(col("i"))).as("cs")))
+    val support = sets.select(explode(col("cs")).as("i"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+    val pairs = sets.select(explode(
+        flatten(transform(sequence(lit(0), size(col("cs")) - 2), i =>
+          transform(sequence(i + 1, size(col("cs")) - 1), j =>
+            struct(element_at(col("cs"), i + 1).as("u"),
+              element_at(col("cs"), j + 1).as("v")))))).as("p"))
+      .select(col("p.u").as("item_a"), col("p.v").as("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val scored = pairs
+      .join(support.select(col("i").as("item_a"), col("n_i").as("n_a")),
+        Seq("item_a"))
+      .join(support.select(col("i").as("item_b"), col("n_i").as("n_b")),
+        Seq("item_b"))
+      .withColumn("cosine", col("n_both").cast("double") /
+        sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
+    scored
+      .orderBy(col("cosine").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+      .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"),
+        col("n_b"), col("cosine"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cosine").desc, col("item_a"), col("item_b")))
+          .cast("long").as("rank"))
+  }
+
   /** Adamic–Adar link prediction over a bipartite src→dst graph:
     * score(u, v) = Σ_{w ∈ N(u)∩N(v)} 1/ln(deg(w)) for src-side pairs
     * sharing a dst neighbor — "which two customers trade with the same
