@@ -653,24 +653,33 @@ object Graph {
     val deg = raw.groupBy(col("c"))
       .agg(count_distinct(col("i")).as("deg"))
       .filter(col("deg") >= 2L && col("deg") <= lit(maxCtx))
-    val sets = graft.core.Caches.track(raw.join(deg, Seq("c"))
+    // kept edges feed the item-support count AND the basket sets
+    val kept = graft.core.Caches.track(
+      raw.join(deg.select(col("c")), Seq("c")))
+    // per-item support (distinct kept contexts) attaches to the basket
+    // ELEMENTS before the unroll: the pair stream then already carries
+    // (n_a, n_b), so the candidate-sized relation never joins — the
+    // per-pair aggregation is the ONLY candidate-sized exchange (two
+    // post-agg support joins of the pair table measured 2.5× slower)
+    val support = kept.groupBy(col("i"))
+      .agg(count_distinct(col("c")).as("n_i"))
+    val sets = kept.join(support, Seq("i"))
       .groupBy(col("c"))
-      .agg(array_sort(collect_set(col("i"))).as("cs")))
-    val support = sets.select(explode(col("cs")).as("i"))
-      .groupBy(col("i")).agg(count(lit(1)).as("n_i"))
+      .agg(array_sort(collect_set(struct(col("i"), col("n_i")))).as("cs"))
     val pairs = sets.select(explode(
         flatten(transform(sequence(lit(0), size(col("cs")) - 2), i =>
           transform(sequence(i + 1, size(col("cs")) - 1), j =>
-            struct(element_at(col("cs"), i + 1).as("u"),
-              element_at(col("cs"), j + 1).as("v")))))).as("p"))
-      .select(col("p.u").as("item_a"), col("p.v").as("item_b"))
+            struct(element_at(col("cs"), i + 1).getField("i").as("u"),
+              element_at(col("cs"), i + 1).getField("n_i").as("nu"),
+              element_at(col("cs"), j + 1).getField("i").as("v"),
+              element_at(col("cs"), j + 1).getField("n_i").as("nv"))))))
+        .as("p"))
+      .select(col("p.u").as("item_a"), col("p.v").as("item_b"),
+        col("p.nu").as("nu"), col("p.nv").as("nv"))
       .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("n_both"))
+      .agg(count(lit(1)).as("n_both"), max(col("nu")).as("n_a"),
+        max(col("nv")).as("n_b"))
     val scored = pairs
-      .join(support.select(col("i").as("item_a"), col("n_i").as("n_a")),
-        Seq("item_a"))
-      .join(support.select(col("i").as("item_b"), col("n_i").as("n_b")),
-        Seq("item_b"))
       .withColumn("cosine", col("n_both").cast("double") /
         sqrt(col("n_a").cast("double") * col("n_b").cast("double")))
     scored
