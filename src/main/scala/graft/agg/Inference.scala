@@ -168,6 +168,105 @@ object Inference {
         .otherwise(mi / sqrt(hprod)).as("nmi"))
   }
 
+  /** Sample-ratio-mismatch check (the first gate of every A/B
+    * readout): randomization UNITS (distinct ids) split into
+    * `variants` buckets by id mod, tested against the uniform
+    * expectation with a chi-square GOF — a failing SRM means the
+    * assignment or logging pipeline is biased and every downstream
+    * metric is untrustworthy.
+    *
+    * Exactness: unit counts are exact integers (one distinct + one
+    * ≤variants-key agg); expected counts and chi² terms are shared
+    * double expressions quantized floor(·10⁹) before the total (the
+    * chi2Independence discipline). `srm` flags chi² > `chi2Crit`
+    * (caller pins the critical value for variants−1 dof).
+    *
+    * Shape: one distinct shuffle on the unit id + a ≤variants-row
+    * window — scan-bound. */
+  def srm(df: DataFrame, unit: Column, variants: Int,
+          chi2Crit: Double): DataFrame = {
+    val counts = df.filter(unit.isNotNull)
+      .select(unit.cast("long").as("u")).distinct()
+      .select((col("u") % lit(variants.toLong)).as("variant"))
+      .groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val t = counts.agg(sum(col("n")).as("n_total"))
+    val expected = col("n_total").cast("double") / lit(variants.toDouble)
+    val term = (col("n").cast("double") - expected) *
+      (col("n").cast("double") - expected) / expected
+    counts.crossJoin(broadcast(t))
+      .withColumn("tq", floor(term * lit(1.0e9)).cast("long"))
+      .select(col("variant"), col("n"), col("n_total"),
+        expected.as("expected"),
+        (col("tq").cast("double") / lit(1.0e9)).as("chi2_term"),
+        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+          lit(1.0e9)).as("chi2"),
+        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+          lit(1.0e9) > lit(chi2Crit)).as("srm"))
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): per
+    * randomization unit, the experiment-period metric y adjusts by
+    * the PRE-period covariate x — θ = cov(x,y)/var(x) fit on all
+    * units, adjusted variant mean = ȳ_v − θ(x̄_v − x̄) — removing the
+    * between-user variance x explains, the standard ~40-60% CI
+    * shrink on revenue metrics.
+    *
+    * The period split is deterministic integer epoch-day math: days
+    * strictly below mid = (min_day + max_day + 1) div 2 are the
+    * pre-period. Variants come from unit id mod 2 (the [[srm]]
+    * convention).
+    *
+    * Exactness: per-unit x/y are exact cent sums; θ's power sums
+    * accumulate in DECIMAL(38,0) over the UNIT table; θ and each
+    * adjusted mean are ONE final double expression. Zero covariate
+    * variance (no pre-period signal) → NULL θ and adjusted means
+    * (the un-adjusted means still emit).
+    *
+    * Shape: one corpus agg keyed by unit, one 1-row θ agg + one
+    * ≤2-key variant agg of the unit table — scan-bound. */
+  def cuped(df: DataFrame, unit: Column, ts: Column,
+            value: Column): DataFrame = {
+    val v = df.filter(unit.isNotNull && ts.isNotNull && value.isNotNull)
+      .select(unit.cast("long").as("u"),
+        call_function("div", unix_micros(ts), lit(86400000000L)).as("d"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+    val span = v.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      .select(call_function("div", col("mn") + col("mx") + lit(1L),
+        lit(2L)).as("mid"))
+    val per = graft.core.Caches.track(v.crossJoin(broadcast(span))
+      .groupBy(col("u"))
+      .agg(sum(when(col("d") < col("mid"), col("c")).otherwise(0L))
+          .as("x"),
+        sum(when(col("d") >= col("mid"), col("c")).otherwise(0L))
+          .as("y"))
+      .withColumn("variant", col("u") % 2L))
+    val tot = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+    val nd = col("n").cast("double")
+    val varX = col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nd
+    val theta = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / nd) / varX
+    val byV = per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sxv"),
+        sum(col("y")).as("syv"))
+    val meanX = col("sxv").cast("double") / col("n_v").cast("double") /
+      lit(100.0)
+    val meanY = col("syv").cast("double") / col("n_v").cast("double") /
+      lit(100.0)
+    val thetaG = when(varX <= lit(0.0), lit(null).cast("double"))
+      .otherwise(theta)
+    byV.crossJoin(broadcast(tot))
+      .select(col("variant"), col("n_v").as("n"),
+        meanX.as("mean_x"), meanY.as("mean_y"), thetaG.as("theta"),
+        when(varX <= lit(0.0), lit(null).cast("double"))
+          .otherwise(meanY - theta *
+            (meanX - col("sx").cast("double") / nd / lit(100.0)))
+          .as("mean_y_adj"))
+  }
+
   /** Deterministic half-sampling bootstrap CI for the mean of an
     * integer metric column: `b` replicates, replicate r containing the
     * rows whose md5(id|r) is even — content-hash membership, the house

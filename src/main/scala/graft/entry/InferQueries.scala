@@ -18,6 +18,8 @@ object InferQueries {
 
   /** Gap SLA: one hour in epoch micros (shared with the oracle). */
   private val SlaUs = 3600000000L
+  /** Chi-square 95% critical value, 1 dof (shared literal). */
+  private val SrmCrit = 3.841458820694124
 
   val queries: Map[String, Q] = Map(
     // Welch's unequal-variance t: en vs non-en document length — the
@@ -66,7 +68,18 @@ object InferQueries {
     "q_gaps" -> ((s, d) =>
       TimeSeries.gaps(Tables.events(s, d), col("event_type"), col("ts"),
         col("event_id"), SlaUs)
-        .withColumnsRenamed(Map("k" -> "event_type")))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // sample-ratio mismatch on the user_id % 2 split — the gate every
+    // A/B readout must pass before its metrics mean anything
+    "q_ab_srm" -> ((s, d) =>
+      Inference.srm(Tables.events(s, d), col("user_id"), 2, SrmCrit)),
+
+    // CUPED variance-reduced variant means: pre-period per-user value
+    // as the covariate, θ fit on all units from exact power sums
+    "q_cuped" -> ((s, d) =>
+      Inference.cuped(Tables.events(s, d), col("user_id"), col("ts"),
+        col("value")))
   )
 
   // ======================================================================
@@ -228,6 +241,58 @@ object InferQueries {
         |  CAST(b.n_events * t.nn AS DOUBLE)
         |    / CAST(b.n_days * t.ss AS DOUBLE) AS idx
         |FROM b JOIN t USING (k)""".stripMargin,
+
+    "q_ab_srm" ->
+      s"""WITH units AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u
+         |               FROM events WHERE user_id IS NOT NULL),
+         |counts AS (SELECT u % 2 AS variant, CAST(count(*) AS BIGINT) AS n
+         |           FROM units GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+         |q AS (SELECT variant, n, n_total,
+         |        CAST(n_total AS DOUBLE) / 2.0 AS expected,
+         |        CAST(floor((CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) / 2.0)
+         |          * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) / 2.0)
+         |          / (CAST(n_total AS DOUBLE) / 2.0) * 1.0E9) AS BIGINT) AS tq
+         |      FROM counts CROSS JOIN t)
+         |SELECT variant, n, n_total, expected,
+         |  CAST(tq AS DOUBLE) / 1.0E9 AS chi2_term,
+         |  CAST(sum(tq) OVER () AS DOUBLE) / 1.0E9 AS chi2,
+         |  CAST(sum(tq) OVER () AS DOUBLE) / 1.0E9 > $SrmCrit AS srm
+         |FROM q""".stripMargin,
+
+    "q_cuped" -> {
+      val varX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+      val theta = s"((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / $varX)"
+      val meanX = "CAST(sxv AS DOUBLE) / CAST(n_v AS DOUBLE) / 100.0"
+      val meanY = "CAST(syv AS DOUBLE) / CAST(n_v AS DOUBLE) / 100.0"
+      s"""WITH v AS (SELECT CAST(user_id AS BIGINT) AS u,
+         |             epoch_us(ts) // 86400000000 AS d,
+         |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |             AND value IS NOT NULL),
+         |span AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM v),
+         |per AS (SELECT u,
+         |          CAST(sum(CASE WHEN d < mid THEN c ELSE 0 END) AS BIGINT)
+         |            AS x,
+         |          CAST(sum(CASE WHEN d >= mid THEN c ELSE 0 END) AS BIGINT)
+         |            AS y,
+         |          u % 2 AS variant
+         |        FROM v CROSS JOIN span GROUP BY u),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |          sum(CAST(x * x AS HUGEINT)) AS sxx,
+         |          sum(CAST(x * y AS HUGEINT)) AS sxy FROM per),
+         |byv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_v,
+         |          CAST(sum(x) AS BIGINT) AS sxv,
+         |          CAST(sum(y) AS BIGINT) AS syv FROM per GROUP BY 1)
+         |SELECT variant, n_v AS n, $meanX AS mean_x, $meanY AS mean_y,
+         |  CASE WHEN $varX <= 0.0 THEN NULL ELSE $theta END AS theta,
+         |  CASE WHEN $varX <= 0.0 THEN NULL
+         |       ELSE $meanY - $theta * ($meanX
+         |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+         |  END AS mean_y_adj
+         |FROM byv CROSS JOIN tot""".stripMargin
+    },
 
     "q_gaps" ->
       s"""WITH v AS (SELECT event_type AS k, epoch_us(ts) AS t, event_id AS id

@@ -71,7 +71,12 @@ object TrendQueries {
       val pairs = Dedup.snmPairs(Tables.documents(s, d), col("doc_id"),
         col("lang"), col("text"), SnmWin, SnmKey, SnmPfx, SnmDist)
       Dedup.nearDupComponents(pairs, col("id1"), col("id2"), iters = 5)
-    })
+    }),
+
+    // exact-dup cluster-size histogram — "what does dedup buy here?"
+    // in one page: mass per cluster size, corpus fractions
+    "q_dup_cluster_stats" -> ((s, d) =>
+      Dedup.dupClusterStats(Tables.documents(s, d), col("text")))
   )
 
   private val FoldSql = "lower(translate(text, 'İΣ', 'iσ'))"
@@ -229,6 +234,19 @@ object TrendQueries {
          |    AS segment
          |FROM b""".stripMargin
     },
+
+    "q_dup_cluster_stats" ->
+      """WITH cl AS (SELECT md5(text) AS h FROM documents
+        |            WHERE text IS NOT NULL),
+        |c2 AS (SELECT h, CAST(count(*) AS BIGINT) AS size FROM cl
+        |       GROUP BY h),
+        |hist AS (SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+        |           CAST(sum(size) AS BIGINT) AS n_docs FROM c2
+        |         GROUP BY size),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM hist)
+        |SELECT size, n_clusters, n_docs,
+        |  CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac_docs
+        |FROM hist CROSS JOIN t""".stripMargin,
 
     "q_snm_clusters" -> {
       val steps = (1 to 5).map { i =>

@@ -1038,6 +1038,32 @@ object Dedup {
             col("n_tokens").cast("double")))
   }
 
+  /** Exact-duplicate cluster-size histogram: one row per observed
+    * cluster size s with the number of content-hash clusters of that
+    * size, the documents they hold, and the corpus fraction — the
+    * one-page answer to "what does dedup buy here?" (mass at s = 1 is
+    * already unique; Σ_{s>1} (s−1)·n_clusters is the removable row
+    * count) and the shape input for choosing keep-rules before
+    * running [[exactDedup]].
+    *
+    * Shape: content-hash agg (the exactDedup shuffle), then a
+    * ≤|sizes|-key re-agg of the CLUSTER table and a broadcast 1-row
+    * total — scan-bound at any scale. All counts exact; the fraction
+    * is one final double. */
+  def dupClusterStats(df: DataFrame, text: Column): DataFrame = {
+    val clusters = df.filter(text.isNotNull)
+      .select(md5(text).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("size"))
+    val hist = clusters.groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("size")).as("n_docs"))
+    val t = hist.agg(sum(col("n_docs")).as("n_total"))
+    hist.crossJoin(broadcast(t))
+      .select(col("size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs").cast("double") / col("n_total").cast("double"))
+          .as("frac_docs"))
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's SNM):
     * sort each language block by a folded prefix key and compare each
     * record only to its next `window` neighbors in sort order — the

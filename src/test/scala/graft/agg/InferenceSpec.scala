@@ -95,6 +95,55 @@ class InferenceSpec extends SparkSpec {
     assert(m(5L) == ((1L, 1L, 1.0 * 2 / (1 * 3))))
   }
 
+  test("srm flags a biased split and passes a fair one") {
+    // 6 even units vs 2 odd: chi2 = 2·(2)²/4 = 2 < 3.84 (no flag);
+    // 9 even vs 1 odd: chi2 = 2·(4)²/5 = 6.4 > 3.84 (flag)
+    val fairDf = (Seq(2L, 4L, 6L, 8L, 10L, 12L) ++ Seq(1L, 3L))
+      .toDF("u")
+    val r1 = Inference.srm(fairDf, col("u"), 2, 3.841458820694124)
+      .select(max(col("srm"))).head().getBoolean(0)
+    assert(!r1)
+    val biased = ((1L to 9L).map(_ * 2) :+ 1L).toDF("u")
+    val r2 = Inference.srm(biased, col("u"), 2, 3.841458820694124)
+      .select(max(col("srm")), max(col("chi2"))).head()
+    assert(r2.getBoolean(0))
+    assert(math.abs(r2.getDouble(1) - 6.4) < 1e-6)
+  }
+
+  test("cuped removes covariate-explained variance from the means") {
+    // units 1..4: pre-period value x_u = u, post y_u = 2·u (perfectly
+    // explained) → θ = 2 and every adjusted mean equals ȳ
+    val rows = (1L to 4L).flatMap { u =>
+      Seq((u, 0L, u.toDouble),            // day 0 (pre)
+        (u, 10L, 2.0 * u))                // day 10 (post)
+    }
+    val df = rows.toDF("u", "day", "v")
+      .select(col("u"), timestamp_micros(col("day") * 86400000000L)
+        .as("ts"), col("v"))
+    val out = Inference.cuped(df, col("u"), col("ts"), col("v"))
+      .collect().map(r => r.getAs[Long]("variant") -> r).toMap
+    val yBar = (2.0 + 4 + 6 + 8) / 4
+    out.values.foreach { r =>
+      assert(math.abs(r.getAs[Double]("theta") - 2.0) < 1e-9)
+      assert(math.abs(r.getAs[Double]("mean_y_adj") - yBar) < 1e-9)
+    }
+    // unadjusted means differ between variants; adjusted ones agree
+    assert(math.abs(out(0L).getAs[Double]("mean_y") -
+      out(1L).getAs[Double]("mean_y")) > 0.5)
+    graft.core.Caches.release()
+  }
+
+  test("dupClusterStats histogram accounts for every document") {
+    val docs = Seq("a", "a", "a", "b", "b", "c").toDF("text")
+    val m = graft.llm.Dedup.dupClusterStats(docs, col("text"))
+      .collect().map(r => r.getAs[Long]("size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("frac_docs")))).toMap
+    assert(m(3L) == ((1L, 3L, 0.5)))
+    assert(m(2L) == ((1L, 2L, 2.0 / 6.0)))
+    assert(m(1L) == ((1L, 1L, 1.0 / 6.0)))
+  }
+
   test("gaps counts SLA breaches and handles single-event keys") {
     val df = Seq(("a", 1L, 0L), ("a", 2L, 1000L), ("a", 3L, 5000L),
       ("b", 4L, 42L)).toDF("k", "id", "us")
