@@ -407,11 +407,24 @@ object TimeSeries {
     * key partitioning — two exchanges over the DAY table, never the
     * corpus. */
   def rollingAnomaly(df: DataFrame, key: Column, ts: Column,
-                     windowDays: Int = 7, k: Int = 3): DataFrame = {
-    val daily = df.filter(key.isNotNull && ts.isNotNull)
+                     windowDays: Int = 7, k: Int = 3): DataFrame =
+    rollingAnomalyFromDaily(dailyCounts(df, key, ts), windowDays, k)
+
+  /** The (k, day, c) daily-count relation [[rollingAnomaly]] windows —
+    * public so the streaming ledger twin
+    * ([[graft.streaming.Streaming.mergeDailyCountLedgerIdempotent]])
+    * shares the exact key/day semantics. Additive across disjoint row
+    * sets — what makes the streaming merge exact. */
+  def dailyCounts(df: DataFrame, key: Column, ts: Column): DataFrame =
+    df.filter(key.isNotNull && ts.isNotNull)
       .select(key.as("k"),
         call_function("div", unix_micros(ts), lit(86400000000L)).as("day"))
       .groupBy(col("k"), col("day")).agg(count(lit(1)).as("c"))
+
+  /** [[rollingAnomaly]] from a (k, day, c) daily table (corpus-built
+    * or ledger-built — identical results either way). */
+  def rollingAnomalyFromDaily(daily: DataFrame, windowDays: Int = 7,
+                              k: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("k")).orderBy(col("day"))
       .rangeBetween(-windowDays.toLong, -1L)
     val stats = daily

@@ -577,6 +577,35 @@ object Streaming {
         .select(col("x"), col("a"), col("b")))
   }
 
+  /** Merge one micro-batch's events into the persistent (k, day, c)
+    * daily-count ledger behind a streaming
+    * [[graft.agg.TimeSeries.rollingAnomaly]]: counts are additive
+    * across micro-batches (the line/KL ledger class), so the merge is
+    * a union + re-sum. Replay safety comes from the batchId
+    * high-water-mark sentinel (the [[mergePsiLedgerIdempotent]]
+    * pattern): a redelivered `foreachBatch` batch is a no-op instead
+    * of double-counting a day's volume — which would both fabricate
+    * anomalies on the replayed day AND poison the trailing baselines
+    * of the week after it. State is O(keys × days) — calendar-bounded.
+    * [[graft.agg.TimeSeries.rollingAnomalyFromDaily]] over the ledger
+    * (sentinel filtered) equals the one-shot batch result bit for bit
+    * (StreamingSpec pins it, replay included). Bucket by k at lake
+    * scale for a co-located merge. */
+  def mergeDailyCountLedgerIdempotent(ledger: DataFrame,
+                                      batchEvents: DataFrame, key: Column,
+                                      ts: Column,
+                                      batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("k"), col("day"))
+    if (batchId <= hwm) ledger.select(col("k"), col("day"), col("c"))
+    else ledger.filter(col("k").isNotNull)
+      .select(col("k"), col("day"), col("c"))
+      .unionByName(graft.agg.TimeSeries.dailyCounts(batchEvents, key, ts))
+      .groupBy(col("k"), col("day")).agg(sum(col("c")).as("c"))
+      .unionByName(hwmSentinel(batchEvents.sparkSession, "k", "string",
+        "day", batchId).withColumn("c", lit(0L))
+        .select(col("k"), col("day"), col("c")))
+  }
+
   /** Merge one micro-batch's (user, period) activity rows into a
     * persistent retention ledger — the streaming half of
     * [[graft.agg.Funnel.retention]], whose two-level aggregation

@@ -945,4 +945,55 @@ class StreamingSpec extends SparkSpec {
     graft.core.Caches.release()
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("idempotent daily-count ledger: replay is a no-op; streamed anomalies equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(day: Long, off: Long) = day * 86400000000L + off
+    // 8 quiet days then a spike day, split across micro-batches with a
+    // day straddling the batch boundary (its count must re-sum)
+    val rows: Seq[(String, Long)] =
+      (0L until 8L).flatMap(d => (1L to 5L).map(i => ("k", us(d, i)))) ++
+        (1L to 40L).map(i => ("k", us(8L, i)))
+    val (b1, b2, b3) = (rows.take(18), rows.slice(18, 43), rows.drop(43))
+
+    var ledger = Seq.empty[(String, Long, Long)].toDF("k", "day", "c")
+    val ms = MemoryStream[(String, Long)]
+    val q = ms.toDF().toDF("k", "u")
+      .select(col("k"), timestamp_micros(col("u")).as("ts")).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeDailyCountLedgerIdempotent(ledger, batch,
+            col("k"), col("ts"), bid).cache()
+          ledger.count()
+          // redelivery of the same batchId must not double day counts
+          ledger = Streaming.mergeDailyCountLedgerIdempotent(ledger, batch,
+            col("k"), col("ts"), bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    ms.addData(b3); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("k"), col("day")) == 2L)
+
+    val all = rows.toDF("k", "u")
+      .select(col("k"), timestamp_micros(col("u")).as("ts"))
+    val batchDaily = graft.agg.TimeSeries.dailyCounts(all, col("k"),
+      col("ts")).as[(String, Long, Long)].collect().toSet
+    assert(ledger.filter(col("k").isNotNull)
+      .as[(String, Long, Long)].collect().toSet == batchDaily,
+      "replay-gated ledger must equal batch daily counts despite redelivery")
+
+    val streamed = graft.agg.TimeSeries.rollingAnomalyFromDaily(
+      ledger.filter(col("k").isNotNull)).collect().map(_.toSeq).toSet
+    val batch = graft.agg.TimeSeries.rollingAnomaly(all, col("k"),
+      col("ts")).collect().map(_.toSeq).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(batch.exists(r => r(1) == 8L && r(6) == true),
+      "the spike day must flag")
+  }
 }
