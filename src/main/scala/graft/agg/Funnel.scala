@@ -126,4 +126,82 @@ object Funnel {
       .groupBy(col("cohort"), col("offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Period-over-period churn accounting: per activity period, how
+    * many users are active, newly arrived (not active the period
+    * before), retained (active both), and churned (active the period
+    * before but not now) — with churn_rate = churned / previous-period
+    * actives. [[retention]] answers "how do cohorts decay?"; this is
+    * the week-over-week operational readout.
+    *
+    * Semantics: a FULL OUTER self-join of the distinct (user, wk)
+    * activity set against itself shifted one period — pure set
+    * algebra, all exact integers; the one division is churn_rate.
+    * Periods beyond the last observed one (where every active user
+    * "churns" into no data) are dropped by the observed-weeks join —
+    * absent data is not churn evidence.
+    *
+    * Shape: one distinct on (user, wk) + one co-partitioned self-join
+    * + one ≤periods-key agg — everything hash-keys on the user. */
+  def churn(events: DataFrame, user: Column, ts: Column,
+            periodMicros: Long = 604800000000L): DataFrame = {
+    val a = graft.core.Caches.track(
+      activityPeriods(events.filter(user.isNotNull && ts.isNotNull),
+        user, ts, periodMicros).distinct())
+    val cur = a.withColumn("in_cur", lit(1L))
+    val prev = a.select(col("user_id"), (col("wk") + lit(1L)).as("wk"))
+      .withColumn("in_prev", lit(1L))
+    val weeks = a.select(col("wk")).distinct()
+    val flags = cur.join(prev, Seq("user_id", "wk"), "full_outer")
+      .groupBy(col("wk"))
+      .agg(sum(when(col("in_cur") === 1L, 1L).otherwise(0L)).as("n_active"),
+        sum(when(col("in_cur") === 1L && col("in_prev").isNull, 1L)
+          .otherwise(0L)).as("n_new"),
+        sum(when(col("in_cur") === 1L && col("in_prev") === 1L, 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("in_cur").isNull, 1L).otherwise(0L)).as("n_churned"))
+    flags.join(weeks, Seq("wk"))
+      .withColumn("churn_rate",
+        when(col("n_retained") + col("n_churned") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("n_churned").cast("double") /
+            (col("n_retained") + col("n_churned")).cast("double")))
+  }
+
+  /** Last-touch attribution: for each `toType` conversion event, the
+    * latest strictly-earlier `fromType` event by the same user — the
+    * "which click gets credit for this purchase" rule, reduced to its
+    * audit summary (conversion count, attributed fraction, latency
+    * profile).
+    *
+    * Shape: ONE user-keyed window (running max over the filtered
+    * from-type timestamps, strictly-before frame) + a 1-row agg — no
+    * self-join, no per-pair blowup; the window frame is the operator.
+    * Latencies are exact µs integers; the mean divides once. */
+  def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
+                           id: Column, typ: Column, fromType: String,
+                           toType: String): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("t"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val conv = events
+      .filter(user.isNotNull && ts.isNotNull && typ.isNotNull)
+      .select(user.as("u"), unix_micros(ts).as("t"), id.as("id"),
+        typ.as("typ"))
+      .withColumn("last_from",
+        max(when(col("typ") === fromType, col("t"))).over(w))
+      .filter(col("typ") === toType)
+      .select((col("t") - col("last_from")).as("lat"))
+    conv.agg(count(lit(1)).as("n_conversions"),
+        count(col("lat")).as("n_attributed"),
+        max(col("lat")).as("max_latency_us"),
+        sum(col("lat")).as("lat_sum"))
+      .select(col("n_conversions"), col("n_attributed"),
+        when(col("n_conversions") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_attributed").cast("double") /
+            col("n_conversions").cast("double")).as("frac_attributed"),
+        when(col("n_attributed") === 0L, lit(null).cast("double"))
+          .otherwise(col("lat_sum").cast("double") /
+            col("n_attributed").cast("double")).as("mean_latency_us"),
+        col("max_latency_us"))
+  }
 }

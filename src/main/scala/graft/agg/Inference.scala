@@ -168,6 +168,47 @@ object Inference {
         .otherwise(mi / sqrt(hprod)).as("nmi"))
   }
 
+  /** Classifier calibration audit (reliability diagram + ECE): scores
+    * bucket into `bins` equal-width [0,1) bins (clamped at the ends),
+    * and each bin reports its mean confidence vs its observed positive
+    * rate; the Expected Calibration Error is the bin-mass-weighted
+    * |accuracy − confidence| total — "when the quality scorer says
+    * 0.8, is it right 80% of the time?", the audit run before any
+    * score threshold is trusted as a probability.
+    *
+    * Exactness: per-row scores quantize floor(·10⁹) LONG before the
+    * bin sums (mean confidence is an exact-integer ratio); per-bin
+    * ECE terms quantize floor(·10⁹) before the window total (the PSI
+    * discipline). Empty bins carry no mass and need no spine.
+    *
+    * Shape: one map-combined ≤bins-key agg + a ≤bins-row window —
+    * scan-bound; the score/label expressions fuse into the scan
+    * projection. */
+  def calibration(df: DataFrame, score: Column, label: Column,
+                  bins: Int = 10): DataFrame = {
+    val bin = least(greatest(floor(score * lit(bins)).cast("long"),
+      lit(0L)), lit(bins.toLong - 1L))
+    val s = df.filter(score.isNotNull && label.isNotNull)
+      .select(bin.as("bin"),
+        floor(score * lit(1.0e9)).cast("long").as("sq"),
+        when(label, 1L).otherwise(0L).as("pos"))
+    val g = s.groupBy(col("bin")).agg(count(lit(1)).as("n"),
+      sum(col("sq")).as("sqs"), sum(col("pos")).as("npos"))
+    val t = g.agg(sum(col("n")).as("n_total"))
+    val conf = col("sqs").cast("double") / lit(1.0e9) /
+      col("n").cast("double")
+    val acc = col("npos").cast("double") / col("n").cast("double")
+    val term = abs(acc - conf) *
+      (col("n").cast("double") / col("n_total").cast("double"))
+    g.crossJoin(broadcast(t))
+      .withColumn("tq", floor(term * lit(1.0e9)).cast("long"))
+      .select(col("bin"), col("n"), conf.as("mean_score"),
+        acc.as("frac_pos"),
+        (col("tq").cast("double") / lit(1.0e9)).as("ece_term"),
+        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+          lit(1.0e9)).as("ece"))
+  }
+
   /** Sample-ratio-mismatch check (the first gate of every A/B
     * readout): randomization UNITS (distinct ids) split into
     * `variants` buckets by id mod, tested against the uniform

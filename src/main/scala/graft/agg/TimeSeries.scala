@@ -391,6 +391,44 @@ object TimeSeries {
           e => e.getField("sym")), "").as("sax_word"))
   }
 
+  /** Per-transition latency profile: for each consecutive
+    * (from_type → to_type) step in a user's event stream, the gap
+    * distribution — count, mean, lower median, max in µs. The TIME
+    * companion of [[markovTransitions]]' probabilities: the chain says
+    * where users go next, this says how long they linger first.
+    *
+    * Exactness: gaps are exact µs integers under the (ts, id) order;
+    * the lower median is rank selection (the madOutliers rule — no
+    * interpolated double), the mean divides once.
+    *
+    * Shape: one user-keyed lag window, then one (from,to)-keyed rank
+    * window + agg on the same partitioning. */
+  def transitionLatency(df: DataFrame, user: Column, ts: Column,
+                        id: Column, typ: Column): DataFrame = {
+    val wu = Window.partitionBy(col("u")).orderBy(col("t"), col("id"))
+    val pairs = df
+      .filter(user.isNotNull && ts.isNotNull && typ.isNotNull)
+      .select(user.as("u"), unix_micros(ts).as("t"), id.as("id"),
+        typ.as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(wu))
+      .withColumn("from_t", lag(col("t"), 1).over(wu))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col("to_type"),
+        (col("t") - col("from_t")).as("dt"), col("t"), col("id"))
+    val wp = Window.partitionBy(col("from_type"), col("to_type"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(
+        wp.orderBy(col("dt"), col("t"), col("id"))))
+      .withColumn("n", count(lit(1)).over(wp))
+    ranked.groupBy(col("from_type"), col("to_type"))
+      .agg(max(col("n")).as("n"),
+        (sum(col("dt")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean_gap_us"),
+        max(when(col("rn") === call_function("div", col("n") + lit(1L),
+          lit(2L)), col("dt"))).as("median_gap_us"),
+        max(col("dt")).as("max_gap_us"))
+  }
+
   /** Rolling-window volume anomaly per key: for each (key, day), flag
     * the daily event count against the TRAILING `windowDays`-day
     * baseline (current day excluded — a spike must not inflate its own

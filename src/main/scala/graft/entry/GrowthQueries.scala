@@ -1,0 +1,250 @@
+package graft.entry
+
+import graft.agg.{Funnel, Inference, TimeSeries}
+import graft.llm.{Selection, Similarity, TextAnalysis}
+import graft.functions.GraftFunctions.tokens
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product/eval analytics wave: vocabulary-coverage curve, weekly
+  * churn accounting, per-transition latency profiles, embedding
+  * label-separation audit, classifier calibration (reliability + ECE),
+  * and last-touch attribution. Operators live in
+  * [[graft.llm.TextAnalysis]], [[graft.agg.Funnel]],
+  * [[graft.agg.TimeSeries]], [[graft.llm.Similarity]] and
+  * [[graft.agg.Inference]].
+  */
+object GrowthQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Vocab cutoffs (shared with the oracle). */
+  private val VocabKs = Seq(100L, 1000L, 10000L)
+  /** Blocklist label words — the q_scorer_kappa gate, verbatim. */
+  private val BlockedWords = Seq("slow", "broken", "spam", "casino")
+  /** Attribution step types. */
+  private val AttrFrom = "click"; private val AttrTo = "purchase"
+
+  val queries: Map[String, Q] = Map(
+    // token-mass coverage of the top-{100,1k,10k} folded types — the
+    // vocab-budget curve Zipf's slope implies but doesn't answer
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), col("text"),
+        VocabKs)),
+
+    // week-over-week active/new/retained/churned accounting — the
+    // operational readout beside q_retention's cohort decay
+    "q_churn" -> ((s, d) =>
+      Funnel.churn(Tables.events(s, d), col("user_id"), col("ts"))),
+
+    // per-(from→to) consecutive-step latency profile — the TIME
+    // companion of q_markov's transition probabilities
+    "q_transition_latency" -> ((s, d) =>
+      TimeSeries.transitionLatency(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))),
+
+    // are the embedding classes separated and tight? centroid-pair
+    // cosines + per-label cohesion from exact fixed-point centroids
+    "q_label_separation" -> ((s, d) =>
+      Similarity.labelSeparation(Tables.embeddings(s, d), col("vec_id"),
+        col("label"), col("embedding"))),
+
+    // reliability diagram + ECE of the quality classifier against the
+    // blocklist-clean label — is the score a probability?
+    "q_calibration_bins" -> ((s, d) =>
+      Inference.calibration(Tables.documents(s, d),
+        Selection.clfScore(col("text")),
+        size(filter(tokens(TextAnalysis.foldLower(col("text"))),
+          t => t.isin(BlockedWords: _*))) === 0)),
+
+    // last-touch attribution: latest strictly-earlier click credits
+    // each purchase — one user-keyed window, no self-join
+    "q_attribution" -> ((s, d) =>
+      Funnel.lastTouchAttribution(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), AttrFrom, AttrTo))
+  )
+
+  private val FoldSql = "lower(translate(text, 'İΣ', 'iσ'))"
+  private val FoldToksSql =
+    s"list_filter(string_split($FoldSql, ' '), t -> len(t) > 0)"
+  private val SqlToks =
+    "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+  private def sqlMd5Long(x: String): String =
+    s"CAST('0x'||substring(md5($x),1,15) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      s"""WITH tk AS (SELECT unnest($FoldToksSql) AS t FROM documents
+         |            WHERE text IS NOT NULL),
+         |vocab AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tk
+         |          GROUP BY t),
+         |ranked AS (SELECT t, f,
+         |    CAST(row_number() OVER (ORDER BY f DESC, t) AS BIGINT) AS rank,
+         |    CAST(sum(f) OVER (ORDER BY f DESC, t ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM vocab),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS v_size,
+         |          CAST(sum(f) AS BIGINT) AS total FROM vocab),
+         |ks AS (SELECT CAST(unnest([${VocabKs.mkString(", ")}]) AS BIGINT)
+         |         AS k)
+         |SELECT k, least(k, v_size) AS n_types, cum AS mass,
+         |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS frac_mass
+         |FROM ks CROSS JOIN tot
+         |JOIN ranked ON rank = least(k, v_size)""".stripMargin,
+
+    "q_churn" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             epoch_us(ts) // 604800000000 AS wk FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |j AS (SELECT coalesce(c.user_id, p.user_id) AS u,
+        |        coalesce(c.wk, p.wk) AS wk,
+        |        c.user_id IS NOT NULL AS in_cur,
+        |        p.user_id IS NOT NULL AS in_prev
+        |      FROM a c FULL OUTER JOIN
+        |        (SELECT user_id, wk + 1 AS wk FROM a) p
+        |        ON c.user_id = p.user_id AND c.wk = p.wk),
+        |f AS (SELECT wk,
+        |        CAST(sum(CASE WHEN in_cur THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_active,
+        |        CAST(sum(CASE WHEN in_cur AND NOT in_prev THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_new,
+        |        CAST(sum(CASE WHEN in_cur AND in_prev THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_retained,
+        |        CAST(sum(CASE WHEN NOT in_cur THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_churned
+        |      FROM j GROUP BY wk)
+        |SELECT f.wk, n_active, n_new, n_retained, n_churned,
+        |  CASE WHEN n_retained + n_churned = 0 THEN NULL
+        |       ELSE CAST(n_churned AS DOUBLE)
+        |            / CAST(n_retained + n_churned AS DOUBLE)
+        |  END AS churn_rate
+        |FROM f JOIN (SELECT DISTINCT wk FROM a) w ON f.wk = w.wk""".stripMargin,
+
+    "q_transition_latency" ->
+      """WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+        |             event_type AS to_type FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND event_type IS NOT NULL),
+        |p AS (SELECT to_type, lag(to_type) OVER w AS from_type,
+        |        lag(t) OVER w AS from_t, t, id FROM v
+        |      WINDOW w AS (PARTITION BY u ORDER BY t, id)),
+        |d AS (SELECT from_type, to_type, t - from_t AS dt, t, id FROM p
+        |      WHERE from_type IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY from_type, to_type
+        |        ORDER BY dt, t, id) AS rn,
+        |        count(*) OVER (PARTITION BY from_type, to_type) AS n FROM d)
+        |SELECT from_type, to_type, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(dt) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_gap_us,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN dt END) AS BIGINT)
+        |    AS median_gap_us,
+        |  CAST(max(dt) AS BIGINT) AS max_gap_us
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    "q_label_separation" ->
+      """WITH base AS (SELECT vec_id, label AS g, embedding AS v
+        |              FROM embeddings
+        |              WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |cents AS (SELECT g, i AS pos,
+        |    CAST(sum(CAST(floor(CAST(v[i+1] AS DOUBLE) * 1048576.0)
+        |      AS BIGINT)) AS BIGINT) AS qsum,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM base, unnest(range(0, len(v))) AS u(i) GROUP BY 1, 2),
+        |cv AS (SELECT g, pos, (CAST(qsum AS DOUBLE) / 1048576.0) / n AS c,
+        |         n FROM cents),
+        |norms AS (SELECT g,
+        |    CAST(sum(CAST(floor(c * c * 1.0E9) AS BIGINT)) AS BIGINT) AS nq,
+        |    CAST(max(n) AS BIGINT) AS n_members FROM cv GROUP BY g),
+        |mem AS (SELECT b.g, b.vec_id AS mid,
+        |    CAST(sum(CAST(floor(CAST(b.v[u.pos+1] AS DOUBLE) * cv.c * 1.0E9)
+        |      AS BIGINT)) AS BIGINT) AS dq,
+        |    CAST(sum(CAST(floor(CAST(b.v[u.pos+1] AS DOUBLE)
+        |      * CAST(b.v[u.pos+1] AS DOUBLE) * 1.0E9) AS BIGINT)) AS BIGINT)
+        |      AS mq
+        |  FROM base b CROSS JOIN unnest(range(0, len(b.v))) AS u(pos)
+        |  JOIN cv ON cv.g = b.g AND cv.pos = u.pos
+        |  GROUP BY 1, 2),
+        |memcos AS (SELECT m.g,
+        |    CASE WHEN m.mq <= 0 OR n.nq <= 0 THEN NULL
+        |         ELSE (CAST(m.dq AS DOUBLE) / 1.0E9)
+        |              / (sqrt(CAST(m.mq AS DOUBLE) / 1.0E9)
+        |                 * sqrt(CAST(n.nq AS DOUBLE) / 1.0E9)) END AS mc
+        |  FROM mem m JOIN norms n ON n.g = m.g),
+        |coh AS (SELECT g,
+        |    CAST(sum(CAST(floor(mc * 1.0E9) AS BIGINT)) AS DOUBLE) / 1.0E9
+        |      / CAST(count(mc) AS DOUBLE) AS coh
+        |  FROM memcos GROUP BY g),
+        |pd AS (SELECT a.g AS ga, b.g AS gb,
+        |    CAST(sum(CAST(floor(a.c * b.c * 1.0E9) AS BIGINT)) AS BIGINT)
+        |      AS dq
+        |  FROM cv a JOIN cv b ON a.pos = b.pos AND a.g < b.g GROUP BY 1, 2)
+        |SELECT pd.ga AS label_a, pd.gb AS label_b,
+        |  na.n_members AS n_a, nb.n_members AS n_b,
+        |  CASE WHEN na.nq <= 0 OR nb.nq <= 0 THEN NULL
+        |       ELSE (CAST(pd.dq AS DOUBLE) / 1.0E9)
+        |            / (sqrt(CAST(na.nq AS DOUBLE) / 1.0E9)
+        |               * sqrt(CAST(nb.nq AS DOUBLE) / 1.0E9))
+        |  END AS centroid_cos,
+        |  ca.coh AS coh_a, cb.coh AS coh_b
+        |FROM pd JOIN norms na ON na.g = pd.ga
+        |JOIN norms nb ON nb.g = pd.gb
+        |JOIN coh ca ON ca.g = pd.ga
+        |JOIN coh cb ON cb.g = pd.gb""".stripMargin,
+
+    "q_calibration_bins" ->
+      s"""WITH toks AS (SELECT $SqlToks AS tk,
+         |               $FoldToksSql AS ftk FROM documents),
+         |sc AS (SELECT
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(CAST(coalesce(list_sum(list_transform(tk, t ->
+         |             ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)),
+         |             0) AS BIGINT) AS DOUBLE)
+         |           / (CAST(CAST(len(tk) AS BIGINT) AS DOUBLE) * 1000.0)
+         |    END AS score,
+         |    (len(list_filter(ftk, t -> t IN
+         |      (${BlockedWords.map(w => s"'$w'").mkString(", ")}))) = 0)
+         |      AS label
+         |  FROM toks),
+         |s2 AS (SELECT least(greatest(CAST(floor(score * 10) AS BIGINT), 0),
+         |           9) AS bin,
+         |         CAST(floor(score * 1.0E9) AS BIGINT) AS sq,
+         |         CASE WHEN label THEN 1 ELSE 0 END AS pos
+         |       FROM sc),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(sq) AS BIGINT) AS sqs,
+         |        CAST(sum(pos) AS BIGINT) AS npos FROM s2 GROUP BY bin),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM g),
+         |q AS (SELECT bin, n, sqs, npos, n_total,
+         |        CAST(floor(abs(CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+         |            - CAST(sqs AS DOUBLE) / 1.0E9 / CAST(n AS DOUBLE))
+         |          * (CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE))
+         |          * 1.0E9) AS BIGINT) AS tq
+         |      FROM g CROSS JOIN t)
+         |SELECT bin, n,
+         |  CAST(sqs AS DOUBLE) / 1.0E9 / CAST(n AS DOUBLE) AS mean_score,
+         |  CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+         |  CAST(tq AS DOUBLE) / 1.0E9 AS ece_term,
+         |  CAST(sum(tq) OVER () AS DOUBLE) / 1.0E9 AS ece
+         |FROM q""".stripMargin,
+
+    "q_attribution" ->
+      s"""WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
+         |             event_type AS typ FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |             AND event_type IS NOT NULL),
+         |wl AS (SELECT typ, t,
+         |         max(CASE WHEN typ = '$AttrFrom' THEN t END) OVER
+         |           (PARTITION BY u ORDER BY t, id ROWS BETWEEN UNBOUNDED
+         |            PRECEDING AND 1 PRECEDING) AS last_from FROM v),
+         |conv AS (SELECT t - last_from AS lat FROM wl
+         |         WHERE typ = '$AttrTo')
+         |SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+         |  CAST(count(lat) AS BIGINT) AS n_attributed,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |       ELSE CAST(count(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |  END AS frac_attributed,
+         |  CASE WHEN count(lat) = 0 THEN NULL
+         |       ELSE CAST(sum(lat) AS DOUBLE) / CAST(count(lat) AS DOUBLE)
+         |  END AS mean_latency_us,
+         |  CAST(max(lat) AS BIGINT) AS max_latency_us
+         |FROM conv""".stripMargin
+  )
+}

@@ -73,6 +73,16 @@ object Selection {
     size(tk) > 0 && clfMarginQ(tk) > 0L
   }
 
+  /** The classifier score as one composable Column — identical to
+    * [[qualityClassifier]]'s `q_score` (margin per kilotoken), so
+    * calibration/eval operators can score in THEIR scan projection. */
+  def clfScore(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(clfMarginQ(tk).cast("double") /
+        (size(tk).cast("long").cast("double") * 1000.0))
+  }
+
   /** Hashed-linear quality score per doc: tokens hash into
     * [[ClfBuckets]] buckets, per-bucket weights accumulate in exact
     * integer milliunits, and the margin normalizes by token count.

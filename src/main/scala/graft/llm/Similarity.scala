@@ -1127,6 +1127,81 @@ object Similarity {
         (coalesce(col("hits"), lit(0L)) === lit(0L)).as("antihub"))
   }
 
+  /** Label-separation audit of a labeled embedding corpus: for every
+    * label pair, the cosine between their exact fixed-point centroids
+    * ([[quantizedCentroids]]), with each label's cohesion (mean member
+    * cosine to its own centroid) alongside — "are the classes actually
+    * separated in embedding space, and are they tight?": low pair
+    * cosine + high cohesion is the healthy reading; a pair cosine
+    * approaching either cohesion means the classes blur.
+    *
+    * Exactness: centroids are the quantizedCentroids doubles (exact
+    * integer accumulation ⇒ identical on any partitioning/engine);
+    * every cross-dimension sum — centroid dot products, norms, member
+    * dots — quantizes floor(·10⁹) LONG before aggregation, and each
+    * cosine/mean is one final double expression. Zero-norm guards →
+    * NULL.
+    *
+    * Shape: one posexplode agg for centroids (corpus×dim — the
+    * dimStats shape), one member⋈centroid equi-join on (label, pos)
+    * for cohesion, and a ≤labels² centroid-pair join — never a
+    * member-pair join. */
+  def labelSeparation(df: DataFrame, id: Column, label: Column,
+                      vec: Column): DataFrame = {
+    val base = df.filter(label.isNotNull && vec.isNotNull)
+    val cents = graft.core.Caches.track(
+      quantizedCentroids(base, label, vec))
+    def q9(c: Column): Column = floor(c * lit(1.0e9)).cast("long")
+    val norms = cents.groupBy(col("g"))
+      .agg(sum(q9(col("centroid") * col("centroid"))).as("nq"),
+        max(col("n")).as("n_members"))
+    // member cosine to own centroid → per-label cohesion
+    val mem = base
+      .select(id.as("mid"), label.as("g"), posexplode(vec).as(Seq("pos", "x")))
+      .join(cents.select(col("g"), col("pos"), col("centroid")),
+        Seq("g", "pos"))
+      .groupBy(col("g"), col("mid"))
+      .agg(sum(q9(col("x").cast("double") * col("centroid"))).as("dq"),
+        sum(q9(col("x").cast("double") * col("x").cast("double")))
+          .as("mq"))
+    val memCos = mem.join(norms.select(col("g"), col("nq")), Seq("g"))
+      .select(col("g"),
+        when(col("mq") <= 0L || col("nq") <= 0L, lit(null).cast("double"))
+          .otherwise((col("dq").cast("double") / lit(1.0e9)) /
+            (sqrt(col("mq").cast("double") / lit(1.0e9)) *
+              sqrt(col("nq").cast("double") / lit(1.0e9)))).as("mc"))
+    val cohesion = memCos
+      .groupBy(col("g"))
+      .agg((sum(q9(col("mc"))).cast("double") / lit(1.0e9) /
+        count(col("mc")).cast("double")).as("coh"))
+    // centroid-pair cosines over the ≤labels² dim-joined rows
+    val pairDots = cents.select(col("g").as("ga"), col("pos"),
+        col("centroid").as("ca"))
+      .join(cents.select(col("g").as("gb"), col("pos"),
+        col("centroid").as("cb")), Seq("pos"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(q9(col("ca") * col("cb"))).as("dq"))
+    pairDots
+      .join(norms.select(col("g").as("ga"), col("nq").as("nqa"),
+        col("n_members").as("n_a")), Seq("ga"))
+      .join(norms.select(col("g").as("gb"), col("nq").as("nqb"),
+        col("n_members").as("n_b")), Seq("gb"))
+      .join(cohesion.select(col("g").as("ga"), col("coh").as("coh_a")),
+        Seq("ga"))
+      .join(cohesion.select(col("g").as("gb"), col("coh").as("coh_b")),
+        Seq("gb"))
+      .select(col("ga").as("label_a"), col("gb").as("label_b"),
+        col("n_a"), col("n_b"),
+        when(col("nqa") <= 0L || col("nqb") <= 0L,
+          lit(null).cast("double"))
+          .otherwise((col("dq").cast("double") / lit(1.0e9)) /
+            (sqrt(col("nqa").cast("double") / lit(1.0e9)) *
+              sqrt(col("nqb").cast("double") / lit(1.0e9))))
+          .as("centroid_cos"),
+        col("coh_a"), col("coh_b"))
+  }
+
   /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL'19 — the
     * bitext-mining criterion): margin(x, y) = cos(x, y) divided by the
     * mean of the two directions' average k-NN cosines. Raw cosine

@@ -1299,4 +1299,43 @@ object TextAnalysis {
       qualityScore(text).as("quality"),
       langId(text).as("lang_guess"),
       tokenSetFingerprint(text).as("fingerprint"))
+
+  /** Vocabulary coverage curve: for each cutoff k, the token-mass
+    * fraction the top-k most frequent (folded) types cover — the
+    * tokenizer/vocab budget question ("does 10k types cover 95% of the
+    * stream?") that Zipf's slope implies but doesn't answer in
+    * absolute terms. Ranking breaks frequency ties by the token text,
+    * so each cutoff is a deterministic prefix.
+    *
+    * Exactness: frequencies and cumulative masses are exact integer
+    * sums; the fraction divides once.
+    *
+    * Shape: one token-explode agg (the corpus-sized work), then a
+    * rank + running-sum window over the VOCAB (domain-sized,
+    * single-partition — the zipf regime; gate with a minFreq filter
+    * if the type inventory is genuinely unbounded), and a broadcast
+    * cutoff spine. */
+  def vocabCoverage(df: DataFrame, text: Column,
+                    cutoffs: Seq[Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = df.filter(text.isNotNull)
+      .select(explode(graft.functions.GraftFunctions.tokensFolded(text))
+        .as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f").desc, col("t"))
+    val ranked = vocab
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("f")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val tot = vocab.agg(count(lit(1)).as("v_size"),
+      sum(col("f")).as("total"))
+    cutoffs.toDF("k").crossJoin(broadcast(tot))
+      .join(ranked, col("rank") === least(col("k"), col("v_size")))
+      .select(col("k"), least(col("k"), col("v_size")).as("n_types"),
+        col("cum").as("mass"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("frac_mass"))
+  }
 }
