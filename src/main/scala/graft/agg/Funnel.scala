@@ -147,7 +147,13 @@ object Funnel {
             periodMicros: Long = 604800000000L): DataFrame = {
     val a = graft.core.Caches.track(
       activityPeriods(events.filter(user.isNotNull && ts.isNotNull),
-        user, ts, periodMicros).distinct())
+        user, ts, periodMicros).distinct()
+        // first-ever period per user: splits arrivals into truly NEW
+        // vs RESURRECTED (returned after a gap) — the growth-
+        // accounting refinement; a user-keyed window on the already
+        // user-hashed activity set
+        .withColumn("firstwk", min(col("wk"))
+          .over(Window.partitionBy(col("user_id")))))
     val cur = a.withColumn("in_cur", lit(1L))
     val prev = a.select(col("user_id"), (col("wk") + lit(1L)).as("wk"))
       .withColumn("in_prev", lit(1L))
@@ -155,8 +161,11 @@ object Funnel {
     val flags = cur.join(prev, Seq("user_id", "wk"), "full_outer")
       .groupBy(col("wk"))
       .agg(sum(when(col("in_cur") === 1L, 1L).otherwise(0L)).as("n_active"),
-        sum(when(col("in_cur") === 1L && col("in_prev").isNull, 1L)
+        sum(when(col("in_cur") === 1L && col("wk") === col("firstwk"), 1L)
           .otherwise(0L)).as("n_new"),
+        sum(when(col("in_cur") === 1L && col("in_prev").isNull &&
+          col("wk") > col("firstwk"), 1L).otherwise(0L))
+          .as("n_resurrected"),
         sum(when(col("in_cur") === 1L && col("in_prev") === 1L, 1L)
           .otherwise(0L)).as("n_retained"),
         sum(when(col("in_cur").isNull, 1L).otherwise(0L)).as("n_churned"))
@@ -166,6 +175,55 @@ object Funnel {
           lit(null).cast("double"))
           .otherwise(col("n_churned").cast("double") /
             (col("n_retained") + col("n_churned")).cast("double")))
+      // SaaS quick ratio: arrivals over departures; NULL on a
+      // zero-churn period (undefined, not infinite)
+      .withColumn("quick_ratio",
+        when(col("n_churned") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_new") + col("n_resurrected")).cast("double") /
+            col("n_churned").cast("double")))
+  }
+
+  /** Cohort value (LTV) matrix: users cohort by their FIRST active
+    * period; each (cohort, offset) cell reports active users, the
+    * period's value mass, and the cohort's cumulative value per
+    * cohort member — the revenue companion of [[retention]]'s count
+    * matrix and the curve an LTV model is fit to.
+    *
+    * Exactness: value quantizes to LONG cents; cohort sizes, cell
+    * masses and the running total are exact integers (the cumulative
+    * is a window over the ≤cohorts×offsets MATRIX, not the corpus);
+    * the per-user division happens once per cell.
+    *
+    * Shape: one user-keyed agg (first period + per-period sums ride
+    * the same shuffle via a two-level agg), one matrix-keyed re-agg,
+    * one small window. */
+  def cohortValue(events: DataFrame, user: Column, ts: Column,
+                  value: Column,
+                  periodMicros: Long = 604800000000L): DataFrame = {
+    val v = events
+      .filter(user.isNotNull && ts.isNotNull && value.isNotNull)
+      .select(user.as("u"), ts.as("__ts"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+      .select(col("u"),
+        expr(s"unix_micros(__ts) div $periodMicros").as("wk"), col("c"))
+    val perUserWk = v.groupBy(col("u"), col("wk"))
+      .agg(sum(col("c")).as("cw"))
+      .withColumn("cohort", min(col("wk"))
+        .over(Window.partitionBy(col("u"))))
+    val sizes = perUserWk.filter(col("wk") === col("cohort"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+    val cells = perUserWk
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"), sum(col("cw")).as("value_c"))
+    val wc = Window.partitionBy(col("cohort")).orderBy(col("offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .withColumn("cum_value_c", sum(col("value_c")).over(wc))
+      .select(col("cohort"), col("offset"), col("n_active"),
+        col("n_cohort"), col("value_c"), col("cum_value_c"),
+        (col("cum_value_c").cast("double") /
+          col("n_cohort").cast("double") / lit(100.0))
+          .as("cum_value_per_user"))
   }
 
   /** Last-touch attribution: for each `toType` conversion event, the

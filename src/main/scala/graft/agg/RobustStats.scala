@@ -410,6 +410,53 @@ object RobustStats {
             lit(100.0)).as("winsorized_mean"))
   }
 
+  /** Lorenz curve of an integer mass column at `points` equal
+    * population quantiles: point p answers "what fraction of the total
+    * mass do the bottom p/points of rows hold?" — the curve whose area
+    * deficit [[gini]] summarizes into one number, drawn when the
+    * SHAPE of the inequality matters (where does the mass cliff sit?).
+    *
+    * Exactness: the population cut k = (p·n) div points is an exact
+    * integer; the cut's mass interpolates WITHIN the tied value group
+    * as cummass − (cumcnt − k)·v — still exact integer arithmetic
+    * (every row in a tied group carries the same v); one division per
+    * point. DECIMAL(38,0)/HUGEINT mass sums.
+    *
+    * Shape: the KS regime — the corpus collapses to one row per
+    * DISTINCT value (map-combined agg), the cumulative window runs on
+    * that domain-sized relation, and the ≤points spine rides a
+    * broadcast. */
+  def lorenz(df: DataFrame, x: Column, points: Int = 10): DataFrame = {
+    val g = df.filter(x.isNotNull)
+      .select(x.cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g
+      .withColumn("cumcnt", sum(col("cnt")).over(w))
+      .withColumn("cummass",
+        sum((col("v") * col("cnt")).cast("decimal(38,0)")).over(w))
+    val t = g.agg(sum(col("cnt")).as("n"),
+      sum((col("v") * col("cnt")).cast("decimal(38,0)")).as("total"))
+    val spine = df.sparkSession.range(1, points + 1).toDF("p")
+      .crossJoin(broadcast(t))
+      .withColumn("k", call_function("div", col("p") * col("n"),
+        lit(points.toLong)))
+    val mass = (col("cummass") -
+      ((col("cumcnt") - col("k")) * col("v")).cast("decimal(38,0)"))
+    cum.crossJoin(broadcast(spine))
+      .filter(col("cumcnt") >= col("k"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p")).orderBy(col("v"))))
+      .filter(col("rn") === 1)
+      .select(col("p"), col("k"), col("v").as("v_at"),
+        (col("k").cast("double") / col("n").cast("double"))
+          .as("frac_pop"),
+        when(col("total") === 0, lit(null).cast("double"))
+          .otherwise(mass.cast("double") / col("total").cast("double"))
+          .as("frac_mass"))
+  }
+
   /** Per-group Gini concentration of a non-negative integer mass
     * column: G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over the ascending sort.
     *

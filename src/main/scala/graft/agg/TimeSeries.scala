@@ -391,6 +391,112 @@ object TimeSeries {
           e => e.getField("sym")), "").as("sax_word"))
   }
 
+  /** Mann–Kendall trend test per key over the daily-count series —
+    * the SIGNIFICANCE companion of [[theilSen]]'s slope: S = Σ_{i<j}
+    * sign(c_j − c_i) over day order, tie-corrected variance, and the
+    * continuity-corrected z. A monotone drift that never breaks a 3σ
+    * daily band still drives |z| up; this is the slow-leak alarm.
+    *
+    * Exactness: S and the variance NUMERATOR 18·var = n(n−1)(2n+5) −
+    * Σ t(t−1)(2t+5) are exact integers (DECIMAL(38,0) — n³ terms);
+    * z = (S∓1)/√(var_num/18) is ONE final double with the S = 0 and
+    * n < 2 guards. Ties group by the daily-count VALUE.
+    *
+    * Shape: the theilSen discipline — the pair join runs on the
+    * per-key DAY table (O(days²) per key, bounded by the time range,
+    * not the corpus), ties on a ≤|distinct c| re-agg. */
+  def mannKendall(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val days = graft.core.Caches.track(
+      df.filter(key.isNotNull && ts.isNotNull)
+        .select(key.as("k"),
+          call_function("div", unix_micros(ts), lit(86400000000L)).as("d"))
+        .groupBy(col("k"), col("d")).agg(count(lit(1)).as("c")))
+    val s = days.as("l").join(days.as("r"),
+        col("l.k") === col("r.k") && col("l.d") < col("r.d"))
+      .select(col("l.k").as("k"),
+        signum(col("r.c") - col("l.c")).cast("long").as("sg"))
+      .groupBy(col("k")).agg(sum(col("sg")).as("s_stat"))
+    val n = days.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val ties = days.groupBy(col("k"), col("c"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(sum((col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .cast("decimal(38,0)")).as("tie_sum"))
+    val varNum = (col("n") * (col("n") - 1L) *
+      (lit(2L) * col("n") + 5L)).cast("decimal(38,0)") - col("tie_sum")
+    val varD = varNum.cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0L,
+        (col("s_stat").cast("double") - lit(1.0)) / sqrt(varD))
+      .when(col("s_stat") < 0L,
+        (col("s_stat").cast("double") + lit(1.0)) / sqrt(varD))
+      .otherwise(lit(0.0))
+    n.join(s, Seq("k")).join(ties, Seq("k"))
+      .select(col("k"), col("n"), col("s_stat"),
+        varNum.cast("long").as("var_num18"),
+        when(col("n") < 2L || varNum <= 0L, lit(null).cast("double"))
+          .otherwise(z).as("z"))
+  }
+
+  /** Kaplan–Meier survival curve for the `fromType` → `toType`
+    * conversion delay, right-censored at the corpus horizon: per
+    * event-day t, the at-risk count, the conversions at t, and the
+    * product-limit survival estimate S(t) = Π_{u ≤ t} (1 − d_u/n_u) —
+    * "how long until a signup purchases", with users who never
+    * converted contributing exactly the censoring information a naive
+    * mean-of-converters silently throws away.
+    *
+    * Determinism: durations are integer days; per-day d/n are exact
+    * integers (at-risk via one cumulative window over the DAY table);
+    * S(t) folds the day-ordered factor array sequentially (the EWMA
+    * rule — a product's rounding depends on order, so the spec IS the
+    * fold), each factor the shared (n−d)/n double. O(D²) fold work on
+    * a D≈horizon-days array — bounded by the calendar, not the
+    * corpus.
+    *
+    * Shape: one user-keyed agg (first from / first to after it), one
+    * duration-day agg + cumulative window, one ≤D-element collect
+    * broadcast back over the day rows. */
+  def kaplanMeier(df: DataFrame, user: Column, ts: Column, typ: Column,
+                  fromType: String, toType: String): DataFrame = {
+    val v = df.filter(user.isNotNull && ts.isNotNull && typ.isNotNull)
+      .select(user.as("u"), unix_micros(ts).as("t"), typ.as("typ"))
+    val horizon = v.agg(max(col("t")).as("maxT"))
+    val perUser = v.groupBy(col("u"))
+      .agg(min(when(col("typ") === fromType, col("t"))).as("t0"),
+        min(when(col("typ") === toType, col("t"))).as("t1raw"))
+      .filter(col("t0").isNotNull)
+      .withColumn("t1",
+        when(col("t1raw") >= col("t0"), col("t1raw")))
+      .crossJoin(broadcast(horizon))
+      .select(
+        call_function("div",
+          coalesce(col("t1"), col("maxT")) - col("t0"),
+          lit(86400000000L)).as("dur"),
+        col("t1").isNotNull.as("event"))
+    val byDay = perUser.groupBy(col("dur"))
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+    val w = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = byDay.agg(sum(col("n_at")).as("n_total"))
+    val risk = byDay.crossJoin(broadcast(t))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("n_at")).over(w), lit(0L)))
+      .filter(col("d") > 0L)
+      .select(col("dur"), col("n_risk"), col("d"))
+    val factors = risk
+      .agg(array_sort(collect_list(struct(col("dur"), col("n_risk"),
+        col("d")))).as("fs"))
+    risk.crossJoin(broadcast(factors))
+      .select(col("dur").as("t_day"), col("n_risk"), col("d").as("n_events"),
+        aggregate(
+          filter(col("fs"), e => e.getField("dur") <= col("dur")),
+          lit(1.0),
+          (acc, e) => acc *
+            ((e.getField("n_risk") - e.getField("d")).cast("double") /
+              e.getField("n_risk").cast("double"))).as("survival"))
+  }
+
   /** Per-transition latency profile: for each consecutive
     * (from_type → to_type) step in a user's event stream, the gap
     * distribution — count, mean, lower median, max in µs. The TIME

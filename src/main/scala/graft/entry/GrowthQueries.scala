@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.agg.{Funnel, Inference, TimeSeries}
+import graft.agg.{Funnel, Inference, RobustStats, TimeSeries}
 import graft.llm.{Selection, Similarity, TextAnalysis}
 import graft.functions.GraftFunctions.tokens
 import graft.sources.Tables
@@ -61,7 +61,32 @@ object GrowthQueries {
     // each purchase — one user-keyed window, no self-join
     "q_attribution" -> ((s, d) =>
       Funnel.lastTouchAttribution(Tables.events(s, d), col("user_id"),
-        col("ts"), col("event_id"), col("event_type"), AttrFrom, AttrTo))
+        col("ts"), col("event_id"), col("event_type"), AttrFrom, AttrTo)),
+
+    // Mann-Kendall monotone-trend test per type — the significance
+    // companion of q_theil_sen's slope; integer S and tie-corrected
+    // variance numerator, day-table pair join
+    "q_mann_kendall" -> ((s, d) =>
+      TimeSeries.mannKendall(Tables.events(s, d), col("event_type"),
+        col("ts"))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // Kaplan-Meier signup→purchase survival, right-censored at the
+    // corpus horizon — sequential product-limit fold, both engines
+    "q_survival_km" -> ((s, d) =>
+      TimeSeries.kaplanMeier(Tables.events(s, d), col("user_id"),
+        col("ts"), col("event_type"), "signup", AttrTo)),
+
+    // Lorenz curve of document mass at population deciles — the shape
+    // q_gini summarizes; exact within-tie interpolation
+    "q_lorenz" -> ((s, d) =>
+      RobustStats.lorenz(Tables.documents(s, d), col("n_chars"))),
+
+    // cohort LTV matrix: first-active-week cohorts × offsets, value
+    // mass + cumulative value per cohort member
+    "q_cohort_value" -> ((s, d) =>
+      Funnel.cohortValue(Tables.events(s, d), col("user_id"), col("ts"),
+        col("value")))
   )
 
   private val FoldSql = "lower(translate(text, 'İΣ', 'iσ'))"
@@ -92,11 +117,13 @@ object GrowthQueries {
          |JOIN ranked ON rank = least(k, v_size)""".stripMargin,
 
     "q_churn" ->
-      """WITH a AS (SELECT DISTINCT user_id,
-        |             epoch_us(ts) // 604800000000 AS wk FROM events
-        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      """WITH a0 AS (SELECT DISTINCT user_id,
+        |              epoch_us(ts) // 604800000000 AS wk FROM events
+        |            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |a AS (SELECT user_id, wk,
+        |        min(wk) OVER (PARTITION BY user_id) AS firstwk FROM a0),
         |j AS (SELECT coalesce(c.user_id, p.user_id) AS u,
-        |        coalesce(c.wk, p.wk) AS wk,
+        |        coalesce(c.wk, p.wk) AS wk, c.firstwk,
         |        c.user_id IS NOT NULL AS in_cur,
         |        p.user_id IS NOT NULL AS in_prev
         |      FROM a c FULL OUTER JOIN
@@ -105,19 +132,140 @@ object GrowthQueries {
         |f AS (SELECT wk,
         |        CAST(sum(CASE WHEN in_cur THEN 1 ELSE 0 END) AS BIGINT)
         |          AS n_active,
-        |        CAST(sum(CASE WHEN in_cur AND NOT in_prev THEN 1 ELSE 0 END)
+        |        CAST(sum(CASE WHEN in_cur AND wk = firstwk THEN 1 ELSE 0 END)
         |          AS BIGINT) AS n_new,
+        |        CAST(sum(CASE WHEN in_cur AND NOT in_prev AND wk > firstwk
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
         |        CAST(sum(CASE WHEN in_cur AND in_prev THEN 1 ELSE 0 END)
         |          AS BIGINT) AS n_retained,
         |        CAST(sum(CASE WHEN NOT in_cur THEN 1 ELSE 0 END) AS BIGINT)
         |          AS n_churned
         |      FROM j GROUP BY wk)
-        |SELECT f.wk, n_active, n_new, n_retained, n_churned,
+        |SELECT f.wk, n_active, n_new, n_resurrected, n_retained, n_churned,
         |  CASE WHEN n_retained + n_churned = 0 THEN NULL
         |       ELSE CAST(n_churned AS DOUBLE)
         |            / CAST(n_retained + n_churned AS DOUBLE)
-        |  END AS churn_rate
-        |FROM f JOIN (SELECT DISTINCT wk FROM a) w ON f.wk = w.wk""".stripMargin,
+        |  END AS churn_rate,
+        |  CASE WHEN n_churned = 0 THEN NULL
+        |       ELSE CAST(n_new + n_resurrected AS DOUBLE)
+        |            / CAST(n_churned AS DOUBLE)
+        |  END AS quick_ratio
+        |FROM f JOIN (SELECT DISTINCT wk FROM a0) w ON f.wk = w.wk""".stripMargin,
+
+    "q_mann_kendall" -> {
+      val vn = "(CAST(n.n * (n.n - 1) * (2 * n.n + 5) AS HUGEINT) - tie_sum)"
+      s"""WITH days AS (SELECT event_type AS k,
+         |                epoch_us(ts) // 86400000000 AS d,
+         |                CAST(count(*) AS BIGINT) AS c FROM events
+         |              WHERE event_type IS NOT NULL AND ts IS NOT NULL
+         |              GROUP BY 1, 2),
+         |s AS (SELECT l.k, CAST(sum(sign(r.c - l.c)) AS BIGINT) AS s_stat
+         |      FROM days l JOIN days r ON l.k = r.k AND l.d < r.d
+         |      GROUP BY 1),
+         |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM days
+         |      GROUP BY 1),
+         |ties AS (SELECT k,
+         |           sum(CAST(t * (t - 1) * (2 * t + 5) AS HUGEINT))
+         |             AS tie_sum
+         |         FROM (SELECT k, c, CAST(count(*) AS BIGINT) AS t
+         |               FROM days GROUP BY 1, 2) tt GROUP BY 1)
+         |SELECT n.k AS event_type, n.n, s.s_stat,
+         |  CAST($vn AS BIGINT) AS var_num18,
+         |  CASE WHEN n.n < 2 OR $vn <= 0 THEN NULL
+         |       ELSE CASE
+         |         WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0)
+         |           / sqrt(CAST($vn AS DOUBLE) / 18.0)
+         |         WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0)
+         |           / sqrt(CAST($vn AS DOUBLE) / 18.0)
+         |         ELSE 0.0 END END AS z
+         |FROM n JOIN s USING (k) JOIN ties USING (k)""".stripMargin
+    },
+
+    "q_survival_km" ->
+      s"""WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t,
+         |             event_type AS typ FROM events
+         |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |             AND event_type IS NOT NULL),
+         |hz AS (SELECT max(t) AS maxT FROM v),
+         |pu AS (SELECT u, min(CASE WHEN typ = 'signup' THEN t END) AS t0,
+         |         min(CASE WHEN typ = '$AttrTo' THEN t END) AS t1raw
+         |       FROM v GROUP BY u),
+         |pu2 AS (SELECT u, t0,
+         |          CASE WHEN t1raw >= t0 THEN t1raw END AS t1 FROM pu
+         |        WHERE t0 IS NOT NULL),
+         |du AS (SELECT (coalesce(t1, maxT) - t0) // 86400000000 AS dur,
+         |         t1 IS NOT NULL AS event FROM pu2 CROSS JOIN hz),
+         |bd AS (SELECT dur, CAST(count(*) AS BIGINT) AS n_at,
+         |         CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS d FROM du GROUP BY dur),
+         |tt AS (SELECT CAST(sum(n_at) AS BIGINT) AS n_total FROM bd),
+         |risk AS (SELECT dur,
+         |           n_total - CAST(coalesce(sum(n_at) OVER (ORDER BY dur
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |             AS BIGINT) AS n_risk, d
+         |         FROM bd CROSS JOIN tt),
+         |r2 AS (SELECT dur, n_risk, d FROM risk WHERE d > 0),
+         |fs AS (SELECT list(struct_pack(dur := dur, n_risk := n_risk,
+         |           d := d) ORDER BY dur) AS fs FROM r2)
+         |SELECT r2.dur AS t_day, r2.n_risk, r2.d AS n_events,
+         |  list_reduce(list_prepend(1.0,
+         |    list_transform(list_filter(fs.fs, e -> e.dur <= r2.dur),
+         |      e -> CAST(e.n_risk - e.d AS DOUBLE)
+         |           / CAST(e.n_risk AS DOUBLE))),
+         |    (a, b) -> a * b) AS survival
+         |FROM r2 CROSS JOIN fs""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH g AS (SELECT CAST(n_chars AS BIGINT) AS v,
+        |             CAST(count(*) AS BIGINT) AS cnt FROM documents
+        |           WHERE n_chars IS NOT NULL GROUP BY 1),
+        |cum AS (SELECT v, cnt, CAST(sum(cnt) OVER w AS BIGINT) AS cumcnt,
+        |          sum(CAST(v * cnt AS HUGEINT)) OVER w AS cummass FROM g
+        |        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |        sum(CAST(v * cnt AS HUGEINT)) AS total FROM g),
+        |sp AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS p),
+        |kk AS (SELECT p, (p * n) // 10 AS k, n, total
+        |       FROM sp CROSS JOIN t),
+        |j AS (SELECT kk.p, kk.k, cum.v, cum.cumcnt, cum.cummass, kk.n,
+        |        kk.total,
+        |        row_number() OVER (PARTITION BY kk.p ORDER BY cum.v) AS rn
+        |      FROM cum CROSS JOIN kk WHERE cum.cumcnt >= kk.k)
+        |SELECT p, k, v AS v_at,
+        |  CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pop,
+        |  CASE WHEN total = 0 THEN NULL
+        |       ELSE CAST(cummass - CAST((cumcnt - k) * v AS HUGEINT)
+        |              AS DOUBLE) / CAST(total AS DOUBLE)
+        |  END AS frac_mass
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_cohort_value" ->
+      """WITH v AS (SELECT user_id AS u,
+        |             epoch_us(ts) // 604800000000 AS wk,
+        |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
+        |           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |             AND value IS NOT NULL),
+        |puw AS (SELECT u, wk, CAST(sum(c) AS BIGINT) AS cw FROM v
+        |        GROUP BY 1, 2),
+        |p2 AS (SELECT u, wk, cw,
+        |         min(wk) OVER (PARTITION BY u) AS cohort FROM puw),
+        |sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+        |          FROM p2 WHERE wk = cohort GROUP BY 1),
+        |cells AS (SELECT cohort, wk - cohort AS "offset",
+        |            CAST(count(*) AS BIGINT) AS n_active,
+        |            CAST(sum(cw) AS BIGINT) AS value_c FROM p2
+        |          GROUP BY 1, 2),
+        |cc AS (SELECT cells.cohort, cells."offset", cells.n_active,
+        |         sizes.n_cohort, cells.value_c,
+        |         CAST(sum(value_c) OVER (PARTITION BY cells.cohort
+        |           ORDER BY cells."offset" ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS BIGINT) AS cum_value_c
+        |       FROM cells JOIN sizes USING (cohort))
+        |SELECT cohort, "offset", n_active, n_cohort, value_c, cum_value_c,
+        |  CAST(cum_value_c AS DOUBLE) / CAST(n_cohort AS DOUBLE) / 100.0
+        |    AS cum_value_per_user
+        |FROM cc""".stripMargin,
 
     "q_transition_latency" ->
       """WITH v AS (SELECT user_id AS u, epoch_us(ts) AS t, event_id AS id,
