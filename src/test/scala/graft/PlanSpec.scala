@@ -943,4 +943,58 @@ class PlanSpec extends SparkSpec {
       s"global top-k must be heap-based:\n$p")
     graft.core.Caches.release()
   }
+
+  test("item CF: supports ride the basket arrays — nothing joins downstream of the set agg") {
+    val df = SparkEntry.queries("q_item_cf")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("Generate explode(flatten(transform"),
+      s"pairs must unroll from the per-context array:\n$p")
+    val afterAgg = p.substring(0, p.indexOf("ObjectHashAggregate"))
+    assert(!afterAgg.contains("Join"),
+      s"the candidate-sized pair stream must never join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be heap-based:\n$p")
+    graft.core.Caches.release()
+  }
+
+  test("calibration: score and label fuse into the scan — no join anywhere") {
+    val df = SparkEntry.queries("q_calibration_bins")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join") || p.contains("BroadcastNestedLoopJoin"),
+      s"calibration is aggs over one projection (1-row total broadcast ok):\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bin aggregation must be partial:\n$p")
+  }
+
+  test("label separation: centroid-pair join only — members never pair with members") {
+    val df = SparkEntry.queries("q_label_separation")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the member relation joins CENTROID rows (dim-sized) on (g,pos);
+    // the only self-join is cv × cv on pos — labels², never members²
+    assert(p.contains("InMemoryTableScan"),
+      s"the centroid relation feeds norms/member-join/pairs and must persist:\n$p")
+    graft.core.Caches.release()
+  }
+
+  test("churn and cohort value: every window/join keys on the user or the matrix") {
+    for (q <- Seq("q_churn", "q_cohort_value")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q must stay equi-keyed:\n$p")
+      assert(p.contains("hashpartitioning(u") ||
+        p.contains("hashpartitioning(user_id"),
+        s"$q must hash on the user key:\n$p")
+      graft.core.Caches.release()
+    }
+  }
+
+  test("kaplan-meier: factor table broadcasts back; day windows stay domain-sized") {
+    val df = SparkEntry.queries("q_survival_km")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the <=horizon-days factor array must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    graft.core.Caches.release()
+  }
 }
