@@ -144,10 +144,18 @@ object Funnel {
     * Shape: one distinct on (user, wk) + one co-partitioned self-join
     * + one ≤periods-key agg — everything hash-keys on the user. */
   def churn(events: DataFrame, user: Column, ts: Column,
-            periodMicros: Long = 604800000000L): DataFrame = {
-    val a = graft.core.Caches.track(
+            periodMicros: Long = 604800000000L): DataFrame =
+    churnFromPeriods(
       activityPeriods(events.filter(user.isNotNull && ts.isNotNull),
-        user, ts, periodMicros).distinct()
+        user, ts, periodMicros).distinct())
+
+  /** [[churn]] over pre-bucketed distinct (user_id, wk) rows — the
+    * form the streaming activity ledger
+    * ([[graft.streaming.Streaming.mergeActivityLedger]]) feeds
+    * directly, so churn accounting streams with NO extra state beyond
+    * the ledger retention already keeps. */
+  def churnFromPeriods(periods: DataFrame): DataFrame = {
+    val a = graft.core.Caches.track(periods
         // first-ever period per user: splits arrivals into truly NEW
         // vs RESURRECTED (returned after a gap) — the growth-
         // accounting refinement; a user-keyed window on the already

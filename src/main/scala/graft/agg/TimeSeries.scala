@@ -391,6 +391,44 @@ object TimeSeries {
           e => e.getField("sym")), "").as("sax_word"))
   }
 
+  /** Classical additive seasonal decomposition of the daily-count
+    * series per key: trend (centered ±`halfWindow`-day moving
+    * average), day-of-week seasonal component (mean detrended value
+    * per weekday), and the residual — the triage view that separates
+    * "we grew", "it's Sunday", and "something happened" in one pass.
+    *
+    * Determinism: the trend is the exact-integer ratio s/n over the
+    * RANGE window (observed days only; edges use the clamped partial
+    * window on both engines); each day's detrended value quantizes
+    * floor(·10⁶) LONG before the per-weekday mean (order-free), and
+    * the residual c − trend − seasonal is ONE final expression.
+    * Weekdays via the engine-neutral (epoch_day + 4) mod 7.
+    *
+    * Shape: one (key, day) count, one RANGE window and one ≤7·keys
+    * re-agg joined back broadcast — day-table work throughout. */
+  def seasonalDecompose(df: DataFrame, key: Column, ts: Column,
+                        halfWindow: Int = 3): DataFrame = {
+    val daily = dailyCounts(df, key, ts)
+    val w = Window.partitionBy(col("k")).orderBy(col("day"))
+      .rangeBetween(-halfWindow.toLong, halfWindow.toLong)
+    val trend = sum(col("c")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    val detrended = graft.core.Caches.track(daily
+      .withColumn("trend", trend)
+      .withColumn("dow", (col("day") + lit(4L)) % lit(7L))
+      .withColumn("dtq",
+        floor((col("c").cast("double") - col("trend")) * lit(1.0e6))
+          .cast("long")))
+    val seasonal = detrended.groupBy(col("k"), col("dow"))
+      .agg((sum(col("dtq")).cast("double") / lit(1.0e6) /
+        count(lit(1)).cast("double")).as("seasonal"))
+    detrended.join(broadcast(seasonal), Seq("k", "dow"))
+      .select(col("k"), col("day"), col("dow"), col("c"), col("trend"),
+        col("seasonal"),
+        (col("c").cast("double") - col("trend") - col("seasonal"))
+          .as("residual"))
+  }
+
   /** Mann–Kendall trend test per key over the daily-count series —
     * the SIGNIFICANCE companion of [[theilSen]]'s slope: S = Σ_{i<j}
     * sign(c_j − c_i) over day order, tie-corrected variance, and the

@@ -86,7 +86,14 @@ object GrowthQueries {
     // mass + cumulative value per cohort member
     "q_cohort_value" -> ((s, d) =>
       Funnel.cohortValue(Tables.events(s, d), col("user_id"), col("ts"),
-        col("value")))
+        col("value"))),
+
+    // trend / day-of-week seasonal / residual split of daily volumes —
+    // "we grew" vs "it's Sunday" vs "something happened"
+    "q_seasonal_decompose" -> ((s, d) =>
+      TimeSeries.seasonalDecompose(Tables.events(s, d),
+        col("event_type"), col("ts"))
+        .withColumnsRenamed(Map("k" -> "event_type")))
   )
 
   private val FoldSql = "lower(translate(text, 'İΣ', 'iσ'))"
@@ -239,6 +246,29 @@ object GrowthQueries {
         |              AS DOUBLE) / CAST(total AS DOUBLE)
         |  END AS frac_mass
         |FROM j WHERE rn = 1""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT event_type AS k, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tr AS (SELECT k, day, c,
+        |         CAST(sum(c) OVER w AS DOUBLE)
+        |           / CAST(count(*) OVER w AS DOUBLE) AS trend,
+        |         (day + 4) % 7 AS dow
+        |       FROM daily WINDOW w AS (PARTITION BY k ORDER BY day
+        |         RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT *, CAST(floor((CAST(c AS DOUBLE) - trend)
+        |         * 1000000.0) AS BIGINT) AS dtq FROM tr),
+        |se AS (SELECT k, dow,
+        |         CAST(sum(dtq) AS DOUBLE) / 1000000.0
+        |           / CAST(count(*) AS DOUBLE) AS seasonal
+        |       FROM dt GROUP BY 1, 2)
+        |SELECT dt.k AS event_type, dt.day, dt.dow, dt.c, dt.trend,
+        |  se.seasonal,
+        |  CAST(dt.c AS DOUBLE) - dt.trend - se.seasonal AS residual
+        |FROM dt JOIN se ON se.k = dt.k AND se.dow = dt.dow""".stripMargin,
 
     "q_cohort_value" ->
       """WITH v AS (SELECT user_id AS u,

@@ -540,6 +540,16 @@ class StreamingSpec extends SparkSpec {
       "replayed batch must be a set-union no-op")
     assert(Funnel.retentionFromPeriods(ledger)
       .as[(Long, Long, Long)].collect().toSet == batchRet)
+
+    // the SAME ledger also carries churn/growth accounting — no extra
+    // streaming state beyond what retention already keeps
+    val batchChurn = Funnel.churn(all, col("user_id"), col("ts"), p)
+      .collect().map(_.toSeq).toSet
+    val streamChurn = Funnel.churnFromPeriods(ledger.distinct())
+      .collect().map(_.toSeq).toSet
+    graft.core.Caches.release()
+    assert(streamChurn == batchChurn,
+      s"stream=$streamChurn batch=$batchChurn")
   }
 
   test("priority-sample ledger: streamed k-smallest equals batch sample; replay is a no-op") {
