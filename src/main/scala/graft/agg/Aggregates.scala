@@ -143,10 +143,15 @@ object Aggregates {
       .groupBy(col("e"))
       .agg(max(col("d")).as("recency_day"), count(lit(1)).as("frequency"),
         sum(col("c")).as("monetary_c"))
+    // NULLS FIRST pinned explicitly: Spark's ascending default is
+    // nulls-first, DuckDB's is nulls-last — an all-NULL monetary
+    // entity would land in opposite buckets AND shift every other
+    // rank (adversarial-gate find); worst bucket for missing data is
+    // the defensible reading
     def bucket(metric: String): Column =
       call_function("div",
-        b * (row_number().over(Window.orderBy(col(metric), col("e")))
-          .cast("long") - lit(1L)),
+        b * (row_number().over(Window.orderBy(col(metric).asc_nulls_first,
+          col("e"))).cast("long") - lit(1L)),
         count(lit(1)).over(Window.partitionBy())) + lit(1L)
     per
       .withColumn("r", bucket("recency_day"))

@@ -211,8 +211,10 @@ object TrendQueries {
     },
 
     "q_rfm" -> {
+      // NULLS FIRST explicit — DuckDB defaults nulls-last where Spark
+      // defaults nulls-first on ascending ranks
       def bk(m: String) =
-        s"(5 * (row_number() OVER (ORDER BY $m, e) - 1)) // (count(*) OVER ()) + 1"
+        s"(5 * (row_number() OVER (ORDER BY $m NULLS FIRST, e) - 1)) // (count(*) OVER ()) + 1"
       s"""WITH per AS (
          |  SELECT o_custkey AS e,
          |    max(epoch_us(o_orderdate) // 86400000000) AS recency_day,

@@ -25,6 +25,17 @@ object GraftFunctions {
     conv(substring(md5(salted), 1, 15), 16, 10).cast("long")
   }
 
+  /** Byte-transparent recode: UTF-8 bytes reinterpreted as Latin-1
+    * chars, one char per byte. Exists for ONE reason: Spark's
+    * `levenshtein` counts CODEPOINTS while DuckDB/Postgres count UTF-8
+    * BYTES, so any multibyte text silently diverges (measured: the
+    * adversarial İ/Σ docs — dist 3 vs 6). Distance operators run on
+    * this recoding, making byte-Levenshtein the DOCUMENTED semantics
+    * on both engines: identical to codepoint distance on ASCII,
+    * locale-free everywhere. NFC-normalize upstream when canonical
+    * equivalence (İ vs I+U+0307) should count as distance 0. */
+  def byteString(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
+
   /** Whitespace tokenizer — the shared token basis for text analysis,
     * shingles, SimHash. Drops empty tokens. Native single-pass
     * expression ([[Tokens]]); value-identical to

@@ -141,7 +141,11 @@ object Joins {
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.name").as("name_a"), col("b.name").as("name_b"),
-        levenshtein(col("a.name"), col("b.name")).cast("long").as("dist"))
+        // byte-transparent recode: byte-Levenshtein on both engines
+        // (see GraftFunctions.byteString) — identical on ASCII names
+        levenshtein(graft.functions.GraftFunctions.byteString(col("a.name")),
+          graft.functions.GraftFunctions.byteString(col("b.name")))
+          .cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
   }
 

@@ -876,7 +876,13 @@ object Dedup {
     // survivor-side text fetch: the tiny pair set broadcasts, the
     // corpus streams past it un-shuffled — one extra scan per side,
     // paid only on the post-gate residue
-    val texts = df.select(id.as("tid"), TextAnalysis.foldLower(text).as("p"))
+    // distances run on the byte-transparent recode: Spark levenshtein
+    // counts codepoints, the oracle engines count UTF-8 bytes — the
+    // byteString form makes byte distance the shared semantics
+    // (identical on ASCII; adversarial-gate find)
+    val texts = df.select(id.as("tid"),
+      graft.functions.GraftFunctions.byteString(
+        TextAnalysis.foldLower(text)).as("p"))
     survivors
       .join(texts.select(col("tid").as("id1"), col("p").as("pa")), Seq("id1"))
       .join(texts.select(col("tid").as("id2"), col("p").as("pb")), Seq("id2"))
@@ -1105,7 +1111,12 @@ object Dedup {
         col("id").as("id_b"), col("p").as("pb")), Seq("lng", "rn2"))
       .select(least(col("id_a"), col("id_b")).as("id1"),
         greatest(col("id_a"), col("id_b")).as("id2"),
-        levenshtein(col("pa"), col("pb"), maxDist).as("dist"))
+        // byte-transparent recode: byte-Levenshtein on both engines
+        // (Spark counts codepoints, DuckDB counts UTF-8 bytes —
+        // adversarial-gate find; see GraftFunctions.byteString)
+        levenshtein(graft.functions.GraftFunctions.byteString(col("pa")),
+          graft.functions.GraftFunctions.byteString(col("pb")), maxDist)
+          .as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }

@@ -186,9 +186,15 @@ def write_embeddings(out_dir):
         else:
             v = [((i * 31 + j * 17) % 13 - 6) / 7.0 for j in range(8)]
         vecs.append(v)
+    # label mirrors the production schema (labelSeparation consumes it):
+    # NULL label (dropped row), a singleton label (cohesion over one
+    # member), and two regular classes — incl. the zero vector in class 0
+    labels = [None if i == 7 else (9 if i == 8 else i % 2)
+              for i in range(20)]
     tbl = pa.table({
         "vec_id": pa.array(range(20), pa.int64()),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int64()),
     })
     pq.write_table(tbl, f"{out_dir}/embeddings.parquet", version="2.6")
 
