@@ -61,6 +61,18 @@ class LinkageSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("snmPairs distance is UTF-8-byte Levenshtein (the oracle-engine convention)") {
+    // σ is 2 UTF-8 bytes: substituting it for 'x' costs 2 byte edits
+    // (1 sub + 1 ins) where codepoint distance would say 1
+    val docs = Seq((1L, "en", "abcdefgh x"), (2L, "en", "abcdefgh σ"))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.snmPairs(docs, col("doc_id"), col("lang"), col("text"),
+        window = 2, keyPrefix = 40, distPrefix = 64, maxDist = 8)
+      .select("id1", "id2", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 2)))
+    graft.core.Caches.release()
+  }
+
   test("bootstrapCI brackets the mean and uses exact rank selection") {
     val df = (1L to 400L).map(i => (i, i % 100)).toDF("id", "x")
     val r = Inference.bootstrapCI(df, col("id"), col("x")).head()
