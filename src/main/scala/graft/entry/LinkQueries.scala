@@ -27,6 +27,8 @@ object LinkQueries {
   /** SNM knobs. */
   private val SnmWin = 2; private val SnmKey = 40
   private val SnmPfx = 64; private val SnmDist = 8
+  /** Edit-distance truth-set knobs (the q_edit_dedup values). */
+  private val EbBucket = 8; private val EbMaxDist = 8
   /** Margin-scoring knobs (the hubness/LOF panel conventions). */
   private val MgK = 4; private val MgMod = 4L; private val MgTopK = 32
 
@@ -99,6 +101,18 @@ object LinkQueries {
     "q_margin_knn" -> ((s, d) =>
       Similarity.marginScores(Tables.embeddings(s, d), col("vec_id"),
         col("embedding"), MgK, MgMod, MgTopK)),
+
+    // SNM candidate recall against the (lang, length-bucket) edit-
+    // distance truth set — the blocking-scheme guardrail (the
+    // q_minhash_accuracy convention applied to pair sets)
+    "q_blocking_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.pairSetRecall(
+        Dedup.snmPairs(docs, col("doc_id"), col("lang"), col("text"),
+          SnmWin, SnmKey, SnmPfx, SnmDist),
+        Dedup.editDistancePairs(docs, col("doc_id"), col("lang"),
+          col("text"), col("n_chars"), EbBucket, EbMaxDist))
+    }),
 
     // 2-D Pareto skyline of orders (maximize price and recency) — the
     // frontier no single score column can select
@@ -233,6 +247,60 @@ object LinkQueries {
          |  CAST(row_number() OVER (ORDER BY margin DESC NULLS LAST,
          |    query_id, neighbor_id) AS BIGINT) AS rank
          |FROM top""".stripMargin
+    },
+
+    "q_blocking_recall" -> {
+      val histSql = ('a' to 'z')
+        .map(c => s"len(p) - len(replace(p, '$c', ''))")
+        .mkString("[", ", ", "]")
+      s"""WITH sd AS (SELECT doc_id, lang,
+         |              substring($FoldSql, 1, $SnmPfx) AS p FROM documents
+         |            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+         |              AND text IS NOT NULL),
+         |sr AS (SELECT doc_id, lang, p,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY substring(p, 1, $SnmKey), doc_id) AS rn FROM sd),
+         |sc AS (SELECT a.doc_id AS ida, b.doc_id AS idb, a.p AS pa,
+         |         b.p AS pb
+         |       FROM sr a JOIN sr b ON a.lang = b.lang
+         |         AND b.rn - a.rn BETWEEN 1 AND $SnmWin),
+         |sf AS (SELECT least(ida, idb) AS id1, greatest(ida, idb) AS id2,
+         |         levenshtein(pa, pb) AS dist FROM sc),
+         |snm AS (SELECT DISTINCT id1, id2 FROM sf WHERE dist <= $SnmDist),
+         |ed AS (SELECT doc_id, lang, $FoldSql AS p,
+         |         n_chars // $EbBucket AS b FROM documents),
+         |eh AS (SELECT doc_id, lang, p, b, $histSql AS hist FROM ed),
+         |ec AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS pa,
+         |         b.p AS pb, a.hist AS ha, b.hist AS hb
+         |       FROM eh a JOIN eh b ON a.lang = b.lang AND a.b = b.b
+         |         AND a.doc_id < b.doc_id
+         |       UNION ALL
+         |       SELECT least(a.doc_id, b.doc_id),
+         |         greatest(a.doc_id, b.doc_id),
+         |         CASE WHEN a.doc_id < b.doc_id THEN a.p ELSE b.p END,
+         |         CASE WHEN a.doc_id < b.doc_id THEN b.p ELSE a.p END,
+         |         CASE WHEN a.doc_id < b.doc_id THEN a.hist ELSE b.hist END,
+         |         CASE WHEN a.doc_id < b.doc_id THEN b.hist ELSE a.hist END
+         |       FROM eh a JOIN eh b ON a.lang = b.lang AND a.b + 1 = b.b),
+         |ef AS (SELECT id1, id2, levenshtein(pa, pb) AS dist
+         |       FROM ec
+         |       WHERE list_sum(list_transform(range(1, 27),
+         |         k -> abs(ha[CAST(k AS INTEGER)] - hb[CAST(k AS INTEGER)])))
+         |         <= ${2 * EbMaxDist}),
+         |truth AS (SELECT DISTINCT id1, id2 FROM ef
+         |          WHERE dist <= $EbMaxDist),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM snm JOIN truth USING (id1, id2)),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM snm),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth)
+         |SELECT n_cand, n_truth, n_shared,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |       ELSE CAST(n_shared AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |  END AS recall,
+         |  CASE WHEN n_cand = 0 THEN NULL
+         |       ELSE CAST(n_shared AS DOUBLE) / CAST(n_cand AS DOUBLE)
+         |  END AS precision
+         |FROM nc CROSS JOIN nt CROSS JOIN st""".stripMargin
     },
 
     "q_skyline" ->

@@ -1070,6 +1070,34 @@ object Dedup {
           .as("frac_docs"))
   }
 
+  /** Candidate-set agreement audit between two pair generators over
+    * the same corpus: |cand|, |truth|, their intersection, and the
+    * recall/precision of `cand` against `truth` — the guardrail row
+    * every blocking scheme needs before it replaces a more expensive
+    * one (the q_minhash_accuracy convention applied to pair SETS).
+    * Pairs are compared as unordered (id1 < id2) keys.
+    *
+    * Shape: two distincts + one equi-join on the pair key + three
+    * 1-row aggs — candidate-sized work only. */
+  def pairSetRecall(cand: DataFrame, truth: DataFrame): DataFrame = {
+    val c = graft.core.Caches.track(
+      cand.select(col("id1"), col("id2")).distinct())
+    val t = graft.core.Caches.track(
+      truth.select(col("id1"), col("id2")).distinct())
+    val shared = c.join(t, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    c.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(t.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(shared)
+      .select(col("n_cand"), col("n_truth"), col("n_shared"),
+        when(col("n_truth") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_shared").cast("double") /
+            col("n_truth").cast("double")).as("recall"),
+        when(col("n_cand") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_shared").cast("double") /
+            col("n_cand").cast("double")).as("precision"))
+  }
+
   /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo's SNM):
     * sort each language block by a folded prefix key and compare each
     * record only to its next `window` neighbors in sort order — the
