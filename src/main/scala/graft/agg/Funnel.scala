@@ -207,15 +207,30 @@ object Funnel {
     * one small window. */
   def cohortValue(events: DataFrame, user: Column, ts: Column,
                   value: Column,
-                  periodMicros: Long = 604800000000L): DataFrame = {
-    val v = events
+                  periodMicros: Long = 604800000000L): DataFrame =
+    cohortValueFromPeriods(userValuePeriods(events, user, ts, value,
+      periodMicros))
+
+  /** The (u, wk, cw) per-user-period cent-mass relation [[cohortValue]]
+    * folds — public so the streaming ledger twin
+    * ([[graft.streaming.Streaming.mergeUserValueLedgerIdempotent]])
+    * shares the exact bucketing. Additive across disjoint row sets —
+    * what makes the streaming merge exact. */
+  def userValuePeriods(events: DataFrame, user: Column, ts: Column,
+                       value: Column, periodMicros: Long): DataFrame =
+    events
       .filter(user.isNotNull && ts.isNotNull && value.isNotNull)
       .select(user.as("u"), ts.as("__ts"),
         floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
       .select(col("u"),
         expr(s"unix_micros(__ts) div $periodMicros").as("wk"), col("c"))
-    val perUserWk = v.groupBy(col("u"), col("wk"))
+      .groupBy(col("u"), col("wk"))
       .agg(sum(col("c")).as("cw"))
+
+  /** [[cohortValue]] over pre-bucketed (u, wk, cw) rows — the form a
+    * stored user-value ledger feeds directly. */
+  def cohortValueFromPeriods(periods: DataFrame): DataFrame = {
+    val perUserWk = periods
       .withColumn("cohort", min(col("wk"))
         .over(Window.partitionBy(col("u"))))
     val sizes = perUserWk.filter(col("wk") === col("cohort"))

@@ -606,6 +606,35 @@ object Streaming {
         .select(col("k"), col("day"), col("c")))
   }
 
+  /** Merge one micro-batch's events into the persistent (u, wk, cw)
+    * per-user-period value ledger behind a streaming
+    * [[graft.agg.Funnel.cohortValue]]: cent masses are additive across
+    * micro-batches (the daily-count ledger class), replay-gated by the
+    * batchId high-water sentinel (null-u row) so at-least-once
+    * redelivery cannot double a user's spend — which would inflate
+    * every LTV cell the user touches. State is O(users × periods) —
+    * calendar-bounded. [[graft.agg.Funnel.cohortValueFromPeriods]]
+    * over the ledger (sentinel filtered) equals the one-shot batch
+    * matrix bit for bit (StreamingSpec pins it, replay included).
+    * Bucket by u at lake scale for a co-located merge. */
+  def mergeUserValueLedgerIdempotent(ledger: DataFrame,
+                                     batchEvents: DataFrame, user: Column,
+                                     ts: Column, value: Column,
+                                     batchId: Long,
+                                     periodMicros: Long = 604800000000L)
+      : DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("u"), col("wk"))
+    if (batchId <= hwm) ledger.select(col("u"), col("wk"), col("cw"))
+    else ledger.filter(col("u").isNotNull)
+      .select(col("u"), col("wk"), col("cw"))
+      .unionByName(graft.agg.Funnel.userValuePeriods(batchEvents, user,
+        ts, value, periodMicros))
+      .groupBy(col("u"), col("wk")).agg(sum(col("cw")).as("cw"))
+      .unionByName(hwmSentinel(batchEvents.sparkSession, "u", "long",
+        "wk", batchId).withColumn("cw", lit(0L))
+        .select(col("u"), col("wk"), col("cw")))
+  }
+
   /** Merge one micro-batch's (user, period) activity rows into a
     * persistent retention ledger — the streaming half of
     * [[graft.agg.Funnel.retention]], whose two-level aggregation

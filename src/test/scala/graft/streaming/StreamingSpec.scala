@@ -1006,4 +1006,55 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exists(r => r(1) == 8L && r(6) == true),
       "the spike day must flag")
   }
+
+  test("idempotent user-value ledger: replay is a no-op; streamed LTV equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def us(w: Long, off: Long) = w * 604800000000L + off
+    // two cohorts; user 1 spends across weeks 0 and 1, with week-1
+    // spend split ACROSS batches (its cw must re-sum)
+    val rows: Seq[(Long, Long, Double)] = Seq(
+      (1L, us(0, 1), 1.0), (2L, us(0, 2), 3.0),
+      (1L, us(1, 1), 2.0), (1L, us(1, 9), 0.5),
+      (3L, us(1, 3), 4.0))
+    val (b1, b2) = (rows.take(3), rows.drop(3))
+
+    var ledger = Seq.empty[(Long, Long, Long)].toDF("u", "wk", "cw")
+    val ms = MemoryStream[(Long, Long, Double)]
+    val q = ms.toDF().toDF("u", "t", "v")
+      .select(col("u"), timestamp_micros(col("t")).as("ts"), col("v"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeUserValueLedgerIdempotent(ledger, batch,
+            col("u"), col("ts"), col("v"), bid).cache()
+          ledger.count()
+          // redelivery of the same batchId must not double spend
+          ledger = Streaming.mergeUserValueLedgerIdempotent(ledger, batch,
+            col("u"), col("ts"), col("v"), bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(b1); q.processAllAvailable()
+    ms.addData(b2); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("u"), col("wk")) == 1L)
+    val all = rows.toDF("u", "t", "v")
+      .select(col("u"), timestamp_micros(col("t")).as("ts"), col("v"))
+    val batchPeriods = graft.agg.Funnel.userValuePeriods(all, col("u"),
+      col("ts"), col("v"), 604800000000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ledger.filter(col("u").isNotNull)
+      .as[(Long, Long, Long)].collect().toSet == batchPeriods,
+      "replay-gated ledger must equal batch user-period masses")
+
+    val streamed = graft.agg.Funnel.cohortValueFromPeriods(
+      ledger.filter(col("u").isNotNull)).collect().map(_.toSeq).toSet
+    val batch = graft.agg.Funnel.cohortValue(all, col("u"), col("ts"),
+      col("v")).collect().map(_.toSeq).toSet
+    graft.core.Caches.release()
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
 }
