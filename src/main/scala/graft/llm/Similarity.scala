@@ -539,7 +539,7 @@ object Similarity {
                    query: Seq[Float], r: Int, k: Int): DataFrame = {
     import encoded.sparkSession.implicits._
     val cand = pqAdcTopK(encoded, codebooks, query, r)
-      .select(col("vec_id")).as[Long].collect()
+      .select(col("vec_id")).as[Long].collect().toIndexedSeq
     bruteForceTopK(corpus.filter(corpusId.isin(cand: _*)),
       corpusId, corpusVec, query, k)
   }
