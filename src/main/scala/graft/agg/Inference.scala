@@ -79,12 +79,14 @@ object Inference {
     * factor: SSB/(k−1) over SSW/(N−k).
     *
     * Exactness: values quantize to LONG cents; per-group n_g, Σc and
-    * Σc² accumulate as exact integers. The only cross-group DOUBLE sum
-    * — Σ_g (Σc_g)²/n_g — is quantized per group to floor(·10⁶) LONG
-    * first (the chi² term discipline), so SSB and SSW fold from exact
-    * integer totals in any accumulation order, and the final /10⁴
-    * rescale returns value² units. k ≤ 1 or N ≤ k → NULL F (no
-    * between/within df); SSW = 0 (all groups constant) → NULL F.
+    * Σc² accumulate as exact integers. The only cross-group sum —
+    * Σ_g (Σc_g)²/n_g — quantizes per group as the EXACT integer
+    * division ⌊(Σc_g)²·10⁴ / n_g⌋ in DECIMAL(38,0) (never through a
+    * double: floor(double) lands in LONG and a lake-scale cents mass
+    * squares past it — found by the sf1 gate), so SSB and SSW fold
+    * from exact integer totals in any accumulation order, and the
+    * final /10⁴ rescale returns value² units. k ≤ 1 or N ≤ k → NULL F
+    * (no between/within df); SSW = 0 (all groups constant) → NULL F.
     *
     * Shape: one map-side-combined groupBy on the factor + a 1-row
     * re-agg of the ≤k group rows — scan-bound at any scale. */
@@ -95,17 +97,21 @@ object Inference {
     val g = v.groupBy(col("g")).agg(
       count(lit(1)).as("n_g"), sum(col("c")).as("s_g"),
       sum((col("c") * col("c")).cast("decimal(38,0)")).as("q_g"))
-    val termq = floor(col("s_g").cast("double") * col("s_g").cast("double") /
-      col("n_g").cast("double") * lit(1.0e6)).cast("long")
+    // div returns LONG: the quotient n_g·mean²·10⁴ must fit it
+    // (~10¹⁰ rows/group at 10⁴-cent means; past that drop the ·10⁴
+    // scale — coarser exact quantization, same determinism)
+    val termq = call_function("div",
+      col("s_g").cast("decimal(38,0)") * col("s_g") * lit(10000L),
+      col("n_g"))
     val t = g.select(col("n_g"), col("s_g"), col("q_g"), termq.as("tq"))
       .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
         sum(col("s_g")).as("s"), sum(col("q_g")).as("q"),
-        sum(col("tq")).as("tqs"))
+        sum(col("tq").cast("decimal(38,0)")).as("tqs"))
     val nd = col("n").cast("double")
-    val ssb = (col("tqs").cast("double") / lit(1.0e6) -
+    val ssb = (col("tqs").cast("double") / lit(10000.0) -
       col("s").cast("double") * col("s").cast("double") / nd) / lit(1.0e4)
     val ssw = (col("q").cast("double") -
-      col("tqs").cast("double") / lit(1.0e6)) / lit(1.0e4)
+      col("tqs").cast("double") / lit(10000.0)) / lit(1.0e4)
     val kd = col("k").cast("double")
     val f = (ssb / (kd - lit(1.0))) / (ssw / (nd - kd))
     t.select(col("k"), col("n"), ssb.as("ss_between"), ssw.as("ss_within"),

@@ -123,19 +123,19 @@ object InferQueries {
     },
 
     "q_anova_f" -> {
-      val ssb = "((CAST(tqs AS DOUBLE) / 1000000.0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0)"
-      val ssw = "((CAST(q AS DOUBLE) - CAST(tqs AS DOUBLE) / 1000000.0) / 10000.0)"
+      val ssb = "((CAST(tqs AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0)"
+      val ssw = "((CAST(q AS DOUBLE) - CAST(tqs AS DOUBLE) / 10000.0) / 10000.0)"
       s"""WITH v AS (SELECT event_type AS g,
          |             CAST(floor(value*100 + 0.5) AS BIGINT) AS c FROM events
          |           WHERE event_type IS NOT NULL AND value IS NOT NULL),
          |g AS (SELECT g, CAST(count(*) AS BIGINT) AS n_g,
          |        CAST(sum(c) AS BIGINT) AS s_g,
          |        sum(CAST(c * c AS HUGEINT)) AS q_g FROM v GROUP BY 1),
-         |q2 AS (SELECT *, CAST(floor(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
-         |         / CAST(n_g AS DOUBLE) * 1000000.0) AS BIGINT) AS tq FROM g),
+         |q2 AS (SELECT *, (CAST(s_g AS HUGEINT) * s_g * 10000) // n_g
+         |         AS tq FROM g),
          |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
          |        CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
-         |        sum(q_g) AS q, CAST(sum(tq) AS BIGINT) AS tqs FROM q2)
+         |        sum(q_g) AS q, sum(tq) AS tqs FROM q2)
          |SELECT k, n, $ssb AS ss_between, $ssw AS ss_within,
          |  CASE WHEN k <= 1 OR n <= k THEN NULL
          |       ELSE CASE WHEN $ssw <= 0.0 THEN NULL
