@@ -225,8 +225,9 @@ object Inference {
     * Exactness: unit counts are exact integers (one distinct + one
     * ≤variants-key agg); expected counts and chi² terms are shared
     * double expressions quantized floor(·10⁹) before the total (the
-    * chi2Independence discipline). `srm` flags chi² > `chi2Crit`
-    * (caller pins the critical value for variants−1 dof).
+    * chi2Independence discipline, incl. its ~9×10⁹-unit LONG bound).
+    * `srm` flags chi² > `chi2Crit` (caller pins the critical value
+    * for variants−1 dof).
     *
     * Shape: one distinct shuffle on the unit id + a ≤variants-row
     * window — scan-bound. */

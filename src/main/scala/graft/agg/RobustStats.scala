@@ -322,6 +322,9 @@ object RobustStats {
     * fixed-point discipline) so the chi² TOTAL — and V derived from
     * it — is an exact integer sum in any accumulation order.
     * Degenerate tables (one row or one col → dof 0) emit NULL V.
+    * A chi² term is bounded by n_total, so the ·10⁹ LONG quantization
+    * holds to ~9×10⁹ rows (the anovaF lesson) — past that, drop the
+    * scale or widen the term to DECIMAL(38,0) on both engines.
     *
     * Shape: one (r,c) groupBy + two marginal re-aggs of the CELL
     * table (never the corpus), a broadcast spine cross join and a
