@@ -51,11 +51,15 @@ object GrowthQueries {
 
     // reliability diagram + ECE of the quality classifier against the
     // blocklist-clean label — is the score a probability?
+    // label: no blocked word among the folded tokens. arrays_overlap
+    // replaces the filter+isin lambda (an interpreted per-token HOF):
+    // same boolean on null-free arrays, but codegen'd. The score side
+    // is the native one-pass ClfStats scan call.
     "q_calibration_bins" -> ((s, d) =>
       Inference.calibration(Tables.documents(s, d),
         Selection.clfScore(col("text")),
-        size(filter(tokens(TextAnalysis.foldLower(col("text"))),
-          t => t.isin(BlockedWords: _*))) === 0)),
+        !arrays_overlap(tokens(TextAnalysis.foldLower(col("text"))),
+          array(BlockedWords.map(lit): _*)))),
 
     // last-touch attribution: latest strictly-earlier click credits
     // each purchase — one user-keyed window, no self-join

@@ -73,11 +73,13 @@ object SelectionQueries {
     // Cohen's kappa between the model gate (classifier keep) and the
     // rule gate (blocklist keep): both evaluate inside the scan
     // projection, one 5-long reduce — calibration at parquet-read speed
+    // rule gate via codegen arrays_overlap instead of an interpreted
+    // filter+isin lambda — same boolean on null-free token arrays
     "q_scorer_kappa" -> ((s, d) =>
       Selection.agreementKappa(Tables.documents(s, d),
         Selection.clfKeep(col("text")),
-        size(filter(tokens(TextAnalysis.foldLower(col("text"))),
-          t => t.isin(BlockedWords: _*))) === 0))
+        !arrays_overlap(tokens(TextAnalysis.foldLower(col("text"))),
+          array(BlockedWords.map(lit): _*))))
   )
 
   // ======================================================================

@@ -56,31 +56,38 @@ object Selection {
     * range [-1000, 1000]: a Weyl-style mix of the bucket id (the
     * minhashCoeffs constant family). Stands in for trained weights;
     * identical arithmetic embeds in the SQL oracle. */
-  private def clfWeightQ(bucket: Column): Column =
+  private[graft] def clfWeightQ(bucket: Column): Column =
     (bucket * lit(2654435761L)) % 2001L - 1000L
+
+  /** One-pass native (n_toks, margin_q) — see [[graft.functions.ClfStats]];
+    * value-identical to `(size(tokens(text)), clfMarginQ(tokens(text)))`
+    * but a single codegen'd scan call instead of an interpreted
+    * per-token HOF (FunctionsSpec pins the equivalence). */
+  private def clfStats(text: Column): Column =
+    graft.functions.ClfStats(text)
 
   /** Exact integer classifier margin over a token array — the
     * [[qualityClassifier]] accumulator as a composable Column, so other
     * operators (e.g. [[agreementKappa]]'s query) can evaluate the gate
     * in THEIR scan projection without a per-doc join. */
-  private def clfMarginQ(tk: Column): Column =
+  private[graft] def clfMarginQ(tk: Column): Column =
     aggregate(tk, lit(0L), (acc, t) => acc + clfWeightQ(md5Long(t) % ClfBuckets))
 
   /** The classifier keep gate as one composable Column: n_toks > 0 and
     * positive margin — identical to [[qualityClassifier]]'s `keep`. */
   def clfKeep(text: Column): Column = {
-    val tk = tokens(text)
-    size(tk) > 0 && clfMarginQ(tk) > 0L
+    val st = clfStats(text)
+    st.getField("n_toks") > 0L && st.getField("margin_q") > 0L
   }
 
   /** The classifier score as one composable Column — identical to
     * [[qualityClassifier]]'s `q_score` (margin per kilotoken), so
     * calibration/eval operators can score in THEIR scan projection. */
   def clfScore(text: Column): Column = {
-    val tk = tokens(text)
-    when(size(tk) === 0, lit(0.0))
-      .otherwise(clfMarginQ(tk).cast("double") /
-        (size(tk).cast("long").cast("double") * 1000.0))
+    val st = clfStats(text)
+    when(st.getField("n_toks") === 0L, lit(0.0))
+      .otherwise(st.getField("margin_q").cast("double") /
+        (st.getField("n_toks").cast("double") * 1000.0))
   }
 
   /** Hashed-linear quality score per doc: tokens hash into
@@ -88,16 +95,16 @@ object Selection {
     * integer milliunits, and the margin normalizes by token count.
     * `keep` thresholds at margin > 0.
     *
-    * Zero shuffles: the whole scorer is one codegen'd projection
-    * (higher-order `aggregate` over the token array — no explode, no
-    * UDF), so it composes into any scan at scan speed.
+    * Zero shuffles: the whole scorer is one codegen'd projection (the
+    * native one-pass [[graft.functions.ClfStats]] — no explode, no
+    * UDF, no interpreted HOF), so it composes into any scan at scan
+    * speed.
     *
     * Returns (doc_id, n_toks, q_margin, q_score, keep). */
   def qualityClassifier(docs: DataFrame, id: Column, text: Column): DataFrame = {
-    val tk = tokens(text)
-    val marginQ = clfMarginQ(tk)
-    docs.select(id.as("doc_id"), size(tk).cast("long").as("n_toks"),
-        marginQ.as("q_margin"))
+    val st = clfStats(text)
+    docs.select(id.as("doc_id"), st.getField("n_toks").as("n_toks"),
+        st.getField("margin_q").as("q_margin"))
       .withColumn("q_score",
         when(col("n_toks") === 0, lit(0.0))
           .otherwise(col("q_margin").cast("double") /

@@ -351,4 +351,23 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     assert(bad.isEmpty, s"native/HOF divergence: ${bad.toSeq}")
   }
+
+  test("native ClfStats matches the composed tokens/md5 margin on adversarial strings") {
+    import graft.functions.GraftFunctions._
+    val cases = Seq(
+      "", " ", "   ", "a", " a ", "a  b   c", "\ta b\nc", "A B C",
+      "İstanbul SİGMA ΣΟΦΙΑ ΑΣ τΣς", "héllo WÖRLD Straße",
+      "slow broken spam casino", "👍 emoji  test", "the the the the")
+    val df = cases.toDF("t")
+    val tk = tokens(col("t"))
+    val st = ClfStats(col("t"))
+    val bad = df.select(col("t"),
+        st.getField("n_toks").as("nn"),
+        st.getField("margin_q").as("nm"),
+        size(tk).cast("long").as("hn"),
+        graft.llm.Selection.clfMarginQ(tk).as("hm"))
+      .filter(col("nn") =!= col("hn") || col("nm") =!= col("hm"))
+      .collect()
+    assert(bad.isEmpty, s"native/composed clf divergence: ${bad.toSeq}")
+  }
 }
