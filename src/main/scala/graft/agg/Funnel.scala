@@ -134,50 +134,66 @@ object Funnel {
     * actives. [[retention]] answers "how do cohorts decay?"; this is
     * the week-over-week operational readout.
     *
-    * Semantics: a FULL OUTER self-join of the distinct (user, wk)
-    * activity set against itself shifted one period — pure set
-    * algebra, all exact integers; the one division is churn_rate.
-    * Periods beyond the last observed one (where every active user
-    * "churns" into no data) are dropped by the observed-weeks join —
+    * Semantics: set algebra over the distinct (user, wk) activity set
+    * against itself shifted one period — all exact integers; the one
+    * division is churn_rate. Periods beyond the last observed one
+    * (where every active user "churns" into no data) are dropped —
     * absent data is not churn evidence.
     *
-    * Shape: one distinct on (user, wk) + one co-partitioned self-join
-    * + one ≤periods-key agg — everything hash-keys on the user. */
+    * Shape: one user-keyed agg (map-combined collect_set dedups the
+    * raw event stream pre-shuffle) + one ≤periods-key agg — see
+    * [[churnFromPeriods]]. */
   def churn(events: DataFrame, user: Column, ts: Column,
             periodMicros: Long = 604800000000L): DataFrame =
     churnFromPeriods(
       activityPeriods(events.filter(user.isNotNull && ts.isNotNull),
-        user, ts, periodMicros).distinct())
+        user, ts, periodMicros))
 
-  /** [[churn]] over pre-bucketed distinct (user_id, wk) rows — the
-    * form the streaming activity ledger
-    * ([[graft.streaming.Streaming.mergeActivityLedger]]) feeds
+  /** [[churn]] over pre-bucketed (user_id, wk) rows (duplicates
+    * tolerated — the set agg dedups) — the form the streaming activity
+    * ledger ([[graft.streaming.Streaming.mergeActivityLedger]]) feeds
     * directly, so churn accounting streams with NO extra state beyond
-    * the ledger retention already keeps. */
+    * the ledger retention already keeps.
+    *
+    * One user-keyed shuffle (map-combined collect_set) folds each
+    * user's whole activity timeline into a tiny sorted in-row array;
+    * every growth flag is then a NEIGHBOR comparison inside it —
+    * new = first entry, retained = previous week present, resurrected
+    * = gap before, churned = gap after (attributed to week+1). No
+    * shifted self-join, no cache, no user-keyed window: the former
+    * full-outer form cost 3 extra exchanges (measured 1.5 s → 0.6 s
+    * isolated at sf0.1). A week is OBSERVED iff some user is active in
+    * it, so the trailing `n_active > 0` filter is exactly the old
+    * observed-weeks join. */
   def churnFromPeriods(periods: DataFrame): DataFrame = {
-    val a = graft.core.Caches.track(periods
-        // first-ever period per user: splits arrivals into truly NEW
-        // vs RESURRECTED (returned after a gap) — the growth-
-        // accounting refinement; a user-keyed window on the already
-        // user-hashed activity set
-        .withColumn("firstwk", min(col("wk"))
-          .over(Window.partitionBy(col("user_id")))))
-    val cur = a.withColumn("in_cur", lit(1L))
-    val prev = a.select(col("user_id"), (col("wk") + lit(1L)).as("wk"))
-      .withColumn("in_prev", lit(1L))
-    val weeks = a.select(col("wk")).distinct()
-    val flags = cur.join(prev, Seq("user_id", "wk"), "full_outer")
+    val perUser = periods.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("wk"))).as("ws"))
+    val ws = col("ws")
+    // per active week i: active/new/retained/resurrected flags at
+    // ws[i]; element_at is 1-based, so ws[i-1] = element_at(ws, i)
+    val act = transform(ws, (w, i) => struct(
+      w.as("wk"), lit(1L).as("a"),
+      when(i === 0, 1L).otherwise(0L).as("nw"),
+      when(i > 0 && element_at(ws, i) === w - 1L, 1L).otherwise(0L)
+        .as("rt"),
+      when(i > 0 && element_at(ws, i) < w - 1L, 1L).otherwise(0L)
+        .as("rs"),
+      lit(0L).as("ch")))
+    // churn marker at ws[i]+1 when the timeline ends or gaps there;
+    // zero-valued markers are harmless (they sum 0 into a week that
+    // either exists or is dropped by the observed filter)
+    val chn = transform(ws, (w, i) => struct(
+      (w + 1L).as("wk"), lit(0L).as("a"), lit(0L).as("nw"),
+      lit(0L).as("rt"), lit(0L).as("rs"),
+      when(i === size(ws) - 1 || element_at(ws, i + 2) > w + 1L, 1L)
+        .otherwise(0L).as("ch")))
+    val flags = perUser.select(explode(concat(act, chn)).as("c"))
+      .select(col("c.*"))
       .groupBy(col("wk"))
-      .agg(sum(when(col("in_cur") === 1L, 1L).otherwise(0L)).as("n_active"),
-        sum(when(col("in_cur") === 1L && col("wk") === col("firstwk"), 1L)
-          .otherwise(0L)).as("n_new"),
-        sum(when(col("in_cur") === 1L && col("in_prev").isNull &&
-          col("wk") > col("firstwk"), 1L).otherwise(0L))
-          .as("n_resurrected"),
-        sum(when(col("in_cur") === 1L && col("in_prev") === 1L, 1L)
-          .otherwise(0L)).as("n_retained"),
-        sum(when(col("in_cur").isNull, 1L).otherwise(0L)).as("n_churned"))
-    flags.join(weeks, Seq("wk"))
+      .agg(sum(col("a")).as("n_active"), sum(col("nw")).as("n_new"),
+        sum(col("rs")).as("n_resurrected"),
+        sum(col("rt")).as("n_retained"), sum(col("ch")).as("n_churned"))
+    flags.filter(col("n_active") > 0L)
       .withColumn("churn_rate",
         when(col("n_retained") + col("n_churned") === 0L,
           lit(null).cast("double"))
