@@ -266,8 +266,9 @@ object TextAnalysis {
     *
     * Shape: pairs are generated ARRAY-LOCALLY inside the scan
     * projection — each token slices its ≤`window` successors out of
-    * the same token array (indexed lambda + slice, window-bounded
-    * fan-out, never quadratic in doc length) — so the only shuffle in
+    * the same token array (chained posexplode + explode-of-slice
+    * generators, window-bounded fan-out, never quadratic in doc
+    * length) — so the only shuffle in
     * the whole plan is the map-combined hash agg on the pair key,
     * followed by the global top-K heap (TakeOrderedAndProject). An
     * earlier (doc, pos)-join formulation shuffled window·|tokens| +
@@ -276,12 +277,16 @@ object TextAnalysis {
     * to 250 s). */
   def cooccurWindow(df: DataFrame, id: Column, text: Column,
                     window: Int = 4, topK: Int = 64): DataFrame = {
+    // window pairing as TWO chained codegen generators (posexplode
+    // picks the left token, explode of the ≤window-length slice its
+    // successors) — the nested transform lambda form ran interpreted
     val pairs = df.select(tokens(text).as("tk"))
-      .select(explode(flatten(transform(col("tk"), (t, i) =>
-        transform(slice(col("tk"), i + lit(2), lit(window)), u =>
-          struct(least(t, u).as("ta"), greatest(t, u).as("tb"))))))
-        .as("p"))
-      .select(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .select(col("tk"), posexplode(col("tk")))
+      .select(col("col").as("t"),
+        explode(slice(col("tk"), col("pos") + lit(2), lit(window)))
+          .as("u"))
+      .select(least(col("t"), col("u")).as("ta"),
+        greatest(col("t"), col("u")).as("tb"))
     val top = pairs.groupBy(col("ta"), col("tb"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ta"), col("tb")).limit(topK)
@@ -1249,25 +1254,42 @@ object TextAnalysis {
     * folded-token bigrams (N = token count − 1, c_u counts u as a
     * bigram HEAD, i.e. over the first n−1 positions).
     *
-    * Shape: N rides the row from the scan (size(tokens)−1, no
-    * document-level window needed), one (doc, u, v) hash count, one
-    * (doc, u) window for the head counts, one doc-level fold. Each
-    * ln term is fixed-point quantized (floor(term·1e9) AS BIGINT —
-    * the PSI/JS discipline) before the per-doc sum, so libm ulp
-    * drift cannot leak into the hash compare. Documents with fewer
+    * Shape: the whole statistic is PER-DOCUMENT math, so it computes
+    * inside the scan projection — one native call
+    * ([[graft.functions.BigramEntropyStats]], term-for-term identical
+    * to the relational explode→count→window→fold form, which
+    * [[bigramEntropyRelational]] keeps as the spec's cross-check) and
+    * ZERO exchanges. Each ln term is fixed-point quantized
+    * (floor(term·1e9) AS BIGINT — the PSI/JS discipline) before the
+    * per-doc LONG sum, so neither libm ulp drift nor fold order can
+    * leak into the hash compare. Documents with fewer
     * than 2 tokens have no transitions and are absent from the
     * output (mirrored WHERE on both engines).
     */
   def bigramEntropy(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val st = graft.functions.BigramEntropyStats(tokensFolded(text))
+    df.select(id.as("doc_id"), st.as("st"))
+      .filter(col("st.n_bigrams") >= 1L) // i.e. ≥ 2 tokens
+      .select(col("doc_id"), col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct_bigrams").as("n_distinct_bigrams"),
+        (col("st.entropy_q").cast("double") / lit(1.0e9))
+          .as("bigram_entropy"))
+  }
+
+  /** The relational explode→count→window→fold form of
+    * [[bigramEntropy]] — kept as the cross-check the spec pins the
+    * native scan expression against (not on any query path). */
+  private[graft] def bigramEntropyRelational(df: DataFrame, id: Column,
+                                             text: Column): DataFrame = {
     val tk = tokensFolded(text)
     val b = df
       .select(id.as("doc"), tk.as("tk"))
       .filter(size(col("tk")) >= 2)
       .select(col("doc"), (size(col("tk")) - 1).cast("long").as("n"),
-        explode(transform(sequence(lit(0), size(col("tk")) - 2), i =>
-          struct(element_at(col("tk"), i + 1).as("u"),
-            element_at(col("tk"), i + 2).as("v")))).as("bg"))
-      .select(col("doc"), col("n"), col("bg.u").as("u"), col("bg.v").as("v"))
+        col("tk"), posexplode(col("tk")))
+      .filter(col("pos") < size(col("tk")) - 1)
+      .select(col("doc"), col("n"), col("col").as("u"),
+        element_at(col("tk"), col("pos") + 2).as("v"))
     val cnt = b.groupBy(col("doc"), col("u"), col("v"))
       .agg(count(lit(1)).as("c_uv"), min(col("n")).as("n"))
     val wcu = org.apache.spark.sql.expressions.Window

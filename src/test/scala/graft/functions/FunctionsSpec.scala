@@ -370,4 +370,22 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     assert(bad.isEmpty, s"native/composed clf divergence: ${bad.toSeq}")
   }
+
+  test("native BigramEntropyStats matches the relational form per doc") {
+    val docs = Seq(
+      (1L, "a b a b a c"), (2L, "x"), (3L, ""), (4L, "t t t t t t t t"),
+      (5L, "İ Σ İ Σ ΑΣ αΣβ"), (6L, "one two three four five six seven"),
+      (7L, "a a b b a a b b c"), (8L, "p q"))
+      .toDF("doc_id", "text")
+    val native = graft.llm.TextAnalysis
+      .bigramEntropy(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val rel = graft.llm.TextAnalysis
+      .bigramEntropyRelational(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(native == rel, s"native=$native relational=$rel")
+    assert(!native.contains(2L) && !native.contains(3L)) // <2 tokens drop
+  }
 }
