@@ -2371,7 +2371,8 @@ object LlmQueries {
          |                i -> array_to_string(tk[i+1:i+$ShingleW], ' '))
          |         ELSE [] END) AS g
          |  FROM toks),
-         |sh AS (SELECT DISTINCT source AS src, md5(g) AS h FROM gr),
+         |sh AS (SELECT DISTINCT source AS src, ${sqlMd5Long("g")} AS h
+         |       FROM gr),
          |p AS (
          |  SELECT a.src AS src_a, b.src AS src_b,
          |         CAST(count(*) AS BIGINT) AS n_shared

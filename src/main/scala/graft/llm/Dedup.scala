@@ -55,9 +55,13 @@ object Dedup {
     * src_a < src_b. */
   def crossSourceDup(df: DataFrame, source: Column, content: Column): DataFrame = {
     // persisted: the self-join would otherwise recompute the (explode→)
-    // hash→distinct chain once per side (the minhashBands discipline)
+    // hash→distinct chain once per side (the minhashBands discipline).
+    // Identity is md5Long (the engine-wide 60-bit convention, mirrored
+    // in the oracle twin): the distinct and the self-join then key on
+    // (src, 8-byte long) instead of (src, 32-char hex string)
     val sh = persistTracked(df.filter(content.isNotNull)
-      .select(source.as("src"), md5(content).as("h")).distinct())
+      .select(source.as("src"),
+        graft.functions.GraftFunctions.md5Long(content).as("h")).distinct())
     sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.src") < col("b.src"))
       .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
@@ -1013,9 +1017,14 @@ object Dedup {
     * Shape: one posexplode of the shingle stream, a (h, doc)-distinct
     * + ≤|grams|-key df count, an equi-join back (frequent-gram side
     * only — df > maxDf keeps it the boilerplate slice, naturally
-    * small), a w-bounded span explode, one (doc, idx)-distinct and a
-    * doc-keyed fold; docs with nothing masked re-enter by left join.
-    * No pair joins anywhere — cost is linear in token count. */
+    * small), then the span union folds as INTERVAL MATH on one
+    * doc-keyed window: every frequent start contributes
+    * min(w, next_start − start) — identical to the former
+    * [pos, pos+w) span explode + (doc, idx)-distinct (equal-length
+    * interval union), minus the w× explode volume and its distinct
+    * exchange (measured 1.9 s → 1.4 s isolated at sf0.1); docs with
+    * nothing masked re-enter by left join. No pair joins anywhere —
+    * cost is linear in token count. */
   def maskFrequentNgrams(df: DataFrame, id: Column, text: Column,
                          w: Int = 8, maxDf: Long = 2L): DataFrame = {
     val base = persistTracked(graft.core.Xform.spreadToCores(df)
@@ -1029,11 +1038,18 @@ object Dedup {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("h"))
+    // (doc_id, pos) is unique (posexplode; freq has one row per h), so
+    // the masked-token count is the union length of equal-width
+    // intervals: Σ min(w, gap to the next frequent start)
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val covered = pos.join(freq, Seq("h"))
+      .withColumn("nxt", lead(col("pos"), 1).over(wnd))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("idx"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_masked"))
+        when(col("nxt").isNull || col("nxt") - col("pos") >= w,
+          lit(w.toLong))
+          .otherwise((col("nxt") - col("pos")).cast("long")).as("cov"))
+      .groupBy(col("doc_id")).agg(sum(col("cov")).as("n_masked"))
     base.select(col("doc_id"), col("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
