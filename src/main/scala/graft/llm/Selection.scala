@@ -229,11 +229,13 @@ object Selection {
                 isTarget: Column): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // native tokenize+hash pass (value-identical to md5Long(w) %
+    // DsirBuckets over exploded tokens); the exploded stream carries
+    // bucket longs, not token strings
     val tw = docs
       .select(id.as("doc_id"), isTarget.as("is_tgt"),
-        explode(tokens(text)).as("w"))
-      .select(col("doc_id"), col("is_tgt"),
-        (md5Long(col("w")) % DsirBuckets).as("b"))
+        explode(graft.functions.TokenHashBuckets(text, 0,
+          DsirBuckets.toLong)).as("b"))
     val rawc = Array.fill(DsirBuckets)(0L)
     val tgtc = Array.fill(DsirBuckets)(0L)
     tw.groupBy(col("b")).agg(

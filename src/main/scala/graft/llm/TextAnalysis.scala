@@ -151,9 +151,12 @@ object TextAnalysis {
     * what [[graft.streaming.Streaming.mergeKlLedger]] exploits. */
   def klBucketCounts(df: DataFrame, text: Column, group: Column,
                      salt: Int = 17): DataFrame =
+    // one native tokenize+hash pass per doc; the corpus-sized explode
+    // then carries 8-byte bucket ids instead of token strings (see
+    // TokenHashBuckets — value-identical to md5Long(t, salt) % 256)
     df.filter(group.isNotNull)
-      .select(group.as("g"), explode(tokens(text)).as("t"))
-      .select(col("g"), (md5Long(col("t"), salt) % lit(256L)).as("b"))
+      .select(group.as("g"), explode(
+        graft.functions.TokenHashBuckets(text, salt, 256L)).as("b"))
       .groupBy(col("g"), col("b")).agg(count(lit(1)).as("n_gb"))
 
   /** KL from a (g, b, n_gb) count table (corpus-built or ledger-built —

@@ -388,4 +388,21 @@ class FunctionsSpec extends SparkSpec {
     assert(native == rel, s"native=$native relational=$rel")
     assert(!native.contains(2L) && !native.contains(3L)) // <2 tokens drop
   }
+
+  test("native TokenHashBuckets matches the composed md5Long form, salted and bare") {
+    import graft.functions.GraftFunctions._
+    val cases = Seq(
+      "", " ", "a", " a b  c ", "İ Σ ΑΣ", "the quick brown fox",
+      "👍 emoji  test", "x\ty z")
+    val df = cases.toDF("t")
+    for (salt <- Seq(0, 17); mod <- Seq(256L, 64L)) {
+      val bad = df.select(col("t"),
+          TokenHashBuckets(col("t"), salt, mod).as("nb"),
+          transform(tokens(col("t")),
+            w => md5Long(w, salt) % lit(mod)).as("hb"))
+        .filter(col("nb") =!= col("hb"))
+        .collect()
+      assert(bad.isEmpty, s"salt=$salt mod=$mod divergence: ${bad.toSeq}")
+    }
+  }
 }
