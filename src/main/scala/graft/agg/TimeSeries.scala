@@ -790,4 +790,55 @@ object TimeSeries {
           .otherwise(sum(col("gap")).cast("double") /
             count(col("gap")).cast("double")).as("mean_gap_us"))
   }
+
+  /** Pettitt rank-based changepoint test per key — the nonparametric
+    * companion of [[cusumChangepoint]]: CUSUM locates a LEVEL shift in
+    * the raw values (and a few junk outliers can drag it); Pettitt
+    * works on ranks, so it finds the split point K maximizing
+    * |U_t| = |Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j)| — robust to heavy tails
+    * and monotone transforms.
+    *
+    * Exactness: U_t folds WITHOUT the quadratic pair sum via the rank
+    * identity Σ_j sgn(x_i − x_j) = rank_asc(i) − rank_desc(i) (min
+    * ranks on both sides — ties contribute 0 exactly), so
+    * U_t = Σ_{i≤t} (r_asc − r_desc): two value-rank windows + one
+    * time-ordered cumulative sum, all exact integers (|U| ≤ n²/4 —
+    * LONG-safe to ~6·10⁹ rows per key). The argmax over t = 1..n−1
+    * breaks ties toward the earliest time. `stat_arg` = 6U²/(n³+n²)
+    * is the dimensionless exponent of the test's significance
+    * approximation p ≈ 2e^(−arg), emitted UN-exponentiated: exp is
+    * libm territory (the Benford-literal rule), monotone in the
+    * statistic anyway, and the caller thresholds arg > −ln(α/2).
+    *
+    * Shape: three key-partitioned windows + one filterable argmax
+    * rank — one shuffle on the key. */
+  def pettitt(df: DataFrame, key: Column, ts: Column, id: Column,
+              value: Column): DataFrame = {
+    val v = df.filter(ts.isNotNull && value.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("t"), id.as("id"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+    val wasc = Window.partitionBy(col("k")).orderBy(col("c"))
+    val wdesc = Window.partitionBy(col("k")).orderBy(col("c").desc)
+    val wt = Window.partitionBy(col("k")).orderBy(col("t"), col("id"))
+    val wall = Window.partitionBy(col("k"))
+    val u = v
+      .withColumn("s", rank().over(wasc).cast("long") -
+        rank().over(wdesc).cast("long"))
+      .withColumn("i", row_number().over(wt).cast("long"))
+      .withColumn("u", sum(col("s")).over(
+        wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wall))
+      .filter(col("i") < col("n")) // U_n ≡ 0: t ranges over 1..n−1
+    val wmax = Window.partitionBy(col("k"))
+      .orderBy(abs(col("u")).desc, col("t"), col("id"))
+    u.withColumn("rk", row_number().over(wmax))
+      .filter(col("rk") === 1)
+      .select(col("k"), col("n"), col("t").as("cp_t"),
+        col("i").as("cp_index"), abs(col("u")).as("u_stat"),
+        (lit(6.0) * col("u").cast("double") * col("u").cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            col("n").cast("double") +
+            col("n").cast("double") * col("n").cast("double")))
+          .as("stat_arg"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.entry
 
 import graft.agg.{Funnel, Inference, RobustStats, TimeSeries}
 import graft.llm.{Selection, Similarity, TextAnalysis}
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.tokensFolded
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -58,7 +58,17 @@ object GrowthQueries {
     "q_calibration_bins" -> ((s, d) =>
       Inference.calibration(Tables.documents(s, d),
         Selection.clfScore(col("text")),
-        !arrays_overlap(tokens(TextAnalysis.foldLower(col("text"))),
+        !arrays_overlap(tokensFolded(col("text")),
+          array(BlockedWords.map(lit): _*)))),
+
+    // isotonic (PAV-by-minimax) recalibration of the same score/label
+    // pair — the monotone score→probability map q_calibration_bins'
+    // reliability diagram motivates; everything after the bin agg is
+    // ≤bins-row local math
+    "q_iso_calibration" -> ((s, d) =>
+      Inference.isotonicCalibration(Tables.documents(s, d),
+        Selection.clfScore(col("text")),
+        !arrays_overlap(tokensFolded(col("text")),
           array(BlockedWords.map(lit): _*)))),
 
     // last-touch attribution: latest strictly-earlier click credits
@@ -108,7 +118,50 @@ object GrowthQueries {
   private def sqlMd5Long(x: String): String =
     s"CAST('0x'||substring(md5($x),1,15) AS BIGINT)"
 
+  /** Shared score/label CTE prefix of the calibration family
+    * (q_calibration_bins, q_iso_calibration) — the clfScore margin and
+    * the folded-token blocklist gate, verbatim in both twins. */
+  private lazy val calibScoreCte: String =
+    s"""toks AS (SELECT $SqlToks AS tk,
+       |               $FoldToksSql AS ftk FROM documents),
+       |sc AS (SELECT
+       |    CASE WHEN len(tk) = 0 THEN 0.0
+       |         ELSE CAST(CAST(coalesce(list_sum(list_transform(tk, t ->
+       |             ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)),
+       |             0) AS BIGINT) AS DOUBLE)
+       |           / (CAST(CAST(len(tk) AS BIGINT) AS DOUBLE) * 1000.0)
+       |    END AS score,
+       |    (len(list_filter(ftk, t -> t IN
+       |      (${BlockedWords.map(w => s"'$w'").mkString(", ")}))) = 0)
+       |      AS label
+       |  FROM toks)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q_iso_calibration" ->
+      s"""WITH $calibScoreCte,
+         |s2 AS (SELECT least(greatest(CAST(floor(score * 10) AS BIGINT), 0),
+         |           9) AS bin,
+         |         CASE WHEN label THEN 1 ELSE 0 END AS pos
+         |       FROM sc WHERE score IS NOT NULL AND label IS NOT NULL),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(pos) AS BIGINT) AS npos FROM s2 GROUP BY bin),
+         |p AS (SELECT bin, n, npos,
+         |        CAST(sum(n) OVER w AS BIGINT) AS cn,
+         |        CAST(sum(npos) OVER w AS BIGINT) AS cp
+         |      FROM g WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW)),
+         |segs AS (SELECT j.bin AS jb, k.bin AS kb,
+         |           CAST(k.cp - j.cp + j.npos AS DOUBLE) /
+         |             CAST(k.cn - j.cn + j.n AS DOUBLE) AS m
+         |         FROM p j JOIN p k ON j.bin <= k.bin),
+         |mins AS (SELECT p.bin, s.jb, min(s.m) AS minm
+         |         FROM segs s JOIN p ON s.jb <= p.bin AND p.bin <= s.kb
+         |         GROUP BY 1, 2),
+         |iso AS (SELECT bin, max(minm) AS iso_pos FROM mins GROUP BY 1)
+         |SELECT g.bin, g.n,
+         |  CAST(g.npos AS DOUBLE) / CAST(g.n AS DOUBLE) AS frac_pos,
+         |  iso.iso_pos
+         |FROM g JOIN iso USING (bin)""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH tk AS (SELECT unnest($FoldToksSql) AS t FROM documents
          |            WHERE text IS NOT NULL),
@@ -372,19 +425,7 @@ object GrowthQueries {
         |JOIN coh cb ON cb.g = pd.gb""".stripMargin,
 
     "q_calibration_bins" ->
-      s"""WITH toks AS (SELECT $SqlToks AS tk,
-         |               $FoldToksSql AS ftk FROM documents),
-         |sc AS (SELECT
-         |    CASE WHEN len(tk) = 0 THEN 0.0
-         |         ELSE CAST(CAST(coalesce(list_sum(list_transform(tk, t ->
-         |             ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)),
-         |             0) AS BIGINT) AS DOUBLE)
-         |           / (CAST(CAST(len(tk) AS BIGINT) AS DOUBLE) * 1000.0)
-         |    END AS score,
-         |    (len(list_filter(ftk, t -> t IN
-         |      (${BlockedWords.map(w => s"'$w'").mkString(", ")}))) = 0)
-         |      AS label
-         |  FROM toks),
+      s"""WITH $calibScoreCte,
          |s2 AS (SELECT least(greatest(CAST(floor(score * 10) AS BIGINT), 0),
          |           9) AS bin,
          |         CAST(floor(score * 1.0E9) AS BIGINT) AS sq,

@@ -79,7 +79,33 @@ object InferQueries {
     // as the covariate, θ fit on all units from exact power sums
     "q_cuped" -> ((s, d) =>
       Inference.cuped(Tables.events(s, d), col("user_id"), col("ts"),
-        col("value")))
+        col("value"))),
+
+    // closed-form price model cents ~ quantity + discount points:
+    // exact integer power sums, shared-text Cramer solve — the
+    // regression a warehouse runs before reaching for an ML library
+    "q_ols" -> ((s, d) =>
+      Inference.ols2(Tables.lineitem(s, d),
+        floor(col("l_extendedprice") * 100 + lit(0.5)),
+        floor(col("l_quantity") + lit(0.5)),
+        floor(col("l_discount") * 100 + lit(0.5)))),
+
+    // 1-D Wasserstein (earth mover's) between purchase and
+    // non-purchase value distributions — HOW FAR mass moved, beside
+    // q_ks_drift's worst point and q_psi's reallocated fraction;
+    // w1 in cents
+    "q_emd_drift" -> ((s, d) =>
+      graft.agg.RobustStats.wasserstein1(Tables.events(s, d),
+        floor(col("value") * 100 + lit(0.5)),
+        col("event_type") === "purchase")),
+
+    // Pettitt rank changepoint per event type — the outlier-robust
+    // companion of q_cusum's level-shift argmax; exp left to the
+    // caller (stat_arg is the dimensionless exponent)
+    "q_pettitt" -> ((s, d) =>
+      TimeSeries.pettitt(Tables.events(s, d), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+        .withColumnsRenamed(Map("k" -> "event_type")))
   )
 
   // ======================================================================
@@ -89,6 +115,99 @@ object InferQueries {
   // ======================================================================
 
   val oracle: Map[String, String] = Map(
+    "q_ols" -> {
+      // shared-text double operands mirroring Inference.ols2's Cramer
+      // solve operand-for-operand
+      def d(c: String) = s"CAST($c AS DOUBLE)"
+      val (n, sa, sb, sy) = (d("n"), d("sa"), d("sb"), d("sy"))
+      val (saa, sab, sbb) = (d("saa"), d("sab"), d("sbb"))
+      val (say, sby, syy) = (d("say"), d("sby"), d("syy"))
+      val det = s"($n * ($saa * $sbb - $sab * $sab) - $sa * ($sa * $sbb - $sab * $sb) + $sb * ($sa * $sab - $saa * $sb))"
+      val det0 = s"($sy * ($saa * $sbb - $sab * $sab) - $sa * ($say * $sbb - $sab * $sby) + $sb * ($say * $sab - $saa * $sby))"
+      val det1 = s"($n * ($say * $sbb - $sab * $sby) - $sy * ($sa * $sbb - $sab * $sb) + $sb * ($sa * $sby - $say * $sb))"
+      val det2 = s"($n * ($saa * $sby - $say * $sab) - $sa * ($sa * $sby - $say * $sb) + $sy * ($sa * $sab - $saa * $sb))"
+      val (b0, b1, b2) = (s"($det0 / $det)", s"($det1 / $det)", s"($det2 / $det)")
+      val sst = s"($syy - $sy * $sy / $n)"
+      val sse = s"($syy - ($b0 * $sy + $b1 * $say + $b2 * $sby))"
+      val bad = s"(n <= 2 OR $det = 0.0)"
+      s"""WITH s AS (SELECT
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+         |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS a,
+         |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS b
+         |  FROM lineitem
+         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |    AND l_discount IS NOT NULL),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+         |        sum(CAST(y AS HUGEINT)) AS sy,
+         |        sum(CAST(a * a AS HUGEINT)) AS saa,
+         |        sum(CAST(a * b AS HUGEINT)) AS sab,
+         |        sum(CAST(b * b AS HUGEINT)) AS sbb,
+         |        sum(CAST(a * y AS HUGEINT)) AS say,
+         |        sum(CAST(b * y AS HUGEINT)) AS sby,
+         |        sum(CAST(y * y AS HUGEINT)) AS syy
+         |      FROM s)
+         |SELECT n,
+         |  CASE WHEN $bad THEN NULL ELSE $b0 END AS b0,
+         |  CASE WHEN $bad THEN NULL ELSE $b1 END AS b1,
+         |  CASE WHEN $bad THEN NULL ELSE $b2 END AS b2,
+         |  CASE WHEN $bad OR $sst <= 0.0 THEN NULL
+         |       ELSE 1.0 - $sse / $sst END AS r2
+         |FROM g""".stripMargin
+    },
+
+    "q_emd_drift" ->
+      """WITH s AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+        |             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+        |               AS f
+        |           FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT x, CAST(sum(f) AS BIGINT) AS a,
+        |        CAST(sum(1 - f) AS BIGINT) AS b FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+        |        CAST(sum(b) AS BIGINT) AS n2 FROM g),
+        |c AS (SELECT x,
+        |        CAST(sum(a) OVER w AS BIGINT) AS c1,
+        |        CAST(sum(b) OVER w AS BIGINT) AS c2,
+        |        lead(x) OVER (ORDER BY x) - x AS dx
+        |      FROM g WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT t.n1, t.n2,
+        |        abs(CAST(c1 AS HUGEINT) * t.n2 -
+        |            CAST(c2 AS HUGEINT) * t.n1) * dx AS term
+        |      FROM c CROSS JOIN t WHERE dx IS NOT NULL)
+        |SELECT n1, n2,
+        |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+        |       ELSE CAST(sum(term) AS DOUBLE) /
+        |            (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS w1
+        |FROM p GROUP BY n1, n2""".stripMargin,
+
+    "q_pettitt" ->
+      """WITH v AS (SELECT event_type AS k, epoch_us(ts) AS t,
+        |             event_id AS id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT k, t, id,
+        |        CAST(rank() OVER (PARTITION BY k ORDER BY c) AS BIGINT)
+        |        - CAST(rank() OVER (PARTITION BY k ORDER BY c DESC)
+        |            AS BIGINT) AS s
+        |      FROM v),
+        |u AS (SELECT k, t, id,
+        |        CAST(row_number() OVER wt AS BIGINT) AS i,
+        |        CAST(sum(s) OVER (PARTITION BY k ORDER BY t, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS u,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |      FROM r WINDOW wt AS (PARTITION BY k ORDER BY t, id)),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY k
+        |        ORDER BY abs(u) DESC, t, id) AS rk
+        |      FROM u WHERE i < n)
+        |SELECT k AS event_type, n, t AS cp_t, i AS cp_index,
+        |  abs(u) AS u_stat,
+        |  6.0 * CAST(u AS DOUBLE) * CAST(u AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+        |     + CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS stat_arg
+        |FROM f WHERE rk = 1""".stripMargin,
+
     "q_welch_ttest" -> {
       val m1 = "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
       val m2 = "(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"

@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.functions.GraftFunctions.tokens
+import graft.functions.GraftFunctions.tokensFolded
 import graft.llm.{Bloom, Selection, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -78,8 +78,16 @@ object SelectionQueries {
     "q_scorer_kappa" -> ((s, d) =>
       Selection.agreementKappa(Tables.documents(s, d),
         Selection.clfKeep(col("text")),
-        !arrays_overlap(tokens(TextAnalysis.foldLower(col("text"))),
-          array(BlockedWords.map(lit): _*))))
+        !arrays_overlap(tokensFolded(col("text")),
+          array(BlockedWords.map(lit): _*)))),
+
+    // leave-one-source-out quality ablation: corpus mean classifier
+    // margin with vs without each source — the "should we drop this
+    // feed?" readout; one group agg + a ≤|sources|-row window
+    "q_source_ablation" -> ((s, d) =>
+      Selection.sourceAblation(Tables.documents(s, d), col("source"),
+        col("text"))
+        .withColumnsRenamed(Map("g" -> "source")))
   )
 
   // ======================================================================
@@ -116,6 +124,32 @@ object SelectionQueries {
          |  END AS q_score,
          |  (n_toks > 0 AND q_margin > 0) AS keep
          |FROM m""".stripMargin,
+
+    "q_source_ablation" ->
+      s"""WITH toks AS (SELECT source, $SqlToks AS tk FROM documents
+         |              WHERE source IS NOT NULL),
+         |m AS (
+         |  SELECT source,
+         |    CAST(coalesce(list_sum(list_transform(tk, t ->
+         |      ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
+         |      AS BIGINT) AS q_margin
+         |  FROM toks),
+         |per AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n_docs,
+         |          sum(CAST(q_margin AS HUGEINT)) AS sm
+         |        FROM m GROUP BY 1),
+         |w AS (SELECT g, n_docs, sm,
+         |        CAST(sum(n_docs) OVER () AS BIGINT) AS nt,
+         |        sum(sm) OVER () AS smt FROM per)
+         |SELECT g AS source, n_docs,
+         |  CAST(smt AS DOUBLE) / CAST(nt AS DOUBLE) AS mean_margin_all,
+         |  CASE WHEN nt = n_docs THEN NULL
+         |       ELSE CAST(smt - sm AS DOUBLE) / CAST(nt - n_docs AS DOUBLE)
+         |  END AS mean_margin_without,
+         |  CASE WHEN nt = n_docs THEN NULL
+         |       ELSE CAST(smt - sm AS DOUBLE) / CAST(nt - n_docs AS DOUBLE)
+         |            - CAST(smt AS DOUBLE) / CAST(nt AS DOUBLE)
+         |  END AS delta
+         |FROM w""".stripMargin,
 
     "q_dsir" ->
       s"""WITH toks AS (SELECT doc_id, lang, $SqlToks AS tk FROM documents),

@@ -503,4 +503,49 @@ object Selection {
       .filter(col("y") === col("maxy"))
       .select(col("id"), col("x"), col("y"), col("rank"))
   }
+
+  /** Leave-one-group-out quality ablation — the source-level "what
+    * would the corpus look like without this feed?" readout a curation
+    * stack runs before dropping or re-weighting a source: per group,
+    * the corpus-wide mean classifier margin, the mean WITHOUT the
+    * group, and the delta (positive delta = removing the group would
+    * RAISE average quality; big |delta| with big n_docs = the source
+    * is moving the corpus).
+    *
+    * Exactness: per-doc integer margins ([[qualityClassifier]]'s
+    * q_margin via the native one-pass scorer) sum as exact integers
+    * per group (DECIMAL(38,0) — margin ≤ 10³·tokens, times lake-scale
+    * docs squares past LONG); corpus totals fold over the ≤|groups|
+    * relation by window; each mean is ONE final double ratio.
+    *
+    * Shape: one map-combined groupBy on the group key; everything
+    * after is a ≤|groups|-row window — scan-bound at any scale. */
+  def sourceAblation(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = clfStats(text)
+    // NULL text scores margin 0 but still counts as a doc (mirrored
+    // coalesce in the twin) — dropping it would shrink n_docs
+    val per = docs.filter(group.isNotNull)
+      .select(group.as("g"),
+        coalesce(st.getField("margin_q"), lit(0L)).cast("decimal(38,0)")
+          .as("m"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("m")).as("sm"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("nt", sum(col("n_docs")).over(w))
+      .withColumn("smt", sum(col("sm")).over(w))
+      .select(col("g"), col("n_docs"),
+        (col("smt").cast("double") / col("nt").cast("double"))
+          .as("mean_margin_all"),
+        when(col("nt") === col("n_docs"), lit(null).cast("double"))
+          .otherwise((col("smt") - col("sm")).cast("double") /
+            (col("nt") - col("n_docs")).cast("double"))
+          .as("mean_margin_without"),
+        when(col("nt") === col("n_docs"), lit(null).cast("double"))
+          .otherwise((col("smt") - col("sm")).cast("double") /
+            (col("nt") - col("n_docs")).cast("double") -
+            col("smt").cast("double") / col("nt").cast("double"))
+          .as("delta"))
+  }
 }

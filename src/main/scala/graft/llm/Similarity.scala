@@ -846,12 +846,16 @@ object Similarity {
       aggregate(sequence(lit(0), least(size(v), lit(dim)) - 1), lit(0L),
         (acc, d) => acc + xq(element_at(v, d + 1)) *
           element_at(lit(vq.toArray), d + 1))
+    // the T+1 corpus jobs (T rounds + the final λ scan) all read the
+    // same vector projection — persist it once instead of re-paying
+    // the parquet scan per round (released by releaseCaches)
+    val base = graft.core.Caches.track(df.select(vec.as("v")))
     // v₀ = the uniform direction, quantized — any vector not
     // orthogonal to the principal direction converges
     var vq: Seq[Long] = Seq.fill(dim)(
       math.floor(1.0e6 / math.sqrt(dim.toDouble)).toLong)
     for (_ <- 1 to iters) {
-      val w = df.select(vec.as("v"))
+      val w = base
         .select(col("v"), dotQ(col("v"), vq).as("sq"))
         .select(posexplode(col("v")).as(Seq("d", "x")), col("sq"))
         .groupBy(col("d"))
@@ -864,7 +868,7 @@ object Similarity {
       vq = wd.map(v =>
         if (norm == 0.0) 0L else math.floor(v / norm * 1.0e6 + 0.5).toLong)
     }
-    val agg1 = df.select(vec.as("v"))
+    val agg1 = base
       .select(dotQ(col("v"), vq).as("sq"),
         aggregate(sequence(lit(0), least(size(col("v")), lit(dim)) - 1),
           lit(0L),

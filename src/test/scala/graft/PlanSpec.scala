@@ -1001,4 +1001,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
     graft.core.Caches.release()
   }
+
+  test("ols: one map-combined 1-row aggregate — no join, no window in the data path") {
+    val p = plan(SparkEntry.queries("q_ols")(spark, sf))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"normal-equation sums must not join:\n$p")
+    assert(!p.contains("Window"), s"no window — the solve is a projection:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"power sums must map-combine before the exchange:\n$p")
+  }
+
+  test("emd drift: corpus collapses per distinct value before the CDF window") {
+    val p = plan(SparkEntry.queries("q_emd_drift")(spark, sf))
+    // the only join is the broadcast 1-row totals; the window input is
+    // the domain-sized distinct-value relation, not the corpus
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"only the 1-row totals broadcast may join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-value slice counts must map-combine:\n$p")
+    assert(p.contains("Window"), s"the CDF cumulates by window:\n$p")
+  }
+
+  test("pettitt and source ablation stay single-shuffle on their keys") {
+    val pp = plan(SparkEntry.queries("q_pettitt")(spark, sf))
+    assert(!pp.contains("Join"), s"pettitt is windows over one relation:\n$pp")
+    assert(pp.contains("hashpartitioning(k"),
+      s"rank/cumsum windows must key on the series:\n$pp")
+    val pa = plan(SparkEntry.queries("q_source_ablation")(spark, sf))
+    assert(!pa.contains("Join"),
+      s"ablation totals fold by window over the group rows, never a corpus join:\n$pa")
+    assert("HashAggregate".r.findAllIn(pa).size >= 2,
+      s"group margins must map-combine:\n$pa")
+  }
 }

@@ -160,4 +160,55 @@ class InferenceSpec extends SparkSpec {
     assert(b.isNullAt(b.fieldIndex("max_gap_us")))
     assert(b.isNullAt(b.fieldIndex("mean_gap_us")))
   }
+
+  test("ols2 recovers an exact linear law with R² = 1; collinear features give NULLs") {
+    // y = 2 + 3a + 5b exactly on 5 non-degenerate points
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 1L))
+      .map { case (a, b) => (2L + 3L * a + 5L * b, a, b) }
+    val r = Inference.ols2(pts.toDF("y", "a", "b"),
+      col("y"), col("a"), col("b")).head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(math.abs(r.getAs[Double]("b0") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b1") - 3.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("b2") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+    // b == a makes the normal matrix singular → NULL βs and R²
+    val sing = Seq((1L, 1L, 1L), (2L, 2L, 2L), (5L, 3L, 3L), (9L, 4L, 4L))
+      .toDF("y", "a", "b")
+    val s = Inference.ols2(sing, col("y"), col("a"), col("b")).head()
+    Seq("b0", "b1", "b2", "r2").foreach(c =>
+      assert(s.isNullAt(s.fieldIndex(c)), c))
+  }
+
+  test("isotonicCalibration pools adjacent violators to the weighted mean") {
+    // bin 0 rate 1.0 (2/2) > bin 1 rate 0.5 (1/2) — PAV pools both
+    // to 3/4; a monotone third bin (rate 1.0) stays untouched
+    val rows = Seq(
+      (0.1, true), (0.2, true),          // bin 0
+      (0.55, true), (0.6, false),        // bin 1
+      (0.95, true), (0.99, true))        // bin 2 (bins = 3 → width 1/3)
+      .toDF("s", "l")
+    val out = Inference.isotonicCalibration(rows.toDF("s", "l"),
+        col("s"), col("l"), bins = 3)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0, 0.5, 1.0)) // raw
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.75, 0.75, 1.0)) // iso
+    // iso curve is monotone non-decreasing by construction
+    val iso = out.map(_.getDouble(3))
+    assert(iso.zip(iso.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("wasserstein1 equals the hand-computed CDF area; empty slice is NULL") {
+    // A = {0, 2}, B = {1, 3} → W₁ = 1 (pair 0→1, 2→3)
+    val df = Seq((0L, true), (2L, true), (1L, false), (3L, false))
+      .toDF("x", "a")
+    val r = RobustStats.wasserstein1(df, col("x"), col("a")).head()
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("w1") == 1.0)
+    val e = RobustStats.wasserstein1(
+      Seq((0L, true), (2L, true)).toDF("x", "a"), col("x"), col("a"))
+      .head()
+    assert(e.isNullAt(e.fieldIndex("w1")))
+  }
 }

@@ -182,4 +182,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out(("B", "A")) == ((1L, 2L, 0.5)))
     assert(out(("B", "B")) == ((1L, 2L, 0.5)))
   }
+
+  test("pettitt locates the rank-shift point with exact U; all-tied series gives U = 0") {
+    // 0,0,0,10,10,10: s = rank_asc − rank_desc = −3 for the zeros,
+    // +3 for the tens → U = −3,−6,−9,−6,−3 over t = 1..5 (U₆ ≡ 0
+    // excluded); argmax |U| = 9 at i = 3, the last pre-shift point
+    val df = (0 until 6).map(h => (1L, ts(h), if (h < 3) 0.0 else 10.0))
+      .toDF("k", "t", "v")
+    val r = TimeSeries.pettitt(df, col("k"), col("t"),
+      monotonically_increasing_id(), col("v")).collect().head
+    assert(r.getLong(1) == 6L)               // n
+    assert(r.getLong(2) == 2L * 3600000000L) // cp_t = third point
+    assert(r.getLong(3) == 3L)               // cp_index
+    assert(r.getLong(4) == 9L)               // u_stat
+    assert(math.abs(r.getDouble(5) - 6.0 * 81.0 / (216.0 + 36.0)) < 1e-12)
+    // constant series: every sgn term is 0, argmax ties to t = 1
+    val c = (0 until 4).map(h => (1L, ts(h), 5.0)).toDF("k", "t", "v")
+    val rc = TimeSeries.pettitt(c, col("k"), col("t"),
+      monotonically_increasing_id(), col("v")).collect().head
+    assert(rc.getLong(4) == 0L && rc.getLong(3) == 1L)
+  }
 }

@@ -325,7 +325,10 @@ class FunctionsSpec extends SparkSpec {
         graft.llm.TextAnalysis.tokenSetFingerprint(col("text")).as("fp"),
         graft.llm.TextAnalysis.counts(col("text")).as("tc"),
         NfcNormalize(col("text")).as("nfc"),
-        LangId(col("text")).as("lang")).collect()
+        LangId(col("text")).as("lang"),
+        ClfStats(col("text")).as("clf"),
+        BigramEntropyStats(tokens(col("text"))).as("be"),
+        TokenHashBuckets(col("text"), 17, 256L).as("thb")).collect()
       assert(rows.length == 2)
       assert(rows(0).getAs[String]("lang") == "en" && rows(1).getAs[String]("lang") == "de")
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")

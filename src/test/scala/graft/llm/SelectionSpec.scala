@@ -337,4 +337,36 @@ class SelectionSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(4) && r.isNullAt(5)),
       "zero total weight must yield NULL allocations, not a silent split")
   }
+
+  test("sourceAblation: complement means reconstruct the totals; single source gives NULL") {
+    val docs = Seq(("A", "good text here"), ("A", "more words"),
+      ("B", ""), ("B", "casino spam spam"), ("C", "x y z"))
+      .toDF("src", "text")
+    // per-source margin sums recomputed independently from the
+    // classifier output (explode-free cross-check of the operator)
+    val withId = docs.withColumn("id", monotonically_increasing_id())
+    val perSrc = Selection.qualityClassifier(withId, col("id"), col("text"))
+      .join(withId.select(col("id").as("doc_id"), col("src")), Seq("doc_id"))
+      .groupBy("src").agg(sum("q_margin").as("sm"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val smt = perSrc.values.map(_._1).sum.toDouble
+    val out = Selection.sourceAblation(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 3)
+    out.foreach { case (g, r) =>
+      val (smg, n) = perSrc(g)
+      assert(r.getLong(1) == n, s"$g n_docs")
+      assert(math.abs(r.getDouble(2) - smt / 5.0) < 1e-9, "overall mean")
+      assert(math.abs(r.getDouble(3) - (smt - smg) / (5.0 - n)) < 1e-9,
+        s"$g mean without")
+      assert(math.abs(r.getDouble(4) -
+        (r.getDouble(3) - r.getDouble(2))) < 1e-12, "delta identity")
+    }
+    val solo = Selection.sourceAblation(
+      Seq(("A", "only one")).toDF("src", "text"), col("src"), col("text"))
+      .collect().head
+    assert(solo.isNullAt(3) && solo.isNullAt(4),
+      "removing the only source leaves no corpus — NULL, not 0/0")
+  }
 }
