@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.functions.GraftFunctions._
+import graft.functions.ShingleHashes
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -58,14 +59,16 @@ object Contamination {
     // lake scale where the scan already has enough splits)
     val t = graft.core.Xform.spreadToCores(train)
       .select(trainId.as("train_id"),
-        explode(array_distinct(shingles(trainText, w))).as("sg"))
+        explode(array_distinct(ShingleHashes(tokens(trainText), w)))
+          .as("sg"))
     // per-bench distinct n-gram totals ride the SAME deduped rows as a
     // count window (cheap — the bench side is broadcast-sized), so ONE
     // broadcast serves both the match join and the frac denominator;
     // a separate totals table would broadcast-build the bench
     // explode+distinct subtree a second time and pay a second join
     val b = bench.select(benchId.as("bench_id"),
-        explode(array_distinct(shingles(benchText, w))).as("sg")).distinct()
+        explode(array_distinct(ShingleHashes(tokens(benchText), w)))
+          .as("sg")).distinct()
       .withColumn("n_bench", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bench_id"))))
     val nShared =
@@ -107,15 +110,14 @@ object Contamination {
   def ngramNovelty(docs: DataFrame, id: Column, text: Column,
                    ref: DataFrame, refText: Column, w: Int): DataFrame = {
     val refSet = ref
-      .select(explode(array_distinct(shingles(refText, w))).as("g"))
-      .select(md5Long(col("g")).as("h")).distinct()
+      .select(explode(array_distinct(ShingleHashes(tokens(refText), w)))
+        .as("h")).distinct()
       .withColumn("__seen", lit(true))
     // spread the scored side before its shingle explode (single-split
     // sources would tokenize+hash in one task; no-op at lake scale)
     graft.core.Xform.spreadToCores(docs)
       .select(id.as("doc_id"),
-        explode(array_distinct(shingles(text, w))).as("g"))
-      .select(col("doc_id"), md5Long(col("g")).as("h"))
+        explode(array_distinct(ShingleHashes(tokens(text), w))).as("h"))
       .join(refSet, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
@@ -139,8 +141,7 @@ object Contamination {
   def benchNgrams(bench: DataFrame, benchId: Column, benchText: Column,
                   w: Int): DataFrame =
     bench.select(benchId.as("bench_id"),
-        transform(array_distinct(shingles(benchText, w)),
-          s => md5Long(s)).as("bsg0"))
+        array_distinct(ShingleHashes(tokens(benchText), w)).as("bsg0"))
       .groupBy(col("bench_id"))
       .agg(array_distinct(flatten(collect_list(col("bsg0")))).as("bsg"))
 
@@ -170,8 +171,7 @@ object Contamination {
     // streaming frames pass through spreadToCores untouched, so the
     // batch/micro-batch plan parity StreamingSpec pins is preserved
     graft.core.Xform.spreadToCores(docs).select(id.as("train_id"),
-        transform(array_distinct(shingles(text, w)),
-          s => md5Long(s)).as("dsg"))
+        array_distinct(ShingleHashes(tokens(text), w)).as("dsg"))
       .crossJoin(broadcast(benchNg))
       .select(col("train_id"), col("bench_id"),
         size(array_intersect(col("dsg"), col("bsg"))).cast("long").as("n_shared"))
@@ -197,8 +197,7 @@ object Contamination {
                              benchNg: DataFrame, w: Int, minShared: Long): DataFrame = {
     val postings = benchNg.select(col("bench_id"), explode(col("bsg")).as("h"))
     graft.core.Xform.spreadToCores(docs).select(id.as("train_id"),
-        explode(transform(array_distinct(shingles(text, w)),
-          s => md5Long(s))).as("h"))
+        explode(array_distinct(ShingleHashes(tokens(text), w))).as("h"))
       .join(broadcast(postings), "h")
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -259,8 +258,8 @@ object Contamination {
     // scan→shingle→md5 subtree (the query's dominant cost) re-runs per
     // consumer. (8B+4B+8B) per token position, far smaller than the text.
     val pos = graft.core.Caches.track(graft.core.Xform.spreadToCores(docs)
-      .select(id.as("doc_id"), posexplode(shingles(text, w)).as(Seq("p", "sg")))
-      .select(col("doc_id"), col("p"), md5Long(col("sg")).as("h")))
+      .select(id.as("doc_id"),
+        posexplode(ShingleHashes(tokens(text), w)).as(Seq("p", "h"))))
     // pairable hashes: in ≥2 docs (singletons can't pair) and ≤ maxDf
     // (hotter is boilerplate; also bounds join fan-out per hash)
     val pairable = pos.select(col("h"), col("doc_id")).distinct()
@@ -288,12 +287,10 @@ object Contamination {
                   w: Int): DataFrame = {
     val t = graft.core.Xform.spreadToCores(train)
       .select(trainId.as("train_id"),
-        posexplode(shingles(trainText, w)).as(Seq("ti", "sg")))
-      .select(col("train_id"), col("ti"), md5Long(col("sg")).as("h"))
+        posexplode(ShingleHashes(tokens(trainText), w)).as(Seq("ti", "h")))
     val b = bench
       .select(benchId.as("bench_id"),
-        posexplode(shingles(benchText, w)).as(Seq("bj", "sg")))
-      .select(col("bench_id"), col("bj"), md5Long(col("sg")).as("h"))
+        posexplode(ShingleHashes(tokens(benchText), w)).as(Seq("bj", "h")))
     val runW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("train_id"), col("bench_id"), col("diag"))
       .orderBy(col("ti"))

@@ -395,8 +395,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val grams = graft.core.Xform.spreadToCores(df)
       .select(id.as("doc_id"),
-        posexplode(shingles(text, shingleWidth)).as(Seq("pos", "sg")))
-      .select(col("doc_id"), col("pos"), md5Long(col("sg")).as("h"))
+        posexplode(graft.functions.ShingleHashes(tokens(text), shingleWidth))
+          .as(Seq("pos", "h")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(window - 1), 0)
     val wn = Window.partitionBy(col("doc_id"))
@@ -1030,10 +1030,9 @@ object Dedup {
     val base = persistTracked(graft.core.Xform.spreadToCores(df)
       .select(id.as("doc_id"),
         size(tokens(text)).cast("long").as("n_tokens"),
-        graft.functions.Shingles(tokensFolded(text), w).as("shs")))
+        graft.functions.ShingleHashes(tokensFolded(text), w).as("shs")))
     val pos = base
-      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "sg")))
-      .select(col("doc_id"), col("pos"), md5Long(col("sg")).as("h"))
+      .select(col("doc_id"), posexplode(col("shs")).as(Seq("pos", "h")))
     val freq = pos.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)

@@ -803,10 +803,19 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the 1-row moment agg must broadcast into the dim spine:\n$p")
-    // exactly one parquet scan: the T iteration jobs already ran at
-    // plan-authoring time and re-enter as literals
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      s"converged v must be literal state, not a recomputed subtree:\n$p")
+    // the T iteration jobs already ran at plan-authoring time and
+    // re-enter as literals; the final λ pass reads the SAME persisted
+    // vector projection the iterations used (one corpus input, cached
+    // — not a recomputed subtree)
+    assert(p.contains("InMemoryTableScan"),
+      s"the final pass must read the persisted vector projection:\n$p")
+    // the literal converged direction appears inline — no second
+    // corpus-derived input besides the cached projection (the "Scan
+    // parquet" text inside the InMemoryRelation's recorded build plan
+    // is the cache's provenance, not a live scan)
+    assert(p.contains("element_at(["),
+      s"converged v must re-enter as a literal array:\n$p")
+    graft.core.Caches.release()
   }
 
   test("rank eval: corpus streams past the broadcast query panel (hubness shape)") {

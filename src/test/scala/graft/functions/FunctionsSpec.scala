@@ -328,7 +328,8 @@ class FunctionsSpec extends SparkSpec {
         LangId(col("text")).as("lang"),
         ClfStats(col("text")).as("clf"),
         BigramEntropyStats(tokens(col("text"))).as("be"),
-        TokenHashBuckets(col("text"), 17, 256L).as("thb")).collect()
+        TokenHashBuckets(col("text"), 17, 256L).as("thb"),
+        ShingleHashes(tokens(col("text")), 3).as("shh")).collect()
       assert(rows.length == 2)
       assert(rows(0).getAs[String]("lang") == "en" && rows(1).getAs[String]("lang") == "de")
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
@@ -390,6 +391,23 @@ class FunctionsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(native == rel, s"native=$native relational=$rel")
     assert(!native.contains(2L) && !native.contains(3L)) // <2 tokens drop
+  }
+
+  test("native ShingleHashes matches md5Long over native shingles, position for position") {
+    import graft.functions.GraftFunctions._
+    val cases = Seq(
+      "", "a", "a b", "a b c", "a b c d e", " lead  spaces ",
+      "İ Σ ΑΣ token İstanbul", "repeat repeat repeat repeat",
+      "👍 x y z 👍")
+    val df = cases.toDF("t")
+    for (w <- Seq(2, 3, 8)) {
+      val bad = df.select(col("t"),
+          ShingleHashes(tokens(col("t")), w).as("nh"),
+          transform(shingles(col("t"), w), g => md5Long(g)).as("hh"))
+        .filter(col("nh") =!= col("hh"))
+        .collect()
+      assert(bad.isEmpty, s"w=$w divergence: ${bad.toSeq}")
+    }
   }
 
   test("native TokenHashBuckets matches the composed md5Long form, salted and bare") {
