@@ -186,7 +186,9 @@ object Dedup {
     * pairs (bucket-bounded). Emits (doc_a, doc_b, jaccard_sim). */
   def nearDupPairs(df: DataFrame, id: Column, text: Column, threshold: Double,
                    shingleWidth: Int = 3, bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val withSh = df.select(id.as("doc_id"), array_distinct(shingles(text, shingleWidth)).as("sh"))
+    val withSh = df.select(id.as("doc_id"),
+      array_distinct(graft.functions.ShingleHashes(tokens(text),
+        shingleWidth)).as("sh"))
     val cand = lshCandidatePairs(df, id, text, shingleWidth, bands, rowsPerBand)
     cand
       .join(withSh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -232,7 +234,8 @@ object Dedup {
     // (the qualityRules lesson); no-op at lake scale where scans split
     val withSh = persistTracked(graft.core.Xform.spreadToCores(df)
       .select(id.as("doc_id"),
-        array_distinct(shingles(text, shingleWidth)).as("sh")))
+        array_distinct(graft.functions.ShingleHashes(tokens(text),
+          shingleWidth)).as("sh")))
     val posts = withSh.select(col("doc_id"), explode(col("sh")).as("tok"))
     // df via hash aggregate + join-back: A/B-measured 2.9 s vs 13.5 s
     // for the window-over-token form — shingle vocab is explode-sized
@@ -316,7 +319,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val withSh = persistTracked(graft.core.Xform.spreadToCores(df)
       .select(id.as("doc_id"),
-        array_distinct(shingles(text, shingleWidth)).as("sh")))
+        array_distinct(graft.functions.ShingleHashes(tokens(text),
+          shingleWidth)).as("sh")))
     val posts = withSh.select(col("doc_id"), explode(col("sh")).as("tok"))
     val dfreq = posts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
