@@ -431,6 +431,85 @@ object Inference {
         .otherwise(lit(1.0) - sse / sst).as("r2"))
   }
 
+  /** Split-conformal prediction interval on the [[ols2]] linear model
+    * (Vovk et al.; the Lei et al. 2018 split recipe): fit on the TRAIN
+    * slice, take q̂ = the ⌈(n+1)·cov⌉-th smallest absolute residual on
+    * the CALIBRATION slice, and report q̂ plus the empirical coverage
+    * of ŷ ± q̂ on the held-out TEST slice — the distribution-free
+    * "how wide must the band be for 90% coverage" readout that turns a
+    * point model into a calibrated interval.
+    *
+    * Exactness: the fit is [[ols2]]'s exact-power-sum Cramer solve
+    * (collected driver-side — O(1) state — and re-entering the scoring
+    * pass as double literals the oracle twin reproduces from the same
+    * integer sums); residuals quantize floor(|y − ŷ|·10⁶) LONG before
+    * ranking, so the order statistic is an integer compare; the rank
+    * k = ⌈cov·(n+1)⌉ is exact integer arithmetic
+    * ((covNum·(n+1) + covDen − 1) div covDen).
+    *
+    * Shape: one fit aggregate (scan-bound), then ONE pass computing
+    * residuals for both slices — q̂ comes from the KS/PSI domain-sized
+    * distinct-value window (never a corpus-wide sort) and broadcasts
+    * into the coverage count. Degenerate fit (NULL βs) or an empty
+    * calibration slice → NULL q̂/coverage. */
+  def conformalInterval(df: DataFrame, y: Column, x1: Column, x2: Column,
+                        inTrain: Column, inCalib: Column,
+                        covNum: Int = 9, covDen: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val fit = ols2(df.filter(inTrain), y, x1, x2).collect().head
+    val nTrain = fit.getLong(0)
+    val s = df
+      .filter(y.isNotNull && x1.isNotNull && x2.isNotNull && !inTrain)
+      .select(y.cast("long").as("yy"), x1.cast("long").as("a"),
+        x2.cast("long").as("b"),
+        when(inCalib, lit(1L)).otherwise(lit(0L)).as("cal"))
+    if (fit.isNullAt(1)) {
+      import spark.implicits._
+      return Seq((nTrain, 0L, 0L)).toDF("n_train", "n_calib", "n_test")
+        .select(col("n_train"), col("n_calib"), col("n_test"),
+          lit(null).cast("double").as("qhat"),
+          lit(null).cast("double").as("coverage"))
+    }
+    val (b0, b1, b2) =
+      (fit.getDouble(1), fit.getDouble(2), fit.getDouble(3))
+    val resid = abs(col("yy").cast("double") -
+      (lit(b0) + lit(b1) * col("a").cast("double") +
+        lit(b2) * col("b").cast("double")))
+    val scored = s.select(col("cal"),
+      floor(resid * lit(1.0e6)).cast("long").as("rq"))
+    // q̂ = k-th smallest calibration residual via the PSI boundary
+    // discipline: cumulate over DISTINCT quantized values only
+    val cc = scored.filter(col("cal") === 1L)
+      .groupBy(col("rq")).agg(count(lit(1)).as("c"))
+    val t = cc.agg(sum(col("c")).as("n_calib"))
+    val wq = Window.orderBy(col("rq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k = ceil(covNum·(n+1)/covDen) clamped to n (tiny-calib guard);
+    // k·covDen = x' − x' mod covDen with x' = covNum·(n+1)+covDen−1,
+    // so `cum ≥ k` stays a pure integer compare
+    val xp = (col("n_calib") + lit(1L)) * lit(covNum.toLong) +
+      lit(covDen.toLong - 1L)
+    val kScaled = least(xp - xp % lit(covDen.toLong),
+      col("n_calib") * lit(covDen.toLong))
+    val qhat = cc.select(col("rq"), sum(col("c")).over(wq).as("cum"))
+      .crossJoin(broadcast(t))
+      .filter(col("cum") * lit(covDen.toLong) >= kScaled)
+      .agg(min(col("rq")).as("qhat_q"))
+      .crossJoin(broadcast(t))
+    scored.crossJoin(broadcast(qhat))
+      .agg(max(col("n_calib")).as("n_calib"),
+        sum(lit(1L) - col("cal")).as("n_test"),
+        max(col("qhat_q")).as("qhat_q"),
+        sum(when(col("cal") === 0L && col("rq") <= col("qhat_q"), 1L)
+          .otherwise(0L)).as("n_cov"))
+      .select(lit(nTrain).as("n_train"), col("n_calib"), col("n_test"),
+        (col("qhat_q").cast("double") / lit(1.0e6)).as("qhat"),
+        when(col("n_test") === 0L || col("qhat_q").isNull,
+          lit(null).cast("double"))
+          .otherwise(col("n_cov").cast("double") /
+            col("n_test").cast("double")).as("coverage"))
+  }
+
   /** Isotonic (monotone non-decreasing) recalibration of a binary
     * classifier over `bins` equal-width score bins — the
     * pool-adjacent-violators curve by its minimax characterization

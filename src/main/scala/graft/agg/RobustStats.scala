@@ -508,12 +508,19 @@ object RobustStats {
     * Shape: the corpus pays one map-combined groupBy on the metric
     * value; the CDF window then runs over DISTINCT values only (the
     * KS/PSI domain-sized single-partition discipline — bounded by the
-    * quantized support, not the corpus). */
-  def wasserstein1(df: DataFrame, x: Column, inFirst: Column): DataFrame = {
-    val s = df.filter(x.isNotNull).select(x.cast("long").as("x"),
-      when(inFirst, lit(1L)).otherwise(lit(0L)).as("f"))
-    val g = s.groupBy(col("x"))
-      .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
+    * quantized support, not the corpus). The grouped relation is the
+    * SAME (x, a, b) value-count ledger [[psi]] folds, so a streaming
+    * deployment gets W₁ from the PSI ledger it already keeps
+    * ([[graft.streaming.Streaming.mergePsiLedgerIdempotent]]) with no
+    * extra state — StreamingSpec pins stream ≡ batch. */
+  def wasserstein1(df: DataFrame, x: Column, inFirst: Column): DataFrame =
+    wasserstein1FromValueCounts(psiValueCounts(df, x, inFirst))
+
+  /** [[wasserstein1]] from a (x, a, b) value-count table
+    * (corpus-built or ledger-built — identical results either way;
+    * NULL-x ledger sentinels are dropped). */
+  def wasserstein1FromValueCounts(g0: DataFrame): DataFrame = {
+    val g = g0.filter(col("x").isNotNull)
     val wc = Window.orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = g.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))

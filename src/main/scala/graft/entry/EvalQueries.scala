@@ -113,12 +113,50 @@ object EvalQueries {
     "q_pca_power" -> ((s, d) =>
       Similarity.pcaPower(
         graft.core.Xform.spreadToCores(Tables.embeddings(s, d)),
-        col("embedding"), dim = PcaDim, iters = PcaIters))
+        col("embedding"), dim = PcaDim, iters = PcaIters)),
+
+    // greedy Gonzalez k-center coreset: k maximally-spread exemplars
+    // + the covering-radius curve — farthest-point data pruning; each
+    // round is one corpus pass against the chosen-literal state
+    "q_kcenter" -> ((s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), KCenterK))
   )
 
   /** PCA dimensionality / power-iteration rounds (shared with the
     * oracle generator). */
   private val PcaDim = 64; private val PcaIters = 3
+
+  /** k-center coreset size (shared with the oracle generator). */
+  private val KCenterK = 6
+
+  /** The q_kcenter DuckDB twin — k unrolled greedy rounds (the
+    * pcaPowerOracleSql pattern: the oracle REPLAYS the selection loop,
+    * so a drifted round fails the hash compare). Distances share the
+    * floor((1−cos)·10⁹) integer compare and the lowest-id tie-break. */
+  private def kcenterOracleSql(k: Int): String = {
+    def dq(j: Int) =
+      s"CAST(floor((1.0 - ${sqlCos("e.v", s"c$j.v")}) * 1.0E9) AS BIGINT)"
+    val rounds = (1 until k).map { r =>
+      val froms = (0 until r).map(j => s"s$j c$j").mkString(", ")
+      val notIn = (0 until r).map(j => s"c$j.vec_id").mkString(", ")
+      val d = if (r == 1) dq(0)
+        else s"least(${(0 until r).map(dq).mkString(", ")})"
+      s"""p$r AS (SELECT e.vec_id, e.v, $d AS dq
+         |        FROM e, $froms WHERE e.vec_id NOT IN ($notIn)),
+         |s$r AS (SELECT vec_id, v, dq FROM p$r
+         |        ORDER BY dq DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val rows = (s"SELECT CAST(0 AS BIGINT) AS sel_round, vec_id, " +
+      "CAST(NULL AS DOUBLE) AS sep_dist FROM s0") +:
+      (1 until k).map(r =>
+        s"SELECT CAST($r AS BIGINT), vec_id, CAST(dq AS DOUBLE) / 1.0E9 FROM s$r")
+    s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings
+       |           WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+       |s0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |$rounds
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** Frozen coarse centroids for the upsert family: BASE corpus ids
     * < 16 (base = vec_id % 10 ≠ 7, so 15 cells). */
@@ -342,6 +380,8 @@ object EvalQueries {
          |FROM tt GROUP BY doc""".stripMargin,
 
     "q_pca_power" -> Similarity.pcaPowerOracleSql(PcaDim, PcaIters),
+
+    "q_kcenter" -> kcenterOracleSql(KCenterK),
 
     "q_ann_upsert_cells" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv

@@ -105,7 +105,17 @@ object InferQueries {
     "q_pettitt" -> ((s, d) =>
       TimeSeries.pettitt(Tables.events(s, d), col("event_type"),
         col("ts"), col("event_id"), col("value"))
-        .withColumnsRenamed(Map("k" -> "event_type")))
+        .withColumnsRenamed(Map("k" -> "event_type"))),
+
+    // split-conformal 90% interval on the q_ols price model:
+    // train (orderkey%5 ≥ 2) → calibration residual quantile
+    // (orderkey%5 = 0) → held-out coverage (orderkey%5 = 1)
+    "q_conformal" -> ((s, d) =>
+      Inference.conformalInterval(Tables.lineitem(s, d),
+        floor(col("l_extendedprice") * 100 + lit(0.5)),
+        floor(col("l_quantity") + lit(0.5)),
+        floor(col("l_discount") * 100 + lit(0.5)),
+        col("l_orderkey") % 5 >= 2, col("l_orderkey") % 5 === 0))
   )
 
   // ======================================================================
@@ -114,30 +124,34 @@ object InferQueries {
   // each emitted double ONE expression mirroring the Spark op order.
   // ======================================================================
 
-  val oracle: Map[String, String] = Map(
-    "q_ols" -> {
-      // shared-text double operands mirroring Inference.ols2's Cramer
-      // solve operand-for-operand
-      def d(c: String) = s"CAST($c AS DOUBLE)"
-      val (n, sa, sb, sy) = (d("n"), d("sa"), d("sb"), d("sy"))
-      val (saa, sab, sbb) = (d("saa"), d("sab"), d("sbb"))
-      val (say, sby, syy) = (d("say"), d("sby"), d("syy"))
-      val det = s"($n * ($saa * $sbb - $sab * $sab) - $sa * ($sa * $sbb - $sab * $sb) + $sb * ($sa * $sab - $saa * $sb))"
-      val det0 = s"($sy * ($saa * $sbb - $sab * $sab) - $sa * ($say * $sbb - $sab * $sby) + $sb * ($say * $sab - $saa * $sby))"
-      val det1 = s"($n * ($say * $sbb - $sab * $sby) - $sy * ($sa * $sbb - $sab * $sb) + $sb * ($sa * $sby - $say * $sb))"
-      val det2 = s"($n * ($saa * $sby - $say * $sab) - $sa * ($sa * $sby - $say * $sb) + $sy * ($sa * $sab - $saa * $sb))"
-      val (b0, b1, b2) = (s"($det0 / $det)", s"($det1 / $det)", s"($det2 / $det)")
-      val sst = s"($syy - $sy * $sy / $n)"
-      val sse = s"($syy - ($b0 * $sy + $b1 * $say + $b2 * $sby))"
-      val bad = s"(n <= 2 OR $det = 0.0)"
-      s"""WITH s AS (SELECT
+  // Shared-text double operands mirroring Inference.ols2's Cramer
+  // solve operand-for-operand (used by the q_ols and q_conformal
+  // twins — the conformal fit must be the SAME solve on its slice).
+  private object OlsSql {
+    private def d(c: String) = s"CAST($c AS DOUBLE)"
+    private val (n, sa, sb, sy) = (d("n"), d("sa"), d("sb"), d("sy"))
+    private val (saa, sab, sbb) = (d("saa"), d("sab"), d("sbb"))
+    private val (say, sby, syy) = (d("say"), d("sby"), d("syy"))
+    val det = s"($n * ($saa * $sbb - $sab * $sab) - $sa * ($sa * $sbb - $sab * $sb) + $sb * ($sa * $sab - $saa * $sb))"
+    val det0 = s"($sy * ($saa * $sbb - $sab * $sab) - $sa * ($say * $sbb - $sab * $sby) + $sb * ($say * $sab - $saa * $sby))"
+    val det1 = s"($n * ($say * $sbb - $sab * $sby) - $sy * ($sa * $sbb - $sab * $sb) + $sb * ($sa * $sby - $say * $sb))"
+    val det2 = s"($n * ($saa * $sby - $say * $sab) - $sa * ($sa * $sby - $say * $sb) + $sy * ($sa * $sab - $saa * $sb))"
+    val (b0, b1, b2) = (s"($det0 / $det)", s"($det1 / $det)", s"($det2 / $det)")
+    val sst = s"($syy - $sy * $sy / $n)"
+    val sse = s"($syy - ($b0 * $sy + $b1 * $say + $b2 * $sby))"
+    val bad = s"(n <= 2 OR $det = 0.0)"
+    /** Quantized (y, a, b) projection of lineitem under `where`. */
+    def slice(where: String): String =
+      s"""SELECT
          |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
          |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS a,
          |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS b
          |  FROM lineitem
          |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-         |    AND l_discount IS NOT NULL),
-         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    AND l_discount IS NOT NULL$where""".stripMargin
+    /** The ten exact power sums over a (y, a, b) relation `rel`. */
+    def sums(rel: String): String =
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |        CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
          |        sum(CAST(y AS HUGEINT)) AS sy,
          |        sum(CAST(a * a AS HUGEINT)) AS saa,
@@ -146,7 +160,14 @@ object InferQueries {
          |        sum(CAST(a * y AS HUGEINT)) AS say,
          |        sum(CAST(b * y AS HUGEINT)) AS sby,
          |        sum(CAST(y * y AS HUGEINT)) AS syy
-         |      FROM s)
+         |      FROM $rel""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_ols" -> {
+      import OlsSql._
+      s"""WITH s AS (${slice("")}),
+         |g AS (${sums("s")})
          |SELECT n,
          |  CASE WHEN $bad THEN NULL ELSE $b0 END AS b0,
          |  CASE WHEN $bad THEN NULL ELSE $b1 END AS b1,
@@ -154,6 +175,53 @@ object InferQueries {
          |  CASE WHEN $bad OR $sst <= 0.0 THEN NULL
          |       ELSE 1.0 - $sse / $sst END AS r2
          |FROM g""".stripMargin
+    },
+
+    // precondition (documented): a non-degenerate train fit — the
+    // Spark operator's degenerate branch (NULL βs → NULL q̂) has no
+    // twin here; InferenceSpec covers it engine-side
+    "q_conformal" -> {
+      import OlsSql._
+      s"""WITH tr AS (${slice(" AND l_orderkey % 5 >= 2")}),
+         |g AS (${sums("tr")}),
+         |fit AS (SELECT n AS n_train, $b0 AS b0, $b1 AS b1, $b2 AS b2
+         |        FROM g),
+         |s AS (SELECT
+         |        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yy,
+         |        CAST(floor(l_quantity + 0.5) AS BIGINT) AS a,
+         |        CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS b,
+         |        CASE WHEN l_orderkey % 5 = 0 THEN 1 ELSE 0 END AS cal
+         |      FROM lineitem
+         |      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+         |        AND l_discount IS NOT NULL
+         |        AND NOT l_orderkey % 5 >= 2),
+         |r AS (SELECT cal,
+         |        CAST(floor(abs(CAST(yy AS DOUBLE)
+         |          - (f.b0 + f.b1 * CAST(a AS DOUBLE)
+         |             + f.b2 * CAST(b AS DOUBLE))) * 1000000.0) AS BIGINT)
+         |          AS rq
+         |      FROM s CROSS JOIN fit f),
+         |cc AS (SELECT rq, CAST(count(*) AS BIGINT) AS c FROM r
+         |       WHERE cal = 1 GROUP BY 1),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n_calib FROM cc),
+         |cum AS (SELECT rq, CAST(sum(c) OVER (ORDER BY rq ROWS BETWEEN
+         |          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |        FROM cc),
+         |q AS (SELECT min(rq) AS qhat_q FROM cum CROSS JOIN t
+         |      WHERE cum * 10 >= least(
+         |        (t.n_calib + 1) * 9 + 9 - ((t.n_calib + 1) * 9 + 9) % 10,
+         |        t.n_calib * 10))
+         |SELECT (SELECT n_train FROM fit) AS n_train,
+         |  (SELECT n_calib FROM t) AS n_calib,
+         |  CAST(sum(1 - cal) AS BIGINT) AS n_test,
+         |  CAST((SELECT qhat_q FROM q) AS DOUBLE) / 1000000.0 AS qhat,
+         |  CASE WHEN sum(1 - cal) = 0 OR (SELECT qhat_q FROM q) IS NULL
+         |       THEN NULL
+         |       ELSE CAST(sum(CASE WHEN cal = 0
+         |              AND rq <= (SELECT qhat_q FROM q)
+         |              THEN 1 ELSE 0 END) AS DOUBLE)
+         |            / CAST(sum(1 - cal) AS DOUBLE) END AS coverage
+         |FROM r""".stripMargin
     },
 
     "q_emd_drift" ->

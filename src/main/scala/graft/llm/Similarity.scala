@@ -1262,4 +1262,58 @@ object Similarity {
         col("margin").desc_nulls_last, col("query_id"),
         col("neighbor_id"))).cast("long"))
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985) over an embedding corpus
+    * under cosine distance — the farthest-point selection behind
+    * coreset/data-pruning passes ("pick k maximally spread exemplars")
+    * with its 2-approximation cover guarantee. Round r adds the point
+    * maximizing its distance to the already-chosen set; the emitted
+    * `sep_dist` is that max-min distance — the covering radius of the
+    * first r−1 centers, the monotone curve a "how many exemplars do I
+    * need" decision reads.
+    *
+    * Determinism: the seed is the LOWEST id (no RNG); per-point
+    * distances quantize to floor((1−cos)·10⁹) LONG before the argmax
+    * (the PSI compare discipline) and ties break to the lowest id, so
+    * the selection replays identically on both engines — the oracle
+    * twin unrolls the same k rounds as CTEs over the identical
+    * integer compares.
+    *
+    * Shape (the pcaPower literal-state discipline): each round is ONE
+    * corpus pass against the ≤k chosen vectors re-entering as
+    * LITERALS (driver state is O(k·dim), never O(corpus)); the base
+    * projection persists across the k passes; each pass is a
+    * TakeOrdered(1) — no shuffle beyond the top-1 reduce. k passes
+    * over the corpus is the textbook Gonzalez cost. */
+  def kCenterCoreset(df: DataFrame, id: Column, vec: Column,
+                     k: Int): DataFrame = {
+    require(k >= 2, "a coreset needs at least 2 centers")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = graft.core.Caches.track(
+      df.filter(id.isNotNull && vec.isNotNull)
+        .select(id.cast("long").as("vec_id"), vec.as("v")))
+    val seed = base.orderBy(col("vec_id")).limit(1)
+      .collect().head
+    var chosen = Vector[(Long, Array[Float], Option[Long])](
+      (seed.getLong(0), seed.getSeq[Float](1).toArray, None))
+    for (_ <- 1 until k) {
+      val dq = chosen.map { case (_, cv, _) =>
+        floor((lit(1.0) - CosineSimilarity(col("v"), typedLit(cv))) *
+          lit(1.0e9)).cast("long")
+      }.reduce(least(_, _))
+      val next = base
+        .filter(!col("vec_id").isin(chosen.map(_._1): _*))
+        .select(col("vec_id"), col("v"), dq.as("dq"))
+        .orderBy(col("dq").desc, col("vec_id")).limit(1)
+        .collect().head
+      chosen = chosen :+ ((next.getLong(0),
+        next.getSeq[Float](1).toArray, Some(next.getLong(2))))
+    }
+    chosen.zipWithIndex.map { case ((i, _, d), r) =>
+      (r.toLong, i, d)
+    }.toDF("sel_round", "vec_id", "dq")
+      .select(col("sel_round"), col("vec_id"),
+        (col("dq").cast("double") / lit(1.0e9)).as("sep_dist"))
+  }
 }

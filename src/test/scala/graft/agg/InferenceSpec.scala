@@ -199,6 +199,33 @@ class InferenceSpec extends SparkSpec {
     assert(iso.zip(iso.tail).forall { case (x, y) => x <= y })
   }
 
+  test("conformalInterval: exact calibration quantile and held-out coverage") {
+    // train (m >= 2): y = 10a + b exactly → fit is exact, residuals on
+    // other slices are their planted offsets. calib (m = 0): offsets
+    // 0..8 cents → k = ceil(0.9 * 10) = 9 → qhat = 8 (9th smallest).
+    // test (m = 1): offsets 5 and 50 → coverage 1/2.
+    val train = (1L to 30L).map(i => (i * 5 + 2, 10 * i + (i % 4), i, i % 4))
+    val calib = (0L until 9L).map(j => (j * 5, 10 * 7 + 2 + j, 7L, 2L))
+    val test = Seq((1L, 10L * 3 + 1 + 5, 3L, 1L),
+      (6L, 10L * 3 + 1 + 50, 3L, 1L))
+    val df = (train ++ calib ++ test).toDF("k", "y", "a", "b")
+    val r = Inference.conformalInterval(df, col("y"), col("a"), col("b"),
+      col("k") % 5 >= 2, col("k") % 5 === 0).head()
+    assert(r.getAs[Long]("n_train") == 30L)
+    assert(r.getAs[Long]("n_calib") == 9L)
+    assert(r.getAs[Long]("n_test") == 2L)
+    assert(math.abs(r.getAs[Double]("qhat") - 8.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("coverage") - 0.5) < 1e-12)
+    // degenerate fit (collinear train) → NULL qhat/coverage
+    val sing = Seq((2L, 1L, 1L, 1L), (7L, 2L, 2L, 2L), (12L, 3L, 3L, 3L),
+      (17L, 9L, 4L, 4L), (0L, 5L, 5L, 5L), (1L, 6L, 6L, 6L))
+      .toDF("k", "y", "a", "b")
+    val d = Inference.conformalInterval(sing, col("y"), col("a"), col("b"),
+      col("k") % 5 >= 2, col("k") % 5 === 0).head()
+    assert(d.isNullAt(d.fieldIndex("qhat")) &&
+      d.isNullAt(d.fieldIndex("coverage")))
+  }
+
   test("wasserstein1 equals the hand-computed CDF area; empty slice is NULL") {
     // A = {0, 2}, B = {1, 3} → W₁ = 1 (pair 0→1, 2→3)
     val df = Seq((0L, true), (2L, true), (1L, false), (3L, false))

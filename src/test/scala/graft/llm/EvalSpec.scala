@@ -157,4 +157,24 @@ class EvalSpec extends SparkSpec {
     assert(!merged.exists(p => p._1 % 7 == 3), "tombstoned ids must be gone")
     assert(merged.exists(p => p._1 % 5 == 2), "delta ids must be present")
   }
+
+  test("kCenterCoreset picks the farthest point each round, ties to the lowest id") {
+    // seed = lowest id (1). Both axis vectors sit at cosine distance 1
+    // from it — the tie breaks to id 2; round 2 then takes id 3 (still
+    // distance 1 from BOTH chosen); the near-duplicate of the seed
+    // (id 4) is never picked at k = 3
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (4L, Array(0.999f, 0.01f, 0.0f)))
+      .toDF("id", "v")
+    val out = Similarity.kCenterCoreset(vecs, col("id"), col("v"), k = 3)
+      .orderBy("sel_round").collect()
+    graft.core.Caches.release()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.isNullAt(2), "seed has no separation distance")
+    assert(out.drop(1).forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6),
+      "orthogonal picks separate at distance 1")
+  }
 }

@@ -952,8 +952,17 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val batch = graft.agg.RobustStats.psi(all, col("n_chars"),
       col("lang") === "en").collect().map(_.toSeq).toSet
-    graft.core.Caches.release()
     assert(streamed == batch, s"stream=$streamed batch=$batch")
+
+    // the SAME ledger also carries Wasserstein-1 drift — no extra
+    // streaming state beyond what the PSI monitor already keeps
+    val streamedW1 = graft.agg.RobustStats
+      .wasserstein1FromValueCounts(ledger)
+      .collect().map(_.toSeq).toSet
+    val batchW1 = graft.agg.RobustStats.wasserstein1(all, col("n_chars"),
+      col("lang") === "en").collect().map(_.toSeq).toSet
+    graft.core.Caches.release()
+    assert(streamedW1 == batchW1, s"stream=$streamedW1 batch=$batchW1")
   }
 
   test("idempotent daily-count ledger: replay is a no-op; streamed anomalies equal batch") {
