@@ -560,4 +560,74 @@ object Inference {
           .as("frac_pos"),
         col("iso_pos"))
   }
+
+  /** Kruskal–Wallis rank test of one metric across k groups — the
+    * distribution-free companion of [[anovaF]] (no normality or
+    * equal-variance assumption), and the k-sample generalization of
+    * [[graft.agg.RobustStats.mannWhitney]]'s two-slice rank drift:
+    * H = 12/(N(N+1)) · Σ R_g²/n_g − 3(N+1) over midranks, with the
+    * standard tie correction H' = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Exactness (the mannWhitney 2×midrank discipline): ranks never
+    * materialize per row — the distinct-value domain carries
+    * 2·midrank(v) = 2·cum(v) − n_v + 1 as an exact LONG, each group's
+    * doubled rank sum R2_g = Σ n_gv·(2·midrank) folds in
+    * DECIMAL(38,0), and the per-group quotient R2_g² div (4·n_g)
+    * lands in LONG via exact integer division (identical truncation
+    * both engines; the quotient ≈ n_g·N² must fit a LONG — past
+    * ~10⁶-row groups at 10⁹ total rows drop to a coarser rank
+    * quantization, same determinism). H and H' are each ONE final
+    * double expression from the integer totals; ties eat the whole
+    * domain (single distinct value ⇒ correction ≤ 0) → NULL h.
+    *
+    * Shape: one (g, v) groupBy; the value-domain table derives from it
+    * by a second ≤|domain|-row agg (no second corpus scan), cumulates
+    * over ONE domain-sized ordered window (the KS/PSI discipline), and
+    * joins back on v — the corpus is touched once. Returns one row per
+    * group (g, n_g, rank_sum2) with the fold constants (n, k, h,
+    * h_tie_corrected) window-attached. */
+  def kruskalWallis(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val gv = df.filter(group.isNotNull && value.isNotNull)
+      .select(group.as("g"), value.as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_gv"))
+    val dom = gv.groupBy(col("v")).agg(sum(col("n_gv")).as("n_v"))
+      .withColumn("cum", sum(col("n_v"))
+        .over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("n_v"),
+        (lit(2L) * col("cum") - col("n_v") + lit(1L)).as("mid2"))
+    val perG = gv.join(dom, Seq("v"))
+      .groupBy(col("g"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum((col("n_gv") * col("mid2")).cast("decimal(38,0)"))
+          .as("rank_sum2"))
+    // Σ R_g²/n_g with R_g = rank_sum2/2 — exact integer div, LONG
+    // quotient (see bound above), then a decimal cross-group sum
+    val termq = call_function("div",
+      col("rank_sum2") * col("rank_sum2"), lit(4L) * col("n_g"))
+    val ties = dom.agg(sum((col("n_v") * col("n_v") * col("n_v") -
+      col("n_v")).cast("decimal(38,0)")).as("tie3"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val t = perG.select(col("g"), col("n_g"), col("rank_sum2"),
+        sum(col("n_g")).over(wAll).as("n"),
+        count(lit(1)).over(wAll).as("k"),
+        sum(termq.cast("decimal(38,0)")).over(wAll).as("tsum"))
+      .crossJoin(broadcast(ties))
+    val nd = col("n").cast("double")
+    val h = lit(12.0) * col("tsum").cast("double") / (nd * (nd + lit(1.0))) -
+      lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) - col("tie3").cast("double") /
+      (nd * nd * nd - nd)
+    // LONG render (the q_rank_drift rule: HUGEINT/decimal is
+    // pandas-lossy driver-side; the doubled rank sum fits a LONG far
+    // past bench scale)
+    t.select(col("g"), col("n_g"), col("rank_sum2").cast("long").as("rank_sum2"),
+      col("n"), col("k"),
+      when(col("k") <= 1L || col("n") <= col("k"),
+        lit(null).cast("double")).otherwise(h).as("h"),
+      when(col("k") <= 1L || col("n") <= col("k") || corr <= lit(0.0),
+        lit(null).cast("double")).otherwise(h / corr)
+        .as("h_tie_corrected"))
+  }
 }

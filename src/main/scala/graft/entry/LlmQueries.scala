@@ -1056,6 +1056,14 @@ object LlmQueries {
           col("meta.n_bytes").as("n_bytes"),
           md5(lower(hex(col("payload")))).as("payload_md5"))),
 
+    // 64-bit perceptual difference hash per media — gradient-sign bits
+    // over the sampled byte grid, 4×16-bit bands; pure projection
+    "q_phash" -> ((s, d) => Multimodal.dHash(media(s, d))),
+
+    // perceptual near-dup pairs at hamming ≤ 3 — banded candidate
+    // self-join (pigeonhole-complete for the threshold), never all-pairs
+    "q_phash_pairs" -> ((s, d) => Multimodal.dHashPairs(media(s, d), 3)),
+
     // Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
     // top-20 and the dense hash-embed cosine top-20 against the same
     // query bag — the RAG-serving merge (Cormack et al. 2009, k=60).
@@ -2994,8 +3002,59 @@ object LlmQueries {
          |SELECT media_id, CAST(len(features) AS BIGINT) AS n_dims,
          |       CAST(features[1] AS DOUBLE) AS f0,
          |       list_sum(list_transform(features, x -> CAST(x AS DOUBLE))) AS fsum
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // mirrors Multimodal.dHash: cell i = byte floor(i·(n−1)/71) read
+    // off the hex rendering, band j = Σ gradient-bit << ((r%2)·8+c)
+    "q_phash" ->
+      s"""$MediaPayloadCte,
+         |$DhashBandsCte
+         |SELECT media_id, b0, b1, b2, b3,
+         |       lower(lpad(hex(b0), 4, '0') || lpad(hex(b1), 4, '0') ||
+         |             lpad(hex(b2), 4, '0') || lpad(hex(b3), 4, '0'))
+         |         AS phash
+         |FROM b""".stripMargin,
+
+    // mirrors Multimodal.dHashPairs: any-band-equal candidates (the
+    // pigeonhole set for hamming ≤ 3), xor/bit_count verify
+    "q_phash_pairs" ->
+      s"""$MediaPayloadCte,
+         |$DhashBandsCte
+         |SELECT x.media_id AS id1, y.media_id AS id2,
+         |       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |          + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+         |         AS BIGINT) AS hamming
+         |FROM b x JOIN b y ON x.media_id < y.media_id
+         |  AND (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+         |WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         |    + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3
+         |""".stripMargin
   )
+
+  /** dHash oracle fragment: the 72-cell sampled byte grid off `pl`
+    * (zero-byte payloads drop, as the Spark filter does) and the four
+    * 16-bit band sums — bit constants generated from the SAME
+    * (r%2)·8+c layout as Multimodal.dHash. */
+  private lazy val DhashBandsCte: String = {
+    def band(j: Int): String =
+      (for (rr <- 0 to 1; c <- 0 to 7) yield {
+        val r = 2 * j + rr
+        s"(CASE WHEN g[${r * 9 + c + 1}] > g[${r * 9 + c + 2}] " +
+          s"THEN ${1L << (rr * 8 + c)} ELSE 0 END)"
+      }).mkString("(", " + ", ")")
+    s"""g0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |         list_transform(range(0, 72), i ->
+       |           CAST('0x' || substr(ph,
+       |             CAST((i * (n_bytes - 1)) // 71 * 2 + 1 AS INT), 2)
+       |             AS BIGINT)) AS g
+       |       FROM pl WHERE n_bytes > 0),
+       |b AS (SELECT media_id,
+       |        CAST(${band(0)} AS BIGINT) AS b0,
+       |        CAST(${band(1)} AS BIGINT) AS b1,
+       |        CAST(${band(2)} AS BIGINT) AS b2,
+       |        CAST(${band(3)} AS BIGINT) AS b3
+       |      FROM g0)""".stripMargin
+  }
 
   /** Payload-construction CTE shared by the media oracles — the SQL twin
     * of [[Multimodal.syntheticPayload]]: `hdr` builds the container

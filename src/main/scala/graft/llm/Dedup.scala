@@ -68,6 +68,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** KMV (bottom-k) sketch Jaccard between every source pair — the
+    * SKETCH-SCALE companion of [[crossSourceDup]]: the exact matrix
+    * self-joins the full distinct (source, hash) relation on the hash,
+    * which at 100 TB shuffles the whole corpus identity set per
+    * refresh; the KMV form collapses each source to its k SMALLEST
+    * content hashes (Beyer et al.'s k-minimum-values synopsis — a
+    * bottom-k order statistic, so the sketch is deterministic given
+    * the hash, mergeable, and ε ≈ 1/√k), and every pairwise estimate
+    * is then |sources|²-cheap driver-side-sized math.
+    *
+    * Estimator: for pair (A, B), pool = the k' smallest of
+    * sig_A ∪ sig_B with k' = min(k_A, k_B, |union|); pool members
+    * present in BOTH signatures are union-sampled intersection hits,
+    * so Ĵ = |pool ∩ A ∩ B| / k', and the union size estimate is the
+    * KMV cardinality (k'−1)·2⁶⁰ / pool_max (md5Long is uniform on
+    * [0, 2⁶⁰)). Both are exact integer/array computations plus ONE
+    * final double division — bit-identical across engines. Pairs with
+    * k' < 2 emit NULL estimates (a 1-element pool estimates nothing).
+    *
+    * Shape: one distinct (src, h) shuffle (map-side combined), a
+    * per-source bottom-k window (the sort is per-source over its
+    * distinct hashes; at lake scale swap in a partial bottom-k
+    * aggregate — same output, it is an order statistic), then the
+    * ≤|sources|-row signature table broadcast self-joins: the pairwise
+    * stage never touches the corpus. */
+  def kmvSourceJaccard(df: DataFrame, source: Column, content: Column,
+                       k: Int): DataFrame = {
+    val sh = df.filter(content.isNotNull && source.isNotNull)
+      .select(source.as("src"),
+        graft.functions.GraftFunctions.md5Long(content).as("h")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("h"))
+    val sig = sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(col("h"))).as("sig"),
+        count(lit(1)).as("k_eff"))
+    val u = array_sort(array_union(col("a.sig"), col("b.sig")))
+    val kk = least(col("a.k_eff"), col("b.k_eff"), size(u).cast("long"))
+    val pool = slice(u, lit(1), kk.cast("int"))
+    val nMatch = size(array_intersect(
+      array_intersect(pool, col("a.sig")), col("b.sig"))).cast("long")
+    val poolMax = element_at(pool, kk.cast("int"))
+    sig.as("a").join(broadcast(sig.as("b")), col("a.src") < col("b.src"))
+      .select(col("a.src").as("src_a"), col("b.src").as("src_b"),
+        kk.as("k_used"), nMatch.as("n_match"),
+        when(kk < 2L, lit(null).cast("double"))
+          .otherwise(nMatch.cast("double") / kk.cast("double"))
+          .as("jaccard_kmv"),
+        when(kk < 2L, lit(null).cast("double"))
+          .otherwise((kk - 1L).cast("double") * lit(1152921504606846976.0) /
+            poolMax.cast("double")).as("union_est"))
+  }
+
   /** Incremental exact dedup: dedupe INCOMING docs against an already-
     * ingested corpus — the every-day shape of a continuously-fed lake
     * (yesterday's corpus is fixed; today's drop must not re-add seen

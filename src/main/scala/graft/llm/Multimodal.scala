@@ -298,4 +298,84 @@ object Multimodal {
         sum(when(col("n_media") >= 2L, 1L).otherwise(0L)).as("n_shared"),
         sum(when(col("n_media") >= 2L, col("clen")).otherwise(0L)).as("shared_bytes"))
   }
+
+  /** 64-bit perceptual difference hash (dHash, the aHash/pHash family's
+    * robust member): sample the media to an 8×9 grayscale grid, emit
+    * bit (r,c) = grid(r,c) > grid(r,c+1) — 8 row-gradient bits × 8
+    * rows. Gradient SIGNS survive brightness/contrast shifts and
+    * re-encodes that change every byte of the container, which is why
+    * perceptual near-dup finds re-encoded images exact/CDC dedup
+    * cannot.
+    *
+    * STUB decode seam (the [[fakeDecodeFeatures]] contract): the
+    * "grayscale grid" here samples the PAYLOAD BYTES at 72 evenly
+    * spaced offsets — cell i reads byte floor(i·(n−1)/71) off the
+    * lowercase-hex rendering (the engine-pair byte accessor) — a
+    * deterministic stand-in for decode→resize(9×8)→luma. Swap the grid
+    * for a real codec at the [[extractFeatures]] seam; the dHash layer
+    * (gradient bits, 4×16-bit bands, the banded hamming join) is the
+    * real, scale-tested operator.
+    *
+    * Emits (media_id, b0..b3, phash): four 16-bit band values — rows
+    * 2j,2j+1 of the bit matrix, bit (r%2)·8+c — plus the 16-hex-char
+    * rendering. Bands keep every value < 2¹⁶, so no sign games at bit
+    * 63 on either engine. Zero-byte payloads drop (nothing to hash).
+    *
+    * Shape: a pure projection over the payload scan — 72 shared
+    * hex-read subexpressions per row, zero shuffles, codegen'd. */
+  def dHash(media: DataFrame): DataFrame = {
+    val src = media
+      .filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
+      .select(col("media_id"), lower(hex(col("payload"))).as("ph"),
+        octet_length(col("payload")).cast("long").as("n"))
+    // cell i: byte value at offset floor(i·(n−1)/71), read as two hex
+    // chars (the cdcChunkStats byte accessor)
+    def cell(i: Int): Column =
+      conv(col("ph").substr(
+        (call_function("div", lit(i.toLong) * (col("n") - 1L), lit(71L))
+          * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")
+    def band(j: Int): Column =
+      (for (rr <- 0 to 1; c <- 0 to 7) yield {
+        val r = 2 * j + rr
+        when(cell(r * 9 + c) > cell(r * 9 + c + 1),
+          lit(1L << (rr * 8 + c))).otherwise(lit(0L))
+      }).reduce(_ + _)
+    src.select(col("media_id"), band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3"))
+      .withColumn("phash", lower(concat(
+        lpad(hex(col("b0")), 4, "0"), lpad(hex(col("b1")), 4, "0"),
+        lpad(hex(col("b2")), 4, "0"), lpad(hex(col("b3")), 4, "0"))))
+  }
+
+  /** Perceptual near-dup pairs: media whose dHashes differ in ≤
+    * `maxDist` of the 64 gradient bits. Banded candidate generation
+    * (the [[graft.llm.Dedup.simhashPairs]] discipline): a pair within
+    * hamming ≤ 3 must agree EXACTLY on ≥ 1 of the 4 16-bit bands
+    * (pigeonhole), so candidates come from 4 equality self-joins on
+    * (band_idx, band_value) — never an all-pairs scan — and the
+    * verify step is 4 xor/bit_counts on the already-carried bands.
+    * Emits (id1, id2, hamming), id1 < id2, deduped across bands. */
+  def dHashPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sig = dHash(media)
+    val bandArr = array((0 until 4).map(i =>
+      struct(lit(i).as("band_idx"),
+        Seq(col("b0"), col("b1"), col("b2"), col("b3"))(i)
+          .as("band_bits"))): _*)
+    val probes = sig.select(col("media_id"), col("b0"), col("b1"),
+        col("b2"), col("b3"), explode(bandArr).as("p"))
+      .select(col("media_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("p.band_idx").as("band_idx"), col("p.band_bits").as("band_bits"))
+    val ham = (0 until 4).map(i => bit_count(
+        Seq(col("a.b0"), col("a.b1"), col("a.b2"), col("a.b3"))(i)
+          .bitwiseXOR(Seq(col("b.b0"), col("b.b1"), col("b.b2"),
+            col("b.b3"))(i))).cast("long"))
+      .reduce(_ + _)
+    probes.as("a").join(probes.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_bits") === col("b.band_bits") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id1"), col("b.media_id").as("id2"),
+        ham.as("hamming")).distinct()
+      .filter(col("hamming") <= maxDist)
+  }
 }

@@ -1042,4 +1042,39 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(pa).size >= 2,
       s"group margins must map-combine:\n$pa")
   }
+
+  test("dHash is a shuffle-free codegen projection; pairs join on band equi-keys") {
+    val ph = plan(SparkEntry.queries("q_phash")(spark, sf))
+    assert(!ph.contains("Exchange"), s"dHash must not shuffle:\n$ph")
+    assert(!ph.contains("Join"), s"dHash is a pure projection:\n$ph")
+    val pp = plan(SparkEntry.queries("q_phash_pairs")(spark, sf))
+    assert(pp.contains("hashpartitioning(band_idx") ||
+      pp.contains("band_idx"), s"candidates must key on the band:\n$pp")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"banded candidates must never all-pairs:\n$pp")
+  }
+
+  test("wordpiece stats is a shuffle-free single-pass projection") {
+    val p = plan(SparkEntry.queries("q_wordpiece")(spark, sf))
+    assert(!p.contains("Exchange"), s"wordpiece must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"wordpiece is a pure projection:\n$p")
+    assert(p.contains("wordpiece_stats"), s"native expression missing:\n$p")
+  }
+
+  test("k-anonymity: one map-combined class aggregate, folds over the class table") {
+    val p = plan(SparkEntry.queries("q_k_anonymity")(spark, sf))
+    assert(!p.contains("Join"),
+      s"suppression totals fold by window, never a corpus join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"class sizes must map-combine:\n$p")
+  }
+
+  test("kmv jaccard: pairwise stage broadcasts sketches, corpus never sort-merges") {
+    val p = plan(SparkEntry.queries("q_kmv_jaccard")(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"the only join is the broadcast sketch self-join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"|sources|-row pairwise stage must broadcast:\n$p")
+  }
 }

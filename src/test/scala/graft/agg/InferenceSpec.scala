@@ -238,4 +238,35 @@ class InferenceSpec extends SparkSpec {
       .head()
     assert(e.isNullAt(e.fieldIndex("w1")))
   }
+
+  test("kruskalWallis matches the hand-computed H on a tie-free fixture") {
+    // a = {1, 3} (ranks 1, 3 → R = 4), b = {2, 4} (ranks 2, 4 → R = 6):
+    // Σ R²/n = 16/2 + 36/2 = 26 (both exact under the integer div),
+    // H = 12·26/(4·5) − 3·5 = 0.6; no ties → H' = H
+    val df = Seq(("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 4.0))
+      .toDF("g", "v")
+    val rows = Inference.kruskalWallis(df, col("g"), col("v"))
+      .orderBy("g").collect()
+    assert(rows.map(_.getAs[Long]("rank_sum2")).toSeq == Seq(8L, 12L))
+    val r = rows.head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 2L)
+    assert(math.abs(r.getAs[Double]("h") - 0.6) < 1e-12)
+    assert(math.abs(r.getAs[Double]("h_tie_corrected") - 0.6) < 1e-12)
+  }
+
+  test("kruskalWallis all-tied domain zeroes H and NULLs the correction") {
+    // one distinct value across both groups: midrank 2 for all three,
+    // H = 0 exactly; tie mass eats the whole domain → correction ≤ 0
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val r = Inference.kruskalWallis(df, col("g"), col("v"))
+      .orderBy("g").head()
+    assert(r.getAs[Double]("h") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("h_tie_corrected")))
+  }
+
+  test("kruskalWallis single group yields NULL H") {
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val r = Inference.kruskalWallis(df, col("g"), col("v")).head()
+    assert(r.isNullAt(r.fieldIndex("h")))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the release-audit wave: k-anonymity accounting,
+  * KMV sketch Jaccard invariants, and perceptual dHash recall (the
+  * sf0.01 oracle gate covers engine parity; these pin the MATH). */
+class AuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kAnonymity counts classes, verdicts and suppression exactly") {
+    // classes: (s1,en)×5 → k-anon; (s1,de)×2 → suppressed; (s2,en)×1 →
+    // suppressed. Sensitive diversity: the five s1/en rows carry 3
+    // distinct lengths → l-diverse at l=3; NULL sensitive is not counted.
+    val df = Seq(
+      ("s1", "en", 10L), ("s1", "en", 10L), ("s1", "en", 20L),
+      ("s1", "en", 30L), ("s1", "en", 30L),
+      ("s1", "de", 10L), ("s1", "de", 10L),
+      ("s2", "en", 40L)).toDF("src", "lang", "len")
+    val r = Privacy.kAnonymity(df,
+      Seq("src" -> col("src"), "lang" -> col("lang")), col("len"),
+      k = 5, l = 3).orderBy("src", "lang").collect()
+    assert(r.length == 3)
+    val byKey = r.map(x => (x.getAs[String]("src"), x.getAs[String]("lang")) ->
+      x).toMap
+    val big = byKey(("s1", "en"))
+    assert(big.getAs[Long]("class_size") == 5L &&
+      big.getAs[Boolean]("k_anonymous") &&
+      big.getAs[Long]("l_distinct") == 3L && big.getAs[Boolean]("l_diverse"))
+    val small = byKey(("s1", "de"))
+    assert(!small.getAs[Boolean]("k_anonymous") &&
+      small.getAs[Long]("l_distinct") == 1L)
+    assert(r.forall(_.getAs[Long]("n_total") == 8L))
+    assert(r.forall(_.getAs[Long]("n_suppressed") == 3L))
+    assert(r.forall(x =>
+      math.abs(x.getAs[Double]("suppression_rate") - 3.0 / 8.0) < 1e-15))
+  }
+
+  test("kAnonymity NULL quasi-identifier forms its own class") {
+    val df = Seq((Some("s1"), 1L), (None, 2L), (None, 3L))
+      .toDF("src", "len")
+    val r = Privacy.kAnonymity(df, Seq("src" -> col("src")), col("len"),
+      k = 2, l = 1).collect()
+    assert(r.length == 2)
+    val nullClass = r.find(_.isNullAt(0)).get
+    assert(nullClass.getAs[Long]("class_size") == 2L &&
+      nullClass.getAs[Boolean]("k_anonymous"))
+  }
+
+  test("kmvSourceJaccard is exact when k covers the sets") {
+    // identical sources → Ĵ = 1; disjoint → Ĵ = 0 (pool ∩ A ∩ B empty)
+    val df = Seq(
+      ("a", "x"), ("a", "y"), ("a", "z"),
+      ("b", "x"), ("b", "y"), ("b", "z"),
+      ("c", "p"), ("c", "q"), ("c", "r")).toDF("src", "text")
+    val r = Dedup.kmvSourceJaccard(df, col("src"), col("text"), k = 64)
+      .orderBy("src_a", "src_b").collect()
+    assert(r.length == 3)
+    val ab = r.find(x => x.getString(0) == "a" && x.getString(1) == "b").get
+    assert(ab.getAs[Long]("k_used") == 3L &&
+      ab.getAs[Long]("n_match") == 3L &&
+      ab.getAs[Double]("jaccard_kmv") == 1.0)
+    val ac = r.find(x => x.getString(0) == "a" && x.getString(1) == "c").get
+    assert(ac.getAs[Long]("k_used") == 3L &&
+      ac.getAs[Double]("jaccard_kmv") == 0.0)
+  }
+
+  test("kmvSourceJaccard truncates to the sketch size k") {
+    // 10 distinct docs per source, k = 4 → k_used = 4 and the pool is
+    // the 4 smallest union hashes — a real sketch, not the full set
+    val rows = (0 until 10).flatMap(i =>
+      Seq(("a", s"doc$i"), ("b", s"doc$i")))
+    val r = Dedup.kmvSourceJaccard(rows.toDF("src", "text"),
+      col("src"), col("text"), k = 4).head()
+    assert(r.getAs[Long]("k_used") == 4L &&
+      r.getAs[Long]("n_match") == 4L &&
+      r.getAs[Double]("jaccard_kmv") == 1.0 &&
+      r.getAs[Double]("union_est") > 0.0)
+  }
+
+  test("dHash is invariant under constant brightness shift (+1 bytes)") {
+    // gradient SIGNS are what dHash keeps: adding 1 to every byte (no
+    // wraparound in the fixture) preserves every g(a) > g(b) compare,
+    // so the shifted payload collides at hamming 0 — the re-encode
+    // robustness exact/CDC dedup lacks (see Multimodal.dHash scaladoc)
+    val base = Array.tabulate[Byte](200)(i => ((i * 37 + 11) % 200).toByte)
+    val shifted = base.map(b => (b + 1).toByte)
+    val media = Seq((1L, base), (2L, shifted), (3L, base.reverse))
+      .toDF("media_id", "payload")
+    val sig = Multimodal.dHash(media).orderBy("media_id").collect()
+    assert(sig.length == 3)
+    assert(sig(0).getAs[String]("phash") == sig(1).getAs[String]("phash"))
+    assert(sig(0).getAs[String]("phash").length == 16)
+    val pairs = Multimodal.dHashPairs(media, maxDist = 3).collect()
+    assert(pairs.exists(p => p.getAs[Long]("id1") == 1L &&
+      p.getAs[Long]("id2") == 2L && p.getAs[Long]("hamming") == 0L))
+  }
+
+  test("dHash bands decompose the 64 gradient bits") {
+    // strictly decreasing byte ramp: every adjacent-cell compare is
+    // g(c) > g(c+1) within a row → all 64 bits set → bands 0xffff
+    val ramp = Array.tabulate[Byte](72)(i => (200 - i).toByte)
+    val sig = Multimodal.dHash(Seq((1L, ramp)).toDF("media_id", "payload"))
+      .head()
+    assert(Seq("b0", "b1", "b2", "b3")
+      .forall(b => sig.getAs[Long](b) == 0xFFFFL))
+    assert(sig.getAs[String]("phash") == "ffffffffffffffff")
+  }
+}
