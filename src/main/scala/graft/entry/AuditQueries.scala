@@ -22,6 +22,8 @@ object AuditQueries {
   private val AnonK = 5; private val AnonL = 3; private val AnonBucket = 256L
   /** KMV sketch size (ε ≈ 1/√k ≈ 12.5%). */
   private val KmvK = 64
+  /** BPE training rounds (shared with the unrolled oracle). */
+  private val BpeRounds = 6
 
   val queries: Map[String, Q] = Map(
     // disclosure-risk audit over (source, lang, length-bucket) quasi-
@@ -47,6 +49,13 @@ object AuditQueries {
     "q_kmv_jaccard" -> ((s, d) =>
       Dedup.kmvSourceJaccard(Tables.documents(s, d), col("source"),
         col("text"), KmvK)),
+
+    // BPE tokenizer training: 6 merge rounds over the (word, count)
+    // vocabulary — one token shuffle, vocab-sized rounds, 1-row driver
+    // artifacts (the centroid discipline applied to merges)
+    "q_bpe_train" -> ((s, d) =>
+      TextAnalysis.bpeTrain(Tables.documents(s, d), col("text"),
+        BpeRounds)),
 
     // greedy longest-match subword tokenization audit per doc: words,
     // matched pieces, UNK chars, fertility — one native scan pass
@@ -171,6 +180,9 @@ object AuditQueries {
          |            ELSE CAST(k_used - 1 AS DOUBLE) * 1152921504606846976.0
          |                 / CAST(pool_max AS DOUBLE) END AS union_est
          |FROM m""".stripMargin,
+
+    // generated unrolled twin — see TextAnalysis.bpeTrainOracleSql
+    "q_bpe_train" -> TextAnalysis.bpeTrainOracleSql(BpeRounds),
 
     // mirrors WordpieceStats: the recursive CTE runs the same greedy
     // longest-match automaton (list_max over matching pieces, UNK

@@ -71,6 +71,15 @@ object GrowthQueries {
         !arrays_overlap(tokensFolded(col("text")),
           array(BlockedWords.map(lit): _*)))),
 
+    // confident-learning joint of the same score/label pair: which
+    // label cells does the classifier CONFIDENTLY contradict —
+    // per-class mean thresholds as exact integer cross-multiplications
+    "q_label_noise" -> ((s, d) =>
+      Selection.labelNoise(Tables.documents(s, d),
+        Selection.clfScore(col("text")),
+        !arrays_overlap(tokensFolded(col("text")),
+          array(BlockedWords.map(lit): _*)))),
+
     // last-touch attribution: latest strictly-earlier click credits
     // each purchase — one user-keyed window, no self-join
     "q_attribution" -> ((s, d) =>
@@ -137,6 +146,44 @@ object GrowthQueries {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // mirrors Selection.labelNoise: 10⁻⁶ score quantization, exact
+    // integer threshold cross-multiplication (sq·n_j vs Σ_j), window
+    // folds over the ≤6-row cell table
+    "q_label_noise" ->
+      s"""WITH $calibScoreCte,
+         |sx AS (SELECT CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS sq,
+         |              CASE WHEN label THEN 1 ELSE 0 END AS y
+         |       FROM sc WHERE score IS NOT NULL AND label IS NOT NULL),
+         |t AS (SELECT CAST(sum(CASE WHEN y = 1 THEN sq END) AS BIGINT) AS sum1,
+         |             CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |             CAST(sum(CASE WHEN y = 0 THEN -sq END) AS BIGINT) AS sum0,
+         |             CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+         |      FROM sx),
+         |a AS (SELECT CAST(y AS BIGINT) AS y,
+         |             CASE WHEN coalesce(sq * n1 >= sum1, false)
+         |                   AND coalesce((-sq) * n0 >= sum0, false)
+         |                  THEN CASE WHEN sq >= 0 THEN 1 ELSE 0 END
+         |                  WHEN coalesce(sq * n1 >= sum1, false) THEN 1
+         |                  WHEN coalesce((-sq) * n0 >= sum0, false) THEN 0
+         |                  END AS yhat
+         |      FROM sx CROSS JOIN t),
+         |cells AS (SELECT y, CAST(yhat AS BIGINT) AS yhat,
+         |                 CAST(count(*) AS BIGINT) AS n_cell
+         |          FROM a GROUP BY 1, 2)
+         |SELECT y, yhat, n_cell,
+         |       CAST(sum(n_cell) OVER () AS BIGINT) AS n_total,
+         |       CAST(coalesce(sum(CASE WHEN yhat IS NOT NULL THEN n_cell END)
+         |         OVER (), 0) AS BIGINT) AS n_assigned,
+         |       CASE WHEN coalesce(sum(CASE WHEN yhat IS NOT NULL THEN n_cell
+         |                 END) OVER (), 0) = 0 THEN NULL
+         |            ELSE CAST(coalesce(sum(CASE WHEN yhat IS NOT NULL
+         |                   AND yhat <> y THEN n_cell END) OVER (), 0)
+         |                 AS DOUBLE)
+         |                 / CAST(coalesce(sum(CASE WHEN yhat IS NOT NULL
+         |                     THEN n_cell END) OVER (), 0) AS DOUBLE)
+         |            END AS noise_est
+         |FROM cells""".stripMargin,
+
     "q_iso_calibration" ->
       s"""WITH $calibScoreCte,
          |s2 AS (SELECT least(greatest(CAST(floor(score * 10) AS BIGINT), 0),

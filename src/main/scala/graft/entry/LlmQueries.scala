@@ -421,6 +421,12 @@ object LlmQueries {
     }),
 
     // ---- similarity search ----------------------------------------------
+    // Matryoshka truncation audit: does the dim-16 prefix ranking keep
+    // the full-dim top-10? Two heap top-k passes + a k-row join
+    "q_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaOverlap(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), queryId = 0L, k = 10, prefixDim = 16)),
+
     "q_ann_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -1736,6 +1742,24 @@ object LlmQueries {
          |SELECT e.vec_id, ${sqlCos("e.embedding", "q.qv")} AS cos
          |FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
          |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // mirrors Similarity.matryoshkaOverlap: both rankings brute-force
+    // exact cosine (full vs [1:16] prefix), tie-break on vec_id
+    "q_matryoshka" ->
+      s"""WITH q AS (SELECT embedding AS qv, embedding[1:16] AS qp
+         |           FROM embeddings WHERE vec_id = 0),
+         |f AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |      WHERE e.vec_id <> 0
+         |      ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id
+         |      LIMIT 10),
+         |p AS (SELECT e.vec_id FROM embeddings e CROSS JOIN q
+         |      WHERE e.vec_id <> 0
+         |      ORDER BY ${sqlCos("e.embedding[1:16]", "q.qp")} DESC, e.vec_id
+         |      LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(16 AS BIGINT) AS prefix_dim,
+         |       CAST(count(*) AS BIGINT) AS n_overlap,
+         |       CAST(count(*) AS DOUBLE) / 10.0 AS overlap_frac
+         |FROM f JOIN p USING (vec_id)""".stripMargin,
 
     // SQ8: per-dim [min,max] from the same positional unnest, byte code
     // via floor+clamp into 256 bins, bin-center reconstruction, and

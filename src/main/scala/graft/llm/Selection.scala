@@ -548,4 +548,65 @@ object Selection {
             col("smt").cast("double") / col("nt").cast("double"))
           .as("delta"))
   }
+
+  /** Confident-learning label-noise estimate (Northcutt et al., JAIR
+    * 2021 — the cleanlab kernel) for a binary (score, label) pair:
+    * count the joint C[y][ŷ] where ŷ is the CONFIDENT prediction —
+    * class j is predicted only when the example's class-j confidence
+    * reaches the class's own mean confidence (the per-class threshold
+    * that makes the estimator robust to a miscalibrated scorer) — and
+    * read the off-diagonal mass as the estimated label-noise rate.
+    * The audit that tells you whether the blocklist labels and the
+    * classifier disagree SYSTEMATICALLY (flipped slices) rather than
+    * randomly.
+    *
+    * Decision rule (binary specialization): confidence for class 1 is
+    * the score, for class 0 its negation; an example meets class j's
+    * threshold when conf_j ≥ mean(conf_j over class-j examples); both
+    * met → the larger confidence (score ≥ 0 ⇒ 1); neither → the
+    * example abstains (counted, not classified).
+    *
+    * Exactness: scores quantize to the 10⁻⁶ grid (one mirrored floor;
+    * the score double is already engine-identical), thresholds never
+    * materialize as doubles — the compare is the exact integer
+    * cross-multiplication sq·n_j ≥ Σ_j sq (LONG-safe to ~10¹² rows at
+    * |sq| ≤ 10⁶; decimal past that); an empty class meets nothing.
+    * The one emitted double (noise_est) divides two exact LONGs.
+    *
+    * Shape: one map-combined 1-row threshold aggregate broadcast back
+    * over the scan, one ≤6-key cell aggregate, window folds on the
+    * cell table. Returns (y, yhat, n_cell) rows + constants
+    * (n_total, n_assigned, noise_est); yhat NULL = abstained. */
+  def labelNoise(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = df.filter(score.isNotNull && label.isNotNull)
+      .select(floor(score * lit(1000000.0) + lit(0.5)).cast("long").as("sq"),
+        when(label, 1L).otherwise(0L).as("y"))
+    val t = s.agg(
+      sum(when(col("y") === 1L, col("sq"))).as("sum1"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("y") === 0L, -col("sq"))).as("sum0"),
+      sum(when(col("y") === 0L, 1L).otherwise(0L)).as("n0"))
+    val c1 = coalesce(col("sq") * col("n1") >= col("sum1"), lit(false))
+    val c0 = coalesce((-col("sq")) * col("n0") >= col("sum0"), lit(false))
+    val yhat = when(c1 && c0,
+        when(col("sq") >= 0L, 1L).otherwise(0L))
+      .when(c1, 1L).when(c0, 0L)
+    val cells = s.crossJoin(broadcast(t))
+      .select(col("y"), yhat.as("yhat"))
+      .groupBy(col("y"), col("yhat"))
+      .agg(count(lit(1)).as("n_cell"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .withColumn("n_total", sum(col("n_cell")).over(wAll))
+      .withColumn("n_assigned",
+        coalesce(sum(when(col("yhat").isNotNull, col("n_cell"))).over(wAll),
+          lit(0L)))
+      .withColumn("noise_est",
+        when(col("n_assigned") === 0L, lit(null).cast("double"))
+          .otherwise(coalesce(sum(when(col("yhat").isNotNull &&
+              col("yhat") =!= col("y"), col("n_cell"))).over(wAll), lit(0L))
+            .cast("double") / col("n_assigned").cast("double")))
+  }
 }

@@ -1316,4 +1316,41 @@ object Similarity {
       .select(col("sel_round"), col("vec_id"),
         (col("dq").cast("double") / lit(1.0e9)).as("sep_dist"))
   }
+
+  /** Matryoshka truncation audit (Kusupati et al., NeurIPS'22): how
+    * much of the full-dimension top-k survives when retrieval runs on
+    * only the first `prefixDim` components? MRL-trained embeddings
+    * front-load information precisely so a store can search the short
+    * prefix and re-rank with the tail — this measures whether THESE
+    * embeddings earn that layout (high overlap = ship the prefix
+    * index at prefixDim/dim of the memory; low = the tail carries
+    * rank-relevant mass and truncation would silently degrade
+    * retrieval).
+    *
+    * Both rankings are exact brute-force cosine against the query
+    * vector (id `queryId`, excluded from candidates), tie-broken on
+    * the id — two heap top-k jobs (TakeOrdered, never a global sort)
+    * plus a k-row equi-join; the emitted fraction divides two exact
+    * integers. Returns ONE row: (k, prefix_dim, n_overlap,
+    * overlap_frac). */
+  def matryoshkaOverlap(df: DataFrame, id: Column, vec: Column,
+                        queryId: Long, k: Int, prefixDim: Int): DataFrame = {
+    val q = df.filter(id === queryId)
+      .select(vec.as("qv"), slice(vec, 1, prefixDim).as("qp"))
+    val cand = df.filter(id =!= queryId)
+      .crossJoin(broadcast(q))
+    val full = cand
+      .select(id.as("vec_id"), CosineSimilarity(vec, col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+    val pre = cand
+      .select(id.as("vec_id"),
+        CosineSimilarity(slice(vec, 1, prefixDim), col("qp")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+    full.select(col("vec_id")).join(pre.select(col("vec_id")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(k.toLong).as("k"), lit(prefixDim.toLong).as("prefix_dim"),
+        col("n_overlap"),
+        (col("n_overlap").cast("double") / lit(k.toDouble))
+          .as("overlap_frac"))
+  }
 }

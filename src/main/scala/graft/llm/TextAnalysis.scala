@@ -1212,6 +1212,118 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair").asc)).cast("long"))
   }
 
+  /** BPE tokenizer TRAINING — the iterative merge loop
+    * [[bpePairCounts]] only scores round zero of (Sennrich et al.,
+    * ACL'16): each round counts adjacent symbol pairs over the
+    * vocabulary (weighted by word frequency), picks the most frequent
+    * pair (ties → lexicographically smallest (left, right)), and
+    * collapses every leftmost non-overlapping occurrence via
+    * [[graft.functions.BpeMerge]]. Returns one row per learned merge:
+    * (rank, left, right, pair_n) — the merge table a tokenizer ships.
+    *
+    * Scale discipline: the corpus collapses to (word, count) in ONE
+    * token shuffle — the same relation a production trainer holds —
+    * and every round thereafter runs on the vocabulary only (explode
+    * of len−1 pairs per DISTINCT word, a ≤9-figure relation at
+    * 100 TB, never the 10¹²-token stream). Each round's winning pair
+    * is a ONE-ROW driver artifact (the centroid discipline) that
+    * re-enters round r+1 as expression literals; the per-round vocab
+    * is re-persisted and superseded versions release with the handle
+    * registry. Rounds stop early when no pair remains (every word
+    * fully merged).
+    *
+    * Exactness: pair counts are exact integer sums; the argmax order
+    * (n DESC, left ASC, right ASC) is total, so the learned merge
+    * sequence — and therefore every downstream symbol sequence — is
+    * bit-identical across engines; the oracle twin replays the same
+    * rounds via run-parity merge application
+    * ([[bpeTrainOracleSql]]). */
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    val wc = df
+      .select(explode(graft.functions.GraftFunctions.tokensFolded(text))
+        .as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .filter(length(col("w")) >= 2)
+    var vocab = graft.core.Caches.track(wc.select(col("cnt"),
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))).as("s")))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = vocab.filter(size(col("s")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("s")) - lit(2)),
+          i => struct(element_at(col("s"), i + 1).as("l"),
+            element_at(col("s"), i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val (l, rr, n) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r.toLong, l, rr, n))
+        vocab = graft.core.Caches.track(vocab.select(col("cnt"),
+          graft.functions.BpeMerge(col("s"), l, rr).as("s")))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_n")
+  }
+
+  /** The [[bpeTrain]] DuckDB twin — `rounds` unrolled CTE blocks, each
+    * re-counting pairs, selecting the same (n DESC, l, r) argmax, and
+    * applying the merge via run-parity positions: candidate position i
+    * is kept iff its offset into its RUN of consecutive candidates is
+    * even (runs longer than one position occur only when left = right),
+    * which equals the greedy leftmost-non-overlapping scan. */
+  def bpeTrainOracleSql(rounds: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT w AS wid, CAST(count(*) AS BIGINT) AS cnt,
+        |         list_transform(range(1, len(w)+1),
+        |           i -> substr(w, CAST(i AS INT), 1)) AS s
+        |  FROM (SELECT unnest(list_filter(string_split(
+        |          lower(translate(text, 'İΣ', 'iσ')), ' '),
+        |          t -> len(t) > 0)) AS w
+        |        FROM documents WHERE text IS NOT NULL)
+        |  WHERE len(w) >= 2 GROUP BY w)""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      val (prev, p, m, x, g, k, w) =
+        (s"w${t - 1}", s"p$t", s"m$t", s"x$t", s"g$t", s"k$t", s"w$t")
+      s"""$p AS (SELECT s[i] AS l, s[i+1] AS r,
+         |         CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM $prev, unnest(range(1, len(s))) AS u(i)
+         |       GROUP BY 1, 2),
+         |$m AS (SELECT l, r, n FROM $p ORDER BY n DESC, l, r LIMIT 1),
+         |$x AS (SELECT v.wid, v.cnt, u.i, v.s[u.i] AS sym,
+         |              CASE WHEN u.i < len(v.s) AND v.s[u.i] = $m.l
+         |                    AND v.s[u.i+1] = $m.r THEN 1 ELSE 0 END AS hit,
+         |              $m.l || $m.r AS mg
+         |       FROM $prev v CROSS JOIN $m,
+         |            unnest(range(1, len(v.s)+1)) AS u(i)),
+         |$g AS (SELECT *, i - CAST(row_number() OVER (PARTITION BY wid, hit
+         |                ORDER BY i) AS BIGINT) AS rungrp
+         |       FROM $x),
+         |$k AS (SELECT *, hit = 1 AND (i - min(i) OVER (PARTITION BY wid,
+         |                hit, rungrp)) % 2 = 0 AS kept
+         |       FROM $g),
+         |$w AS (SELECT wid, any_value(cnt) AS cnt,
+         |         list(CASE WHEN kept THEN mg ELSE sym END ORDER BY i)
+         |           FILTER (WHERE NOT pk) AS s
+         |       FROM (SELECT wid, cnt, i, sym, kept, mg,
+         |               coalesce(lag(kept) OVER (PARTITION BY wid
+         |                 ORDER BY i), false) AS pk FROM $k) z
+         |       GROUP BY wid)""".stripMargin
+    }
+    val unions = (1 to rounds).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, l AS \"left\", r AS \"right\", " +
+        s"n AS pair_n FROM m$t").mkString("\nUNION ALL\n")
+    s"WITH $base,\n${steps.mkString(",\n")}\n$unions"
+  }
+
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the
     * classic readability gate a curation pipeline runs beside the
     * Gopher/C4 batteries (docs far outside the human-prose band are

@@ -97,6 +97,67 @@ class AuditSpec extends SparkSpec {
       p.getAs[Long]("id2") == 2L && p.getAs[Long]("hamming") == 0L))
   }
 
+  test("bpeTrain learns merges in frequency order and reuses earlier merges") {
+    // "abab" ×3, "ab" ×2: round 1 pair counts — (a,b) 3·2+2 = 8,
+    // (b,a) 3 → merge (a,b). Round 2: "abab" → [ab, ab] so (ab, ab)
+    // count 3 → merge (ab, ab) — a merge built FROM a merge
+    val df = Seq.fill(3)("abab") ++ Seq.fill(2)("ab")
+    val r = TextAnalysis.bpeTrain(df.toDF("text"), col("text"), rounds = 2)
+      .orderBy("rank").collect()
+    assert(r.length == 2)
+    assert((r(0).getString(1), r(0).getString(2), r(0).getLong(3)) ==
+      ("a", "b", 8L))
+    assert((r(1).getString(1), r(1).getString(2), r(1).getLong(3)) ==
+      ("ab", "ab", 3L))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    // single 2-char word: round 1 merges it fully, round 2 has nothing
+    val r = TextAnalysis.bpeTrain(Seq("ab").toDF("text"), col("text"),
+      rounds = 4).collect()
+    assert(r.length == 1)
+  }
+
+  test("BpeMerge collapses leftmost non-overlapping runs") {
+    import graft.functions.BpeMerge
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a"),
+      Seq("x", "a", "b", "y")).toDF("s")
+    val out = df.select(BpeMerge(col("s"), "a", "a").as("m")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(out == List(List("aa", "a"), List("aa", "aa"),
+      List("x", "a", "b", "y")))
+    val ab = df.select(BpeMerge(col("s"), "a", "b").as("m")).collect()
+      .map(_.getSeq[String](0).toList).toList
+    assert(ab(2) == List("x", "ab", "y"))
+  }
+
+  test("labelNoise: agreeing scorer yields zero noise, flipped labels full noise") {
+    // scores ±0.5; labels agree with sign → every example confidently
+    // lands on its own label's side
+    val agree = Seq((0.5, true), (0.6, true), (-0.5, false), (-0.6, false))
+      .toDF("score", "label")
+    val a = Selection.labelNoise(agree, col("score"), col("label"))
+      .select(max(col("noise_est"))).head().getDouble(0)
+    assert(a == 0.0)
+    val flipped = Seq((0.5, false), (0.6, false), (-0.5, true), (-0.6, true))
+      .toDF("score", "label")
+    val f = Selection.labelNoise(flipped, col("score"), col("label"))
+      .select(max(col("noise_est"))).head().getDouble(0)
+    assert(f == 1.0)
+  }
+
+  test("matryoshkaOverlap: identical prefixes give full overlap") {
+    // vectors whose first 2 dims carry ALL the signal → prefix ranking
+    // equals the full ranking
+    val rows = (0L to 5L).map(i =>
+      (i, Array(i.toFloat, 1.0f, 0.0f, 0.0f)))
+    val r = Similarity.matryoshkaOverlap(rows.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), queryId = 0L, k = 3, prefixDim = 2)
+      .head()
+    assert(r.getAs[Long]("n_overlap") == 3L &&
+      r.getAs[Double]("overlap_frac") == 1.0)
+  }
+
   test("dHash bands decompose the 64 gradient bits") {
     // strictly decreasing byte ramp: every adjacent-cell compare is
     // g(c) > g(c+1) within a row → all 64 bits set → bands 0xffff
