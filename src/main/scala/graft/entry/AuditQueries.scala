@@ -24,6 +24,8 @@ object AuditQueries {
   private val KmvK = 64
   /** BPE training rounds (shared with the unrolled oracle). */
   private val BpeRounds = 6
+  /** t-closeness threshold. */
+  private val TClose = 0.2
 
   val queries: Map[String, Q] = Map(
     // disclosure-risk audit over (source, lang, length-bucket) quasi-
@@ -35,6 +37,16 @@ object AuditQueries {
           "len_bucket" -> call_function("div", col("n_chars"),
             lit(AnonBucket))),
         col("n_chars"), AnonK, AnonL)),
+
+    // t-closeness: total-variation distance between each QI class's
+    // lang mix and the corpus mix — the third disclosure gate; exact
+    // integer cross-multiplications, one cell aggregate + window folds
+    "q_t_closeness" -> ((s, d) =>
+      Privacy.tCloseness(Tables.documents(s, d),
+        Seq("source" -> col("source"),
+          "len_bucket" -> call_function("div", col("n_chars"),
+            lit(AnonBucket))),
+        col("lang"), TClose)),
 
     // Kruskal–Wallis rank H of event value across event types — the
     // distribution-free ANOVA; 2×midrank integer algebra, one corpus
@@ -94,6 +106,41 @@ object AuditQueries {
          |         AS DOUBLE) / CAST(sum(class_size) OVER () AS DOUBLE)
          |         AS suppression_rate
          |FROM c""".stripMargin,
+
+    // mirrors Privacy.tCloseness: decimal cross-multiplications, the
+    // complement identity for absent sensitive values (no spine), one
+    // mirrored double expression
+    "q_t_closeness" ->
+      s"""WITH cells AS (
+         |  SELECT source, n_chars // $AnonBucket AS len_bucket, lang AS s,
+         |         CAST(count(*) AS BIGINT) AS n_cs
+         |  FROM documents WHERE lang IS NOT NULL GROUP BY 1, 2, 3),
+         |m AS (SELECT *,
+         |        CAST(sum(n_cs) OVER (PARTITION BY s) AS BIGINT) AS n_s,
+         |        CAST(sum(n_cs) OVER (PARTITION BY source, len_bucket)
+         |          AS BIGINT) AS n_c,
+         |        CAST(sum(n_cs) OVER () AS BIGINT) AS n
+         |      FROM cells),
+         |g AS (SELECT source, len_bucket,
+         |        CAST(max(n_c) AS BIGINT) AS class_size,
+         |        CAST(count(*) AS BIGINT) AS n_sens_present,
+         |        CAST(max(n) AS BIGINT) AS n_total,
+         |        sum(abs(CAST(n_cs AS HUGEINT) * n
+         |              - CAST(n_s AS HUGEINT) * n_c)) AS dev,
+         |        sum(CAST(n_s AS HUGEINT)) AS mass_present
+         |      FROM m GROUP BY 1, 2)
+         |SELECT source, len_bucket, class_size, n_sens_present,
+         |       (CAST(dev AS DOUBLE)
+         |        + CAST(CAST(n_total AS HUGEINT) * class_size
+         |               - mass_present * class_size AS DOUBLE))
+         |       / (2.0 * CAST(class_size AS DOUBLE)
+         |          * CAST(n_total AS DOUBLE)) AS tv_dist,
+         |       (CAST(dev AS DOUBLE)
+         |        + CAST(CAST(n_total AS HUGEINT) * class_size
+         |               - mass_present * class_size AS DOUBLE))
+         |       / (2.0 * CAST(class_size AS DOUBLE)
+         |          * CAST(n_total AS DOUBLE)) <= $TClose AS t_close
+         |FROM g""".stripMargin,
 
     // mirrors Inference.kruskalWallis: per-(g,v) counts, distinct-value
     // 2×midrank window, decimal rank sums, exact integer div of

@@ -94,14 +94,31 @@ object Dedup {
     * ≤|sources|-row signature table broadcast self-joins: the pairwise
     * stage never touches the corpus. */
   def kmvSourceJaccard(df: DataFrame, source: Column, content: Column,
-                       k: Int): DataFrame = {
+                       k: Int): DataFrame =
+    kmvJaccardFromSketch(kmvSketch(df, source, content, k), k)
+
+  /** The per-source bottom-k (src, h) relation [[kmvSourceJaccard]]
+    * estimates from — public because it is ALSO the streaming ledger
+    * format ([[graft.streaming.Streaming.mergeKmvLedger]]): bottom-k
+    * of a union is the bottom-k of the per-batch bottom-k's (an order
+    * statistic over a set), so the sketch min-merges idempotently —
+    * replayed batches are no-ops by construction, the bloom-ledger
+    * guarantee without even a high-water mark. */
+  def kmvSketch(df: DataFrame, source: Column, content: Column,
+                k: Int): DataFrame = {
     val sh = df.filter(content.isNotNull && source.isNotNull)
       .select(source.as("src"),
         graft.functions.GraftFunctions.md5Long(content).as("h")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("h"))
-    val sig = sh.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    sh.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("src"), col("h"))
+  }
+
+  /** Pairwise KMV estimates over a stored/streamed (src, h) sketch
+    * relation — the query half of [[kmvSourceJaccard]]. */
+  def kmvJaccardFromSketch(sk: DataFrame, k: Int): DataFrame = {
+    val sig = sk
       .groupBy(col("src"))
       .agg(sort_array(collect_list(col("h"))).as("sig"),
         count(lit(1)).as("k_eff"))

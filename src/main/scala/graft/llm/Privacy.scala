@@ -59,4 +59,63 @@ object Privacy {
       .withColumn("suppression_rate",
         col("n_suppressed").cast("double") / col("n_total").cast("double"))
   }
+
+  /** t-closeness audit (Li et al., ICDE'07) — the third leg of the
+    * disclosure triad after [[kAnonymity]]'s class-size and
+    * l-diversity gates: a class can be large AND diverse yet still
+    * leak if its sensitive-value MIX differs sharply from the
+    * corpus-wide mix (the "this zip code is 90% one diagnosis"
+    * failure). Distance here is total variation
+    * TV = ½ Σ_s |p_class(s) − p_global(s)| — the categorical
+    * t-closeness instantiation; a class passes when TV ≤ t.
+    *
+    * No sensitive-value spine is materialized: absent values
+    * contribute Σ_{absent} p_global(s) = 1 − Σ_{present} p_global(s)
+    * (the complement identity), so
+    * TV = (Σ_present |n_cs·N − n_s·n_c| + (N − Σ_present n_s)·n_c)
+    *      / (2·n_c·N)
+    * — every term an exact integer cross-multiplication in
+    * DECIMAL(38,0) (n_cs·N squares past LONG at lake scale), ONE
+    * final double division, mirrored token-identically in the twin.
+    * NULL sensitive values drop (no disclosure semantics); NULL
+    * quasi-identifiers form their own class (the [[kAnonymity]]
+    * rule).
+    *
+    * Shape: ONE (qi, s) cell aggregate off the corpus; the sensitive
+    * marginal, class totals and corpus total all fold by window over
+    * the cell table (cells ≪ corpus — |classes|·|sensitive domain|),
+    * then one class-keyed re-agg. Scan-bound at any scale. */
+  def tCloseness(df: DataFrame, qi: Seq[(String, Column)],
+                 sensitive: Column, t: Double): DataFrame = {
+    val qiCols = qi.map { case (n, _) => col(n) }
+    val cells = df.filter(sensitive.isNotNull)
+      .select(qi.map { case (n, c) => c.as(n) } :+ sensitive.as("__s"): _*)
+      .groupBy(qiCols :+ col("__s"): _*)
+      .agg(count(lit(1)).as("n_cs"))
+    val wS = Window.partitionBy(col("__s"))
+    val wC = Window.partitionBy(qiCols: _*)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val m = cells
+      .withColumn("n_s", sum(col("n_cs")).over(wS))
+      .withColumn("n_c", sum(col("n_cs")).over(wC))
+      .withColumn("n", sum(col("n_cs")).over(wAll))
+    // decimal BEFORE the multiply — n_cs·N squares past LONG at lake
+    // scale (the gini sw discipline)
+    val num = abs(col("n_cs").cast("decimal(38,0)") * col("n") -
+      col("n_s").cast("decimal(38,0)") * col("n_c"))
+    m.groupBy(qiCols: _*)
+      .agg(max(col("n_c")).as("class_size"),
+        count(lit(1)).as("n_sens_present"),
+        max(col("n")).as("n_total"),
+        sum(num).as("dev"),
+        sum(col("n_s").cast("decimal(38,0)")).as("mass_present"))
+      .select(qiCols ++ Seq(col("class_size"), col("n_sens_present"),
+        ((col("dev").cast("double") +
+          (col("n_total").cast("decimal(38,0)") * col("class_size") -
+            col("mass_present") * col("class_size")).cast("double")) /
+          (lit(2.0) * col("class_size").cast("double") *
+            col("n_total").cast("double"))).as("tv_dist")): _*)
+      .withColumn("t_close", col("tv_dist") <= lit(t))
+  }
 }

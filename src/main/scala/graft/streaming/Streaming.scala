@@ -771,6 +771,33 @@ object Streaming {
         batchDocs.select(md5(key).as("__h")), col("__h"), bits))
       .groupBy(col("word")).agg(bit_or(col("wbits")).as("wbits"))
 
+  /** Merge one micro-batch's docs into a persistent per-source KMV
+    * sketch ledger ((src, h) rows, ≤ k per source — the
+    * [[graft.llm.Dedup.kmvSketch]] format): union, distinct, re-trim
+    * to the bottom-k. IDEMPOTENT BY CONSTRUCTION, the bloom-ledger
+    * class: bottom-k of a set union is insensitive to redelivery (a
+    * replayed batch re-offers hashes the distinct already holds), so
+    * no high-water mark is needed — min-merge is to order statistics
+    * what bit_or is to Bloom bits. After any batch,
+    * [[graft.llm.Dedup.kmvJaccardFromSketch]] over the ledger equals
+    * the one-shot batch estimate over everything ingested so far,
+    * bit for bit (StreamingSpec pins it, replay included). State is
+    * ≤ k longs per source — constant per source at any corpus
+    * scale. */
+  def mergeKmvLedger(ledger: DataFrame, batchDocs: DataFrame,
+                     source: Column, content: Column, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("h"))
+    ledger.select(col("src"), col("h"))
+      .unionByName(batchDocs
+        .filter(content.isNotNull && source.isNotNull)
+        .select(source.as("src"),
+          graft.functions.GraftFunctions.md5Long(content).as("h")))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("src"), col("h"))
+  }
+
   /** Gate docs against a Bloom word ledger: per-doc `maybe_dup`
     * verdicts as the zero-shuffle literal-state projection of
     * [[graft.llm.Bloom.probeWith]]. Run per micro-batch against

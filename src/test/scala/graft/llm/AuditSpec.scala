@@ -48,6 +48,25 @@ class AuditSpec extends SparkSpec {
       nullClass.getAs[Boolean]("k_anonymous"))
   }
 
+  test("tCloseness matches the hand-computed total variation") {
+    // global lang mix: en 4/6, de 2/6. Class s1 = {en, en} → p = (1, 0):
+    // TV = ½(|1 − 4/6| + |0 − 2/6|) = 1/3. Class s2 = {en, en, de, de}
+    // → p = (1/2, 1/2): TV = ½(|1/2 − 2/3| + |1/2 − 1/3|) = 1/6
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"),
+      ("s2", "en"), ("s2", "en"), ("s2", "de"), ("s2", "de"))
+      .toDF("src", "lang")
+    val r = Privacy.tCloseness(df, Seq("src" -> col("src")), col("lang"),
+      t = 0.2).orderBy("src").collect()
+    assert(math.abs(r(0).getAs[Double]("tv_dist") - 1.0 / 3.0) < 1e-12)
+    assert(!r(0).getAs[Boolean]("t_close"))
+    assert(math.abs(r(1).getAs[Double]("tv_dist") - 1.0 / 6.0) < 1e-12)
+    assert(r(1).getAs[Boolean]("t_close"))
+    // absent-value mass: s1 has no 'de' row, yet its TV counts the
+    // global de share via the complement identity
+    assert(r(0).getAs[Long]("n_sens_present") == 1L)
+  }
+
   test("kmvSourceJaccard is exact when k covers the sets") {
     // identical sources → Ĵ = 1; disjoint → Ĵ = 0 (pool ∩ A ∩ B empty)
     val df = Seq(

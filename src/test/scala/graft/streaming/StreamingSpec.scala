@@ -1066,4 +1066,45 @@ class StreamingSpec extends SparkSpec {
     graft.core.Caches.release()
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
+
+  test("kmv sketch ledger: min-merge is replay-proof; estimates equal the batch sketch") {
+    // bottom-k of a set union ignores redelivery — the bloom-ledger
+    // idempotence class, no HWM sentinel needed (Dedup.kmvSketch doc)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 4
+    val docs = Seq(
+      ("a", "d1"), ("a", "d2"), ("a", "d3"), ("a", "d4"), ("a", "d5"),
+      ("b", "d3"), ("b", "d4"), ("b", "d5"), ("b", "d6"),
+      ("c", "x1"), ("c", "x2"))
+    var ledger = Seq.empty[(String, Long)].toDF("src", "h")
+    val ms = MemoryStream[(String, String)]
+    val q = ms.toDF().toDF("source", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ledger.synchronized {
+          // merge, then REPLAY the same batch — must be a no-op
+          ledger = Streaming.mergeKmvLedger(ledger, batch,
+            col("source"), col("text"), k).cache()
+          ledger.count()
+          ledger = Streaming.mergeKmvLedger(ledger, batch,
+            col("source"), col("text"), k).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(docs.take(5)); q.processAllAvailable()
+    ms.addData(docs.slice(5, 9)); q.processAllAvailable()
+    ms.addData(docs.drop(9)); q.processAllAvailable()
+    q.stop()
+
+    val all = docs.toDF("source", "text")
+    val batchSketch = graft.llm.Dedup.kmvSketch(all, col("source"),
+      col("text"), k).as[(String, Long)].collect().toSet
+    assert(ledger.as[(String, Long)].collect().toSet == batchSketch)
+    val streamedEst = graft.llm.Dedup.kmvJaccardFromSketch(ledger, k)
+      .collect().map(_.toSeq).toSet
+    val batchEst = graft.llm.Dedup.kmvSourceJaccard(all, col("source"),
+      col("text"), k).collect().map(_.toSeq).toSet
+    assert(streamedEst == batchEst, s"stream=$streamedEst batch=$batchEst")
+  }
 }
