@@ -1,10 +1,11 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinHashSignature, NfcNormalize, RollingHash, Shingles, SimHash32, TextCounts, TokenSetFingerprint}
+import graft.functions.{BigramEntropyStats, BpeMerge, ClfStats, CosineSimilarity, LangId, MediaDims, MinHashSignature, NfcNormalize, RollingHash, ShingleHashes, Shingles, SimHash32, TextCounts, TokenHashBuckets, TokenSetFingerprint, WordpieceStats}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL-surface registration for graft's native expressions.
   *
@@ -32,6 +33,19 @@ object GraftExtensions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
   /** (name, info, builder) triples — shared by both registration paths. */
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("cosine_similarity"),
@@ -57,7 +71,34 @@ object GraftExtensions {
       (args: Seq[Expression]) => TokenSetFingerprint(args(0))),
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (args: Seq[Expression]) => NfcNormalize(args(0))))
+      (args: Seq[Expression]) => NfcNormalize(args(0))),
+    (FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[LangId].getName, "lang_id"),
+      (args: Seq[Expression]) => LangId(args(0))),
+    (FunctionIdentifier("media_dims"),
+      new ExpressionInfo(classOf[MediaDims].getName, "media_dims"),
+      (args: Seq[Expression]) => MediaDims(args(0))),
+    (FunctionIdentifier("clf_stats"),
+      new ExpressionInfo(classOf[ClfStats].getName, "clf_stats"),
+      (args: Seq[Expression]) => ClfStats(args(0))),
+    (FunctionIdentifier("bigram_entropy_stats"),
+      new ExpressionInfo(classOf[BigramEntropyStats].getName, "bigram_entropy_stats"),
+      (args: Seq[Expression]) => BigramEntropyStats(args(0))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args(0), intLit(args(1), "shingle_hashes w"))),
+    (FunctionIdentifier("token_hash_buckets"),
+      new ExpressionInfo(classOf[TokenHashBuckets].getName, "token_hash_buckets"),
+      (args: Seq[Expression]) => TokenHashBuckets(args(0),
+        intLit(args(1), "token_hash_buckets salt"),
+        longLit(args(2), "token_hash_buckets mod"))),
+    (FunctionIdentifier("wordpiece_stats"),
+      new ExpressionInfo(classOf[WordpieceStats].getName, "wordpiece_stats"),
+      (args: Seq[Expression]) => WordpieceStats(args(0))),
+    (FunctionIdentifier("bpe_merge"),
+      new ExpressionInfo(classOf[BpeMerge].getName, "bpe_merge"),
+      (args: Seq[Expression]) => BpeMerge(args(0),
+        strLit(args(1), "bpe_merge left"), strLit(args(2), "bpe_merge right"))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

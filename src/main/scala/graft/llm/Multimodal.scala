@@ -324,24 +324,17 @@ object Multimodal {
     * Shape: a pure projection over the payload scan — 72 shared
     * hex-read subexpressions per row, zero shuffles, codegen'd. */
   def dHash(media: DataFrame): DataFrame = {
-    val src = media
+    // one native pass over the raw bytes ([[graft.functions
+    // .DHashBands]]) — the hex-string + 72×substr Column form walked
+    // the string per cell (UTF8String.substring is front-scanning),
+    // measured 1.2 s → 0.35 s at sf0.1
+    val bands = graft.functions.DHashBands(col("payload"))
+    media
       .filter(col("payload").isNotNull && octet_length(col("payload")) > 0)
-      .select(col("media_id"), lower(hex(col("payload"))).as("ph"),
-        octet_length(col("payload")).cast("long").as("n"))
-    // cell i: byte value at offset floor(i·(n−1)/71), read as two hex
-    // chars (the cdcChunkStats byte accessor)
-    def cell(i: Int): Column =
-      conv(col("ph").substr(
-        (call_function("div", lit(i.toLong) * (col("n") - 1L), lit(71L))
-          * 2L + 1L).cast("int"), lit(2)), 16, 10).cast("long")
-    def band(j: Int): Column =
-      (for (rr <- 0 to 1; c <- 0 to 7) yield {
-        val r = 2 * j + rr
-        when(cell(r * 9 + c) > cell(r * 9 + c + 1),
-          lit(1L << (rr * 8 + c))).otherwise(lit(0L))
-      }).reduce(_ + _)
-    src.select(col("media_id"), band(0).as("b0"), band(1).as("b1"),
-        band(2).as("b2"), band(3).as("b3"))
+      .select(col("media_id"), bands.as("bs"))
+      .select(col("media_id"),
+        element_at(col("bs"), 1).as("b0"), element_at(col("bs"), 2).as("b1"),
+        element_at(col("bs"), 3).as("b2"), element_at(col("bs"), 4).as("b3"))
       .withColumn("phash", lower(concat(
         lpad(hex(col("b0")), 4, "0"), lpad(hex(col("b1")), 4, "0"),
         lpad(hex(col("b2")), 4, "0"), lpad(hex(col("b3")), 4, "0"))))

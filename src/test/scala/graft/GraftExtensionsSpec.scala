@@ -35,6 +35,26 @@ class GraftExtensionsSpec extends SparkSpec {
     ext(holder) // must not throw — config path: spark.sql.extensions=graft.GraftExtensions
     assert(GraftExtensions.entries.map(_._1.funcName).toSet ==
       Set("cosine_similarity", "minhash_signature", "simhash32", "shingles",
-        "rolling_hash", "text_counts", "token_set_fingerprint", "nfc_normalize"))
+        "rolling_hash", "text_counts", "token_set_fingerprint",
+        "nfc_normalize", "lang_id", "media_dims", "clf_stats",
+        "bigram_entropy_stats", "shingle_hashes", "token_hash_buckets",
+        "wordpiece_stats", "bpe_merge"))
+  }
+
+  test("round-13 registrations evaluate from SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT lang_id('the cat and the hat is here') AS lid,
+        |       wordpiece_stats('the theory').n_tokens AS wp,
+        |       bpe_merge(array('a', 'a', 'a'), 'a', 'a') AS bm,
+        |       clf_stats('the cat').n_toks AS ct,
+        |       token_hash_buckets('a b', 0, 256) AS thb""".stripMargin)
+      .head()
+    assert(row.getAs[String]("lid") == "en")
+    assert(row.getAs[Long]("wp") == 4L)
+    assert(row.getAs[scala.collection.Seq[String]]("bm").toList ==
+      List("aa", "a"))
+    assert(row.getAs[Long]("ct") == 2L)
+    assert(row.getAs[scala.collection.Seq[Long]]("thb").length == 2)
   }
 }
