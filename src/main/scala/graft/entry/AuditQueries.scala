@@ -69,6 +69,13 @@ object AuditQueries {
       TextAnalysis.bpeTrain(Tables.documents(s, d), col("text"),
         BpeRounds)),
 
+    // train→apply composition: tokenize the corpus with the learned
+    // merges (vocabulary join, never an automaton re-scan) and report
+    // per-doc compression — the token-budget planner's divisor
+    "q_bpe_apply" -> ((s, d) =>
+      TextAnalysis.bpeApply(Tables.documents(s, d), col("doc_id"),
+        col("text"), BpeRounds)),
+
     // greedy longest-match subword tokenization audit per doc: words,
     // matched pieces, UNK chars, fertility — one native scan pass
     "q_wordpiece" -> ((s, d) =>
@@ -228,8 +235,10 @@ object AuditQueries {
          |                 / CAST(pool_max AS DOUBLE) END AS union_est
          |FROM m""".stripMargin,
 
-    // generated unrolled twin — see TextAnalysis.bpeTrainOracleSql
+    // generated unrolled twins — see TextAnalysis.bpeTrainOracleSql /
+    // bpeApplyOracleSql (shared CTE chain)
     "q_bpe_train" -> TextAnalysis.bpeTrainOracleSql(BpeRounds),
+    "q_bpe_apply" -> TextAnalysis.bpeApplyOracleSql(BpeRounds),
 
     // mirrors WordpieceStats: the recursive CTE runs the same greedy
     // longest-match automaton (list_max over matching pieces, UNK

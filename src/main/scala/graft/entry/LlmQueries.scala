@@ -571,6 +571,29 @@ object LlmQueries {
         .agg((count(lit(1)).cast("double") / lit(10.0)).as("recall_at_10"))
     }),
 
+    // recall@10 as a FUNCTION of the probe count (1..4) — the
+    // recall/latency trade-off curve an IVF deployment tunes against;
+    // the exact arm is shared, each probe arm is the q_ann_recall
+    // machinery at its own LIMIT
+    "q_ann_probe_curve" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssignWith(e, col("vec_id"),
+        col("embedding"), cents)
+      val exact = Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), queryVec0(s, d).toSeq, k = 10)
+        .select(col("vec_id"))
+      (1 to 4).map { p =>
+        Similarity.ivfTopKProbes(assigned, cents, queryId = 0L, k = 10,
+            nProbes = p).select(col("vec_id"))
+          .join(exact, "vec_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(p.toLong).as("n_probes"),
+            (col("n_hit").cast("double") / lit(10.0)).as("recall_at_10"))
+      }.reduce(_ unionByName _)
+    }),
+
     // SQ8 quantization-QUALITY guardrail: recall@10 of the SQ8 ADC
     // top-10 against the exact brute-force top-10, with a pinned floor.
     // Without this row a calibration bug that tanks recall while staying
@@ -2004,6 +2027,40 @@ object LlmQueries {
          |  ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10)
          |SELECT CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
          |FROM approx JOIN brute USING (vec_id)""".stripMargin,
+
+    // four q_ann_recall arms at probe counts 1..4, shared assigned/
+    // brute CTEs, unioned with the probe-count literal
+    "q_ann_probe_curve" -> {
+      val arms = (1 to 4).map { p =>
+        s"""probes$p AS (
+           |  SELECT cid, qv FROM (
+           |    SELECT c.vec_id AS cid, q.qv, ${sqlCos("c.embedding", "q.qv")} AS qcos
+           |    FROM embeddings c CROSS JOIN q WHERE c.vec_id < 16
+           |    ORDER BY qcos DESC, cid LIMIT $p) p),
+           |approx$p AS (
+           |  SELECT a.vec_id FROM assigned a JOIN probes$p p ON a.cid = p.cid
+           |  WHERE a.vec_id <> 0
+           |  ORDER BY ${sqlCos("a.v", "p.qv")} DESC, a.vec_id LIMIT 10)""".stripMargin
+      }
+      val unions = (1 to 4).map(p =>
+        s"SELECT CAST($p AS BIGINT) AS n_probes, " +
+          s"CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10 " +
+          s"FROM approx$p JOIN brute USING (vec_id)")
+        .mkString("\nUNION ALL\n")
+      s"""WITH assigned AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.embedding AS v, c.vec_id AS cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlCos("e.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |    FROM embeddings e CROSS JOIN embeddings c WHERE c.vec_id < 16) t
+         |  WHERE rn = 1),
+         |q AS (SELECT v AS qv FROM assigned WHERE vec_id = 0),
+         |brute AS (
+         |  SELECT e.vec_id FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY ${sqlCos("e.embedding", "q.qv")} DESC, e.vec_id LIMIT 10),
+         |${arms.mkString(",\n")}
+         |$unions""".stripMargin
+    },
 
     "q_ann_ivf_trained" ->
       s"""WITH ${sqlKmeansCte(IvfK, IvfIters)},

@@ -1238,14 +1238,20 @@ object TextAnalysis {
     * bit-identical across engines; the oracle twin replays the same
     * rounds via run-parity merge application
     * ([[bpeTrainOracleSql]]). */
-  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, text: Column, rounds: Int): DataFrame =
+    bpeTrainWithVocab(df, text, rounds)._1
+
+  /** [[bpeTrain]] plus the trained (w, cnt, s) vocabulary — the
+    * artifact [[bpeApply]] tokenizes against. */
+  def bpeTrainWithVocab(df: DataFrame, text: Column,
+                        rounds: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val wc = df
       .select(explode(graft.functions.GraftFunctions.tokensFolded(text))
         .as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .filter(length(col("w")) >= 2)
-    var vocab = graft.core.Caches.track(wc.select(col("cnt"),
+    var vocab = graft.core.Caches.track(wc.select(col("w"), col("cnt"),
       transform(sequence(lit(1), length(col("w"))),
         i => col("w").substr(i, lit(1))).as("s")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
@@ -1265,12 +1271,52 @@ object TextAnalysis {
         val row = top.head
         val (l, rr, n) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((r.toLong, l, rr, n))
-        vocab = graft.core.Caches.track(vocab.select(col("cnt"),
+        vocab = graft.core.Caches.track(vocab.select(col("w"), col("cnt"),
           graft.functions.BpeMerge(col("s"), l, rr).as("s")))
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("rank", "left", "right", "pair_n")
+    (merges.toSeq.toDF("rank", "left", "right", "pair_n"), vocab)
+  }
+
+  /** Tokenize the corpus with the merges [[bpeTrain]] just learned —
+    * the train→apply composition a tokenizer pipeline ships: each
+    * word's token count is the LENGTH of its trained symbol sequence
+    * (identical greedy-merge result for identical words, so apply is a
+    * vocabulary JOIN, never a re-scan of the merge automaton), 1-char
+    * words pass through as single symbols (they carry no pairs and are
+    * excluded from training). Per doc: word count, BPE token count,
+    * folded char mass, and chars-per-token compression — the number a
+    * token-budget planner divides by.
+    *
+    * Shape: the corpus explodes to (doc, word) once and hash-joins the
+    * (word → |symbols|) vocabulary — the same join a production
+    * tokenizer's word-level cache does; all counts exact integers, the
+    * compression ratio ONE final double division. */
+  def bpeApply(df: DataFrame, id: Column, text: Column,
+               rounds: Int): DataFrame = {
+    val (_, vocab) = bpeTrainWithVocab(df, text, rounds)
+    val sizes = vocab.select(col("w"),
+      size(col("s")).cast("long").as("n_syms"))
+    val tk = df.filter(text.isNotNull)
+      .select(id.as("doc_id"),
+        explode(graft.functions.GraftFunctions.tokensFolded(text)).as("w"))
+    val agg = tk.join(sizes, Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_syms"), length(col("w")).cast("long")))
+          .as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("n_word_chars"))
+    df.filter(text.isNotNull).select(id.as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        coalesce(col("n_word_chars"), lit(0L)).as("n_word_chars"),
+        when(coalesce(col("n_bpe_tokens"), lit(0L)) === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("n_word_chars").cast("double") /
+            col("n_bpe_tokens").cast("double")).as("chars_per_token"))
   }
 
   /** The [[bpeTrain]] DuckDB twin — `rounds` unrolled CTE blocks, each
@@ -1280,6 +1326,40 @@ object TextAnalysis {
     * even (runs longer than one position occur only when left = right),
     * which equals the greedy leftmost-non-overlapping scan. */
   def bpeTrainOracleSql(rounds: Int): String = {
+    val unions = (1 to rounds).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, l AS \"left\", r AS \"right\", " +
+        s"n AS pair_n FROM m$t").mkString("\nUNION ALL\n")
+    s"WITH ${bpeChainSql(rounds)}\n$unions"
+  }
+
+  /** The [[bpeApply]] twin: the same unrolled chain, then the corpus
+    * token stream joins the trained (wid → |s|) vocabulary. */
+  def bpeApplyOracleSql(rounds: Int): String = {
+    val fold = "lower(translate(text, 'İΣ', 'iσ'))"
+    s"""WITH ${bpeChainSql(rounds)},
+       |tk AS (SELECT doc_id, unnest(list_filter(string_split($fold, ' '),
+       |         t -> len(t) > 0)) AS w
+       |       FROM documents WHERE text IS NOT NULL),
+       |sz AS (SELECT wid AS w, CAST(len(s) AS BIGINT) AS n_syms
+       |       FROM w$rounds),
+       |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(coalesce(n_syms, len(w))) AS BIGINT)
+       |           AS n_bpe_tokens,
+       |         CAST(sum(len(w)) AS BIGINT) AS n_word_chars
+       |       FROM tk LEFT JOIN sz USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(ag.n_words, 0) AS n_words,
+       |       coalesce(ag.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |       coalesce(ag.n_word_chars, 0) AS n_word_chars,
+       |       CASE WHEN coalesce(ag.n_bpe_tokens, 0) = 0 THEN NULL
+       |            ELSE CAST(ag.n_word_chars AS DOUBLE)
+       |                 / CAST(ag.n_bpe_tokens AS DOUBLE)
+       |            END AS chars_per_token
+       |FROM documents d LEFT JOIN ag USING (doc_id)
+       |WHERE d.text IS NOT NULL""".stripMargin
+  }
+
+  /** The shared unrolled CTE chain (w0 … w`rounds`, m1 … m`rounds`). */
+  private def bpeChainSql(rounds: Int): String = {
     val base =
       """w0 AS (
         |  SELECT w AS wid, CAST(count(*) AS BIGINT) AS cnt,
@@ -1318,10 +1398,7 @@ object TextAnalysis {
          |                 ORDER BY i), false) AS pk FROM $k) z
          |       GROUP BY wid)""".stripMargin
     }
-    val unions = (1 to rounds).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS rank, l AS \"left\", r AS \"right\", " +
-        s"n AS pair_n FROM m$t").mkString("\nUNION ALL\n")
-    s"WITH $base,\n${steps.mkString(",\n")}\n$unions"
+    s"$base,\n${steps.mkString(",\n")}"
   }
 
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the

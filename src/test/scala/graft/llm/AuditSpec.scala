@@ -130,6 +130,26 @@ class AuditSpec extends SparkSpec {
       ("ab", "ab", 3L))
   }
 
+  test("bpeApply tokenizes with the learned merges and reports compression") {
+    // corpus "abab" ×3 + "ab" ×2, 2 rounds (see bpeTrain test): final
+    // symbols — "abab" → [abab] after (a,b) then (ab,ab); "ab" → [ab].
+    // doc 1 = "abab ab": 2 words, 1 + 1 = 2 tokens, 6 chars → 3.0
+    val docs = (Seq.fill(2)("abab") :+ "abab ab" :+ "ab")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val r = TextAnalysis.bpeApply(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), rounds = 2)
+      .orderBy("doc_id").collect()
+    val d2 = r(2)
+    assert(d2.getAs[Long]("n_words") == 2L &&
+      d2.getAs[Long]("n_bpe_tokens") == 2L &&
+      d2.getAs[Long]("n_word_chars") == 6L &&
+      d2.getAs[Double]("chars_per_token") == 3.0)
+    // 1-char words pass through as single symbols
+    val one = TextAnalysis.bpeApply(Seq((9L, "x")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), rounds = 2).head()
+    assert(one.getAs[Long]("n_bpe_tokens") == 1L)
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     // single 2-char word: round 1 merges it fully, round 2 has nothing
     val r = TextAnalysis.bpeTrain(Seq("ab").toDF("text"), col("text"),
