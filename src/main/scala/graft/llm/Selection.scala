@@ -578,9 +578,15 @@ object Selection {
     * cell table. Returns (y, yhat, n_cell) rows + constants
     * (n_total, n_assigned, noise_est); yhat NULL = abstained. */
   def labelNoise(df: DataFrame, score: Column, label: Column): DataFrame = {
-    val s = df.filter(score.isNotNull && label.isNotNull)
-      .select(floor(score * lit(1000000.0) + lit(0.5)).cast("long").as("sq"),
-        when(label, 1L).otherwise(0L).as("y"))
+    // tracked persist: the threshold aggregate AND the cell aggregate
+    // both read (sq, y) — uncached, the scorer + tokenizer projection
+    // runs twice (measured 6.0 s → 3.4 s at sf1); the cached relation
+    // is two longs per row
+    val s = graft.core.Caches.track(
+      df.filter(score.isNotNull && label.isNotNull)
+        .select(floor(score * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("sq"),
+          when(label, 1L).otherwise(0L).as("y")))
     val t = s.agg(
       sum(when(col("y") === 1L, col("sq"))).as("sum1"),
       sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n1"),
