@@ -27,6 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object Inference {
 
+  /** (z_{0.975} + z_{0.8})² for [[powerAnalysis]] — ONE shared
+    * shortest-round-trip double, embedded identically in the oracle
+    * twin (its decimal rendering is the contract, not the libm calls
+    * that produced the z quantiles). */
+  val PowerZSum2: Double = {
+    val z = 1.959963984540054 + 0.8416212335729143
+    z * z
+  }
+
   /** Welch's unequal-variance two-sample t-test over an integer metric
     * column, split by a boolean slice predicate.
     *
@@ -559,6 +568,61 @@ object Inference {
         (col("npos").cast("double") / col("n").cast("double"))
           .as("frac_pos"),
         col("iso_pos"))
+  }
+
+  /** Two-arm power analysis — "how many units per arm would this
+    * experiment need to detect the effect it is currently showing?":
+    * n_required = ⌈2·(z_{1−α/2} + z_{power})²·s²_pooled / δ²⌉ at
+    * α = 0.05, power = 0.8 (the workhorse formula every experiment
+    * sizing sheet runs), with δ the observed arm-mean difference and
+    * s²_pooled the two-sample pooled variance. Read beside [[srm]]
+    * (is the split healthy?) and [[welchT]] (is the effect real?) —
+    * this answers "is the experiment even big enough to know?".
+    *
+    * Exactness: the anovaF cents discipline — per-arm n, Σc (LONG),
+    * Σc² (DECIMAL(38,0)) are exact integer sums; δ, s²_pooled and
+    * n_required are each ONE final double expression with the two z
+    * quantiles as shared shortest-round-trip literals (no erf/
+    * quantile call on either engine); ⌈·⌉ is exact on IEEE doubles.
+    * Degenerate inputs (an arm with n ≤ 1, zero pooled variance, or
+    * δ = 0) → NULL n_required through the same CASE on both engines.
+    *
+    * Shape: one map-side-combined 1-row aggregate — scan-bound. */
+  def powerAnalysis(df: DataFrame, unit: Column, value: Column,
+                    inFirst: Column): DataFrame = {
+    val v = df.filter(unit.isNotNull && value.isNotNull)
+      .select(when(inFirst, 1L).otherwise(0L).as("arm"),
+        floor(value * lit(100) + lit(0.5)).cast("long").as("c"))
+    val t = v.agg(
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1L, col("c"))).as("s1"),
+      sum(when(col("arm") === 1L, (col("c") * col("c"))
+        .cast("decimal(38,0)"))).as("q1"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0L, col("c"))).as("s0"),
+      sum(when(col("arm") === 0L, (col("c") * col("c"))
+        .cast("decimal(38,0)"))).as("q0"))
+    val n1d = col("n1").cast("double"); val n0d = col("n0").cast("double")
+    val delta = (col("s1").cast("double") / n1d -
+      col("s0").cast("double") / n0d) / lit(100.0)
+    val ssq = (col("q1").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n1d) +
+      (col("q0").cast("double") -
+        col("s0").cast("double") * col("s0").cast("double") / n0d)
+    val varPooled = ssq / (n1d + n0d - lit(2.0)) / lit(1.0e4)
+    // z_{0.975} and z_{0.8} — shared literal, no quantile call
+    val zsum2 = lit(Inference.PowerZSum2)
+    val nReq = ceil(lit(2.0) * zsum2 * varPooled / (delta * delta))
+    t.select(col("n0"), col("n1"), delta.as("observed_delta"),
+      when(col("n0") <= 1L || col("n1") <= 1L, lit(null).cast("double"))
+        .otherwise(varPooled).as("var_pooled"),
+      when(col("n0") <= 1L || col("n1") <= 1L || delta === lit(0.0) ||
+          varPooled <= lit(0.0), lit(null).cast("long"))
+        .otherwise(nReq.cast("long")).as("n_required_per_arm"),
+      when(col("n0") <= 1L || col("n1") <= 1L || delta === lit(0.0) ||
+          varPooled <= lit(0.0), lit(null).cast("boolean"))
+        .otherwise(least(col("n0"), col("n1")).cast("double") >= nReq)
+        .as("powered_now"))
   }
 
   /** Kruskal–Wallis rank test of one metric across k groups — the

@@ -28,6 +28,12 @@ object AuditQueries {
   private val TClose = 0.2
 
   val queries: Map[String, Q] = Map(
+    // one-row dataset card: the release-reviewer summary (mass,
+    // cardinalities, exact-dup rate, majority-language share)
+    "q_dataset_card" -> ((s, d) =>
+      TextAnalysis.datasetCard(Tables.documents(s, d), col("text"),
+        col("lang"), col("source"), col("n_chars"))),
+
     // disclosure-risk audit over (source, lang, length-bucket) quasi-
     // identifiers with the exact length as the sensitive attribute —
     // one map-combined groupBy, corpus folds ride the class table
@@ -95,6 +101,30 @@ object AuditQueries {
     s"list_filter(string_split($FoldSql, ' '), t -> len(t) > 0)"
 
   val oracle: Map[String, String] = Map(
+    "q_dataset_card" ->
+      s"""WITH t AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(text) AS BIGINT) AS n_text_docs,
+         |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS n_chars,
+         |    CAST(coalesce(sum(len(list_filter(string_split(text, ' '),
+         |      w -> len(w) > 0))), 0) AS BIGINT) AS n_words,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_en,
+         |    CAST(count(lang) AS BIGINT) AS n_lang_tagged
+         |  FROM documents)
+         |SELECT n_docs, n_text_docs, n_chars, n_words, n_langs, n_sources,
+         |  n_distinct_texts,
+         |  CASE WHEN n_text_docs = 0 THEN NULL
+         |       ELSE CAST(n_text_docs - n_distinct_texts AS DOUBLE)
+         |            / CAST(n_text_docs AS DOUBLE) END AS dup_rate,
+         |  CASE WHEN n_lang_tagged = 0 THEN NULL
+         |       ELSE CAST(n_en AS DOUBLE) / CAST(n_lang_tagged AS DOUBLE)
+         |       END AS en_share
+         |FROM t""".stripMargin,
+
     "q_k_anonymity" ->
       s"""WITH c AS (
          |  SELECT source, lang, n_chars // $AnonBucket AS len_bucket,

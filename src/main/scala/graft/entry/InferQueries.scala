@@ -81,6 +81,13 @@ object InferQueries {
       Inference.cuped(Tables.events(s, d), col("user_id"), col("ts"),
         col("value"))),
 
+    // two-arm power analysis on the same user_id % 2 split: n per arm
+    // to detect the observed effect at α=.05 / power=.8 — "is the
+    // experiment big enough to know?" beside srm's split health
+    "q_power_analysis" -> ((s, d) =>
+      Inference.powerAnalysis(Tables.events(s, d), col("user_id"),
+        col("value"), col("user_id") % 2 === 1)),
+
     // closed-form price model cents ~ quantity + discount points:
     // exact integer power sums, shared-text Cramer solve — the
     // regression a warehouse runs before reaching for an ML library
@@ -446,6 +453,37 @@ object InferQueries {
          |  CAST(sum(tq) OVER () AS DOUBLE) / 1.0E9 AS chi2,
          |  CAST(sum(tq) OVER () AS DOUBLE) / 1.0E9 > $SrmCrit AS srm
          |FROM q""".stripMargin,
+
+    // mirrors Inference.powerAnalysis: cents power sums, the shared
+    // (z_{.975}+z_{.8})² literal, one double expression per output
+    "q_power_analysis" -> {
+      val delta = "((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0)"
+      val varP = "(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))) / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE) - 2.0) / 10000.0)"
+      val nReq = s"ceil(2.0 * ${graft.agg.Inference.PowerZSum2} * $varP / ($delta * $delta))"
+      val bad = s"n0 <= 1 OR n1 <= 1"
+      s"""WITH v AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS arm,
+         |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+         |           FROM events
+         |           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+         |t AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS s1,
+         |    CAST(sum(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) * c END)
+         |      AS DOUBLE) AS q1,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS s0,
+         |    CAST(sum(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) * c END)
+         |      AS DOUBLE) AS q0
+         |  FROM v)
+         |SELECT n0, n1, $delta AS observed_delta,
+         |  CASE WHEN $bad THEN NULL ELSE $varP END AS var_pooled,
+         |  CASE WHEN $bad OR $delta = 0.0 OR $varP <= 0.0 THEN NULL
+         |       ELSE CAST($nReq AS BIGINT) END AS n_required_per_arm,
+         |  CASE WHEN $bad OR $delta = 0.0 OR $varP <= 0.0 THEN NULL
+         |       ELSE CAST(least(n0, n1) AS DOUBLE) >= $nReq
+         |       END AS powered_now
+         |FROM t""".stripMargin
+    },
 
     "q_cuped" -> {
       val varX = "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"

@@ -1401,6 +1401,46 @@ object TextAnalysis {
     s"$base,\n${steps.mkString(",\n")}"
   }
 
+  /** One-row dataset card — the corpus-level summary a dataset release
+    * ships (HuggingFace dataset-card numbers): document/char/word
+    * mass, language and source cardinalities, exact-dup rate and the
+    * majority-language share. Composes the primitives the per-doc
+    * audits already verify into the single row a release reviewer
+    * reads first.
+    *
+    * Exactness: every count is an exact integer (count_distinct over
+    * md5 identities for the dup rate — the q_dedup_exact identity);
+    * the two emitted doubles (dup_rate over non-null texts, en_share
+    * over lang-tagged docs) are single divisions of exact LONGs,
+    * NULL-guarded for empty denominators.
+    *
+    * Shape: ONE aggregate over the scan (the multi-count-distinct
+    * expands map-side; at 100 TB swap exact distincts for
+    * approx_count_distinct and keep the schema). */
+  def datasetCard(df: DataFrame, text: Column, lang: Column,
+                  source: Column, nChars: Column): DataFrame =
+    df.agg(
+        count(lit(1)).as("n_docs"),
+        count(text).as("n_text_docs"),
+        sum(coalesce(nChars, lit(0L))).as("n_chars"),
+        coalesce(sum(size(tokens(text)).cast("long")), lit(0L))
+          .as("n_words"),
+        count_distinct(lang).as("n_langs"),
+        count_distinct(source).as("n_sources"),
+        count_distinct(md5(text)).as("n_distinct_texts"),
+        sum(when(lang === "en", 1L).otherwise(0L)).as("n_en"),
+        count(lang).as("n_lang_tagged"))
+      .select(col("n_docs"), col("n_text_docs"), col("n_chars"),
+        col("n_words"), col("n_langs"), col("n_sources"),
+        col("n_distinct_texts"),
+        when(col("n_text_docs") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_text_docs") - col("n_distinct_texts"))
+            .cast("double") / col("n_text_docs").cast("double"))
+          .as("dup_rate"),
+        when(col("n_lang_tagged") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_en").cast("double") /
+            col("n_lang_tagged").cast("double")).as("en_share"))
+
   /** Flesch reading-ease + Flesch–Kincaid grade per document — the
     * classic readability gate a curation pipeline runs beside the
     * Gopher/C4 batteries (docs far outside the human-prose band are

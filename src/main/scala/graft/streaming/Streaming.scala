@@ -362,6 +362,28 @@ object Streaming {
         .otherwise(array().cast("array<string>")))
   }
 
+  /** Perceptual (dHash) streaming near-dup claims — the multimodal
+    * member of the first-claimer family: each media's four 16-bit
+    * dHash bands ([[graft.functions.DHashBands]], computed in the
+    * same native pass the batch operator uses) become band keys
+    * `"j:bits"`, and the shared [[streamingClaims]] core assigns
+    * ownership per band. A re-encoded duplicate (brightness shift,
+    * container change that preserves the sampled gradients) claims
+    * the SAME four bands and resolves to the first claimer — the
+    * streaming twin of [[graft.llm.Multimodal.dHashPairs]]'s
+    * candidate stage. Zero-byte payloads arrive as self-owned
+    * sentinel claims so the verdict stream covers every input
+    * (the minhash short-doc rule). */
+  def streamingDHashClaims(media: DataFrame, id: Column,
+                           payload: Column): Dataset[(Long, String, Long)] = {
+    val bands = graft.functions.DHashBands(payload)
+    streamingClaims(media, id,
+      when(payload.isNotNull && octet_length(payload) > 0,
+        transform(bands, (b, j) =>
+          concat(j.cast("string"), lit(":"), b.cast("string"))))
+        .otherwise(array().cast("array<string>")))
+  }
+
   /** SimHash streaming near-dup claims with in-state verification: band
     * state holds the first claimer's (id, full simhash), and each claim
     * row carries the hamming distance to that owner — a band collision is

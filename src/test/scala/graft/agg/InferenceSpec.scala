@@ -239,6 +239,34 @@ class InferenceSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("w1")))
   }
 
+  test("powerAnalysis sizes the experiment from exact power sums") {
+    // arm0 = {1, 3} (mean 2, cents ssq 20000), arm1 = {2, 6} (mean 4,
+    // ssq 80000): δ = 2.0, pooled var = 100000/2/1e4 = 5.0,
+    // n_req = ceil(2·(z.975+z.8)²·5/4)
+    val df = Seq((10L, 1.0), (12L, 3.0), (11L, 2.0), (13L, 6.0))
+      .toDF("u", "v")
+    val r = Inference.powerAnalysis(df, col("u"), col("v"),
+      col("u") % 2 === 1).head()
+    assert(r.getAs[Long]("n0") == 2L && r.getAs[Long]("n1") == 2L)
+    assert(r.getAs[Double]("observed_delta") == 2.0)
+    assert(r.getAs[Double]("var_pooled") == 5.0)
+    val expected = math.ceil(2.0 * Inference.PowerZSum2 * 5.0 / 4.0).toLong
+    assert(r.getAs[Long]("n_required_per_arm") == expected)
+    assert(!r.getAs[Boolean]("powered_now"))
+  }
+
+  test("powerAnalysis zero effect or degenerate arm yields NULL sizing") {
+    val zero = Seq((10L, 2.0), (12L, 2.0), (11L, 2.0), (13L, 2.0))
+      .toDF("u", "v")
+    val rz = Inference.powerAnalysis(zero, col("u"), col("v"),
+      col("u") % 2 === 1).head()
+    assert(rz.isNullAt(rz.fieldIndex("n_required_per_arm")))
+    val tiny = Seq((10L, 1.0), (11L, 2.0)).toDF("u", "v")
+    val rt = Inference.powerAnalysis(tiny, col("u"), col("v"),
+      col("u") % 2 === 1).head()
+    assert(rt.isNullAt(rt.fieldIndex("var_pooled")))
+  }
+
   test("kruskalWallis matches the hand-computed H on a tie-free fixture") {
     // a = {1, 3} (ranks 1, 3 → R = 4), b = {2, 4} (ranks 2, 4 → R = 6):
     // Σ R²/n = 16/2 + 36/2 = 26 (both exact under the integer div),

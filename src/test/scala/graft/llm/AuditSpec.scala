@@ -130,6 +130,26 @@ class AuditSpec extends SparkSpec {
       ("ab", "ab", 3L))
   }
 
+  test("datasetCard folds the release summary from one aggregate") {
+    val df = Seq(
+      (Some("a b"), Some("en"), Some("web"), Some(3L)),
+      (Some("a b"), Some("en"), Some("pdf"), Some(3L)), // exact dup text
+      (Some("c"), Some("de"), Some("web"), Some(1L)),
+      (None: Option[String], None: Option[String], Some("web"),
+        None: Option[Long]))
+      .toDF("text", "lang", "source", "n_chars")
+    val r = TextAnalysis.datasetCard(df, col("text"), col("lang"),
+      col("source"), col("n_chars")).head()
+    assert(r.getAs[Long]("n_docs") == 4L &&
+      r.getAs[Long]("n_text_docs") == 3L)
+    assert(r.getAs[Long]("n_chars") == 7L && r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_langs") == 2L &&
+      r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_distinct_texts") == 2L)
+    assert(math.abs(r.getAs[Double]("dup_rate") - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("en_share") - 2.0 / 3.0) < 1e-15)
+  }
+
   test("bpeApply tokenizes with the learned merges and reports compression") {
     // corpus "abab" ×3 + "ab" ×2, 2 rounds (see bpeTrain test): final
     // symbols — "abab" → [abab] after (a,b) then (ab,ab); "ab" → [ab].

@@ -1067,6 +1067,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
+  test("streaming dHash claims: a re-encoded duplicate resolves to the first claimer") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Array.tabulate[Byte](200)(i => ((i * 37 + 11) % 200).toByte)
+    val shifted = base.map(b => (b + 1).toByte) // brightness re-encode
+    val other = base.reverse
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val claims = Streaming.streamingDHashClaims(
+      ms.toDF().toDF("media_id", "payload"), col("media_id"),
+      col("payload")).toDF("doc_id", "band_key", "owner")
+    val got = scala.collection.mutable.Map.empty[Long, (Option[Long], Boolean)]
+    val q = claims.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Streaming.claimsToVerdicts(batch)
+          .as[(Long, Option[Long], Boolean)].collect()
+          .foreach(v => got(v._1) = (v._2, v._3))
+      }.start()
+    ms.addData((1L, base)); q.processAllAvailable()
+    ms.addData((2L, shifted), (3L, other), (4L, Array.emptyByteArray))
+    q.processAllAvailable()
+    q.stop()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), s"every media verdicted: $got")
+    assert(got(1L)._2, s"first claimer kept: $got")
+    assert(!got(2L)._2 && got(2L)._1.contains(1L),
+      s"re-encode dups to the original: $got")
+    assert(got(4L)._2, s"empty payload self-owned sentinel: $got")
+  }
+
   test("kmv sketch ledger: min-merge is replay-proof; estimates equal the batch sketch") {
     // bottom-k of a set union ignores redelivery — the bloom-ledger
     // idempotence class, no HWM sentinel needed (Dedup.kmvSketch doc)
