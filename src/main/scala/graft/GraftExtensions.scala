@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BigramEntropyStats, BpeMerge, ClfStats, CosineSimilarity, LangId, MediaDims, MinHashSignature, NfcNormalize, RollingHash, ShingleHashes, Shingles, SimHash32, TextCounts, TokenHashBuckets, TokenSetFingerprint, WordpieceStats}
+import graft.functions.{BigramEntropyStats, BpeMerge, ClfStats, CosineSimilarity, DHashBands, LangId, MediaDims, MediaEnergyStats, MinHashSignature, NfcNormalize, RollingHash, ShingleHashes, Shingles, SimHash32, TextCounts, TokenHashBuckets, TokenSetFingerprint, WordpieceStats}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -98,7 +98,15 @@ object GraftExtensions {
     (FunctionIdentifier("bpe_merge"),
       new ExpressionInfo(classOf[BpeMerge].getName, "bpe_merge"),
       (args: Seq[Expression]) => BpeMerge(args(0),
-        strLit(args(1), "bpe_merge left"), strLit(args(2), "bpe_merge right"))))
+        strLit(args(1), "bpe_merge left"), strLit(args(2), "bpe_merge right"))),
+    (FunctionIdentifier("dhash_bands"),
+      new ExpressionInfo(classOf[DHashBands].getName, "dhash_bands"),
+      (args: Seq[Expression]) => DHashBands(args(0))),
+    (FunctionIdentifier("media_energy_stats"),
+      new ExpressionInfo(classOf[MediaEnergyStats].getName, "media_energy_stats"),
+      (args: Seq[Expression]) => MediaEnergyStats(args(0),
+        intLit(args(1), "media_energy_stats frame_bytes"),
+        longLit(args(2), "media_energy_stats threshold"))))
 
   /** Register into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

@@ -1085,6 +1085,10 @@ object LlmQueries {
           col("meta.n_bytes").as("n_bytes"),
           md5(lower(hex(col("payload")))).as("payload_md5"))),
 
+    // audio-style frame energy + silence segmentation (energy-gated
+    // VAD shape) — one native scan pass, exact integer energies
+    "q_media_energy" -> ((s, d) => Multimodal.energyScan(media(s, d))),
+
     // 64-bit perceptual difference hash per media — gradient-sign bits
     // over the sampled byte grid, 4×16-bit bands; pure projection
     "q_phash" -> ((s, d) => Multimodal.dHash(media(s, d))),
@@ -3084,6 +3088,34 @@ object LlmQueries {
          |       CAST(features[1] AS DOUBLE) AS f0,
          |       list_sum(list_transform(features, x -> CAST(x AS DOUBLE))) AS fsum
          |FROM f""".stripMargin,
+
+    // mirrors Multimodal.energyScan: 16-byte frames off the hex
+    // accessor, exact integer Σ(b−128)² energies, threshold 20000
+    "q_media_energy" ->
+      s"""$MediaPayloadCte,
+         |pm AS (SELECT CAST(doc_id AS BIGINT) AS media_id, ph, n_bytes
+         |       FROM pl),
+         |fr AS (
+         |  SELECT media_id,
+         |    list_sum(list_transform(range(16*i, least(16*i + 16, n_bytes)),
+         |      j -> (CAST('0x' || substr(ph, CAST(2*j+1 AS INT), 2)
+         |              AS BIGINT) - 128)
+         |           * (CAST('0x' || substr(ph, CAST(2*j+1 AS INT), 2)
+         |              AS BIGINT) - 128))) AS e
+         |  FROM pm, unnest(range(0, CAST(ceil(n_bytes / 16.0) AS BIGINT)))
+         |       AS u(i)),
+         |ag AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+         |         CAST(sum(CASE WHEN e < 20000 THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_silent,
+         |         CAST(sum(e) AS BIGINT) AS energy_q
+         |       FROM fr GROUP BY 1)
+         |SELECT pm.media_id, coalesce(ag.n_frames, 0) AS n_frames,
+         |       coalesce(ag.n_silent, 0) AS n_silent,
+         |       coalesce(ag.energy_q, 0) AS energy_q,
+         |       CASE WHEN coalesce(ag.n_frames, 0) = 0 THEN NULL
+         |            ELSE CAST(ag.n_silent AS DOUBLE)
+         |                 / CAST(ag.n_frames AS DOUBLE) END AS silence_ratio
+         |FROM pm LEFT JOIN ag USING (media_id)""".stripMargin,
 
     // mirrors Multimodal.dHash: cell i = byte floor(i·(n−1)/71) read
     // off the hex rendering, band j = Σ gradient-bit << ((r%2)·8+c)

@@ -340,6 +340,24 @@ object Multimodal {
         lpad(hex(col("b2")), 4, "0"), lpad(hex(col("b3")), 4, "0"))))
   }
 
+  /** Audio-style energy segmentation over payloads — frame energy,
+    * silence count (energy-gated VAD) and the speech ratio, via the
+    * one-pass [[graft.functions.MediaEnergyStats]] scan. Returns
+    * (media_id, n_frames, n_silent, energy_q, silence_ratio);
+    * zero-byte payloads emit (0, 0, 0, NULL). */
+  def energyScan(media: DataFrame, frameBytes: Int = 16,
+                 threshold: Long = 20000L): DataFrame =
+    media.filter(col("payload").isNotNull)
+      .select(col("media_id"),
+        graft.functions.MediaEnergyStats(col("payload"), frameBytes,
+          threshold).as("es"))
+      .select(col("media_id"), col("es.n_frames").as("n_frames"),
+        col("es.n_silent").as("n_silent"),
+        col("es.energy_q").as("energy_q"),
+        when(col("es.n_frames") === 0L, lit(null).cast("double"))
+          .otherwise(col("es.n_silent").cast("double") /
+            col("es.n_frames").cast("double")).as("silence_ratio"))
+
   /** Perceptual near-dup pairs: media whose dHashes differ in ≤
     * `maxDist` of the 64 gradient bits. Banded candidate generation
     * (the [[graft.llm.Dedup.simhashPairs]] discipline): a pair within

@@ -38,7 +38,8 @@ class GraftExtensionsSpec extends SparkSpec {
         "rolling_hash", "text_counts", "token_set_fingerprint",
         "nfc_normalize", "lang_id", "media_dims", "clf_stats",
         "bigram_entropy_stats", "shingle_hashes", "token_hash_buckets",
-        "wordpiece_stats", "bpe_merge"))
+        "wordpiece_stats", "bpe_merge", "dhash_bands",
+        "media_energy_stats"))
   }
 
   test("round-13 registrations evaluate from SQL") {

@@ -1077,4 +1077,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"|sources|-row pairwise stage must broadcast:\n$p")
   }
+
+  test("media energy and dataset card are single-aggregate scans") {
+    val pe = plan(SparkEntry.queries("q_media_energy")(spark, sf))
+    assert(!pe.contains("Exchange") && !pe.contains("Join"),
+      s"energy scan is a pure projection:\n$pe")
+    assert(pe.contains("media_energy_stats"), s"native expression missing:\n$pe")
+    val pc = plan(SparkEntry.queries("q_dataset_card")(spark, sf))
+    assert(!pc.contains("Join"), s"card is one aggregate, no join:\n$pc")
+    val pp = plan(SparkEntry.queries("q_power_analysis")(spark, sf))
+    assert(!pp.contains("Join") && !pp.contains("Window"),
+      s"power analysis is one map-combined 1-row aggregate:\n$pp")
+    assert("HashAggregate".r.findAllIn(pp).size >= 2,
+      s"power sums must map-combine:\n$pp")
+  }
+
+  test("bpe apply: corpus tokens hash-join the vocabulary, no corpus sort") {
+    val p = plan(SparkEntry.queries("q_bpe_apply")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the vocab join must be a hash join:\n$p")
+  }
 }

@@ -121,4 +121,23 @@ class MediaDimsSpec extends SparkSpec {
     assert(got(1L)._5 >= got(1L)._2 / 2,
       s"CDC must share most of the shifted payload, got ${got(1L)._5} of ${got(1L)._2}")
   }
+
+  test("energyScan frames, gates and totals exact integer energies") {
+    import spark.implicits._
+    // 20 bytes of 128 (zero energy) then 4 bytes of 228 (dev 100):
+    // frames of 16 → frame0 all-128 (e=0, silent), frame1 = 4×128 +
+    // 4×228 → e = 4·100² = 40000 (loud at threshold 20000)
+    val quietLoud = (Array.fill[Byte](20)(128.toByte) ++
+      Array.fill[Byte](4)(228.toByte))
+    val media = Seq((1L, quietLoud), (2L, Array.emptyByteArray))
+      .toDF("media_id", "payload")
+    val r = graft.llm.Multimodal.energyScan(media)
+      .orderBy("media_id").collect()
+    assert(r(0).getAs[Long]("n_frames") == 2L &&
+      r(0).getAs[Long]("n_silent") == 1L &&
+      r(0).getAs[Long]("energy_q") == 40000L &&
+      r(0).getAs[Double]("silence_ratio") == 0.5)
+    assert(r(1).getAs[Long]("n_frames") == 0L &&
+      r(1).isNullAt(r(1).fieldIndex("silence_ratio")))
+  }
 }
