@@ -80,6 +80,25 @@ object GrowthQueries {
         !arrays_overlap(tokensFolded(col("text")),
           array(BlockedWords.map(lit): _*)))),
 
+    // exact rank-based AUC of the quality score against the blocklist
+    // label: AUC = U₁/(n₁·n₂) — the Mann–Whitney identity, so the
+    // ranking metric reuses the exact 2×midrank machinery verbatim
+    "q_quality_auc" -> ((s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(Selection.clfScore(col("text")).as("score"),
+          (!arrays_overlap(tokensFolded(col("text")),
+            array(BlockedWords.map(lit): _*))).as("label"))
+        .filter(col("label").isNotNull)
+      RobustStats.mannWhitney(scored, col("score"), col("label"))
+        .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+          col("u1").as("u_pos"),
+          when(col("n1") === 0L || col("n2") === 0L,
+            lit(null).cast("double"))
+            .otherwise(col("u1") / (col("n1").cast("double") *
+              col("n2").cast("double"))).as("auc"),
+          col("z"))
+    }),
+
     // last-touch attribution: latest strictly-earlier click credits
     // each purchase — one user-keyed window, no self-join
     "q_attribution" -> ((s, d) =>
@@ -146,6 +165,41 @@ object GrowthQueries {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // mirrors the q_rank_drift Mann–Whitney algebra over the shared
+    // score/label CTE; AUC = U₁/(n₁·n₂), one extra division
+    "q_quality_auc" -> {
+      val u1 = "((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0)"
+      val nd = "CAST(n1 + n2 AS DOUBLE)"
+      val varU = s"(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 * " +
+        s"(($nd + 1.0) - CAST(tie_t AS DOUBLE) / ($nd * ($nd - 1.0))))"
+      s"""WITH $calibScoreCte,
+         |s AS (SELECT score AS x, CASE WHEN label THEN 1 ELSE 0 END AS f
+         |      FROM sc WHERE score IS NOT NULL AND label IS NOT NULL),
+         |g AS (SELECT x, CAST(sum(f) AS BIGINT) AS a,
+         |             CAST(sum(1 - f) AS BIGINT) AS b,
+         |             CAST(sum(f) + sum(1 - f) AS BIGINT) AS t
+         |      FROM s GROUP BY x),
+         |c AS (SELECT a, b, t,
+         |        2 * (sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+         |          PRECEDING AND CURRENT ROW) - t) + t + 1 AS m2
+         |      FROM g),
+         |f2 AS (SELECT CAST(sum(a) AS BIGINT) AS n1,
+         |              CAST(sum(b) AS BIGINT) AS n2,
+         |              sum(CAST(a AS HUGEINT) * m2) AS r1x2,
+         |              sum(CAST(t AS HUGEINT) * t * t - t) AS tie_t
+         |       FROM c)
+         |SELECT n1 AS n_pos, n2 AS n_neg,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE $u1 END AS u_pos,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |       ELSE $u1 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+         |       END AS auc,
+         |  CASE WHEN n1 = 0 OR n2 = 0 THEN NULL
+         |       ELSE CASE WHEN $varU <= 0.0 THEN NULL
+         |            ELSE ($u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+         |                 / sqrt($varU) END END AS z
+         |FROM f2""".stripMargin
+    },
+
     // mirrors Selection.labelNoise: 10⁻⁶ score quantization, exact
     // integer threshold cross-multiplication (sq·n_j vs Σ_j), window
     // folds over the ≤6-row cell table

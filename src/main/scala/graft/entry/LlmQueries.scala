@@ -181,6 +181,12 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), col("doc_id"), col("text"),
         threshold = 0.4, ShingleW, PairBands, PairRows)),
 
+    // dedup tuning table: pair/dropped counts at thresholds .4/.6/.8
+    // off ONE verified candidate stream — the aggressiveness curve
+    "q_dedup_yield_curve" -> ((s, d) =>
+      Dedup.dedupYieldCurve(Tables.documents(s, d), col("doc_id"),
+        col("text"), Seq(0.4, 0.6, 0.8), ShingleW, PairBands, PairRows)),
+
     // MinHash calibration guardrail (the dedup family's q_ann_recall):
     // mean |signature-estimate − exact Jaccard| over the LSH candidate
     // pairs, with a pinned 0.15 ceiling — k=16 gives σ ≈ 0.12 per
@@ -1385,6 +1391,31 @@ object LlmQueries {
          |FROM cand JOIN shd sa ON doc_a = sa.doc_id JOIN shd sb ON doc_b = sb.doc_id
          |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
          |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) >= 0.4""".stripMargin,
+
+    // the q_neardup_jaccard scored stream, filtered at each curve
+    // threshold and unioned with the threshold literal
+    "q_dedup_yield_curve" -> {
+      val arms = Seq("0.4", "0.6", "0.8").map(t =>
+        s"SELECT CAST($t AS DOUBLE) AS threshold, " +
+          s"CAST(count(*) AS BIGINT) AS n_pairs, " +
+          s"CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped " +
+          s"FROM scored WHERE jaccard_sim >= $t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${bandCte(PairBands, PairRows)},
+         |shd AS (SELECT doc_id, list_distinct(sg) AS sh FROM sh),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bandsrc a JOIN bandsrc b
+         |    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |scored AS (
+         |  SELECT doc_a, doc_b,
+         |    CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+         |         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |              / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) END AS jaccard_sim
+         |  FROM cand JOIN shd sa ON doc_a = sa.doc_id
+         |       JOIN shd sb ON doc_b = sb.doc_id)
+         |$arms""".stripMargin
+    },
 
     // minhash calibration: bandCte supplies the identical signatures —
     // the estimate (matching components / 16), the exact Jaccard, the

@@ -269,6 +269,34 @@ object Dedup {
       .filter(col("jaccard_sim") >= threshold)
   }
 
+  /** Near-dup yield curve: pair and dropped-doc counts at ESCALATING
+    * Jaccard thresholds — the tuning table a dedup deployment reads
+    * before committing to a cut ("0.8 drops 3% of docs, 0.6 drops
+    * 11%" — the aggressiveness/recall trade-off, the
+    * [[graft.entry.LlmQueries]] probe-curve discipline applied to
+    * dedup). Docs dropped = distinct higher-id pair members (the
+    * keep-lowest rule's direct victims; transitive closure only
+    * shrinks a cut's KEPT set further, so the curve is a lower
+    * bound per threshold — documented, not hidden).
+    *
+    * Shape: the candidate stream is generated and Jaccard-verified
+    * ONCE at the loosest threshold (tracked persist), then each curve
+    * point is a filter + two counts over that bounded pair table —
+    * never a re-scan, never a second banding pass. */
+  def dedupYieldCurve(df: DataFrame, id: Column, text: Column,
+                      thresholds: Seq[Double], shingleWidth: Int = 3,
+                      bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val base = persistTracked(nearDupPairs(df, id, text, thresholds.min,
+      shingleWidth, bands, rowsPerBand))
+    thresholds.sorted.map { t =>
+      base.filter(col("jaccard_sim") >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          count_distinct(col("doc_b")).as("n_docs_dropped"))
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("n_docs_dropped"))
+    }.reduce(_ unionByName _)
+  }
+
   /** EXACT Jaccard similarity self-join via prefix filtering (Chaudhuri
     * et al. ICDE'06; Xiao et al. WWW'08 "PPJoin") — the zero-false-
     * negative complement of [[nearDupPairs]]: LSH banding trades recall

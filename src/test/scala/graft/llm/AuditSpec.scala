@@ -48,6 +48,23 @@ class AuditSpec extends SparkSpec {
       nullClass.getAs[Boolean]("k_anonymous"))
   }
 
+  test("dedupYieldCurve is monotone and counts the keep-lowest victims") {
+    // 1≈2 near-dup (high J), 3 = unrelated, 4 = exact dup of 1
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, t1), (2L, t1 + " extra"), (3L,
+      "an entirely different body of text with nothing shared at all"),
+      (4L, t1))
+    val r = Dedup.dedupYieldCurve(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), Seq(0.4, 0.9))
+      .orderBy("threshold").collect()
+    val (loose, tight) = (r(0), r(1))
+    assert(loose.getAs[Long]("n_pairs") >= tight.getAs[Long]("n_pairs"),
+      "pair counts must be monotone non-increasing in the threshold")
+    assert(tight.getAs[Long]("n_pairs") >= 1L, "exact dup survives 0.9")
+    assert(loose.getAs[Long]("n_docs_dropped") >=
+      tight.getAs[Long]("n_docs_dropped"))
+  }
+
   test("tCloseness matches the hand-computed total variation") {
     // global lang mix: en 4/6, de 2/6. Class s1 = {en, en} → p = (1, 0):
     // TV = ½(|1 − 4/6| + |0 − 2/6|) = 1/3. Class s2 = {en, en, de, de}
