@@ -235,6 +235,39 @@ object Inference {
           lit(1.0e9)).as("ece"))
   }
 
+  /** Brier score of a probabilistic scorer against a binary label —
+    * the PROPER scoring rule beside [[calibration]]'s ECE (ECE can be
+    * gamed by a constant base-rate forecast; the Brier score cannot),
+    * plus the climatological uncertainty ō(1−ō) and the Brier skill
+    * score 1 − BS/UNC (> 0 ⇔ the scorer beats always-predicting the
+    * base rate — the single go/no-go number for shipping a scorer).
+    *
+    * Exactness: scores quantize to the 10⁻⁶ grid; each row's
+    * (s_q − 10⁶·y)² is an EXACT integer (≤ 10¹²), summed in
+    * DECIMAL(38,0) — order-independent at any scale — and the three
+    * emitted doubles are each ONE final expression over exact integer
+    * totals. Returns one row: (n, base_rate, brier, uncertainty,
+    * brier_skill); skill is NULL when the base rate is degenerate
+    * (UNC = 0 — skill is undefined, not infinite). */
+  def brier(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val s = df.filter(score.isNotNull && label.isNotNull)
+      .select(floor(score * lit(1000000.0) + lit(0.5)).cast("long")
+        .as("sq"),
+        when(label, 1L).otherwise(0L).as("y"))
+    val t = s.agg(count(lit(1)).as("n"), sum(col("y")).as("npos"),
+      sum(((col("sq") - lit(1000000L) * col("y")) *
+        (col("sq") - lit(1000000L) * col("y"))).cast("decimal(38,0)"))
+        .as("se"))
+    val nd = col("n").cast("double")
+    val base = col("npos").cast("double") / nd
+    val bs = col("se").cast("double") / lit(1.0e12) / nd
+    val unc = base * (lit(1.0) - base)
+    t.select(col("n"), base.as("base_rate"), bs.as("brier"),
+      unc.as("uncertainty"),
+      when(unc === lit(0.0), lit(null).cast("double"))
+        .otherwise(lit(1.0) - bs / unc).as("brier_skill"))
+  }
+
   /** Sample-ratio-mismatch check (the first gate of every A/B
     * readout): randomization UNITS (distinct ids) split into
     * `variants` buckets by id mod, tested against the uniform

@@ -80,6 +80,23 @@ object GrowthQueries {
         !arrays_overlap(tokensFolded(col("text")),
           array(BlockedWords.map(lit): _*)))),
 
+    // Brier score + skill of the probability-mapped quality score vs
+    // the blocklist label — the PROPER scoring rule beside ECE; exact
+    // fixed-point squared-error sums
+    "q_brier" -> ((s, d) =>
+      Inference.brier(Tables.documents(s, d),
+        (Selection.clfScore(col("text")) + lit(1.0)) / lit(2.0),
+        !arrays_overlap(tokensFolded(col("text")),
+          array(BlockedWords.map(lit): _*)))),
+
+    // per-source gate-disparity audit (80% rule) on the blocklist
+    // gate — which sources are being systematically filtered
+    "q_gate_parity" -> ((s, d) =>
+      graft.llm.Privacy.gateParity(Tables.documents(s, d), col("source"),
+        !arrays_overlap(tokensFolded(col("text")),
+          array(BlockedWords.map(lit): _*)))
+        .withColumnsRenamed(Map("g" -> "source"))),
+
     // exact rank-based AUC of the quality score against the blocklist
     // label: AUC = U₁/(n₁·n₂) — the Mann–Whitney identity, so the
     // ranking metric reuses the exact 2×midrank machinery verbatim
@@ -165,6 +182,67 @@ object GrowthQueries {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // mirrors Inference.brier over the probability-mapped score:
+    // 10⁻⁶ quantization, exact HUGEINT squared-error sum, three
+    // mirrored double expressions
+    "q_brier" ->
+      s"""WITH $calibScoreCte,
+         |sx AS (SELECT CAST(floor((score + 1.0) / 2.0 * 1000000.0 + 0.5)
+         |         AS BIGINT) AS sq,
+         |         CASE WHEN label THEN 1 ELSE 0 END AS y
+         |       FROM sc WHERE score IS NOT NULL AND label IS NOT NULL),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(y) AS BIGINT) AS npos,
+         |             sum((CAST(sq AS HUGEINT) - 1000000 * y)
+         |                 * (CAST(sq AS HUGEINT) - 1000000 * y)) AS se
+         |      FROM sx)
+         |SELECT n,
+         |  CAST(npos AS DOUBLE) / CAST(n AS DOUBLE) AS base_rate,
+         |  CAST(se AS DOUBLE) / 1.0E12 / CAST(n AS DOUBLE) AS brier,
+         |  (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+         |    * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+         |    AS uncertainty,
+         |  CASE WHEN (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+         |            * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+         |            = 0.0 THEN NULL
+         |       ELSE 1.0 - (CAST(se AS DOUBLE) / 1.0E12
+         |                   / CAST(n AS DOUBLE))
+         |                  / ((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+         |                     * (1.0 - CAST(npos AS DOUBLE)
+         |                        / CAST(n AS DOUBLE)))
+         |       END AS brier_skill
+         |FROM t""".stripMargin,
+
+    // mirrors Privacy.gateParity on the blocklist gate: group counts,
+    // window corpus totals, the 80%-rule verdict
+    "q_gate_parity" ->
+      s"""WITH sx AS (SELECT source AS g,
+         |              (len(list_filter($FoldToksSql, t -> t IN
+         |                (${BlockedWords.map(w => s"'$w'").mkString(", ")})))
+         |               = 0) AS pass
+         |            FROM documents),
+         |g AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_pass
+         |      FROM sx WHERE pass IS NOT NULL GROUP BY 1)
+         |SELECT g AS source, n, n_pass,
+         |  CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate,
+         |  CAST(sum(n_pass) OVER () AS DOUBLE)
+         |    / CAST(sum(n) OVER () AS DOUBLE) AS overall_rate,
+         |  CASE WHEN CAST(sum(n_pass) OVER () AS DOUBLE)
+         |            / CAST(sum(n) OVER () AS DOUBLE) = 0.0 THEN NULL
+         |       ELSE (CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+         |            / (CAST(sum(n_pass) OVER () AS DOUBLE)
+         |               / CAST(sum(n) OVER () AS DOUBLE)) END
+         |    AS parity_ratio,
+         |  CASE WHEN CAST(sum(n_pass) OVER () AS DOUBLE)
+         |            / CAST(sum(n) OVER () AS DOUBLE) = 0.0 THEN NULL
+         |       ELSE (CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE))
+         |            / (CAST(sum(n_pass) OVER () AS DOUBLE)
+         |               / CAST(sum(n) OVER () AS DOUBLE)) >= 0.8 END
+         |    AS meets_four_fifths
+         |FROM g""".stripMargin,
+
     // mirrors the q_rank_drift Mann–Whitney algebra over the shared
     // score/label CTE; AUC = U₁/(n₁·n₂), one extra division
     "q_quality_auc" -> {

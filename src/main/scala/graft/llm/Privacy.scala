@@ -60,6 +60,44 @@ object Privacy {
         col("n_suppressed").cast("double") / col("n_total").cast("double"))
   }
 
+  /** Per-group gate-disparity audit — the fairness readout a curation
+    * gate ships beside its pass counts: each group's pass rate, its
+    * ratio to the corpus-wide rate (disparate-impact ratio), and the
+    * four-fifths verdict (the EEOC 80% rule, the standard first
+    * screen): a source/language whose documents clear the quality
+    * gate at under 0.8× the overall rate is being systematically
+    * filtered and belongs in the release notes.
+    *
+    * NULL handling: a NULL group is its own class (the [[kAnonymity]]
+    * rule — missing provenance is itself a disparity bucket); NULL
+    * gate verdicts drop (no decision was made).
+    *
+    * Exactness: counts exact; pass_rate / overall ratio emitted as
+    * one mirrored double expression each; overall = 0 → NULL ratios.
+    *
+    * Shape: one map-combined groupBy on the group, corpus totals fold
+    * by window over the group table. Scan-bound. */
+  def gateParity(df: DataFrame, group: Column, pass: Column,
+                 floorRatio: Double = 0.8): DataFrame = {
+    val g = df.filter(pass.isNotNull)
+      .select(group.as("g"), when(pass, 1L).otherwise(0L).as("p"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("n_pass"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val overall = sum(col("n_pass")).over(wAll).cast("double") /
+      sum(col("n")).over(wAll).cast("double")
+    val rate = col("n_pass").cast("double") / col("n").cast("double")
+    g.withColumn("pass_rate", rate)
+      .withColumn("overall_rate", overall)
+      .withColumn("parity_ratio",
+        when(col("overall_rate") === lit(0.0), lit(null).cast("double"))
+          .otherwise(col("pass_rate") / col("overall_rate")))
+      .withColumn("meets_four_fifths",
+        when(col("parity_ratio").isNull, lit(null).cast("boolean"))
+          .otherwise(col("parity_ratio") >= lit(floorRatio)))
+  }
+
   /** t-closeness audit (Li et al., ICDE'07) — the third leg of the
     * disclosure triad after [[kAnonymity]]'s class-size and
     * l-diversity gates: a class can be large AND diverse yet still

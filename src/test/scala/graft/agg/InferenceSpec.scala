@@ -239,6 +239,23 @@ class InferenceSpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("w1")))
   }
 
+  test("brier scores exactly: perfect forecast 0/skill 1, coin-flip skill 0") {
+    val perfect = Seq((1.0, true), (0.0, false)).toDF("p", "y")
+    val rp = Inference.brier(perfect, col("p"), col("y")).head()
+    assert(rp.getAs[Double]("brier") == 0.0 &&
+      rp.getAs[Double]("base_rate") == 0.5 &&
+      rp.getAs[Double]("uncertainty") == 0.25 &&
+      rp.getAs[Double]("brier_skill") == 1.0)
+    val coin = Seq((0.5, true), (0.5, false)).toDF("p", "y")
+    val rc = Inference.brier(coin, col("p"), col("y")).head()
+    assert(rc.getAs[Double]("brier") == 0.25 &&
+      rc.getAs[Double]("brier_skill") == 0.0)
+    // degenerate base rate: skill undefined, not infinite
+    val degen = Seq((0.9, true), (0.8, true)).toDF("p", "y")
+    val rd = Inference.brier(degen, col("p"), col("y")).head()
+    assert(rd.isNullAt(rd.fieldIndex("brier_skill")))
+  }
+
   test("powerAnalysis sizes the experiment from exact power sums") {
     // arm0 = {1, 3} (mean 2, cents ssq 20000), arm1 = {2, 6} (mean 4,
     // ssq 80000): δ = 2.0, pooled var = 100000/2/1e4 = 5.0,

@@ -147,6 +147,23 @@ class AuditSpec extends SparkSpec {
       ("ab", "ab", 3L))
   }
 
+  test("gateParity flags the 80%-rule failures exactly") {
+    // a: 4/4 pass; b: 1/4 → overall 5/8; ratio_b = .25/.625 = 0.4
+    val df = (Seq.fill(4)(("a", Some(true))) ++
+      Seq(("b", Some(true))) ++ Seq.fill(3)(("b", Some(false))) :+
+      ("c", None: Option[Boolean])).toDF("src", "pass")
+    val r = Privacy.gateParity(df, col("src"), col("pass"))
+      .orderBy("g").collect()
+    assert(r.length == 2, "NULL gate verdicts drop")
+    val a = r(0); val b = r(1)
+    assert(a.getAs[Double]("pass_rate") == 1.0 &&
+      a.getAs[Boolean]("meets_four_fifths"))
+    assert(b.getAs[Double]("pass_rate") == 0.25 &&
+      math.abs(b.getAs[Double]("parity_ratio") - 0.4) < 1e-15 &&
+      !b.getAs[Boolean]("meets_four_fifths"))
+    assert(a.getAs[Double]("overall_rate") == 0.625)
+  }
+
   test("datasetCard folds the release summary from one aggregate") {
     val df = Seq(
       (Some("a b"), Some("en"), Some("web"), Some(3L)),
