@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * direct identifiers, this layer measures whether the REMAINING
   * quasi-identifier combinations still single people (or documents)
   * out. k-anonymity (Sweeney): every quasi-identifier equivalence
-  * class must contain ≥ k records; l-diversity (Machanavalli et al.):
+  * class must contain ≥ k records; l-diversity (Machanavajjhala et
+  * al., ICDE'06):
   * each class must carry ≥ l distinct values of the sensitive
   * attribute, or the class leaks it by membership alone.
   *
