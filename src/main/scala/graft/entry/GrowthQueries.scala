@@ -80,6 +80,38 @@ object GrowthQueries {
         !arrays_overlap(tokensFolded(col("text")),
           array(BlockedWords.map(lit): _*)))),
 
+    // the release pipeline in ONE declarative plan: quality gate
+    // (clfScore > 0) → exact dedup (keep-lowest per content hash) →
+    // k-anonymity suppression (drop (source, lang) classes < 3) →
+    // dataset card OF THE RELEASED SET, with stage counts — the
+    // composability proof for the round's audit operators
+    "q_release_audit" -> ((s, d) => {
+      import graft.core.Caches
+      val input = Tables.documents(s, d).filter(col("text").isNotNull)
+      val gated = input.filter(Selection.clfScore(col("text")) > 0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      // tracked persist: the deduped survivors feed the class sizes,
+      // the released join AND the card — one gate+dedup pass, not three
+      val deduped = Caches.track(gated
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn"))
+      // class sizes by WINDOW, not join: window partitions group NULL
+      // quasi-identifiers together (the kAnonymity rule) where an
+      // equi-join would silently drop every NULL-QI doc
+      val released = deduped
+        .withColumn("__cs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"), col("lang"))))
+        .filter(col("__cs") >= 3L).drop("__cs")
+      val card = TextAnalysis.datasetCard(released, col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      input.agg(count(lit(1)).as("n_input"))
+        .crossJoin(gated.agg(count(lit(1)).as("n_after_gate")))
+        .crossJoin(deduped.agg(count(lit(1)).as("n_after_dedup")))
+        .crossJoin(card)
+    }),
+
     // Brier score + skill of the probability-mapped quality score vs
     // the blocklist label — the PROPER scoring rule beside ECE; exact
     // fixed-point squared-error sums
@@ -182,6 +214,57 @@ object GrowthQueries {
        |  FROM toks)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // mirrors the q_release_audit chain: inline score CTE carrying the
+    // doc columns, keep-lowest dedup window, class-size window (NULL
+    // QI grouped, the kAnonymity rule), card over the released set
+    "q_release_audit" ->
+      s"""WITH sc2 AS (
+         |  SELECT doc_id, text, lang, source, n_chars,
+         |    CASE WHEN len(tk) = 0 THEN 0.0
+         |         ELSE CAST(CAST(coalesce(list_sum(list_transform(tk, t ->
+         |             ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)),
+         |             0) AS BIGINT) AS DOUBLE)
+         |           / (CAST(CAST(len(tk) AS BIGINT) AS DOUBLE) * 1000.0)
+         |    END AS score
+         |  FROM (SELECT *, $SqlToks AS tk FROM documents
+         |        WHERE text IS NOT NULL) x),
+         |gated AS (SELECT * FROM sc2 WHERE score > 0),
+         |dd AS (SELECT * FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |           ORDER BY doc_id) AS rn FROM gated)
+         |       WHERE rn = 1),
+         |rel AS (SELECT * FROM (
+         |          SELECT *, count(*) OVER (PARTITION BY source, lang)
+         |            AS cs FROM dd)
+         |        WHERE cs >= 3),
+         |card AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(text) AS BIGINT) AS n_text_docs,
+         |    CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS n_chars,
+         |    CAST(coalesce(sum(len(list_filter(string_split(text, ' '),
+         |      w -> len(w) > 0))), 0) AS BIGINT) AS n_words,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_en,
+         |    CAST(count(lang) AS BIGINT) AS n_lang_tagged
+         |  FROM rel),
+         |cnt AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM sc2) AS n_input,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM gated) AS n_after_gate,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM dd) AS n_after_dedup)
+         |SELECT cnt.n_input, cnt.n_after_gate, cnt.n_after_dedup,
+         |  card.n_docs, card.n_text_docs, card.n_chars, card.n_words,
+         |  card.n_langs, card.n_sources, card.n_distinct_texts,
+         |  CASE WHEN card.n_text_docs = 0 THEN NULL
+         |       ELSE CAST(card.n_text_docs - card.n_distinct_texts AS DOUBLE)
+         |            / CAST(card.n_text_docs AS DOUBLE) END AS dup_rate,
+         |  CASE WHEN card.n_lang_tagged = 0 THEN NULL
+         |       ELSE CAST(card.n_en AS DOUBLE)
+         |            / CAST(card.n_lang_tagged AS DOUBLE) END AS en_share
+         |FROM cnt CROSS JOIN card""".stripMargin,
+
     // mirrors Inference.brier over the probability-mapped score:
     // 10⁻⁶ quantization, exact HUGEINT squared-error sum, three
     // mirrored double expressions

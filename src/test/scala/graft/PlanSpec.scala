@@ -1092,6 +1092,14 @@ class PlanSpec extends SparkSpec {
       s"power sums must map-combine:\n$pp")
   }
 
+  test("release audit: gate+dedup+suppression chain never sort-merges or all-pairs") {
+    val p = plan(SparkEntry.queries("q_release_audit")(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      s"stage counts join as broadcast 1-row frames only:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
+    assert(p.contains("Window"), s"dedup and class sizes are windows:\n$p")
+  }
+
   test("bpe apply: corpus tokens hash-join the vocabulary, no corpus sort") {
     val p = plan(SparkEntry.queries("q_bpe_apply")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"no all-pairs anywhere:\n$p")
