@@ -692,7 +692,7 @@ object GrowthQueries {
          |           9) AS bin,
          |         CAST(floor(score * 1.0E9) AS BIGINT) AS sq,
          |         CASE WHEN label THEN 1 ELSE 0 END AS pos
-         |       FROM sc),
+         |       FROM sc WHERE score IS NOT NULL AND label IS NOT NULL),
          |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
          |        CAST(sum(sq) AS BIGINT) AS sqs,
          |        CAST(sum(pos) AS BIGINT) AS npos FROM s2 GROUP BY bin),

@@ -1117,9 +1117,13 @@ object LlmQueries {
           topK = 20),
         col("bm25"))
       // spread before the per-doc hash-embed (md5 is the expensive
-      // stage; a single-split source would run it in one task)
+      // stage; a single-split source would run it in one task). A
+      // NULL-text doc is unscorable on the dense side — drop it
+      // explicitly (its hashEmbed-vs-query cosine would otherwise rank
+      // as 0.0 above genuinely negative matches)
       val dense = Retrieval.withRank(
-        graft.core.Xform.spreadToCores(docs).select(col("doc_id"),
+        graft.core.Xform.spreadToCores(docs.filter(col("text").isNotNull))
+          .select(col("doc_id"),
           CosineSimilarity(TextAnalysis.hashEmbed(col("text"), 16),
             TextAnalysis.hashEmbed(lit(BmQueryTerms.mkString(" ")), 16))
             .as("cos"))
@@ -1148,7 +1152,8 @@ object LlmQueries {
     s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
        |sh AS (
        |  SELECT doc_id,
-       |         CASE WHEN len(tk) >= $w
+       |         CASE WHEN tk IS NULL THEN NULL
+       |              WHEN len(tk) >= $w
        |              THEN list_transform(range(0, len(tk) - $w + 1),
        |                     i -> array_to_string(tk[i+1:i+$w], ' '))
        |              ELSE [] END AS sg
@@ -1722,7 +1727,7 @@ object LlmQueries {
          |           CASE WHEN COALESCE(list_sum(list_transform(tk, t ->
          |                  CASE WHEN (${sqlMd5Long("t")} >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
          |                THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END)), 0) AS sh
-         |  FROM toks),
+         |  FROM toks WHERE tk IS NOT NULL),
          |probes AS (
          |  SELECT doc_id, sh, bidx, (sh >> CAST(bidx * $w AS INT)) & $mask AS band_bits
          |  FROM h CROSS JOIN (SELECT unnest(range(0, $SimHashBands)) AS bidx) AS bs)
@@ -2134,8 +2139,10 @@ object LlmQueries {
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
          |       CAST(len($sqlToks) AS BIGINT) AS words,
          |       CAST(len($sqlAlnumToks) AS BIGINT) AS alnum_tokens,
-         |       CAST(COALESCE(list_sum(list_transform($sqlAlnumToks,
-         |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE CAST(COALESCE(list_sum(list_transform($sqlAlnumToks,
+         |              t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS BIGINT)
+         |       END AS bpe_tokens
          |FROM documents""".stripMargin,
 
     "q_dedup_normalized" ->
@@ -2185,8 +2192,8 @@ object LlmQueries {
          |  SELECT doc_id, 'es', CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','que','los','es'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
          |  UNION ALL
          |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks)
-         |SELECT doc_id, c AS lang_guess FROM (
-         |  SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
+         |SELECT doc_id, CASE WHEN s IS NULL THEN NULL ELSE c END AS lang_guess FROM (
+         |  SELECT doc_id, c, s, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
          |WHERE rn = 1""".stripMargin,
 
     // lang-confusion: the q_lang_id scorer grouped against the declared
@@ -2202,8 +2209,8 @@ object LlmQueries {
          |  UNION ALL
          |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks),
          |g AS (
-         |  SELECT doc_id, c AS lang_guess FROM (
-         |    SELECT doc_id, c, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
+         |  SELECT doc_id, CASE WHEN s IS NULL THEN NULL ELSE c END AS lang_guess FROM (
+         |    SELECT doc_id, c, s, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
          |  WHERE rn = 1)
          |SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n
          |FROM documents d JOIN g USING (doc_id)
@@ -2375,9 +2382,12 @@ object LlmQueries {
          |  FROM step s JOIN toks t ON s.doc_id = t.doc_id
          |  WHERE s.i < len(t.tk))
          |SELECT t.doc_id,
-         |       md5(COALESCE(array_to_string(list_sort(list_distinct(list_transform(t.tk, x -> lower(x)))), ' '), '')) AS fingerprint,
-         |       s.h AS rolling
-         |FROM toks t JOIN step s ON s.doc_id = t.doc_id AND s.i = len(t.tk)""".stripMargin,
+         |       CASE WHEN t.tk IS NULL THEN NULL
+         |            ELSE md5(COALESCE(array_to_string(list_sort(list_distinct(list_transform(t.tk, x -> lower(x)))), ' '), ''))
+         |       END AS fingerprint,
+         |       CASE WHEN t.tk IS NULL THEN NULL ELSE s.h END AS rolling
+         |FROM toks t JOIN step s ON s.doc_id = t.doc_id
+         |  AND s.i = COALESCE(len(t.tk), 0)""".stripMargin,
 
     "q_curation" ->
       s"""WITH q AS (
@@ -2755,7 +2765,7 @@ object LlmQueries {
          |               AS rank_lex FROM lextop),
          |demb AS (
          |  SELECT doc_id, ${sqlCos(emb("text"), emb(s"'$qstr'"))} AS cos
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |densetop AS (SELECT doc_id, cos FROM demb
          |             ORDER BY cos DESC, doc_id LIMIT 20),
          |dense AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id)
@@ -2873,7 +2883,7 @@ object LlmQueries {
       s"""SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank FROM (
          |  SELECT doc_id, source, row_number() OVER (
          |    PARTITION BY source
-         |    ORDER BY ${sqlMd5Long("'11|' || text")}, doc_id) AS rn
+         |    ORDER BY ${sqlMd5Long("'11|' || text")} ASC NULLS LAST, doc_id) AS rn
          |  FROM documents) t
          |WHERE rn <= 2""".stripMargin,
 
@@ -2923,18 +2933,21 @@ object LlmQueries {
          |         -- array_to_string([]) is NULL in DuckDB (string_agg
          |         -- semantics) where Spark's array_join([]) is '' —
          |         -- coalesce to the Spark behavior
-         |         coalesce(array_to_string(k, chr(10)), '') AS clean_text,
-         |         CAST(len(regexp_replace(coalesce(array_to_string(k, chr(10)), ''),
+         |         CASE WHEN text IS NULL THEN NULL
+         |              ELSE coalesce(array_to_string(k, chr(10)), '') END AS clean_text,
+         |         CASE WHEN text IS NULL THEN NULL
+         |              ELSE CAST(len(regexp_replace(coalesce(array_to_string(k, chr(10)), ''),
          |                                 '[^.!?]', '', 'g')) AS BIGINT)
-         |           AS n_sentences
+         |         END AS n_sentences
          |  FROM l)
          |SELECT doc_id, clean_text,
          |       CAST(len(k) AS BIGINT) AS n_kept_lines,
          |       CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
          |       n_sentences,
-         |       (NOT contains(lower(text), 'lorem ipsum')
-         |        AND NOT contains(text, '{')
-         |        AND n_sentences >= 5) AS kept
+         |       CASE WHEN text IS NULL THEN NULL
+         |            ELSE (NOT contains(lower(text), 'lorem ipsum')
+         |                  AND NOT contains(text, '{')
+         |                  AND n_sentences >= 5) END AS kept
          |FROM c""".stripMargin,
 
     // KL drift: the hashed-bucket (g,b) count is the shared base; p/q
@@ -3071,17 +3084,18 @@ object LlmQueries {
     "q_media_meta" ->
       s"""$MediaPayloadCte
          |SELECT CAST(doc_id AS BIGINT) AS media_id,
-         |  CASE doc_id % 4 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
-         |    WHEN 2 THEN 'image/gif' ELSE 'application/octet-stream' END AS mime,
-         |  CASE WHEN doc_id % 4 = 3 THEN NULL
+         |  CASE WHEN ph IS NULL THEN NULL
+         |    WHEN doc_id % 4 = 0 THEN 'image/png' WHEN doc_id % 4 = 1 THEN 'image/jpeg'
+         |    WHEN doc_id % 4 = 2 THEN 'image/gif' ELSE 'application/octet-stream' END AS mime,
+         |  CASE WHEN ph IS NULL OR doc_id % 4 = 3 THEN NULL
          |    ELSE CAST(doc_id % 1920 + 1 AS INT) END AS width,
-         |  CASE WHEN doc_id % 4 = 3 THEN NULL
+         |  CASE WHEN ph IS NULL OR doc_id % 4 = 3 THEN NULL
          |    ELSE CAST((doc_id * 7) % 1080 + 1 AS INT) END AS height,
-         |  CASE doc_id % 4
+         |  CASE WHEN ph IS NULL THEN NULL ELSE CASE doc_id % 4
          |    WHEN 0 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
          |    WHEN 1 THEN CAST(8 AS INT)
          |    WHEN 2 THEN CAST(doc_id % 8 + 1 AS INT)
-         |    ELSE NULL END AS bit_depth,
+         |    ELSE NULL END END AS bit_depth,
          |  n_bytes
          |FROM pl""".stripMargin,
 
@@ -3098,12 +3112,15 @@ object LlmQueries {
       s"""$MediaPayloadCte
          |SELECT CAST(doc_id AS BIGINT) AS media_id,
          |       CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
-         |       CASE doc_id % 4
+         |       CASE WHEN ph IS NULL THEN NULL ELSE CASE doc_id % 4
          |         WHEN 0 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT)
          |         WHEN 1 THEN CAST(8 AS INT)
          |         WHEN 2 THEN CAST(doc_id % 8 + 1 AS INT)
-         |         ELSE NULL END AS bit_depth,
-         |       CAST(least(n_bytes, 128) AS BIGINT) AS n_bytes,
+         |         ELSE NULL END END AS bit_depth,
+         |       -- DuckDB least() IGNORES NULL args (returns 128 for a
+         |       -- NULL payload) where Spark's least propagates — guard
+         |       CASE WHEN ph IS NULL THEN NULL
+         |            ELSE CAST(least(n_bytes, 128) AS BIGINT) END AS n_bytes,
          |       md5(substring(ph, 1, 256)) AS payload_md5
          |FROM pl""".stripMargin,
 
@@ -3111,9 +3128,11 @@ object LlmQueries {
       s"""$MediaPayloadCte,
          |f AS (
          |  SELECT CAST(doc_id AS BIGINT) AS media_id,
-         |         list_transform(range(0, 16), i ->
-         |           CAST(((CAST('0x'||substring(md5(ph), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
-         |                  + i * 17) % 256) / 255.0 - 0.5 AS FLOAT)) AS features
+         |         CASE WHEN ph IS NULL THEN NULL ELSE
+         |           list_transform(range(0, 16), i ->
+         |             CAST(((CAST('0x'||substring(md5(ph), CAST(2*(i%16)+1 AS INT), 2) AS BIGINT) * 31
+         |                    + i * 17) % 256) / 255.0 - 0.5 AS FLOAT))
+         |         END AS features
          |  FROM pl)
          |SELECT media_id, CAST(len(features) AS BIGINT) AS n_dims,
          |       CAST(features[1] AS DOUBLE) AS f0,
@@ -3125,7 +3144,7 @@ object LlmQueries {
     "q_media_energy" ->
       s"""$MediaPayloadCte,
          |pm AS (SELECT CAST(doc_id AS BIGINT) AS media_id, ph, n_bytes
-         |       FROM pl),
+         |       FROM pl WHERE ph IS NOT NULL),
          |fr AS (
          |  SELECT media_id,
          |    list_sum(list_transform(range(16*i, least(16*i + 16, n_bytes)),

@@ -114,9 +114,10 @@ object SelectionQueries {
       s"""WITH toks AS (SELECT doc_id, $SqlToks AS tk FROM documents),
          |m AS (
          |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks,
-         |    CAST(coalesce(list_sum(list_transform(tk, t ->
-         |      ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
-         |      AS BIGINT) AS q_margin
+         |    CASE WHEN tk IS NULL THEN NULL
+         |      ELSE CAST(coalesce(list_sum(list_transform(tk, t ->
+         |        ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
+         |        AS BIGINT) END AS q_margin
          |  FROM toks)
          |SELECT doc_id, n_toks, q_margin,
          |  CASE WHEN n_toks = 0 THEN 0.0
@@ -204,10 +205,12 @@ object SelectionQueries {
          |  FROM pp),
          |hits AS (
          |  SELECT doc_id, h,
-         |    bool_and(coalesce((b.wbits & ph.mask) = ph.mask, false)) AS maybe_dup
+         |    CASE WHEN h IS NULL THEN NULL
+         |      ELSE bool_and(coalesce((b.wbits & ph.mask) = ph.mask, false))
+         |    END AS maybe_dup
          |  FROM ph LEFT JOIN bloom b USING (word) GROUP BY 1, 2)
          |SELECT doc_id, maybe_dup,
-         |       (h IN (SELECT h FROM ref)) AS is_dup
+         |       (h IS NOT NULL AND h IN (SELECT h FROM ref)) AS is_dup
          |FROM hits""".stripMargin,
 
     // priority sampling: same md5-uniform, same integer floor-division

@@ -37,26 +37,30 @@ object Privacy {
     * the one emitted double (suppression_rate) is a single division
     * of two exact LONGs, mirrored in the oracle.
     *
-    * Shape: ONE map-side-combined groupBy on the QI tuple, then all
-    * corpus-level folds ride a window over the class table (classes ≪
-    * corpus; no second scan, no broadcast subtree re-running the
-    * corpus aggregate). Scan-bound at any scale. */
+    * Shape: ONE map-side-combined groupBy on the QI tuple; the class
+    * table persists (tracked — [[graft.core.Caches]]) and feeds both
+    * the per-class verdicts and a 1-row totals aggregate that
+    * broadcast-joins back. NOT a global window: the worst case for a
+    * privacy audit is near-unique quasi-identifiers, where |classes| ≈
+    * |corpus| and an unpartitioned window would funnel the whole class
+    * table through one task. The totals fold stays map-combined
+    * (partial per partition, one 2-long final reduce), so the only
+    * single-partition traffic is per-partition partial rows. */
   def kAnonymity(df: DataFrame, qi: Seq[(String, Column)],
                  sensitive: Column, k: Int, l: Int): DataFrame = {
-    val classes = df
+    val classes = graft.core.Caches.track(df
       .select(qi.map { case (n, c) => c.as(n) } :+ sensitive.as("__s"): _*)
       .groupBy(qi.map { case (n, _) => col(n) }: _*)
       .agg(count(lit(1)).as("class_size"),
-        count_distinct(col("__s")).as("l_distinct"))
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
+        count_distinct(col("__s")).as("l_distinct")))
+    val totals = classes.agg(
+      sum(col("class_size")).as("n_total"),
+      coalesce(sum(when(col("class_size") < lit(k.toLong),
+        col("class_size"))), lit(0L)).as("n_suppressed"))
     classes
       .withColumn("k_anonymous", col("class_size") >= lit(k.toLong))
       .withColumn("l_diverse", col("l_distinct") >= lit(l.toLong))
-      .withColumn("n_total", sum(col("class_size")).over(wAll))
-      .withColumn("n_suppressed",
-        coalesce(sum(when(!col("k_anonymous"), col("class_size")))
-          .over(wAll), lit(0L)))
+      .crossJoin(broadcast(totals))
       .withColumn("suppression_rate",
         col("n_suppressed").cast("double") / col("n_total").cast("double"))
   }
@@ -120,25 +124,26 @@ object Privacy {
     * quasi-identifiers form their own class (the [[kAnonymity]]
     * rule).
     *
-    * Shape: ONE (qi, s) cell aggregate off the corpus; the sensitive
-    * marginal, class totals and corpus total all fold by window over
-    * the cell table (cells ≪ corpus — |classes|·|sensitive domain|),
-    * then one class-keyed re-agg. Scan-bound at any scale. */
+    * Shape: ONE (qi, s) cell aggregate off the corpus; the persisted
+    * cell table feeds the sensitive marginal and class totals by
+    * PARTITIONED windows, while the corpus total is a 1-row aggregate
+    * broadcast-joined back (the [[kAnonymity]] reshape — with
+    * near-unique quasi-identifiers the cell table is corpus-sized and
+    * a global window would single-task it), then one class-keyed
+    * re-agg. Scan-bound at any scale. */
   def tCloseness(df: DataFrame, qi: Seq[(String, Column)],
                  sensitive: Column, t: Double): DataFrame = {
     val qiCols = qi.map { case (n, _) => col(n) }
-    val cells = df.filter(sensitive.isNotNull)
+    val cells = graft.core.Caches.track(df.filter(sensitive.isNotNull)
       .select(qi.map { case (n, c) => c.as(n) } :+ sensitive.as("__s"): _*)
       .groupBy(qiCols :+ col("__s"): _*)
-      .agg(count(lit(1)).as("n_cs"))
+      .agg(count(lit(1)).as("n_cs")))
     val wS = Window.partitionBy(col("__s"))
     val wC = Window.partitionBy(qiCols: _*)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     val m = cells
       .withColumn("n_s", sum(col("n_cs")).over(wS))
       .withColumn("n_c", sum(col("n_cs")).over(wC))
-      .withColumn("n", sum(col("n_cs")).over(wAll))
+      .crossJoin(broadcast(cells.agg(sum(col("n_cs")).as("n"))))
     // decimal BEFORE the multiply — n_cs·N squares past LONG at lake
     // scale (the gini sw discipline)
     val num = abs(col("n_cs").cast("decimal(38,0)") * col("n") -

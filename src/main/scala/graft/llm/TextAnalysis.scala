@@ -353,8 +353,11 @@ object TextAnalysis {
     * global sort. Emits the input columns plus sample_rank (1..n). */
   def stratifiedSample(df: DataFrame, group: Column, content: Column,
                        order: Column, n: Int, salt: Int = 11): DataFrame = {
+    // NULLS LAST: a NULL-content row has no sample key — it must never
+    // outrank hashed rows (and DuckDB's default null order is last, so
+    // the oracle twin agrees without an explicit clause)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(group).orderBy(md5Long(content, salt), order)
+      .partitionBy(group).orderBy(md5Long(content, salt).asc_nulls_last, order)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .withColumn("sample_rank", col("__rn").cast("long"))

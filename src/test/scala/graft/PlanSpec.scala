@@ -593,6 +593,37 @@ class PlanSpec extends SparkSpec {
       s"tf and regression aggregates must both be partial:\n$p")
   }
 
+  test("k-anonymity: no window fold — class table persists, totals broadcast back") {
+    val p = plan(SparkEntry.queries("q_k_anonymity")(spark, sf))
+    // the r13 reshape: with near-unique quasi-identifiers the class
+    // table is corpus-sized, so the suppression totals must never ride
+    // an unpartitioned window (single-task sort of the class table)
+    assert(!p.contains("windowspecdefinition"),
+      s"corpus folds must be a 1-row aggregate, not a window:\n$p")
+    // the 1-row totals join back as a broadcast nested loop, and both
+    // consumers read the PERSISTED class table (one corpus groupBy)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"totals must broadcast back onto the class table:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"class table must persist across its two consumers:\n$p")
+  }
+
+  test("t-closeness: only partitioned windows — corpus total broadcasts back") {
+    val p = plan(SparkEntry.queries("q_t_closeness")(spark, sf))
+    // marginal/class windows stay (partitioned); the corpus total must
+    // not add an unpartitioned window over the cell table
+    assert(p.contains("windowspecdefinition(__s") ||
+      p.contains("windowspecdefinition(source"),
+      s"marginal folds must stay partitioned windows:\n$p")
+    // an UNPARTITIONED spec prints its frame first — none may remain
+    assert(!p.contains("windowspecdefinition(specifiedwindowframe"),
+      s"corpus total must not ride an unpartitioned window:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"corpus total must broadcast back onto the cell table:\n$p")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"cell table must persist across its two consumers:\n$p")
+  }
+
   test("scd2: every window/exchange keys on the entity — no global sort") {
     val p = plan(SparkEntry.queries("q_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition") &&
@@ -1062,10 +1093,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("wordpiece_stats"), s"native expression missing:\n$p")
   }
 
-  test("k-anonymity: one map-combined class aggregate, folds over the class table") {
+  test("k-anonymity: one map-combined class aggregate, SortMergeJoin-free") {
     val p = plan(SparkEntry.queries("q_k_anonymity")(spark, sf))
-    assert(!p.contains("Join"),
-      s"suppression totals fold by window, never a corpus join:\n$p")
+    // totals re-attach by 1-row broadcast (r13 reshape) — never a
+    // shuffled corpus join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"suppression totals must broadcast, never shuffle-join:\n$p")
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"class sizes must map-combine:\n$p")
   }

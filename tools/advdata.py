@@ -122,6 +122,25 @@ def write_documents(out_dir):
         (28, "Valid sentence one. Object literal {like this} appears. "
              "Three more words here. Keep counting to four. Five closes it.",
          "en", "web", 0),
+        # --- NULL TEXT (r13 ADVICE): the dataset card distinguishes
+        # n_docs vs n_text_docs, so the schema explicitly allows a
+        # NULL-text row — every score/label oracle must filter it the
+        # way its Spark twin does (q_calibration_bins was the latent
+        # split). NULL n_chars rides along (NULL len_bucket QI class).
+        (30, None, "en", "pdf", None),
+        # --- PERCEPTUAL dHash TWINS (q_phash_pairs, r13 ADVICE) ---
+        # ids 31/35 are both %4==3 (headerless payload → identical
+        # container layout), texts are EXACTLY 72 bytes (the dHash grid
+        # samples every byte once at n=72) and differ in ONE byte at
+        # offset 50: 'a'(0x61)→'~'(0x7E) inverts BOTH neighbor
+        # comparisons (h>a TRUE→h>~ FALSE, a>t FALSE→~>t TRUE) —
+        # hamming exactly 2 ≤ 3, so the pair exercises the tolerance
+        # path (not just hash equality) and ≥1 of the 4 bands still
+        # matches exactly (pigeonhole). Without this pair the banded
+        # hamming join passes on honest 0 rows and a broken band join
+        # is invisible at driver level.
+        (31, "perceptual twin payload body with steady bytes that fill the sample grid", "en", "web", 0),
+        (35, "perceptual twin payload body with steady bytes th~t fill the sample grid", "en", "web", 0),
     ]
     # keep n_chars honest for the new rows (oracle-side len() parity)
     rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
