@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * query, then pass 2, min per query, with a third tie-break run on >3x
   * divergence) so a localized machine-load spike cannot poison both
   * samples of one query; BENCH_FULL.json records each raw sample and
-  * its epoch start for post-hoc spike diagnosis.
+  * its epoch start for post-hoc spike diagnosis, plus the contention
+  * sentinel's control-query trace (median, all samples, which queries
+  * were resampled because their best sample ran in a >1.5x-drifted
+  * control window).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -160,10 +163,26 @@ object Bench {
     // predecessors' heap pressure; cache clearing stays at pass
     // boundaries only (per-query relations are already released by
     // releaseCaches in `once`).
+    // Contention sentinel (r13: BENCH_r13 recorded q_item_cf at 10.25 s
+    // where the uncontended same-round dual run measured 3.54 s —
+    // best-of-2 + the >1.5 s third sample all landed inside one
+    // sustained machine-load spike and nothing could reject them). A
+    // fixed CONTROL query (q1_agg — sub-second, plan never changes)
+    // interleaves every 8 queries; any query whose best sample ran in
+    // a window where the nearest control drifted >1.5x over the
+    // control median gets ONE clean-window resample. Contention only
+    // ever inflates timings, so min() keeps whichever sample is real.
+    val ctrlFn = SparkEntry.queries("q1_agg")
+    val ctrlSamples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def runControl(): Unit = {
+      val s = once(ctrlFn)
+      if (s._1.isFinite) ctrlSamples += ((s._2, s._1))
+    }
     def runPass(qs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
         : Seq[(String, (Double, Long))] =
       qs.zipWithIndex.map { case ((name, fn), i) =>
         if (i > 0 && i % 16 == 0) System.gc()
+        if (i % 8 == 0) runControl()
         name -> once(fn)
       }
     interPass()
@@ -192,6 +211,26 @@ object Bench {
       val ss = samples(name).map(_._1).filter(_.isFinite)
       if (ss.size == 2 && (ss.max / math.max(ss.min, 1e-9) > 3.0 || ss.min > 1.5))
         samples(name) = samples(name) :+ once(fn)
+    }
+    // Sentinel resample: a query whose BEST sample started inside a
+    // contended control window (nearest control >1.5x the control
+    // median) gets one more run. Bounded: one resample + one control
+    // refresh per flagged query; a quiet machine flags nothing.
+    val ctrlMed = if (ctrlSamples.isEmpty) 0.0 else {
+      val s = ctrlSamples.map(_._2).sorted; s(s.size / 2)
+    }
+    def contendedAt(epoch: Long): Boolean = ctrlSamples.nonEmpty && {
+      val near = ctrlSamples.minBy(c => math.abs(c._1 - epoch))._2
+      near > 1.5 * math.max(ctrlMed, 1e-9)
+    }
+    val resampled = scala.collection.mutable.ArrayBuffer.empty[String]
+    selected.foreach { case (name, fn) =>
+      val finite = samples(name).filter(_._1.isFinite)
+      if (finite.nonEmpty && contendedAt(finite.minBy(_._1)._2)) {
+        runControl() // refresh the window picture before re-measuring
+        samples(name) = samples(name) :+ once(fn)
+        resampled += name
+      }
     }
     val results = selected.map { case (name, _) =>
       val best = samples(name).map(_._1).min
@@ -225,7 +264,10 @@ object Bench {
       }.mkString("{", ",", "}")
     val fullFileLine = fullLine.dropRight(1) +
       s""","samples":${sampleFmt(s => fmt(if (s._1.isInfinity) -1.0 else s._1))}""" +
-      s""","t_epoch":${sampleFmt(_._2.toString)}}"""
+      s""","t_epoch":${sampleFmt(_._2.toString)}""" +
+      s""","ctrl":{"median":${fmt(ctrlMed)},"n":${ctrlSamples.size}""" +
+      s""","samples":[${ctrlSamples.map(c => fmt(c._2)).mkString(",")}]""" +
+      s""","resampled":[${resampled.map("\"" + _ + "\"").mkString(",")}]}}"""
     // The driver captures only the LAST 2000 chars of stdout (BENCH_r03/
     // r04 both came back `parsed: None` — the full 105-query line is
     // ~3.7 KB, so its head was cut and the JSON never parsed). Preserve

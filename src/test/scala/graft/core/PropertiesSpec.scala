@@ -468,4 +468,98 @@ class PropertiesSpec extends SparkSpec {
       assert(3 * a._4 <= a._3, s"case $i: 3T=${3 * a._4} > W=${a._3}")
     }
   }
+
+  // ---- BPE trainer laws (r13 VERDICT #7): the DuckDB oracle REPLAYS the
+  // same greedy chain, so a shared tie-break/merge-scan bug would pass
+  // parity — these laws check the trainer against hand-computed fixtures
+  // and an INDEPENDENT plain-Scala reference, plus reshard/prefix
+  // invariance of the distributed argmax.
+
+  /** Reference greedy leftmost-non-overlapping merge of one symbol seq. */
+  private def refMerge(s: List[String], l: String, r: String): List[String] = {
+    val b = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += s(i); i += 1 }
+    }
+    b.toList
+  }
+
+  /** Reference BPE trainer over a word-count map: pair counts weighted by
+    * word frequency (overlapping adjacent positions all count), argmax by
+    * (n DESC, l ASC, r ASC), merge every word, repeat. */
+  private def refTrain(wc: Map[String, Long], rounds: Int)
+      : (List[(String, String, Long)], Map[String, List[String]]) = {
+    var vocab = wc.map { case (w, _) => w -> w.map(_.toString).toList }
+    val ms = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to rounds) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, s) =>
+        s.zip(s.drop(1)).foreach(p => pairs(p) = pairs.getOrElse(p, 0L) + wc(w))
+      }
+      if (pairs.nonEmpty) {
+        val ((l, r), n) = pairs.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        ms += ((l, r, n))
+        vocab = vocab.map { case (w, s) => w -> refMerge(s, l, r) }
+      }
+    }
+    (ms.toList, vocab.toMap)
+  }
+
+  private def trainCollect(df: org.apache.spark.sql.DataFrame, rounds: Int)
+      : (List[(Long, String, String, Long)], Map[String, List[String]]) = {
+    val (m, v) = graft.llm.TextAnalysis.bpeTrainWithVocab(df, col("text"), rounds)
+    val ms = m.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+    val vv = v.collect().map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    graft.core.Caches.release()
+    (ms, vv)
+  }
+
+  test("bpe trainer: hand-computed 3-round fixture with both tie-break axes") {
+    // counts: aaaa x3, abab x2, ab x4 → round 1 (a,a) n=9 beats (a,b) n=8;
+    // round 2 (a,b) n=8; round 3 (aa,aa) n=3 — and 'aaaa' exercises the
+    // overlapping-run greedy scan ([a,a,a,a] → [aa,aa], not [aa,a,a])
+    val docs = Seq("aaaa abab ab ab", "aaaa ab", "aaaa abab ab").toDF("text")
+    val (ms, vv) = trainCollect(docs, 3)
+    assert(ms == List((1L, "a", "a", 9L), (2L, "a", "b", 8L), (3L, "aa", "aa", 3L)), ms)
+    assert(vv("aaaa") == List("aaaa") && vv("abab") == List("ab", "ab") &&
+      vv("ab") == List("ab"), vv)
+    // odd run: 5 a's merge to [aa, aa, a] (run-parity), pair count 4 overlapping
+    val (mo, vo) = trainCollect(Seq("aaaaa").toDF("text"), 1)
+    assert(mo == List((1L, "a", "a", 4L)) && vo("aaaaa") == List("aa", "aa", "a"))
+    // equal-n ties: left symbol breaks first, then right
+    val (mt, _) = trainCollect(Seq("ab cd", "cd ab").toDF("text"), 1)
+    assert(mt.head._2 == "a" && mt.head._3 == "b", mt)
+    val (mt2, _) = trainCollect(Seq("ac ab").toDF("text"), 1)
+    assert(mt2.head._2 == "a" && mt2.head._3 == "b", mt2)
+  }
+
+  test("bpe trainer: reshard invariance, prefix stability, plain-Scala replay") {
+    val words = (0 until 60).map { i =>
+      val r = new scala.util.Random(1234 + i)
+      (0 until (2 + i % 5)).map(_ => ('a' + r.nextInt(3)).toChar).mkString
+    }
+    val corpus = words.grouped(6).map(_.mkString(" ")).toSeq.toDF("text")
+    val (m4, v4) = trainCollect(corpus, 4)
+    // resharding the corpus must not change merges or the trained vocab
+    val (m4r, v4r) = trainCollect(corpus.repartition(7), 4)
+    assert(m4 == m4r, s"merges drift under reshard:\n$m4\n$m4r")
+    assert(v4 == v4r, "vocab drifts under reshard")
+    // round-3 run is exactly round-4's prefix, and applying merge 4 to the
+    // round-3 vocab reproduces the round-4 vocab (incremental law)
+    val (m3, v3) = trainCollect(corpus, 3)
+    assert(m4.take(3) == m3, s"merge prefix unstable:\n${m4.take(3)}\n$m3")
+    val (_, l4, r4, _) = m4(3)
+    assert(v3.map { case (w, s) => w -> refMerge(s, l4, r4) } == v4,
+      "round-4 vocab is not merge-4 applied to round-3")
+    // independent reference trainer agrees on merges AND final vocab
+    val wc = words.filter(_.length >= 2).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (refMs, refV) = refTrain(wc, 4)
+    assert(m4.map(t => (t._2, t._3, t._4)) == refMs,
+      s"distributed merges != reference:\n$m4\n$refMs")
+    assert(v4 == refV, "distributed vocab != reference")
+  }
 }
