@@ -642,12 +642,33 @@ object Graph {
     * self-join — and item supports n_i count only KEPT contexts, so
     * the cosine is exactly the candidate generator's universe.
     *
+    * The support attach point is the regime knob
+    * (`broadcastSupports`):
+    *  - `true` (default — the CF norm, where the item CATALOG is
+    *    bounded even when baskets are not): the pair stream stays
+    *    BARE (two longs + a counter through the one candidate-sized
+    *    exchange) and the |items|-row support table broadcast-joins
+    *    the aggregated pairs map-side — no extra shuffle, the joins
+    *    fuse into the same codegen stage (measured 2.85 → 2.67 s at
+    *    sf0.1 over the widest pre-unroll shape, with far lower
+    *    variance).
+    *  - `false` (unbounded item domains — doc-as-item, where
+    *    |items| ≈ corpus and nothing may broadcast): supports attach
+    *    to the basket elements BEFORE the unroll and ride the pair
+    *    aggregation's GROUP KEY ((i, n_i) is functionally determined
+    *    by i, so grouping on the structs is the same grouping) — the
+    *    candidate-sized relation never joins, at the cost of a 2×
+    *    wider shuffle row. Two post-agg SHUFFLE joins of the pair
+    *    table (the naive form both regimes avoid) measured 2.5×
+    *    slower.
+    *
     * Exactness: all counts are exact integers (set semantics via
     * collect_set); the cosine is ONE final double shared between
     * engines; top-K orders by (cosine desc, i, j) — identical doubles
     * from identical integer triples, deterministic tie-break. */
   def cooccurrenceTopK(edges: DataFrame, ctx: Column, item: Column,
-                       topK: Int, maxCtx: Long): DataFrame = {
+                       topK: Int, maxCtx: Long,
+                       broadcastSupports: Boolean = true): DataFrame = {
     val raw = edges.filter(ctx.isNotNull && item.isNotNull)
       .select(ctx.as("c"), item.as("i"))
     val deg = raw.groupBy(col("c"))
@@ -656,31 +677,39 @@ object Graph {
     // kept edges feed the item-support count AND the basket sets
     val kept = graft.core.Caches.track(
       raw.join(deg.select(col("c")), Seq("c")))
-    // per-item support (distinct kept contexts) attaches to the basket
-    // ELEMENTS before the unroll: the pair stream then already carries
-    // (n_a, n_b), so the candidate-sized relation never joins — the
-    // per-pair aggregation is the ONLY candidate-sized exchange (two
-    // post-agg support joins of the pair table measured 2.5× slower)
     val support = kept.groupBy(col("i"))
       .agg(count_distinct(col("c")).as("n_i"))
-    val sets = kept.join(support, Seq("i"))
-      .groupBy(col("c"))
-      .agg(array_sort(collect_set(struct(col("i"), col("n_i")))).as("cs"))
     // pair unroll as TWO chained codegen generators (posexplode picks
     // the left element, explode-of-slice the strictly-later rights)
     // instead of one interpreted nested-transform lambda: higher-order
     // functions never enter whole-stage codegen, and on an 8M-pair
     // stream the interpreted eval dominated the query (6.4 s → 3.2 s
     // isolated at sf0.1 from this rewrite alone)
-    val pairs = sets.select(col("cs"), posexplode(col("cs")))
-      .select(col("col.i").as("item_a"), col("col.n_i").as("nu"),
-        explode(slice(col("cs"), col("pos") + lit(2), size(col("cs"))))
-          .as("b"))
-      .select(col("item_a"), col("b.i").as("item_b"),
-        col("nu"), col("b.n_i").as("nv"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("n_both"), max(col("nu")).as("n_a"),
-        max(col("nv")).as("n_b"))
+    def unroll(sets: DataFrame): DataFrame =
+      sets.select(col("cs"), posexplode(col("cs")))
+        .select(col("col").as("a"),
+          explode(slice(col("cs"), col("pos") + lit(2), size(col("cs"))))
+            .as("b"))
+    val pairs =
+      if (broadcastSupports) {
+        val sets = kept.groupBy(col("c"))
+          .agg(array_sort(collect_set(col("i"))).as("cs"))
+        unroll(sets)
+          .groupBy(col("a").as("item_a"), col("b").as("item_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(support.select(col("i").as("item_a"),
+            col("n_i").as("n_a"))), Seq("item_a"))
+          .join(broadcast(support.select(col("i").as("item_b"),
+            col("n_i").as("n_b"))), Seq("item_b"))
+      } else {
+        val sets = kept.join(support, Seq("i"))
+          .groupBy(col("c"))
+          .agg(array_sort(collect_set(struct(col("i"), col("n_i")))).as("cs"))
+        unroll(sets)
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+          .select(col("a.i").as("item_a"), col("a.n_i").as("n_a"),
+            col("b.i").as("item_b"), col("b.n_i").as("n_b"), col("n_both"))
+      }
     val scored = pairs
       .withColumn("cosine", col("n_both").cast("double") /
         sqrt(col("n_a").cast("double") * col("n_b").cast("double")))

@@ -987,15 +987,21 @@ class PlanSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
-  test("item CF: supports ride the basket arrays — nothing joins downstream of the set agg") {
+  test("item CF: bare pair agg; supports broadcast back — no shuffle join anywhere") {
     val df = SparkEntry.queries("q_item_cf")(spark, sf)
     val p = plan(df)
     assert(p.contains("Generate posexplode") &&
       p.contains("Generate explode(slice"),
       s"pairs must unroll via chained codegen generators:\n$p")
+    // the candidate-sized pair stream may meet the |items|-row support
+    // table only MAP-SIDE: two broadcast hash joins, never a shuffled
+    // join (two post-agg shuffle joins measured 2.5x slower)
     val afterAgg = p.substring(0, p.indexOf("ObjectHashAggregate"))
-    assert(!afterAgg.contains("Join"),
-      s"the candidate-sized pair stream must never join:\n$p")
+    assert(!afterAgg.contains("SortMergeJoin") &&
+      !afterAgg.contains("ShuffledHashJoin"),
+      s"the pair stream must never shuffle-join:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(afterAgg).size == 2,
+      s"both support attaches must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must be heap-based:\n$p")
     graft.core.Caches.release()
