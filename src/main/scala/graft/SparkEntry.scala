@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.entry.{AggQueries, AuditQueries, CoreQueries, EvalQueries, GraphQueries, GrowthQueries, InferQueries, JoinQueries, LinkQueries, LlmQueries, QaQueries, SelectionQueries, StatsQueries, TrendQueries, UrlQueries}
+import graft.entry.{AggQueries, AuditQueries, CoreQueries, CurationQueries, EvalQueries, GraphQueries, GrowthQueries, InferQueries, JoinQueries, LinkQueries, LlmQueries, QaQueries, SelectionQueries, StatsQueries, TrendQueries, UrlQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       LlmQueries.queries ++ GraphQueries.queries ++ UrlQueries.queries ++
       SelectionQueries.queries ++ StatsQueries.queries ++ QaQueries.queries ++
       EvalQueries.queries ++ InferQueries.queries ++ LinkQueries.queries ++
-      TrendQueries.queries ++ GrowthQueries.queries ++ AuditQueries.queries
+      TrendQueries.queries ++ GrowthQueries.queries ++ AuditQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       LlmQueries.oracle ++ GraphQueries.oracle ++ UrlQueries.oracle ++
       SelectionQueries.oracle ++ StatsQueries.oracle ++ QaQueries.oracle ++
       EvalQueries.oracle ++ InferQueries.oracle ++ LinkQueries.oracle ++
-      TrendQueries.oracle ++ GrowthQueries.oracle ++ AuditQueries.oracle
+      TrendQueries.oracle ++ GrowthQueries.oracle ++ AuditQueries.oracle ++
+      CurationQueries.oracle
 }

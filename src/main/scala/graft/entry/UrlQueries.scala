@@ -31,6 +31,9 @@ object UrlQueries {
     * registered domain is listed). */
   private val Blocklist = Seq("badsite.net", "localhost")
 
+  /** Per-domain cap + its deterministic-order salt (q_domain_cap). */
+  private val DomainCap = 4; private val DomainCapSalt = 5
+
   /** Deterministic per-doc URL from doc_id residues (Spark half; the
     * oracle CTE in [[oracle]] mirrors it term for term). */
   private def urlCol: Column = {
@@ -88,7 +91,14 @@ object UrlQueries {
     // structural quality gates (path depth, query params, media
     // extension, length) — pure projection, zero shuffles
     "q_url_quality" -> ((s, d) =>
-      Urls.urlQuality(docsWithUrl(s, d), col("doc_id"), col("url")))
+      Urls.urlQuality(docsWithUrl(s, d), col("doc_id"), col("url"))),
+
+    // per-registered-domain cap sampling (the Common-Crawl mega-domain
+    // guard): keep <= 4 docs/domain by salted content-hash order —
+    // one partitioned window, reshard-stable
+    "q_domain_cap" -> ((s, d) =>
+      Urls.domainCap(docsWithUrl(s, d), col("doc_id"), col("url"),
+        col("text"), DomainCap, DomainCapSalt))
   )
 
   // ====================================================================
@@ -100,7 +110,7 @@ object UrlQueries {
   /** The url-derivation CTE both oracles start from — mirrors [[urlCol]]. */
   private val UrlCte =
     """WITH u AS (
-      |  SELECT doc_id, lang,
+      |  SELECT doc_id, lang, text,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) || '://' ||
       |    (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END) ||
       |    (CASE doc_id % 6
@@ -216,6 +226,19 @@ object UrlQueries {
          |  regexp_matches(lower(path),
          |    '\\.(jpe?g|png|gif|svg|ico|css|js|mp4|webm)$$') AS is_media,
          |  CAST(len(url) AS BIGINT) AS url_len
-         |FROM pq""".stripMargin
+         |FROM pq""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""$UrlCte,
+         |h AS (SELECT doc_id, text, $HostSql AS host FROM u),
+         |r AS (SELECT doc_id, text, ${regDomainSql("host")} AS reg_domain
+         |      FROM h),
+         |k AS (SELECT doc_id, reg_domain, row_number() OVER (
+         |        PARTITION BY reg_domain
+         |        ORDER BY CAST('0x'||substring(md5('$DomainCapSalt|' || text),1,15)
+         |                 AS BIGINT) ASC NULLS LAST, doc_id) AS rn
+         |      FROM r)
+         |SELECT doc_id, reg_domain, CAST(rn AS BIGINT) AS domain_rank
+         |FROM k WHERE rn <= $DomainCap""".stripMargin
   )
 }

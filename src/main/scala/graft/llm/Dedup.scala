@@ -1265,4 +1265,40 @@ object Dedup {
           .as("dist"))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
+
+  /** LSH banding planner — the tuning table behind every (bands, rows)
+    * choice in [[minhashPairs]]: for each candidate configuration and
+    * each Jaccard similarity s on a fixed grid, the collision
+    * probability of the banded index is P = 1 − (1 − s^r)^b (the
+    * standard S-curve, Leskovec/Rajaraman/Ullman ch.3), plus the
+    * curve's threshold (1/b)^(1/r) where the S-curve is steepest. The
+    * [[graft.llm.Similarity]] q_ann_probe_curve convention: publish
+    * the knob→quality table as a first-class queryable artifact
+    * instead of folklore.
+    *
+    * Shape: a generated |configs|·|grid| spine — no corpus read, pure
+    * projection math. `b` and `r` must be powers of two: the powers
+    * then compute as exponentiation-by-squaring MULTIPLICATION chains
+    * and the 1/r-th root as a repeated sqrt — both IEEE-exact and
+    * correctly rounded, so the doubles are bit-identical on both
+    * engines (libm pow() is only within-1-ulp and MAY NOT match
+    * across engines — the reason this operator never calls pow). */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+              configs: Seq[(Int, Int)], gridN: Int = 19): DataFrame = {
+    def pow2(n: Int): Boolean = n >= 2 && (n & (n - 1)) == 0
+    require(configs.forall { case (b, r) => pow2(b) && pow2(r) },
+      "lshPlan: b and r must be powers of two (exact squaring chains)")
+    def powChain(x: Column, n: Int): Column =
+      if (n == 1) x else { val h = powChain(x, n / 2); h * h }
+    def sqrtChain(x: Column, r: Int): Column =
+      if (r == 1) x else sqrtChain(sqrt(x), r / 2)
+    val grid = spark.range(1, gridN + 1)
+      .select((col("id").cast("double") / lit(gridN + 1.0)).as("s"))
+    configs.map { case (b, r) =>
+      grid.select(lit(b.toLong).as("b"), lit(r.toLong).as("r"), col("s"),
+        (lit(1.0) - powChain(lit(1.0) - powChain(col("s"), r), b))
+          .as("p_collision"),
+        sqrtChain(lit(1.0 / b), r).as("threshold"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -66,6 +66,14 @@ object Selection {
   private def clfStats(text: Column): Column =
     graft.functions.ClfStats(text)
 
+  /** Quantized classifier margin straight off the text — LONG
+    * milliunits, NULL for NULL text; the [[qualityClassifier]]
+    * accumulator as a composable Column so other operators (e.g.
+    * [[domainReweight]]'s proxy loss) evaluate it inside their own
+    * scan projection, no per-doc join. */
+  def clfMargin(text: Column): Column =
+    clfStats(text).getField("margin_q")
+
   /** Exact integer classifier margin over a token array — the
     * [[qualityClassifier]] accumulator as a composable Column, so other
     * operators (e.g. [[agreementKappa]]'s query) can evaluate the gate
@@ -614,5 +622,54 @@ object Selection {
           .otherwise(coalesce(sum(when(col("yhat").isNotNull &&
               col("yhat") =!= col("y"), col("n_cell"))).over(wAll), lit(0L))
             .cast("double") / col("n_assigned").cast("double")))
+  }
+
+  /** One-step domain reweighting — the DoReMi update (Xie et al.,
+    * NeurIPS 2023) collapsed to its single-round form: a domain whose
+    * mean proxy loss EXCEEDS the corpus mean is underfit and gets its
+    * mixture share multiplied by exp(η·excess); shares renormalize to
+    * sum to 1. `lossQ` is a per-record quantized-LONG proxy loss (the
+    * PSI discipline — order-independent integer sums); `lossScale`
+    * converts quantized means back to loss units before the exp.
+    *
+    * Exactness: per-domain sums accumulate in DECIMAL(38,0) (corpus-
+    * scale margins square past LONG); means/excess/exp are identical
+    * double chains both engines; the raw shares quantize to
+    * floor(·10¹²) LONG before the normalizing sum, so the final
+    * weights are exact-integer ratios.
+    *
+    * Shape: ONE map-combined corpus groupBy; the corpus totals and the
+    * normalizer are 1-row aggregates broadcast back onto the
+    * |domains|-row table (the [[Privacy.kAnonymity]] reshape — never
+    * an unpartitioned window). NULL domains form their own row; NULL
+    * losses drop. Returns (g, n_docs, mean_loss, excess_loss,
+    * base_share, weight). */
+  def domainReweight(df: DataFrame, domain: Column, lossQ: Column,
+                     eta: Double, lossScale: Double = 1e3): DataFrame = {
+    val per = df.select(domain.as("g"), lossQ.as("__lq"))
+      .filter(col("__lq").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__lq").cast("decimal(38,0)")).as("__sl"))
+    val tot = per.agg(sum(col("n_docs")).as("__nt"),
+      sum(col("__sl")).as("__slt"))
+    val meanG = col("__sl").cast("double") /
+      (col("n_docs").cast("double") * lit(lossScale))
+    val meanAll = col("__slt").cast("double") /
+      (col("__nt").cast("double") * lit(lossScale))
+    val withRaw = graft.core.Caches.track(per.crossJoin(broadcast(tot))
+      .withColumn("mean_loss", meanG)
+      .withColumn("excess_loss", meanG - meanAll)
+      .withColumn("base_share",
+        col("n_docs").cast("double") / col("__nt").cast("double"))
+      .withColumn("__rq",
+        floor(col("base_share") * exp(lit(eta) * col("excess_loss")) *
+          lit(1e12)).cast("long")))
+    val norm = withRaw.agg(sum(col("__rq")).as("__rst"))
+    withRaw.crossJoin(broadcast(norm))
+      .select(col("g"), col("n_docs"), col("mean_loss"),
+        col("excess_loss"), col("base_share"),
+        (col("__rq").cast("double") / col("__rst").cast("double"))
+          .as("weight"))
   }
 }

@@ -1595,4 +1595,40 @@ object TextAnalysis {
         (col("cum").cast("double") / col("total").cast("double"))
           .as("frac_mass"))
   }
+  /** Unicode-script character profile per group — the multilingual-
+    * curation drift monitor a declared-language label cannot give
+    * (mislabeled or transliterated crawl slices show up as a script
+    * mix that contradicts the label). Counts characters in five
+    * explicit BMP ranges (Latin letters, digits, Cyrillic, Greek,
+    * CJK-unified) plus whitespace; `frac_*` normalize by total
+    * characters. Ranges are spelled as explicit \\x{...} intervals —
+    * the Java∩RE2 regex subset (the piiScrub discipline), so the
+    * DuckDB twin strips the identical classes. Counting is
+    * length-minus-stripped over codepoints; NULL text contributes
+    * nothing (sum skips NULLs on both engines).
+    *
+    * Shape: six regexp projections fused into the scan + ONE
+    * map-combined groupBy on the group key. Scan-bound. */
+  def scriptProfile(df: DataFrame, group: Column, text: Column)
+      : DataFrame = {
+    val classes = Seq(
+      "latin" -> "[A-Za-z]", "digit" -> "[0-9]",
+      "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+      "greek" -> "[\\x{0370}-\\x{03FF}]",
+      "han" -> "[\\x{4E00}-\\x{9FFF}]",
+      "space" -> "[ \\t\\n]")
+    def cnt(re: String): Column =
+      (length(text) - length(regexp_replace(text, re, ""))).cast("long")
+    val per = df.select(Seq(group.as("g"), length(text).cast("long")
+      .as("__c")) ++ classes.map { case (n, re) => cnt(re).as(s"__$n") }: _*)
+    val agg = per.groupBy(col("g")).agg(
+      sum(col("__c")).as("n_chars"),
+      classes.map { case (n, _) => sum(col(s"__$n")).as(s"n_$n") }: _*)
+    classes.foldLeft(agg) { case (d, (n, _)) =>
+      d.withColumn(s"frac_$n",
+        when(col("n_chars") === 0L, lit(null).cast("double"))
+          .otherwise(col(s"n_$n").cast("double") /
+            col("n_chars").cast("double")))
+    }
+  }
 }

@@ -149,4 +149,29 @@ object Urls {
       .groupBy(col("url_canon"))
       .agg(min(col("doc_id")).as("keep_id"),
         count(lit(1)).cast("long").as("n_dups"))
+
+  /** Per-domain cap sampling — the Common-Crawl curation discipline
+    * that stops one mega-domain from dominating the training mix: keep
+    * at most `cap` documents per registered domain, chosen by a
+    * DETERMINISTIC content-hash order (salted md5 — reproducible
+    * across runs and reshards, the split-assign discipline) with
+    * NULLS LAST (a NULL-content doc has no sample key and must never
+    * outrank hashed docs — the [[TextAnalysis.stratifiedSample]]
+    * rule) and doc id as the tie-break.
+    *
+    * Shape: one domain-keyed window — partitioned, so the per-domain
+    * sort shards; the cap bounds every partition's output. Returns
+    * (doc_id, reg_domain, domain_rank) for kept docs only. */
+  def domainCap(docs: DataFrame, id: Column, url: Column,
+                content: Column, cap: Int, salt: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("reg_domain"))
+      .orderBy(graft.functions.GraftFunctions.md5Long(col("__t"), salt)
+        .asc_nulls_last, col("doc_id"))
+    docs.select(id.as("doc_id"), content.as("__t"),
+        registeredDomain(hostOf(url)).as("reg_domain"))
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= cap)
+      .select(col("doc_id"), col("reg_domain"), col("domain_rank"))
+  }
 }

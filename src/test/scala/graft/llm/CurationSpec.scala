@@ -1,0 +1,153 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the round-14 curation wave: Fellegi–Sunter
+  * weights and ordering, DP-release determinism and noise bounds,
+  * DoReMi reweighting laws, script-profile counts, domain-cap
+  * discipline and LSH S-curve shape (the sf0.01 oracle gate covers
+  * engine parity; these pin the MATH). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fellegiSunter: hand-computed u rates, weights and ranking") {
+    // one block of 4 records → 6 pairs; field f1 agrees on exactly the
+    // (1,2) pair → u1 = 1/6; field f2 agrees on (1,2),(3,4) → u2 = 2/6
+    val df = Seq(
+      (1L, "b", "x", "p"), (2L, "b", "x", "p"),
+      (3L, "b", "y", "q"), (4L, "b", "z", "q"))
+      .toDF("rid", "blk", "f1", "f2")
+    val r = Linkage.fellegiSunter(df, col("rid"),
+      Seq("blk" -> col("blk")),
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), m = 0.9, topK = 10)
+      .collect()
+    assert(r.length == 6)
+    val top = r.head
+    assert(top.getAs[Long]("id1") == 1L && top.getAs[Long]("id2") == 2L)
+    assert(top.getAs[Boolean]("agree_f1") && top.getAs[Boolean]("agree_f2"))
+    assert(top.getAs[Long]("n_agree") == 2L)
+    // expected score: floor(log2(0.9/(1/6))·1e6) + floor(log2(0.9/(2/6))·1e6)
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val u1 = 1.0 / 6.0; val u2 = 2.0 / 6.0
+    val want = (math.floor(lg2(0.9 / u1) * 1e6) +
+      math.floor(lg2(0.9 / u2) * 1e6)) / 1e6
+    assert(math.abs(top.getAs[Double]("score") - want) < 1e-9,
+      s"${top.getAs[Double]("score")} vs $want")
+    // the (3,4) pair agrees only on f2: one agree + one disagree weight
+    val p34 = r.find(x => x.getAs[Long]("id1") == 3L &&
+      x.getAs[Long]("id2") == 4L).get
+    val want34 = (math.floor(lg2((1.0 - 0.9) / (1.0 - u1)) * 1e6) +
+      math.floor(lg2(0.9 / u2) * 1e6)) / 1e6
+    assert(math.abs(p34.getAs[Double]("score") - want34) < 1e-9)
+    // deterministic total order: ties broken by (id1, id2)
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sorted.reverse))
+    graft.core.Caches.release()
+  }
+
+  test("fellegiSunter: blocks never cross; NULL fields null-safe agree") {
+    val df = Seq((1L, "a", Option("x")), (2L, "a", None),
+      (3L, "b", None), (4L, "b", None)).toDF("rid", "blk", "f")
+    val r = Linkage.fellegiSunter(df, col("rid"), Seq("blk" -> col("blk")),
+      Seq("f" -> col("f")), m = 0.9, topK = 10).collect()
+    // pairs: (1,2) in a — NULL vs x disagrees; (3,4) in b — NULL≡NULL agrees
+    assert(r.length == 2)
+    val m12 = r.find(_.getAs[Long]("id1") == 1L).get
+    val m34 = r.find(_.getAs[Long]("id1") == 3L).get
+    assert(!m12.getAs[Boolean]("agree_f") && m34.getAs[Boolean]("agree_f"))
+    graft.core.Caches.release()
+  }
+
+  test("dpRelease: deterministic, clamped at zero, noise within the hash-CDF bound") {
+    val df = (0 until 200).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "g")
+    val eps = 0.5
+    val a = Privacy.dpRelease(df, col("g"), eps, salt = 3)
+      .orderBy("g").collect()
+    val b = Privacy.dpRelease(df, col("g"), eps, salt = 3)
+      .orderBy("g").collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)),
+      "release must be deterministic per salt")
+    // p ∈ [0.5e-6, 1−0.5e-6] → |noise| ≤ ln(1e-6)/ε ≈ 27.6 at ε=0.5
+    val bound = -math.log(1e-6) / eps + 1.0
+    a.foreach { r =>
+      val n = r.getAs[Long]("n_released")
+      assert(n >= 0L)
+      assert(math.abs(n - 50.0) <= bound, s"noise out of bound: $r")
+      assert(r.getAs[Double]("epsilon") == eps)
+    }
+    // a different salt draws different noise for at least one group
+    val c = Privacy.dpRelease(df, col("g"), eps, salt = 4)
+      .orderBy("g").collect()
+    assert(!a.map(_.toString).sameElements(c.map(_.toString)))
+  }
+
+  test("domainReweight: weights normalize; high-loss domains gain share") {
+    // domain a: loss 0 per doc; domain b: loss 2000 per doc (2.0 units)
+    val df = (0 until 40).map(i =>
+      (if (i % 2 == 0) "a" else "b", if (i % 2 == 0) 0L else 2000L))
+      .toDF("g", "lq")
+    val r = Selection.domainReweight(df, col("g"), col("lq"), eta = 1.0)
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    val wa = r("a").getAs[Double]("weight")
+    val wb = r("b").getAs[Double]("weight")
+    assert(math.abs(wa + wb - 1.0) < 1e-9, "weights must sum to 1")
+    // excess: mean_all = 1.0 → a: −1, b: +1 → b's share grows from 0.5
+    assert(math.abs(r("b").getAs[Double]("excess_loss") - 1.0) < 1e-9)
+    assert(wb > 0.7 && wa < 0.3, s"high-loss domain must gain: $wa/$wb")
+    // shares: exp(±1)/(exp(1)+exp(−1)) — the softmax of the excesses
+    val want = math.exp(1.0) / (math.exp(1.0) + math.exp(-1.0))
+    assert(math.abs(wb - want) < 1e-5)
+    graft.core.Caches.release()
+  }
+
+  test("scriptProfile: per-class codepoint counts and fractions") {
+    val df = Seq(("g1", "Abc 12 Σσ"), ("g1", "Привет x"),
+      ("g2", null.asInstanceOf[String])).toDF("g", "t")
+    val r = TextAnalysis.scriptProfile(df, col("g"), col("t"))
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    val g1 = r("g1")
+    // "Abc 12 Σσ": latin 3, digit 2, greek 2, space 2 (9 chars)
+    // "Привет x": cyrillic 6, latin 1, space 1 (8 chars)
+    assert(g1.getAs[Long]("n_chars") == 17L)
+    assert(g1.getAs[Long]("n_latin") == 4L)
+    assert(g1.getAs[Long]("n_digit") == 2L)
+    assert(g1.getAs[Long]("n_greek") == 2L)
+    assert(g1.getAs[Long]("n_cyrillic") == 6L)
+    assert(g1.getAs[Long]("n_space") == 3L)
+    assert(math.abs(g1.getAs[Double]("frac_cyrillic") - 6.0 / 17.0) < 1e-12)
+    // NULL text contributes nothing: the group row exists with NULL sums
+    assert(r("g2").isNullAt(r("g2").fieldIndex("n_chars")))
+  }
+
+  test("domainCap: cap respected, deterministic, NULL content ranks last") {
+    val docs = (0L until 12L).map(i => (i, s"https://www.example.com/p/$i",
+      if (i == 3L) null else s"text $i")).toDF("doc_id", "url", "text")
+    val r = Urls.domainCap(docs, col("doc_id"), col("url"), col("text"),
+      cap = 5, salt = 7).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Long]("domain_rank")).sorted.sameElements(1L to 5L))
+    assert(r.forall(_.getAs[String]("reg_domain") == "example.com"))
+    // 12 docs, cap 5: the NULL-content doc must never be kept
+    assert(!r.exists(_.getAs[Long]("doc_id") == 3L))
+    val again = Urls.domainCap(docs, col("doc_id"), col("url"), col("text"),
+      cap = 5, salt = 7).collect().map(_.toString).sorted
+    assert(r.map(_.toString).sorted.sameElements(again))
+  }
+
+  test("lshPlan: S-curve monotone in s, probabilities valid, threshold exact") {
+    val r = Dedup.lshPlan(spark, Seq((8, 4), (16, 2)), gridN = 19).collect()
+    assert(r.length == 2 * 19)
+    r.foreach { x =>
+      val p = x.getAs[Double]("p_collision")
+      assert(p >= 0.0 && p <= 1.0)
+      val b = x.getAs[Long]("b"); val rr = x.getAs[Long]("r")
+      assert(math.abs(x.getAs[Double]("threshold") -
+        math.pow(1.0 / b, 1.0 / rr)) < 1e-12)
+    }
+    val curve = r.filter(_.getAs[Long]("b") == 8L)
+      .sortBy(_.getAs[Double]("s")).map(_.getAs[Double]("p_collision"))
+    assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+      "collision probability must be monotone in s")
+  }
+}
