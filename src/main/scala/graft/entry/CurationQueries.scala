@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.llm.{Dedup, Linkage, Privacy, Selection, TextAnalysis}
+import graft.llm.{Dedup, Linkage, Preference, Privacy, Selection, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,6 +25,20 @@ object CurationQueries {
     * exact-squaring contract of [[Dedup.lshPlan]]). */
   private val LshConfigs = Seq((4, 4), (8, 4), (16, 4), (8, 8), (16, 2))
   private val LshGridN = 19
+  /** pass@k: task residue + the k grid. */
+  private val PassTaskMod = 37L; private val PassKs = Seq(1, 5, 10)
+  /** Bradley–Terry MM rounds and the duel length-bucket width. */
+  private val BtRounds = 4; private val DuelBucket = 128L
+
+  /** Language-preference duels: within (source, length-bucket) blocks,
+    * the higher-classifier-margin doc's language wins (shared by
+    * q_duel_matrix and q_bradley_terry; the oracle derives the same
+    * duel stream by self-join — identical pair SET). */
+  private def langDuels(s: SparkSession, d: String): DataFrame =
+    Preference.duels(Tables.documents(s, d),
+      Seq("src" -> col("source"),
+        "lb" -> call_function("div", col("n_chars"), lit(DuelBucket))),
+      col("lang"), Selection.clfMargin(col("text")), col("doc_id"))
 
   val queries: Map[String, Q] = Map(
     // Fellegi–Sunter candidate scoring over nation-blocked customer
@@ -58,7 +72,23 @@ object CurationQueries {
 
     // LSH banding S-curves for the candidate configs — pure generated
     // math (exact squaring/sqrt chains, never libm pow)
-    "q_lsh_plan" -> ((s, d) => Dedup.lshPlan(s, LshConfigs, LshGridN))
+    "q_lsh_plan" -> ((s, d) => Dedup.lshPlan(s, LshConfigs, LshGridN)),
+
+    // unbiased pass@k over doc_id-residue tasks with the classifier
+    // gate as the verdict — quantized log-product, k > n emits NULL
+    "q_pass_at_k" -> ((s, d) =>
+      Preference.passAtK(Tables.documents(s, d),
+        col("doc_id") % PassTaskMod,
+        Selection.clfMargin(col("text")) > 0L, PassKs)),
+
+    // per-language-pair duel counts and win rates off the shared
+    // blocked preference stream
+    "q_duel_matrix" -> ((s, d) => Preference.winMatrix(langDuels(s, d))),
+
+    // Bradley-Terry strength ratings from the same duels — 4 MM
+    // rounds, every per-round sum quantized (bit-deterministic)
+    "q_bradley_terry" -> ((s, d) =>
+      Preference.bradleyTerry(langDuels(s, d), BtRounds))
   )
 
   // ======================================================================
@@ -205,6 +235,116 @@ object CurationQueries {
          |  SELECT CAST(i AS DOUBLE) / ${LshGridN + 1}.0 AS s
          |  FROM (SELECT unnest(range(1, ${LshGridN + 1})) AS i))
          |$arms""".stripMargin
+    },
+
+    "q_pass_at_k" -> {
+      // each k-arm unrolls the binomial ratio as the same fixed-order
+      // (term)·(term)·… chain the engine builds — divides/multiplies
+      // only, never ln/exp (last-ulp libm divergence, measured here)
+      val arms = PassKs.map { k =>
+        val prod = (0 until k).map(i =>
+          s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+          .mkString(" * ")
+        s"""SELECT task, n, c, CAST($k AS BIGINT) AS k,
+           |  CASE WHEN n < $k THEN NULL
+           |       WHEN n - c < $k THEN 1.0
+           |       ELSE 1.0 - ($prod) END AS pass_rate
+           |FROM per""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, $SqlToks AS tk FROM documents),
+         |m AS (
+         |  SELECT doc_id % $PassTaskMod AS task,
+         |    CASE WHEN tk IS NULL THEN NULL
+         |      ELSE (CAST(coalesce(list_sum(list_transform(tk, t ->
+         |        ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
+         |        AS BIGINT) > 0) END AS ok
+         |  FROM toks),
+         |per AS (SELECT task, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |        FROM m WHERE ok IS NOT NULL GROUP BY 1)
+         |$arms""".stripMargin
+    },
+
+    "q_duel_matrix" ->
+      s"""WITH $DuelCte
+         |g AS (
+         |  SELECT least(win, lose) AS item_a, greatest(win, lose) AS item_b,
+         |    CAST(count(*) AS BIGINT) AS n_duels,
+         |    CAST(sum(CASE WHEN win < lose THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS wins_a
+         |  FROM d GROUP BY 1, 2)
+         |SELECT item_a, item_b, n_duels, wins_a,
+         |  CAST(wins_a AS DOUBLE) / CAST(n_duels AS DOUBLE) AS win_rate_a
+         |FROM g""".stripMargin,
+
+    "q_bradley_terry" -> {
+      // unrolled MM chain: each round = denominator sums (quantized),
+      // raw update, quantized normalizer — mirrors Preference
+      // .bradleyTerry's driver iteration term for term
+      val rounds = (1 to BtRounds).map { t =>
+        val prev = s"w${t - 1}"
+        s"""d$t AS (
+           |  SELECT x.item,
+           |    CAST(sum(CAST(floor(CAST(nij.n AS DOUBLE) / (x.w + y.w)
+           |      * 1.0E9) AS BIGINT)) AS BIGINT) AS dq
+           |  FROM $prev x JOIN nij ON nij.i = x.item
+           |  JOIN $prev y ON y.item = nij.j
+           |  GROUP BY 1),
+           |u$t AS (
+           |  SELECT i.item,
+           |    CASE WHEN d.dq IS NULL OR d.dq = 0 THEN 0.0
+           |         ELSE CAST(coalesce(wn.w, 0) AS DOUBLE)
+           |              / (CAST(d.dq AS DOUBLE) / 1.0E9) END AS wraw
+           |  FROM items i LEFT JOIN d$t d ON d.item = i.item
+           |  LEFT JOIN wins wn ON wn.item = i.item),
+           |s$t AS (SELECT CAST(sum(CAST(floor(wraw * 1.0E9) AS BIGINT))
+           |          AS BIGINT) AS sq FROM u$t),
+           |w$t AS (SELECT item, wraw * (CAST(ni AS DOUBLE)
+           |          / (CAST(sq AS DOUBLE) / 1.0E9)) AS w
+           |        FROM u$t CROSS JOIN s$t CROSS JOIN cnt)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $DuelCte
+         |wins AS (SELECT win AS item, CAST(count(*) AS BIGINT) AS w
+         |         FROM d GROUP BY 1),
+         |pairs AS (SELECT win AS i, lose AS j, CAST(count(*) AS BIGINT) AS n
+         |          FROM d GROUP BY 1, 2),
+         |nij AS (SELECT i, j, CAST(sum(n) AS BIGINT) AS n FROM (
+         |          SELECT i, j, n FROM pairs
+         |          UNION ALL SELECT j AS i, i AS j, n FROM pairs)
+         |        GROUP BY 1, 2),
+         |items AS (SELECT DISTINCT i AS item FROM nij),
+         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS ni FROM items),
+         |w0 AS (SELECT item, 1.0 AS w FROM items),
+         |$rounds
+         |SELECT i.item, CAST(coalesce(wn.w, 0) AS BIGINT) AS n_wins,
+         |  nd.n_duels, wf.w AS rating
+         |FROM items i LEFT JOIN wins wn ON wn.item = i.item
+         |JOIN (SELECT i AS item, CAST(sum(n) AS BIGINT) AS n_duels
+         |      FROM nij GROUP BY 1) nd ON nd.item = i.item
+         |JOIN w$BtRounds wf ON wf.item = i.item""".stripMargin
     }
   )
+
+  /** Shared duel-stream CTE (q_duel_matrix, q_bradley_terry): the
+    * margin-scored blocked self-join twin of [[langDuels]] — the pair
+    * SET is identical to the engine's sorted-array unroll. Leaves a
+    * CTE `d(win, lose)` in scope (caller continues the WITH chain). */
+  private lazy val DuelCte: String =
+    s"""toks AS (SELECT doc_id, source, lang, n_chars, $SqlToks AS tk
+       |         FROM documents),
+       |sc AS (
+       |  SELECT doc_id, source, lang, n_chars // $DuelBucket AS lb,
+       |    CASE WHEN tk IS NULL THEN NULL
+       |      ELSE CAST(coalesce(list_sum(list_transform(tk, t ->
+       |        ((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0)
+       |        AS BIGINT) END AS m
+       |  FROM toks),
+       |r AS (SELECT * FROM sc WHERE lang IS NOT NULL AND m IS NOT NULL
+       |      AND source IS NOT NULL AND lb IS NOT NULL),
+       |d AS (
+       |  SELECT CASE WHEN a.m > b.m THEN a.lang ELSE b.lang END AS win,
+       |         CASE WHEN a.m > b.m THEN b.lang ELSE a.lang END AS lose
+       |  FROM r a JOIN r b ON a.source = b.source AND a.lb = b.lb
+       |    AND a.doc_id < b.doc_id
+       |  WHERE a.lang <> b.lang AND a.m <> b.m),""".stripMargin
 }

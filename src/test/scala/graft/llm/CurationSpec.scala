@@ -135,6 +135,73 @@ class CurationSpec extends SparkSpec {
     assert(r.map(_.toString).sorted.sameElements(again))
   }
 
+  test("passAtK: hand-computed estimates, short-circuits and the k > n NULL") {
+    // task 0: n=5, c=2 → pass@1 = 1 − 3/5 = 0.4; pass@5 = 1 (n−c < 5);
+    // task 1: n=3, c=0 → pass@1 = 0, pass@5/@10 NULL (k > n)
+    val df = (Seq.fill(2)(("t0", true)) ++ Seq.fill(3)(("t0", false)) ++
+      Seq.fill(3)(("t1", false))).toDF("task", "ok")
+    val r = Preference.passAtK(df, col("task"), col("ok"), Seq(1, 5, 10))
+      .collect().map(x => (x.getAs[String]("task"), x.getAs[Long]("k")) -> x)
+      .toMap
+    def pr(t: String, k: Long): Option[Double] = {
+      val row = r((t, k))
+      if (row.isNullAt(row.fieldIndex("pass_rate"))) None
+      else Some(row.getAs[Double]("pass_rate"))
+    }
+    assert(math.abs(pr("t0", 1L).get - 0.4) < 1e-15)
+    assert(pr("t0", 5L).contains(1.0))
+    assert(pr("t0", 10L).isEmpty)
+    assert(pr("t1", 1L).contains(0.0))
+    assert(pr("t1", 5L).isEmpty && pr("t1", 10L).isEmpty)
+    // exact product check: n=5, c=1, k=3 → 1 − (4/5)(3/4)(2/3) = 0.6
+    val df2 = (Seq.fill(1)(("t", true)) ++ Seq.fill(4)(("t", false)))
+      .toDF("task", "ok")
+    val p3 = Preference.passAtK(df2, col("task"), col("ok"), Seq(3))
+      .collect().head.getAs[Double]("pass_rate")
+    assert(math.abs(p3 - 0.6) < 1e-15, s"$p3")
+  }
+
+  test("duels/winMatrix: blocked pairs, tie and same-item skip, counts") {
+    // block b1: (en, 10), (de, 5), (de, 10) → duels: en>de(5);
+    // en-vs-de(10) is a score TIE → skipped; de-vs-de same item → skipped
+    // block b2: (fr, 1), (en, 2) → en beats fr
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val df = Seq((1L, "b1", "en", jl(10L)), (2L, "b1", "de", jl(5L)),
+      (3L, "b1", "de", jl(10L)), (4L, "b2", "fr", jl(1L)),
+      (5L, "b2", "en", jl(2L)),
+      (6L, "b2", "es", null.asInstanceOf[java.lang.Long]))
+      .toDF("uid", "blk", "lang", "sc")
+    val d = Preference.duels(df, Seq("blk" -> col("blk")), col("lang"),
+      col("sc"), col("uid"))
+    val rows = d.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.sorted.toList == List(("en", "de"), ("en", "fr")), rows.toList)
+    val m = Preference.winMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val de = m(("de", "en"))
+    assert(de.getAs[Long]("n_duels") == 1L && de.getAs[Long]("wins_a") == 0L)
+    assert(de.getAs[Double]("win_rate_a") == 0.0)
+  }
+
+  test("bradleyTerry: converged 2-item fixture and rating laws") {
+    // a beats b 3x, b beats a 1x → MM fixed point w = (1.5, 0.5)
+    val d = (Seq.fill(3)(("a", "b")) ++ Seq.fill(1)(("b", "a")))
+      .toDF("win", "lose")
+    val r = Preference.bradleyTerry(d, rounds = 4).collect()
+      .map(x => x.getAs[String]("item") -> x).toMap
+    assert(math.abs(r("a").getAs[Double]("rating") - 1.5) < 1e-6)
+    assert(math.abs(r("b").getAs[Double]("rating") - 0.5) < 1e-6)
+    assert(r("a").getAs[Long]("n_wins") == 3L &&
+      r("a").getAs[Long]("n_duels") == 4L)
+    // 3-item transitive chain: a>b (4), b>c (4), a>c (2) — ratings
+    // must order a > b > c and sum to |items| after normalization
+    val d3 = (Seq.fill(4)(("a", "b")) ++ Seq.fill(4)(("b", "c")) ++
+      Seq.fill(2)(("a", "c"))).toDF("win", "lose")
+    val r3 = Preference.bradleyTerry(d3, rounds = 8).collect()
+      .map(x => x.getAs[String]("item") -> x.getAs[Double]("rating")).toMap
+    assert(r3("a") > r3("b") && r3("b") > r3("c"), r3)
+    assert(math.abs(r3.values.sum - 3.0) < 1e-6)
+  }
+
   test("lshPlan: S-curve monotone in s, probabilities valid, threshold exact") {
     val r = Dedup.lshPlan(spark, Seq((8, 4), (16, 2)), gridN = 19).collect()
     assert(r.length == 2 * 19)
