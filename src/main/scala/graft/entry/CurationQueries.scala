@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.llm.{Dedup, Linkage, Preference, Privacy, Selection, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Linkage, Preference, Privacy, Selection, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,6 +29,12 @@ object CurationQueries {
   private val PassTaskMod = 37L; private val PassKs = Seq(1, 5, 10)
   /** Bradley–Terry MM rounds and the duel length-bucket width. */
   private val BtRounds = 4; private val DuelBucket = 128L
+  /** Canary strings the release audit scans for (tokenization-proof;
+    * the driver corpus plants none — exact-zero parity — and the
+    * adversarial corpus plants canary 0). */
+  private val Canaries = Seq("GRAFT-CANARY-7Q4-ZEBRA", "GRAFT-CANARY-0X5591")
+  /** Contrastive mining: anchor panel rate + hard negatives per anchor. */
+  private val CmAnchorMod = 4L; private val CmKNeg = 3
 
   /** Language-preference duels: within (source, length-bucket) blocks,
     * the higher-classifier-margin doc's language wins (shared by
@@ -88,7 +94,19 @@ object CurationQueries {
     // Bradley-Terry strength ratings from the same duels — 4 MM
     // rounds, every per-round sum quantized (bit-deterministic)
     "q_bradley_terry" -> ((s, d) =>
-      Preference.bradleyTerry(langDuels(s, d), BtRounds))
+      Preference.bradleyTerry(langDuels(s, d), BtRounds)),
+
+    // canary-string memorization probe — exact substring containment,
+    // zero-shuffle projection; empty = healthy (adversarial plants one)
+    "q_canary_scan" -> ((s, d) =>
+      Contamination.canaryScan(Tables.documents(s, d), col("doc_id"),
+        col("text"), Canaries)),
+
+    // contrastive training-pair mining: nearest same-label positive +
+    // top-3 different-label hard negatives per anchor-panel vector
+    "q_contrastive_pairs" -> ((s, d) =>
+      Similarity.contrastiveMine(Tables.embeddings(s, d), col("vec_id"),
+        col("embedding"), col("label"), CmAnchorMod, CmKNeg))
   )
 
   // ======================================================================
@@ -322,8 +340,49 @@ object CurationQueries {
          |JOIN (SELECT i AS item, CAST(sum(n) AS BIGINT) AS n_duels
          |      FROM nij GROUP BY 1) nd ON nd.item = i.item
          |JOIN w$BtRounds wf ON wf.item = i.item""".stripMargin
-    }
+    },
+
+    "q_canary_scan" -> {
+      val values = Canaries.zipWithIndex
+        .map { case (c, i) => s"($i, '$c')" }.mkString(", ")
+      s"""SELECT doc_id, CAST(cid AS BIGINT) AS canary_id, canary
+         |FROM documents
+         |CROSS JOIN (VALUES $values) AS c(cid, canary)
+         |WHERE text IS NOT NULL AND contains(text, canary)""".stripMargin
+    },
+
+    "q_contrastive_pairs" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+         |a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS albl
+         |      FROM base WHERE vec_id % $CmAnchorMod = 0),
+         |s AS (
+         |  SELECT a.anchor_id, a.albl, b.vec_id, b.label AS lbl,
+         |    ${sqlCos("b.embedding", "a.av")} AS cos
+         |  FROM base b CROSS JOIN a WHERE b.vec_id <> a.anchor_id),
+         |p AS (SELECT anchor_id, 'positive' AS role, CAST(rn AS BIGINT)
+         |        AS rank, vec_id, cos
+         |      FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |              ORDER BY cos DESC, vec_id) AS rn
+         |            FROM s WHERE lbl = albl) WHERE rn <= 1),
+         |ng AS (SELECT anchor_id, 'hard_negative' AS role,
+         |         CAST(rn AS BIGINT) AS rank, vec_id, cos
+         |       FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |               ORDER BY cos DESC, vec_id) AS rn
+         |             FROM s WHERE lbl <> albl) WHERE rn <= $CmKNeg)
+         |SELECT * FROM p UNION ALL SELECT * FROM ng""".stripMargin
   )
+
+  /** Cosine twin of the CosineSimilarity expression (the QaQueries
+    * canonical text — index-order dot, 0 on zero norm). */
+  private def sqlCos(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |            * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) = 0 THEN 0.0
+       |       ELSE list_sum(list_transform(range(0, least(len($a), len($b))), i ->
+       |              CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+       |            / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |               * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) END)""".stripMargin
 
   /** Shared duel-stream CTE (q_duel_matrix, q_bradley_terry): the
     * margin-scored blocked self-join twin of [[langDuels]] — the pair

@@ -305,4 +305,28 @@ object Contamination {
       .groupBy(col("train_id"), col("bench_id"))
       .agg((max(col("rl")) + lit(w - 1)).cast("long").as("span_len"))
   }
+
+  /** Canary-string scan — the memorization probe of a release audit
+    * (Carlini et al., USENIX Sec'19 "secret sharer"): planted canary
+    * strings must NOT appear in a training corpus; any hit is a
+    * leak from a supposedly-excluded source (or an injected canary a
+    * scrub pass failed to drop). Exact SUBSTRING containment, not
+    * token n-grams: canaries are chosen to be tokenization-proof.
+    * Emits one row per (doc, matched canary); an empty result is the
+    * healthy state (the q_contam_w8 exact-zero-parity discipline —
+    * the adversarial corpus plants a positive).
+    *
+    * Shape: the |canaries|-row list rides as a generated literal
+    * array (kilobytes at any scale); the scan is one zero-shuffle
+    * codegen projection — corpus never shuffles. */
+  def canaryScan(df: DataFrame, id: Column, text: Column,
+                 canaries: Seq[String]): DataFrame = {
+    val arr = array(canaries.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toLong).as("cid"), lit(c).as("canary")) }: _*)
+    df.filter(text.isNotNull)
+      .select(id.as("doc_id"), text.as("__t"), explode(arr).as("c"))
+      .filter(col("__t").contains(col("c.canary")))
+      .select(col("doc_id"), col("c.cid").as("canary_id"),
+        col("c.canary").as("canary"))
+  }
 }

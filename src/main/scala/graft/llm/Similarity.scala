@@ -1353,4 +1353,45 @@ object Similarity {
         (col("n_overlap").cast("double") / lit(k.toDouble))
           .as("overlap_frac"))
   }
+
+  /** Contrastive training-pair mining — the dataset-construction step
+    * of embedding/retriever training: for each anchor, the nearest
+    * SAME-label vector is the positive and the top-k nearest
+    * DIFFERENT-label vectors are the hard negatives (the in-batch-
+    * random-negative upgrade every contrastive recipe ships). Emits
+    * (anchor_id, role 'positive'|'hard_negative', rank, vec_id, cos).
+    *
+    * Anchors are the `id % anchorMod == 0` panel — a RATE here, so
+    * the audit-scale contract is the [[lofOutliers]] one: scale
+    * `anchorMod` with the corpus (fixed-size anchor panel) at lake
+    * scale. The corpus scans ONCE against the broadcast anchor panel;
+    * per-anchor rankings are partitioned windows; NULL labels drop
+    * (no supervision signal). Ties break to the lower vec_id — the
+    * assigner rule everywhere in this file. */
+  def contrastiveMine(df: DataFrame, id: Column, vec: Column,
+                      label: Column, anchorMod: Long,
+                      kNeg: Int): DataFrame = {
+    val base = df.filter(label.isNotNull && vec.isNotNull)
+      .select(id.as("vec_id"), vec.as("v"), label.as("lbl"))
+    val anchors = base.filter(col("vec_id") % lit(anchorMod) === 0L)
+      .select(col("vec_id").as("anchor_id"), col("v").as("av"),
+        col("lbl").as("albl"))
+    val scored = base.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("albl"), col("vec_id"), col("lbl"),
+        CosineSimilarity(col("v"), col("av")).as("cos"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val pos = scored.filter(col("lbl") === col("albl"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 1L)
+      .select(col("anchor_id"), lit("positive").as("role"), col("rank"),
+        col("vec_id"), col("cos"))
+    val neg = scored.filter(col("lbl") =!= col("albl"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeg)
+      .select(col("anchor_id"), lit("hard_negative").as("role"),
+        col("rank"), col("vec_id"), col("cos"))
+    pos.unionByName(neg)
+  }
 }

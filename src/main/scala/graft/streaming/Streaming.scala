@@ -820,6 +820,55 @@ object Streaming {
       .filter(col("rn") <= k).select(col("src"), col("h"))
   }
 
+  /** Merge one micro-batch's preference duels into a persistent
+    * (win, lose, n) count ledger — the streaming half of
+    * [[graft.llm.Preference.winMatrix]]/[[graft.llm.Preference
+    * .bradleyTerry]]: an arena ingests duels continuously, the
+    * leaderboard recomputes from the ledger at constant cost. Each
+    * duel lives in exactly one micro-batch, so the per-pair counts
+    * are ADDITIVE (the mergeLineLedger class — NOT redelivery-safe by
+    * construction; use the idempotent wrapper below under
+    * at-least-once delivery). State is the |items|²-bounded ordered
+    * pair table. */
+  def mergeDuelLedger(ledger: DataFrame, batchDuels: DataFrame): DataFrame =
+    ledger.select(col("win"), col("lose"), col("n"))
+      .unionByName(batchDuels.groupBy(col("win"), col("lose"))
+        .agg(count(lit(1)).as("n")))
+      .groupBy(col("win"), col("lose"))
+      .agg(sum(col("n")).cast("long").as("n"))
+
+  /** Replay-proof [[mergeDuelLedger]] — the [[mergeLineLedgerIdempotent]]
+    * batchId high-water-mark discipline for the duel counts: the HWM
+    * rides as a null-keyed sentinel row (win/lose are non-null by
+    * construction), so one atomic table swap commits counts and mark
+    * together and a redelivered batch is a no-op. */
+  def mergeDuelLedgerIdempotent(ledger: DataFrame, batchDuels: DataFrame,
+                                batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("win"), col("n"))
+    if (batchId <= hwm) ledger.select(col("win"), col("lose"), col("n"))
+    else mergeDuelLedger(ledger.filter(col("win").isNotNull), batchDuels)
+      .unionByName(batchDuels.sparkSession.range(1)
+        .select(lit(null).cast("string").as("win"),
+          lit(null).cast("string").as("lose"),
+          lit(batchId).cast("long").as("n")))
+  }
+
+  /** Win matrix off the duel ledger — against the final ledger it
+    * equals the one-shot batch [[graft.llm.Preference.winMatrix]] bit
+    * for bit (StreamingSpec pins it, replay included). The sentinel
+    * row drops with the null filter. */
+  def winMatrixFromLedger(ledger: DataFrame): DataFrame =
+    ledger.filter(col("win").isNotNull)
+      .select(least(col("win"), col("lose")).as("item_a"),
+        greatest(col("win"), col("lose")).as("item_b"),
+        when(col("win") < col("lose"), col("n")).otherwise(0L).as("__wa"),
+        col("n"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("n")).cast("long").as("n_duels"),
+        sum(col("__wa")).cast("long").as("wins_a"))
+      .withColumn("win_rate_a",
+        col("wins_a").cast("double") / col("n_duels").cast("double"))
+
   /** Gate docs against a Bloom word ledger: per-doc `maybe_dup`
     * verdicts as the zero-shuffle literal-state projection of
     * [[graft.llm.Bloom.probeWith]]. Run per micro-batch against

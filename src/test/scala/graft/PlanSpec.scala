@@ -624,6 +624,31 @@ class PlanSpec extends SparkSpec {
       s"cell table must persist across its two consumers:\n$p")
   }
 
+  test("fs linkage: pair table persists, u-rates broadcast — no shuffle join, no cartesian") {
+    val p = plan(SparkEntry.queries("q_fs_linkage")(spark, sf))
+    assert(p.contains("Generate posexplode") &&
+      p.contains("Generate explode(slice"),
+      s"pairs must unroll via chained codegen generators:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"blocking must keep pair generation keyed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the 1-row u aggregate must broadcast back:\n$p")
+    // pair table feeds the u aggregate AND the scoring pass off ONE persist
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"pair table must persist across its two consumers:\n$p")
+    graft.core.Caches.release()
+  }
+
+  test("preference duels: blocked array unroll — no record self-join anywhere") {
+    val p = plan(SparkEntry.queries("q_duel_matrix")(spark, sf))
+    assert(p.contains("Generate posexplode") &&
+      p.contains("Generate explode(slice"),
+      s"duels must unroll via chained codegen generators:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"duel generation must never self-join records:\n$p")
+    graft.core.Caches.release()
+  }
+
   test("scd2: every window/exchange keys on the entity — no global sort") {
     val p = plan(SparkEntry.queries("q_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition") &&

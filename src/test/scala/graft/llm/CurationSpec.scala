@@ -202,6 +202,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r3.values.sum - 3.0) < 1e-6)
   }
 
+  test("canaryScan: exact substring hits only, NULL text skipped") {
+    val df = Seq((1L, "clean document"), (2L, "leaked CANARY-A here"),
+      (3L, "both CANARY-A and CANARY-B"), (4L, "canary-a lowercase miss"),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = Contamination.canaryScan(df, col("doc_id"), col("text"),
+      Seq("CANARY-A", "CANARY-B")).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("canary_id")))
+    assert(r.sorted.toList == List((2L, 0L), (3L, 0L), (3L, 1L)),
+      r.toList.toString)
+  }
+
+  test("contrastiveMine: positive is nearest same-label, negatives ranked, NULL labels drop") {
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    // anchor 0 (label 0): same-label 8 (identical → cos 1) beats 12;
+    // different-label 4 and 2 rank by cosine; label-NULL 6 invisible
+    val vecs = Seq(
+      (0L, Array(1f, 0f), jl(0L)), (8L, Array(1f, 0f), jl(0L)),
+      (12L, Array(0f, 1f), jl(0L)), (4L, Array(0.9f, 0.1f), jl(1L)),
+      (2L, Array(-1f, 0f), jl(1L)),
+      (6L, Array(1f, 0f), null.asInstanceOf[java.lang.Long]))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.contrastiveMine(vecs, col("vec_id"),
+      col("embedding"), col("label"), anchorMod = 4L, kNeg = 2)
+      .collect()
+    val anchor0 = r.filter(_.getAs[Long]("anchor_id") == 0L)
+    val pos = anchor0.filter(_.getAs[String]("role") == "positive")
+    assert(pos.length == 1 && pos.head.getAs[Long]("vec_id") == 8L)
+    val negs = anchor0.filter(_.getAs[String]("role") == "hard_negative")
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id"))
+    assert(negs.toList == List(4L, 2L), negs.toList.toString)
+    assert(!r.exists(_.getAs[Long]("vec_id") == 6L), "NULL label leaked in")
+    // anchors are exactly the %4 == 0 panel
+    assert(r.map(_.getAs[Long]("anchor_id")).toSet == Set(0L, 8L, 12L, 4L))
+  }
+
   test("lshPlan: S-curve monotone in s, probabilities valid, threshold exact") {
     val r = Dedup.lshPlan(spark, Seq((8, 4), (16, 2)), gridN = 19).collect()
     assert(r.length == 2 * 19)

@@ -1135,4 +1135,35 @@ class StreamingSpec extends SparkSpec {
       col("text"), k).collect().map(_.toSeq).toSet
     assert(streamedEst == batchEst, s"stream=$streamedEst batch=$batchEst")
   }
+  test("idempotent duel ledger: win matrix equals batch despite a replayed batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val duels = Seq(("en", "de"), ("en", "de"), ("de", "fr"),
+      ("fr", "en"), ("en", "fr"), ("de", "en"))
+
+    var ledger = Seq.empty[(String, String, Long)].toDF("win", "lose", "n")
+    val ms = MemoryStream[(String, String)]
+    val q = ms.toDF().toDF("win", "lose").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          // merge, then REPLAY the same batch under the same batchId
+          ledger = Streaming.mergeDuelLedgerIdempotent(ledger, batch, bid).cache()
+          ledger.count()
+          ledger = Streaming.mergeDuelLedgerIdempotent(ledger, batch, bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(duels.take(3)); q.processAllAvailable()
+    ms.addData(duels.drop(3)); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("win"), col("n")) == 1L)
+    val streamed = Streaming.winMatrixFromLedger(ledger)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.llm.Preference.winMatrix(duels.toDF("win", "lose"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"replay-gated duel ledger must equal the batch win matrix: $streamed vs $batch")
+  }
 }

@@ -141,6 +141,10 @@ def write_documents(out_dir):
         # is invisible at driver level.
         (31, "perceptual twin payload body with steady bytes that fill the sample grid", "en", "web", 0),
         (35, "perceptual twin payload body with steady bytes th~t fill the sample grid", "en", "web", 0),
+        # --- PLANTED CANARY (q_canary_scan): canary 0 verbatim — the
+        # memorization probe must flag exactly this doc (the driver
+        # corpus plants none, so this is the only executed positive)
+        (33, "leaked model output contains GRAFT-CANARY-7Q4-ZEBRA verbatim here", "en", "web", 0),
     ]
     # keep n_chars honest for the new rows (oracle-side len() parity)
     rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
