@@ -33,8 +33,11 @@ object CurationQueries {
     * the driver corpus plants none — exact-zero parity — and the
     * adversarial corpus plants canary 0). */
   private val Canaries = Seq("GRAFT-CANARY-7Q4-ZEBRA", "GRAFT-CANARY-0X5591")
-  /** Contrastive mining: anchor panel rate + hard negatives per anchor. */
-  private val CmAnchorMod = 4L; private val CmKNeg = 3
+  /** Contrastive mining: FIXED-SIZE anchor panel (residue AND id
+    * ceiling — a rate alone is quadratic; 220 s at sf1, measured) +
+    * hard negatives per anchor. */
+  private val CmAnchorMod = 4L; private val CmAnchorMax = 1000L
+  private val CmKNeg = 3
 
   /** Language-preference duels: within (source, length-bucket) blocks,
     * the higher-classifier-margin doc's language wins (shared by
@@ -47,15 +50,19 @@ object CurationQueries {
       col("lang"), Selection.clfMargin(col("text")), col("doc_id"))
 
   val queries: Map[String, Q] = Map(
-    // Fellegi–Sunter candidate scoring over nation-blocked customer
-    // pairs: u-rates estimated from the candidates, quantized log2
-    // weights, top-50 by summed weight
+    // Fellegi–Sunter candidate scoring over (nation, balance-bucket)
+    // blocked customer pairs: u-rates estimated from the candidates,
+    // quantized log2 weights, top-50 by summed weight. The block
+    // tuple is the scale knob — nation alone left 6k-record blocks at
+    // sf1 (18M pairs EACH, measured OOM); the balance bucket bounds
+    // the per-cell quadratic, exactly the editDistancePairs contract
     "q_fs_linkage" -> ((s, d) =>
       Linkage.fellegiSunter(Tables.customer(s, d), col("c_custkey"),
-        Seq("nation" -> col("c_nationkey")),
+        Seq("nation" -> col("c_nationkey"),
+          "acct_k" -> floor(col("c_acctbal") / lit(1000.0))),
         Seq("segment" -> col("c_mktsegment"),
-          "acct_k" -> floor(col("c_acctbal") / lit(1000.0)),
-          "name2" -> substring(col("c_name"), -2, 2)),
+          "name2" -> substring(col("c_name"), -2, 2),
+          "cent" -> (floor(col("c_acctbal") * lit(100.0)) % lit(10L))),
         FsM, FsTopK)),
 
     // ε-DP per-source count release with deterministic hash-Laplace
@@ -103,10 +110,12 @@ object CurationQueries {
         col("text"), Canaries)),
 
     // contrastive training-pair mining: nearest same-label positive +
-    // top-3 different-label hard negatives per anchor-panel vector
+    // top-3 different-label hard negatives per anchor — bounded panel
     "q_contrastive_pairs" -> ((s, d) =>
       Similarity.contrastiveMine(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), col("label"), CmAnchorMod, CmKNeg))
+        col("embedding"), col("label"),
+        col("vec_id") % CmAnchorMod === 0L && col("vec_id") < CmAnchorMax,
+        CmKNeg))
   )
 
   // ======================================================================
@@ -138,29 +147,31 @@ object CurationQueries {
 
   val oracle: Map[String, String] = Map(
     "q_fs_linkage" -> {
-      val fields = Seq("segment", "acct_k", "name2")
+      val fields = Seq("segment", "name2", "cent")
       s"""WITH c AS (
          |  SELECT c_custkey AS rid, c_nationkey AS nation,
-         |         c_mktsegment AS segment,
          |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acct_k,
-         |         right(c_name, 2) AS name2
+         |         c_mktsegment AS segment,
+         |         right(c_name, 2) AS name2,
+         |         CAST(floor(c_acctbal * 100.0) AS BIGINT) % 10 AS cent
          |  FROM customer),
          |p AS (
          |  SELECT a.rid AS id1, b.rid AS id2,
          |    (a.segment IS NOT DISTINCT FROM b.segment) AS agree_segment,
-         |    (a.acct_k IS NOT DISTINCT FROM b.acct_k) AS agree_acct_k,
-         |    (a.name2 IS NOT DISTINCT FROM b.name2) AS agree_name2
-         |  FROM c a JOIN c b ON a.nation = b.nation AND a.rid < b.rid),
+         |    (a.name2 IS NOT DISTINCT FROM b.name2) AS agree_name2,
+         |    (a.cent IS NOT DISTINCT FROM b.cent) AS agree_cent
+         |  FROM c a JOIN c b ON a.nation = b.nation AND a.acct_k = b.acct_k
+         |    AND a.rid < b.rid),
          |u AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n,
          |    ${fields.map(f => s"CAST(sum(CASE WHEN agree_$f THEN 1 ELSE 0 END) AS BIGINT) AS na_$f").mkString(",\n         |    ")}
          |  FROM p),
          |q AS (
-         |  SELECT id1, id2, agree_segment, agree_acct_k, agree_name2,
+         |  SELECT id1, id2, agree_segment, agree_name2, agree_cent,
          |    ${fields.map(f => s"(CASE WHEN agree_$f THEN 1 ELSE 0 END)").mkString(" + ")} AS n_agree,
          |    ${fields.map(f => "(" + fsWeightSql(f).replace("\n", "\n         |    ") + ")").mkString("\n         |    + ")} AS sq
          |  FROM p CROSS JOIN u)
-         |SELECT id1, id2, agree_segment, agree_acct_k, agree_name2,
+         |SELECT id1, id2, agree_segment, agree_name2, agree_cent,
          |  CAST(n_agree AS BIGINT) AS n_agree,
          |  CAST(sq AS DOUBLE) / 1000000.0 AS score
          |FROM q ORDER BY sq DESC, id1, id2 LIMIT $FsTopK""".stripMargin
@@ -356,7 +367,8 @@ object CurationQueries {
          |  SELECT vec_id, embedding, label FROM embeddings
          |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
          |a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS albl
-         |      FROM base WHERE vec_id % $CmAnchorMod = 0),
+         |      FROM base WHERE vec_id % $CmAnchorMod = 0
+         |        AND vec_id < $CmAnchorMax),
          |s AS (
          |  SELECT a.anchor_id, a.albl, b.vec_id, b.label AS lbl,
          |    ${sqlCos("b.embedding", "a.av")} AS cos

@@ -1361,19 +1361,23 @@ object Similarity {
     * random-negative upgrade every contrastive recipe ships). Emits
     * (anchor_id, role 'positive'|'hard_negative', rank, vec_id, cos).
     *
-    * Anchors are the `id % anchorMod == 0` panel — a RATE here, so
-    * the audit-scale contract is the [[lofOutliers]] one: scale
-    * `anchorMod` with the corpus (fixed-size anchor panel) at lake
-    * scale. The corpus scans ONCE against the broadcast anchor panel;
+    * Anchors are the rows matching `anchorPred` — and the predicate
+    * MUST select a FIXED-SIZE panel, not a rate: per-anchor cost is a
+    * full corpus scan, so a rate panel makes the stage quadratic
+    * (measured: a 1-in-4 rate took 1.9 s at sf0.1 and 220 s at sf1 —
+    * 100x work at 10x data). A bounded panel (id residue AND an id
+    * ceiling, or a literal anchor list) keeps mining linear in the
+    * corpus. The corpus scans ONCE against the broadcast panel;
     * per-anchor rankings are partitioned windows; NULL labels drop
     * (no supervision signal). Ties break to the lower vec_id — the
     * assigner rule everywhere in this file. */
   def contrastiveMine(df: DataFrame, id: Column, vec: Column,
-                      label: Column, anchorMod: Long,
+                      label: Column, anchorPred: Column,
                       kNeg: Int): DataFrame = {
     val base = df.filter(label.isNotNull && vec.isNotNull)
-      .select(id.as("vec_id"), vec.as("v"), label.as("lbl"))
-    val anchors = base.filter(col("vec_id") % lit(anchorMod) === 0L)
+      .select(id.as("vec_id"), vec.as("v"), label.as("lbl"),
+        anchorPred.as("__isAnchor"))
+    val anchors = base.filter(col("__isAnchor"))
       .select(col("vec_id").as("anchor_id"), col("v").as("av"),
         col("lbl").as("albl"))
     val scored = base.crossJoin(broadcast(anchors))

@@ -224,7 +224,7 @@ class CurationSpec extends SparkSpec {
       (6L, Array(1f, 0f), null.asInstanceOf[java.lang.Long]))
       .toDF("vec_id", "embedding", "label")
     val r = Similarity.contrastiveMine(vecs, col("vec_id"),
-      col("embedding"), col("label"), anchorMod = 4L, kNeg = 2)
+      col("embedding"), col("label"), col("vec_id") % 4 === 0L, kNeg = 2)
       .collect()
     val anchor0 = r.filter(_.getAs[Long]("anchor_id") == 0L)
     val pos = anchor0.filter(_.getAs[String]("role") == "positive")
