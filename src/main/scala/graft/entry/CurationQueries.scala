@@ -33,6 +33,11 @@ object CurationQueries {
     * the driver corpus plants none — exact-zero parity — and the
     * adversarial corpus plants canary 0). */
   private val Canaries = Seq("GRAFT-CANARY-7Q4-ZEBRA", "GRAFT-CANARY-0X5591")
+  /** UniMax allocation: token budget + per-language repeat cap. The
+    * budget sits below Σcap at sf0.01+ (waterfill regime) and above it
+    * at sf0.001 (all-capped regime) — both branches gate-exercised. */
+  private val UmBudget = 5000L; private val UmMaxEpochs = 2L
+
   /** Contrastive mining: FIXED-SIZE anchor panel (residue AND id
     * ceiling — a rate alone is quadratic; 220 s at sf1, measured) +
     * hard negatives per anchor. */
@@ -109,6 +114,14 @@ object CurationQueries {
       Contamination.canaryScan(Tables.documents(s, d), col("doc_id"),
         col("text"), Canaries)),
 
+    // UniMax budget allocation across languages: uniform waterfill
+    // under a 2-epoch per-language cap — one corpus token groupBy,
+    // closed-form cap/water-level split over the |langs|-row table
+    "q_unimax" -> ((s, d) =>
+      Selection.unimaxAlloc(Tables.documents(s, d), col("lang"),
+        coalesce(TextAnalysis.bpeTokenEstimate(col("text")), lit(0L)),
+        UmBudget, UmMaxEpochs)),
+
     // contrastive training-pair mining: nearest same-label positive +
     // top-3 different-label hard negatives per anchor — bounded panel
     "q_contrastive_pairs" -> ((s, d) =>
@@ -124,6 +137,8 @@ object CurationQueries {
 
   private val SqlToks =
     "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+  private val SqlAlnumToks =
+    "list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), t -> len(t) > 0)"
   private def sqlMd5Long(x: String): String =
     s"CAST('0x'||substring(md5($x),1,15) AS BIGINT)"
 
@@ -352,6 +367,43 @@ object CurationQueries {
          |      FROM nij GROUP BY 1) nd ON nd.item = i.item
          |JOIN w$BtRounds wf ON wf.item = i.item""".stripMargin
     },
+
+    "q_unimax" ->
+      s"""WITH t AS (
+         |  SELECT lang AS g,
+         |    COALESCE(list_sum(list_transform($SqlAlnumToks,
+         |      t -> CAST(ceil(len(t) / 4.0) AS BIGINT))), 0) AS tq
+         |  FROM documents),
+         |per AS (SELECT g, CAST(sum(tq) AS BIGINT) AS n_tokens
+         |        FROM t GROUP BY 1),
+         |c AS (SELECT g, n_tokens, n_tokens * $UmMaxEpochs AS cap FROM per),
+         |r AS (SELECT g, n_tokens, cap,
+         |        CAST(row_number() OVER (ORDER BY cap, g) AS BIGINT) AS rn,
+         |        CAST(sum(cap) OVER (ORDER BY cap, g ROWS BETWEEN
+         |          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
+         |      FROM c),
+         |lc AS (SELECT CAST(count(*) AS BIGINT) AS L FROM r),
+         |af AS (SELECT r.*, lc.L,
+         |         (CAST(cap AS HUGEINT) * (lc.L - rn + 1)
+         |          + CAST(prefix - cap AS HUGEINT)
+         |          <= CAST($UmBudget AS HUGEINT)) AS affordable
+         |       FROM r CROSS JOIN lc),
+         |kk AS (SELECT
+         |         CAST(coalesce(sum(CASE WHEN affordable THEN 1 END), 0)
+         |           AS BIGINT) AS k,
+         |         CAST(coalesce(sum(CASE WHEN affordable THEN cap END), 0)
+         |           AS BIGINT) AS prefix_k
+         |       FROM af),
+         |al AS (SELECT af.g, af.n_tokens, af.cap,
+         |         CASE WHEN af.rn <= kk.k THEN CAST(af.cap AS DOUBLE)
+         |              WHEN af.L = kk.k THEN NULL
+         |              ELSE CAST($UmBudget - kk.prefix_k AS DOUBLE)
+         |                   / CAST(af.L - kk.k AS DOUBLE) END AS allocated
+         |       FROM af CROSS JOIN kk)
+         |SELECT g, n_tokens, cap, allocated,
+         |  CASE WHEN n_tokens = 0 THEN NULL
+         |       ELSE allocated / CAST(n_tokens AS DOUBLE) END AS epochs
+         |FROM al""".stripMargin,
 
     "q_canary_scan" -> {
       val values = Canaries.zipWithIndex

@@ -624,6 +624,62 @@ object Selection {
             .cast("double") / col("n_assigned").cast("double")))
   }
 
+  /** UniMax language-sampling allocation (Chung et al., ICLR 2023):
+    * distribute a token budget ACROSS languages as uniformly as
+    * possible subject to a per-language repeat cap — each language may
+    * contribute at most `maxEpochs` passes over its own data, and the
+    * budget that the capped (low-resource) languages cannot absorb
+    * waterfills uniformly over the rest. The closed form: sort
+    * languages by cap ascending; language j is CAPPED iff granting
+    * every remaining language at least cap_j still fits the budget
+    * (cap_j·(L−j+1) + prefix_{j−1} ≤ B — a monotone prefix property),
+    * and the water level λ = (B − Σ_capped cap)/(L − k) funds everyone
+    * else. Returns (g, n_tokens, cap, allocated, epochs).
+    *
+    * Exactness: token sums and caps are exact LONGs; the affordability
+    * product runs in DECIMAL(38,0) (cap·L squares past LONG at lake
+    * scale); λ is ONE double division mirrored token-identically.
+    *
+    * Shape: one map-combined corpus groupBy; the sort/prefix windows
+    * run over the |languages|-row table (domain-sized — the gateParity
+    * regime), totals broadcast back. Scan-bound. */
+  def unimaxAlloc(df: DataFrame, domain: Column, tokens: Column,
+                  budget: Long, maxEpochs: Long): DataFrame = {
+    val per = df.select(domain.as("g"), tokens.as("__t"))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("g"))
+      .agg(sum(col("__t")).as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cap"), col("g"))
+    val ranked = graft.core.Caches.track(per
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("L"))))
+      .withColumn("affordable",
+        col("cap").cast("decimal(38,0)") * (col("L") - col("rn") + 1) +
+          (col("prefix") - col("cap")).cast("decimal(38,0)") <=
+          lit(budget).cast("decimal(38,0)")))
+    val kRow = ranked.agg(
+      coalesce(sum(when(col("affordable"), 1L)), lit(0L)).as("k"),
+      coalesce(sum(when(col("affordable"), col("cap"))), lit(0L))
+        .as("prefix_k"))
+    ranked.crossJoin(broadcast(kRow))
+      .withColumn("__lambda",
+        when(col("L") === col("k"), lit(null).cast("double"))
+          .otherwise((lit(budget) - col("prefix_k")).cast("double") /
+            (col("L") - col("k")).cast("double")))
+      .withColumn("allocated",
+        when(col("rn") <= col("k"), col("cap").cast("double"))
+          .otherwise(col("__lambda")))
+      .withColumn("epochs",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("allocated") / col("n_tokens").cast("double")))
+      .select(col("g"), col("n_tokens"), col("cap"), col("allocated"),
+        col("epochs"))
+  }
+
   /** One-step domain reweighting — the DoReMi update (Xie et al.,
     * NeurIPS 2023) collapsed to its single-round form: a domain whose
     * mean proxy loss EXCEEDS the corpus mean is underfit and gets its

@@ -202,6 +202,29 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(r3.values.sum - 3.0) < 1e-6)
   }
 
+  test("unimaxAlloc: waterfill caps low-resource langs, conserves the budget") {
+    // tokens: a=10, b=100, c=100; maxEpochs 2 → caps 20/200/200.
+    // budget 120: a capped (20·3+0 ≤ 120), b/c waterfill λ=(120−20)/2=50
+    val df = Seq(("a", 10L), ("b", 100L), ("c", 100L)).toDF("g", "tq")
+    val r = Selection.unimaxAlloc(df, col("g"), col("tq"),
+      budget = 120L, maxEpochs = 2L)
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    assert(r("a").getAs[Double]("allocated") == 20.0)
+    assert(r("b").getAs[Double]("allocated") == 50.0)
+    assert(r("c").getAs[Double]("allocated") == 50.0)
+    assert(math.abs(r.values.map(_.getAs[Double]("allocated")).sum - 120.0)
+      < 1e-9, "allocation must conserve the budget")
+    assert(math.abs(r("a").getAs[Double]("epochs") - 2.0) < 1e-12)
+    assert(math.abs(r("b").getAs[Double]("epochs") - 0.5) < 1e-12)
+    // budget above Σcap → everyone capped at maxEpochs
+    val r2 = Selection.unimaxAlloc(df, col("g"), col("tq"),
+      budget = 10000L, maxEpochs = 2L)
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    assert(r2.values.forall(x =>
+      x.getAs[Double]("allocated") == x.getAs[Long]("cap").toDouble))
+    graft.core.Caches.release()
+  }
+
   test("canaryScan: exact substring hits only, NULL text skipped") {
     val df = Seq((1L, "clean document"), (2L, "leaked CANARY-A here"),
       (3L, "both CANARY-A and CANARY-B"), (4L, "canary-a lowercase miss"),
