@@ -649,6 +649,28 @@ class PlanSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("curation wave plans: projections stay shuffle-free; folds broadcast") {
+    // script profile / dp release: one map-combined groupBy, no joins
+    val ps = plan(SparkEntry.queries("q_script_profile")(spark, sf))
+    assert(!ps.contains("Join") && "Exchange".r.findAllIn(ps).size == 1,
+      s"script profile must be one grouped scan:\n$ps")
+    val pd = plan(SparkEntry.queries("q_dp_release")(spark, sf))
+    assert(!pd.contains("Join") && "Exchange".r.findAllIn(pd).size == 1,
+      s"dp release must be one grouped scan + projection:\n$pd")
+    // domain reweight / unimax: corpus totals broadcast back — never a
+    // shuffle join or an unpartitioned window over the corpus
+    Seq("q_domain_reweight", "q_unimax").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q totals must broadcast:\n$p")
+      graft.core.Caches.release()
+    }
+    // canary scan: zero-shuffle projection with the literal list inlined
+    val pc = plan(SparkEntry.queries("q_canary_scan")(spark, sf))
+    assert(!pc.contains("Exchange") && !pc.contains("Join"),
+      s"canary scan must run at scan speed:\n$pc")
+  }
+
   test("scd2: every window/exchange keys on the entity — no global sort") {
     val p = plan(SparkEntry.queries("q_scd2")(spark, sf))
     assert(!p.contains("Exchange SinglePartition") &&
