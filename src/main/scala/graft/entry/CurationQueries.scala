@@ -33,6 +33,11 @@ object CurationQueries {
     * the driver corpus plants none — exact-zero parity — and the
     * adversarial corpus plants canary 0). */
   private val Canaries = Seq("GRAFT-CANARY-7Q4-ZEBRA", "GRAFT-CANARY-0X5591")
+  /** Rule-ablation gate battery: blocklist / margin / length / lang
+    * agreement — and the unique-kill attribution per rule. */
+  private val BlockedWords = Seq("slow", "broken", "spam", "casino")
+  private val RuleMinToks = 5
+
   /** UniMax allocation: token budget + per-language repeat cap. The
     * budget sits below Σcap at sf0.01+ (waterfill regime) and above it
     * at sf0.001 (all-capped regime) — both branches gate-exercised. */
@@ -113,6 +118,38 @@ object CurationQueries {
     "q_canary_scan" -> ((s, d) =>
       Contamination.canaryScan(Tables.documents(s, d), col("doc_id"),
         col("text"), Canaries)),
+
+    // quality-gate ablation: per rule, how many docs it fails and how
+    // many it ALONE fails (unique kills — the redundancy audit a gate
+    // battery needs before dropping a rule); one fused scan, 1-row agg
+    "q_rule_ablation" -> ((s, d) => {
+      import graft.functions.GraftFunctions
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val f1 = arrays_overlap(GraftFunctions.tokensFolded(col("text")),
+        array(BlockedWords.map(lit): _*))
+      val f2 = Selection.clfMargin(col("text")) <= 0L
+      val f3 = size(GraftFunctions.tokens(col("text"))) < RuleMinToks
+      val f4 = !(TextAnalysis.langId(col("text")) <=> col("lang"))
+      val flags = docs.select(f1.as("f1"), f2.as("f2"), f3.as("f3"),
+        f4.as("f4"))
+      def others(i: Int) = (1 to 4).filter(_ != i)
+        .map(j => !col(s"f$j")).reduce(_ && _)
+      val aggs = (1 to 4).flatMap(i => Seq(
+        sum(when(col(s"f$i"), 1L).otherwise(0L)).as(s"n$i"),
+        sum(when(col(s"f$i") && others(i), 1L).otherwise(0L)).as(s"u$i")))
+      val a = flags.agg(count(lit(1)).as("n_docs"), aggs: _*)
+      val names = Seq("blocklist", "low_margin", "too_short",
+        "lang_mismatch")
+      a.select(explode(array(names.zipWithIndex.map { case (nm, ix) =>
+          struct(lit(nm).as("rule"), col(s"n${ix + 1}").as("n_fail"),
+            col(s"u${ix + 1}").as("n_unique_fail"), col("n_docs"))
+        }: _*)).as("r"))
+        .select(col("r.rule").as("rule"), col("r.n_fail").as("n_fail"),
+          col("r.n_unique_fail").as("n_unique_fail"),
+          col("r.n_docs").as("n_docs"))
+        .withColumn("fail_rate",
+          col("n_fail").cast("double") / col("n_docs").cast("double"))
+    }),
 
     // UniMax budget allocation across languages: uniform waterfill
     // under a 2-epoch per-language cap — one corpus token groupBy,
@@ -366,6 +403,53 @@ object CurationQueries {
          |JOIN (SELECT i AS item, CAST(sum(n) AS BIGINT) AS n_duels
          |      FROM nij GROUP BY 1) nd ON nd.item = i.item
          |JOIN w$BtRounds wf ON wf.item = i.item""".stripMargin
+    },
+
+    "q_rule_ablation" -> {
+      val sums = (1 to 4).flatMap(i => Seq(
+        s"CAST(sum(CASE WHEN f$i THEN 1 ELSE 0 END) AS BIGINT) AS n$i",
+        s"CAST(sum(CASE WHEN f$i AND ${(1 to 4).filter(_ != i)
+          .map(j => s"NOT f$j").mkString(" AND ")} THEN 1 ELSE 0 END) AS BIGINT) AS u$i"))
+        .mkString(",\n         |    ")
+      val arms = Seq("blocklist" -> 1, "low_margin" -> 2,
+        "too_short" -> 3, "lang_mismatch" -> 4).map { case (nm, i) =>
+        s"""SELECT '$nm' AS rule, n$i AS n_fail, u$i AS n_unique_fail,
+           |  n_docs, CAST(n$i AS DOUBLE) / CAST(n_docs AS DOUBLE)
+           |    AS fail_rate FROM a""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, $SqlToks AS tk,
+         |    list_filter(string_split(lower(translate(text, 'İΣ', 'iσ')),
+         |      ' '), t -> len(t) > 0) AS ftk
+         |  FROM documents WHERE text IS NOT NULL),
+         |sc AS (
+         |  SELECT doc_id, 'de' AS c, CAST(len(list_filter(tk, t -> lower(t) IN ('der','die','und','das','ist'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) AS s FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'en', CAST(len(list_filter(tk, t -> lower(t) IN ('the','and','of','to','is'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'es', CAST(len(list_filter(tk, t -> lower(t) IN ('el','la','que','los','es'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 'fr', CAST(len(list_filter(tk, t -> lower(t) IN ('le','la','et','les','est'))) AS DOUBLE) / greatest(CAST(len(tk) AS DOUBLE), 1.0) FROM toks),
+         |g AS (
+         |  SELECT doc_id, CASE WHEN s IS NULL THEN NULL ELSE c END
+         |    AS lang_guess
+         |  FROM (SELECT doc_id, c, s, row_number() OVER (
+         |          PARTITION BY doc_id ORDER BY s DESC, c) AS rn FROM sc) t
+         |  WHERE rn = 1),
+         |f AS (
+         |  SELECT t.doc_id,
+         |    (len(list_filter(ftk, x -> x IN (${BlockedWords.map(w => s"'$w'").mkString(", ")}))) > 0) AS f1,
+         |    (CAST(coalesce(list_sum(list_transform(tk, t2 ->
+         |      ((${sqlMd5Long("t2")} % 64) * 2654435761) % 2001 - 1000)), 0)
+         |      AS BIGINT) <= 0) AS f2,
+         |    (len(tk) < $RuleMinToks) AS f3,
+         |    (g.lang_guess IS DISTINCT FROM t.lang) AS f4
+         |  FROM toks t JOIN g USING (doc_id)),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    $sums
+         |  FROM f)
+         |$arms""".stripMargin
     },
 
     "q_unimax" ->

@@ -225,6 +225,22 @@ class CurationSpec extends SparkSpec {
     graft.core.Caches.release()
   }
 
+  test("rule ablation: four rules, unique kills bounded by total kills") {
+    val r = graft.SparkEntry.queries("q_rule_ablation")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(r.map(_.getAs[String]("rule")).sorted.toList ==
+      List("blocklist", "lang_mismatch", "low_margin", "too_short"))
+    r.foreach { x =>
+      val (nf, nu, nd) = (x.getAs[Long]("n_fail"),
+        x.getAs[Long]("n_unique_fail"), x.getAs[Long]("n_docs"))
+      assert(nu <= nf && nf <= nd, x.toString)
+      assert(math.abs(x.getAs[Double]("fail_rate") -
+        nf.toDouble / nd.toDouble) < 1e-15)
+    }
+    // same denominator on every row (one corpus, one scan)
+    assert(r.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+  }
+
   test("canaryScan: exact substring hits only, NULL text skipped") {
     val df = Seq((1L, "clean document"), (2L, "leaked CANARY-A here"),
       (3L, "both CANARY-A and CANARY-B"), (4L, "canary-a lowercase miss"),
