@@ -233,7 +233,7 @@ object CurationQueries {
       s"""WITH g AS (SELECT source AS g, CAST(count(*) AS BIGINT) AS n
          |           FROM documents GROUP BY 1),
          |r AS (SELECT g, n,
-         |        (CAST(${sqlMd5Long(s"'$DpSalt|' || coalesce(CAST(g AS VARCHAR), ' null')")}
+         |        (CAST(${sqlMd5Long(s"'$DpSalt|' || coalesce(CAST(g AS VARCHAR), '') || (CASE WHEN g IS NULL THEN 'N' ELSE 'V' END)")}
          |          % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS p
          |      FROM g)
          |SELECT g,
@@ -462,8 +462,9 @@ object CurationQueries {
          |        FROM t GROUP BY 1),
          |c AS (SELECT g, n_tokens, n_tokens * $UmMaxEpochs AS cap FROM per),
          |r AS (SELECT g, n_tokens, cap,
-         |        CAST(row_number() OVER (ORDER BY cap, g) AS BIGINT) AS rn,
-         |        CAST(sum(cap) OVER (ORDER BY cap, g ROWS BETWEEN
+         |        CAST(row_number() OVER (ORDER BY cap, g NULLS LAST)
+         |          AS BIGINT) AS rn,
+         |        CAST(sum(cap) OVER (ORDER BY cap, g NULLS LAST ROWS BETWEEN
          |          UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS prefix
          |      FROM c),
          |lc AS (SELECT CAST(count(*) AS BIGINT) AS L FROM r),

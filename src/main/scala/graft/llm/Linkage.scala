@@ -58,6 +58,15 @@ object Linkage {
       (block.map { case (n, c) => c.as(n) }) ++
         Seq(struct(id.as("rid") +: fields.map { case (n, c) => c.as(n) }: _*)
           .as("rec")): _*)
+      // NULL block keys are DROPPED, not blocked together: groupBy
+      // would coalesce every NULL-key record into one real block (an
+      // unbounded quadratic cell at lake scale) while the oracle's
+      // equi-join semantics silently skips them — pin ONE semantics
+      // (the equi-join one, matching Preference.duels' explicit
+      // non-null block filter) and let the adversarial NULL-nation
+      // customer row prove it (r14 ADVICE item 2)
+      .filter(block.map { case (n, _) => col(n).isNotNull }
+        .reduce(_ && _))
     val sets = recs
       .groupBy(block.map { case (n, _) => col(n) }: _*)
       .agg(array_sort(collect_set(col("rec"))).as("cs"))

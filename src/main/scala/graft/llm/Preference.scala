@@ -104,19 +104,26 @@ object Preference {
     * the MM state is the |items|² pair-count table — ITEMS MUST BE
     * DOMAIN-SIZED (languages, sources, model ids: the arena regime),
     * collected once as a driver artifact (the centroid discipline)
-    * and re-emitted as literals. Emits (item, n_wins, n_duels,
-    * rating). */
+    * and re-emitted as literals. Item identity is the STRING form of
+    * the win/lose columns (non-string items are stringified — ratings
+    * key on the rendered value, so items whose strings collide merge).
+    * Emits (item, n_wins, n_duels, rating). */
   def bradleyTerry(duelDf: DataFrame, rounds: Int): DataFrame = {
     val spark = duelDf.sparkSession
     import spark.implicits._
-    val pc = duelDf.groupBy(col("win"), col("lose"))
+    val pc = duelDf.groupBy(col("win").cast("string").as("win"),
+        col("lose").cast("string").as("lose"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = pc.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    val wins = items.map(i => i -> pc.filter(_._1 == i).map(_._3).sum).toMap
+    // index once by (win, lose) — the old per-pair linear scans of pc
+    // were O(|items|²·|pc|) driver work (r14 ADVICE item 4)
+    val pcMap = pc.map(p => (p._1, p._2) -> p._3).toMap
+    val wins = items.map(i =>
+      i -> pc.collect { case (`i`, _, n) => n }.sum).toMap
     val nij = items.map(i => i -> items.map(j => j ->
-      (pc.filter(p => p._1 == i && p._2 == j).map(_._3).sum +
-        pc.filter(p => p._1 == j && p._2 == i).map(_._3).sum)).toMap).toMap
+      (pcMap.getOrElse((i, j), 0L) + pcMap.getOrElse((j, i), 0L))
+    ).toMap).toMap
     var w = items.map(_ => 1.0)
     for (_ <- 1 to rounds) {
       val next = items.zipWithIndex.map { case (i, ix) =>

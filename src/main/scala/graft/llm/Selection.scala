@@ -650,8 +650,12 @@ object Selection {
       .groupBy(col("g"))
       .agg(sum(col("__t")).as("n_tokens"))
       .withColumn("cap", col("n_tokens") * lit(maxEpochs))
+    // g ASC NULLS LAST: Spark's bare asc sorts NULLS FIRST, DuckDB's
+    // NULLS LAST — a NULL-language group tying on cap would shift
+    // rn/prefix and the waterfill boundary (the stratifiedSample /
+    // domainCap NULL-order parity class, r14 ADVICE item 3)
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cap"), col("g"))
+      .orderBy(col("cap").asc, col("g").asc_nulls_last)
     val ranked = graft.core.Caches.track(per
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("prefix", sum(col("cap")).over(w.rowsBetween(

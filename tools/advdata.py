@@ -262,13 +262,33 @@ def write_orders(out_dir):
     con.executemany("INSERT INTO o VALUES (?,?,?,?,?,?)", rows)
     con.execute(f"COPY o TO '{out_dir}/orders.parquet' (FORMAT PARQUET)")
 
+def write_customer(out_dir):
+    # sf0.001 customer + NULL-block-key rows (r14 ADVICE item 2): the
+    # FS-linkage engine must DROP records whose block tuple has a NULL
+    # (the oracle's equi-join does so implicitly); without these rows a
+    # groupBy that coalesces NULL blocks into one real block passes on
+    # corpus luck.  150: NULL nationkey; 151: NULL acctbal (NULL acct_k
+    # AND NULL cent agreement field); 152/153: a live same-block pair
+    # so the filter provably removes only the NULL-key rows.
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/customer.parquet'")
+    con.executemany("INSERT INTO c VALUES (?,?,?,?,?)", [
+        (150, "Customer#000000150", None, 1234.56, "BUILDING"),
+        (151, "Customer#000000151", 3, None, "MACHINERY"),
+        (152, "Customer#000000152", 3, 2500.10, "MACHINERY"),
+        (153, "Customer#000000153", 3, 2500.10, "MACHINERY"),
+    ])
+    con.execute(f"COPY c TO '{out_dir}/customer.parquet' (FORMAT PARQUET)")
+
 def main(out_dir):
     write_documents(out_dir)
     write_events(out_dir)
     write_embeddings(out_dir)
     write_lineitem(out_dir)
     write_orders(out_dir)
-    for t in ["region", "nation", "customer", "supplier", "part"]:
+    write_customer(out_dir)
+    for t in ["region", "nation", "supplier", "part"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial corpus at {out_dir}")
 
