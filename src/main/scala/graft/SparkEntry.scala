@@ -25,13 +25,40 @@ object SparkEntry {
       TrendQueries.queries ++ GrowthQueries.queries ++ AuditQueries.queries ++
       CurationQueries.queries
 
+  /** The oracle twin of [[graft.sources.Tables.embeddings]]'s non-finite
+    * quarantine: every oracle that reads `embeddings` is mechanically
+    * rewritten to read through this CTE (token `embeddings` → `__emb`),
+    * so both engines see the identical post-guard relation. Predicate
+    * mirrors [[graft.functions.FiniteVector]]: drop any row whose
+    * vector has a NaN/±Inf/NULL element; keep NULL vectors (the
+    * `embedding IS NULL OR` arm — `len(NULL)` is NULL, so without it
+    * the WHERE would silently drop them on the oracle side only). */
+  private val EmbGuardCte =
+    "__emb AS (SELECT * FROM embeddings WHERE embedding IS NULL OR " +
+      "len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)"
+
+  /** Queries that must see the UNGUARDED read (quarantine accounting). */
+  private val RawEmbQueries = Set("q_embed_quarantine")
+
+  private def guardEmbeddings(name: String, sql: String): String = {
+    if (RawEmbQueries(name) || !sql.contains("embeddings")) sql
+    else {
+      val renamed = sql.replaceAll("\\bembeddings\\b", "__emb")
+      if (renamed.startsWith("WITH RECURSIVE "))
+        s"WITH RECURSIVE $EmbGuardCte,${renamed.drop(15)}"
+      else if (renamed.startsWith("WITH ")) s"WITH $EmbGuardCte,${renamed.drop(5)}"
+      else s"WITH $EmbGuardCte\n$renamed"
+    }
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
+    (CoreQueries.oracle ++ AggQueries.oracle ++ JoinQueries.oracle ++
       LlmQueries.oracle ++ GraphQueries.oracle ++ UrlQueries.oracle ++
       SelectionQueries.oracle ++ StatsQueries.oracle ++ QaQueries.oracle ++
       EvalQueries.oracle ++ InferQueries.oracle ++ LinkQueries.oracle ++
       TrendQueries.oracle ++ GrowthQueries.oracle ++ AuditQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle)
+      .map { case (n, sql) => n -> guardEmbeddings(n, sql) }
 }

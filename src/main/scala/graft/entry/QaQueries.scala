@@ -106,7 +106,24 @@ object QaQueries {
     // both LOF double sums are fixed-point LONG, panel² audit cost
     "q_lof" -> ((s, d) =>
       Similarity.lofOutliers(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), LofK, LofMod, LofAt))
+        col("embedding"), LofK, LofMod, LofAt)),
+
+    // Quarantine accounting for the non-finite embedding ingest guard
+    // ([[Tables.embeddings]] / FiniteVector): how many vectors arrived
+    // NULL vs were nulled out for carrying NaN/±Inf. Reads the RAW
+    // table (exempt from the oracle guard CTE) — one zero-shuffle
+    // 1-row aggregate, the lineage line a lake-scale ingest dashboard
+    // alerts on
+    "q_embed_quarantine" -> ((s, d) => {
+      import graft.functions.FiniteVector
+      Tables.rawEmbeddings(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("embedding").isNull, 1L)), lit(0L))
+          .as("n_null_in"),
+        coalesce(sum(when(col("embedding").isNotNull &&
+          !FiniteVector(col("embedding")), 1L)), lit(0L))
+          .as("n_quarantined"))
+    })
   )
 
   /** Cosine similarity in DOUBLE, index order, 0 on zero norm — the
@@ -365,6 +382,18 @@ object QaQueries {
          |  (CASE WHEN l2.lrd IS NULL OR num.lq IS NULL THEN NULL
          |        ELSE (CAST(num.lq AS DOUBLE) / 1.0E9 / CAST(nn2 AS DOUBLE))
          |             / l2.lrd END) >= $LofAt AS outlier
-         |FROM l2 JOIN num ON num.a = l2.a""".stripMargin
+         |FROM l2 JOIN num ON num.a = l2.a""".stripMargin,
+
+    // RAW read by design (SparkEntry.RawEmbQueries exempts it from the
+    // guard CTE): counts what the guard WOULD null out
+    "q_embed_quarantine" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_null_in,
+         |  CAST(coalesce(sum(CASE WHEN embedding IS NOT NULL AND
+         |      len(list_filter(embedding,
+         |        x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
+         |    THEN 1 END), 0) AS BIGINT) AS n_quarantined
+         |FROM embeddings""".stripMargin
   )
 }

@@ -135,7 +135,31 @@ object Tables {
     verdicts.headOption.exists(_._2)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Embeddings with the non-finite quarantine applied at the ingest
+    * seam: a row whose vector carries NaN/±Inf (or a NULL element — a
+    * non-dense vector is equally malformed) is DROPPED, because one
+    * such row otherwise raises an ANSI cast error inside the
+    * quantized-cosine paths of 20+ downstream queries and fails the
+    * whole job at lake scale. A NULL vector passes through (the
+    * pre-existing "no embedding yet" row state every consumer already
+    * handles). Guard is the codegen'd [[graft.functions.FiniteVector]]
+    * (the HOF form never enters whole-stage codegen and this sits on
+    * every corpus ANN scan); drop — not null-out — so the post-guard
+    * relation is bit-identical across engines and no downstream path
+    * ever defines NULL-element semantics. The DuckDB oracles replay
+    * the identical predicate (the `__emb` guard CTE prepended in
+    * [[graft.SparkEntry.oracleSql]]); [[rawEmbeddings]] is the
+    * unguarded read for quarantine accounting. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    rawEmbeddings(s, d).filter(col("embedding").isNull ||
+      graft.functions.FiniteVector(col("embedding")))
+  }
+
+  /** The unguarded embeddings read — quarantine audits only. */
+  def rawEmbeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
 
   /** Multi-source union — the analogue of the reference's varargs topic
     * source merged into one stream (reference: api.clj:57-60). */

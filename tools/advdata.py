@@ -214,8 +214,19 @@ def write_embeddings(out_dir):
     # member), and two regular classes — incl. the zero vector in class 0
     labels = [None if i == 7 else (9 if i == 8 else i % 2)
               for i in range(20)]
+    # --- NON-FINITE VECTORS (r14 VERDICT item 1): the ingest guard
+    # must QUARANTINE (drop) these instead of crashing the quantized-
+    # cosine paths. 20 is %4==0 (a contrastive anchor id — proves the
+    # guard runs before anchor selection), 21/22 cover both
+    # infinities, 23 has a NULL element (non-dense vector — equally
+    # malformed, equally dropped; q_embed_quarantine pins all four).
+    vecs += [[float("nan") if j == 3 else 0.5 for j in range(8)],
+             [float("inf") if j == 0 else 0.25 for j in range(8)],
+             [float("-inf") if j == 7 else -0.25 for j in range(8)],
+             [None if j == 2 else 0.125 for j in range(8)]]
+    labels += [0, 1, 0, 1]
     tbl = pa.table({
-        "vec_id": pa.array(range(20), pa.int64()),
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
         "embedding": pa.array(vecs, pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int64()),
     })
