@@ -32,7 +32,11 @@ object QaQueries {
   /** k-core threshold and synchronous peel rounds. */
   private val KcK = 8; private val KcRounds = 3
   private val LpaRounds = 3
-  private val LofK = 5; private val LofMod = 4L; private val LofAt = 1.5
+  /** LOF panel: FIXED-SIZE anchor set (residue AND id ceiling — a
+    * rate alone is panel² quadratic in the corpus; 15.9 s at sf1,
+    * measured, vs fixed cost with the ceiling). */
+  private val LofK = 5; private val LofMod = 4L; private val LofMax = 1000L
+  private val LofAt = 1.5
 
   val queries: Map[String, Q] = Map(
     // per-dimension embedding profile: one posexplode + one <=dim-key
@@ -101,19 +105,22 @@ object QaQueries {
       Graph.lpaCommunities(e, col("src"), col("dst"), LpaRounds)
     }),
 
-    // Local Outlier Factor over the vec_id % 4 panel — density-
+    // Local Outlier Factor over a FIXED-SIZE panel (residue AND
+    // ceiling — the contrastiveMine anchor contract) — density-
     // RELATIVE outliers (the Mahalanobis screen's local companion);
     // both LOF double sums are fixed-point LONG, panel² audit cost
+    // bounded at any corpus size
     "q_lof" -> ((s, d) =>
       Similarity.lofOutliers(Tables.embeddings(s, d), col("vec_id"),
-        col("embedding"), LofK, LofMod, LofAt)),
+        col("embedding"), LofK,
+        col("vec_id") % LofMod === 0L && col("vec_id") < LofMax, LofAt)),
 
     // Quarantine accounting for the non-finite embedding ingest guard
     // ([[Tables.embeddings]] / FiniteVector): how many vectors arrived
-    // NULL vs were nulled out for carrying NaN/±Inf. Reads the RAW
-    // table (exempt from the oracle guard CTE) — one zero-shuffle
-    // 1-row aggregate, the lineage line a lake-scale ingest dashboard
-    // alerts on
+    // NULL vs were dropped for carrying NaN/±Inf/NULL elements. Reads
+    // the RAW table (exempt from the oracle guard CTE) — one
+    // zero-shuffle 1-row aggregate, the lineage line a lake-scale
+    // ingest dashboard alerts on
     "q_embed_quarantine" -> ((s, d) => {
       import graft.functions.FiniteVector
       Tables.rawEmbeddings(s, d).agg(
@@ -350,7 +357,7 @@ object QaQueries {
 
     "q_lof" ->
       s"""WITH p AS (SELECT vec_id, embedding AS v FROM embeddings
-         |           WHERE vec_id % $LofMod = 0),
+         |           WHERE vec_id % $LofMod = 0 AND vec_id < $LofMax),
          |pr AS (SELECT pa.vec_id AS a, pb.vec_id AS b,
          |         1.0 - ${sqlCos("pa.v", "pb.v")} AS dist
          |       FROM p pa JOIN p pb ON pa.vec_id <> pb.vec_id),

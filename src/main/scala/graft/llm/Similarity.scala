@@ -1040,12 +1040,14 @@ object Similarity {
     * outliers hiding near a dense cluster's edge and clears points in
     * legitimately sparse regions.
     *
-    * Scope: the panel is `vec_id % panelMod == 0` and neighborhoods
-    * are computed WITHIN the panel (the hubness audit-rate pattern) —
-    * the quadratic is panel². A fixed RATE is panel-rate quadratic
-    * like the hubness/rank-eval audits (10× corpus → 100× pairs): at
-    * lake scale scale `panelMod` with the corpus to pin the panel
-    * SIZE, which makes the audit a fixed cost.
+    * Scope: `panel` is an arbitrary membership predicate and
+    * neighborhoods are computed WITHIN the panel — the quadratic is
+    * panel². The predicate MUST pin the panel SIZE, not a rate: a
+    * residue alone (`id % m == 0`) grows the panel with the corpus
+    * and the audit cost quadratically (15.9 s at sf1 vs 1.5 s at
+    * sf0.1, measured, r14 VERDICT item 2) — combine residue AND an id
+    * ceiling (the [[contrastiveMine]] anchor contract) so the audit
+    * is a fixed cost at any corpus size.
     *
     * Exactness: distances are 1 − cos (the shared CosineSimilarity /
     * sqlCos text); kNN ranks order by (dist, id). The two double SUMS
@@ -1057,8 +1059,8 @@ object Similarity {
     * 0 — infinite density) gets NULL lrd, and NULL propagates through
     * its neighbors' lof via the shared CASE text. */
   def lofOutliers(df: DataFrame, id: Column, vec: Column, k: Int,
-                  panelMod: Long, outlierAt: Double = 1.5): DataFrame = {
-    val p = df.filter(id % lit(panelMod) === 0L)
+                  panel: Column, outlierAt: Double = 1.5): DataFrame = {
+    val p = df.filter(panel)
       .select(id.as("vec_id"), vec.as("v"))
     val w = Window.partitionBy(col("a")).orderBy(col("dist"), col("b"))
     // cosine is bit-symmetric (the dot runs in index order and every

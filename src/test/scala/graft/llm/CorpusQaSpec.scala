@@ -226,7 +226,7 @@ class CorpusQaSpec extends SparkSpec {
     val df = Seq((0L, v(0)), (1L, v(5)), (2L, v(10)), (3L, v(15)),
       (4L, v(20)), (5L, v(90))).toDF("vec_id", "embedding")
     val out = graft.llm.Similarity.lofOutliers(df, col("vec_id"),
-        col("embedding"), k = 2, panelMod = 1L, outlierAt = 3.0)
+        col("embedding"), k = 2, panel = lit(true), outlierAt = 3.0)
       .orderBy("vec_id").collect()
     assert(out.length == 6)
     val lofs = out.map(r => r.getLong(0) -> r.getAs[Double]("lof")).toMap
@@ -238,7 +238,7 @@ class CorpusQaSpec extends SparkSpec {
     val dup = Seq((0L, v(0)), (1L, v(0)), (2L, v(0)))
       .toDF("vec_id", "embedding")
     val od = graft.llm.Similarity.lofOutliers(dup, col("vec_id"),
-      col("embedding"), k = 2, panelMod = 1L).collect()
+      col("embedding"), k = 2, panel = lit(true)).collect()
     assert(od.forall(r => r.isNullAt(r.fieldIndex("lrd")) &&
       r.isNullAt(r.fieldIndex("lof"))))
   }
