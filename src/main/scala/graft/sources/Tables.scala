@@ -18,9 +18,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Parquet schemas are immutable per (dir, table) for a run, but
+    * `spark.read.parquet` re-infers the schema with a footer-reading
+    * Spark JOB on every call — a fixed ~0.1 s scheduling tax on every
+    * query (the dominant cost of the sub-second audit tail, measured
+    * via JudgeProbe: 3-6 jobs/query of which one was always this).
+    * Cache the inferred schema and hand it to the reader. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
   /** Read one table from a scale-factor directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val sch = schemaCache.computeIfAbsent((sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet").schema)
+    spark.read.schema(sch).parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -51,7 +51,7 @@ out = {
     # contention-sentinel trace from graft.Bench: control-query median,
     # sample count and which queries were resampled for >1.5x drift —
     # quantifies the error bar BASELINE.md quotes (r13 ADVICE)
-    "ctrl": spark.get("ctrl"),
+    "ctrl": spark.get("ctrl_trace") or spark.get("ctrl"),
     "queries": {k: {"spark": sq[k], "duckdb": dq[k]} for k in shared},
 }
 with open("BENCH_BOTH.json", "w") as f:
