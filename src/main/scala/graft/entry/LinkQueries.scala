@@ -29,6 +29,10 @@ object LinkQueries {
   private val SnmPfx = 64; private val SnmDist = 8
   /** Edit-distance truth-set knobs (the q_edit_dedup values). */
   private val EbBucket = 8; private val EbMaxDist = 8
+  /** Blocking-recall probe slice: per-(lang, length-bucket) doc cap +
+    * hash salt — bounds the truth side's per-cell quadratic to cap²
+    * at any corpus size (the audit's lake-scale contract). */
+  private val PrCap = 256; private val PrSalt = 7
   /** Margin-scoring knobs (the hubness/LOF panel conventions). */
   private val MgK = 4; private val MgMod = 4L; private val MgTopK = 32
 
@@ -104,13 +108,30 @@ object LinkQueries {
 
     // SNM candidate recall against the (lang, length-bucket) edit-
     // distance truth set — the blocking-scheme guardrail (the
-    // q_minhash_accuracy convention applied to pair sets)
+    // q_minhash_accuracy convention applied to pair sets). SHIPPED as
+    // the PROBE-SLICE form (r14 VERDICT item 5): the truth side is
+    // per-cell quadratic BY DEFINITION, so the audit runs on a
+    // per-(lang, length-bucket) hash-capped doc sample — every truth
+    // pair lives inside one cell (or an adjacent-bucket pair of
+    // cells), so cluster-capping cells subsamples pairs without
+    // breaking them, and per-cell cost is ≤ cap² at ANY corpus size.
+    // Below the cap (all driver corpora) the slice IS the full corpus
+    // — values unchanged; the full form stays pinned in LinkageSpec.
     "q_blocking_recall" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("lang"),
+          call_function("div", col("n_chars"), lit(EbBucket.toLong)))
+        .orderBy(graft.functions.GraftFunctions
+          .md5Long(col("doc_id").cast("string"), PrSalt).asc_nulls_last,
+          col("doc_id").asc_nulls_last)
+      val probe = Tables.documents(s, d)
+        .withColumn("__prn", row_number().over(w))
+        .filter(col("__prn") <= PrCap).drop("__prn")
       Dedup.pairSetRecall(
-        Dedup.snmPairs(docs, col("doc_id"), col("lang"), col("text"),
+        Dedup.snmPairs(probe, col("doc_id"), col("lang"), col("text"),
           SnmWin, SnmKey, SnmPfx, SnmDist),
-        Dedup.editDistancePairs(docs, col("doc_id"), col("lang"),
+        Dedup.editDistancePairs(probe, col("doc_id"), col("lang"),
           col("text"), col("n_chars"), EbBucket, EbMaxDist))
     }),
 
@@ -253,8 +274,16 @@ object LinkQueries {
       val histSql = ('a' to 'z')
         .map(c => s"len(p) - len(replace(p, '$c', ''))")
         .mkString("[", ", ", "]")
-      s"""WITH sd AS (SELECT doc_id, lang,
-         |              substring($FoldSql, 1, $SnmPfx) AS p FROM documents
+      s"""WITH probe AS (
+         |  SELECT doc_id, lang, text, n_chars FROM (
+         |    SELECT doc_id, lang, text, n_chars,
+         |      row_number() OVER (PARTITION BY lang, n_chars // $EbBucket
+         |        ORDER BY CAST('0x'||substring(md5('$PrSalt|' ||
+         |          CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) NULLS LAST,
+         |          doc_id NULLS LAST) AS prn
+         |    FROM documents) WHERE prn <= $PrCap),
+         |sd AS (SELECT doc_id, lang,
+         |              substring($FoldSql, 1, $SnmPfx) AS p FROM probe
          |            WHERE doc_id IS NOT NULL AND lang IS NOT NULL
          |              AND text IS NOT NULL),
          |sr AS (SELECT doc_id, lang, p,
@@ -268,7 +297,7 @@ object LinkQueries {
          |         levenshtein(pa, pb) AS dist FROM sc),
          |snm AS (SELECT DISTINCT id1, id2 FROM sf WHERE dist <= $SnmDist),
          |ed AS (SELECT doc_id, lang, $FoldSql AS p,
-         |         n_chars // $EbBucket AS b FROM documents),
+         |         n_chars // $EbBucket AS b FROM probe),
          |eh AS (SELECT doc_id, lang, p, b, $histSql AS hist FROM ed),
          |ec AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS pa,
          |         b.p AS pb, a.hist AS ha, b.hist AS hb
