@@ -59,6 +59,11 @@ object Dedup {
     // Identity is md5Long (the engine-wide 60-bit convention, mirrored
     // in the oracle twin): the distinct and the self-join then key on
     // (src, 8-byte long) instead of (src, 32-char hex string)
+    // A/B'd (r15): an explicit h-repartition that lets the distinct
+    // and the self-join share ONE exchange loses to this shape at both
+    // sf0.1 (1.30 → 1.57 s) and sf1 — the raw exploded shingle stream
+    // it shuffles outweighs the saved exchange; map-side dedup earns
+    // its second (much smaller) shuffle. Kept: distinct-then-rekey.
     val sh = persistTracked(df.filter(content.isNotNull)
       .select(source.as("src"),
         graft.functions.GraftFunctions.md5Long(content).as("h")).distinct())

@@ -233,13 +233,19 @@ object TextAnalysis {
     // at sf1 under memory pressure). Both persists are |G|·256-row
     // artifacts; releaseCaches frees them.
     val gb = graft.core.Caches.track(klBucketCounts(df, text, group))
+    // dense grid in ONE aggregate over the persisted gb: totals and a
+    // (b → n_gb) map per group, then the 0..255 explode reads counts
+    // out of the map — no join of gb back onto its own totals (the
+    // left-join form cost one more exchange + two stages; A/B'd at
+    // sf0.1 AND sf1, this shape wins both)
     val grid = graft.core.Caches.track(
-      gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
-        .select(col("g"), col("n_g"),
+      gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"),
+          map_from_entries(collect_list(struct(col("b"), col("n_gb"))))
+            .as("m"))
+        .select(col("g"), col("n_g"), col("m"),
           explode(sequence(lit(0L), lit(B - 1))).as("b"))
-        .join(gb, Seq("g", "b"), "left")
         .select(col("g"), col("b"), col("n_g"),
-          coalesce(col("n_gb"), lit(0L)).as("c")))
+          coalesce(element_at(col("m"), col("b")), lit(0L)).as("c")))
     val l = grid.select(col("g").as("g1"), col("b"),
       col("n_g").as("ng1"), col("c").as("c1"))
     val r = grid.select(col("g").as("g2"), col("b"),
