@@ -360,7 +360,7 @@ object CoreQueries {
 
     "q_string_fns" ->
       """SELECT doc_id, upper(substr(text, 1, 12)) AS head12, CAST(length(text) AS BIGINT) AS n,
-        |       concat(lang, '_', source) AS tag, regexp_replace(text, ' ', '_', 'g') AS underscored
+        |       lang || '_' || source AS tag, regexp_replace(text, ' ', '_', 'g') AS underscored
         |FROM documents""".stripMargin,
 
     "q_date_fns" ->

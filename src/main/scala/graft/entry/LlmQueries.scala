@@ -2588,7 +2588,8 @@ object LlmQueries {
          |SELECT source, n_docs, n_pass,
          |       ${Selection.wilsonLbSql("n_pass", "n_docs")} AS wilson_lb,
          |       CAST(row_number() OVER (
-         |         ORDER BY ${Selection.wilsonLbSql("n_pass", "n_docs")} DESC, source)
+         |         ORDER BY ${Selection.wilsonLbSql("n_pass", "n_docs")} DESC,
+         |           source NULLS LAST)
          |         AS BIGINT) AS rnk
          |FROM ps""".stripMargin,
 

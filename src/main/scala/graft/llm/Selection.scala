@@ -314,8 +314,13 @@ object Selection {
       .agg(count(lit(1)).as("n_docs"), sum(col("p")).as("n_pass"))
       .select(col("source"), col("n_docs"), col("n_pass"),
         expr(wilsonLbSql("n_pass", "n_docs")).as("wilson_lb"))
+      // source tiebreak ASC NULLS LAST (Spark default NULLS FIRST vs
+      // DuckDB NULLS LAST — the unimaxAlloc parity class; a NULL
+      // source tying on wilson_lb shifted rnk, caught by the r15
+      // NULL-group adversarial doc)
       .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("wilson_lb").desc, col("source")))
+        .over(Window.orderBy(col("wilson_lb").desc,
+          col("source").asc_nulls_last))
         .cast("long"))
   }
 

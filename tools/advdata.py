@@ -145,6 +145,15 @@ def write_documents(out_dir):
         # memorization probe must flag exactly this doc (the driver
         # corpus plants none, so this is the only executed positive)
         (33, "leaked model output contains GRAFT-CANARY-7Q4-ZEBRA verbatim here", "en", "web", 0),
+        # --- NULL GROUPING KEYS (r15): lang and source are GROUP
+        # columns in a dozen queries (dp_release, unimax, domain
+        # cap/reweight, stratified sample, duels, js_sources...) — a
+        # NULL group exercises every NULL-group parity class at once:
+        # GROUP BY NULL keeps one NULL group in both engines, window
+        # ORDER BY must agree on NULLS LAST, and hash sentinels must
+        # replay (the dp_release 'V'/'N' marker). Text is valid so the
+        # row flows through quality/token paths, not the NULL-text arm.
+        (36, "a perfectly ordinary document whose language and source are unknown.", None, None, 0),
     ]
     # keep n_chars honest for the new rows (oracle-side len() parity)
     rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
