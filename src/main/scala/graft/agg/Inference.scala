@@ -734,4 +734,46 @@ object Inference {
         lit(null).cast("double")).otherwise(h / corr)
         .as("h_tie_corrected"))
   }
+
+  /** Fleiss' κ (Fleiss, Psych. Bulletin 1971) over r ≥ 2 BINARY raters
+    * evaluated per row — the multi-rater generalization of
+    * [[graft.llm.Selection.agreementKappa]]'s Cohen pairing: do the
+    * gates agree more than their marginal vote rates predict?
+    *
+    * Per row: p = positive votes (NULL rater votes 0 — both engines'
+    * CASE-to-ELSE), pairwise-agreement numerator a = p(p−1) +
+    * (r−p)(r−1−p). The corpus totals (N, Σp, Σa) are EXACT LONGs from
+    * one map-combined 1-row aggregate; P̄ = Σa/(N·r(r−1)),
+    * chance P_e = p₁² + (1−p₁)² with p₁ = Σp/(N·r), and
+    * κ = (P̄−P_e)/(1−P_e) are each ONE double chain replayed
+    * token-identically by the oracle. κ is NULL when N = 0 or the
+    * raters are vote-unanimous (1−P_e = 0 — κ undefined).
+    *
+    * Shape: zero shuffles — raters evaluate inside the scan
+    * projection, the aggregate is map-combined. Scan-bound at any
+    * scale. */
+  def fleissKappa(df: DataFrame, raters: Seq[Column]): DataFrame = {
+    require(raters.size >= 2, "fleissKappa needs >= 2 raters")
+    val r = raters.size.toLong
+    val p = raters.map(c => when(c, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val a = p * (p - lit(1L)) + (lit(r) - p) * (lit(r - 1L) - p)
+    val t = df.select(p.as("__p"), a.as("__a"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__p")), lit(0L)).as("s_votes"),
+        coalesce(sum(col("__a")), lit(0L)).as("s_agree"))
+    val nd = col("n_docs").cast("double")
+    val pbar = col("s_agree").cast("double") / (nd * lit((r * (r - 1)).toDouble))
+    val p1 = col("s_votes").cast("double") / (nd * lit(r.toDouble))
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    t.select(col("n_docs"), lit(r).as("n_raters"), col("s_votes"),
+      col("s_agree"),
+      when(col("n_docs") === 0L, lit(null).cast("double"))
+        .otherwise(pbar).as("p_bar"),
+      when(col("n_docs") === 0L, lit(null).cast("double"))
+        .otherwise(pe).as("p_e"),
+      when(col("n_docs") === 0L || lit(1.0) - pe === lit(0.0),
+        lit(null).cast("double"))
+        .otherwise((pbar - pe) / (lit(1.0) - pe)).as("kappa"))
+  }
 }

@@ -130,7 +130,21 @@ object QaQueries {
         coalesce(sum(when(col("embedding").isNotNull &&
           !FiniteVector(col("embedding")), 1L)), lit(0L))
           .as("n_quarantined"))
-    })
+    }),
+
+    // one-row embedding-norm health line: zero-norm count + exact
+    // norm quartiles off the quantized-norm count table (native
+    // SumSquares scan, domain-bounded cumulate window)
+    "q_embed_norm_profile" -> ((s, d) =>
+      Similarity.normProfile(Tables.embeddings(s, d), col("embedding"))),
+
+    // per-source mojibake scan: U+FFFD replacement chars (decoder
+    // already gave up upstream) + C0 controls other than tab/LF/CR
+    // (binary spill) — zero-shuffle scan + |sources|-key agg
+    "q_mojibake_scan" -> ((s, d) =>
+      TextAnalysis.encodingScan(Tables.documents(s, d), col("source"),
+        col("text"))
+        .withColumnsRenamed(Map("g" -> "source")))
   )
 
   /** Cosine similarity in DOUBLE, index order, 0 on zero norm — the
@@ -401,6 +415,51 @@ object QaQueries {
          |      len(list_filter(embedding,
          |        x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
          |    THEN 1 END), 0) AS BIGINT) AS n_quarantined
-         |FROM embeddings""".stripMargin
+         |FROM embeddings""".stripMargin,
+
+    // quantized-norm count table + exact rank selection (cum*den >=
+    // k*n is the pure integer form of cum >= ceil(n*q)); sqrt is
+    // correctly-rounded IEEE on both engines, the sum-of-squares runs
+    // the identical index-order double chain
+    "q_embed_norm_profile" ->
+      s"""WITH v AS (
+         |  SELECT CAST(floor(sqrt(coalesce(list_sum(list_transform(
+         |      embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         |      0.0)) * 1000.0) AS BIGINT) AS nq
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cc AS (SELECT nq, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+         |cum AS (SELECT nq, c,
+         |          CAST(sum(c) OVER (ORDER BY nq ROWS BETWEEN UNBOUNDED
+         |            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |          CAST(sum(c) OVER () AS BIGINT) AS n
+         |        FROM cc)
+         |SELECT CAST(coalesce(max(n), 0) AS BIGINT) AS n_vecs,
+         |  CAST(coalesce(sum(CASE WHEN nq = 0 THEN c END), 0) AS BIGINT)
+         |    AS n_zero,
+         |  CAST(min(CASE WHEN cum * 4 >= n THEN nq END) AS DOUBLE) / 1000.0
+         |    AS p25_norm,
+         |  CAST(min(CASE WHEN cum * 2 >= n THEN nq END) AS DOUBLE) / 1000.0
+         |    AS p50_norm,
+         |  CAST(min(CASE WHEN cum * 4 >= n * 3 THEN nq END) AS DOUBLE)
+         |    / 1000.0 AS p75_norm,
+         |  CAST(max(nq) AS DOUBLE) / 1000.0 AS max_norm
+         |FROM cum""".stripMargin,
+
+    // pattern text is shared verbatim with the engine rlike (RE2 and
+    // java.util.regex agree on \\x hex classes); chr(65533) = U+FFFD
+    "q_mojibake_scan" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(CASE WHEN contains(text, chr(65533))
+         |    THEN 1 END), 0) AS BIGINT) AS n_replacement,
+         |  CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 END), 0)
+         |    AS BIGINT) AS n_ctrl,
+         |  CAST(coalesce(sum(CASE WHEN contains(text, chr(65533))
+         |    THEN 1 END), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS repl_rate,
+         |  CAST(coalesce(sum(CASE WHEN regexp_matches(text,
+         |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]') THEN 1 END), 0)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ctrl_rate
+         |FROM documents WHERE text IS NOT NULL GROUP BY 1""".stripMargin
   )
 }

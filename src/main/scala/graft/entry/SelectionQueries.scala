@@ -1,6 +1,6 @@
 package graft.entry
 
-import graft.functions.GraftFunctions.tokensFolded
+import graft.functions.GraftFunctions.{tokens, tokensFolded}
 import graft.llm.{Bloom, Selection, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,6 +27,10 @@ object SelectionQueries {
     * synthetic corpus ("slow" ~2%/doc) and two that never do, so both
     * the hit and miss paths run on real data. */
   private val BlockedWords = Seq("slow", "broken", "spam", "casino")
+
+  /** Fleiss-kappa rater thresholds: min tokens (the rule-ablation
+    * value) and min chars. */
+  private val FkMinToks = 5; private val FkMinChars = 30L
 
   val queries: Map[String, Q] = Map(
     // fastText-style hashed linear scorer — zero-shuffle codegen
@@ -81,6 +85,17 @@ object SelectionQueries {
         !arrays_overlap(tokensFolded(col("text")),
           array(BlockedWords.map(lit): _*)))),
 
+    // Fleiss' kappa across three binary quality gates (classifier
+    // margin, token floor, char floor) — do the gates agree beyond
+    // their marginal vote rates? Zero shuffles: raters evaluate in the
+    // scan projection, totals are one map-combined 1-row aggregate
+    "q_fleiss_kappa" -> ((s, d) =>
+      graft.agg.Inference.fleissKappa(
+        Tables.documents(s, d).filter(col("text").isNotNull),
+        Seq(Selection.clfMargin(col("text")) > 0L,
+          size(tokens(col("text"))) >= FkMinToks,
+          col("n_chars") >= FkMinChars))),
+
     // leave-one-source-out quality ablation: corpus mean classifier
     // margin with vs without each source — the "should we drop this
     // feed?" readout; one group agg + a ≤|sources|-row window
@@ -110,6 +125,35 @@ object SelectionQueries {
       .mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    // the (n_docs, s_votes, s_agree) totals are exact LONGs; p_bar /
+    // p_e / kappa replay the engine's double chain token-for-token
+    "q_fleiss_kappa" -> {
+      val margin = s"CAST(coalesce(list_sum(list_transform(tk, t -> " +
+        s"((${sqlMd5Long("t")} % 64) * 2654435761) % 2001 - 1000)), 0) " +
+        "AS BIGINT)"
+      val pbar = "CAST(s_agree AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0)"
+      val p1 = "CAST(s_votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0)"
+      val pe = s"(($p1) * ($p1) + (1.0 - ($p1)) * (1.0 - ($p1)))"
+      s"""WITH toks AS (SELECT $SqlToks AS tk, n_chars FROM documents
+         |              WHERE text IS NOT NULL),
+         |v AS (SELECT
+         |    (CASE WHEN $margin > 0 THEN 1 ELSE 0 END)
+         |  + (CASE WHEN len(tk) >= $FkMinToks THEN 1 ELSE 0 END)
+         |  + (CASE WHEN n_chars >= $FkMinChars THEN 1 ELSE 0 END) AS p
+         |  FROM toks),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(coalesce(sum(p), 0) AS BIGINT) AS s_votes,
+         |        CAST(coalesce(sum(p * (p - 1) + (3 - p) * (2 - p)), 0)
+         |          AS BIGINT) AS s_agree
+         |      FROM v)
+         |SELECT n_docs, CAST(3 AS BIGINT) AS n_raters, s_votes, s_agree,
+         |  CASE WHEN n_docs = 0 THEN NULL ELSE $pbar END AS p_bar,
+         |  CASE WHEN n_docs = 0 THEN NULL ELSE $pe END AS p_e,
+         |  CASE WHEN n_docs = 0 OR 1.0 - $pe = 0.0 THEN NULL
+         |       ELSE (($pbar) - $pe) / (1.0 - $pe) END AS kappa
+         |FROM a""".stripMargin
+    },
+
     "q_quality_classifier" ->
       s"""WITH toks AS (SELECT doc_id, $SqlToks AS tk FROM documents),
          |m AS (

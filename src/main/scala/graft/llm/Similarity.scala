@@ -677,6 +677,49 @@ object Similarity {
     * the lake; the scale path reuses the IVF/LSH retrievers and
     * accepts approximate counts), one window per query, one ≤n-key
     * hash agg. */
+  /** Corpus norm profile — the one-row embedding-health line an ingest
+    * dashboard alerts on beside [[graft.entry.QaQueries]]'s quarantine
+    * count: how many vectors arrived, how many are (quantized-)zero
+    * norm (dead encoder / all-zero rows — cosine silently maps them to
+    * 0 against everything), and the exact quartiles + max of the L2
+    * norm (a drifting norm scale breaks dot-product retrieval and SQ8
+    * calibration before anything else notices).
+    *
+    * Exactness: norm = sqrt(Σx²) with the Σ in DOUBLE index order
+    * (native [[graft.functions.SumSquares]]; DuckDB replays
+    * list_sum(list_transform(...))) — sqrt is correctly-rounded IEEE
+    * on both engines, then floor(·scale) quantizes to LONG. Quartiles
+    * are exact rank selection over the quantized-norm count table
+    * (cum ≥ ⌈qN⌉ as the pure integer compare q·cum ≥ k·N — the
+    * conformal/PSI boundary discipline).
+    *
+    * Shape: one scan + one map-combined ≤|norm-domain|-key agg; the
+    * cumulate window runs over the quantized domain (≤ maxNorm·scale
+    * rows — BOUNDED, unlike a raw-double domain, which is why the
+    * default scale is 10³ not 10⁹). Scan-bound at any corpus size. */
+  def normProfile(df: DataFrame, vec: Column,
+                  scale: Double = 1.0e3): DataFrame = {
+    val nq = floor(sqrt(graft.functions.SumSquares(vec)) * lit(scale))
+      .cast("long")
+    val cc = df.filter(vec.isNotNull).select(nq.as("nq"))
+      .groupBy(col("nq")).agg(count(lit(1)).as("c"))
+    val wq = Window.orderBy(col("nq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def pct(num: Long, den: Long): Column =
+      min(when(col("cum") * lit(den) >= col("n") * lit(num), col("nq")))
+        .cast("double") / lit(scale)
+    cc.select(col("nq"), col("c"), sum(col("c")).over(wq).as("cum"),
+        sum(col("c")).over(wAll).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("n_vecs"),
+        coalesce(sum(when(col("nq") === 0L, col("c"))), lit(0L))
+          .as("n_zero"),
+        pct(1L, 4L).as("p25_norm"), pct(1L, 2L).as("p50_norm"),
+        pct(3L, 4L).as("p75_norm"),
+        (max(col("nq")).cast("double") / lit(scale)).as("max_norm"))
+  }
+
   /** Per-dimension (mean, sd) calibration for [[embedOutliers]] — the
     * [[dimStats]] aggregate collapsed to a dim-row driver artifact
     * (centroid discipline: bounded by dimensionality, never corpus

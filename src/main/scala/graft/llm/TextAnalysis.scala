@@ -1615,6 +1615,37 @@ object TextAnalysis {
     *
     * Shape: six regexp projections fused into the scan + ONE
     * map-combined groupBy on the group key. Scan-bound. */
+  /** Per-group encoding-health scan — the mojibake line of the ingest
+    * dashboard (the [[scriptProfile]] companion for BROKEN text): how
+    * many docs carry U+FFFD replacement characters (a decoder already
+    * gave up upstream — the text is damaged beyond repair and poisons
+    * n-gram/dedup features silently) and how many carry C0 control
+    * characters other than tab/LF/CR (binary spill into a text column:
+    * truncated PDFs, wrong-codec transcodes). At lake scale a feed
+    * whose repl_rate jumps is a broken crawler, caught here before the
+    * quality classifier dilutes it across the mix.
+    *
+    * One zero-shuffle scan projection (a contains + one RE2/Java-regex
+    * class, identical pattern text both engines) + a map-combined
+    * |groups|-key aggregate. Returns (g, n_docs, n_replacement,
+    * n_ctrl, repl_rate, ctrl_rate). */
+  def encodingScan(df: DataFrame, group: Column, text: Column)
+      : DataFrame =
+    df.filter(text.isNotNull)
+      .select(group.as("g"),
+        text.contains(lit("\uFFFD")).as("__repl"),
+        text.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("__ctrl"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("__repl"), 1L)), lit(0L))
+          .as("n_replacement"),
+        coalesce(sum(when(col("__ctrl"), 1L)), lit(0L)).as("n_ctrl"))
+      .select(col("g"), col("n_docs"), col("n_replacement"), col("n_ctrl"),
+        (col("n_replacement").cast("double") / col("n_docs").cast("double"))
+          .as("repl_rate"),
+        (col("n_ctrl").cast("double") / col("n_docs").cast("double"))
+          .as("ctrl_rate"))
+
   def scriptProfile(df: DataFrame, group: Column, text: Column)
       : DataFrame = {
     val classes = Seq(

@@ -314,4 +314,34 @@ class InferenceSpec extends SparkSpec {
     val r = Inference.kruskalWallis(df, col("g"), col("v")).head()
     assert(r.isNullAt(r.fieldIndex("h")))
   }
+
+  test("fleissKappa matches the hand-computed 3-rater statistic") {
+    // per-doc positive votes p = 3, 0, 2, 1:
+    // a_i = p(p−1)+(3−p)(2−p) = 6, 6, 2, 2 → Σa = 16, Σp = 6, N = 4
+    // P̄ = 16/24 = 2/3, p₁ = 6/12 = 1/2, P_e = 1/2, κ = (2/3−1/2)/(1/2) = 1/3
+    val df = Seq(
+      (true, true, true), (false, false, false),
+      (true, true, false), (true, false, false)
+    ).toDF("r1", "r2", "r3")
+    val r = Inference.fleissKappa(df, Seq(col("r1"), col("r2"), col("r3")))
+      .head()
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("s_votes") == 6L)
+    assert(r.getAs[Long]("s_agree") == 16L)
+    assert(math.abs(r.getAs[Double]("kappa") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("fleissKappa: unanimous raters (P_e = 1) yield NULL kappa; NULL votes count 0") {
+    val una = Seq((true, true, true), (true, true, true)).toDF("r1", "r2", "r3")
+    val r = Inference.fleissKappa(una, Seq(col("r1"), col("r2"), col("r3")))
+      .head()
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+    // a NULL rater verdict is a 0-vote, not a dropped row
+    val withNull = Seq((Some(true), true, true), (None, false, false))
+      .toDF("r1", "r2", "r3")
+    val rn = Inference.fleissKappa(withNull,
+      Seq(col("r1"), col("r2"), col("r3"))).head()
+    assert(rn.getAs[Long]("n_docs") == 2L)
+    assert(rn.getAs[Long]("s_votes") == 3L)
+  }
 }

@@ -263,4 +263,34 @@ class CorpusQaSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(big.toSeq == out.toSeq)
   }
+
+  test("normProfile: exact rank quartiles over quantized norms, zero-norm count") {
+    // norms 0, 1, 2, 3 → nq 0, 1000, 2000, 3000; lower-quartile ranks:
+    // p25 = 1st (0.0), p50 = 2nd (1.0), p75 = 3rd (2.0), max 3.0
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 2f)), (3L, Array(3f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.llm.Similarity.normProfile(df, col("embedding")).head()
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Double]("p25_norm") == 0.0)
+    assert(r.getAs[Double]("p50_norm") == 1.0)
+    assert(r.getAs[Double]("p75_norm") == 2.0)
+    assert(r.getAs[Double]("max_norm") == 3.0)
+  }
+
+  test("encodingScan: flags U+FFFD and C0 controls, exempts tab/LF/CR") {
+    val df = Seq(
+      ("web", "clean text with\ttab and\nnewline and\rCR"),
+      ("web", "damaged � replacement"),
+      ("pdf", "binary \u0001\u0002 spill"),
+      ("pdf", null.asInstanceOf[String])
+    ).toDF("source", "text")
+    val out = TextAnalysis.encodingScan(df, col("source"), col("text"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_replacement"), r.getAs[Long]("n_ctrl")))
+    assert(out.toSeq == Seq(("pdf", 1L, 0L, 1L), ("web", 2L, 1L, 0L)))
+  }
 }

@@ -154,6 +154,12 @@ def write_documents(out_dir):
         # replay (the dp_release 'V'/'N' marker). Text is valid so the
         # row flows through quality/token paths, not the NULL-text arm.
         (36, "a perfectly ordinary document whose language and source are unknown.", None, None, 0),
+        # --- ENCODING DAMAGE (q_mojibake_scan, r15): C0 controls
+        # (binary spill — \x01\x02; tab/LF/CR stay exempt) and U+FFFD
+        # replacement chars (decoder already gave up) — the driver
+        # corpus is clean, so these are the only executed positives
+        (37, "truncated pdf spill \x01\x02 mid text", "en", "pdf", 0),
+        (38, "decoder gave up �� right here", "en", "web", 0),
     ]
     # keep n_chars honest for the new rows (oracle-side len() parity)
     rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
