@@ -1193,4 +1193,43 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"),
       s"the vocab join must be a hash join:\n$p")
   }
+
+  test("embedding ingest guard stays inside whole-stage codegen at the scan") {
+    // the FiniteVector filter must not break the codegen span of a
+    // downstream projection (it sits on EVERY corpus ANN scan)
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), functions.SumSquares(col("embedding")).as("s"))
+    val p = plan(df)
+    assert(p.contains("*(1)"), s"guarded scan fell out of codegen:\n$p")
+    assert(!p.contains("Exchange"), s"the guard must be shuffle-free:\n$p")
+    assert(p.contains("is_finite_vec"), s"guard missing from the plan:\n$p")
+  }
+
+  test("norm profile: map-combined agg, window over the quantized domain only") {
+    val df = SparkEntry.queries("q_embed_norm_profile")(spark, sf)
+    val p = plan(df)
+    // corpus work = one partial+final agg pair on the quantized norm;
+    // the unpartitioned window runs AFTER that domain-sized collapse
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"no map-side combine on the norm key:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"profile must be joinless:\n$p")
+  }
+
+  test("mojibake scan is a zero-join scan projection + one grouped agg") {
+    val df = SparkEntry.queries("q_mojibake_scan")(spark, sf)
+    val p = plan(df)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle (the source agg):\n$p")
+    assert(!p.contains("Join"), s"scan must be joinless:\n$p")
+  }
+
+  test("fleiss kappa: zero shuffles — raters fold into one 1-row aggregate") {
+    val df = SparkEntry.queries("q_fleiss_kappa")(spark, sf)
+    val p = plan(df)
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"expected only the final single-partition exchange:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"kappa must be joinless and windowless:\n$p")
+  }
 }
