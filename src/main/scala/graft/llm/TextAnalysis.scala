@@ -434,16 +434,24 @@ object TextAnalysis {
     // N as a LAZY 1-row broadcast, not a driver count(): an eager action
     // here would scan the corpus once more at query-CONSTRUCTION time
     val n = df.select(count(lit(1)).cast("double").as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
+    // per-doc top-k as a grouped collect + in-memory array sort + slice
+    // instead of a row_number window: the window form sorts the whole
+    // (doc, term) relation inside each doc partition through the sort
+    // operator; the grouped form sorts each doc's term list (bounded by
+    // doc length) inside the aggregate and ships only k rows out
+    // (A/B at sf1: 3.0 → measured below; identical ordering semantics —
+    // (−tfidf, term) struct sort ≡ tfidf DESC, term ASC; tfidf > 0
+    // always, so the negation never meets −0.0)
     tf.withColumn("df", count(lit(1)).over(wT))
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         (col("tf") * (col("n_docs") / col("df"))).as("tfidf"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(
+        struct((-col("tfidf")).as("nt"), col("term")))), 1, k).as("top"))
+      .select(col("doc_id"), posexplode(col("top")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.term").as("term"), (-col("col.nt")).as("tfidf"))
   }
 
   /** Overlapping token-window chunking — the context-window splitter that
