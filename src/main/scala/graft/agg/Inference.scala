@@ -493,7 +493,15 @@ object Inference {
     * residuals for both slices — q̂ comes from the KS/PSI domain-sized
     * distinct-value window (never a corpus-wide sort) and broadcasts
     * into the coverage count. Degenerate fit (NULL βs) or an empty
-    * calibration slice → NULL q̂/coverage. */
+    * calibration slice → NULL q̂/coverage.
+    *
+    * Scale knob (the kruskalWallis convention): the cumulate window is
+    * unpartitioned, so its input must stay DOMAIN-sized — the residual
+    * quantization scale (10⁶ here) is what bounds that domain. On a
+    * lake-scale calibration slice whose residuals are near-unique at
+    * 10⁻⁶, drop the scale (10³ gives a ≤ maxResid·10³-row domain, the
+    * normProfile discipline) — q̂ coarsens by the same grid and the
+    * determinism contract is unchanged. */
   def conformalInterval(df: DataFrame, y: Column, x1: Column, x2: Column,
                         inTrain: Column, inCalib: Column,
                         covNum: Int = 9, covDen: Int = 10): DataFrame = {

@@ -1231,15 +1231,16 @@ object Similarity {
       .filter(col("ga") < col("gb"))
       .groupBy(col("ga"), col("gb"))
       .agg(sum(q9(col("ca") * col("cb"))).as("dq"))
+    // one label-attribute table (norms ⋈ cohesion, |labels| rows)
+    // joined twice, instead of four separate domain joins — halves the
+    // broadcast/stage count of the tiny assembly tail (1.27 s at sf1
+    // was 5 jobs / 17 stages, dominated by this fan of exchanges)
+    val lab = norms.join(cohesion, Seq("g"))
     pairDots
-      .join(norms.select(col("g").as("ga"), col("nq").as("nqa"),
-        col("n_members").as("n_a")), Seq("ga"))
-      .join(norms.select(col("g").as("gb"), col("nq").as("nqb"),
-        col("n_members").as("n_b")), Seq("gb"))
-      .join(cohesion.select(col("g").as("ga"), col("coh").as("coh_a")),
-        Seq("ga"))
-      .join(cohesion.select(col("g").as("gb"), col("coh").as("coh_b")),
-        Seq("gb"))
+      .join(lab.select(col("g").as("ga"), col("nq").as("nqa"),
+        col("n_members").as("n_a"), col("coh").as("coh_a")), Seq("ga"))
+      .join(lab.select(col("g").as("gb"), col("nq").as("nqb"),
+        col("n_members").as("n_b"), col("coh").as("coh_b")), Seq("gb"))
       .select(col("ga").as("label_a"), col("gb").as("label_b"),
         col("n_a"), col("n_b"),
         when(col("nqa") <= 0L || col("nqb") <= 0L,
