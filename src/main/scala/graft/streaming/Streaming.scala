@@ -599,6 +599,48 @@ object Streaming {
         .select(col("x"), col("a"), col("b")))
   }
 
+  /** Per-batch counts for the embedding ingest guard
+    * ([[graft.sources.Tables.embeddings]] / FiniteVector): how many
+    * vectors arrived, how many were NULL, how many the guard drops for
+    * NaN/±Inf/NULL elements. One zero-shuffle scan + a 3-key agg. */
+  def quarantineCounts(batch: DataFrame, vec: Column): DataFrame =
+    batch.select(
+      when(vec.isNull, lit("null_in"))
+        .when(!graft.functions.FiniteVector(vec), lit("quarantined"))
+        .otherwise(lit("ok")).as("cat"))
+      .groupBy(col("cat")).agg(count(lit(1)).as("n"))
+
+  /** Merge one micro-batch into the persistent quarantine-count ledger
+    * — the streaming twin of the batch `q_embed_quarantine` lineage
+    * line, so a lake-scale ingest dashboard alerts on a quarantine-rate
+    * jump (a broken embedder upstream) without re-scanning history.
+    * Counts are additive across micro-batches (the line/KL ledger
+    * class); state is 3 rows. */
+  def mergeQuarantineLedger(ledger: DataFrame, batch: DataFrame,
+                            vec: Column): DataFrame =
+    ledger.select(col("cat"), col("n"))
+      .unionByName(quarantineCounts(batch, vec))
+      .groupBy(col("cat")).agg(sum(col("n")).as("n"))
+
+  /** Replay-proof [[mergeQuarantineLedger]] — the
+    * [[mergePsiLedgerIdempotent]] batchId high-water-mark discipline:
+    * a redelivered `foreachBatch` batch is a no-op instead of
+    * double-counting (which would fabricate a quarantine-rate spike on
+    * every failure recovery). Sentinel is (cat=null, n=batchId); real
+    * categories are the non-null literals above, so the gated ledger
+    * equals the one-shot batch counts bit for bit under replay
+    * (StreamingSpec pins it). */
+  def mergeQuarantineLedgerIdempotent(ledger: DataFrame, batch: DataFrame,
+                                      vec: Column,
+                                      batchId: Long): DataFrame = {
+    val hwm = ledgerHighWaterMark(ledger, col("cat"), col("n"))
+    if (batchId <= hwm) ledger.select(col("cat"), col("n"))
+    else mergeQuarantineLedger(ledger.filter(col("cat").isNotNull),
+      batch, vec)
+      .unionByName(hwmSentinel(batch.sparkSession, "cat", "string",
+        "n", batchId))
+  }
+
   /** Merge one micro-batch's events into the persistent (k, day, c)
     * daily-count ledger behind a streaming
     * [[graft.agg.TimeSeries.rollingAnomaly]]: counts are additive

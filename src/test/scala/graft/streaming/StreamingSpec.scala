@@ -1166,4 +1166,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"replay-gated duel ledger must equal the batch win matrix: $streamed vs $batch")
   }
+
+  test("idempotent quarantine ledger: replay is a no-op; counts match the batch guard") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ok, NaN, NULL vector, +Inf, ok, -Inf → ok 2 / null_in 1 / quarantined 3
+    val rows: Seq[(Long, Option[Seq[Float]])] = Seq(
+      (0L, Some(Seq(1f, 2f))),
+      (1L, Some(Seq(Float.NaN, 1f))),
+      (2L, None),
+      (3L, Some(Seq(Float.PositiveInfinity, 0f))),
+      (4L, Some(Seq(0.5f, 0.25f))),
+      (5L, Some(Seq(1f, Float.NegativeInfinity))))
+
+    var ledger = Seq.empty[(String, Long)].toDF("cat", "n")
+    val ms = MemoryStream[(Long, Option[Seq[Float]])]
+    val q = ms.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ledger.synchronized {
+          ledger = Streaming.mergeQuarantineLedgerIdempotent(ledger, batch,
+            col("embedding"), bid).cache()
+          ledger.count()
+          // redelivery of the same batchId must not double the counts
+          ledger = Streaming.mergeQuarantineLedgerIdempotent(ledger, batch,
+            col("embedding"), bid).cache()
+          ledger.count()
+        }
+        ()
+      }.start()
+    ms.addData(rows.take(3)); q.processAllAvailable()
+    ms.addData(rows.drop(3)); q.processAllAvailable()
+    q.stop()
+
+    assert(Streaming.ledgerHighWaterMark(ledger, col("cat"), col("n")) == 1L)
+    val got = ledger.filter(col("cat").isNotNull)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ok" -> 2L, "null_in" -> 1L, "quarantined" -> 3L),
+      s"ledger counts drifted: $got")
+    // the streamed ledger equals the one-shot batch guard accounting:
+    // quarantined+null_in = rows the batch Tables.embeddings guard
+    // would drop or pass through as NULL
+    val all = rows.toDF("vec_id", "embedding")
+    val batchCounts = Streaming.quarantineCounts(all, col("embedding"))
+      .as[(String, Long)].collect().toMap
+    assert(got == batchCounts)
+  }
 }
