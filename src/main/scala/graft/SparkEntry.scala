@@ -37,18 +37,31 @@ object SparkEntry {
     "__emb AS (SELECT * FROM embeddings WHERE embedding IS NULL OR " +
       "len(list_filter(embedding, x -> x IS NULL OR isnan(x) OR isinf(x))) = 0)"
 
+  /** The oracle twin of [[graft.sources.Tables.documents]]'s orphan-row
+    * quarantine: NULL doc_id rows drop at the seam (see the scaladoc
+    * there for the five ways they poison id-keyed analytics). */
+  private val DocGuardCte =
+    "__doc AS (SELECT * FROM documents WHERE doc_id IS NOT NULL)"
+
   /** Queries that must see the UNGUARDED read (quarantine accounting). */
   private val RawEmbQueries = Set("q_embed_quarantine")
 
-  private def guardEmbeddings(name: String, sql: String): String = {
-    if (RawEmbQueries(name) || !sql.contains("embeddings")) sql
+  private def guardTable(sql: String, table: String, alias: String,
+                         cte: String): String = {
+    if (!sql.contains(table)) sql
     else {
-      val renamed = sql.replaceAll("\\bembeddings\\b", "__emb")
+      val renamed = sql.replaceAll(s"\\b$table\\b", alias)
       if (renamed.startsWith("WITH RECURSIVE "))
-        s"WITH RECURSIVE $EmbGuardCte,${renamed.drop(15)}"
-      else if (renamed.startsWith("WITH ")) s"WITH $EmbGuardCte,${renamed.drop(5)}"
-      else s"WITH $EmbGuardCte\n$renamed"
+        s"WITH RECURSIVE $cte,${renamed.drop(15)}"
+      else if (renamed.startsWith("WITH ")) s"WITH $cte,${renamed.drop(5)}"
+      else s"WITH $cte\n$renamed"
     }
+  }
+
+  private def guardEmbeddings(name: String, sql: String): String = {
+    val docGuarded = guardTable(sql, "documents", "__doc", DocGuardCte)
+    if (RawEmbQueries(name)) docGuarded
+    else guardTable(docGuarded, "embeddings", "__emb", EmbGuardCte)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

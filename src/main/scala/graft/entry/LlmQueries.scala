@@ -3148,25 +3148,21 @@ object LlmQueries {
          |       FROM pl WHERE ph IS NOT NULL),
          |fr AS (
          |  SELECT media_id,
-         |    list_sum(list_transform(range(16*i, least(16*i + 16, n_bytes)),
-         |      j -> (CAST('0x' || substr(ph, CAST(2*j+1 AS INT), 2)
-         |              AS BIGINT) - 128)
-         |           * (CAST('0x' || substr(ph, CAST(2*j+1 AS INT), 2)
-         |              AS BIGINT) - 128))) AS e
-         |  FROM pm, unnest(range(0, CAST(ceil(n_bytes / 16.0) AS BIGINT)))
-         |       AS u(i)),
-         |ag AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
-         |         CAST(sum(CASE WHEN e < 20000 THEN 1 ELSE 0 END)
-         |           AS BIGINT) AS n_silent,
-         |         CAST(sum(e) AS BIGINT) AS energy_q
-         |       FROM fr GROUP BY 1)
-         |SELECT pm.media_id, coalesce(ag.n_frames, 0) AS n_frames,
-         |       coalesce(ag.n_silent, 0) AS n_silent,
-         |       coalesce(ag.energy_q, 0) AS energy_q,
-         |       CASE WHEN coalesce(ag.n_frames, 0) = 0 THEN NULL
-         |            ELSE CAST(ag.n_silent AS DOUBLE)
-         |                 / CAST(ag.n_frames AS DOUBLE) END AS silence_ratio
-         |FROM pm LEFT JOIN ag USING (media_id)""".stripMargin,
+         |    list_transform(range(0, CAST(ceil(n_bytes / 16.0) AS BIGINT)),
+         |      i -> list_sum(list_transform(
+         |        range(16*i, least(16*i + 16, n_bytes)),
+         |        j -> (CAST('0x' || substr(ph, CAST(2*j+1 AS INT), 2)
+         |                AS BIGINT) - 128)
+         |             * (CAST('0x' || substr(ph, CAST(2*j+1 AS INT), 2)
+         |                AS BIGINT) - 128)))) AS es
+         |  FROM pm)
+         |SELECT media_id, CAST(len(es) AS BIGINT) AS n_frames,
+         |  CAST(len(list_filter(es, e -> e < 20000)) AS BIGINT) AS n_silent,
+         |  CAST(coalesce(list_sum(es), 0) AS BIGINT) AS energy_q,
+         |  CASE WHEN len(es) = 0 THEN NULL
+         |       ELSE CAST(len(list_filter(es, e -> e < 20000)) AS DOUBLE)
+         |            / CAST(len(es) AS DOUBLE) END AS silence_ratio
+         |FROM fr""".stripMargin,
 
     // mirrors Multimodal.dHash: cell i = byte floor(i·(n−1)/71) read
     // off the hex rendering, band j = Σ gradient-bit << ((r%2)·8+c)

@@ -22,7 +22,11 @@ object Multimodal {
 
   /** Canonical media schema: (media_id, payload binary, meta struct). */
   val mediaSchema: StructType = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
+    // nullable: an orphan row whose id was lost upstream must DEGRADE
+    // (NULL id propagates, both engines agree) — with nullable=false a
+    // single such row kills the whole mapPartitions job with
+    // ROW_VALUE_IS_NULL (r15 adversarial NULL-doc_id row, measured)
+    StructField("media_id", LongType, nullable = true),
     StructField("payload", BinaryType, nullable = true),
     StructField("meta", StructType(Seq(
       StructField("mime", StringType, nullable = true),
@@ -129,14 +133,15 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame, dim: Int,
                       batchSize: Int = 256): DataFrame = {
     val outSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
+      StructField("media_id", LongType, nullable = true),
       StructField("features", ArrayType(FloatType), nullable = true)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload")).mapPartitions { it =>
       // per-partition "decoder" setup happens here, once
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { r =>
-          val id = r.getLong(0)
+          // boxed: a NULL id row degrades instead of killing the job
+          val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
           val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
           Row(id, fakeDecodeFeatures(payload, dim))
         }
@@ -157,7 +162,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { r =>
-            val id = r.getLong(0)
+            val id: Any = if (r.isNullAt(0)) null else r.getLong(0)
             val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
             val resized =
               if (payload == null) null

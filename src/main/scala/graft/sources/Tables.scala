@@ -147,7 +147,25 @@ object Tables {
           .mkString(", "))
     verdicts.headOption.exists(_._2)
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** Documents with the orphan-row quarantine applied at the ingest
+    * seam: a row whose doc_id is NULL is DROPPED. doc_id is the
+    * identity key of every document analytic — dedup clusters, window
+    * tiebreaks, slice residues, posting joins — and a NULL id is
+    * poison for each in a DIFFERENT way (equi-joins silently drop it,
+    * GROUP BY merges all orphans into one fake doc, `id % k` slices
+    * exclude it, ORDER BY tiebreaks place it engine-differently, and
+    * one mapPartitions encoder crashed outright — all five observed
+    * under the r15 adversarial NULL-id row). One contract at one seam
+    * beats 100 per-query NULL dances; the DuckDB oracles replay it via
+    * the `__doc` guard CTE prepended in [[graft.SparkEntry.oracleSql]].
+    * [[rawDocuments]] is the unguarded read. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    rawDocuments(s, d)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isNotNull)
+
+  /** The unguarded documents read — quarantine accounting only. */
+  def rawDocuments(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
 
   /** Embeddings with the non-finite quarantine applied at the ingest
     * seam: a row whose vector carries NaN/±Inf (or a NULL element — a

@@ -160,9 +160,15 @@ def write_documents(out_dir):
         # corpus is clean, so these are the only executed positives
         (37, "truncated pdf spill \x01\x02 mid text", "en", "pdf", 0),
         (38, "decoder gave up �� right here", "en", "web", 0),
+        # --- NULL doc_id (r15): the id is the tiebreak key of dozens
+        # of windows and the residue key of every slice predicate —
+        # NULL must order/slice identically on both engines (NULL % k
+        # is NULL → out of every residue slice; window tiebreaks must
+        # agree on NULL placement)
+        (None, "an orphan row whose identifier was lost upstream.", "en", "web", 0),
     ]
     # keep n_chars honest for the new rows (oracle-side len() parity)
-    rows = [(i, t, l, s, len(t) if n == 0 and i >= 15 else n)
+    rows = [(i, t, l, s, len(t) if n == 0 and (i is None or i >= 15) else n)
             for (i, t, l, s, n) in rows]
     con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
                 " source VARCHAR, n_chars BIGINT)")
