@@ -43,6 +43,11 @@ object SparkEntry {
   private val DocGuardCte =
     "__doc AS (SELECT * FROM documents WHERE doc_id IS NOT NULL)"
 
+  /** The oracle twin of [[graft.sources.Tables.events]]'s orphan-row
+    * quarantine (same contract: event_id is the identity). */
+  private val EvtGuardCte =
+    "__evt AS (SELECT * FROM events WHERE event_id IS NOT NULL)"
+
   /** Queries that must see the UNGUARDED read (quarantine accounting). */
   private val RawEmbQueries = Set("q_embed_quarantine")
 
@@ -59,7 +64,9 @@ object SparkEntry {
   }
 
   private def guardEmbeddings(name: String, sql: String): String = {
-    val docGuarded = guardTable(sql, "documents", "__doc", DocGuardCte)
+    val docGuarded = guardTable(
+      guardTable(sql, "documents", "__doc", DocGuardCte),
+      "events", "__evt", EvtGuardCte)
     if (RawEmbQueries(name)) docGuarded
     else guardTable(docGuarded, "embeddings", "__emb", EmbGuardCte)
   }

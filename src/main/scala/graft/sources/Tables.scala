@@ -67,7 +67,19 @@ object Tables {
     *
     * TIMESTAMP(MICROS/MILLIS, UTC) already arrives as a native
     * TimestampType and passes through unchanged. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Events with the orphan-row quarantine (the [[documents]]
+    * contract): event_id is the event's identity and the tiebreak key
+    * of every event-ordering window — a NULL id crashed the typed
+    * `Dataset[T]` path outright (NOT_NULL_ASSERT_VIOLATION on the
+    * primitive Long field) and split NULL tiebreak placement across
+    * engines in seven more queries (r15 adversarial row). Dropped at
+    * the seam; the oracles replay via the `__evt` guard CTE. */
+  def events(s: SparkSession, d: String): DataFrame =
+    rawEvents(s, d)
+      .filter(org.apache.spark.sql.functions.col("event_id").isNotNull)
+
+  /** The unguarded events read — quarantine accounting only. */
+  def rawEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {

@@ -206,6 +206,10 @@ def write_events(out_dir):
         # ~2M buckets; with the clamp (mirrored in the oracle) the grid
         # stops at b0+99999 and the row only serves as a lerp neighbor
         (19, dt.datetime(2255, 6, 1, 0, 0, 0), 5, "view", 9.0, '{"k": 19}'),
+        # NULL event_id TIED on (user, ts) with event 0/1 (r15): the id
+        # is the tiebreak key of every event-ordering window — NULL
+        # placement must agree across engines (the doc_id orphan class)
+        (None, t(1), 1, "view", 15.0, '{"k": 20}'),
     ]
     cols = list(zip(*rows))
     tbl = pa.table({
