@@ -48,8 +48,10 @@ object SparkEntry {
   private val EvtGuardCte =
     "__evt AS (SELECT * FROM events WHERE event_id IS NOT NULL)"
 
-  /** Queries that must see the UNGUARDED read (quarantine accounting). */
-  private val RawEmbQueries = Set("q_embed_quarantine")
+  /** Queries that must see UNGUARDED reads (quarantine accounting —
+    * they COUNT what the guards drop, so the rewrite must not apply). */
+  private val RawTableQueries =
+    Set("q_embed_quarantine", "q_doc_quarantine", "q_event_quarantine")
 
   private def guardTable(sql: String, table: String, alias: String,
                          cte: String): String = {
@@ -64,11 +66,12 @@ object SparkEntry {
   }
 
   private def guardEmbeddings(name: String, sql: String): String = {
-    val docGuarded = guardTable(
-      guardTable(sql, "documents", "__doc", DocGuardCte),
-      "events", "__evt", EvtGuardCte)
-    if (RawEmbQueries(name)) docGuarded
-    else guardTable(docGuarded, "embeddings", "__emb", EmbGuardCte)
+    if (RawTableQueries(name)) sql
+    else guardTable(
+      guardTable(
+        guardTable(sql, "documents", "__doc", DocGuardCte),
+        "events", "__evt", EvtGuardCte),
+      "embeddings", "__emb", EmbGuardCte)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -132,6 +132,21 @@ object QaQueries {
           .as("n_quarantined"))
     }),
 
+    // lineage lines for the other two ingest guards (the
+    // q_embed_quarantine contract): how many orphan rows the
+    // documents/events seams drop — zero-shuffle raw-read aggregates
+    "q_doc_quarantine" -> ((s, d) =>
+      Tables.rawDocuments(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("doc_id").isNull, 1L)), lit(0L))
+          .as("n_orphan"))),
+
+    "q_event_quarantine" -> ((s, d) =>
+      Tables.rawEvents(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(sum(when(col("event_id").isNull, 1L)), lit(0L))
+          .as("n_orphan"))),
+
     // one-row embedding-norm health line: zero-norm count + exact
     // norm quartiles off the quantized-norm count table (native
     // SumSquares scan, domain-bounded cumulate window)
@@ -416,6 +431,19 @@ object QaQueries {
          |        x -> x IS NULL OR isnan(x) OR isinf(x))) > 0
          |    THEN 1 END), 0) AS BIGINT) AS n_quarantined
          |FROM embeddings""".stripMargin,
+
+    // RAW reads by design (SparkEntry.RawTableQueries exempts them)
+    "q_doc_quarantine" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(CASE WHEN doc_id IS NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_orphan
+         |FROM documents""".stripMargin,
+
+    "q_event_quarantine" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(coalesce(sum(CASE WHEN event_id IS NULL THEN 1 END), 0)
+         |    AS BIGINT) AS n_orphan
+         |FROM events""".stripMargin,
 
     // quantized-norm count table + exact rank selection (cum*den >=
     // k*n is the pure integer form of cum >= ceil(n*q)); sqrt is
