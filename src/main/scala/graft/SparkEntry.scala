@@ -53,19 +53,51 @@ object SparkEntry {
   private val RawTableQueries =
     Set("q_embed_quarantine", "q_doc_quarantine", "q_event_quarantine")
 
-  private def guardTable(sql: String, table: String, alias: String,
-                         cte: String): String = {
-    if (!sql.contains(table)) sql
+  /** Rewrite `sql` so every reference to `table` reads through the guard
+    * CTE instead. The rewrite is purely LEXICAL — a `\b`-token rename plus
+    * a prefix splice — so it is only sound under the invariants below,
+    * each enforced with a loud `require` (a violating future oracle must
+    * fail at Verify time, never be silently corrupted — r15 ADVICE):
+    *   1. the guarded name never appears inside a quoted string literal
+    *      (the rename would rewrite the literal's VALUE);
+    *   2. the oracle does not already mention the guard alias (a second
+    *      rewrite pass, or a hand-written CTE, would collide);
+    *   3. the oracle does not define its own CTE named after the table
+    *      (renaming its definition head would collide with the guard CTE);
+    *   4. the statement starts with SELECT or WITH [RECURSIVE] — matched
+    *      case-insensitively after trimming, so whitespace/lowercase
+    *      prefixes splice correctly instead of falling through.
+    * Negative coverage: GuardRewriteSpec. */
+  private[graft] def guardTable(sql: String, table: String, alias: String,
+                                cte: String): String = {
+    val token = s"\\b$table\\b".r
+    if (token.findFirstIn(sql).isEmpty) sql
     else {
-      val renamed = sql.replaceAll(s"\\b$table\\b", alias)
-      if (renamed.startsWith("WITH RECURSIVE "))
-        s"WITH RECURSIVE $cte,${renamed.drop(15)}"
-      else if (renamed.startsWith("WITH ")) s"WITH $cte,${renamed.drop(5)}"
-      else s"WITH $cte\n$renamed"
+      require(
+        !"'(?:[^']|'')*'".r.findAllIn(sql)
+          .exists(lit => token.findFirstIn(lit).isDefined),
+        s"guardTable($table): name occurs inside a string literal; " +
+          "the token rename would corrupt the literal's value")
+      require(!sql.contains(alias),
+        s"guardTable($table): oracle already references $alias " +
+          "(double rewrite or hand-written guard CTE)")
+      require(s"(?i)\\b$table\\s+AS\\s*\\(".r.findFirstIn(sql).isEmpty,
+        s"guardTable($table): oracle defines a CTE named $table; " +
+          "renaming its head would collide with the guard CTE")
+      val renamed = token.replaceAllIn(sql, alias).strip
+      "(?is)^(WITH\\s+RECURSIVE|WITH)\\s+".r.findPrefixMatchOf(renamed) match {
+        case Some(m) =>
+          s"${m.group(1)} $cte,${renamed.substring(m.end)}"
+        case None =>
+          require(renamed.regionMatches(true, 0, "SELECT", 0, 6),
+            s"guardTable($table): oracle must start with SELECT or WITH, " +
+              s"got: ${renamed.take(40)}")
+          s"WITH $cte\n$renamed"
+      }
     }
   }
 
-  private def guardEmbeddings(name: String, sql: String): String = {
+  private[graft] def guardEmbeddings(name: String, sql: String): String = {
     if (RawTableQueries(name)) sql
     else guardTable(
       guardTable(

@@ -420,7 +420,7 @@ object QaQueries {
          |             / l2.lrd END) >= $LofAt AS outlier
          |FROM l2 JOIN num ON num.a = l2.a""".stripMargin,
 
-    // RAW read by design (SparkEntry.RawEmbQueries exempts it from the
+    // RAW read by design (SparkEntry.RawTableQueries exempts it from the
     // guard CTE): counts what the guard WOULD null out
     "q_embed_quarantine" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,

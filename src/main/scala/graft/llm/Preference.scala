@@ -119,8 +119,10 @@ object Preference {
     // index once by (win, lose) — the old per-pair linear scans of pc
     // were O(|items|²·|pc|) driver work (r14 ADVICE item 4)
     val pcMap = pc.map(p => (p._1, p._2) -> p._3).toMap
-    val wins = items.map(i =>
-      i -> pc.collect { case (`i`, _, n) => n }.sum).toMap
+    // one pass over pc for ALL win totals (the per-item pc scan the r14
+    // fix left behind was still O(|items|·|pc|) — r15 ADVICE item 2)
+    val winTotals = pc.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val wins = items.map(i => i -> winTotals.getOrElse(i, 0L)).toMap
     val nij = items.map(i => i -> items.map(j => j ->
       (pcMap.getOrElse((i, j), 0L) + pcMap.getOrElse((j, i), 0L))
     ).toMap).toMap

@@ -23,16 +23,22 @@ object Tables {
     * Spark JOB on every call — a fixed ~0.1 s scheduling tax on every
     * query (the dominant cost of the sub-second audit tail, measured
     * via JudgeProbe: 3-6 jobs/query of which one was always this).
-    * Cache the inferred schema and hand it to the reader. */
+    * Cache the inferred schema — keyed on (dir, table, dir mtime) so a
+    * path whose parquet is REWRITTEN within one JVM (a test regenerating
+    * a fixture dir) re-infers instead of silently reading through a
+    * stale schema (r15 ADVICE item 3). The mtime probe is a driver-side
+    * stat, not a Spark job, so the scheduling tax stays amortized. */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Long),
       org.apache.spark.sql.types.StructType]()
 
   /** Read one table from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val sch = schemaCache.computeIfAbsent((sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet").schema)
-    spark.read.schema(sch).parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified()
+    val sch = schemaCache.computeIfAbsent((sfDir, name, mtime),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
