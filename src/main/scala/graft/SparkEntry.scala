@@ -43,15 +43,34 @@ object SparkEntry {
   private val DocGuardCte =
     "__doc AS (SELECT * FROM documents WHERE doc_id IS NOT NULL)"
 
-  /** The oracle twin of [[graft.sources.Tables.events]]'s orphan-row
-    * quarantine (same contract: event_id is the identity). */
+  /** SQL twin of `Tables.finiteOrNull`: NULL metric passes, NaN/±Inf
+    * quarantines (isfinite(NULL) is NULL, hence the explicit arm). */
+  private def finiteSql(c: String): String = s"($c IS NULL OR isfinite($c))"
+
+  /** The oracle twin of [[graft.sources.Tables.events]]'s quarantine
+    * (same contract: event_id is the identity; value is a stored
+    * double metric → non-finite rows drop, r16). */
   private val EvtGuardCte =
-    "__evt AS (SELECT * FROM events WHERE event_id IS NOT NULL)"
+    "__evt AS (SELECT * FROM events WHERE event_id IS NOT NULL AND " +
+      finiteSql("value") + ")"
+
+  /** Oracle twins of the stored-double metric quarantines
+    * ([[graft.sources.Tables.metricColumns]] is the single source of
+    * truth for WHICH columns; this derives the CTEs from it so the
+    * engine filter and the oracle CTE cannot drift). */
+  private val MetricGuards: Seq[(String, String, String)] =
+    Seq("lineitem" -> "__li", "orders" -> "__ord", "customer" -> "__cust",
+      "part" -> "__part", "supplier" -> "__supp").map { case (t, a) =>
+      val pred = graft.sources.Tables.metricColumns(t)
+        .map(finiteSql).mkString(" AND ")
+      (t, a, s"$a AS (SELECT * FROM $t WHERE $pred)")
+    }
 
   /** Queries that must see UNGUARDED reads (quarantine accounting —
     * they COUNT what the guards drop, so the rewrite must not apply). */
   private val RawTableQueries =
-    Set("q_embed_quarantine", "q_doc_quarantine", "q_event_quarantine")
+    Set("q_embed_quarantine", "q_doc_quarantine", "q_event_quarantine",
+      "q_metric_quarantine")
 
   /** Rewrite `sql` so every reference to `table` reads through the guard
     * CTE instead. The rewrite is purely LEXICAL — a `\b`-token rename plus
@@ -99,11 +118,16 @@ object SparkEntry {
 
   private[graft] def guardEmbeddings(name: String, sql: String): String = {
     if (RawTableQueries(name)) sql
-    else guardTable(
-      guardTable(
-        guardTable(sql, "documents", "__doc", DocGuardCte),
-        "events", "__evt", EvtGuardCte),
-      "embeddings", "__emb", EmbGuardCte)
+    else {
+      val base = guardTable(
+        guardTable(
+          guardTable(sql, "documents", "__doc", DocGuardCte),
+          "events", "__evt", EvtGuardCte),
+        "embeddings", "__emb", EmbGuardCte)
+      MetricGuards.foldLeft(base) { case (acc, (t, a, cte)) =>
+        guardTable(acc, t, a, cte)
+      }
+    }
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -145,7 +145,26 @@ object QaQueries {
       Tables.rawEvents(s, d).agg(
         count(lit(1)).as("n_rows"),
         coalesce(sum(when(col("event_id").isNull, 1L)), lit(0L))
-          .as("n_orphan"))),
+          .as("n_orphan"),
+        coalesce(sum(when(col("value").isNotNull &&
+          (isnan(col("value")) || abs(col("value")) === Double.PositiveInfinity),
+          1L)), lit(0L)).as("n_nonfinite"))),
+
+    // stored-double metric quarantine lineage (r16): how many rows each
+    // TPC-H seam guard drops — one raw scan per table, 1-row crossJoin
+    "q_metric_quarantine" -> ((s, d) => {
+      def bad(name: String, alias: String) =
+        Tables.rawTable(s, d, name).agg(
+          coalesce(sum(when(Tables.metricColumns(name).map(c =>
+            col(c).isNotNull && (isnan(col(c)) ||
+              abs(col(c)) === Double.PositiveInfinity)).reduce(_ || _),
+            1L)), lit(0L)).as(alias))
+      bad("lineitem", "n_li_bad")
+        .crossJoin(bad("orders", "n_ord_bad"))
+        .crossJoin(bad("customer", "n_cust_bad"))
+        .crossJoin(bad("part", "n_part_bad"))
+        .crossJoin(bad("supplier", "n_supp_bad"))
+    }),
 
     // one-row embedding-norm health line: zero-norm count + exact
     // norm quartiles off the quantized-norm count table (native
@@ -442,8 +461,34 @@ object QaQueries {
     "q_event_quarantine" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(coalesce(sum(CASE WHEN event_id IS NULL THEN 1 END), 0)
-         |    AS BIGINT) AS n_orphan
+         |    AS BIGINT) AS n_orphan,
+         |  CAST(coalesce(sum(CASE WHEN value IS NOT NULL
+         |    AND NOT isfinite(value) THEN 1 END), 0)
+         |    AS BIGINT) AS n_nonfinite
          |FROM events""".stripMargin,
+
+    // RAW reads by design (SparkEntry.RawTableQueries exempts it):
+    // counts what each stored-double metric guard drops
+    "q_metric_quarantine" ->
+      s"""SELECT
+         |  (SELECT CAST(coalesce(sum(CASE WHEN NOT (
+         |     (l_quantity IS NULL OR isfinite(l_quantity))
+         |     AND (l_extendedprice IS NULL OR isfinite(l_extendedprice))
+         |     AND (l_discount IS NULL OR isfinite(l_discount))
+         |     AND (l_tax IS NULL OR isfinite(l_tax))) THEN 1 END), 0)
+         |   AS BIGINT) FROM lineitem) AS n_li_bad,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN NOT
+         |     (o_totalprice IS NULL OR isfinite(o_totalprice)) THEN 1 END), 0)
+         |   AS BIGINT) FROM orders) AS n_ord_bad,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN NOT
+         |     (c_acctbal IS NULL OR isfinite(c_acctbal)) THEN 1 END), 0)
+         |   AS BIGINT) FROM customer) AS n_cust_bad,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN NOT
+         |     (p_retailprice IS NULL OR isfinite(p_retailprice)) THEN 1 END), 0)
+         |   AS BIGINT) FROM part) AS n_part_bad,
+         |  (SELECT CAST(coalesce(sum(CASE WHEN NOT
+         |     (s_acctbal IS NULL OR isfinite(s_acctbal)) THEN 1 END), 0)
+         |   AS BIGINT) FROM supplier) AS n_supp_bad""".stripMargin,
 
     // quantized-norm count table + exact rank selection (cum*den >=
     // k*n is the pure integer form of cum >= ceil(n*q)); sqrt is

@@ -43,11 +43,56 @@ object Tables {
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+
+  /** NULL passes (the "not measured" state every consumer handles);
+    * NaN/±Inf is quarantined — a non-finite metric poisons SUMs on
+    * both engines, and its `floor(x·10⁶)` LONG quantization (the
+    * backbone of the inference/robust-stats oracle parity) is
+    * engine-DEFINED: Spark's non-ANSI cast saturates, DuckDB raises —
+    * one bad row would kill the whole job at lake scale (the r15
+    * embedding-guard argument, extended to every stored double metric
+    * per the r15 VERDICT item 3).
+    *
+    * Deliberate trade-off: quarantine is per-ROW (a row with any
+    * corrupt metric leaves the relation for EVERY consumer — one
+    * consistent post-guard view, so cross-query joins/counts agree),
+    * which costs the metric columns in scan width even under a
+    * narrower projection (PlanSpec pins the exact ReadSchema). User
+    * predicates still push to parquet through the guard. At a real
+    * lake this guard runs once at ingest and materializes; here the
+    * read seam IS the ingest seam. */
+  private def finiteOrNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.isnan
+    c.isNull || (!isnan(c) &&
+      c =!= Double.PositiveInfinity && c =!= Double.NegativeInfinity)
+  }
+
+  /** Every stored double "metric" column, per table — the guard
+    * predicate AND the `__li`/`__ord`/… oracle CTEs in
+    * [[graft.SparkEntry]] derive from this one list, so the two sides
+    * cannot drift. */
+  val metricColumns: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders"   -> Seq("o_totalprice"),
+    "customer" -> Seq("c_acctbal"),
+    "part"     -> Seq("p_retailprice"),
+    "supplier" -> Seq("s_acctbal"))
+
+  private def metricGuarded(s: SparkSession, d: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    table(s, d, name).filter(
+      metricColumns(name).map(c => finiteOrNull(col(c))).reduce(_ && _))
+  }
+
+  def customer(s: SparkSession, d: String): DataFrame  = metricGuarded(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = metricGuarded(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = metricGuarded(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = metricGuarded(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = metricGuarded(s, d, "lineitem")
+
+  /** Unguarded reads — quarantine accounting only (q_metric_quarantine). */
+  def rawTable(s: SparkSession, d: String, name: String): DataFrame =
+    table(s, d, name)
   /** `events.ts` has shipped as parquet TIMESTAMP(NANOS),
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) and TIMESTAMP(MICROS, UTC)
     * across driver data generations, so adapt to the loaded schema instead
@@ -82,7 +127,8 @@ object Tables {
     * the seam; the oracles replay via the `__evt` guard CTE. */
   def events(s: SparkSession, d: String): DataFrame =
     rawEvents(s, d)
-      .filter(org.apache.spark.sql.functions.col("event_id").isNotNull)
+      .filter(org.apache.spark.sql.functions.col("event_id").isNotNull &&
+        finiteOrNull(org.apache.spark.sql.functions.col("value")))
 
   /** The unguarded events read — quarantine accounting only. */
   def rawEvents(s: SparkSession, d: String): DataFrame = {

@@ -16,14 +16,28 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   test("filters and column pruning reach the parquet scan") {
+    // RAW read: full pushdown + exact 2-column pruning
+    val raw = Tables.rawTable(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity")
+    val pr = explained(raw)
+    assert(pr.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed to scan:\n$pr")
+    assert(pr.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned at scan:\n$pr")
+    // GUARDED read (r16): user predicates still push to parquet; the
+    // row-quarantine contract costs exactly the metric columns in scan
+    // width (the guard must evaluate all of them to drop the row for
+    // every consumer identically) and nothing else
     val df = Tables.lineitem(spark, sf)
       .filter(col("l_quantity") > 45)
       .select("l_orderkey", "l_quantity")
     val p = explained(df)
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
-      s"filter not pushed to scan:\n$p")
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
-      s"columns not pruned at scan:\n$p")
+      s"filter not pushed through the metric guard:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double," +
+      "l_extendedprice:double,l_discount:double,l_tax:double>"),
+      s"guarded scan must read projection + metric columns ONLY:\n$p")
   }
 
   test("stateless pipeline compiles to one codegen stage, zero exchanges") {

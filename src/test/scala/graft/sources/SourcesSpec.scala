@@ -189,6 +189,30 @@ class SourcesSpec extends SparkSpec {
     assert(u.as[(Int, String)].collect().toSet == Set((1, "x"), (2, "y")))
   }
 
+  test("metric seam guard drops NaN/±Inf doubles, keeps NULL (r16)") {
+    val dir = tmp("guard")
+    Seq(
+      (1L, 1L, 1L, 1, 5.0, 10.0, 0.1, 0.0, "A", "O", java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      (2L, 2L, 1L, 1, Double.NaN, 10.0, 0.1, 0.0, "A", "O", java.sql.Timestamp.valueOf("1995-01-02 00:00:00")),
+      (3L, 3L, 1L, 1, 5.0, Double.PositiveInfinity, 0.1, 0.0, "A", "O", java.sql.Timestamp.valueOf("1995-01-03 00:00:00")),
+      (4L, 4L, 1L, 1, 5.0, 10.0, Double.NegativeInfinity, 0.0, "A", "O", java.sql.Timestamp.valueOf("1995-01-04 00:00:00")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      // NULL quantity row appended via union (the tuple encoder can't
+      // carry a null Double) — the guard must KEEP it
+      .unionByName(spark.sql(
+        "SELECT 5L AS l_orderkey, 5L AS l_partkey, 1L AS l_suppkey, " +
+          "1 AS l_linenumber, CAST(NULL AS DOUBLE) AS l_quantity, " +
+          "10.0D AS l_extendedprice, 0.1D AS l_discount, 0.0D AS l_tax, " +
+          "'A' AS l_returnflag, 'O' AS l_linestatus, " +
+          "TIMESTAMP '1995-01-05 00:00:00' AS l_shipdate"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val kept = Tables.lineitem(spark, dir)
+      .select("l_orderkey").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), s"guard kept $kept")
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = tmp("part")
     Sinks.writePartitioned(

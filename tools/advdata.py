@@ -210,6 +210,16 @@ def write_events(out_dir):
         # is the tiebreak key of every event-ordering window — NULL
         # placement must agree across engines (the doc_id orphan class)
         (None, t(1), 1, "view", 15.0, '{"k": 20}'),
+        # NON-FINITE metric values (r16, VERDICT item 3): the seam guard
+        # must QUARANTINE these — a NaN/±Inf value otherwise poisons
+        # every SUM it touches and hits the floor(x·10⁶) quantizations
+        # (Inference/RobustStats) where Spark's non-ANSI cast saturates
+        # but DuckDB raises. ids chosen inside user 1/2's streaks so the
+        # drop provably reshapes windows/takeWhile the same way on both
+        # engines; NULL value (event 3) stays KEPT.
+        (21, t(2), 1, "click", float("nan"), '{"k": 21}'),
+        (22, t(6), 2, "view", float("inf"), '{"k": 22}'),
+        (23, t(7), 2, "purchase", float("-inf"), '{"k": 23}'),
     ]
     cols = list(zip(*rows))
     tbl = pa.table({
@@ -276,6 +286,11 @@ def write_lineitem(out_dir):
         (4, 6, 3, 1, 46.0, 75.0, 0.07, 0.03, "N", "F", "1994-12-31"),
         # NULL returnflag group
         (5, 7, 4, 1, 10.0, 10.0, 0.01, 0.00, None, "O", "1997-06-15"),
+        # NON-FINITE metrics (r16): quarantined at the seam — NaN
+        # quantity inside group 'C' (would un-constant its variance
+        # clamp if kept) and +Inf price on its own key
+        (6, 8, 4, 1, float("nan"), 20.0, 0.01, 0.00, "C", "O", "1997-07-01"),
+        (7, 9, 4, 1, 5.0, float("inf"), 0.02, 0.01, "N", "F", "1997-08-01"),
     ]
     con.executemany("INSERT INTO l VALUES (?,?,?,?,?,?,?,?,?,?,?)", rows)
     con.execute(f"COPY l TO '{out_dir}/lineitem.parquet' (FORMAT PARQUET)")
@@ -294,6 +309,9 @@ def write_orders(out_dir):
         (3, 2, "O", None, "1997-01-01", "4-NOT SPECIFIED"),
         (4, None, "F", 50.0, "1998-01-01", "5-LOW"),   # NULL custkey
         (5, 3, "P", 75.0, "1994-01-01", "1-URGENT"),
+        # NaN totalprice (r16): quarantined at the seam; NULL (key 3)
+        # stays KEPT — the guard must distinguish the two states
+        (6, 2, "O", float("nan"), "1997-02-01", "2-HIGH"),
     ]
     con.executemany("INSERT INTO o VALUES (?,?,?,?,?,?)", rows)
     con.execute(f"COPY o TO '{out_dir}/orders.parquet' (FORMAT PARQUET)")
@@ -314,8 +332,28 @@ def write_customer(out_dir):
         (151, "Customer#000000151", 3, None, "MACHINERY"),
         (152, "Customer#000000152", 3, 2500.10, "MACHINERY"),
         (153, "Customer#000000153", 3, 2500.10, "MACHINERY"),
+        # ±Inf acctbal (r16): quarantined at the seam before the FS
+        # cents-agreement quantization ever sees it
+        (154, "Customer#000000154", 3, float("inf"), "MACHINERY"),
+        (155, "Customer#000000155", 3, float("-inf"), "BUILDING"),
     ])
     con.execute(f"COPY c TO '{out_dir}/customer.parquet' (FORMAT PARQUET)")
+
+
+def write_part_supplier(out_dir):
+    # sf0.001 part/supplier + non-finite retail-price/acctbal rows
+    # (r16): the metric seam guard must drop them on BOTH engines
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/part.parquet'")
+    con.execute("INSERT INTO p SELECT (SELECT max(p_partkey) + 1 FROM p), "
+                "'nan trap part', 'Brand#99', 'TRAP TYPE', 1, 'nan'::DOUBLE")
+    con.execute(f"COPY p TO '{out_dir}/part.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE s AS SELECT * FROM "
+                f"'/root/testdata/sf0.001/supplier.parquet'")
+    con.execute("INSERT INTO s SELECT (SELECT max(s_suppkey) + 1 FROM s), "
+                "'inf trap supp', 0, '-inf'::DOUBLE")
+    con.execute(f"COPY s TO '{out_dir}/supplier.parquet' (FORMAT PARQUET)")
 
 def main(out_dir):
     write_documents(out_dir)
@@ -324,7 +362,8 @@ def main(out_dir):
     write_lineitem(out_dir)
     write_orders(out_dir)
     write_customer(out_dir)
-    for t in ["region", "nation", "supplier", "part"]:
+    write_part_supplier(out_dir)
+    for t in ["region", "nation"]:
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", f"{out_dir}/{t}.parquet")
     print(f"adversarial corpus at {out_dir}")
 
