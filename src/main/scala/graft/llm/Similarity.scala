@@ -862,13 +862,17 @@ object Similarity {
     * Mu & Viswanath ICLR'18's dominant-direction pathology) and the
     * first step of any whitening/low-rank pass.
     *
-    * Distributed shape (the pageRank discipline for linear algebra):
-    * each round is ONE corpus job — per-row dot xq·vq rides the scan,
-    * a posexplode feeds a ≤dim-key map-combined agg, and the dim-row
-    * result collapses to a DRIVER artifact that re-enters the next
-    * round as a literal (centroid discipline — driver state is
-    * O(dim), never O(corpus)). T rounds = T jobs; the returned plan
-    * is one final scan against the converged literal.
+    * Distributed shape (r16): TWO corpus jobs total, independent of
+    * T. Job 1 computes the dim×dim quantized Gram matrix in one
+    * map-combined pass ([[graft.functions.GramMatrixQ]]); all T power
+    * rounds then run driver-side on the O(dim²) matrix — w = G·vq
+    * equals the former per-round corpus scan Σ_rows xq[d]·(xq·vq)
+    * EXACTLY (associativity of exact LONG math), so the round chain
+    * and the unrolled oracle are unchanged bit-for-bit. Job 2 is the
+    * final λ/explained scan against the converged literal (its
+    * per-row floor(sq²/10¹²) quantization cannot ride the Gram form —
+    * sq² would overflow LONG without the per-row rescale). Driver
+    * state is O(dim²) ≤ 32 KiB, never O(corpus).
     *
     * Exactness: inputs quantize to the 10⁻³ grid and v to 10⁻⁶, so
     * every dot and accumulation is EXACT integer math (bounds: |xq| ≤
@@ -889,55 +893,66 @@ object Similarity {
       aggregate(sequence(lit(0), least(size(v), lit(dim)) - 1), lit(0L),
         (acc, d) => acc + xq(element_at(v, d + 1)) *
           element_at(lit(vq.toArray), d + 1))
-    // the T+1 corpus jobs (T rounds + the final λ scan) all read the
-    // same vector projection — persist it once instead of re-paying
-    // the parquet scan per round (released by releaseCaches)
-    val base = graft.core.Caches.track(df.select(vec.as("v")))
+    // Two corpus passes remain (Gram scan + final λ scan). A/B'd r16:
+    // persisting the projection is time-parity with re-reading the
+    // columnar scan (~0.65 s either way at sf0.1), so read twice —
+    // no cache memory held, and at lake scale pinning a corpus-sized
+    // projection for one extra pass would be wrong regardless
+    val base = df.select(vec.as("v"))
+    // ONE corpus scan: the dim×dim Gram matrix G = Σ xq·xqᵀ (exact
+    // LONG sums, map-combined TypedImperativeAggregate). Every power
+    // round then runs DRIVER-side on the 32 KiB matrix: w = G·vq is
+    // integer-identical to the per-round corpus scan Σ_rows xq[d]·
+    // (xq·vq) by exact associativity, so the unrolled DuckDB oracle
+    // below matches bit-for-bit with zero extra corpus passes
+    // (r15 VERDICT item 4: T+1 jobs → 2).
+    // n rides the same job; st (Σ_rows Σ_d xq[d]²) is the TRACE of G —
+    // free, so the final scan only computes sl (whose per-row
+    // floor(sq²/10¹²) needs the converged vq and must stay a scan)
+    val gRow = base.agg(graft.functions.GramMatrixQ(col("v"), dim).as("g"),
+      count(lit(1)).as("n")).collect()(0)
+    val g = gRow.getAs[scala.collection.Seq[Long]](0)
+    val nRows = gRow.getLong(1)
+    val st = (0 until dim).map(d => g(d * dim + d)).sum
     // v₀ = the uniform direction, quantized — any vector not
     // orthogonal to the principal direction converges
     var vq: Seq[Long] = Seq.fill(dim)(
       math.floor(1.0e6 / math.sqrt(dim.toDouble)).toLong)
     for (_ <- 1 to iters) {
-      val w = base
-        .select(col("v"), dotQ(col("v"), vq).as("sq"))
-        .select(posexplode(col("v")).as(Seq("d", "x")), col("sq"))
-        .groupBy(col("d"))
-        .agg(sum(xq(col("x")) * col("sq")).as("w"))
-        .collect().map(r => (r.getAs[Number](0).intValue, r.getLong(1)))
-        .toMap
-      val wd = (0 until dim).map(d => w.getOrElse(d, 0L).toDouble)
+      val wd = (0 until dim).map { d =>
+        var w = 0L; var e = 0
+        while (e < dim) { w += g(d * dim + e) * vq(e); e += 1 }
+        w.toDouble
+      }
       val nq = wd.map(v => math.floor(v * v / 1.0e20).toLong).sum
       val norm = math.sqrt(nq.toDouble * 1.0e20)
       vq = wd.map(v =>
         if (norm == 0.0) 0L else math.floor(v / norm * 1.0e6 + 0.5).toLong)
     }
     val agg1 = base
-      .select(dotQ(col("v"), vq).as("sq"),
-        aggregate(sequence(lit(0), least(size(col("v")), lit(dim)) - 1),
-          lit(0L),
-          (acc, d) => {
-            val q = xq(element_at(col("v"), d + 1)); acc + q * q
-          }).as("tq"))
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("sq").cast("double") * col("sq").cast("double") /
-          lit(1.0e12)).cast("long")).as("sl"),
-        sum(col("tq")).as("st"))
+      .select(dotQ(col("v"), vq).as("sq"))
+      .agg(sum(floor(col("sq").cast("double") * col("sq").cast("double") /
+        lit(1.0e12)).cast("long")).as("sl"))
     spark.range(0, dim).toDF("dim")
       .crossJoin(broadcast(agg1))
       .select(col("dim"),
         (element_at(lit(vq.toArray), col("dim").cast("int") + 1)
           .cast("double") / lit(1.0e6)).as("v"),
-        (col("sl").cast("double") / lit(1.0e6) / col("n").cast("double"))
+        (col("sl").cast("double") / lit(1.0e6) / lit(nRows.toDouble))
           .as("lambda"),
-        when(col("st") === 0L, lit(null).cast("double"))
-          .otherwise(col("sl").cast("double") / col("st").cast("double"))
+        when(lit(st) === 0L, lit(null).cast("double"))
+          .otherwise(col("sl").cast("double") / lit(st.toDouble))
           .as("explained"))
   }
 
   /** The [[pcaPower]] DuckDB twin — T unrolled iteration CTEs over the
     * identical integer/fixed-point pipeline (the sqlKmeansCte
     * pattern: the oracle replays the training loop, so a drifted
-    * driver round fails the hash compare, not just a spec). */
+    * driver round fails the hash compare, not just a spec). The
+    * engine's r16 Gram-matrix fold changes the JOB COUNT, not one
+    * integer: w = G·v ≡ Σ_rows xq·(xq·v) exactly, so this unrolled
+    * per-round form remains the honest (and cheaper-for-DuckDB)
+    * expression of the same chain. */
   def pcaPowerOracleSql(dim: Int, iters: Int): String = {
     val v0 = math.floor(1.0e6 / math.sqrt(dim.toDouble)).toLong
     val steps = (1 to iters).map { t =>

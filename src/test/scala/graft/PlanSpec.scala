@@ -895,12 +895,13 @@ class PlanSpec extends SparkSpec {
     val p = plan(df)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"the 1-row moment agg must broadcast into the dim spine:\n$p")
-    // the T iteration jobs already ran at plan-authoring time and
-    // re-enter as literals; the final λ pass reads the SAME persisted
-    // vector projection the iterations used (one corpus input, cached
-    // — not a recomputed subtree)
-    assert(p.contains("InMemoryTableScan"),
-      s"the final pass must read the persisted vector projection:\n$p")
+    // r16 Gram fold: the ONE corpus job (Gram matrix + n) already ran
+    // at plan-authoring time and every power round collapsed to driver
+    // math on the dim² matrix; the returned plan's only corpus input
+    // is the final λ scan (uncached — two total passes, A/B'd parity
+    // with persisting, and no corpus-sized cache pinned)
+    assert(p.contains("Scan parquet") && !p.contains("InMemoryTableScan"),
+      s"the final pass must be a direct scan, not a pinned cache:\n$p")
     // the literal converged direction appears inline — no second
     // corpus-derived input besides the cached projection (the "Scan
     // parquet" text inside the InMemoryRelation's recorded build plan
