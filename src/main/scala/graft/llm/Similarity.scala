@@ -1212,59 +1212,117 @@ object Similarity {
     * member-pair join. */
   def labelSeparation(df: DataFrame, id: Column, label: Column,
                       vec: Column): DataFrame = {
+    val spark = df.sparkSession
     val base = df.filter(label.isNotNull && vec.isNotNull)
-    val cents = graft.core.Caches.track(
-      quantizedCentroids(base, label, vec))
     def q9(c: Column): Column = floor(c * lit(1.0e9)).cast("long")
-    val norms = cents.groupBy(col("g"))
-      .agg(sum(q9(col("centroid") * col("centroid"))).as("nq"),
-        max(col("n")).as("n_members"))
-    // member cosine to own centroid → per-label cohesion
-    val mem = base
-      .select(id.as("mid"), label.as("g"), posexplode(vec).as(Seq("pos", "x")))
-      .join(cents.select(col("g"), col("pos"), col("centroid")),
-        Seq("g", "pos"))
-      .groupBy(col("g"), col("mid"))
-      .agg(sum(q9(col("x").cast("double") * col("centroid"))).as("dq"),
-        sum(q9(col("x").cast("double") * col("x").cast("double")))
-          .as("mq"))
-    val memCos = mem.join(norms.select(col("g"), col("nq")), Seq("g"))
+    // Job 1 (the ONLY corpus aggregation): centroids, collected as a
+    // DRIVER artifact — |labels|·dim rows, centroid discipline. Norms
+    // and the ≤labels² centroid-pair cosines are then plain driver
+    // arithmetic on the same quantize-then-sum chain the old
+    // domain-sized Spark aggregates ran (each term floors to LONG
+    // before summing, so driver order ≡ shuffle order, and sqrt/÷ are
+    // correctly-rounded IEEE on both sides). r16: this plus the fused
+    // member pass below folds 5 jobs / 17 stages → 2 jobs.
+    val centsPlan = quantizedCentroids(base, label, vec)
+    val centRows = centsPlan.collect()
+    val byLabel = centRows.groupBy(_.get(0))
+    val labels = byLabel.keys.toSeq.sortBy(_.toString)
+    val centArr: Map[Any, Array[Double]] = byLabel.map { case (g, rows) =>
+      val dim = rows.map(_.getLong(1)).max.toInt + 1
+      val a = new Array[Double](dim)
+      rows.foreach(r => a(r.getLong(1).toInt) = r.getDouble(2))
+      g -> a
+    }
+    val nq: Map[Any, Long] = centArr.map { case (g, a) =>
+      g -> a.map(c => math.floor(c * c * 1.0e9).toLong).sum
+    }
+    val nMembers: Map[Any, Long] = byLabel.map { case (g, rows) =>
+      g -> rows.map(_.getLong(3)).max
+    }
+    def cos(dq: Long, na: Long, nb: Long): Any =
+      if (na <= 0L || nb <= 0L) null
+      else (dq.toDouble / 1.0e9) /
+        (math.sqrt(na.toDouble / 1.0e9) * math.sqrt(nb.toDouble / 1.0e9))
+    val gType = centsPlan.schema("g").dataType
+    // mirrors the old `ga < gb` COLUMN comparison: label keys are
+    // numeric or string, where Spark's ordering matches the JVM's
+    def anyLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long)     => x < y
+      case (x: Int, y: Int)       => x < y
+      case (x: String, y: String) => x < y
+      case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+      case _ => a.toString < b.toString
+    }
+    val pairRows = for {
+      ga <- labels; gb <- labels
+      if anyLt(ga, gb)
+    } yield {
+      val (ca, cb) = (centArr(ga), centArr(gb))
+      val dq = (0 until math.min(ca.length, cb.length))
+        .map(i => math.floor(ca(i) * cb(i) * 1.0e9).toLong).sum
+      org.apache.spark.sql.Row(ga, gb, nMembers(ga), nMembers(gb),
+        cos(dq, nq(ga), nq(gb)))
+    }
+    val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label_a", gType),
+      org.apache.spark.sql.types.StructField("label_b", gType),
+      org.apache.spark.sql.types.StructField("n_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("centroid_cos",
+        org.apache.spark.sql.types.DoubleType)))
+    // Job 2: member cohesion in ONE corpus scan — the per-member dot
+    // against the own-label centroid rides the row (QDotStats9, exact
+    // quantize-then-sum ≡ the old posexplode → (g,pos) join → SUM
+    // chain, which shuffled dim× the corpus), then one domain-keyed
+    // aggregate; the tiny pair table broadcasts on at the end.
+    val centDf = broadcast(spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          labels.map(g => org.apache.spark.sql.Row(g, centArr(g).toSeq,
+            nq(g)))).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", gType),
+        org.apache.spark.sql.types.StructField("cent",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("nq",
+          org.apache.spark.sql.types.LongType)))))
+    val memCos = base
+      .select(label.as("g"), vec.as("v"))
+      .join(centDf, Seq("g"))
       .select(col("g"),
-        when(col("mq") <= 0L || col("nq") <= 0L, lit(null).cast("double"))
-          .otherwise((col("dq").cast("double") / lit(1.0e9)) /
-            (sqrt(col("mq").cast("double") / lit(1.0e9)) *
+        graft.functions.QDotStats9(col("v"), col("cent")).as("s"),
+        col("nq"))
+      .select(col("g"),
+        when(col("s.mq") <= 0L || col("nq") <= 0L, lit(null).cast("double"))
+          .otherwise((col("s.dq").cast("double") / lit(1.0e9)) /
+            (sqrt(col("s.mq").cast("double") / lit(1.0e9)) *
               sqrt(col("nq").cast("double") / lit(1.0e9)))).as("mc"))
-    val cohesion = memCos
+    // cohesion is |labels| rows — collect it (job 2) and assemble the
+    // labels² output as a LocalRelation, instead of self-joining the
+    // cohesion subtree twice (which would re-run the corpus scan under
+    // each broadcast side)
+    val cohMap: Map[Any, Any] = memCos
       .groupBy(col("g"))
       .agg((sum(q9(col("mc"))).cast("double") / lit(1.0e9) /
         count(col("mc")).cast("double")).as("coh"))
-    // centroid-pair cosines over the ≤labels² dim-joined rows
-    val pairDots = cents.select(col("g").as("ga"), col("pos"),
-        col("centroid").as("ca"))
-      .join(cents.select(col("g").as("gb"), col("pos"),
-        col("centroid").as("cb")), Seq("pos"))
-      .filter(col("ga") < col("gb"))
-      .groupBy(col("ga"), col("gb"))
-      .agg(sum(q9(col("ca") * col("cb"))).as("dq"))
-    // one label-attribute table (norms ⋈ cohesion, |labels| rows)
-    // joined twice, instead of four separate domain joins — halves the
-    // broadcast/stage count of the tiny assembly tail (1.27 s at sf1
-    // was 5 jobs / 17 stages, dominated by this fan of exchanges)
-    val lab = norms.join(cohesion, Seq("g"))
-    pairDots
-      .join(lab.select(col("g").as("ga"), col("nq").as("nqa"),
-        col("n_members").as("n_a"), col("coh").as("coh_a")), Seq("ga"))
-      .join(lab.select(col("g").as("gb"), col("nq").as("nqb"),
-        col("n_members").as("n_b"), col("coh").as("coh_b")), Seq("gb"))
-      .select(col("ga").as("label_a"), col("gb").as("label_b"),
-        col("n_a"), col("n_b"),
-        when(col("nqa") <= 0L || col("nqb") <= 0L,
-          lit(null).cast("double"))
-          .otherwise((col("dq").cast("double") / lit(1.0e9)) /
-            (sqrt(col("nqa").cast("double") / lit(1.0e9)) *
-              sqrt(col("nqb").cast("double") / lit(1.0e9))))
-          .as("centroid_cos"),
-        col("coh_a"), col("coh_b"))
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val outRows = pairRows.map { r =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), r.get(3),
+        r.get(4), cohMap.getOrElse(r.get(0), null),
+        cohMap.getOrElse(r.get(1), null))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(outRows).asJava),
+      org.apache.spark.sql.types.StructType(
+        pairSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("coh_a",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("coh_b",
+            org.apache.spark.sql.types.DoubleType))))
   }
 
   /** Margin-based neighbor scoring (Artetxe & Schwenk, ACL'19 — the

@@ -1078,14 +1078,20 @@ class PlanSpec extends SparkSpec {
       s"bin aggregation must be partial:\n$p")
   }
 
-  test("label separation: centroid-pair join only — members never pair with members") {
+  test("label separation: one corpus scan, centroid state broadcast — members never pair") {
     val df = SparkEntry.queries("q_label_separation")(spark, sf)
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
-    // the member relation joins CENTROID rows (dim-sized) on (g,pos);
-    // the only self-join is cv × cv on pos — labels², never members²
-    assert(p.contains("InMemoryTableScan"),
-      s"the centroid relation feeds norms/member-join/pairs and must persist:\n$p")
+    // r16 shape: BOTH corpus jobs (centroid agg, member-cohesion scan
+    // with broadcast centroid state + QDotStats9 riding the row) run
+    // at plan-authoring time against domain-sized outputs; the
+    // returned labels²-row result is a pure LocalRelation — no join,
+    // no scan, no exchange left to mis-plan
+    assert(!p.contains("SortMergeJoin") && !p.contains("Scan parquet") &&
+      !p.contains("Exchange"),
+      s"labels²-row result must be a LocalRelation:\n$p")
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"expected local result:\n$p")
     graft.core.Caches.release()
   }
 
