@@ -334,37 +334,49 @@ object Inference {
     val span = v.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
       .select(call_function("div", col("mn") + col("mx") + lit(1L),
         lit(2L)).as("mid"))
-    val per = graft.core.Caches.track(v.crossJoin(broadcast(span))
+    // r16: θ's power sums fold into the VARIANT aggregate — per-variant
+    // partial sums (exact integer/DECIMAL addition, order-free) window-sum
+    // to the same global totals the old separate 1-row agg computed, so
+    // the unit table is consumed ONCE in a linear chain (no persist, no
+    // tot broadcast — was 3 jobs / 8 stages, now 2: the span broadcast is
+    // the floor, the pre/post split needs the global day midpoint before
+    // the unit agg can fold).
+    val per = v.crossJoin(broadcast(span))
       .groupBy(col("u"))
       .agg(sum(when(col("d") < col("mid"), col("c")).otherwise(0L))
           .as("x"),
         sum(when(col("d") >= col("mid"), col("c")).otherwise(0L))
           .as("y"))
-      .withColumn("variant", col("u") % 2L))
-    val tot = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-      sum(col("y")).as("sy"),
-      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
-      sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
-    val nd = col("n").cast("double")
-    val varX = col("sxx").cast("double") -
-      col("sx").cast("double") * col("sx").cast("double") / nd
-    val theta = (col("sxy").cast("double") -
-      col("sx").cast("double") * col("sy").cast("double") / nd) / varX
+      .withColumn("variant", col("u") % 2L)
     val byV = per.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_v"), sum(col("x")).as("sxv"),
-        sum(col("y")).as("syv"))
+        sum(col("y")).as("syv"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxxv"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxyv"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val n = sum(col("n_v")).over(wAll)
+    val sx = sum(col("sxv")).over(wAll)
+    val sy = sum(col("syv")).over(wAll)
+    val sxx = sum(col("sxxv")).over(wAll)
+    val sxy = sum(col("sxyv")).over(wAll)
+    val nd = n.cast("double")
+    val varX = sxx.cast("double") -
+      sx.cast("double") * sx.cast("double") / nd
+    val theta = (sxy.cast("double") -
+      sx.cast("double") * sy.cast("double") / nd) / varX
     val meanX = col("sxv").cast("double") / col("n_v").cast("double") /
       lit(100.0)
     val meanY = col("syv").cast("double") / col("n_v").cast("double") /
       lit(100.0)
     val thetaG = when(varX <= lit(0.0), lit(null).cast("double"))
       .otherwise(theta)
-    byV.crossJoin(broadcast(tot))
+    byV
       .select(col("variant"), col("n_v").as("n"),
         meanX.as("mean_x"), meanY.as("mean_y"), thetaG.as("theta"),
         when(varX <= lit(0.0), lit(null).cast("double"))
           .otherwise(meanY - theta *
-            (meanX - col("sx").cast("double") / nd / lit(100.0)))
+            (meanX - sx.cast("double") / nd / lit(100.0)))
           .as("mean_y_adj"))
   }
 
@@ -527,37 +539,53 @@ object Inference {
         lit(b2) * col("b").cast("double")))
     val scored = s.select(col("cal"),
       floor(resid * lit(1.0e6)).cast("long").as("rq"))
-    // q̂ = k-th smallest calibration residual via the PSI boundary
-    // discipline: cumulate over DISTINCT quantized values only
-    val cc = scored.filter(col("cal") === 1L)
-      .groupBy(col("rq")).agg(count(lit(1)).as("c"))
-    val t = cc.agg(sum(col("c")).as("n_calib"))
-    val wq = Window.orderBy(col("rq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // k = ceil(covNum·(n+1)/covDen) clamped to n (tiny-calib guard);
-    // k·covDen = x' − x' mod covDen with x' = covNum·(n+1)+covDen−1,
-    // so `cum ≥ k` stays a pure integer compare
-    val xp = (col("n_calib") + lit(1L)) * lit(covNum.toLong) +
-      lit(covDen.toLong - 1L)
-    val kScaled = least(xp - xp % lit(covDen.toLong),
-      col("n_calib") * lit(covDen.toLong))
-    val qhat = cc.select(col("rq"), sum(col("c")).over(wq).as("cum"))
-      .crossJoin(broadcast(t))
-      .filter(col("cum") * lit(covDen.toLong) >= kScaled)
-      .agg(min(col("rq")).as("qhat_q"))
-      .crossJoin(broadcast(t))
-    scored.crossJoin(broadcast(qhat))
-      .agg(max(col("n_calib")).as("n_calib"),
-        sum(lit(1L) - col("cal")).as("n_test"),
-        max(col("qhat_q")).as("qhat_q"),
-        sum(when(col("cal") === 0L && col("rq") <= col("qhat_q"), 1L)
-          .otherwise(0L)).as("n_cov"))
-      .select(lit(nTrain).as("n_train"), col("n_calib"), col("n_test"),
-        (col("qhat_q").cast("double") / lit(1.0e6)).as("qhat"),
-        when(col("n_test") === 0L || col("qhat_q").isNull,
-          lit(null).cast("double"))
-          .otherwise(col("n_cov").cast("double") /
-            col("n_test").cast("double")).as("coverage"))
+    // r16: ONE (cal, rq) aggregate replaces the calib-only cc + 1-row t
+    // + cumulate-window q̂ + coverage re-scan chain (was 4 jobs / 10
+    // stages over 3 corpus passes; now 2 jobs / 2 passes: the fit, then
+    // this). The grouped output is DOMAIN-sized (distinct quantized
+    // residuals × 2 slices — the same bound the unpartitioned cumulate
+    // window already assumed), so n_calib, the k-th order statistic and
+    // the coverage count fold into exact integer driver arithmetic on
+    // the collected counts: the cumulative walk over rq-sorted distinct
+    // values IS the old window, the rank compare is the same integer
+    // compare, and coverage divides once at the end (shared IEEE).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val counts = scored.groupBy(col("cal"), col("rq"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val schema = StructType(Seq(
+      StructField("n_train", LongType), StructField("n_calib", LongType),
+      StructField("n_test", LongType), StructField("qhat", DoubleType),
+      StructField("coverage", DoubleType)))
+    val row = if (counts.isEmpty) {
+      // no non-train rows at all: the old agg-over-empty emitted NULLs
+      Row(nTrain, null, null, null, null)
+    } else {
+      val calib = counts.filter(_._1 == 1L).sortBy(_._2)
+      val nCalibOrNull: Any = if (calib.isEmpty) null
+        else calib.iterator.map(_._3).sum
+      val qhatQ: Option[Long] = nCalibOrNull match {
+        case null => None
+        case nc: Long =>
+          val xp = (nc + 1L) * covNum.toLong + (covDen.toLong - 1L)
+          val kScaled = math.min(xp - xp % covDen.toLong, nc * covDen.toLong)
+          var cum = 0L
+          calib.collectFirst {
+            case (_, rq, c) if { cum += c; cum * covDen.toLong >= kScaled } =>
+              rq
+          }
+      }
+      val nTest = counts.filter(_._1 == 0L).map(_._3).sum
+      val nCov = qhatQ.map(q =>
+        counts.filter(t => t._1 == 0L && t._2 <= q).map(_._3).sum)
+      val qhatOrNull: Any = qhatQ.map(_.toDouble / 1.0e6).orNull
+      val covOrNull: Any =
+        if (nTest == 0L || qhatQ.isEmpty) null
+        else nCov.get.toDouble / nTest.toDouble
+      Row(nTrain, nCalibOrNull, nTest, qhatOrNull, covOrNull)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
   /** Isotonic (monotone non-decreasing) recalibration of a binary

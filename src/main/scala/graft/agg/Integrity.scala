@@ -27,14 +27,21 @@ object Integrity {
   def fkOrphans(name: String, child: DataFrame, fk: Column,
                 parent: DataFrame, pk: Column): DataFrame = {
     val c = child.select(fk.as("k"))
-    val p = parent.select(pk.as("k")).distinct()
-    val orphans = c.filter(col("k").isNotNull)
-      .join(p, Seq("k"), "left_anti")
-      .agg(count(lit(1)).as("n_violations"))
-    val total = c.agg(count(lit(1)).as("n_total"))
-    orphans.crossJoin(total).select(lit(name).as("check"),
-      col("n_violations"), col("n_total"),
-      (col("n_violations") === 0L).as("ok"))
+    // single-pass form (r16): one LEFT join against the DISTINCT parent
+    // key set (so no fan-out) counts total and orphans in the same scan —
+    // the old left_anti + separate total agg + crossJoin scanned the child
+    // twice and paid an extra 1-row broadcast join. A NULL fk never
+    // matches the join (SQL semantics) and is excluded from violations by
+    // the same isNotNull guard the anti-join form applied pre-join.
+    val p = parent.select(pk.as("k")).filter(col("k").isNotNull).distinct()
+      .withColumn("__m", lit(1))
+    c.join(p, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_total"),
+        coalesce(sum(when(col("k").isNotNull && col("__m").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_violations"))
+      .select(lit(name).as("check"),
+        col("n_violations"), col("n_total"),
+        (col("n_violations") === 0L).as("ok"))
   }
 
   /** Duplicate-PK audit: number of EXTRA rows beyond one per key

@@ -96,33 +96,44 @@ object RobustStats {
     * (Interpolated medians would force an (a+b)/2 double whose
     * engine-specific rounding could flip boundary rows.)
     *
-    * Shape: two rank windows partitioned by the SAME group key (one
-    * shuffle, sort reused) + two broadcast joins of the tiny per-group
-    * median tables. For a lake-scale group count swap the rank windows
-    * for `approx_percentile` — the flags stop being exact, which is
+    * Shape (r16): ONE group-keyed exchange — both rank selections run
+    * as chained windows over the SAME partitioning (rank sort on c,
+    * then a whole-frame max-when picks the median and attaches it to
+    * every row with NO join; the deviation rank re-sorts in place and
+    * attaches the MAD the same way), and the final agg groups on the
+    * window key, so partitioning is established once (guide §2.4).
+    * The previous form materialized the per-group median tables and
+    * broadcast-joined them back — 3 jobs (2 broadcast builds, each
+    * re-running its upstream windows) for the same exact rank math.
+    * For a lake-scale group count swap the rank windows for
+    * `approx_percentile` — the flags stop being exact, which is
     * why the exact form is the default. */
   def madOutliers(df: DataFrame, group: Column, id: Column,
                   value: Column): DataFrame = {
     // a NULL measurement is not an observation — and Spark sorts NULLs
     // FIRST where DuckDB sorts them LAST, so an unfiltered NULL would
-    // silently shift the median rank (adversarial-gate find)
-    val v = df.filter(value.isNotNull).select(group.as("g"), id.as("id"),
-      cents(value).cast("long").as("c"))
+    // silently shift the median rank (adversarial-gate find). A NULL
+    // GROUP dropped at the old equi-join (NULL ≠ NULL); the window form
+    // keeps it as its own partition, so drop it explicitly (adversarial-
+    // gate find: 6 rows vs the oracle's 5 without this)
+    val v = df.filter(value.isNotNull && group.isNotNull)
+      .select(group.as("g"), id.as("id"),
+        cents(value).cast("long").as("c"))
     val wg = Window.partitionBy(col("g"))
-    val med = v
+    val medAt = call_function("div", col("n") + lit(1L), lit(2L))
+    val dev = v
       .withColumn("rn", row_number().over(wg.orderBy(col("c"), col("id"))))
       .withColumn("n", count(lit(1)).over(wg))
-      .filter(col("rn") === call_function("div", col("n") + lit(1L), lit(2L)))
-      .select(col("g"), col("c").as("med_c"))
-    val dev = v.join(broadcast(med), "g")
+      .withColumn("med_c",
+        max(when(col("rn") === medAt, col("c"))).over(wg))
       .select(col("g"), col("id"), abs(col("c") - col("med_c")).as("ad"),
         col("med_c"))
-    val mad = dev
+    val madAt = call_function("div", col("n2") + lit(1L), lit(2L))
+    dev
       .withColumn("rn2", row_number().over(wg.orderBy(col("ad"), col("id"))))
       .withColumn("n2", count(lit(1)).over(wg))
-      .filter(col("rn2") === call_function("div", col("n2") + lit(1L), lit(2L)))
-      .select(col("g"), col("ad").as("mad_c"))
-    dev.join(broadcast(mad), "g")
+      .withColumn("mad_c",
+        max(when(col("rn2") === madAt, col("ad"))).over(wg))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         (min(col("med_c")).cast("double") / lit(100.0)).as("median_value"),
@@ -326,42 +337,64 @@ object RobustStats {
     * holds to ~9×10⁹ rows (the anovaF lesson) — past that, drop the
     * scale or widen the term to DECIMAL(38,0) on both engines.
     *
-    * Shape: one (r,c) groupBy + two marginal re-aggs of the CELL
-    * table (never the corpus), a broadcast spine cross join and a
-    * window over the ≤ r·c cells — scan-bound at any scale. */
+    * Shape: ONE corpus job — the (r,c) cell aggregate (map-combined,
+    * domain-sized output). Everything past it operates on ≤ r·c cells,
+    * so the marginals, the zero-coalesced spine and the quantized
+    * terms fold into driver arithmetic on the collected cells (the
+    * labelSeparation discipline; the previous Spark-side form paid 5
+    * jobs / 17 stages: cell persist + 2 marginal re-aggs + 2 broadcast
+    * builds + the spine join/window). Equivalence: driver LONG sums
+    * equal shuffled LONG sums by commutativity of exact integer
+    * addition; expected/term run the identical IEEE double chain both
+    * engines execute per cell; the chi² total sums pre-quantized LONGs
+    * (order-free). The collect is DOMAIN-sized (distinct r × distinct
+    * c), never corpus-sized — the same bound the old broadcast spine
+    * already assumed. */
   def chi2Independence(df: DataFrame, rowc: Column, colc: Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
     val s = df.filter(rowc.isNotNull && colc.isNotNull)
       .select(rowc.as("r"), colc.as("c"))
-    // the ≤ r·c cell table feeds three consumers (marginals ×2, the
-    // spine join) — tracked persist so the corpus scans once
-    val cells = graft.core.Caches.track(
-      s.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_obs")))
-    val rm = cells.groupBy(col("r")).agg(sum(col("n_obs")).as("n_r"))
-    val cm = cells.groupBy(col("c")).agg(sum(col("n_obs")).as("n_c"))
-    val tot = rm.agg(count(lit(1)).as("r_card"), sum(col("n_r")).as("n_total"))
-      .crossJoin(cm.agg(count(lit(1)).as("c_card")))
-    val spine = rm.crossJoin(broadcast(cm))
-    val expected = col("n_r").cast("double") * col("n_c").cast("double") /
-      col("n_total").cast("double")
-    val term = (col("n_obs").cast("double") - expected) *
-      (col("n_obs").cast("double") - expected) / expected
-    val dof = least(col("r_card") - lit(1L), col("c_card") - lit(1L))
-    spine.join(cells, Seq("r", "c"), "left")
-      .select(col("r"), col("c"), col("n_r"), col("n_c"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-      .crossJoin(broadcast(tot))
-      .withColumn("tq", floor(term * lit(1.0e9)).cast("long"))
-      .select(col("r"), col("c"), col("n_obs"), col("n_r"), col("n_c"),
-        col("n_total"), expected.as("expected"),
-        (col("tq").cast("double") / lit(1.0e9)).as("chi2_term"),
-        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
-          lit(1.0e9)).as("chi2"),
-        when(dof === 0L, lit(null).cast("double"))
-          .otherwise(sqrt(
-            (sum(col("tq")).over(Window.partitionBy()).cast("double") /
-              lit(1.0e9)) /
-            (col("n_total").cast("double") * dof.cast("double"))))
-          .as("cramers_v"))
+    val cellsDf = s.groupBy(col("r"), col("c")).agg(count(lit(1)).as("n_obs"))
+    val cells = cellsDf.collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val nR = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    val nC = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+    cells.foreach { case (r, c, n) =>
+      nR(r) = nR.getOrElse(r, 0L) + n
+      nC(c) = nC.getOrElse(c, 0L) + n
+    }
+    val nTotal = nR.valuesIterator.sum
+    val dof = math.min(nR.size - 1, nC.size - 1).toLong
+    val obs = cells.map { case (r, c, n) => (r, c) -> n }.toMap
+    val spine = for { r <- nR.keys.toSeq; c <- nC.keys.toSeq } yield {
+      val nObs = obs.getOrElse((r, c), 0L)
+      // identical IEEE chain as the oracle: n_r·n_c/n_total, then
+      // ((n_obs−e)·(n_obs−e)/e)·1e9 floored to LONG
+      val expected = nR(r).toDouble * nC(c).toDouble / nTotal.toDouble
+      val d = nObs.toDouble - expected
+      val tq = math.floor(d * d / expected * 1.0e9).toLong
+      (r, c, nObs, nR(r), nC(c), expected, tq)
+    }
+    val chi2 = spine.iterator.map(_._7).sum.toDouble / 1.0e9
+    val vOrNull: Any =
+      if (dof == 0L) null
+      else math.sqrt(chi2 / (nTotal.toDouble * dof.toDouble))
+    val schema = StructType(Seq(
+      StructField("r", cellsDf.schema("r").dataType),
+      StructField("c", cellsDf.schema("c").dataType),
+      StructField("n_obs", LongType), StructField("n_r", LongType),
+      StructField("n_c", LongType), StructField("n_total", LongType),
+      StructField("expected", DoubleType),
+      StructField("chi2_term", DoubleType),
+      StructField("chi2", DoubleType),
+      StructField("cramers_v", DoubleType)))
+    val out = spine.map { case (r, c, nObs, nr, nc, expected, tq) =>
+      Row(r, c, nObs, nr, nc, nTotal, expected, tq.toDouble / 1.0e9,
+        chi2, vOrNull)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema)
   }
 
   /** Per-group trimmed and winsorized means — the location estimates a
