@@ -86,30 +86,55 @@ object GrowthQueries {
     // dataset card OF THE RELEASED SET, with stage counts — the
     // composability proof for the round's audit operators
     "q_release_audit" -> ((s, d) => {
-      import graft.core.Caches
       val input = Tables.documents(s, d).filter(col("text").isNotNull)
       val gated = input.filter(Selection.clfScore(col("text")) > 0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-      // tracked persist: the deduped survivors feed the class sizes,
-      // the released join AND the card — one gate+dedup pass, not three
-      val deduped = Caches.track(gated
+      // r16: the gate→dedup→suppression→card chain runs as ONE pass over
+      // the gated rows — the dedup rank and the (source, lang) class size
+      // are chained windows (class size counts rn=1 survivors only, the
+      // exact set the old deduped relation held), released-set membership
+      // becomes a row-local predicate, and the card + both stage counts
+      // fold into one conditional aggregate. The old form persisted the
+      // deduped survivors and cross-joined FOUR 1-row aggregates (4 jobs /
+      // 12 stages, 3 corpus passes, 2 clfScore evaluations); now: one
+      // cheap count-only scan for n_input + one scored/windowed pass
+      // (2 jobs, clfScore evaluated once). Window-partition semantics
+      // keep NULL quasi-identifiers grouped (the kAnonymity rule), as
+      // before.
+      val wCls = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"), col("lang"))
+      val flagged = gated
         .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn"))
-      // class sizes by WINDOW, not join: window partitions group NULL
-      // quasi-identifiers together (the kAnonymity rule) where an
-      // equi-join would silently drop every NULL-QI doc
-      val released = deduped
-        .withColumn("__cs", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source"), col("lang"))))
-        .filter(col("__cs") >= 3L).drop("__cs")
-      val card = TextAnalysis.datasetCard(released, col("text"), col("lang"),
-        col("source"), col("n_chars"))
+        .withColumn("__cs",
+          count(when(col("__rn") === 1, lit(1))).over(wCls))
+      val rel = col("__rn") === 1 && col("__cs") >= 3L
+      val audit = flagged.agg(
+        count(lit(1)).as("n_after_gate"),
+        count(when(col("__rn") === 1, lit(1))).as("n_after_dedup"),
+        count(when(rel, lit(1))).as("n_docs"),
+        count(when(rel, col("text"))).as("n_text_docs"),
+        sum(when(rel, coalesce(col("n_chars"), lit(0L)))).as("n_chars"),
+        coalesce(sum(when(rel,
+          size(graft.functions.GraftFunctions.tokens(col("text")))
+            .cast("long"))), lit(0L)).as("n_words"),
+        count_distinct(when(rel, col("lang"))).as("n_langs"),
+        count_distinct(when(rel, col("source"))).as("n_sources"),
+        count_distinct(when(rel, md5(col("text")))).as("n_distinct_texts"),
+        sum(when(rel && col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        count(when(rel, col("lang"))).as("n_lang_tagged"))
       input.agg(count(lit(1)).as("n_input"))
-        .crossJoin(gated.agg(count(lit(1)).as("n_after_gate")))
-        .crossJoin(deduped.agg(count(lit(1)).as("n_after_dedup")))
-        .crossJoin(card)
+        .crossJoin(audit)
+        .select(col("n_input"), col("n_after_gate"), col("n_after_dedup"),
+          col("n_docs"), col("n_text_docs"), col("n_chars"), col("n_words"),
+          col("n_langs"), col("n_sources"), col("n_distinct_texts"),
+          when(col("n_text_docs") === 0L, lit(null).cast("double"))
+            .otherwise((col("n_text_docs") - col("n_distinct_texts"))
+              .cast("double") / col("n_text_docs").cast("double"))
+            .as("dup_rate"),
+          when(col("n_lang_tagged") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_en").cast("double") /
+              col("n_lang_tagged").cast("double")).as("en_share"))
     }),
 
     // Brier score + skill of the probability-mapped quality score vs
