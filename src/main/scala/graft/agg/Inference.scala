@@ -614,29 +614,49 @@ object Inference {
       .select(bin.as("bin"), when(label, 1L).otherwise(0L).as("pos"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n"),
         sum(col("pos")).as("npos"))
-    // segment means over every contiguous occupied-bin range [j, k]:
-    // prefix sums via a ≤bins-row window, segment = prefix diff
-    val w = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val p = g.select(col("bin"), col("n"), col("npos"),
-      sum(col("n")).over(w).as("cn"), sum(col("npos")).over(w).as("cp"))
-    val segs = p.as("j").join(p.as("k"),
-        col("j.bin") <= col("k.bin"))
-      .select(col("j.bin").as("jb"), col("k.bin").as("kb"),
-        ((col("k.cp") - col("j.cp") + col("j.npos")).cast("double") /
-          (col("k.cn") - col("j.cn") + col("j.n")).cast("double"))
-          .as("m"))
-    val inner = segs.join(p.select(col("bin"), col("n"), col("npos"),
-        col("cn"), col("cp")),
-        col("jb") <= col("bin") && col("bin") <= col("kb"))
-      .groupBy(col("bin"), col("jb"))
-      .agg(min(col("m")).as("minm")) // min over k ≥ i for each start j ≤ i
-    val iso = inner.groupBy(col("bin")).agg(max(col("minm")).as("iso_pos"))
-    g.join(iso, Seq("bin"))
-      .select(col("bin"), col("n"),
-        (col("npos").cast("double") / col("n").cast("double"))
-          .as("frac_pos"),
-        col("iso_pos"))
+    // r16: everything past the ≤bins-key corpus aggregate is bins³
+    // arithmetic on exact integers — fold it into the driver (was 4
+    // jobs / 10 stages: prefix window + the bins² segment self-join +
+    // the bins³ minimax join + the final join back; now the one corpus
+    // job). Each segment mean is the same (LONG diff)/(LONG diff) IEEE
+    // quotient, and the min/max selection over those doubles is
+    // engine-exact, as before.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bins2 = g.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2))).sortBy(_._1)
+    val nBins = bins2.length
+    val cn = new Array[Long](nBins); val cp = new Array[Long](nBins)
+    var accN = 0L; var accP = 0L
+    var idx = 0
+    while (idx < nBins) {
+      accN += bins2(idx)._2; accP += bins2(idx)._3
+      cn(idx) = accN; cp(idx) = accP; idx += 1
+    }
+    def m(j: Int, k: Int): Double =
+      (cp(k) - cp(j) + bins2(j)._3).toDouble /
+        (cn(k) - cn(j) + bins2(j)._2).toDouble
+    val rows = (0 until nBins).map { i =>
+      // ĝ_i = max_{j ≤ i} min_{k ≥ i} A(j, k) — the minimax PAV form
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j <= i) {
+        var worst = Double.PositiveInfinity
+        var k = i
+        while (k < nBins) {
+          val v = m(j, k); if (v < worst) worst = v; k += 1
+        }
+        if (worst > best) best = worst
+        j += 1
+      }
+      val (bin, n, npos) = bins2(i)
+      Row(bin, n, npos.toDouble / n.toDouble, best)
+    }
+    val schema = StructType(Seq(
+      StructField("bin", LongType), StructField("n", LongType),
+      StructField("frac_pos", DoubleType), StructField("iso_pos", DoubleType)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Two-arm power analysis — "how many units per arm would this

@@ -54,36 +54,45 @@ object RobustStats {
     * Shape: one map-side-combined groupBy on ≤9 keys plus a broadcast
     * of the 1-row total — scan-bound at any scale. */
   def benford(df: DataFrame, amount: Column): DataFrame = {
+    // r16: the digit domain is NINE keys — the spine join, 1-row total
+    // broadcast and per-digit doubles fold into driver arithmetic on
+    // the collected digit counts (was 3 jobs; now the one corpus
+    // aggregate). Counts are exact integers; expected/chi2_term run the
+    // same IEEE chain per digit, from the same shared p literals.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val c = df.select(cents(amount).cast("long").as("c")).filter(col("c") > 0)
     val counts = c.select(substring(col("c").cast("string"), 1, 1).cast("long")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val spine = df.sparkSession.range(1, 10).toDF("digit")
-    val g = spine.join(counts, Seq("digit"), "left")
-      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-    val t = g.agg(sum(col("n_obs")).as("n_total"))
-    val p = element_at(BenfordP, col("digit").cast("int"))
-    val expected = col("n_total").cast("double") * p
-    g.crossJoin(broadcast(t))
-      .select(col("digit"), col("n_obs"), col("n_total"),
-        p.as("p_expected"), expected.as("expected"),
-        // empty input ⇒ expected = 0 and the χ² ratio is undefined —
-        // NULL through the shared CASE (ANSI raises on double 0/0)
-        when(col("n_total") === 0L, lit(null).cast("double"))
-          .otherwise((col("n_obs").cast("double") - expected) *
-            (col("n_obs").cast("double") - expected) / expected)
-          .as("chi2_term"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nTotal = counts.valuesIterator.sum
+    val rows = (1L to 9L).map { d =>
+      val nObs = counts.getOrElse(d, 0L)
+      val p = BenfordPD(d.toInt - 1)
+      val expected = nTotal.toDouble * p
+      val term: Any =
+        if (nTotal == 0L) null
+        else (nObs.toDouble - expected) * (nObs.toDouble - expected) / expected
+      Row(d, nObs, nTotal, p, expected, term)
+    }
+    val schema = StructType(Seq(
+      StructField("digit", LongType), StructField("n_obs", LongType),
+      StructField("n_total", LongType), StructField("p_expected", DoubleType),
+      StructField("expected", DoubleType), StructField("chi2_term", DoubleType)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** log10(1 + 1/d), d = 1..9, as shortest-round-trip double literals
     * (python `repr`) — the oracle embeds the same nine texts, so both
     * engines parse to the same 64-bit values and never call log10. */
-  private val BenfordP: Column = array(
-    lit(0.3010299956639812), lit(0.17609125905568124),
-    lit(0.12493873660829992), lit(0.09691001300805642),
-    lit(0.07918124604762482), lit(0.06694678963061322),
-    lit(0.05799194697768673), lit(0.05115252244738129),
-    lit(0.04575749056067514))
+  private val BenfordPD: Array[Double] = Array(
+    0.3010299956639812, 0.17609125905568124,
+    0.12493873660829992, 0.09691001300805642,
+    0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129,
+    0.04575749056067514)
 
   /** Per-group robust outlier profile: lower median, lower MAD (median
     * absolute deviation), and the count of observations beyond
@@ -224,45 +233,67 @@ object RobustStats {
       .agg(sum(col("f")).as("a"), sum(lit(1L) - col("f")).as("b"))
 
   /** PSI from a (x, a, b) value-count table (corpus-built or
-    * ledger-built — identical results either way). */
+    * ledger-built — identical results either way).
+    *
+    * r16: the value-count input is DOMAIN-sized by this function's own
+    * contract (the cumulate window below was unpartitioned over it), so
+    * the decile boundaries, bucket re-counts and quantized terms fold
+    * into driver arithmetic on the collected counts (labelSeparation
+    * discipline; the Spark-side form paid 5 jobs / 14 stages: 1-row
+    * total broadcast, boundary explode, barr broadcast, bucket re-agg
+    * of g, dense spine join). Equivalence: all counts/cumulates are
+    * exact integer sums (order-free); p, q and the (p−q)·ln(p/q) term
+    * run the same IEEE chain (scala math.log == java.lang.Math.log ==
+    * Spark's Log codegen) and quantize to LONG before the order-free
+    * total. */
   def psiFromValueCounts(g0: DataFrame, nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val nb = nBuckets.toLong
     val g = g0.filter(col("x").isNotNull)
-    val w = Window.orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val t = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
-    val cum = g.select(col("x"), sum(col("a")).over(w).as("ca"))
-    // boundary i (1..nb-1): min x with ca·nb >= i·n_ref; the
-    // spine×cum cross join is (nb-1)·|domain| rows — bounded
-    val bounds = cum.crossJoin(broadcast(t))
-      .select(col("x"), col("ca"), col("n_ref"),
-        explode(sequence(lit(1L), lit(nb - 1L))).as("i"))
-      .filter(col("ca") * lit(nb) >= col("i") * col("n_ref"))
-      .groupBy(col("i")).agg(min(col("x")).as("bound"))
-    val barr = bounds
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("bound")))),
-        e => e.getField("bound")).as("barr"))
-    val counts = g.crossJoin(broadcast(barr))
-      .select(size(filter(col("barr"), v => v <= col("x"))).cast("long")
-        .as("bucket"), col("a"), col("b"))
-      .groupBy(col("bucket"))
-      .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
-    val spine = g0.sparkSession.range(0, nBuckets).toDF("bucket")
-    val dense = spine.join(counts, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("na"), lit(0L)).as("n_ref_b"),
-        coalesce(col("nb"), lit(0L)).as("n_cur_b"))
-      .crossJoin(broadcast(t))
-    val p = (col("n_ref_b") + lit(1L)).cast("double") /
-      (col("n_ref") + lit(nb)).cast("double")
-    val q = (col("n_cur_b") + lit(1L)).cast("double") /
-      (col("n_cur") + lit(nb)).cast("double")
-    dense
-      .select(col("bucket"), col("n_ref_b"), col("n_cur_b"),
-        floor((p - q) * log(p / q) * lit(1.0e9)).cast("long").as("tq"))
-      .select(col("bucket"), col("n_ref_b"), col("n_cur_b"),
-        (col("tq").cast("double") / lit(1.0e9)).as("psi_term"),
-        (sum(col("tq")).over(Window.partitionBy()).cast("double") /
-          lit(1.0e9)).as("psi"))
+      .select(col("x").cast("long"), col("a").cast("long"),
+        col("b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val schema = StructType(Seq(
+      StructField("bucket", LongType), StructField("n_ref_b", LongType),
+      StructField("n_cur_b", LongType), StructField("psi_term", DoubleType),
+      StructField("psi", DoubleType)))
+    val rows: Seq[Row] = if (g.isEmpty) {
+      // agg-over-empty semantics: zero dense counts, NULL terms/psi
+      // (the old p/q arithmetic saw NULL totals)
+      (0L until nb).map(bkt => Row(bkt, 0L, 0L, null, null))
+    } else {
+      val nRef = g.iterator.map(_._2).sum
+      val nCur = g.iterator.map(_._3).sum
+      // boundary i (1..nb-1): min x with ca·nb >= i·n_ref — the same
+      // cumulative walk the old window + explode filter performed
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 1L
+      var ca = 0L
+      g.foreach { case (x, a, _) =>
+        ca += a
+        while (i <= nb - 1L && ca * nb >= i * nRef) { bounds += x; i += 1L }
+      }
+      val nRefB = new Array[Long](nBuckets)
+      val nCurB = new Array[Long](nBuckets)
+      g.foreach { case (x, a, b) =>
+        val bkt = bounds.count(_ <= x)
+        nRefB(bkt) += a; nCurB(bkt) += b
+      }
+      val tq = (0 until nBuckets).map { bkt =>
+        val p = (nRefB(bkt) + 1L).toDouble / (nRef + nb).toDouble
+        val q = (nCurB(bkt) + 1L).toDouble / (nCur + nb).toDouble
+        math.floor((p - q) * math.log(p / q) * 1.0e9).toLong
+      }
+      val psi = tq.sum.toDouble / 1.0e9
+      (0 until nBuckets).map { bkt =>
+        Row(bkt.toLong, nRefB(bkt), nCurB(bkt),
+          tq(bkt).toDouble / 1.0e9, psi)
+      }
+    }
+    g0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Mann–Whitney U rank-sum test between two slices of one metric
@@ -463,34 +494,53 @@ object RobustStats {
     * that domain-sized relation, and the ≤points spine rides a
     * broadcast. */
   def lorenz(df: DataFrame, x: Column, points: Int = 10): DataFrame = {
+    // r16: the distinct-value relation is domain-sized (the KS regime —
+    // the old cumulate window was unpartitioned over it), so the
+    // cumulative walk, the ≤points spine and the within-tie
+    // interpolation fold into driver arithmetic on the collected value
+    // counts (was 3 jobs: 1-row total broadcast + spine broadcast +
+    // the windowed filter join; now the one corpus aggregate).
+    // Integer cuts/masses are exact (BigInt mirrors DECIMAL(38,0));
+    // each emitted double converts and divides exactly as before.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
     val g = df.filter(x.isNotNull)
       .select(x.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = g
-      .withColumn("cumcnt", sum(col("cnt")).over(w))
-      .withColumn("cummass",
-        sum((col("v") * col("cnt")).cast("decimal(38,0)")).over(w))
-    val t = g.agg(sum(col("cnt")).as("n"),
-      sum((col("v") * col("cnt")).cast("decimal(38,0)")).as("total"))
-    val spine = df.sparkSession.range(1, points + 1).toDF("p")
-      .crossJoin(broadcast(t))
-      .withColumn("k", call_function("div", col("p") * col("n"),
-        lit(points.toLong)))
-    val mass = (col("cummass") -
-      ((col("cumcnt") - col("k")) * col("v")).cast("decimal(38,0)"))
-    cum.crossJoin(broadcast(spine))
-      .filter(col("cumcnt") >= col("k"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("p")).orderBy(col("v"))))
-      .filter(col("rn") === 1)
-      .select(col("p"), col("k"), col("v").as("v_at"),
-        (col("k").cast("double") / col("n").cast("double"))
-          .as("frac_pop"),
-        when(col("total") === 0, lit(null).cast("double"))
-          .otherwise(mass.cast("double") / col("total").cast("double"))
-          .as("frac_mass"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val schema = StructType(Seq(
+      StructField("p", LongType), StructField("k", LongType),
+      StructField("v_at", LongType), StructField("frac_pop", DoubleType),
+      StructField("frac_mass", DoubleType)))
+    val rows: Seq[Row] = if (g.isEmpty) Seq.empty
+    else {
+      val n = g.iterator.map(_._2).sum
+      val total = g.iterator.map { case (v, c) => BigInt(v) * c }.sum
+      val cumcnt = new Array[Long](g.length)
+      val cummass = new Array[BigInt](g.length)
+      var accC = 0L; var accM = BigInt(0)
+      var idx = 0
+      while (idx < g.length) {
+        accC += g(idx)._2; accM += BigInt(g(idx)._1) * g(idx)._2
+        cumcnt(idx) = accC; cummass(idx) = accM; idx += 1
+      }
+      (1L to points.toLong).flatMap { p =>
+        val k = p * n / points.toLong // both non-negative: div == /
+        val at = cumcnt.indexWhere(_ >= k)
+        if (at < 0) Seq.empty
+        else {
+          val v = g(at)._1
+          val mass = cummass(at) - BigInt(cumcnt(at) - k) * v
+          val fracMass: Any =
+            if (total == 0) null
+            else new java.math.BigDecimal(mass.bigInteger).doubleValue /
+              new java.math.BigDecimal(total.bigInteger).doubleValue
+          Seq(Row(p, k, v, k.toDouble / n.toDouble, fracMass))
+        }
+      }
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Per-group Gini concentration of a non-negative integer mass
