@@ -650,43 +650,66 @@ object Selection {
     * regime), totals broadcast back. Scan-bound. */
   def unimaxAlloc(df: DataFrame, domain: Column, tokens: Column,
                   budget: Long, maxEpochs: Long): DataFrame = {
-    val per = df.select(domain.as("g"), tokens.as("__t"))
+    // r16: everything past the |languages|-row corpus aggregate folds
+    // in the driver (was 3 jobs: ranked persist + L broadcast + kRow
+    // broadcast; now the one corpus job). The waterfill sort replays
+    // Spark's (cap ASC, g ASC NULLS LAST) order exactly — string keys
+    // compare by UTF-8 BYTES (UTF8String order, code-point order; Java
+    // String compareTo would diverge on supplementary characters, the
+    // domainCap NULL/collation parity class) — and the affordability
+    // product runs in BigInt, mirroring the DECIMAL(38,0) arithmetic.
+    // λ and the per-row doubles are the same IEEE chain as before.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val perDf = df.select(domain.as("g"), tokens.as("__t"))
       .filter(col("__t").isNotNull)
       .groupBy(col("g"))
       .agg(sum(col("__t")).as("n_tokens"))
-      .withColumn("cap", col("n_tokens") * lit(maxEpochs))
-    // g ASC NULLS LAST: Spark's bare asc sorts NULLS FIRST, DuckDB's
-    // NULLS LAST — a NULL-language group tying on cap would shift
-    // rn/prefix and the waterfill boundary (the stratifiedSample /
-    // domainCap NULL-order parity class, r14 ADVICE item 3)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cap").asc, col("g").asc_nulls_last)
-    val ranked = graft.core.Caches.track(per
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("prefix", sum(col("cap")).over(w.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(per.agg(count(lit(1)).as("L"))))
-      .withColumn("affordable",
-        col("cap").cast("decimal(38,0)") * (col("L") - col("rn") + 1) +
-          (col("prefix") - col("cap")).cast("decimal(38,0)") <=
-          lit(budget).cast("decimal(38,0)")))
-    val kRow = ranked.agg(
-      coalesce(sum(when(col("affordable"), 1L)), lit(0L)).as("k"),
-      coalesce(sum(when(col("affordable"), col("cap"))), lit(0L))
-        .as("prefix_k"))
-    ranked.crossJoin(broadcast(kRow))
-      .withColumn("__lambda",
-        when(col("L") === col("k"), lit(null).cast("double"))
-          .otherwise((lit(budget) - col("prefix_k")).cast("double") /
-            (col("L") - col("k")).cast("double")))
-      .withColumn("allocated",
-        when(col("rn") <= col("k"), col("cap").cast("double"))
-          .otherwise(col("__lambda")))
-      .withColumn("epochs",
-        when(col("n_tokens") === 0L, lit(null).cast("double"))
-          .otherwise(col("allocated") / col("n_tokens").cast("double")))
-      .select(col("g"), col("n_tokens"), col("cap"), col("allocated"),
-        col("epochs"))
+    val per = perDf.collect().map { r =>
+      val n = r.getLong(1)
+      (r.get(0), n, n * maxEpochs)
+    }
+    // (cap ASC, g ASC NULLS LAST) with UTF8-byte string order
+    def gLess(a: Any, b: Any): Boolean = (a, b) match {
+      case (null, _) => false // NULLS LAST: null never precedes
+      case (_, null) => true
+      case (x: String, y: String) =>
+        java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x, y) => x.toString < y.toString // unreachable for the suite
+    }
+    val sorted = per.sortWith((l, r) =>
+      if (l._3 != r._3) l._3 < r._3 else gLess(l._1, r._1))
+    val L = sorted.length.toLong
+    var prefix = 0L
+    var k = 0L
+    var prefixK = 0L
+    val ranked = sorted.zipWithIndex.map { case ((g, n, cap), i) =>
+      prefix += cap
+      val affordable = BigInt(cap) * (L - (i + 1L) + 1L) +
+        BigInt(prefix - cap) <= BigInt(budget)
+      if (affordable) { k += 1L; prefixK += cap }
+      (g, n, cap, i + 1L, affordable)
+    }
+    val lambda: Any =
+      if (L == k) null
+      else (budget - prefixK).toDouble / (L - k).toDouble
+    val rows = ranked.map { case (g, n, cap, rn, _) =>
+      val allocated: Any = if (rn <= k) cap.toDouble else lambda
+      val epochs: Any =
+        if (n == 0L || allocated == null) null
+        else allocated.asInstanceOf[Double] / n.toDouble
+      Row(g, n, cap, allocated, epochs)
+    }
+    val schema = StructType(Seq(
+      StructField("g", perDf.schema("g").dataType),
+      StructField("n_tokens", LongType), StructField("cap", LongType),
+      StructField("allocated", DoubleType), StructField("epochs", DoubleType)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** One-step domain reweighting — the DoReMi update (Xie et al.,
@@ -711,30 +734,43 @@ object Selection {
     * base_share, weight). */
   def domainReweight(df: DataFrame, domain: Column, lossQ: Column,
                      eta: Double, lossScale: Double = 1e3): DataFrame = {
-    val per = df.select(domain.as("g"), lossQ.as("__lq"))
+    // r16: everything past the |domains|-row corpus aggregate folds in
+    // the driver (was 3 jobs: persist + tot broadcast + normalizer
+    // broadcast; now the one corpus job). DECIMAL(38,0) loss sums
+    // mirror as BigInt with the same ->double conversion; the
+    // mean/excess/exp chain is the identical java.lang.Math sequence
+    // Spark's codegen runs, quantized to LONG before the exact
+    // normalizer sum.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val perDf = df.select(domain.as("g"), lossQ.as("__lq"))
       .filter(col("__lq").isNotNull)
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__lq").cast("decimal(38,0)")).as("__sl"))
-    val tot = per.agg(sum(col("n_docs")).as("__nt"),
-      sum(col("__sl")).as("__slt"))
-    val meanG = col("__sl").cast("double") /
-      (col("n_docs").cast("double") * lit(lossScale))
-    val meanAll = col("__slt").cast("double") /
-      (col("__nt").cast("double") * lit(lossScale))
-    val withRaw = graft.core.Caches.track(per.crossJoin(broadcast(tot))
-      .withColumn("mean_loss", meanG)
-      .withColumn("excess_loss", meanG - meanAll)
-      .withColumn("base_share",
-        col("n_docs").cast("double") / col("__nt").cast("double"))
-      .withColumn("__rq",
-        floor(col("base_share") * exp(lit(eta) * col("excess_loss")) *
-          lit(1e12)).cast("long")))
-    val norm = withRaw.agg(sum(col("__rq")).as("__rst"))
-    withRaw.crossJoin(broadcast(norm))
-      .select(col("g"), col("n_docs"), col("mean_loss"),
-        col("excess_loss"), col("base_share"),
-        (col("__rq").cast("double") / col("__rst").cast("double"))
-          .as("weight"))
+    val per = perDf.collect().map(r =>
+      (r.get(0), r.getLong(1), r.getDecimal(2)))
+    val nt = per.iterator.map(_._2).sum
+    val slt = per.iterator.map(r => BigDecimal(r._3)).sum
+    val meanAll = slt.bigDecimal.doubleValue / (nt.toDouble * lossScale)
+    val mid = per.map { case (g, n, sl) =>
+      val meanG = sl.doubleValue / (n.toDouble * lossScale)
+      val baseShare = n.toDouble / nt.toDouble
+      val rq = math.floor(baseShare *
+        math.exp(eta * (meanG - meanAll)) * 1e12).toLong
+      (g, n, meanG, meanG - meanAll, baseShare, rq)
+    }
+    val rst = mid.iterator.map(_._6).sum
+    val rows = mid.map { case (g, n, m, ex, bs, rq) =>
+      Row(g, n, m, ex, bs, rq.toDouble / rst.toDouble)
+    }
+    val schema = StructType(Seq(
+      StructField("g", perDf.schema("g").dataType),
+      StructField("n_docs", LongType), StructField("mean_loss", DoubleType),
+      StructField("excess_loss", DoubleType),
+      StructField("base_share", DoubleType),
+      StructField("weight", DoubleType)))
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
   }
 }
