@@ -855,14 +855,9 @@ object TextAnalysis {
     * long/long division, identical IEEE op on both engines. */
   def oovRate(df: DataFrame, id: Column, text: Column,
               vocabSize: Int): DataFrame = {
-    // r16: count tokens where they live (TermCounts — the tfidf TF
-    // fold) so the vocab aggregate's exchange carries one (term, tf)
-    // row per DISTINCT doc-term instead of one row per raw token;
-    // sum(tf) equals the raw-token count exactly.
     val toks = graft.core.Xform.spreadToCores(df)
-      .select(explode(graft.functions.TermCounts(tokens(text))).as("tc"))
-    val vocab = toks.groupBy(col("tc.term").as("tok"))
-      .agg(sum(col("tc.tf")).as("n"))
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok").asc).limit(vocabSize)
       .select(col("tok"))
     oovAgainstVocab(df, id, text, vocab)
@@ -876,20 +871,13 @@ object TextAnalysis {
     * aggregate. */
   def oovAgainstVocab(df: DataFrame, id: Column, text: Column,
                       vocab: DataFrame): DataFrame =
-    // probe side also folds per-doc duplicates first (r16): the
-    // broadcast join probes one row per distinct doc-term and the
-    // doc-keyed aggregate sums exact tf integers — identical counts,
-    // far fewer join probes on repetitive text. A doc with no tokens
-    // emits no row in both forms (empty TermCounts explodes to zero).
     graft.core.Xform.spreadToCores(df)
-      .select(id.as("doc_id"),
-        explode(graft.functions.TermCounts(tokens(text))).as("tc"))
-      .select(col("doc_id"), col("tc.term").as("tok"), col("tc.tf").as("tf"))
+      .select(id.as("doc_id"), explode(tokens(text)).as("tok"))
       .join(broadcast(vocab.select(col("tok")).withColumn("__in", lit(1))),
         Seq("tok"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).as("n_tokens"),
-        sum(when(col("__in").isNull, col("tf")).otherwise(0L)).as("n_oov"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
