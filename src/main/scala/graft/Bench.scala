@@ -37,19 +37,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    var maxRows = 0L
-    graft.sources.Tables.names.foreach { n =>
-      try maxRows = math.max(maxRows, graft.sources.Tables.table(spark, sfDir, n).count())
-      catch { case _: Throwable => () }
-    }
-    // AQE is a runtime trade: stage-wise execution + re-planning costs a
-    // measured ~0.3s of barrier latency per shuffle query, and pays for
-    // itself (skew split, runtime coalesce) only when stages process
-    // enough data to dwarf that. Enable it when the input is
-    // cluster-scale; at sub-second-query scale it is pure overhead. The
-    // plan SHAPES the engine produces are identical either way
-    // (PlanSpec asserts them with AQE on).
-    spark.conf.set("spark.sql.adaptive.enabled", (maxRows > 5000000L).toString)
+    val maxRows = graft.core.Scale.maxInputRows(spark, sfDir)
+    // AQE on above the row threshold; below it, shuffle partitions are
+    // derived from the input size instead of the core count (r17, guide
+    // §2.6 — the r16 scaling block's anti-scaling cluster paid 32-way
+    // partition overhead on sub-MB shuffles AQE was too small to
+    // coalesce). Policy + rationale: graft.core.Scale.
+    graft.core.Scale.configure(spark, maxRows, cpus.toInt)
     // JIT/codegen warmup: run one throwaway query exercising the hot code
     // paths (hash agg, join, window, sort) so the first TIMED query isn't
     // charged for HotSpot + Janino compilation of the shared operators.
@@ -241,12 +235,40 @@ object Bench {
     // jitter doesn't trigger) gets ONE more run, and the final JSON
     // reports (was, ref, re) per flagged query so the judge sees the
     // pair instead of a phantom regression. min() still decides.
-    val refTimes: Map[String, Double] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_BOTH.json")), "UTF-8")
-      """"([A-Za-z0-9_]+)":\{"spark":([0-9.Ee+-]+)""".r
-        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+    // r17 (r16 VERDICT item 2): the reference load silently no-opped
+    // when the bench wasn't launched from the repo root — the driver's
+    // r16 run printed "xchk":{} while q_item_cf sat at 4.8x its
+    // committed reference. Resolve the reference against (in order)
+    // $SPARK_GRAFT_REF, the process cwd, and the repo root derived from
+    // the compiled-classes location; report which source was used (or
+    // "missing") in the JSON so a no-op is loud, never silent.
+    val refCandidates: Seq[String] = Seq(
+      sys.env.get("SPARK_GRAFT_REF"),
+      Some("BENCH_BOTH.json"),
+      (try Option(getClass.getProtectionDomain.getCodeSource).map { cs =>
+        // .../target/scala-2.13/classes → repo root is 3 levels up
+        java.nio.file.Paths.get(cs.getLocation.toURI)
+          .getParent.getParent.getParent.resolve("BENCH_BOTH.json").toString
+      } catch { case _: Throwable => None })
+    ).flatten
+    var xchkRef: String = "missing"
+    val refTimes: Map[String, Double] = refCandidates.iterator.flatMap { p =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        // reference times are only comparable at the SAME scale factor:
+        // a reference recorded against another sf would flag the whole
+        // suite and re-run everything (the sf1 rehearsal case)
+        val refSf = """"sf":\s*"([^"]+)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!refSf.contains(sfDir)) { xchkRef = s"sf_mismatch:$p"; None }
+        else {
+          val m = """"([A-Za-z0-9_]+)":\{"spark":([0-9.Ee+-]+)""".r
+            .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          if (m.nonEmpty) { xchkRef = p; Some(m) } else None
+        }
+      } catch { case _: Throwable => None }
+    }.nextOption().getOrElse(Map.empty)
     val xchk = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     if (refTimes.nonEmpty) selected.foreach { case (name, fn) =>
       val best = samples(name).map(_._1).min
@@ -256,6 +278,19 @@ object Bench {
           samples(name) = samples(name) :+ re
           xchk(name) = (best, ref, if (re._1.isInfinity) -1.0 else re._1)
         }
+      }
+    }
+    // control sentinel vs ITS committed reference: sustained machine
+    // load inflates control and queries together, sliding under the
+    // in-run drift sentinel — this is the absolute anchor. One extra
+    // control sample when drifted; reported as __ctrl in xchk.
+    if (refTimes.nonEmpty) refTimes.get("q1_agg").foreach { ref =>
+      val med0 = if (ctrlSamples.isEmpty) 0.0 else {
+        val s = ctrlSamples.map(_._2).sorted; s(s.size / 2)
+      }
+      if (ref > 0 && med0 > 1.5 * ref) {
+        val re = once(ctrlFn)
+        xchk("__ctrl") = (med0, ref, if (re._1.isInfinity) -1.0 else re._1)
       }
     }
     val results = selected.map { case (name, _) =>
@@ -289,7 +324,7 @@ object Bench {
         s""","n_failed":$nFailed""" +
         s""","ctrl":{"median":${fmt(ctrlMed)},"n":${ctrlSamples.size}""" +
         s""","resampled_n":${resampled.size}}""" +
-        s""","xchk":$xchkJson""" +
+        s""","xchk":$xchkJson,"xchk_ref":"$xchkRef"""" +
         s""","n_queries":${results.size},"sf":"$sfDir"}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

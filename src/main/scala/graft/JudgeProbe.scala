@@ -14,6 +14,10 @@ object JudgeProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // mirror Bench's scale-adaptive policy so probe timings are
+    // comparable to the contract surface (graft.core.Scale)
+    graft.core.Scale.configure(spark,
+      graft.core.Scale.maxInputRows(spark, sfDir), 32)
     // job/stage accounting per probe: fixed per-job scheduling overhead
     // (~0.2-0.5 s against sub-MB inputs) dominates multi-action queries
     // at bench scale, so the job count is the first thing to audit

@@ -543,49 +543,88 @@ object Inference {
     // + cumulate-window q̂ + coverage re-scan chain (was 4 jobs / 10
     // stages over 3 corpus passes; now 2 jobs / 2 passes: the fit, then
     // this). The grouped output is DOMAIN-sized (distinct quantized
-    // residuals × 2 slices — the same bound the unpartitioned cumulate
-    // window already assumed), so n_calib, the k-th order statistic and
+    // residuals × 2 slices — note this fold's domain bound covers BOTH
+    // slices where the old cumulate window only funneled the CALIB
+    // slice; the r17 guard below is what makes that widened assumption
+    // safe), so n_calib, the k-th order statistic and
     // the coverage count fold into exact integer driver arithmetic on
     // the collected counts: the cumulative walk over rq-sorted distinct
     // values IS the old window, the rank compare is the same integer
     // compare, and coverage divides once at the end (shared IEEE).
+    // r17 guard: above the DriverFold cap the pre-fold distributed form
+    // (calib-only cumulate window + coverage re-scan) runs instead,
+    // bit-identically. EAGER under the cap (fit job + counts job at
+    // construction time).
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val counts = scored.groupBy(col("cal"), col("rq"))
-      .agg(count(lit(1)).as("c")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val schema = StructType(Seq(
-      StructField("n_train", LongType), StructField("n_calib", LongType),
-      StructField("n_test", LongType), StructField("qhat", DoubleType),
-      StructField("coverage", DoubleType)))
-    val row = if (counts.isEmpty) {
-      // no non-train rows at all: the old agg-over-empty emitted NULLs
-      Row(nTrain, null, null, null, null)
-    } else {
-      val calib = counts.filter(_._1 == 1L).sortBy(_._2)
-      val nCalibOrNull: Any = if (calib.isEmpty) null
-        else calib.iterator.map(_._3).sum
-      val qhatQ: Option[Long] = nCalibOrNull match {
-        case null => None
-        case nc: Long =>
-          val xp = (nc + 1L) * covNum.toLong + (covDen.toLong - 1L)
-          val kScaled = math.min(xp - xp % covDen.toLong, nc * covDen.toLong)
-          var cum = 0L
-          calib.collectFirst {
-            case (_, rq, c) if { cum += c; cum * covDen.toLong >= kScaled } =>
-              rq
+    val countsDf = scored.groupBy(col("cal"), col("rq"))
+      .agg(count(lit(1)).as("c"))
+    graft.core.DriverFold.collectBounded(countsDf) match {
+      case Some(collected) =>
+        val counts = collected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val schema = StructType(Seq(
+          StructField("n_train", LongType), StructField("n_calib", LongType),
+          StructField("n_test", LongType), StructField("qhat", DoubleType),
+          StructField("coverage", DoubleType)))
+        val row = if (counts.isEmpty) {
+          // no non-train rows at all: the old agg-over-empty emitted NULLs
+          Row(nTrain, null, null, null, null)
+        } else {
+          val calib = counts.filter(_._1 == 1L).sortBy(_._2)
+          val nCalibOrNull: Any = if (calib.isEmpty) null
+            else calib.iterator.map(_._3).sum
+          val qhatQ: Option[Long] = nCalibOrNull match {
+            case null => None
+            case nc: Long =>
+              val xp = (nc + 1L) * covNum.toLong + (covDen.toLong - 1L)
+              val kScaled = math.min(xp - xp % covDen.toLong, nc * covDen.toLong)
+              var cum = 0L
+              calib.collectFirst {
+                case (_, rq, c) if { cum += c; cum * covDen.toLong >= kScaled } =>
+                  rq
+              }
           }
-      }
-      val nTest = counts.filter(_._1 == 0L).map(_._3).sum
-      val nCov = qhatQ.map(q =>
-        counts.filter(t => t._1 == 0L && t._2 <= q).map(_._3).sum)
-      val qhatOrNull: Any = qhatQ.map(_.toDouble / 1.0e6).orNull
-      val covOrNull: Any =
-        if (nTest == 0L || qhatQ.isEmpty) null
-        else nCov.get.toDouble / nTest.toDouble
-      Row(nTrain, nCalibOrNull, nTest, qhatOrNull, covOrNull)
+          val nTest = counts.filter(_._1 == 0L).map(_._3).sum
+          val nCov = qhatQ.map(q =>
+            counts.filter(t => t._1 == 0L && t._2 <= q).map(_._3).sum)
+          val qhatOrNull: Any = qhatQ.map(_.toDouble / 1.0e6).orNull
+          val covOrNull: Any =
+            if (nTest == 0L || qhatQ.isEmpty) null
+            else nCov.get.toDouble / nTest.toDouble
+          Row(nTrain, nCalibOrNull, nTest, qhatOrNull, covOrNull)
+        }
+        spark.createDataFrame(java.util.Arrays.asList(row), schema)
+      case None => // distributed tail: the pre-r16 window + re-scan form
+        val cc = scored.filter(col("cal") === 1L)
+          .groupBy(col("rq")).agg(count(lit(1)).as("c"))
+        val t = cc.agg(sum(col("c")).as("n_calib"))
+        val wq = Window.orderBy(col("rq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // k = ceil(covNum·(n+1)/covDen) clamped to n (tiny-calib guard);
+        // k·covDen = x' − x' mod covDen with x' = covNum·(n+1)+covDen−1,
+        // so `cum ≥ k` stays a pure integer compare
+        val xp = (col("n_calib") + lit(1L)) * lit(covNum.toLong) +
+          lit(covDen.toLong - 1L)
+        val kScaled = least(xp - xp % lit(covDen.toLong),
+          col("n_calib") * lit(covDen.toLong))
+        val qhat = cc.select(col("rq"), sum(col("c")).over(wq).as("cum"))
+          .crossJoin(broadcast(t))
+          .filter(col("cum") * lit(covDen.toLong) >= kScaled)
+          .agg(min(col("rq")).as("qhat_q"))
+          .crossJoin(broadcast(t))
+        scored.crossJoin(broadcast(qhat))
+          .agg(max(col("n_calib")).as("n_calib"),
+            sum(lit(1L) - col("cal")).as("n_test"),
+            max(col("qhat_q")).as("qhat_q"),
+            sum(when(col("cal") === 0L && col("rq") <= col("qhat_q"), 1L)
+              .otherwise(0L)).as("n_cov"))
+          .select(lit(nTrain).as("n_train"), col("n_calib"), col("n_test"),
+            (col("qhat_q").cast("double") / lit(1.0e6)).as("qhat"),
+            when(col("n_test") === 0L || col("qhat_q").isNull,
+              lit(null).cast("double"))
+              .otherwise(col("n_cov").cast("double") /
+                col("n_test").cast("double")).as("coverage"))
     }
-    spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
   /** Isotonic (monotone non-decreasing) recalibration of a binary
@@ -605,7 +644,11 @@ object Inference {
     *
     * Shape: the corpus pays ONE map-combined ≤bins-key aggregate
     * (the calibration scan); everything after operates on ≤bins rows.
-    * Returns (bin, n, frac_pos, iso_pos). */
+    * Returns (bin, n, frac_pos, iso_pos).
+    *
+    * EAGER: the corpus job executes at DataFrame-construction time
+    * (driver-fold contract — callers cannot stack lazy transforms
+    * without paying the job first; .explain triggers execution). */
   def isotonicCalibration(df: DataFrame, score: Column, label: Column,
                           bins: Int = 10): DataFrame = {
     val bin = least(greatest(floor(score * lit(bins)).cast("long"),
@@ -733,22 +776,28 @@ object Inference {
     * double expression from the integer totals; ties eat the whole
     * domain (single distinct value ⇒ correction ≤ 0) → NULL h.
     *
-    * Shape: one (g, v) groupBy; the value-domain table derives from it
-    * by a second ≤|domain|-row agg (no second corpus scan), cumulates
-    * over ONE domain-sized ordered window (the KS/PSI discipline), and
-    * joins back on v — the corpus is touched once. Returns one row per
-    * group (g, n_g, rank_sum2) with the fold constants (n, k, h,
+    * Shape: one (g, v) groupBy; the value-domain quantities (n_v, cum,
+    * 2·midrank) attach via RANGE-framed windows over the SAME
+    * domain-sized relation ordered by v — ties share a range frame, so
+    * [unbounded, current] sums n_gv over all v' ≤ v (= cum(v)) and
+    * [current, current] sums over the tie block (= n_v); no second
+    * aggregate, no join back, ONE Spark job (r17 — the broadcast-join
+    * form paid a second job for the domain-table build; A/B in
+    * OPTIMIZATION_r17.md). The corpus is touched once. Returns one row
+    * per group (g, n_g, rank_sum2) with the fold constants (n, k, h,
     * h_tie_corrected) window-attached. */
   def kruskalWallis(df: DataFrame, group: Column, value: Column): DataFrame = {
     val gv = df.filter(group.isNotNull && value.isNotNull)
       .select(group.as("g"), value.as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_gv"))
-    val dom = gv.groupBy(col("v")).agg(sum(col("n_gv")).as("n_v"))
-      .withColumn("cum", sum(col("n_v"))
-        .over(Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("v"), col("n_v"),
-        (lit(2L) * col("cum") - col("n_v") + lit(1L)).as("mid2"))
+    val wCum = Window.orderBy(col("v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTie = Window.orderBy(col("v"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val gvm = gv
+      .withColumn("cum", sum(col("n_gv")).over(wCum))
+      .withColumn("n_v", sum(col("n_gv")).over(wTie))
+      .withColumn("mid2", lit(2L) * col("cum") - col("n_v") + lit(1L))
     // the tie term folds into the SAME per-group aggregate instead of
     // a second dom aggregate + broadcast cross join (one fewer Spark
     // job — the fixed scheduling overhead dominated this sub-second
@@ -756,7 +805,7 @@ object Inference {
     // exact integers throughout (n_v² fits LONG to ~3·10⁹-row domains,
     // the same bound class as the rank quotient; product accumulates
     // in DECIMAL(38,0))
-    val perG = gv.join(dom, Seq("v"))
+    val perG = gvm
       .groupBy(col("g"))
       .agg(sum(col("n_gv")).as("n_g"),
         sum((col("n_gv") * col("mid2")).cast("decimal(38,0)"))

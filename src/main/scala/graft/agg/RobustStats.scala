@@ -52,7 +52,11 @@ object RobustStats {
     * under-count any total folded from the per-term rows.
     *
     * Shape: one map-side-combined groupBy on ≤9 keys plus a broadcast
-    * of the 1-row total — scan-bound at any scale. */
+    * of the 1-row total — scan-bound at any scale.
+    *
+    * EAGER: the corpus job executes at DataFrame-construction time
+    * (driver-fold contract — callers cannot stack lazy transforms
+    * without paying the job first; .explain triggers execution). */
   def benford(df: DataFrame, amount: Column): DataFrame = {
     // r16: the digit domain is NINE keys — the spine join, 1-row total
     // broadcast and per-digit doubles fold into driver arithmetic on
@@ -250,50 +254,94 @@ object RobustStats {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val nb = nBuckets.toLong
-    val g = g0.filter(col("x").isNotNull)
+    // r17 guard: the distinct-value domain is only quantization-bounded
+    // at lake scale, so the fold gates on DriverFold — above the cap the
+    // pre-fold window/spine form runs, bit-identically. EAGER under the
+    // cap: the value-count job executes at construction time.
+    val gDf = g0.filter(col("x").isNotNull)
       .select(col("x").cast("long"), col("a").cast("long"),
         col("b").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val schema = StructType(Seq(
-      StructField("bucket", LongType), StructField("n_ref_b", LongType),
-      StructField("n_cur_b", LongType), StructField("psi_term", DoubleType),
-      StructField("psi", DoubleType)))
-    val rows: Seq[Row] = if (g.isEmpty) {
-      // agg-over-empty semantics: zero dense counts, NULL terms/psi
-      // (the old p/q arithmetic saw NULL totals)
-      (0L until nb).map(bkt => Row(bkt, 0L, 0L, null, null))
-    } else {
-      val nRef = g.iterator.map(_._2).sum
-      val nCur = g.iterator.map(_._3).sum
-      // boundary i (1..nb-1): min x with ca·nb >= i·n_ref — the same
-      // cumulative walk the old window + explode filter performed
-      val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var i = 1L
-      var ca = 0L
-      g.foreach { case (x, a, _) =>
-        ca += a
-        while (i <= nb - 1L && ca * nb >= i * nRef) { bounds += x; i += 1L }
-      }
-      val nRefB = new Array[Long](nBuckets)
-      val nCurB = new Array[Long](nBuckets)
-      g.foreach { case (x, a, b) =>
-        val bkt = bounds.count(_ <= x)
-        nRefB(bkt) += a; nCurB(bkt) += b
-      }
-      val tq = (0 until nBuckets).map { bkt =>
-        val p = (nRefB(bkt) + 1L).toDouble / (nRef + nb).toDouble
-        val q = (nCurB(bkt) + 1L).toDouble / (nCur + nb).toDouble
-        math.floor((p - q) * math.log(p / q) * 1.0e9).toLong
-      }
-      val psi = tq.sum.toDouble / 1.0e9
-      (0 until nBuckets).map { bkt =>
-        Row(bkt.toLong, nRefB(bkt), nCurB(bkt),
-          tq(bkt).toDouble / 1.0e9, psi)
-      }
+    graft.core.DriverFold.collectBounded(gDf) match {
+      case Some(collected) =>
+        val g = collected.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        val schema = StructType(Seq(
+          StructField("bucket", LongType), StructField("n_ref_b", LongType),
+          StructField("n_cur_b", LongType), StructField("psi_term", DoubleType),
+          StructField("psi", DoubleType)))
+        val rows: Seq[Row] = if (g.isEmpty) {
+          // agg-over-empty semantics: zero dense counts, NULL terms/psi
+          // (the old p/q arithmetic saw NULL totals)
+          (0L until nb).map(bkt => Row(bkt, 0L, 0L, null, null))
+        } else {
+          val nRef = g.iterator.map(_._2).sum
+          val nCur = g.iterator.map(_._3).sum
+          // boundary i (1..nb-1): min x with ca·nb >= i·n_ref — the same
+          // cumulative walk the old window + explode filter performed
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var i = 1L
+          var ca = 0L
+          g.foreach { case (x, a, _) =>
+            ca += a
+            while (i <= nb - 1L && ca * nb >= i * nRef) { bounds += x; i += 1L }
+          }
+          val nRefB = new Array[Long](nBuckets)
+          val nCurB = new Array[Long](nBuckets)
+          g.foreach { case (x, a, b) =>
+            val bkt = bounds.count(_ <= x)
+            nRefB(bkt) += a; nCurB(bkt) += b
+          }
+          val tq = (0 until nBuckets).map { bkt =>
+            val p = (nRefB(bkt) + 1L).toDouble / (nRef + nb).toDouble
+            val q = (nCurB(bkt) + 1L).toDouble / (nCur + nb).toDouble
+            math.floor((p - q) * math.log(p / q) * 1.0e9).toLong
+          }
+          val psi = tq.sum.toDouble / 1.0e9
+          (0 until nBuckets).map { bkt =>
+            Row(bkt.toLong, nRefB(bkt), nCurB(bkt),
+              tq(bkt).toDouble / 1.0e9, psi)
+          }
+        }
+        g0.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      case None => // distributed tail: the pre-r16 window/spine form
+        val g = gDf
+        val w = Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = g.agg(sum(col("a")).as("n_ref"), sum(col("b")).as("n_cur"))
+        val cum = g.select(col("x"), sum(col("a")).over(w).as("ca"))
+        // boundary i (1..nb-1): min x with ca·nb >= i·n_ref; the
+        // spine×cum cross join is (nb-1)·|domain| rows — bounded
+        val bounds = cum.crossJoin(broadcast(t))
+          .select(col("x"), col("ca"), col("n_ref"),
+            explode(sequence(lit(1L), lit(nb - 1L))).as("i"))
+          .filter(col("ca") * lit(nb) >= col("i") * col("n_ref"))
+          .groupBy(col("i")).agg(min(col("x")).as("bound"))
+        val barr = bounds
+          .agg(transform(array_sort(collect_list(struct(col("i"), col("bound")))),
+            e => e.getField("bound")).as("barr"))
+        val counts = g.crossJoin(broadcast(barr))
+          .select(size(filter(col("barr"), v => v <= col("x"))).cast("long")
+            .as("bucket"), col("a"), col("b"))
+          .groupBy(col("bucket"))
+          .agg(sum(col("a")).as("na"), sum(col("b")).as("nb"))
+        val spine = g0.sparkSession.range(0, nBuckets).toDF("bucket")
+        val dense = spine.join(counts, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("na"), lit(0L)).as("n_ref_b"),
+            coalesce(col("nb"), lit(0L)).as("n_cur_b"))
+          .crossJoin(broadcast(t))
+        val p = (col("n_ref_b") + lit(1L)).cast("double") /
+          (col("n_ref") + lit(nb)).cast("double")
+        val q = (col("n_cur_b") + lit(1L)).cast("double") /
+          (col("n_cur") + lit(nb)).cast("double")
+        dense
+          .select(col("bucket"), col("n_ref_b"), col("n_cur_b"),
+            floor((p - q) * log(p / q) * lit(1.0e9)).cast("long").as("tq"))
+          .select(col("bucket"), col("n_ref_b"), col("n_cur_b"),
+            (col("tq").cast("double") / lit(1.0e9)).as("psi_term"),
+            (sum(col("tq")).over(Window.partitionBy()).cast("double") /
+              lit(1.0e9)).as("psi"))
     }
-    g0.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Mann–Whitney U rank-sum test between two slices of one metric
@@ -380,7 +428,13 @@ object RobustStats {
     * engines execute per cell; the chi² total sums pre-quantized LONGs
     * (order-free). The collect is DOMAIN-sized (distinct r × distinct
     * c), never corpus-sized — the same bound the old broadcast spine
-    * already assumed. */
+    * already assumed, and the fold's collect is exactly the query's own
+    * OUTPUT relation (the dense r×c grid) — a table too large to
+    * collect is too large to emit.
+    *
+    * EAGER: the corpus job executes at DataFrame-construction time
+    * (driver-fold contract — callers cannot stack lazy transforms
+    * without paying the job first; .explain triggers execution). */
   def chi2Independence(df: DataFrame, rowc: Column, colc: Column): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -502,45 +556,78 @@ object RobustStats {
     // the windowed filter join; now the one corpus aggregate).
     // Integer cuts/masses are exact (BigInt mirrors DECIMAL(38,0));
     // each emitted double converts and divides exactly as before.
+    // r17 guard: the distinct-value domain is only quantization-bounded
+    // at lake scale — fold gates on DriverFold; above the cap the
+    // pre-fold window/spine form runs, bit-identically.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val g = df.filter(x.isNotNull)
+    val gDf = df.filter(x.isNotNull)
       .select(x.cast("long").as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    val schema = StructType(Seq(
-      StructField("p", LongType), StructField("k", LongType),
-      StructField("v_at", LongType), StructField("frac_pop", DoubleType),
-      StructField("frac_mass", DoubleType)))
-    val rows: Seq[Row] = if (g.isEmpty) Seq.empty
-    else {
-      val n = g.iterator.map(_._2).sum
-      val total = g.iterator.map { case (v, c) => BigInt(v) * c }.sum
-      val cumcnt = new Array[Long](g.length)
-      val cummass = new Array[BigInt](g.length)
-      var accC = 0L; var accM = BigInt(0)
-      var idx = 0
-      while (idx < g.length) {
-        accC += g(idx)._2; accM += BigInt(g(idx)._1) * g(idx)._2
-        cumcnt(idx) = accC; cummass(idx) = accM; idx += 1
-      }
-      (1L to points.toLong).flatMap { p =>
-        val k = p * n / points.toLong // both non-negative: div == /
-        val at = cumcnt.indexWhere(_ >= k)
-        if (at < 0) Seq.empty
+    graft.core.DriverFold.collectBounded(gDf) match {
+      case Some(collected) =>
+        val g = collected.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val schema = StructType(Seq(
+          StructField("p", LongType), StructField("k", LongType),
+          StructField("v_at", LongType), StructField("frac_pop", DoubleType),
+          StructField("frac_mass", DoubleType)))
+        val rows: Seq[Row] = if (g.isEmpty) Seq.empty
         else {
-          val v = g(at)._1
-          val mass = cummass(at) - BigInt(cumcnt(at) - k) * v
-          val fracMass: Any =
-            if (total == 0) null
-            else new java.math.BigDecimal(mass.bigInteger).doubleValue /
-              new java.math.BigDecimal(total.bigInteger).doubleValue
-          Seq(Row(p, k, v, k.toDouble / n.toDouble, fracMass))
+          val n = g.iterator.map(_._2).sum
+          val total = g.iterator.map { case (v, c) => BigInt(v) * c }.sum
+          val cumcnt = new Array[Long](g.length)
+          val cummass = new Array[BigInt](g.length)
+          var accC = 0L; var accM = BigInt(0)
+          var idx = 0
+          while (idx < g.length) {
+            accC += g(idx)._2; accM += BigInt(g(idx)._1) * g(idx)._2
+            cumcnt(idx) = accC; cummass(idx) = accM; idx += 1
+          }
+          (1L to points.toLong).flatMap { p =>
+            val k = p * n / points.toLong // both non-negative: div == /
+            val at = cumcnt.indexWhere(_ >= k)
+            if (at < 0) Seq.empty
+            else {
+              val v = g(at)._1
+              val mass = cummass(at) - BigInt(cumcnt(at) - k) * v
+              val fracMass: Any =
+                if (total == 0) null
+                else new java.math.BigDecimal(mass.bigInteger).doubleValue /
+                  new java.math.BigDecimal(total.bigInteger).doubleValue
+              Seq(Row(p, k, v, k.toDouble / n.toDouble, fracMass))
+            }
+          }
         }
-      }
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      case None => // distributed tail: the pre-r16 window/spine form
+        val g = gDf
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = g
+          .withColumn("cumcnt", sum(col("cnt")).over(w))
+          .withColumn("cummass",
+            sum((col("v") * col("cnt")).cast("decimal(38,0)")).over(w))
+        val t = g.agg(sum(col("cnt")).as("n"),
+          sum((col("v") * col("cnt")).cast("decimal(38,0)")).as("total"))
+        val spine = df.sparkSession.range(1, points + 1).toDF("p")
+          .crossJoin(broadcast(t))
+          .withColumn("k", call_function("div", col("p") * col("n"),
+            lit(points.toLong)))
+        val mass = (col("cummass") -
+          ((col("cumcnt") - col("k")) * col("v")).cast("decimal(38,0)"))
+        cum.crossJoin(broadcast(spine))
+          .filter(col("cumcnt") >= col("k"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("p")).orderBy(col("v"))))
+          .filter(col("rn") === 1)
+          .select(col("p"), col("k"), col("v").as("v_at"),
+            (col("k").cast("double") / col("n").cast("double"))
+              .as("frac_pop"),
+            when(col("total") === 0, lit(null).cast("double"))
+              .otherwise(mass.cast("double") / col("total").cast("double"))
+              .as("frac_mass"))
     }
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Per-group Gini concentration of a non-negative integer mass

@@ -450,7 +450,13 @@ object TimeSeries {
     * (order-free — the driver pair loop enumerates the same i<j set
     * the join produced), n/tie_sum/var_num18 are exact integer
     * arithmetic, and z is the ONE final double chain both engines
-    * share, evaluated on those integers. */
+    * share, evaluated on those integers.
+    *
+    * Guard (r17): keys × days is DATA-dependent, so the fold is gated
+    * on [[graft.core.DriverFold]] — above the cap the pre-fold
+    * distributed form (pair self-join over the persisted day table)
+    * runs instead, with bit-identical results. EAGER under the cap:
+    * the corpus job executes at DataFrame-construction time. */
   def mannKendall(df: DataFrame, key: Column, ts: Column): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -459,48 +465,80 @@ object TimeSeries {
       .select(key.as("k"),
         call_function("div", unix_micros(ts), lit(86400000000L)).as("d"))
       .groupBy(col("k"), col("d")).agg(count(lit(1)).as("c"))
-    val days = daysDf.collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
-    val byK = scala.collection.mutable.LinkedHashMap
-      .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
-    days.foreach { case (k, d, c) =>
-      byK.getOrElseUpdate(k,
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) += ((d, c))
-    }
-    // a key with a single observed day produced NO pair-join row in the
-    // join form, so its INNER assembly dropped the key — replicate that
-    // (adversarial-gate find: 5 rows vs the oracle's 1 without it)
-    val out = byK.iterator.filter(_._2.size >= 2).map { case (k, dc) =>
-      val n = dc.size.toLong
-      var s = 0L
-      var i = 0
-      while (i < dc.size) { // the l.d < r.d pair set, exact ±1 sum
-        var j = 0
-        while (j < dc.size) {
-          if (dc(i)._1 < dc(j)._1)
-            s += java.lang.Long.signum(dc(j)._2 - dc(i)._2).toLong
-          j += 1
+    graft.core.DriverFold.collectBounded(daysDf) match {
+      case Some(rows) =>
+        val days = rows.map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+        val byK = scala.collection.mutable.LinkedHashMap
+          .empty[Any, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+        days.foreach { case (k, d, c) =>
+          byK.getOrElseUpdate(k,
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) += ((d, c))
         }
-        i += 1
-      }
-      val tieSum = dc.groupBy(_._2).valuesIterator.map { g =>
-        val t = BigInt(g.size)
-        t * (t - 1) * (2 * t + 5)
-      }.sum
-      val varNum = BigInt(n) * BigInt(n - 1) * BigInt(2 * n + 5) - tieSum
-      // decimal(38,0) → double matches BigDecimal.doubleValue
-      val varD = new java.math.BigDecimal(varNum.bigInteger).doubleValue / 18.0
-      val z =
-        if (s > 0L) (s.toDouble - 1.0) / math.sqrt(varD)
-        else if (s < 0L) (s.toDouble + 1.0) / math.sqrt(varD)
-        else 0.0
-      val zOrNull: Any = if (n < 2L || varNum <= 0) null else z
-      Row(k, n, s, varNum.toLong, zOrNull)
-    }.toSeq
-    val schema = StructType(Seq(
-      StructField("k", daysDf.schema("k").dataType),
-      StructField("n", LongType), StructField("s_stat", LongType),
-      StructField("var_num18", LongType), StructField("z", DoubleType)))
-    spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+        // a key with a single observed day produced NO pair-join row in the
+        // join form, so its INNER assembly dropped the key — replicate that
+        // (adversarial-gate find: 5 rows vs the oracle's 1 without it)
+        val out = byK.iterator.filter(_._2.size >= 2).map { case (k, dc) =>
+          val n = dc.size.toLong
+          var s = 0L
+          var i = 0
+          while (i < dc.size) { // the l.d < r.d pair set, exact ±1 sum
+            var j = 0
+            while (j < dc.size) {
+              if (dc(i)._1 < dc(j)._1)
+                s += java.lang.Long.signum(dc(j)._2 - dc(i)._2).toLong
+              j += 1
+            }
+            i += 1
+          }
+          val tieSum = dc.groupBy(_._2).valuesIterator.map { g =>
+            val t = BigInt(g.size)
+            t * (t - 1) * (2 * t + 5)
+          }.sum
+          val varNum = BigInt(n) * BigInt(n - 1) * BigInt(2 * n + 5) - tieSum
+          // decimal(38,0) → double matches BigDecimal.doubleValue
+          val varD = new java.math.BigDecimal(varNum.bigInteger).doubleValue / 18.0
+          val z =
+            if (s > 0L) (s.toDouble - 1.0) / math.sqrt(varD)
+            else if (s < 0L) (s.toDouble + 1.0) / math.sqrt(varD)
+            else 0.0
+          val zOrNull: Any = if (n < 2L || varNum <= 0) null else z
+          // the pre-fold decimal(38,0)→long Spark cast returned NULL on
+          // overflow in non-ANSI mode; toLong would silently truncate
+          val varNumLong: Any = if (varNum.isValidLong) varNum.toLong else null
+          Row(k, n, s, varNumLong, zOrNull)
+        }.toSeq
+        val schema = StructType(Seq(
+          StructField("k", daysDf.schema("k").dataType),
+          StructField("n", LongType), StructField("s_stat", LongType),
+          StructField("var_num18", LongType), StructField("z", DoubleType)))
+        spark.createDataFrame(java.util.Arrays.asList(out: _*), schema)
+      case None => // distributed tail: the pre-r16 pair self-join form
+        val days = graft.core.Caches.track(daysDf)
+        val s = days.as("l").join(days.as("r"),
+            col("l.k") === col("r.k") && col("l.d") < col("r.d"))
+          .select(col("l.k").as("k"),
+            signum(col("r.c") - col("l.c")).cast("long").as("sg"))
+          .groupBy(col("k")).agg(sum(col("sg")).as("s_stat"))
+        val n = days.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        val ties = days.groupBy(col("k"), col("c"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("k"))
+          .agg(sum((col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+            .cast("decimal(38,0)")).as("tie_sum"))
+        val varNum = (col("n") * (col("n") - 1L) *
+          (lit(2L) * col("n") + 5L)).cast("decimal(38,0)") - col("tie_sum")
+        val varD = varNum.cast("double") / lit(18.0)
+        val z = when(col("s_stat") > 0L,
+            (col("s_stat").cast("double") - lit(1.0)) / sqrt(varD))
+          .when(col("s_stat") < 0L,
+            (col("s_stat").cast("double") + lit(1.0)) / sqrt(varD))
+          .otherwise(lit(0.0))
+        n.join(s, Seq("k")).join(ties, Seq("k"))
+          .select(col("k"), col("n"), col("s_stat"),
+            varNum.cast("long").as("var_num18"),
+            when(col("n") < 2L || varNum <= 0L, lit(null).cast("double"))
+              .otherwise(z).as("z"))
+    }
   }
 
   /** Kaplan–Meier survival curve for the `fromType` → `toType`

@@ -647,7 +647,13 @@ object Selection {
     *
     * Shape: one map-combined corpus groupBy; the sort/prefix windows
     * run over the |languages|-row table (domain-sized — the gateParity
-    * regime), totals broadcast back. Scan-bound. */
+    * regime), totals broadcast back. Scan-bound.
+    *
+    * EAGER: the corpus job executes at DataFrame-construction time
+    * (driver-fold contract — callers cannot stack lazy transforms
+    * without paying the job first; .explain triggers execution). The
+    * |languages| collect is exactly the query's own output relation —
+    * structurally bounded, so no DriverFold gate. */
   def unimaxAlloc(df: DataFrame, domain: Column, tokens: Column,
                   budget: Long, maxEpochs: Long): DataFrame = {
     // r16: everything past the |languages|-row corpus aggregate folds
@@ -679,7 +685,22 @@ object Selection {
           y.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
       case (x: Long, y: Long) => x < y
       case (x: Int, y: Int) => x < y
-      case (x, y) => x.toString < y.toString // unreachable for the suite
+      case (x: Short, y: Short) => x < y
+      case (x: Byte, y: Byte) => x < y
+      // Double/Float: java.lang compare orders NaN greatest, matching
+      // Spark's SQL ordering (-0.0/0.0 never co-occur as group keys —
+      // NormalizeFloatingNumbers canonicalizes them before the groupBy)
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x, y) < 0
+      case (x: java.lang.Float, y: java.lang.Float) =>
+        java.lang.Float.compare(x, y) < 0
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y) < 0
+      case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y) < 0
+      case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y) < 0
+      case (x, y) => // a silent toString order would diverge from Spark's
+        throw new IllegalArgumentException(
+          s"unimaxAlloc: unsupported group-key type ${x.getClass.getName}")
     }
     val sorted = per.sortWith((l, r) =>
       if (l._3 != r._3) l._3 < r._3 else gLess(l._1, r._1))
@@ -741,6 +762,10 @@ object Selection {
     // mean/excess/exp chain is the identical java.lang.Math sequence
     // Spark's codegen runs, quantized to LONG before the exact
     // normalizer sum.
+    // r17 guard: |domains| is DATA-dependent (a web corpus can carry
+    // 1e7-1e8 domains), so the fold is gated on DriverFold — above the
+    // cap the pre-fold broadcast form runs, bit-identically. EAGER
+    // under the cap: the corpus job executes at construction time.
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val perDf = df.select(domain.as("g"), lossQ.as("__lq"))
@@ -748,29 +773,53 @@ object Selection {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("__lq").cast("decimal(38,0)")).as("__sl"))
-    val per = perDf.collect().map(r =>
-      (r.get(0), r.getLong(1), r.getDecimal(2)))
-    val nt = per.iterator.map(_._2).sum
-    val slt = per.iterator.map(r => BigDecimal(r._3)).sum
-    val meanAll = slt.bigDecimal.doubleValue / (nt.toDouble * lossScale)
-    val mid = per.map { case (g, n, sl) =>
-      val meanG = sl.doubleValue / (n.toDouble * lossScale)
-      val baseShare = n.toDouble / nt.toDouble
-      val rq = math.floor(baseShare *
-        math.exp(eta * (meanG - meanAll)) * 1e12).toLong
-      (g, n, meanG, meanG - meanAll, baseShare, rq)
+    graft.core.DriverFold.collectBounded(perDf) match {
+      case Some(collected) =>
+        val per = collected.map(r =>
+          (r.get(0), r.getLong(1), r.getDecimal(2)))
+        val nt = per.iterator.map(_._2).sum
+        val slt = per.iterator.map(r => BigDecimal(r._3)).sum
+        val meanAll = slt.bigDecimal.doubleValue / (nt.toDouble * lossScale)
+        val mid = per.map { case (g, n, sl) =>
+          val meanG = sl.doubleValue / (n.toDouble * lossScale)
+          val baseShare = n.toDouble / nt.toDouble
+          val rq = math.floor(baseShare *
+            math.exp(eta * (meanG - meanAll)) * 1e12).toLong
+          (g, n, meanG, meanG - meanAll, baseShare, rq)
+        }
+        val rst = mid.iterator.map(_._6).sum
+        val rows = mid.map { case (g, n, m, ex, bs, rq) =>
+          Row(g, n, m, ex, bs, rq.toDouble / rst.toDouble)
+        }
+        val schema = StructType(Seq(
+          StructField("g", perDf.schema("g").dataType),
+          StructField("n_docs", LongType), StructField("mean_loss", DoubleType),
+          StructField("excess_loss", DoubleType),
+          StructField("base_share", DoubleType),
+          StructField("weight", DoubleType)))
+        df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), schema)
+      case None => // distributed tail: the pre-r16 broadcast form
+        val tot = perDf.agg(sum(col("n_docs")).as("__nt"),
+          sum(col("__sl")).as("__slt"))
+        val meanG = col("__sl").cast("double") /
+          (col("n_docs").cast("double") * lit(lossScale))
+        val meanAll = col("__slt").cast("double") /
+          (col("__nt").cast("double") * lit(lossScale))
+        val withRaw = graft.core.Caches.track(perDf.crossJoin(broadcast(tot))
+          .withColumn("mean_loss", meanG)
+          .withColumn("excess_loss", meanG - meanAll)
+          .withColumn("base_share",
+            col("n_docs").cast("double") / col("__nt").cast("double"))
+          .withColumn("__rq",
+            floor(col("base_share") * exp(lit(eta) * col("excess_loss")) *
+              lit(1e12)).cast("long")))
+        val norm = withRaw.agg(sum(col("__rq")).as("__rst"))
+        withRaw.crossJoin(broadcast(norm))
+          .select(col("g"), col("n_docs"), col("mean_loss"),
+            col("excess_loss"), col("base_share"),
+            (col("__rq").cast("double") / col("__rst").cast("double"))
+              .as("weight"))
     }
-    val rst = mid.iterator.map(_._6).sum
-    val rows = mid.map { case (g, n, m, ex, bs, rq) =>
-      Row(g, n, m, ex, bs, rq.toDouble / rst.toDouble)
-    }
-    val schema = StructType(Seq(
-      StructField("g", perDf.schema("g").dataType),
-      StructField("n_docs", LongType), StructField("mean_loss", DoubleType),
-      StructField("excess_loss", DoubleType),
-      StructField("base_share", DoubleType),
-      StructField("weight", DoubleType)))
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), schema)
   }
 }
