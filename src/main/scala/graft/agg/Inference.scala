@@ -513,7 +513,15 @@ object Inference {
     * lake-scale calibration slice whose residuals are near-unique at
     * 10⁻⁶, drop the scale (10³ gives a ≤ maxResid·10³-row domain, the
     * normProfile discipline) — q̂ coarsens by the same grid and the
-    * determinism contract is unchanged. */
+    * determinism contract is unchanged.
+    *
+    * 2-pass floor (r17, closes the r16 "single-pass A/B" question): the
+    * two corpus scans CANNOT merge into one algebraic aggregate — pass
+    * 2 groups on floor(|y − (β₀+β₁x₁+β₂x₂)|·10⁶), a bucketing that
+    * depends on the β the first pass produces, and no fixed set of
+    * (y, x) moments determines the post-hoc residual histogram.
+    * Fusing would require materializing the per-row projection
+    * (a corpus persist — the scale-killer the r16 fold removed). */
   def conformalInterval(df: DataFrame, y: Column, x1: Column, x2: Column,
                         inTrain: Column, inCalib: Column,
                         covNum: Int = 9, covDen: Int = 10): DataFrame = {

@@ -53,5 +53,15 @@ object Scale {
         math.min(cores.toLong, (maxRows + RowsPerPartition - 1) / RowsPerPartition))
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     }
+    // ObjectHashAggregate (TypedImperativeAggregate partials: GramMatrixQ,
+    // TopKScoreIds, collect_set) falls back to SORT-based aggregation
+    // after 128 distinct keys per task by default — which re-sorts the
+    // very relation the bounded-buffer aggregates exist to avoid sorting
+    // (TopKScoreIds over a |queries|-group panel would sort the 100 M-pair
+    // relation again). The engine's object-agg buffers are all bounded
+    // (dim² longs, k ids, ≤maxDeg sets), so 64k in-memory group buffers
+    // is a few MB per task — far under executor memory at any scale.
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "65536")
   }
 }

@@ -1173,15 +1173,26 @@ object Similarity {
               queryMod: Long = 1L, hubAt: Long = -1L): DataFrame = {
     val ha = if (hubAt >= 0L) hubAt else 2L * k
     val v = df.select(id.as("vec_id"), vec.as("v"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+    // r17: exact top-k per query via the bounded TopKScoreIds aggregate
+    // instead of a row_number window — the window form sorted every map
+    // partition's slice of the panel×query pair relation (O(n log n)
+    // over a quadratic relation; 244 s at sf1 on 100 M pairs, nearly
+    // all in WindowGroupLimit's two sorts), while the aggregate selects
+    // the same (cos DESC, vec_id) rank-≤k set in O(n·k) with map-side
+    // partial aggregation, so only |queries|·k rows per map partition
+    // cross the exchange (guide §2.3). Selection order is Spark's sort
+    // order exactly (NaN greatest, ±0.0 equal, id tiebreak) — the
+    // membership this query reports is bit-identical.
     val topk = v.crossJoin(broadcast(
         v.filter(col("vec_id") % lit(queryMod) === 0L)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         CosineSimilarity(col("v"), col("qv")).as("cos"))
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKScoreIds(col("cos"), col("vec_id"), k)
+        .as("__ids"))
+      .select(col("query_id"), explode(col("__ids")).as("vec_id"))
     v.select(col("vec_id"))
       .join(topk.groupBy(col("vec_id")).agg(count(lit(1)).as("hits")),
         Seq("vec_id"), "left")
